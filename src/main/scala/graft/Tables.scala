@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers over the driver-generated parquet testdata (TESTDATA.md).
+  *
+  * All access goes through `Tables` so that every query reads via the same
+  * declarative `spark.read.parquet` path — Catalyst then gets predicate
+  * pushdown, column pruning and partition-size planning for free. At 100 TB
+  * each of these becomes a partitioned table; nothing in the API assumes the
+  * data fits anywhere in particular.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else raw(spark, dir, name)
+
+  private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and the nanos column is
+    * normalized here to a microsecond TIMESTAMP (truncation — same semantics
+    * DuckDB applies when casting ns→us). */
+  def events(s: SparkSession, d: String): DataFrame =
+    raw(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared building blocks for the oracle-checked query suite.
+  *
+  * Two cross-engine determinism conventions (Spark vs the driver's DuckDB
+  * oracle) used throughout:
+  *
+  *  1. '''Money math in DECIMAL.''' Double sums are order-dependent; the same
+  *     query on 32 shuffle partitions vs DuckDB's single thread would differ
+  *     in ulps. Casting 2-dp inputs to DECIMAL(18,2) makes every sum exact and
+  *     order-independent on both engines; the final cast back to DOUBLE is
+  *     deterministic IEEE. (`decSum`, `decAvg`.)
+  *
+  *  2. '''Deterministic hashing via md5.''' Spark's `xxhash64`/`hash` don't
+  *     exist in DuckDB, and `rand()` seeds don't line up across engines, so
+  *     every "random-ish" choice (splits, sampling, minhash, LSH) is driven by
+  *     `detHash`: the first 15 hex chars of md5 as a non-negative BIGINT
+  *     (60 bits — fits i64 on both engines).
+  *     Spark:  `conv(substring(md5(x), 1, 15), 16, 10)::long`
+  *     DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT`
+  */
+object Q {
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables(s, dir, name)
+
+  /** Deterministic 60-bit hash of an expression (+ seed), portable to DuckDB. */
+  def detHash(c: Column, seed: Int = 0): Column =
+    conv(substring(md5(concat(lit(seed.toString), c.cast(StringType))), 1, 15), 16, 10)
+      .cast(LongType)
+
+  /** DuckDB twin of [[detHash]] for splicing into oracle SQL. */
+  def detHashSql(expr: String, seed: Int = 0): String =
+    s"(('0x' || substr(md5('$seed' || CAST($expr AS VARCHAR)), 1, 15))::BIGINT)"
+
+  /** Order-independent exact sum of a 2-dp money column, returned as double. */
+  def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  def decSumSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Exact decimal average of a 2-dp money column, returned as double.
+    * Computed as integer cents summed exactly, then ONE double division —
+    * decimal/decimal division rounds differently across engines, int/int
+    * division in IEEE double does not. */
+  def decAvg(c: Column): Column =
+    (sum(round(c * 100).cast(LongType)).cast(DoubleType) / (count(c) * 100).cast(DoubleType))
+
+  def decAvgSql(expr: String): String =
+    s"(CAST(SUM(CAST(ROUND($expr * 100) AS BIGINT)) AS DOUBLE) / CAST(COUNT($expr) * 100 AS DOUBLE))"
+
+  /** Exact revenue term: price and discount are 2-dp; multiply in decimal. */
+  def revenue(price: Column, discount: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) * (lit(1).cast(DecimalType(18, 2)) - discount.cast(DecimalType(18, 2))))
+      .cast(DoubleType)
+
+  def revenueSql(price: String, discount: String): String =
+    s"CAST(SUM(CAST($price AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST($discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  /** Whitespace tokens of the documents `text` column (single-space corpus). */
+  def tokens(c: Column): Column = split(c, " ")
+}

@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Relational operator suite over the star-schema testdata — filters (§2.2),
+  * joins J1/J3/J4 (§2.4), aggregations A1-shape (§2.5), top-k T2/T5 (§2.7),
+  * window grouped top-k (§2.13), AL pool set algebra (§2.12).
+  *
+  * Every query is declarative DataFrame API so Catalyst plans it: filters and
+  * projections push into the parquet scan, the dimension sides of J1/q3/q5 are
+  * broadcast-hash joined (customer/orders dims ≪ lineitem at any SF), and all
+  * aggregates run partial→final. Results carry an explicit ORDER BY with a
+  * unique tiebreak so the DuckDB-oracle hash compare is order-stable.
+  */
+object Relational {
+
+  /** q1_agg — TPC-H Q1 shape: scan-filter-agg over lineitem (A1 analogue:
+    * accumulate→finalize ≙ Spark partial/final agg; SURVEY §2.5 A1). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        revenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        decAvg(col("l_quantity")).as("avg_qty"),
+        decAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1AggSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${decSumSql("l_quantity")} AS sum_qty,
+       |  ${decSumSql("l_extendedprice")} AS sum_base_price,
+       |  ${revenueSql("l_extendedprice", "l_discount")} AS sum_disc_price,
+       |  ${decAvgSql("l_quantity")} AS avg_qty,
+       |  ${decAvgSql("l_extendedprice")} AS avg_price,
+       |  COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+       |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q3_join_topk — TPC-H Q3 shape: selective dim filters, fact join, agg,
+    * top-10 (T2: TakeOrderedAndProject). customer side is broadcast. */
+  def q3JoinTopk(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"), col("o_orderpriority"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+      .orderBy(desc("rev"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinTopkSql: String =
+    s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+       |  ${revenueSql("l_extendedprice", "l_discount")} AS rev
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1999-01-01' AND l_shipdate > TIMESTAMP '1999-01-01'
+       |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+       |ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q5_multi_join — TPC-H Q5 shape: 5-way join through region→nation→
+    * customer→orders→lineitem→supplier with co-located nation keys. All dims
+    * broadcast; only the fact tables shuffle. */
+  def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") =!= "")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+    val sp = t(s, dir, "supplier")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("rev"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("rev"), col("n_name"))
+  }
+
+  val q5MultiJoinSql: String =
+    s"""SELECT n_name, ${revenueSql("l_extendedprice", "l_discount")} AS rev, COUNT(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name <> '' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name ORDER BY rev DESC, n_name""".stripMargin
+
+  /** j1_fk_join — FK equi-join orders⋈customer (SURVEY §2.4 J1: paragraphs
+    * carry paper_id; here orders carry o_custkey). Dim side broadcast. */
+  def j1FkJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment")
+
+  val j1FkJoinSql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders, ${decSumSql("o_totalprice")} AS total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** j3_semi_join — keep customers having ≥1 urgent open order (SURVEY §2.4
+    * J3: `dat.loc[res]` semi-join by selected ids). left_semi: no row
+    * duplication, customer columns only. */
+  def j3SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "O")
+    t(s, dir, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val j3SemiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders
+      |                    WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** j4_anti_join — customers with no pending ('P') order (SURVEY §2.4 J4:
+    * download-dedup — skip ids already materialized in the sink manifest).
+    * The anti side is filtered first so the join stays selective. */
+  def j4AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_without_pending"))
+      .orderBy("c_mktsegment")
+
+  val j4AntiJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_without_pending FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** p7_null_guards — conditional null projection (SURVEY §2.2 P7:
+    * `when(...).otherwise(null)`), then null-aware aggregation. */
+  def p7NullGuards(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        when(col("value") >= 100, col("value")).as("big_value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("big_value")).as("n_big"),
+        decSum(coalesce(col("big_value"), lit(0))).as("sum_big"))
+      .orderBy("event_type")
+
+  val p7NullGuardsSql: String =
+    s"""SELECT event_type, COUNT(*) AS n, COUNT(big_value) AS n_big,
+       |  ${decSumSql("COALESCE(big_value, 0)")} AS sum_big
+       |FROM (SELECT event_type, CASE WHEN value >= 100 THEN value END AS big_value FROM events) t
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** t2_topk — global top-k (SURVEY §2.7 T2: argpartition analogue; Spark
+    * plans TakeOrderedAndProject — per-partition partial top-k, no full sort). */
+  def t2Topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  val t2TopkSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+
+  /** t5_offset_scan — resumable offset/limit windowing (SURVEY §2.7 T5:
+    * `begin`/`maxlines`). */
+  def t5OffsetScan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+      .offset(100)
+      .limit(50)
+
+  val t5OffsetScanSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin
+
+  /** w1_grouped_topk — per-group top-3 via window row_number (SURVEY §2.13;
+    * grouped variant of T2, same shape as SM3 episode sampling). */
+  def w1GroupedTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rk")
+  }
+
+  val w1GroupedTopkSql: String =
+    """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  /** set1_pool_update — AL pool algebra L∪{x*}, U−{x*} (SURVEY §2.11/§2.12):
+    * union + left_anti over id sets. Labeled seed = deterministic 20% hash
+    * split; x* = top-50 of the unlabeled pool by acctbal. */
+  def set1PoolUpdate(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+    val seed = all.filter(detHash(col("c_custkey"), 7) % 10 < 2)
+    val unlabeled = all.join(seed, Seq("c_custkey"), "left_anti")
+    val picked = unlabeled.orderBy(desc("c_acctbal"), col("c_custkey")).limit(50)
+    val newLabeled = seed.select("c_custkey").unionByName(picked.select("c_custkey"))
+    val newUnlabeled = all.select("c_custkey").join(newLabeled, Seq("c_custkey"), "left_anti")
+    newLabeled.select(lit("L").as("pool"), col("c_custkey"))
+      .unionByName(newUnlabeled.select(lit("U").as("pool"), col("c_custkey")))
+      .orderBy("pool", "c_custkey")
+  }
+
+  val set1PoolUpdateSql: String =
+    s"""WITH all_c AS (SELECT c_custkey, c_acctbal FROM customer),
+       |seed AS (SELECT c_custkey FROM all_c WHERE ${detHashSql("c_custkey", 7)} % 10 < 2),
+       |unlab AS (SELECT * FROM all_c WHERE c_custkey NOT IN (SELECT c_custkey FROM seed)),
+       |picked AS (SELECT c_custkey FROM unlab ORDER BY c_acctbal DESC, c_custkey LIMIT 50),
+       |newl AS (SELECT c_custkey FROM seed UNION ALL SELECT c_custkey FROM picked)
+       |SELECT 'L' AS pool, c_custkey FROM newl
+       |UNION ALL
+       |SELECT 'U' AS pool, c_custkey FROM all_c WHERE c_custkey NOT IN (SELECT c_custkey FROM newl)
+       |ORDER BY pool, c_custkey""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join_topk" -> (q3JoinTopk _),
+    "q5_multi_join" -> (q5MultiJoin _),
+    "j1_fk_join" -> (j1FkJoin _),
+    "j3_semi_join" -> (j3SemiJoin _),
+    "j4_anti_join" -> (j4AntiJoin _),
+    "p7_null_guards" -> (p7NullGuards _),
+    "t2_topk" -> (t2Topk _),
+    "t5_offset_scan" -> (t5OffsetScan _),
+    "w1_grouped_topk" -> (w1GroupedTopk _),
+    "set1_pool_update" -> (set1PoolUpdate _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_join_topk" -> q3JoinTopkSql,
+    "q5_multi_join" -> q5MultiJoinSql,
+    "j1_fk_join" -> j1FkJoinSql,
+    "j3_semi_join" -> j3SemiJoinSql,
+    "j4_anti_join" -> j4AntiJoinSql,
+    "p7_null_guards" -> p7NullGuardsSql,
+    "t2_topk" -> t2TopkSql,
+    "t5_offset_scan" -> t5OffsetScanSql,
+    "w1_grouped_topk" -> w1GroupedTopkSql,
+    "set1_pool_update" -> set1PoolUpdateSql)
+}
