@@ -11,10 +11,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ the LLM-pipeline
     * generalizations: dedup, similarity search, text analysis). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ TextQueries.queries ++ CorpusQueries.queries ++
+      MatchQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ TextQueries.oracles ++ CorpusQueries.oracles ++
+      MatchQueries.oracles
 }

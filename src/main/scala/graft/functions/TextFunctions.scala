@@ -69,10 +69,12 @@ object TextFunctions {
   /** F16 — whitespace tokenize. */
   def tokenize(c: Column): Column = split(c, "\\s+")
 
-  /** F17 — deterministic id: sha2 over concatenated key parts (replaces the
-    * reference's uuid4 per its own TODO at `paper_processing.py:147-150`). */
+  /** F17 — deterministic id: sha2 over key parts joined with U+0001 (an
+    * unambiguous separator: ("ab","c") never collides with ("a","bc")).
+    * Replaces the reference's uuid4 per its own TODO at
+    * `paper_processing.py:147-150`. DuckDB twin: `sha256(a || chr(1) || b)`. */
   def deterministicId(parts: Column*): Column =
-    sha2(concat_ws("", parts: _*), 256)
+    sha2(concat_ws("\u0001", parts: _*), 256)
 
   /** F18 — parse a Python-stringified list (`ast.literal_eval` analogue). */
   def parseStringifiedList(c: Column): Column =

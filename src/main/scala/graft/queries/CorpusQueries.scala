@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Q._
+
+/** Corpus-level aggregation suite (SURVEY §2.5 A1–A8, §2.4 J5/J8) over
+  * `documents` — corpus statistics, word frequency, top-N removal, bigram
+  * collocations, per-group collect, vocab-lookup vectorization, conjunctive
+  * keyword matching.
+  *
+  * Scale shape: everything is explode → hash-agg (partial+final, map-side
+  * combine) or broadcast join against a tiny derived dimension (vocab, top-N
+  * set, keyword list). No driver-side collect anywhere — the vocab join J5 is
+  * the join-based V4 design SURVEY §7.3(7) requires.
+  */
+object CorpusQueries {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** a1_corpus_stats — per-language corpus statistics (SURVEY §2.5 A1: #S,
+    * #T, ASL, %AC — the accumulate/finalize split is Spark's partial+final
+    * agg). "Entity" analogue = the 'data' candidate marker (P1). */
+  def a1CorpusStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), size(toks(col("text"))).as("n_tok"), col("n_chars"),
+        col("text").contains("data").cast(IntegerType).as("has_data"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        (sum("n_tok").cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avg_tokens"),
+        sum("n_chars").as("total_chars"),
+        (sum("has_data").cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("frac_candidate"))
+      .orderBy("lang")
+
+  val a1CorpusStatsSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(len(string_split(text,' '))) AS total_tokens,
+      |  CAST(SUM(len(string_split(text,' '))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+      |  SUM(n_chars) AS total_chars,
+      |  CAST(SUM(CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_candidate
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** a3_word_freq — global token frequency (Counter over the corpus,
+    * `TM_1:cell 20`): explode → hash-agg. */
+  def a3WordFreq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("word"))
+
+  val a3WordFreqSql: String =
+    """SELECT w AS word, COUNT(*) AS cnt
+      |FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) t
+      |GROUP BY w ORDER BY cnt DESC, w""".stripMargin
+
+  /** a4_topn_removal — most_common(8) becomes a removal set; count each doc's
+    * surviving tokens (`TM_1:cells 21-22`). The top-8 is a broadcast anti
+    * join, not a driver collect. */
+  def a4TopnRemoval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val top8 = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("word")).limit(8).select("word")
+    tok.join(broadcast(top8), Seq("word"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  val a4TopnRemovalSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+      |top8 AS (SELECT word FROM (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word
+      |         ORDER BY cnt DESC, word LIMIT 8) t)
+      |SELECT doc_id, COUNT(*) AS n_kept FROM tok
+      |WHERE word NOT IN (SELECT word FROM top8)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** a6_bigrams — adjacent-token collocations via posexplode + lead window
+    * (`gensim.Phrases` analogue, `TM_2:cells 8-12`): min_count 5, top 20. */
+  def a6Bigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead("w1", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+      .orderBy(desc("cnt"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val a6BigramsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS w1,
+      |    generate_subscripts(string_split(text,' '), 1) AS pos
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok)
+      |SELECT w1, w2, COUNT(*) AS cnt FROM pairs WHERE w2 IS NOT NULL
+      |GROUP BY w1, w2 HAVING COUNT(*) >= 5
+      |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin
+
+  /** a8_group_collect — per-label ordered id collection
+    * (`paper_classification/utils.py:18-26` builds {label: [texts]}).
+    * collect_list is order-nondeterministic under shuffle, so the result is
+    * sorted in-array before joining to a string — deterministic at any
+    * parallelism. */
+  def a8GroupCollect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        array_join(transform(array_sort(collect_list(col("vec_id"))),
+          x => x.cast(StringType)), ",").as("ids_csv"))
+      .orderBy("label")
+
+  val a8GroupCollectSql: String =
+    """SELECT label, COUNT(*) AS n, string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS ids_csv
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  /** j5_vocab_lookup — vectorization as a broadcast join (SURVEY §2.4 J5 +
+    * §2.9 V1/V4): vocab = words ranked by (freq desc, word), built
+    * join-based (never a driver dict); each doc's tokens become a csv of
+    * vocab ids in position order, OOV→0. */
+  def j5VocabLookup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "word")))
+    val vocab = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("vocab_id", row_number().over(Window.orderBy(desc("cnt"), col("word"))))
+      .select("word", "vocab_id")
+    tok.join(broadcast(vocab), Seq("word"), "left_outer")
+      .withColumn("vid", coalesce(col("vocab_id"), lit(0)))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("vid")))),
+          x => x.getField("vid").cast(StringType)), ",").as("token_ids"))
+      .orderBy("doc_id")
+  }
+
+  val j5VocabLookupSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '), 1) AS pos,
+      |    unnest(string_split(text,' ')) AS word
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS vocab_id
+      |  FROM (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word) f)
+      |SELECT doc_id, string_agg(CAST(COALESCE(vocab_id, 0) AS VARCHAR), ',' ORDER BY pos) AS token_ids
+      |FROM tok LEFT JOIN vocab USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The fixed conjunctive keyword set for j8 — mirrors the SDG keyword
+    * matrix's `"X AND Y"` cells (`db/SDG research keywords.csv`). */
+  val sdgKeywords: Seq[(String, Seq[String])] = Seq(
+    ("sdg_storage", Seq("data", "table")),
+    ("sdg_exec", Seq("hash", "join")),
+    ("sdg_stream", Seq("stream", "window")),
+    ("sdg_sort", Seq("sort", "merge")),
+    ("sdg_fast", Seq("fast")))
+
+  /** j8_conjunctive_keywords — keyword→doc conjunctive containment (SURVEY
+    * §2.4 J8): a doc matches a keyword iff it contains ALL terms as whole
+    * tokens. Keywords are a literal broadcast dimension; the match is
+    * `forall(terms, array_contains(tokens))`. */
+  def j8ConjunctiveKeywords(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val kw = broadcast(sdgKeywords.toDF("sdg", "terms"))
+    t(s, dir, "documents")
+      .withColumn("tok", toks(col("text")))
+      .crossJoin(kw)
+      .filter(forall(col("terms"), term => array_contains(col("tok"), term)))
+      .groupBy("sdg")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("sdg")
+  }
+
+  val j8ConjunctiveKeywordsSql: String = {
+    val arms = sdgKeywords.map { case (sdg, terms) =>
+      val conj = terms.map(term => s"(' ' || text || ' ') LIKE '% $term %'").mkString(" AND ")
+      s"SELECT '$sdg' AS sdg, COUNT(*) AS n_docs FROM documents WHERE $conj"
+    }
+    arms.mkString("", "\nUNION ALL\n", "\nORDER BY sdg")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "a1_corpus_stats" -> (a1CorpusStats _),
+    "a3_word_freq" -> (a3WordFreq _),
+    "a4_topn_removal" -> (a4TopnRemoval _),
+    "a6_bigrams" -> (a6Bigrams _),
+    "a8_group_collect" -> (a8GroupCollect _),
+    "j5_vocab_lookup" -> (j5VocabLookup _),
+    "j8_conjunctive_keywords" -> (j8ConjunctiveKeywords _))
+
+  val oracles: Map[String, String] = Map(
+    "a1_corpus_stats" -> a1CorpusStatsSql,
+    "a3_word_freq" -> a3WordFreqSql,
+    "a4_topn_removal" -> a4TopnRemovalSql,
+    "a6_bigrams" -> a6BigramsSql,
+    "a8_group_collect" -> a8GroupCollectSql,
+    "j5_vocab_lookup" -> j5VocabLookupSql,
+    "j8_conjunctive_keywords" -> j8ConjunctiveKeywordsSql)
+}

@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{PorterStemmer, TextFunctions => TF}
+import Q._
+
+/** Text-operator suite over the `documents` table — the reference's
+  * candidate-paragraph filter (§2.2 P1/P5), cleaning chain (§2.3 F1–F19), and
+  * the generalized text-analysis layer for LLM-data pipelines: language-ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * All pure-`functions._` projections (whole-stage codegen, no shuffle except
+  * where an aggregation is the point). Scores that mix float math are scaled
+  * to BIGINT before ordering/compare (see Q scaladoc).
+  */
+object TextQueries {
+
+  /** p1_candidate_filter — the reference's candidate-paragraph predicate:
+    * keep texts containing "data" (`paper_processing.py:170-182`). */
+  def p1CandidateFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("text").contains("data"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  val p1CandidateFilterSql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE text LIKE '%data%' ORDER BY doc_id""".stripMargin
+
+  /** p5_short_filter — drop short texts (<20 tokens; reference drops CoNLL
+    * sentences <2 tokens, `data_transformation.py:81-84`). */
+  def p5ShortFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .filter(col("n_tokens") >= 20)
+      .select("doc_id", "n_tokens")
+      .orderBy("doc_id")
+
+  val p5ShortFilterSql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+      |WHERE len(string_split(text, ' ')) >= 20 ORDER BY doc_id""".stripMargin
+
+  /** f1_clean_chain — F1/F4/F6–F9 cleaning chain. The corpus is already
+    * clean, so deterministic noise (URL, email, digit-token) is injected
+    * first, then stripped back out — exercising each regex stage. */
+  def f1CleanChain(s: SparkSession, dir: String): DataFrame = {
+    val noisy = concat(col("text"), lit(" http://x.co/q?id="), col("doc_id"),
+      lit(" a.b@ex.com 42x7 <P> "))
+    val cleaned = TF.normalizeWhitespace(
+      TF.removePunctuation(
+        TF.removeDigitTokens(
+          TF.removeEmails(
+            TF.removeUrls(TF.lowercased(noisy))))))
+    t(s, dir, "documents")
+      .select(col("doc_id"), cleaned.as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  val f1CleanChainSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            lower(text || ' http://x.co/q?id=' || CAST(doc_id AS VARCHAR) || ' a.b@ex.com 42x7 <P> '),
+      |            '(https?://\S+|www\.\S+)', '', 'g'),
+      |          '\S*@\S*\s?', '', 'g'),
+      |        '\S*[0-9]\S*', '', 'g'),
+      |      '[^\w\s]', '', 'g'),
+      |    '\s+', ' ', 'g')) AS cleaned
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** f5_token_filter — tokenize (F16), drop short words (F5), remove
+    * stopwords (F12), rejoin. */
+  def f5TokenFilter(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(
+          TF.removeStopwords(TF.dropShortWords(tokens(col("text")), 3), stop),
+          " ").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val f5TokenFilterSql: String =
+    """SELECT doc_id, array_to_string(
+      |  list_filter(string_split(text, ' '),
+      |    w -> len(w) >= 3 AND w NOT IN ('the','a','of','and','in','to')),
+      |  ' ') AS kept
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** f14_porter_stem — Porter-stem every token (pure-Scala UDF; SURVEY §2.3
+    * F14). No DuckDB twin (no stemmer there) → rows-only check; exactness is
+    * covered by PorterStemmerSpec against published stemmer vectors. */
+  def f14PorterStem(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(PorterStemmer.stemArrayUdf(tokens(col("text"))), " ").as("stemmed"))
+      .orderBy("doc_id")
+
+  /** f17_deterministic_id — content-hash id (replaces reference's uuid4 per
+    * its own idempotency TODO, `paper_processing.py:147-150`). */
+  def f17DeterministicId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TF.deterministicId(col("doc_id").cast(StringType), col("text")).as("det_id"))
+      .orderBy("doc_id")
+
+  val f17DeterministicIdSql: String =
+    """SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || chr(1) || text) AS det_id
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** f18_parse_stringified_list — build a Python-style stringified list from
+    * the first 3 tokens, then parse it back via from_json (the reference
+    * round-trips str(list) with ast.literal_eval, `ner_pipeline.py:126`). */
+  def f18ParseStringifiedList(s: SparkSession, dir: String): DataFrame = {
+    val stringified = concat(lit("['"),
+      array_join(slice(tokens(col("text")), 1, 3), "', '"), lit("']"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(TF.parseStringifiedList(stringified), ";").as("parsed"))
+      .orderBy("doc_id")
+  }
+
+  val f18ParseStringifiedListSql: String =
+    """SELECT doc_id, array_to_string(
+      |  list_transform(
+      |    string_split(trim(('[''' || array_to_string(string_split(text,' ')[1:3], ''', ''') || ''']'), '[]'), ', '),
+      |    x -> trim(x, '''')), ';') AS parsed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** f19_plus_join — '+'-joined query-string building over part names
+    * (`papers_download.py:121`). */
+  def f19PlusJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), TF.plusJoined(col("p_name")).as("query_string"))
+      .orderBy("p_partkey")
+
+  val f19PlusJoinSql: String =
+    """SELECT p_partkey, regexp_replace(trim(p_name), '\s+', '+', 'g') AS query_string
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** ta1_langid — character-bigram language-ID: profiles counted from a
+    * deterministic 80% train split, argmax profile-overlap score on the rest.
+    * Two shuffles (profile agg, score agg) + a broadcast profile join — the
+    * shape that scales: profiles are |langs|×|bigrams| ≪ corpus. */
+  def ta1LangId(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bigrams = docs.select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+    val profile = bigrams.filter(col("doc_id") % 5 < 4)
+      .groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed("lang", "cand_lang")
+    val test = bigrams.filter(col("doc_id") % 5 === 4)
+    val scored = test.join(broadcast(profile), Seq("bg"))
+      .groupBy("doc_id", "cand_lang")
+      .agg(sum("cnt").as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("cand_lang"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  val ta1LangIdSql: String =
+    """WITH bigrams AS (
+      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(text)), i -> substr(text, i, 2))) AS bg
+      |  FROM documents),
+      |profile AS (
+      |  SELECT lang AS cand_lang, bg, COUNT(*) AS cnt FROM bigrams
+      |  WHERE doc_id % 5 < 4 GROUP BY lang, bg),
+      |scored AS (
+      |  SELECT b.doc_id, p.cand_lang, SUM(p.cnt) AS score
+      |  FROM bigrams b JOIN profile p USING (bg)
+      |  WHERE b.doc_id % 5 = 4 GROUP BY b.doc_id, p.cand_lang),
+      |ranked AS (
+      |  SELECT doc_id, cand_lang, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rk
+      |  FROM scored)
+      |SELECT doc_id, cand_lang AS pred_lang, score FROM ranked WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** ta2_quality_score — document quality heuristics: token count, mean word
+    * length, stopword ratio, combined into one scaled-integer score. */
+  def ta2QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val meanLen = aggregate(toks, lit(0), (acc, w) => acc + length(w))
+      .cast(DoubleType) / nTokens.cast(DoubleType)
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val stopRatio = size(filter(toks, w => w.isin(stop.map(x => x: Any): _*)))
+      .cast(DoubleType) / nTokens.cast(DoubleType)
+    val score = round((stopRatio * 0.3 + least(nTokens, lit(100)).cast(DoubleType) / 100.0 * 0.4 +
+      least(meanLen, lit(10.0)) / 10.0 * 0.3) * 1e6).cast(LongType)
+    t(s, dir, "documents")
+      .select(col("doc_id"), nTokens.as("n_tokens"), score.as("quality_score_e6"))
+      .orderBy("doc_id")
+  }
+
+  val ta2QualityScoreSql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |  CAST(ROUND((
+      |    (CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','in','to'))) AS DOUBLE)
+      |      / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.3
+      |    + (CAST(LEAST(len(string_split(text,' ')), 100) AS DOUBLE) / 100.0) * 0.4
+      |    + LEAST(CAST(list_sum(list_transform(string_split(text,' '), w -> len(w))) AS DOUBLE)
+      |        / CAST(len(string_split(text,' ')) AS DOUBLE), 10.0) / 10.0 * 0.3
+      |  ) * 1e6) AS BIGINT) AS quality_score_e6
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** ta3_token_count — whitespace tokens vs BPE-ish regex tokens
+    * (letters-runs | digit-runs | single other char). */
+  def ta3TokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  val ta3TokenCountSql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** ta4_fingerprint — order-independent document fingerprint: md5 over the
+    * sorted distinct token set (dedup-key material). */
+  def ta4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val ta4FingerprintSql: String =
+    """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    "p1_candidate_filter" -> (p1CandidateFilter _),
+    "p5_short_filter" -> (p5ShortFilter _),
+    "f1_clean_chain" -> (f1CleanChain _),
+    "f5_token_filter" -> (f5TokenFilter _),
+    "f14_porter_stem" -> (f14PorterStem _),
+    "f17_deterministic_id" -> (f17DeterministicId _),
+    "f18_parse_stringified_list" -> (f18ParseStringifiedList _),
+    "f19_plus_join" -> (f19PlusJoin _),
+    "ta1_langid" -> (ta1LangId _),
+    "ta2_quality_score" -> (ta2QualityScore _),
+    "ta3_token_count" -> (ta3TokenCount _),
+    "ta4_fingerprint" -> (ta4Fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "p1_candidate_filter" -> p1CandidateFilterSql,
+    "p5_short_filter" -> p5ShortFilterSql,
+    "f1_clean_chain" -> f1CleanChainSql,
+    "f5_token_filter" -> f5TokenFilterSql,
+    "f17_deterministic_id" -> f17DeterministicIdSql,
+    "f18_parse_stringified_list" -> f18ParseStringifiedListSql,
+    "f19_plus_join" -> f19PlusJoinSql,
+    "ta1_langid" -> ta1LangIdSql,
+    "ta2_quality_score" -> ta2QualityScoreSql,
+    "ta3_token_count" -> ta3TokenCountSql,
+    "ta4_fingerprint" -> ta4FingerprintSql)
+}
