@@ -12,11 +12,15 @@ object SparkEntry {
     * generalizations: dedup, similarity search, text analysis). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextQueries.queries ++ CorpusQueries.queries ++
-      MatchQueries.queries
+      MatchQueries.queries ++ ALQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ EventQueries.queries ++
+      PipelineQueries.queries ++ MLQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextQueries.oracles ++ CorpusQueries.oracles ++
-      MatchQueries.oracles
+      MatchQueries.oracles ++ ALQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ EventQueries.oracles ++
+      PipelineQueries.oracles ++ MLQueries.oracles
 }

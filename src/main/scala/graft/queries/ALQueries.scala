@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Sampling (SURVEY §2.6 SM1–SM3) and the 8 active-learning selection
+  * strategies (§2.11 AL1–AL8) — informativeness score → top-k over a pool.
+  *
+  * The reference scores a pool with a BiLSTM-CRF (`active_learning.py`); the
+  * model boundary is out of query scope (SURVEY §7.3(5)), so the scored pool
+  * here is derived *deterministically* from the `embeddings` table: token t's
+  * class distribution is the L1-normalized |embedding[4t..4t+3]| slice, the
+  * "Viterbi path" tag of token t is (vec_id + t) % 4, and the path length is
+  * 4 + hash(vec_id) % 5. Every strategy then reduces per-token terms exactly
+  * as its reference twin (registry `ner_pipeline.py:410-419`).
+  *
+  * Cross-engine determinism: all arithmetic is IEEE-exact (widening casts,
+  * add/div/min/max) except `ln`, whose last-ulp may differ per libm — every
+  * ln-based score is therefore scaled+rounded to a BIGINT *before* ordering,
+  * with vec_id as the unique tiebreak. Expressions are built from one
+  * template per strategy, rendered for Spark SQL and DuckDB SQL — same tree,
+  * same fold order.
+  *
+  * Scale shape: each strategy is a projection + TakeOrderedAndProject top-k;
+  * no shuffle except the final k-row ordering. At 100 TB the pool scan
+  * parallelizes per-split and each executor keeps only its local top-k.
+  */
+object ALQueries {
+
+  private val K = 100
+  private val C = 4
+
+  /** Engine-specific SQL fragments. */
+  private case class Dialect(
+      elem: String => String, // 1-based embedding element access
+      foldSum: (String, String) => String, // sum of term(t) for t in [0, n)
+      foldMin: (String, String) => String) // min of term(t) for t in [0, n)
+
+  private val sparkD = Dialect(
+    i => s"cast(element_at(embedding, $i) as double)",
+    (n, term) => s"aggregate(sequence(0, $n - 1), cast(0 as double), (acc, t) -> acc + ($term))",
+    (n, term) => s"array_min(transform(sequence(0, $n - 1), t -> ($term)))")
+
+  private val duckD = Dialect(
+    i => s"CAST(embedding[$i] AS DOUBLE)",
+    (n, term) => s"list_sum(list_transform(range(0, $n), t -> ($term)))",
+    (n, term) => s"list_min(list_transform(range(0, $n), t -> ($term)))")
+
+  /** Per-token class probabilities p1..p4 and derived terms, as SQL(t). */
+  private def terms(d: Dialect): Map[String, String] = {
+    val a = (1 to C).map(i => s"abs(${d.elem(s"$C*t + $i")})")
+    val denom = a.mkString(" + ")
+    val p = a.map(ai => s"(($ai) / ($denom))")
+    val maxp = s"greatest(${p.mkString(", ")})"
+    val pathp = s"(CASE CAST((vec_id + t) % $C AS INT) " +
+      p.zipWithIndex.map { case (pi, i) =>
+        if (i < C - 1) s"WHEN $i THEN $pi" else s"ELSE $pi"
+      }.mkString(" ") + " END)"
+    def plogp(pi: String) =
+      s"(CASE WHEN $pi > 0 THEN $pi * ln($pi) ELSE cast(0 as double) END)"
+    val ent = s"(0.0 - (${p.map(plogp).mkString(" + ")}))"
+    Map("maxp" -> maxp, "pathp" -> pathp, "ent" -> ent,
+      "lnpathp" -> s"ln(greatest($pathp, 1e-300))")
+  }
+
+  /** Scaled-integer score: kills cross-libm ln ulp noise before ordering. */
+  private def e6(x: String): String = s"CAST(ROUND(($x) * 1e6) AS BIGINT)"
+
+  /** The informativeness score of each strategy, as SQL over
+    * (vec_id, embedding, path_len). Boolean = select largest first. */
+  private def strategyScore(d: Dialect): Map[String, (String, Boolean)] = {
+    val t = terms(d)
+    val n = "path_len"
+    Map(
+      // AL3 LC: smallest total path log-score (least confident path)
+      "al3_least_confidence" -> (e6(d.foldSum(n, t("lnpathp"))), false),
+      // AL4 NLC: LC normalized by sequence length
+      "al4_normalized_lc" -> (e6(s"(${d.foldSum(n, t("lnpathp"))}) / $n"), false),
+      // AL5 LTP: smallest minimum path-tag probability
+      "al5_least_token_prob" -> (e6(d.foldMin(n, t("pathp"))), false),
+      // AL6 MTP: smallest minimum per-token max-class probability
+      "al6_min_token_prob" -> (e6(d.foldMin(n, t("maxp"))), false),
+      // AL7 MTE: largest total token entropy
+      "al7_max_token_entropy" -> (e6(d.foldSum(n, t("ent"))), true),
+      // AL8 TE: largest mean token entropy
+      "al8_token_entropy" -> (e6(s"(${d.foldSum(n, t("ent"))}) / $n"), true))
+  }
+
+  private def pathLenSpark = s"cast(4 + pmod(${hashSpark("vec_id", 11)}, 5) as int)"
+  private def pathLenDuck = s"(4 + ${detHashSql("vec_id", 11)} % 5)"
+
+  private def hashSpark(expr0: String, seed: Int): String =
+    s"cast(conv(substring(md5(concat('$seed', cast($expr0 as string))), 1, 15), 16, 10) as bigint)"
+
+  /** The deterministic scored pool (Spark side). */
+  def pool(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").withColumn("path_len", expr(pathLenSpark))
+
+  private def poolDuck: String =
+    s"(SELECT vec_id, embedding, $pathLenDuck AS path_len FROM embeddings) pool"
+
+  /** Spark query for one ln/HOF strategy. */
+  private def strategyQuery(name: String): QueryFn = (s, dir) => {
+    val (score, desc0) = strategyScore(sparkD)(name)
+    val p = pool(s, dir).withColumn("score_e6", expr(score))
+    p.select("vec_id", "score_e6")
+      .orderBy(if (desc0) col("score_e6").desc else col("score_e6").asc, col("vec_id"))
+      .limit(K)
+  }
+
+  private def strategySql(name: String): String = {
+    val (score, desc0) = strategyScore(duckD)(name)
+    val dir0 = if (desc0) "DESC" else "ASC"
+    s"""SELECT vec_id, $score AS score_e6 FROM $poolDuck
+       |ORDER BY score_e6 $dir0, vec_id LIMIT $K""".stripMargin
+  }
+
+  /** al1_random — uniform choice via portable deterministic hash
+    * (`active_learning.py:26-45`; seeds replaced by detHash — SURVEY §7.3(3)). */
+  def al1Random(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), detHash(col("vec_id"), 23).as("h"))
+      .orderBy("h", "vec_id")
+      .limit(K)
+
+  val al1RandomSql: String =
+    s"""SELECT vec_id, ${detHashSql("vec_id", 23)} AS h FROM embeddings
+       |ORDER BY h, vec_id LIMIT $K""".stripMargin
+
+  /** al2_long — longest sequences first (`active_learning.py:48-59`). */
+  def al2Long(s: SparkSession, dir: String): DataFrame =
+    pool(s, dir)
+      .select("vec_id", "path_len")
+      .orderBy(desc("path_len"), col("vec_id"))
+      .limit(K)
+
+  val al2LongSql: String =
+    s"""SELECT vec_id, path_len FROM $poolDuck
+       |ORDER BY path_len DESC, vec_id LIMIT $K""".stripMargin
+
+  /** sm1_stratified_split — deterministic 85/15 stratified split by lang
+    * (`ner_pipeline.py:71-77` train_test_split(stratify=has_entity));
+    * compared on per-stratum counts (SURVEY §7.3(3)). */
+  def sm1StratifiedSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(detHash(col("doc_id"), 13) % 100 < 85, "train").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+
+  val sm1StratifiedSplitSql: String =
+    s"""SELECT lang,
+       |  CASE WHEN ${detHashSql("doc_id", 13)} % 100 < 85 THEN 'train' ELSE 'test' END AS split,
+       |  COUNT(*) AS n
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
+  /** sm2_random_split — fraction split of the pool into annotated/unannotated
+    * (`data_transformation.py:103-125`, choice at 119-120). */
+  def sm2RandomSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .withColumn("pool0",
+        when(detHash(col("vec_id"), 29) % 10 < 3, "annotated").otherwise("unannotated"))
+      .groupBy("pool0")
+      .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"), max("vec_id").as("max_id"))
+      .orderBy("pool0")
+
+  val sm2RandomSplitSql: String =
+    s"""SELECT CASE WHEN ${detHashSql("vec_id", 29)} % 10 < 3 THEN 'annotated' ELSE 'unannotated' END AS pool0,
+       |  COUNT(*) AS n, MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+       |FROM embeddings GROUP BY 1 ORDER BY pool0""".stripMargin
+
+  /** sm3_episode_sampling — k-shot-per-class episode
+    * (`paper_classification/utils.py:28-72`): 5 shots per label, ordered by
+    * deterministic hash within each class. */
+  def sm3EpisodeSampling(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("label").orderBy(detHash(col("vec_id"), 17), col("vec_id"))
+    t(s, dir, "embeddings")
+      .withColumn("shot", row_number().over(w))
+      .filter(col("shot") <= 5)
+      .select("label", "shot", "vec_id")
+      .orderBy("label", "shot")
+  }
+
+  val sm3EpisodeSamplingSql: String =
+    s"""SELECT label, shot, vec_id FROM (
+       |  SELECT label, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY ${detHashSql("vec_id", 17)}, vec_id) AS shot
+       |  FROM embeddings) t
+       |WHERE shot <= 5 ORDER BY label, shot""".stripMargin
+
+  private val lnStrategies =
+    Seq("al3_least_confidence", "al4_normalized_lc", "al5_least_token_prob",
+      "al6_min_token_prob", "al7_max_token_entropy", "al8_token_entropy")
+
+  val queries: Map[String, QueryFn] =
+    Map(
+      "al1_random" -> (al1Random _),
+      "al2_long" -> (al2Long _),
+      "sm1_stratified_split" -> (sm1StratifiedSplit _),
+      "sm2_random_split" -> (sm2RandomSplit _),
+      "sm3_episode_sampling" -> (sm3EpisodeSampling _)) ++
+      lnStrategies.map(n => n -> strategyQuery(n)).toMap
+
+  val oracles: Map[String, String] =
+    Map(
+      "al1_random" -> al1RandomSql,
+      "al2_long" -> al2LongSql,
+      "sm1_stratified_split" -> sm1StratifiedSplitSql,
+      "sm2_random_split" -> sm2RandomSplitSql,
+      "sm3_episode_sampling" -> sm3EpisodeSamplingSql) ++
+      lnStrategies.map(n => n -> strategySql(n)).toMap
+}

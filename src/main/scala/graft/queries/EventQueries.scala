@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Q._
+
+/** Event-table analytics — the batch faces of the streaming shapes (SURVEY
+  * §2.14 notes the reference is batch-only; these run the same logical plans
+  * Structured Streaming would, over the bounded `events` table — the
+  * streaming variants live in graft.streaming).
+  *
+  * ev1 is gap-based sessionization (lag + running sum — the classic
+  * window-function sessionizer); ev2 is a tumbling-window aggregate
+  * (date_trunc == window(ts, "1 hour") for bounded data). Timestamps are
+  * compared as epoch seconds / formatted strings — integer math only.
+  */
+object EventQueries {
+
+  private val GapMinutes = 30
+
+  /** ev1_sessionize — per-user sessions split on >30 min inactivity:
+    * session stats (events, duration). */
+  def ev1Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = lit(GapMinutes * 60L * 1000000L)
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        (col("prev_us").isNull || (unix_micros(col("ts")) - col("prev_us") > gapUs)).cast(IntegerType))
+      .withColumn("session_idx", sum("new_sess").over(byUser))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / lit(1000000L)).cast(LongType).as("dur_s"),
+        min(unix_micros(col("ts"))).as("start_us"))
+      .select("user_id", "session_idx", "n_events", "dur_s", "start_us")
+      .orderBy("user_id", "session_idx")
+  }
+
+  val ev1SessionizeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |  FROM events),
+       |flag AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN prev_us IS NULL OR us - prev_us > ${GapMinutes * 60L * 1000000L} THEN 1 ELSE 0 END AS new_sess
+       |  FROM e),
+       |sess AS (
+       |  SELECT user_id, us,
+       |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS session_idx
+       |  FROM flag)
+       |SELECT user_id, session_idx, COUNT(*) AS n_events,
+       |  CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS dur_s,
+       |  MIN(us) AS start_us
+       |FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin
+
+  /** ev2_tumbling_agg — 1-hour tumbling windows per event_type. */
+  def ev2TumblingAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  val ev2TumblingAggSql: String =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+       |  COUNT(*) AS n, ${decSumSql("value")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** ev3_top_users_by_value — purchase-value top-10 users (grouped agg +
+    * top-k over events, the reference's T2 shape on event data). */
+  def ev3TopUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"), decSum(col("value")).as("total"))
+      .orderBy(desc("total"), col("user_id"))
+      .limit(10)
+
+  val ev3TopUsersSql: String =
+    s"""SELECT user_id, COUNT(*) AS n_purchases, ${decSumSql("value")} AS total
+       |FROM events WHERE event_type = 'purchase'
+       |GROUP BY user_id ORDER BY total DESC, user_id LIMIT 10""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    "ev1_sessionize" -> (ev1Sessionize _),
+    "ev2_tumbling_agg" -> (ev2TumblingAgg _),
+    "ev3_top_users" -> (ev3TopUsers _))
+
+  val oracles: Map[String, String] = Map(
+    "ev1_sessionize" -> ev1SessionizeSql,
+    "ev2_tumbling_agg" -> ev2TumblingAggSql,
+    "ev3_top_users" -> ev3TopUsersSql)
+}

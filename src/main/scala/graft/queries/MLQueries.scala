@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.ml.feature.CountVectorizer
+import org.apache.spark.ml.clustering.LDA
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Viterbi
+import Q._
+
+/** MLlib-backed operators (SURVEY §2.5 A5/A9/A11, §2.9 V1, §2.10 M2).
+  *
+  * LDA/CountVectorizer results are seed-deterministic within Spark but have
+  * no DuckDB twin → rows-only driver check + invariants in MLQueriesSpec.
+  * The vectorization/Viterbi queries are deterministic end-to-end.
+  */
+object MLQueries {
+
+  /** a5_countvec_nnz — MLlib CountVectorizer bag-of-words; the oracle-able
+    * projection is the per-doc distinct-term count (== vector nnz, since the
+    * corpus vocabulary fits the vocab size). */
+  def a5CountvecNnz(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("tok", split(col("text"), " "))
+    val cv = new CountVectorizer().setInputCol("tok").setOutputCol("bow")
+      .setVocabSize(1 << 10)
+    val model = cv.fit(docs)
+    model.transform(docs)
+      .select(col("doc_id"),
+        size(filter(vector_to_array(col("bow")), v => v > 0)).as("nnz"))
+      .orderBy("doc_id")
+  }
+
+  val a5CountvecNnzSql: String =
+    """SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS nnz
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** a9_lda_doc_topics — LDA topic modeling (A9: gensim LdaModel k=8,
+    * passes=10 → MLlib LDA k=8, maxIter=10, fixed seed) + per-doc dominant
+    * topic (A11: doc→topic distribution). Seed-deterministic; rows-only. */
+  def a9LdaDocTopics(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("tok", split(col("text"), " "))
+    val cv = new CountVectorizer().setInputCol("tok").setOutputCol("bow")
+      .setVocabSize(1 << 10)
+    val bow = cv.fit(docs).transform(docs)
+    val lda = new LDA().setK(8).setMaxIter(10).setSeed(42L).setFeaturesCol("bow")
+    val model = lda.fit(bow)
+    model.transform(bow)
+      .withColumn("dist", vector_to_array(col("topicDistribution")))
+      .withColumn("topic",
+        expr("array_position(dist, array_max(dist)) - 1").cast(IntegerType))
+      .select("doc_id", "topic")
+      .orderBy("doc_id")
+  }
+
+  /** Fixed 4×4 transition matrix for m2 (deterministic literal). */
+  val TransFixture: Array[Array[Double]] =
+    Array.tabulate(4, 4)((i, j) => ((i * 7 + j * 3) % 5 - 2) * 0.1)
+
+  /** m2_viterbi_decode — Viterbi best-path over per-token emission matrices
+    * derived from `embeddings` (same L=8, C=4 derivation as the AL pool).
+    * Pure-Scala DP UDF; no SQL twin (rows-only) — exactness vs brute-force
+    * enumeration in ViterbiSpec. */
+  def m2ViterbiDecode(s: SparkSession, dir: String): DataFrame = {
+    val emit = expr(
+      """transform(sequence(0, 7), t ->
+        |  transform(sequence(0, 3), c -> cast(element_at(embedding, 4*t + c + 1) as double)))""".stripMargin)
+    t(s, dir, "embeddings")
+      .withColumn("emit", emit)
+      .select(col("vec_id"),
+        concat_ws(",", Viterbi.decodePath(col("emit"), TransFixture)).as("path"))
+      .orderBy("vec_id")
+  }
+
+  /** v1_pad_vectorize — token→vocab-id vectors padded/truncated to 16
+    * (SURVEY §2.9 V1/V2: fixed-length 0-padded id vectors, OOV→0). */
+  def v1PadVectorize(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val vocab = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("vocab_id", row_number().over(Window.orderBy(desc("cnt"), col("word"))))
+      .select("word", "vocab_id")
+    tok.join(broadcast(vocab), Seq("word"), "left_outer")
+      .withColumn("vid", coalesce(col("vocab_id"), lit(0)))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("vid"))).as("pairs"))
+      .withColumn("ids", expr("transform(array_sort(pairs), x -> x.vid)"))
+      .withColumn("padded", expr("slice(concat(ids, array_repeat(0, 16)), 1, 16)"))
+      .select(col("doc_id"), concat_ws(",", col("padded")).as("vec16"))
+      .orderBy("doc_id")
+  }
+
+  val v1PadVectorizeSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '), 1) AS pos,
+      |    unnest(string_split(text,' ')) AS word
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS vocab_id
+      |  FROM (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word) f),
+      |vecs AS (
+      |  SELECT doc_id, list(COALESCE(vocab_id, 0) ORDER BY pos) AS ids
+      |  FROM tok LEFT JOIN vocab USING (word) GROUP BY doc_id)
+      |SELECT doc_id, array_to_string(
+      |  (list_concat(ids, [0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0]))[1:16], ',') AS vec16
+      |FROM vecs ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    "a5_countvec_nnz" -> (a5CountvecNnz _),
+    "a9_lda_doc_topics" -> (a9LdaDocTopics _),
+    "m2_viterbi_decode" -> (m2ViterbiDecode _),
+    "v1_pad_vectorize" -> (v1PadVectorize _))
+
+  val oracles: Map[String, String] = Map(
+    "a5_countvec_nnz" -> a5CountvecNnzSql,
+    "v1_pad_vectorize" -> v1PadVectorizeSql)
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{TextFunctions => TF}
+import Q._
+
+/** End-to-end pipeline parity (SURVEY §3): the reference's top entry points
+  * re-expressed as single declarative plans over `documents`.
+  *
+  *  - E1 (paper ingestion): parse → explode paragraphs → candidate filter →
+  *    deterministic ids → catalog rows. The testdata has no XML, so
+  *    "paragraphs" are 10-token chunks of each document — same explode/
+  *    filter/project dataflow, pool-of-workers replaced by partition
+  *    parallelism.
+  *  - E3 (Prodigy export): catalog → {text, meta{paragraph_id, paper_id}}
+  *    projection (flattened for the oracle compare; the struct-shaped sink
+  *    is exercised in PipelineSpec).
+  *  - A2 (entity counting): per-token tag derivation + B- tag counts.
+  */
+object PipelineQueries {
+
+  private val ChunkTokens = 10
+
+  /** e1_ingest_explode — document → paragraph-chunk explosion with candidate
+    * filter (P1) and deterministic paragraph ids (F17). One narrow explode +
+    * filter: at 100 TB this is a pure map stage, no shuffle. */
+  def e1IngestExplode(s: SparkSession, dir: String): DataFrame = {
+    val chunks = expr(
+      s"""transform(sequence(0, cast(ceil(size(tok) / ${ChunkTokens}.0) as int) - 1),
+         |  i -> array_join(slice(tok, i * $ChunkTokens + 1, $ChunkTokens), ' '))""".stripMargin)
+    t(s, dir, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .select(col("doc_id").as("paper_id"), posexplode(chunks).as(Seq("para_idx", "para_text")))
+      .filter(col("para_text").contains("data"))
+      .withColumn("paragraph_id",
+        TF.deterministicId(col("paper_id").cast(StringType), col("para_idx").cast(StringType)))
+      .select("paper_id", "para_idx", "paragraph_id", "para_text")
+      .orderBy("paper_id", "para_idx")
+  }
+
+  val e1IngestExplodeSql: String =
+    s"""WITH chunked AS (
+       |  SELECT doc_id AS paper_id,
+       |    unnest(list_transform(range(0, CAST(ceil(len(string_split(text,' ')) / ${ChunkTokens}.0) AS INT)),
+       |      i -> array_to_string(string_split(text,' ')[(i * $ChunkTokens + 1):(i * $ChunkTokens + $ChunkTokens)], ' '))) AS para_text,
+       |    unnest(range(0, CAST(ceil(len(string_split(text,' ')) / ${ChunkTokens}.0) AS INT))) AS para_idx
+       |  FROM documents)
+       |SELECT paper_id, para_idx,
+       |  sha256(CAST(paper_id AS VARCHAR) || chr(1) || CAST(para_idx AS VARCHAR)) AS paragraph_id,
+       |  para_text
+       |FROM chunked WHERE para_text LIKE '%data%'
+       |ORDER BY paper_id, para_idx""".stripMargin
+
+  /** e3_prodigy_export — the Prodigy JSONL projection
+    * (`prodigy_processing.py:20-30`), flattened: (text, paragraph_id,
+    * paper_id). */
+  def e3ProdigyExport(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("text"),
+        TF.deterministicId(lit("para"), col("doc_id").cast(StringType)).as("paragraph_id"),
+        col("source").as("paper_id"))
+      .orderBy("paragraph_id")
+
+  val e3ProdigyExportSql: String =
+    """SELECT text, sha256('para' || chr(1) || CAST(doc_id AS VARCHAR)) AS paragraph_id,
+      |  source AS paper_id
+      |FROM documents ORDER BY paragraph_id""".stripMargin
+
+  /** a2_entity_count — BILUO 'B-' counting (`data_transformation.py:19-23`):
+    * the tag of a token is B-DATA iff the token starts with 'd' (a
+    * deterministic stand-in tagger); count entities per lang. */
+  def a2EntityCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        size(filter(split(col("text"), " "), w => w.startsWith("d"))).as("n_entities"))
+      .groupBy("lang")
+      .agg(sum("n_entities").as("total_entities"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  val a2EntityCountSql: String =
+    """SELECT lang,
+      |  CAST(SUM(len(list_filter(string_split(text,' '), w -> w LIKE 'd%'))) AS BIGINT) AS total_entities,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    "e1_ingest_explode" -> (e1IngestExplode _),
+    "e3_prodigy_export" -> (e3ProdigyExport _),
+    "a2_entity_count" -> (a2EntityCount _))
+
+  val oracles: Map[String, String] = Map(
+    "e1_ingest_explode" -> e1IngestExplodeSql,
+    "e3_prodigy_export" -> e3ProdigyExportSql,
+    "a2_entity_count" -> a2EntityCountSql)
+}

@@ -1,0 +1,30 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** ss2 (IVF) is approximate by design — check recall@5 against the ss1
+  * brute-force baseline rather than equality, plus basic invariants. */
+class SimilarityQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ivf recall@5 vs brute force is reasonable") {
+    val exact = SimilarityQueries.ss1BruteforceTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = SimilarityQueries.ss2IvfTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // n_probe=2 of ~6 cells on random vectors: expect a solid fraction, and
+    // the bound documents the measured floor so regressions surface.
+    assert(recall >= 0.3, s"recall@5 = $recall")
+    assert(approx.nonEmpty)
+  }
+
+  test("brute-force top-k is k rows per query with cos in [-1e6, 1e6]") {
+    val rows = SimilarityQueries.ss1BruteforceTopk(spark, dir).collect()
+    assert(rows.length === 50)
+    assert(rows.forall(r => math.abs(r.getLong(3)) <= 1000000L))
+    val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery.values.forall(_ === 5))
+  }
+}
