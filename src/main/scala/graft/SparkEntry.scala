@@ -14,7 +14,8 @@ object SparkEntry {
     Relational.queries ++ TextQueries.queries ++ CorpusQueries.queries ++
       MatchQueries.queries ++ ALQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
-      PipelineQueries.queries ++ MLQueries.queries
+      PipelineQueries.queries ++ MLQueries.queries ++
+      MultimodalQueries.queries ++ GapQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys → driver records a weaker rows-only check. */
@@ -22,5 +23,6 @@ object SparkEntry {
     Relational.oracles ++ TextQueries.oracles ++ CorpusQueries.oracles ++
       MatchQueries.oracles ++ ALQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
-      PipelineQueries.oracles ++ MLQueries.oracles
+      PipelineQueries.oracles ++ MLQueries.oracles ++
+      MultimodalQueries.oracles ++ GapQueries.oracles
 }

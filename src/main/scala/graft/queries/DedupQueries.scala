@@ -31,6 +31,15 @@ object DedupQueries {
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
 
+  /** Affine MinHash family over one base hash: s_i = (a_i·h + b_i) mod P,
+    * P = 2³¹−1. One md5 per shingle instead of 16 — a_i,b_i < P keeps every
+    * product < 2⁶² so int64 math is exact on both engines. */
+  private val P = 2147483647L
+  private val hashA: IndexedSeq[Long] =
+    (0 until NumHashes).map(i => (1103515245L * (i + 1) + 12345L) % P)
+  private val hashB: IndexedSeq[Long] =
+    (0 until NumHashes).map(i => (2654435761L * i + 1013904223L) % P)
+
   /** dd1_exact_dedup — canonical-row selection by normalized content hash. */
   def dd1ExactDedup(s: SparkSession, dir: String): DataFrame = {
     val h = md5(lower(trim(col("text"))))
@@ -67,16 +76,21 @@ object DedupQueries {
       |  FROM documents WHERE len(string_split(text,' ')) >= 3""".stripMargin
 
   /** MinHash signature columns s0..s15 (Spark side). */
-  private def minhashSigs(docs: DataFrame): DataFrame =
+  private def minhashSigs(docs: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(i =>
+      min((lit(hashA(i)) * col("hb") + lit(hashB(i))) % P).as(s"s$i"))
     shingles(docs)
+      .withColumn("hb", detHash(col("sh"), 0) % P)
       .groupBy("doc_id")
-      .agg(min(detHash(col("sh"), 0)).as("s0"),
-        (1 until NumHashes).map(i => min(detHash(col("sh"), i)).as(s"s$i")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   private def minhashSigsDuck: String = {
     val aggs = (0 until NumHashes)
-      .map(i => s"MIN(${detHashSql("sh", i)}) AS s$i").mkString(", ")
-    s"""SELECT doc_id, $aggs FROM ($shinglesDuck) sh GROUP BY doc_id"""
+      .map(i => s"MIN((${hashA(i)} * hb + ${hashB(i)}) % $P) AS s$i").mkString(", ")
+    s"""SELECT doc_id, $aggs
+       |  FROM (SELECT doc_id, ${detHashSql("sh", 0)} % $P AS hb FROM ($shinglesDuck) sh0) sh
+       |  GROUP BY doc_id""".stripMargin
   }
 
   /** dd2_minhash_sigs — per-doc MinHash signatures over word-3-shingles. */

@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scans and sinks (SURVEY §2.1) — every file format the reference touches,
+  * as declarative Spark readers/writers so Catalyst keeps pushdown/pruning.
+  *
+  *  - S1 aminer JSONL scan: `spark.read.json` + projection + offset window
+  *    (`scrapping/papers_download.py:37-65`).
+  *  - S8 annotations CSV scan with stringified list columns
+  *    (`dataset_ner/ner_pipeline.py:69`).
+  *  - S9 CoNLL scan: blank-line-delimited sentences of `word TAB tag`
+  *    (`dataset_ner/data_transformation.py:74-93`).
+  *  - S11 Prodigy JSONL sink: `{text, meta{paragraph_id, paper_id}}`
+  *    (`dataset_ner/prodigy_processing.py:20-30`).
+  *  - S13/S14 CSV/JSON sinks.
+  *  - P3/J4 manifest anti-join: the idempotent re-run pattern replacing
+  *    offset-resume (`papers_download.py:49,61`).
+  */
+object Sources {
+
+  /** S1 — JSONL scan with projection and resumable window. The reference's
+    * byte-offset resume becomes offset/limit on an ordered id — at scale,
+    * prefer the manifest anti-join (below) which parallelizes. */
+  def readJsonl(spark: SparkSession, path: String, begin: Long = 0L, maxLines: Long = Long.MaxValue): DataFrame = {
+    val df = spark.read.json(path)
+    val windowed = if (begin > 0) df.offset(begin.toInt) else df
+    if (maxLines < Long.MaxValue) windowed.limit(maxLines.toInt) else windowed
+  }
+
+  /** S8 — annotations CSV: header + quoted fields; `entities` and `biluo`
+    * are Python-stringified lists parsed into real arrays (the honest-types
+    * upgrade, SURVEY §1.2). */
+  def readAnnotationsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(path)
+      .select(
+        col("text"),
+        from_json(regexp_replace(col("entities"), "'", "\""),
+          ArrayType(ArrayType(StringType))).as("entities_raw"),
+        from_json(regexp_replace(col("biluo"), "'", "\""),
+          ArrayType(StringType)).as("biluo"),
+        (lower(col("has_entity")) === "true").as("has_entity"))
+
+  /** S9 — CoNLL scan: wholetext read → split sentences on blank lines →
+    * one row per sentence with aligned token/tag arrays; sentences with <2
+    * tokens dropped (P5, `data_transformation.py:81-84`). */
+  def readConll(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(explode(split(col("value"), "\\n\\s*\\n")).as("block"))
+      .select(filter(split(col("block"), "\\n"), l => length(trim(l)) > 0).as("lines"))
+      .select(
+        expr("transform(lines, l -> split(l, '\\t')[0])").as("tokens"),
+        expr("transform(lines, l -> split(l, '\\t')[1])").as("tags"))
+      .filter(size(col("tokens")) >= 2)
+      .withColumn("sentence_id", monotonically_increasing_id())
+
+  /** S11 — Prodigy JSONL sink: nested meta struct, one JSON object per line. */
+  def writeProdigyJsonl(df: DataFrame, out: String): Unit =
+    df.select(col("text"),
+      struct(col("paragraph_id"), col("paper_id")).as("meta"))
+      .write.mode(SaveMode.Overwrite).json(out)
+
+  /** S13 — CSV sink with header. */
+  def writeCsv(df: DataFrame, out: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
+
+  /** S14 — single-file JSON report sink (driver-side coalesce(1): report
+    * rows are tiny by contract — metrics, not data). */
+  def writeJsonReport(df: DataFrame, out: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).json(out)
+
+  /** P3/J4 — manifest anti-join: keep only rows whose `idCol` is absent from
+    * the sink manifest. The scalable replacement for file-exists checks. */
+  def notYetMaterialized(input: DataFrame, manifest: DataFrame, idCol: String): DataFrame =
+    input.join(manifest.select(idCol).distinct(), Seq(idCol), "left_anti")
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming layer — the streaming faces of the event analytics
+  * (EventQueries runs the same logic over the bounded table; SURVEY §2.14:
+  * the reference is batch-only, this is the declared Spark-native
+  * extension).
+  *
+  *  - windowed counts: watermark + tumbling window — identical logical plan
+  *    to ev2_tumbling_agg; incremental execution is Spark's job.
+  *  - sessionize: gap-based sessions as a custom state operator
+  *    (flatMapGroupsWithState + event-time timeout) — the streaming twin of
+  *    ev1_sessionize. State per user is O(1): (start, last, count, sum).
+  *  - file-source ingestion with Trigger.AvailableNow — incremental batch
+  *    over a landing directory, the scalable replacement for the
+  *    reference's resumable offset scans.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(startUs: Long, lastUs: Long, nEvents: Long, totalValue: Double)
+
+  case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long,
+      total_value: Double)
+
+  val GapMinutes = 30
+
+  /** Tumbling 1-hour windowed counts per event type, 2-hour watermark.
+    * Works identically on a streaming or batch DataFrame. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessionization as custom per-key state: a session closes when
+    * event time advances past last-event + gap (event-time timeout). */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = GapMinutes * 60L * 1000000L
+
+    def updateState(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      if (state.hasTimedOut) {
+        val s = state.get
+        out += Session(userId, s.startUs, s.lastUs, s.nEvents, s.totalValue)
+        state.remove()
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val us = e.ts.getTime * 1000L
+          cur match {
+            case Some(s) if us - s.lastUs <= gapUs =>
+              cur = Some(SessionState(s.startUs, us, s.nEvents + 1, s.totalValue + e.value))
+            case Some(s) =>
+              out += Session(userId, s.startUs, s.lastUs, s.nEvents, s.totalValue)
+              cur = Some(SessionState(us, us, 1L, e.value))
+            case None =>
+              cur = Some(SessionState(us, us, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastUs / 1000L + GapMinutes * 60L * 1000L)
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateState)
+  }
+
+  /** Incremental file-source ingestion of a parquet landing directory,
+    * processed with AvailableNow (drain-then-stop — the idempotent batch
+    * refresh pattern; checkpoint carries the manifest). */
+  def ingestAvailableNow(spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      outDir: String, checkpointDir: String): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val q = windowedCounts(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+
+  import EventStreams._
+
+  // base offset keeps the first event strictly above the initial watermark
+  // (epoch 0): an event AT the watermark is dropped as late
+  private val Base = 120_000L // hour-aligned (2000h) so window starts land on 0/60
+  private def ts(minutes: Long): Timestamp = new Timestamp((Base + minutes) * 60_000L)
+
+  test("windowed counts over a memory stream match the batch plan") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0))
+    q.processAllAvailable()
+    // watermark still open: force window closure with a far-future event
+    mem.addData(Event(4, ts(600), 3, "click", 0.5))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wc")
+      .select("window_start", "event_type", "n", "total_value").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000 - Base, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.contains((0L, "click", 2L, 3.0)))
+    assert(got.contains((60L, "view", 1L, 3.0)))
+    // batch parity: same plan over the same rows as a batch DataFrame
+    val batch = windowedCounts(Seq(
+      Event(1, ts(5), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0), Event(4, ts(600), 3, "click", 0.5)).toDF())
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000 - Base, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(batch.contains((0L, "click", 2L)))
+    assert(batch.contains((60L, "view", 1L)))
+  }
+
+  test("stateful sessionizer closes sessions on gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    // user 1: two events 10 min apart (one session), then a 60-min gap event
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 1, "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to time out user 1's open session; the
+    // timeout fires on the batch AFTER the watermark advances, so feed two
+    mem.addData(Event(9, ts(1000), 99, "click", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(10, ts(2000), 99, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sess").as[Session].collect()
+    info("sessions table: " + all.mkString(" | "))
+    val sessions = all.filter(_.user_id == 1).sortBy(_.start_us)
+    assert(sessions.length === 2, s"got: ${sessions.mkString(";")}")
+    assert(sessions(0).n_events === 2)
+    assert(sessions(0).total_value === 3.0)
+    assert(sessions(1).n_events === 1)
+  }
+}
