@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native expressions so they are callable from SQL
+  * text, not just the Scala DSL. Two entry points:
+  *
+  *  - at session build: `.config("spark.sql.extensions",
+  *    "graft.plans.GraftExtensions")`
+  *  - on a live session: `GraftFunctions.register(spark)`
+  *
+  * {{{
+  *   spark.sql("SELECT fast_match(text, array('coco','image net')) FROM docs")
+  * }}}
+  *
+  * No custom Rule[LogicalPlan]/SparkStrategy is registered — SURVEY §4.3:
+  * parity needs none; Catalyst plans every query in this library with
+  * built-in strategies. */
+object GraftFunctions {
+
+  val fastMatchIdent = new FunctionIdentifier("fast_match")
+
+  val fastMatchInfo = new ExpressionInfo(
+    classOf[FastMatchExpression].getName, null, "fast_match",
+    "fast_match(text, candidates) - all word-boundary matches of the literal candidate array in text, as array<struct<matched,start,end>>.",
+    "")
+
+  val fastMatchBuilder: Seq[Expression] => Expression = {
+    case Seq(t, c) => FastMatchExpression(t, c)
+    case other => throw new IllegalArgumentException(
+      s"fast_match expects 2 arguments, got ${other.length}")
+  }
+
+  /** Register on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(fastMatchIdent, fastMatchInfo, fastMatchBuilder)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((GraftFunctions.fastMatchIdent, GraftFunctions.fastMatchInfo,
+      GraftFunctions.fastMatchBuilder))
+}

@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import javax.xml.parsers.DocumentBuilderFactory
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
+import graft.functions.TextFunctions
+
+/** S5/E1 — CERMINE-XML paper ingestion (SURVEY §3 E1): one row per
+  * `*.cermxml` file via wholetext scan + `input_file_name()`, XML parsed
+  * with the JDK DOM parser inside a UDF (per-task, no driver loop), then the
+  * reference's projections:
+  *
+  *  - title: `article-title`, kept only if ≥3 words (P2,
+  *    `paper_processing.py:79-94`)
+  *  - abstract: `abstract` (F1-normalized)
+  *  - authors: `contrib[contrib-type=author] string-name`, digits stripped
+  *    (F2, `paper_processing.py:116`)
+  *  - affiliations: `institution`, parens stripped (F3)
+  *  - paragraphs: `p` elements, whitespace-normalized, candidate-filtered
+  *    on "data" (P1, `paper_processing.py:170-182`)
+  *  - ids: deterministic sha2 over path (+ index) — the reference's own
+  *    idempotency TODO (`paper_processing.py:147-150`)
+  *
+  * The reference's `Pool(threads).map(wrapper_paper, paths)` becomes task
+  * parallelism over input splits; per-row SQLite commits become one atomic
+  * parquet write. */
+object PaperXml {
+
+  private case class Parsed(title: String, abstractText: String, authors: Seq[String],
+      affiliations: Seq[String], paragraphs: Seq[String])
+
+  /** DOM extraction of the CERMINE fields. Returns nulls per P7 when a
+    * section is absent (`paper_processing.py:72-129`). */
+  val parseXml: UserDefinedFunction = udf(
+    (xml: String) => {
+      if (xml == null) null
+      else try {
+        val f = DocumentBuilderFactory.newInstance()
+        f.setNamespaceAware(false)
+        f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+        val doc = f.newDocumentBuilder()
+          .parse(new ByteArrayInputStream(xml.getBytes(StandardCharsets.UTF_8)))
+        def texts(tag: String): Seq[String] = {
+          val nodes = doc.getElementsByTagName(tag)
+          (0 until nodes.getLength).map(i => nodes.item(i).getTextContent)
+        }
+        def first(tag: String): Option[String] = texts(tag).headOption
+        val authors = {
+          val contribs = doc.getElementsByTagName("contrib")
+          val out = mutable.ArrayBuffer.empty[String]
+          for (i <- 0 until contribs.getLength) {
+            val el = contribs.item(i).asInstanceOf[org.w3c.dom.Element]
+            if (el.getAttribute("contrib-type") == "author") {
+              val names = el.getElementsByTagName("string-name")
+              for (j <- 0 until names.getLength) out += names.item(j).getTextContent
+            }
+          }
+          out.toSeq
+        }
+        Parsed(first("article-title").orNull, first("abstract").orNull,
+          authors, texts("institution"), texts("p"))
+      } catch { case _: Exception => null }
+    })
+
+  /** papers + paragraph catalog tables from a directory of `*.cermxml`. */
+  def ingest(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val raw = spark.read.option("wholetext", "true")
+      .text(dir + "/*.cermxml")
+      .select(input_file_name().as("paper_path"), col("value").as("xml"))
+      .withColumn("parsed", parseXml(col("xml")))
+      .filter(col("parsed").isNotNull)
+      .withColumn("paper_id", sha2(col("paper_path"), 256))
+
+    val papers = raw.select(
+      col("paper_id"),
+      when(size(split(col("parsed.title"), "\\s+")) >= 3,
+        TextFunctions.normalizeWhitespace(col("parsed.title"))).as("title"),
+      col("paper_path"),
+      lit("").as("doi"),
+      lit("").as("date"),
+      expr("transform(parsed.authors, a -> trim(regexp_replace(a, '[0-9]', '')))").as("authors"),
+      expr("transform(parsed.affiliations, a -> trim(translate(a, '()', '')))").as("affiliations"),
+      TextFunctions.normalizeWhitespace(col("parsed.abstractText")).as("abstract"))
+
+    val paragraphs = raw
+      .select(col("paper_id"), posexplode(col("parsed.paragraphs")).as(Seq("idx", "body_raw")))
+      .withColumn("body_text", TextFunctions.normalizeWhitespace(col("body_raw")))
+      .filter(col("body_text").contains("data"))
+      .select(
+        TextFunctions.deterministicId(col("paper_id"), col("idx").cast(StringType)).as("paragraph_id"),
+        col("body_text"),
+        col("paper_id"))
+
+    (papers, paragraphs)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Golden E1 ingestion test over a miniature cermxml corpus (SURVEY §5.3 —
+  * mirrors the reference's 12-paper/232-paragraph fixture in shape). */
+class PaperXmlSpec extends SparkSpec {
+
+  private def paper(title: String, author: String, paras: Seq[String]): String =
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<article>
+       |  <front>
+       |    <article-title>$title</article-title>
+       |    <contrib contrib-type="author"><string-name>$author</string-name></contrib>
+       |    <contrib contrib-type="editor"><string-name>Not An Author</string-name></contrib>
+       |    <aff><institution>Some University (Dept. of CS)</institution></aff>
+       |    <abstract>We  study   data.</abstract>
+       |  </front>
+       |  <body>
+       |    ${paras.map(p => s"<p>$p</p>").mkString("\n    ")}
+       |  </body>
+       |</article>""".stripMargin
+
+  test("golden ingest: papers + candidate paragraphs") {
+    val dir = Files.createTempDirectory("cermxml").toString
+    Files.write(Paths.get(dir, "a.cermxml"), paper(
+      "A Fine Long Title", "Alice1 Smith2",
+      Seq("this paragraph mentions data sets", "this one does not", "more data here")).getBytes)
+    Files.write(Paths.get(dir, "b.cermxml"), paper(
+      "Too Short", "Bob Jones",
+      Seq("no candidates at all")).getBytes)
+    Files.write(Paths.get(dir, "broken.cermxml"), "<article><unclosed".getBytes)
+
+    val (papers, paragraphs) = PaperXml.ingest(spark, dir)
+    val p = papers.orderBy("paper_path").collect()
+    assert(p.length === 2) // broken file filtered (P7 null guard)
+    val a = p(0)
+    assert(a.getAs[String]("title") === "A Fine Long Title")
+    // title with <3 words nulled (P2)
+    assert(p(1).getAs[String]("title") === null)
+    // F2: digits stripped from authors; non-author contribs excluded
+    assert(a.getSeq[String](p(0).fieldIndex("authors")) === Seq("Alice Smith"))
+    // F3: parens stripped from affiliations
+    assert(a.getSeq[String](p(0).fieldIndex("affiliations")) ===
+      Seq("Some University Dept. of CS"))
+    // F1: abstract whitespace normalized
+    assert(a.getAs[String]("abstract") === "We study data.")
+
+    val paras = paragraphs.collect()
+    // P1: only 'data'-containing paragraphs survive — 2 from paper a, 0 from b
+    assert(paras.length === 2)
+    assert(paras.forall(_.getAs[String]("body_text").contains("data")))
+    // deterministic ids: re-ingest yields identical ids (F17)
+    val (_, paragraphs2) = PaperXml.ingest(spark, dir)
+    assert(paragraphs2.select("paragraph_id").collect().map(_.getString(0)).sorted.toSeq ===
+      paras.map(_.getAs[String]("paragraph_id")).sorted.toSeq)
+  }
+}
