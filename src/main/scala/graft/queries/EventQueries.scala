@@ -85,13 +85,30 @@ object EventQueries {
        |FROM events WHERE event_type = 'purchase'
        |GROUP BY user_id ORDER BY total DESC, user_id LIMIT 10""".stripMargin
 
+  /** ev4_props_json — semi-structured extraction: the `props` column is a
+    * JSON string; pull `k`, aggregate by bucket (F18's modern sibling —
+    * get_json_object stays codegen-friendly). */
+  def ev4PropsJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .orderBy("k_bucket")
+
+  val ev4PropsJsonSql: String =
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      |  COUNT(*) AS n, CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "ev1_sessionize" -> (ev1Sessionize _),
     "ev2_tumbling_agg" -> (ev2TumblingAgg _),
-    "ev3_top_users" -> (ev3TopUsers _))
+    "ev3_top_users" -> (ev3TopUsers _),
+    "ev4_props_json" -> (ev4PropsJson _))
 
   val oracles: Map[String, String] = Map(
     "ev1_sessionize" -> ev1SessionizeSql,
     "ev2_tumbling_agg" -> ev2TumblingAggSql,
-    "ev3_top_users" -> ev3TopUsersSql)
+    "ev3_top_users" -> ev3TopUsersSql,
+    "ev4_props_json" -> ev4PropsJsonSql)
 }

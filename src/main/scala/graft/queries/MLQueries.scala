@@ -55,6 +55,24 @@ object MLQueries {
       .orderBy("doc_id")
   }
 
+  /** a10_lda_perplexity — LDA model quality (A10: gensim log_perplexity;
+    * c_v coherence deferred per SURVEY §7.2). One row, seed-deterministic;
+    * rows-only. */
+  def a10LdaPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("tok", split(col("text"), " "))
+    val cv = new CountVectorizer().setInputCol("tok").setOutputCol("bow")
+      .setVocabSize(1 << 10)
+    val bow = cv.fit(docs).transform(docs)
+    val lda = new LDA().setK(8).setMaxIter(3).setSeed(42L).setFeaturesCol("bow")
+    val model = lda.fit(bow)
+    // perplexity over a deterministic 20% sample — the metric needs a
+    // representative bound, not a full pass
+    val lp = model.logPerplexity(bow.filter(col("doc_id") % 5 === 0))
+    val spark = s
+    import spark.implicits._
+    Seq((8, math.round(lp * 1000.0))).toDF("k", "log_perplexity_e3")
+  }
+
   /** Fixed 4×4 transition matrix for m2 (deterministic literal). */
   val TransFixture: Array[Array[Double]] =
     Array.tabulate(4, 4)((i, j) => ((i * 7 + j * 3) % 5 - 2) * 0.1)
@@ -110,6 +128,7 @@ object MLQueries {
   val queries: Map[String, QueryFn] = Map(
     "a5_countvec_nnz" -> (a5CountvecNnz _),
     "a9_lda_doc_topics" -> (a9LdaDocTopics _),
+    "a10_lda_perplexity" -> (a10LdaPerplexity _),
     "m2_viterbi_decode" -> (m2ViterbiDecode _),
     "v1_pad_vectorize" -> (v1PadVectorize _))
 
