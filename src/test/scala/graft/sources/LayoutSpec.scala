@@ -1,0 +1,41 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class LayoutSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle") {
+    // warehouse.dir is a static conf — managed test tables land in the
+    // default warehouse and are dropped below
+    val orders = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
+    val customer = graft.Tables(spark, "/root/testdata/sf0.001", "customer")
+    Layout.writeBucketed(orders, "orders_b", "o_custkey", 4)
+    Layout.writeBucketed(customer.withColumnRenamed("c_custkey", "o_custkey"),
+      "customer_b", "o_custkey", 4)
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"), Seq("o_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed join, got:\n$plan")
+    // same answer as the plain join
+    val expected = orders.join(
+      customer.withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey")).count()
+    assert(joined.count() === expected)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+  }
+
+  test("partitioned write prunes partitions at scan") {
+    val out = Files.createTempDirectory("graft_part").toString + "/docs"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    Layout.writePartitioned(docs, out, "lang")
+    val scan = spark.read.parquet(out).filter(col("lang") === "de")
+    val physical = scan.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") && physical.contains("lang"),
+      s"expected partition pruning, got:\n$physical")
+    assert(scan.count() === docs.filter(col("lang") === "de").count())
+  }
+}
