@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Q.detHash
+
+/** Reusable deduplication operators — the user-facing API behind the dd*
+  * queries. All parameters are data-size knobs; every plan is blocked
+  * (LSH bands / hash groups), never O(n²).
+  *
+  * Typical 100 TB flow:
+  * {{{
+  *   val sigs  = Dedup.minhashSignatures(docs, "doc_id", "text")   // checkpoint this
+  *   val cands = Dedup.lshCandidatePairs(sigs, "doc_id")
+  *   val dups  = Dedup.verifyJaccard(cands, Dedup.shingles(docs, "doc_id", "text"),
+  *                                   threshold = 0.8)
+  *   val clean = Dedup.dropDuplicates(docs, "doc_id", dups)
+  * }}}
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Affine MinHash family over one base hash: s_i = (a_i·h + b_i) mod P,
+    * P = 2³¹−1; constants < P keep products < 2⁶² (exact int64). */
+  val P = 2147483647L
+  val hashA: IndexedSeq[Long] = (0 until NumHashes).map(i => (1103515245L * (i + 1) + 12345L) % P)
+  val hashB: IndexedSeq[Long] = (0 until NumHashes).map(i => (2654435761L * i + 1013904223L) % P)
+
+  /** Distinct word-3-shingles per row: (idCol, sh). */
+  def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__tok", split(col(textCol), " "))
+      .filter(size(col("__tok")) >= 3)
+      .select(col(idCol),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(__tok) - 2), i -> concat_ws(' ', element_at(__tok, i), element_at(__tok, i + 1), element_at(__tok, i + 2)))"
+        ))).as("sh"))
+
+  /** Per-row MinHash signature columns s0..s{n-1}. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val aggs = (0 until NumHashes).map(i =>
+      min((lit(hashA(i)) * col("__hb") + lit(hashB(i))) % P).as(s"s$i"))
+    shingles(df, idCol, textCol)
+      .withColumn("__hb", detHash(col("sh"), 0) % P)
+      .groupBy(idCol)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded rows (id, band, key) from a signature table. */
+  def bandedSignatures(sigs: DataFrame, idCol: String): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val ks = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"s$i").cast(StringType))
+      struct(lit(b).as("band"), concat_ws("_", ks: _*).as("key"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** LSH candidate pairs (id_a < id_b, shared_bands) via equi-join on
+    * (band, key). */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
+    val b = bandedSignatures(sigs, idCol)
+    val a = b.select(col(idCol).as("id_a"), col("band"), col("key"))
+    val c = b.select(col(idCol).as("id_b"), col("band"), col("key"))
+    a.join(c, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** Exact Jaccard over candidate pairs only; keeps pairs ≥ threshold. */
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val idCol = sh.columns.head
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs.select("id_a", "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_int"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", col("n_int") / (col("na") + col("nb") - col("n_int")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard", "n_int", "na", "nb")
+  }
+
+  /** Remove the higher-id member of each duplicate pair (connected rows keep
+    * their minimum representative transitively only within direct pairs —
+    * full connected components would take an iterative join; documented). */
+  def dropDuplicates(df: DataFrame, idCol: String, dupPairs: DataFrame): DataFrame =
+    df.join(dupPairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** 16-bit SimHash over the token multiset. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      .withColumn("__h", detHash(col("__w"), 101))
+    val bitSums = (0 until 16).map(b =>
+      sum(when(expr(s"(shiftright(__h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"__b$b"))
+    val sh = (0 until 16).map(b =>
+      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    tok.groupBy(idCol)
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), sh.as("simhash16"))
+  }
+
+  /** Exact dedup: canonical flag per normalized-content hash. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("text_hash").orderBy(idCol)
+    df.withColumn("text_hash", md5(lower(trim(col(textCol)))))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("is_canonical", col("rn") === 1)
+      .drop("rn")
+  }
+}

@@ -1,55 +1,32 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.operators.Dedup
 import Q._
 
-/** Deduplication suite — the LLM-training-pipeline generalization the north
-  * star asks for (BASELINE.json): exact, MinHash+LSH, n-gram Jaccard,
-  * SimHash, all over `documents`.
+/** Deduplication suite — oracle-checked faces of the [[graft.operators.Dedup]]
+  * API (the user-facing operators; see its scaladoc for the 100 TB flow).
   *
-  * Scale design (the point of each):
-  *  - dd1 exact: one hash-groupBy, no data movement beyond the agg shuffle.
-  *  - dd2/dd3 MinHash+LSH: signatures are a per-doc agg (map-side combined);
-  *    candidate pairs come from an equi-join on (band, key) — the classic
-  *    O(n·collisions) LSH plan, never the O(n²) cross join.
-  *  - dd4 exact-Jaccard verification runs only on dd3's candidate pairs.
-  *  - dd5 SimHash: per-doc signature, pairwise check reduced to signature
-  *    equality/hamming — join-friendly.
+  * Scale design per stage:
+  *  - dd1 exact: one hash-groupBy.
+  *  - dd2/dd3 MinHash+LSH: per-doc agg (map-side combined) + equi-join on
+  *    (band, key) — O(n·collisions), never the O(n²) cross join.
+  *  - dd4: exact-Jaccard verification on dd3's candidates only.
+  *  - dd5 SimHash: per-doc signature; pairing reduces to signature joins.
   *
-  * Determinism: every hash is detHash (md5-based, engine-portable); Jaccard
-  * ratios are int/int scaled to e6 BIGINT. MinHash seeds 0..15, 4 bands × 4
-  * rows (reference for LSH banding: Leskovec/Rajaraman/Ullman, "Mining of
-  * Massive Datasets" ch.3).
+  * Determinism: md5-based detHash everywhere; Jaccard ratios scaled to e6
+  * BIGINT; MinHash = one md5 + affine family mod 2³¹−1 (constants in Dedup).
   */
 object DedupQueries {
 
-  private val NumHashes = 16
-  private val Bands = 4
-  private val RowsPerBand = NumHashes / Bands
-
-  /** Affine MinHash family over one base hash: s_i = (a_i·h + b_i) mod P,
-    * P = 2³¹−1. One md5 per shingle instead of 16 — a_i,b_i < P keeps every
-    * product < 2⁶² so int64 math is exact on both engines. */
-  private val P = 2147483647L
-  private val hashA: IndexedSeq[Long] =
-    (0 until NumHashes).map(i => (1103515245L * (i + 1) + 12345L) % P)
-  private val hashB: IndexedSeq[Long] =
-    (0 until NumHashes).map(i => (2654435761L * i + 1013904223L) % P)
-
   /** dd1_exact_dedup — canonical-row selection by normalized content hash. */
-  def dd1ExactDedup(s: SparkSession, dir: String): DataFrame = {
-    val h = md5(lower(trim(col("text"))))
-    val w = Window.partitionBy("text_hash").orderBy("doc_id")
-    t(s, dir, "documents")
-      .withColumn("text_hash", h)
-      .withColumn("rn", row_number().over(w))
-      .select(col("doc_id"), col("text_hash"), (col("rn") === 1).as("is_canonical"))
+  def dd1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "text_hash", "is_canonical")
       .orderBy("doc_id")
-  }
 
   val dd1ExactDedupSql: String =
     """SELECT doc_id, text_hash, rn = 1 AS is_canonical FROM (
@@ -58,80 +35,41 @@ object DedupQueries {
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
-  /** Distinct word-3-shingles per doc (Spark side). */
-  private def shingles(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    docs
-      .withColumn("tok", toks)
-      .filter(size(col("tok")) >= 3)
-      .select(col("doc_id"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, size(tok) - 2), i -> concat_ws(' ', element_at(tok, i), element_at(tok, i + 1), element_at(tok, i + 2)))"
-        ))).as("sh"))
-  }
-
   private val shinglesDuck: String =
     """SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
       |  FROM documents WHERE len(string_split(text,' ')) >= 3""".stripMargin
 
-  /** MinHash signature columns s0..s15 (Spark side). */
-  private def minhashSigs(docs: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(i =>
-      min((lit(hashA(i)) * col("hb") + lit(hashB(i))) % P).as(s"s$i"))
-    shingles(docs)
-      .withColumn("hb", detHash(col("sh"), 0) % P)
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-  }
-
   private def minhashSigsDuck: String = {
-    val aggs = (0 until NumHashes)
-      .map(i => s"MIN((${hashA(i)} * hb + ${hashB(i)}) % $P) AS s$i").mkString(", ")
+    val aggs = (0 until Dedup.NumHashes)
+      .map(i => s"MIN((${Dedup.hashA(i)} * hb + ${Dedup.hashB(i)}) % ${Dedup.P}) AS s$i").mkString(", ")
     s"""SELECT doc_id, $aggs
-       |  FROM (SELECT doc_id, ${detHashSql("sh", 0)} % $P AS hb FROM ($shinglesDuck) sh0) sh
+       |  FROM (SELECT doc_id, ${detHashSql("sh", 0)} % ${Dedup.P} AS hb FROM ($shinglesDuck) sh0) sh
        |  GROUP BY doc_id""".stripMargin
   }
 
-  /** dd2_minhash_sigs — per-doc MinHash signatures over word-3-shingles. */
-  def dd2MinhashSigs(s: SparkSession, dir: String): DataFrame =
-    minhashSigs(t(s, dir, "documents")).orderBy("doc_id")
-
-  val dd2MinhashSigsSql: String =
-    s"""SELECT * FROM ($minhashSigsDuck) sig ORDER BY doc_id""".stripMargin
-
-  /** Banded signature rows (doc_id, band, key). */
-  private def bandedSigs(docs: DataFrame): DataFrame = {
-    val bandStructs = (0 until Bands).map { b =>
-      val ks = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"s$i").cast(StringType))
-      struct(lit(b).as("band"), concat_ws("_", ks: _*).as("key"))
-    }
-    minhashSigs(docs)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-  }
-
   private def bandedSigsDuck: String = {
-    val arms = (0 until Bands).map { b =>
-      val ks = (b * RowsPerBand until (b + 1) * RowsPerBand)
+    val arms = (0 until Dedup.Bands).map { b =>
+      val ks = (b * Dedup.RowsPerBand until (b + 1) * Dedup.RowsPerBand)
         .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || '_' || ")
       s"SELECT doc_id, $b AS band, $ks AS key FROM sig"
     }
     arms.mkString("\nUNION ALL\n")
   }
 
-  /** dd3_lsh_pairs — LSH candidate pairs: docs sharing ≥1 band key, with the
-    * number of shared bands. Equi-join on (band, key) — no cross join. */
-  def dd3LshPairs(s: SparkSession, dir: String): DataFrame = {
-    val b = bandedSigs(t(s, dir, "documents"))
-    val a = b.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-    val c = b.select(col("doc_id").as("doc_b"), col("band"), col("key"))
-    a.join(c, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("shared_bands"))
+  /** dd2_minhash_sigs — per-doc MinHash signatures over word-3-shingles. */
+  def dd2MinhashSigs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+  val dd2MinhashSigsSql: String =
+    s"""SELECT * FROM ($minhashSigsDuck) sig ORDER BY doc_id""".stripMargin
+
+  /** dd3_lsh_pairs — LSH candidate pairs with shared-band counts. */
+  def dd3LshPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text"), "doc_id")
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
       .orderBy("doc_a", "doc_b")
-  }
 
   val dd3LshPairsSql: String =
     s"""WITH sig AS ($minhashSigsDuck),
@@ -140,25 +78,18 @@ object DedupQueries {
        |FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
 
-  /** dd4_ngram_jaccard — exact 3-shingle Jaccard, computed ONLY on dd3's LSH
-    * candidate pairs (the verify stage of the MinHash pipeline). */
+  /** dd4_ngram_jaccard — exact 3-shingle Jaccard on dd3's candidates. */
   def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val sh = shingles(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = dd3LshPairs(s, dir).select("doc_a", "doc_b")
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_int"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+    Dedup.verifyJaccard(pairs, Dedup.shingles(docs, "doc_id", "text"), threshold = 0.0)
+      // e6 from the integer counts (single rounding — matches the oracle
+      // exactly; round(jaccard*1e6) would round twice)
       .withColumn("jaccard_e6",
         round(lit(1e6) * col("n_int") / (col("na") + col("nb") - col("n_int"))).cast(LongType))
       .filter(col("jaccard_e6") >= 100000)
-      .select("doc_a", "doc_b", "jaccard_e6")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard_e6"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -184,21 +115,9 @@ object DedupQueries {
        |WHERE CAST(ROUND(1e6 * n_int / (za.n_sh + zb.n_sh - n_int)) AS BIGINT) >= 100000
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** dd5_simhash — 16-bit SimHash over the token multiset (Charikar 2002):
-    * bit b is the sign of the sum of ±1 votes from each token's hash. */
-  def dd5Simhash(s: SparkSession, dir: String): DataFrame = {
-    val tok = t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .withColumn("h", detHash(col("word"), 101))
-    val bitSums = (0 until 16).map(b =>
-      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"b$b"))
-    val simhash = (0 until 16).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-    tok.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), simhash.as("simhash16"))
-      .orderBy("doc_id")
-  }
+  /** dd5_simhash — 16-bit SimHash per doc (Charikar 2002). */
+  def dd5Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
 
   val dd5SimhashSql: String = {
     val bitSums = (0 until 16)

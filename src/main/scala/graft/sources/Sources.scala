@@ -76,6 +76,15 @@ object Sources {
   def writeJsonReport(df: DataFrame, out: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(out)
 
+  /** Gazetteer scan — `{"dataset_names": ["...", ...]}` (the reference's
+    * `db/data_set_labels.json`, 2,948 names) → candidate list for FastMatch.
+    * Collected to the driver BY CONTRACT: the gazetteer is broadcast-sized
+    * (shard the file and union if it ever is not). */
+  def readGazetteer(spark: SparkSession, path: String): Seq[String] =
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("dataset_names")).as("name"))
+      .collect().map(_.getString(0)).toSeq
+
   /** P3/J4 — manifest anti-join: keep only rows whose `idCol` is absent from
     * the sink manifest. The scalable replacement for file-exists checks. */
   def notYetMaterialized(input: DataFrame, manifest: DataFrame, idCol: String): DataFrame =

@@ -56,6 +56,14 @@ class SourcesSpec extends SparkSpec {
     assert(todo.select("id").collect().map(_.getString(0)).sorted.toSeq === Seq("a", "c"))
   }
 
+  test("gazetteer json scan") {
+    val dir = tmp()
+    Files.write(java.nio.file.Paths.get(dir, "labels.json"),
+      """{"dataset_names": ["ANES 1952 Time Series Study", "COCO", "ImageNet"]}""".getBytes)
+    val names = Sources.readGazetteer(spark, dir + "/labels.json")
+    assert(names.toSet === Set("ANES 1952 Time Series Study", "COCO", "ImageNet"))
+  }
+
   test("S8 annotations csv: stringified biluo parses to arrays") {
     val dir = tmp()
     val csv =
