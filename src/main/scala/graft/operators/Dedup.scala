@@ -32,14 +32,34 @@ object Dedup {
   val hashA: IndexedSeq[Long] = (0 until NumHashes).map(i => (1103515245L * (i + 1) + 12345L) % P)
   val hashB: IndexedSeq[Long] = (0 until NumHashes).map(i => (2654435761L * i + 1013904223L) % P)
 
-  /** Distinct word-3-shingles per row: (idCol, sh). */
-  def shingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Distinct word-n-shingles per row: (idCol, sh). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(j => s"element_at(__tok, i + $j)").mkString(", ")
     df.withColumn("__tok", split(col(textCol), " "))
-      .filter(size(col("__tok")) >= 3)
+      .filter(size(col("__tok")) >= n)
       .select(col(idCol),
         explode(array_distinct(expr(
-          "transform(sequence(1, size(__tok) - 2), i -> concat_ws(' ', element_at(__tok, i), element_at(__tok, i + 1), element_at(__tok, i + 2)))"
+          s"transform(sequence(1, size(__tok) - ${n - 1}), i -> concat_ws(' ', $parts))"
         ))).as("sh"))
+  }
+
+  /** Contamination screen: for each row of `test`, how many of its
+    * n-shingles also appear anywhere in `train` (LLM train/test-leak check).
+    * The train shingle set is deduplicated before the join; the join is a
+    * plain equi-join on the shingle — at scale, a bloom-filter pre-pass or
+    * bucketing on `sh` drops the shuffle further. */
+  def contamination(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val trainSh = shingles(train, idCol, textCol, n).select("sh").distinct()
+    val testSh = shingles(test, idCol, textCol, n)
+    val perDoc = testSh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val contam = testSh.join(trainSh, Seq("sh"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_contam"))
+    perDoc.join(contam, Seq(idCol), "left_outer")
+      .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
+      .withColumn("contam_e6",
+        round(lit(1e6) * col("n_contam") / col("n_sh")).cast(LongType))
+  }
 
   /** Per-row MinHash signature columns s0..s{n-1}. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {

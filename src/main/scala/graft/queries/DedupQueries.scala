@@ -133,7 +133,39 @@ object DedupQueries {
        |SELECT doc_id, $simhash AS simhash16 FROM sums ORDER BY doc_id""".stripMargin
   }
 
+  /** dd7_contamination — train/test leak screen: fraction of each test doc's
+    * 5-gram shingles that appear anywhere in the train split (deterministic
+    * 80/20 hash split). */
+  def dd7Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val train = docs.filter(detHash(col("doc_id"), 41) % 10 < 8)
+    val test = docs.filter(detHash(col("doc_id"), 41) % 10 >= 8)
+    Dedup.contamination(train, test, "doc_id", "text", n = 5)
+      .select("doc_id", "n_sh", "n_contam", "contam_e6")
+      .orderBy("doc_id")
+  }
+
+  val dd7ContaminationSql: String = {
+    def sh5(src: String): String =
+      s"""SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 3),
+         |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4])) AS sh
+         |  FROM $src WHERE len(string_split(text,' ')) >= 5""".stripMargin
+    s"""WITH train AS (SELECT * FROM documents WHERE ${detHashSql("doc_id", 41)} % 10 < 8),
+       |test AS (SELECT * FROM documents WHERE ${detHashSql("doc_id", 41)} % 10 >= 8),
+       |train_sh AS (SELECT DISTINCT sh FROM (${sh5("train")}) t),
+       |test_sh AS (${sh5("test")}),
+       |per_doc AS (SELECT doc_id, COUNT(*) AS n_sh FROM test_sh GROUP BY doc_id),
+       |contam AS (
+       |  SELECT doc_id, COUNT(*) AS n_contam FROM test_sh
+       |  WHERE sh IN (SELECT sh FROM train_sh) GROUP BY doc_id)
+       |SELECT p.doc_id, p.n_sh, COALESCE(c.n_contam, 0) AS n_contam,
+       |  CAST(ROUND(1e6 * COALESCE(c.n_contam, 0) / p.n_sh) AS BIGINT) AS contam_e6
+       |FROM per_doc p LEFT JOIN contam c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "dd7_contamination" -> (dd7Contamination _),
     "dd1_exact_dedup" -> (dd1ExactDedup _),
     "dd2_minhash_sigs" -> (dd2MinhashSigs _),
     "dd3_lsh_pairs" -> (dd3LshPairs _),
@@ -141,6 +173,7 @@ object DedupQueries {
     "dd5_simhash" -> (dd5Simhash _))
 
   val oracles: Map[String, String] = Map(
+    "dd7_contamination" -> dd7ContaminationSql,
     "dd1_exact_dedup" -> dd1ExactDedupSql,
     "dd2_minhash_sigs" -> dd2MinhashSigsSql,
     "dd3_lsh_pairs" -> dd3LshPairsSql,
