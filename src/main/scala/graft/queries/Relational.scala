@@ -235,7 +235,34 @@ object Relational {
        |SELECT 'U' AS pool, c_custkey FROM all_c WHERE c_custkey NOT IN (SELECT c_custkey FROM newl)
        |ORDER BY pool, c_custkey""".stripMargin
 
+  /** r1_rollup — hierarchical aggregation with subtotal rows (grouping-sets
+    * family; SURVEY §2.5 notes Spark built-ins cover these for the
+    * generalized surface). */
+  def r1Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val r1RollupSql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${decSumSql("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** a12_approx_distinct — HyperLogLog-family approximate distinct counts
+    * (the 100 TB cardinality primitive). Sketches differ across engines →
+    * rows-only driver check; the ≤5% error bound vs exact is asserted in
+    * RelationalSpec. */
+  def a12ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, QueryFn] = Map(
+    "r1_rollup" -> (r1Rollup _),
+    "a12_approx_distinct" -> (a12ApproxDistinct _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopk _),
     "q5_multi_join" -> (q5MultiJoin _),
@@ -249,6 +276,7 @@ object Relational {
     "set1_pool_update" -> (set1PoolUpdate _))
 
   val oracles: Map[String, String] = Map(
+    "r1_rollup" -> r1RollupSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopkSql,
     "q5_multi_join" -> q5MultiJoinSql,

@@ -156,10 +156,13 @@ object TextQueries {
     val profile = bigrams.filter(col("doc_id") % 5 < 4)
       .groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
       .withColumnRenamed("lang", "cand_lang")
+    // pre-aggregate each test doc's bigram multiset so the profile join sees
+    // one row per (doc, distinct bigram), not one per bigram instance
     val test = bigrams.filter(col("doc_id") % 5 === 4)
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n_doc"))
     val scored = test.join(broadcast(profile), Seq("bg"))
       .groupBy("doc_id", "cand_lang")
-      .agg(sum("cnt").as("score"))
+      .agg(sum(col("n_doc") * col("cnt")).as("score"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("cand_lang"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
@@ -174,10 +177,13 @@ object TextQueries {
       |profile AS (
       |  SELECT lang AS cand_lang, bg, COUNT(*) AS cnt FROM bigrams
       |  WHERE doc_id % 5 < 4 GROUP BY lang, bg),
+      |test AS (
+      |  SELECT doc_id, bg, COUNT(*) AS n_doc FROM bigrams
+      |  WHERE doc_id % 5 = 4 GROUP BY doc_id, bg),
       |scored AS (
-      |  SELECT b.doc_id, p.cand_lang, SUM(p.cnt) AS score
-      |  FROM bigrams b JOIN profile p USING (bg)
-      |  WHERE b.doc_id % 5 = 4 GROUP BY b.doc_id, p.cand_lang),
+      |  SELECT b.doc_id, p.cand_lang, CAST(SUM(b.n_doc * p.cnt) AS BIGINT) AS score
+      |  FROM test b JOIN profile p USING (bg)
+      |  GROUP BY b.doc_id, p.cand_lang),
       |ranked AS (
       |  SELECT doc_id, cand_lang, score,
       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rk

@@ -1,0 +1,33 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx distinct is within 5% of exact per group") {
+    val approx = Relational.a12ApproxDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx=$a exact=$e")
+    }
+  }
+
+  test("rollup emits subtotal and grand-total rows") {
+    val rows = Relational.r1Rollup(spark, dir).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(grand(0).getAs[Long]("n") === 6000)
+    // flag-level subtotals: null linestatus, non-null flag
+    val subtotals = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(subtotals.map(_.getString(0)).sorted.toSeq === Seq("A", "N", "R"))
+  }
+}
