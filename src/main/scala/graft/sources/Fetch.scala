@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** S2–S4 — the side-effecting fetch stage (SURVEY §3 E4: JSONL scan →
+  * anti-join manifest → pooled HTTP fetch → validated sink) as Spark
+  * dataflow: `mapPartitions` with ONE client per partition (the reference's
+  * `Pool(8)` of pycurl handles, `papers_download.py:72-171`), per-row
+  * try/fail status, and a **manifest table** replacing the reference's
+  * `.pdf.gz`/`.fail` filesystem markers — the scalable idempotency pattern
+  * (anti-join the manifest to resume; SURVEY §4.1).
+  *
+  * The client is pluggable and the default is a deterministic STUB (no
+  * network in this environment; a real client drops in without touching the
+  * plan). Payload validation (the PyPDF2 check, `papers_download.py:141-146`)
+  * is a predicate on the fetched bytes.
+  */
+object Fetch {
+
+  /** Pluggable transport. Implementations must be Serializable (constructed
+    * per partition, used for every row in it). */
+  trait Client extends Serializable {
+    def get(url: String): Either[String, Array[Byte]]
+  }
+
+  /** Deterministic stub: "fetches" the url's bytes; fails urls containing
+    * "bad" (error path), returns invalid payloads for urls containing
+    * "corrupt" (validation path). */
+  final class StubClient extends Client {
+    override def get(url: String): Either[String, Array[Byte]] =
+      if (url.contains("bad")) Left("connection refused")
+      else if (url.contains("corrupt")) Right(Array[Byte](0, 1, 2))
+      else Right(s"%PDF-$url".getBytes("UTF-8"))
+  }
+
+  case class FetchResult(id: String, status: String, n_bytes: Int, error: String)
+
+  /** Fetch every (id, url) row; returns the manifest. `validate` is the
+    * payload check (reference: "is it a parseable PDF"). Statuses:
+    * `ok`, `invalid`, `fail`. */
+  def fetchAll(input: DataFrame, client: () => Client,
+      validate: Array[Byte] => Boolean = _.startsWith("%PDF".getBytes("UTF-8"))): Dataset[FetchResult] = {
+    import input.sparkSession.implicits._
+    val idIdx = input.schema.fieldIndex("id")
+    val urlIdx = input.schema.fieldIndex("url")
+    input.mapPartitions { rows =>
+      val c = client() // one client per partition, like the reference's pool worker
+      rows.map { r =>
+        val id = r.getString(idIdx)
+        c.get(r.getString(urlIdx)) match {
+          case Left(err) => FetchResult(id, "fail", 0, err)
+          case Right(bytes) if !validate(bytes) => FetchResult(id, "invalid", bytes.length, "validation failed")
+          case Right(bytes) => FetchResult(id, "ok", bytes.length, null)
+        }
+      }
+    }
+  }
+
+  /** One resumable pass: skip ids already `ok` in the manifest, fetch the
+    * rest, return the union'd new manifest (the E4 loop body). */
+  def resumePass(input: DataFrame, manifest: DataFrame, client: () => Client): DataFrame = {
+    val done = manifest.filter(col("status") === "ok").select("id")
+    val todo = input.join(done, Seq("id"), "left_anti")
+    manifest.unionByName(fetchAll(todo, client).toDF())
+  }
+}

@@ -1,0 +1,26 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FetchSpec extends SparkSpec {
+
+  test("E4 flow: fetch with per-row status, resume skips completed ids") {
+    import spark.implicits._
+    val input = Seq(
+      ("p1", "http://x/p1"), ("p2", "http://x/bad/p2"),
+      ("p3", "http://x/corrupt/p3"), ("p4", "http://x/p4"))
+      .toDF("id", "url")
+
+    val m1 = Fetch.fetchAll(input, () => new Fetch.StubClient).toDF()
+    val statuses = m1.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(statuses === Map("p1" -> "ok", "p2" -> "fail", "p3" -> "invalid", "p4" -> "ok"))
+
+    // resume: only non-ok ids are retried (p2, p3); ok rows kept once each
+    val m2 = Fetch.resumePass(input, m1, () => new Fetch.StubClient)
+    val counts = m2.groupBy("id").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("p1" -> 1L, "p2" -> 2L, "p3" -> 2L, "p4" -> 1L))
+    // latest pass still fails the same way (stub deterministic)
+    assert(m2.filter(col("id") === "p2" && col("status") === "ok").count() === 0)
+  }
+}
