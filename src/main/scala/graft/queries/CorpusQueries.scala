@@ -22,27 +22,53 @@ object CorpusQueries {
   private def toks(c: Column): Column = split(c, " ")
 
   /** a1_corpus_stats — per-language corpus statistics (SURVEY §2.5 A1: #S,
-    * #T, ASL, %AC — the accumulate/finalize split is Spark's partial+final
-    * agg). "Entity" analogue = the 'data' candidate marker (P1). */
+    * #T, ASL, %AC, AEL, %DAC — the accumulate/finalize split is Spark's
+    * partial+final agg). "Entity" analogue = tokens containing the 'data'
+    * candidate marker (P1); AEL = avg entity char length, frac_multi = docs
+    * with ≥2 entity tokens (`data_transformation.py:25-47`).
+    *
+    * Determinism: sums as BIGINT on both engines (DuckDB SUM(int) is HUGEINT
+    * → cast), ratios e6-scaled per the Q.scala convention. */
   def a1CorpusStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("lang"), size(toks(col("text"))).as("n_tok"), col("n_chars"),
-        col("text").contains("data").cast(IntegerType).as("has_data"))
+        col("text").contains("data").cast(IntegerType).as("has_data"),
+        filter(toks(col("text")), w => w.contains("data")).as("ents"))
+      .select(col("lang"), col("n_tok"), col("n_chars"), col("has_data"),
+        size(col("ents")).as("n_ent"),
+        aggregate(col("ents"), lit(0L), (acc, w) => acc + length(w)).as("ent_chars"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok").as("total_tokens"),
-        (sum("n_tok").cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avg_tokens"),
+        round(lit(1e6) * sum("n_tok") / count(lit(1))).cast(LongType).as("avg_tokens_e6"),
         sum("n_chars").as("total_chars"),
-        (sum("has_data").cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("frac_candidate"))
+        round(lit(1e6) * sum("has_data") / count(lit(1))).cast(LongType).as("frac_candidate_e6"),
+        sum("n_ent").as("total_ents"),
+        when(sum("n_ent") > 0,
+          round(lit(1e6) * sum("ent_chars") / sum("n_ent")).cast(LongType))
+          .otherwise(lit(0L)).as("ael_e6"),
+        round(lit(1e6) * sum((col("n_ent") >= 2).cast(IntegerType)) / count(lit(1)))
+          .cast(LongType).as("frac_multi_e6"))
       .orderBy("lang")
 
   val a1CorpusStatsSql: String =
-    """SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(len(string_split(text,' '))) AS total_tokens,
-      |  CAST(SUM(len(string_split(text,' '))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
-      |  SUM(n_chars) AS total_chars,
-      |  CAST(SUM(CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_candidate
-      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    """WITH d AS (
+      |  SELECT lang, len(string_split(text,' ')) AS n_tok, n_chars,
+      |    CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END AS has_data,
+      |    len(list_filter(string_split(text,' '), w -> w LIKE '%data%')) AS n_ent,
+      |    COALESCE(list_sum(list_transform(
+      |      list_filter(string_split(text,' '), w -> w LIKE '%data%'), w -> len(w))), 0) AS ent_chars
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(ROUND(1e6 * SUM(n_tok) / COUNT(*)) AS BIGINT) AS avg_tokens_e6,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(ROUND(1e6 * SUM(has_data) / COUNT(*)) AS BIGINT) AS frac_candidate_e6,
+      |  CAST(SUM(n_ent) AS BIGINT) AS total_ents,
+      |  CASE WHEN SUM(n_ent) > 0
+      |    THEN CAST(ROUND(1e6 * SUM(ent_chars) / SUM(n_ent)) AS BIGINT) ELSE 0 END AS ael_e6,
+      |  CAST(ROUND(1e6 * SUM(CASE WHEN n_ent >= 2 THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS frac_multi_e6
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
   /** a3_word_freq — global token frequency (Counter over the corpus,
     * `TM_1:cell 20`): explode → hash-agg. */
@@ -124,15 +150,14 @@ object CorpusQueries {
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
   /** j5_vocab_lookup — vectorization as a broadcast join (SURVEY §2.4 J5 +
-    * §2.9 V1/V4): vocab = words ranked by (freq desc, word), built
-    * join-based (never a driver dict); each doc's tokens become a csv of
-    * vocab ids in position order, OOV→0. */
+    * §2.9 V1/V4): vocab = top-V words ranked by (freq desc, word), built
+    * join-based (never a driver dict) through the capped [[graft.operators.Vocab]]
+    * operator (TakeOrderedAndProject, no un-partitioned full-vocab window);
+    * each doc's tokens become a csv of vocab ids in position order, OOV→0. */
   def j5VocabLookup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val tok = docs.select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "word")))
-    val vocab = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
-      .withColumn("vocab_id", row_number().over(Window.orderBy(desc("cnt"), col("word"))))
-      .select("word", "vocab_id")
+    val vocab = graft.operators.Vocab.topWords(tok, "word")
     tok.join(broadcast(vocab), Seq("word"), "left_outer")
       .withColumn("vid", coalesce(col("vocab_id"), lit(0)))
       .groupBy("doc_id")
@@ -149,7 +174,8 @@ object CorpusQueries {
       |  FROM documents),
       |vocab AS (
       |  SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS vocab_id
-      |  FROM (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word) f)
+      |  FROM (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word
+      |        ORDER BY cnt DESC, word LIMIT 8192) f)
       |SELECT doc_id, string_agg(CAST(COALESCE(vocab_id, 0) AS VARCHAR), ',' ORDER BY pos) AS token_ids
       |FROM tok LEFT JOIN vocab USING (word)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin

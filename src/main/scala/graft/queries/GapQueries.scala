@@ -72,11 +72,8 @@ object GapQueries {
     * fallback (`ner_pipeline.py:106-111,160-165`: GloVe lookup, random init
     * for misses → here a hash-derived constant, same coalesce shape). */
   def j6EmbeddingLookup(s: SparkSession, dir: String): DataFrame = {
-    val vocab = t(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .withColumn("vocab_id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(desc("cnt"), col("word"))))
+    val vocab = graft.operators.Vocab.topWords(
+      t(s, dir, "documents").select(explode(split(col("text"), " ")).as("word")), "word")
     val glove = t(s, dir, "embeddings")
       .select(col("vec_id"), element_at(col("embedding"), 1).cast(DoubleType).as("dim0"))
     vocab.join(glove, col("vocab_id") === col("vec_id"), "left_outer")
@@ -90,7 +87,8 @@ object GapQueries {
     s"""WITH words AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
        |vocab AS (
        |  SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS vocab_id
-       |  FROM (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word) f),
+       |  FROM (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word
+       |        ORDER BY cnt DESC, word LIMIT 8192) f),
        |glove AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS dim0 FROM embeddings)
        |SELECT word, vocab_id,
        |  CAST(ROUND(COALESCE(dim0, CAST(${detHashSql("word", 31)} % 1000 AS DOUBLE) / 1000.0) * 1e6) AS BIGINT) AS dim0_e6

@@ -98,13 +98,12 @@ object MLQueries {
   }
 
   /** v1_pad_vectorize — token→vocab-id vectors padded/truncated to 16
-    * (SURVEY §2.9 V1/V2: fixed-length 0-padded id vectors, OOV→0). */
+    * (SURVEY §2.9 V1/V2: fixed-length 0-padded id vectors, OOV→0). Vocab is
+    * the capped [[graft.operators.Vocab]] rank — no full-vocab global window. */
   def v1PadVectorize(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val tok = docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-    val vocab = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
-      .withColumn("vocab_id", row_number().over(Window.orderBy(desc("cnt"), col("word"))))
-      .select("word", "vocab_id")
+    val vocab = graft.operators.Vocab.topWords(tok, "word")
     tok.join(broadcast(vocab), Seq("word"), "left_outer")
       .withColumn("vid", coalesce(col("vocab_id"), lit(0)))
       .groupBy("doc_id")
@@ -122,7 +121,8 @@ object MLQueries {
       |  FROM documents),
       |vocab AS (
       |  SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS vocab_id
-      |  FROM (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word) f),
+      |  FROM (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word
+      |        ORDER BY cnt DESC, word LIMIT 8192) f),
       |vecs AS (
       |  SELECT doc_id, list(COALESCE(vocab_id, 0) ORDER BY pos) AS ids
       |  FROM tok LEFT JOIN vocab USING (word) GROUP BY doc_id)
