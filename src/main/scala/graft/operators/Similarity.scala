@@ -12,14 +12,17 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ folded in index order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ folded in index order — the codegen'd
+    * [[graft.plans.VecDotExpression]] (requires `vec_dot` registered on the
+    * session; every DataFrame entry point here registers it). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  /** Adds an L2 `norm` column for `vecCol`. */
-  def withNorm(df: DataFrame, vecCol: String): DataFrame =
+  /** Adds an L2 `norm` column for `vecCol`. Registers the native vec_dot on
+    * the session (idempotent). */
+  def withNorm(df: DataFrame, vecCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     df.withColumn("norm", sqrt(dot(col(vecCol), col(vecCol))))
+  }
 
   /** Exact cosine top-k: for each row of `queries` (idCol, vecCol), the k
     * nearest corpus rows. `queries` must be broadcast-sized. Output:
@@ -38,30 +41,54 @@ object Similarity {
       .select("query_id", "rank", "id", "cosine")
   }
 
+  /** IVF index build: collects `centroids` (idCol, vecCol) into a literal
+    * array<struct<cent_id, cv, cn>> column, so that cell assignment and cell
+    * probing are pure projections — zero joins, zero Exchange. The collect is
+    * bounded by contract: centroid count is a knob (k-means k, typically
+    * ≤ 2¹⁶ even for a 100 TB corpus), never proportional to the corpus. */
+  def centroidIndex(centroids: DataFrame, idCol: String, vecCol: String): Column = {
+    val rows = withNorm(centroids.select(
+        col(idCol).cast(LongType).as("cent_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("cv")), "cv")
+      .collect()
+    array(rows.map { r =>
+      struct(lit(r.getLong(0)).as("cent_id"),
+        typedLit(r.getSeq[Double](1)).as("cv"),
+        lit(r.getDouble(2)).as("cn"))
+    }: _*)
+  }
+
+  /** Nearest-centroid cell per row as a pure projection: per-centroid cosine
+    * via `transform` over the literal index, argmax via `array_max` on
+    * struct(cos, −cent_id) (ties → lowest cent_id). No crossJoin, no
+    * per-row window, no shuffle of the corpus. */
+  def assignCells(df: DataFrame, index: Column, vecCol: String, normCol: String): DataFrame = {
+    val scored = transform(index, c => struct(
+      (dot(c.getField("cv"), col(vecCol)) / (c.getField("cn") * col(normCol))).as("acos"),
+      (-c.getField("cent_id")).as("neg_id")))
+    df.withColumn("cell", -array_max(scored).getField("neg_id"))
+  }
+
   /** IVF top-k: assign corpus rows to their nearest centroid, probe the
-    * `nProbe` nearest cells per query. `centroids` (idCol, vecCol) must be
-    * broadcast-sized; recall grows with nProbe. */
+    * `nProbe` nearest cells per query. Assign and probe are projections over
+    * the literal centroid index (see [[centroidIndex]]); the only wide ops
+    * are the broadcast probe join and the final per-query top-k. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val idx = centroidIndex(centroids, idCol, vecCol)
     val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v")
-    val cent = withNorm(centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cv")), "cv")
-      .withColumnRenamed("norm", "cn")
+    val assign = assignCells(c, idx, "v", "norm")
     val q = withNorm(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv")
       .withColumnRenamed("norm", "qn")
-    val wA = Window.partitionBy("id").orderBy(desc("acos"), col("cent_id"))
-    val assign = c.crossJoin(broadcast(cent))
-      .withColumn("acos", dot(col("cv"), col("v")) / (col("cn") * col("norm")))
-      .withColumn("ark", row_number().over(wA))
-      .filter(col("ark") === 1)
-      .select(col("id"), col("v"), col("norm"), col("cent_id").as("cell"))
-    val wP = Window.partitionBy("query_id").orderBy(desc("pcos"), col("cent_id"))
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("pcos", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
-      .withColumn("prk", row_number().over(wP))
-      .filter(col("prk") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+    // nProbe nearest cells per query: sort struct(−cos, cent_id) asc = cos
+    // desc with cent_id tiebreak, then take the first nProbe.
+    val probeArr = slice(array_sort(transform(idx, cc => struct(
+        (-(dot(cc.getField("cv"), col("qv")) / (cc.getField("cn") * col("qn")))).as("neg_cos"),
+        cc.getField("cent_id").as("cent_id")))), 1, nProbe)
+    val probes = q.withColumn("pc", explode(probeArr))
+      .select(col("query_id"), col("qv"), col("qn"), col("pc.cent_id").as("cell"))
     val wR = Window.partitionBy("query_id").orderBy(desc("cosine"), col("id"))
-    assign.join(probes, Seq("cell"))
+    assign.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
       .withColumn("rank", row_number().over(wR))
@@ -69,7 +96,12 @@ object Similarity {
       .select("query_id", "rank", "id", "cosine")
   }
 
-  /** Near-duplicate pairs within `blockCol` blocks, cosine ≥ threshold. */
+  /** Near-duplicate pairs within `blockCol` blocks, cosine ≥ threshold.
+    * `blockCol` must be a bounded-size blocking key — an IVF cell (see
+    * [[assignCells]]) or LSH band key, whose block population stays O(1) as
+    * the corpus grows. A metadata column (label, language) is NOT a valid
+    * block: its blocks grow with the corpus and the within-block pairing
+    * goes quadratic. */
   def nearDuplicatePairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val e = withNorm(df.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v")), "v")

