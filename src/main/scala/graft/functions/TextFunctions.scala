@@ -62,6 +62,60 @@ object TextFunctions {
   def removeStopwords(tokens: Column, stopwords: Seq[String]): Column =
     filter(tokens, w => !w.isin(stopwords.map(x => x: Any): _*))
 
+  /** F13 — rule-based lemmatization (documented approximation of the
+    * reference's WordNet + spaCy lemmatizer, `TM_1:cell 17`,
+    * `TM_2:cells 10-12`, which needs a dictionary this library does not
+    * ship): a small irregular-forms table plus deterministic suffix rules
+    * (plural -ies/-es/-s, gerund -ing with doubled-consonant collapse,
+    * past -ied/-eed/-ed). Dictionary-free, so forms like "agreed" that need
+    * a lexicon to restore the final 'e' stay heuristic — the honest
+    * stemming-adjacent fallback, strictly closer to lemma parity than
+    * Porter alone.
+    *
+    * The rule text is ONE CASE expression valid in both Spark SQL and
+    * DuckDB ([[lemmaCaseSql]]) — the oracle runs literally the same rules. */
+  def lemma(colName: String): Column = expr(lemmaCaseSql(colName))
+
+  /** The shared Spark-SQL/DuckDB CASE expression behind [[lemma]]. Only
+    * engine-portable builtins: CASE/IN/right/length/substring/`||`. */
+  def lemmaCaseSql(w: String): String = {
+    // doubled-final-consonant collapse for a base ending at offset `k` from
+    // the end of w (k=3 for -ing, k=2 for -ed): compare the last two base
+    // chars, require non-vowel (RE2 has no backreferences, so no regex).
+    def collapse(k: Int): String =
+      s"""CASE WHEN substring($w, length($w) - $k, 1) = substring($w, length($w) - ${k + 1}, 1)
+         |       AND substring($w, length($w) - $k, 1) NOT IN ('a','e','i','o','u')
+         |  THEN substring($w, 1, length($w) - ${k + 1})
+         |  ELSE substring($w, 1, length($w) - $k) END""".stripMargin
+    s"""CASE
+       |  WHEN $w IN ('is','are','was','were','been','am') THEN 'be'
+       |  WHEN $w IN ('has','had') THEN 'have'
+       |  WHEN $w IN ('did','done') THEN 'do'
+       |  WHEN $w IN ('went','gone') THEN 'go'
+       |  WHEN $w = 'children' THEN 'child'
+       |  WHEN $w = 'men' THEN 'man'
+       |  WHEN $w = 'women' THEN 'woman'
+       |  WHEN $w = 'mice' THEN 'mouse'
+       |  WHEN $w = 'feet' THEN 'foot'
+       |  WHEN $w = 'teeth' THEN 'tooth'
+       |  WHEN $w = 'indices' THEN 'index'
+       |  WHEN $w = 'matrices' THEN 'matrix'
+       |  WHEN $w = 'vertices' THEN 'vertex'
+       |  WHEN length($w) > 4 AND right($w, 3) = 'ies' THEN substring($w, 1, length($w) - 3) || 'y'
+       |  WHEN right($w, 4) = 'sses' THEN substring($w, 1, length($w) - 2)
+       |  WHEN right($w, 4) IN ('shes','ches') OR right($w, 3) IN ('xes','zes','oes')
+       |    THEN substring($w, 1, length($w) - 2)
+       |  WHEN length($w) > 3 AND right($w, 1) = 's' AND right($w, 2) NOT IN ('ss','us','is')
+       |    THEN substring($w, 1, length($w) - 1)
+       |  WHEN length($w) > 5 AND right($w, 4) = 'ying' THEN substring($w, 1, length($w) - 4) || 'y'
+       |  WHEN length($w) > 5 AND right($w, 3) = 'ing' THEN ${collapse(3)}
+       |  WHEN length($w) > 4 AND right($w, 3) = 'ied' THEN substring($w, 1, length($w) - 3) || 'y'
+       |  WHEN length($w) > 5 AND right($w, 3) = 'eed' THEN substring($w, 1, length($w) - 1)
+       |  WHEN length($w) > 4 AND right($w, 2) = 'ed' THEN ${collapse(2)}
+       |  ELSE $w
+       |END""".stripMargin
+  }
+
   /** F14 — Porter stemming over a token array (pure-Scala UDF, see
     * [[PorterStemmer]]). */
   def stemTokens(tokens: Column): Column = PorterStemmer.stemArrayUdf(tokens)

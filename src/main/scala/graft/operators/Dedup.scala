@@ -110,11 +110,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard", "n_int", "na", "nb")
   }
 
-  /** Remove the higher-id member of each duplicate pair (connected rows keep
-    * their minimum representative transitively only within direct pairs —
-    * full connected components would take an iterative join; documented). */
-  def dropDuplicates(df: DataFrame, idCol: String, dupPairs: DataFrame): DataFrame =
-    df.join(dupPairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  /** Connected components over undirected duplicate pairs by iterative
+    * min-label propagation: every node's label converges to the minimum id
+    * reachable from it. Each round is one equi-join + one min-aggregate
+    * (both map-side combinable); rounds = component diameter, which stays
+    * small for near-dup clusters (they are dense — most members share direct
+    * pairs). Labels are localCheckpoint'ed per round to cut lineage, and the
+    * loop stops as soon as a round changes nothing (label sums are strictly
+    * decreasing until the fixpoint, so one Decimal aggregate detects it —
+    * no per-row diff join).
+    *
+    * Returns (id, comp) for every id that appears in a pair; comp = min id
+    * of the component. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).first().getDecimal(0)
+    var curSum = labelSum(labels)
+    var done = curSum == null // no edges at all
+    var it = 0
+    while (!done && it < maxIter) {
+      val prop = edges.join(labels.select(col("id").as("v"), col("comp")), Seq("v"))
+        .select(col("u").as("id"), col("comp"))
+      val next = labels.union(prop).groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      done = nextSum.compareTo(curSum) == 0
+      labels = next
+      curSum = nextSum
+      it += 1
+    }
+    labels
+  }
+
+  /** Keep one canonical row per duplicate cluster: connected components over
+    * the pairs (transitive closure), then drop every member whose component
+    * label differs from its own id — the component-minimum survives. */
+  def dropDuplicates(df: DataFrame, idCol: String, dupPairs: DataFrame): DataFrame = {
+    val doomed = connectedComponents(dupPairs, "id_a", "id_b")
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
 
   /** 16-bit SimHash over the token multiset. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -106,18 +106,33 @@ object CorpusQueries {
       |WHERE word NOT IN (SELECT word FROM top8)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** a6_bigrams — adjacent-token collocations via posexplode + lead window
-    * (`gensim.Phrases` analogue, `TM_2:cells 8-12`): min_count 5, top 20. */
+  /** a6_bigrams — adjacent-token collocations via posexplode + lead window,
+    * scored NPMI-style like `gensim.Phrases` scored-threshold selection
+    * (`TM_2:cells 8-12`): min_count 5, npmi ≥ 0 (positively associated),
+    * top 20 by score. npmi = ln(p(ab)/(p(a)p(b))) / −ln(p(ab)), all
+    * probabilities normalized by the corpus token count (gensim's
+    * npmi_scorer convention); e6-scaled per the Q.scala float rule. */
   def a6Bigrams(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    t(s, dir, "documents")
+    val tok = t(s, dir, "documents")
       .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w1")))
+    val big = tok
       .withColumn("w2", lead("w1", 1).over(w))
       .filter(col("w2").isNotNull)
       .groupBy("w1", "w2")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 5)
-      .orderBy(desc("cnt"), col("w1"), col("w2"))
+    val uni = tok.groupBy("w1").agg(count(lit(1)).as("ucnt"))
+    val n = tok.agg(count(lit(1)).as("nw"))
+    big.crossJoin(broadcast(n))
+      .join(broadcast(uni.select(col("w1"), col("ucnt").as("cnt_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w1").as("w2"), col("ucnt").as("cnt_b"))), Seq("w2"))
+      .withColumn("npmi_e6", round(lit(1e6) *
+        (log((col("cnt") / col("nw")) / ((col("cnt_a") / col("nw")) * (col("cnt_b") / col("nw")))) /
+          -log(col("cnt") / col("nw")))).cast(LongType))
+      .filter(col("npmi_e6") >= 0)
+      .select("w1", "w2", "cnt", "npmi_e6")
+      .orderBy(desc("npmi_e6"), col("w1"), col("w2"))
       .limit(20)
   }
 
@@ -126,11 +141,22 @@ object CorpusQueries {
       |  SELECT doc_id, unnest(string_split(text,' ')) AS w1,
       |    generate_subscripts(string_split(text,' '), 1) AS pos
       |  FROM documents),
+      |n AS (SELECT COUNT(*) AS nw FROM tok),
       |pairs AS (
-      |  SELECT w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok)
-      |SELECT w1, w2, COUNT(*) AS cnt FROM pairs WHERE w2 IS NOT NULL
-      |GROUP BY w1, w2 HAVING COUNT(*) >= 5
-      |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin
+      |  SELECT w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok),
+      |big AS (
+      |  SELECT w1, w2, COUNT(*) AS cnt FROM pairs WHERE w2 IS NOT NULL
+      |  GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+      |uni AS (SELECT w1 AS w, COUNT(*) AS ucnt FROM tok GROUP BY w1),
+      |scored AS (
+      |  SELECT b.w1, b.w2, b.cnt,
+      |    CAST(ROUND(1e6 * (ln((b.cnt / n.nw) / ((ua.ucnt / n.nw) * (ub.ucnt / n.nw)))
+      |      / -ln(b.cnt / n.nw))) AS BIGINT) AS npmi_e6
+      |  FROM big b CROSS JOIN n
+      |  JOIN uni ua ON ua.w = b.w1
+      |  JOIN uni ub ON ub.w = b.w2)
+      |SELECT w1, w2, cnt, npmi_e6 FROM scored WHERE npmi_e6 >= 0
+      |ORDER BY npmi_e6 DESC, w1, w2 LIMIT 20""".stripMargin
 
   /** a8_group_collect — per-label ordered id collection
     * (`paper_classification/utils.py:18-26` builds {label: [texts]}).

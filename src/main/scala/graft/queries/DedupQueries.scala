@@ -133,6 +133,42 @@ object DedupQueries {
        |SELECT doc_id, $simhash AS simhash16 FROM sums ORDER BY doc_id""".stripMargin
   }
 
+  /** dd8_clusters — transitive duplicate clusters: connected components over
+    * dd4's Jaccard-verified pairs (min-label propagation,
+    * [[Dedup.connectedComponents]]); cluster_id = min doc_id in the
+    * component. This is the closure [[Dedup.dropDuplicates]] keys on. */
+  def dd8Clusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(dd4NgramJaccard(s, dir), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id")
+
+  val dd8ClustersSql: String =
+    s"""WITH RECURSIVE sig AS ($minhashSigsDuck),
+       |band AS ($bandedSigsDuck),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sh AS ($shinglesDuck),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_int
+       |  FROM cand p
+       |  JOIN sh sa ON sa.doc_id = p.doc_a
+       |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+       |  GROUP BY 1, 2),
+       |dup AS (
+       |  SELECT i.doc_a, i.doc_b
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE CAST(ROUND(1e6 * n_int / (za.n_sh + zb.n_sh - n_int)) AS BIGINT) >= 100000),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM dup UNION SELECT doc_b, doc_a FROM dup),
+       |reach AS (
+       |  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges) n
+       |  UNION
+       |  SELECT e.u AS id, rr.r FROM edges e JOIN reach rr ON rr.id = e.v)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** dd7_contamination — train/test leak screen: fraction of each test doc's
     * 5-gram shingles that appear anywhere in the train split (deterministic
     * 80/20 hash split). */
@@ -170,7 +206,8 @@ object DedupQueries {
     "dd2_minhash_sigs" -> (dd2MinhashSigs _),
     "dd3_lsh_pairs" -> (dd3LshPairs _),
     "dd4_ngram_jaccard" -> (dd4NgramJaccard _),
-    "dd5_simhash" -> (dd5Simhash _))
+    "dd5_simhash" -> (dd5Simhash _),
+    "dd8_clusters" -> (dd8Clusters _))
 
   val oracles: Map[String, String] = Map(
     "dd7_contamination" -> dd7ContaminationSql,
@@ -178,5 +215,6 @@ object DedupQueries {
     "dd2_minhash_sigs" -> dd2MinhashSigsSql,
     "dd3_lsh_pairs" -> dd3LshPairsSql,
     "dd4_ngram_jaccard" -> dd4NgramJaccardSql,
-    "dd5_simhash" -> dd5SimhashSql)
+    "dd5_simhash" -> dd5SimhashSql,
+    "dd8_clusters" -> dd8ClustersSql)
 }

@@ -37,26 +37,28 @@ object MLQueries {
     """SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS nnz
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** One CV+LDA training per (session, dir), shared by a9/a10 — model reuse,
-    * not result caching: both queries still run their own scoring plans. */
+  /** One CV+LDA training per (session, dir), shared by a9/a10/a10c — model
+    * reuse, not result caching: each query still runs its own scoring plan.
+    * Carries the CV vocabulary so termIndices can be mapped back to words. */
   private val ldaCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, org.apache.spark.ml.clustering.LDAModel)]
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, Array[String], org.apache.spark.ml.clustering.LDAModel)]
 
-  private def fittedLda(s: SparkSession, dir: String): (DataFrame, org.apache.spark.ml.clustering.LDAModel) =
+  private def fittedLda(s: SparkSession, dir: String): (DataFrame, Array[String], org.apache.spark.ml.clustering.LDAModel) =
     ldaCache.getOrElseUpdate((System.identityHashCode(s), dir), {
       val docs = t(s, dir, "documents").withColumn("tok", split(col("text"), " "))
       val cv = new CountVectorizer().setInputCol("tok").setOutputCol("bow")
         .setVocabSize(1 << 10)
-      val bow = cv.fit(docs).transform(docs)
+      val cvModel = cv.fit(docs)
+      val bow = cvModel.transform(docs)
       val lda = new LDA().setK(8).setMaxIter(10).setSeed(42L).setFeaturesCol("bow")
-      (bow, lda.fit(bow))
+      (bow, cvModel.vocabulary, lda.fit(bow))
     })
 
   /** a9_lda_doc_topics — LDA topic modeling (A9: gensim LdaModel k=8,
     * passes=10 → MLlib LDA k=8, maxIter=10, fixed seed) + per-doc dominant
     * topic (A11: doc→topic distribution). Seed-deterministic; rows-only. */
   def a9LdaDocTopics(s: SparkSession, dir: String): DataFrame = {
-    val (bow, model) = fittedLda(s, dir)
+    val (bow, _, model) = fittedLda(s, dir)
     model.transform(bow)
       .withColumn("dist", vector_to_array(col("topicDistribution")))
       .withColumn("topic",
@@ -69,13 +71,71 @@ object MLQueries {
     * c_v coherence deferred per SURVEY §7.2). One row, seed-deterministic;
     * rows-only. */
   def a10LdaPerplexity(s: SparkSession, dir: String): DataFrame = {
-    val (bow, model) = fittedLda(s, dir)
+    val (bow, _, model) = fittedLda(s, dir)
     // perplexity over a deterministic 20% sample — the metric needs a
     // representative bound, not a full pass
     val lp = model.logPerplexity(bow.filter(col("doc_id") % 5 === 0))
     val spark = s
     import spark.implicits._
     Seq((8, math.round(lp * 1000.0))).toDF("k", "log_perplexity_e3")
+  }
+
+  /** a10b_umass_coherence — the oracle-able face of the topic-coherence
+    * metric (A10, `TM_2:cells 17-24`): UMass coherence over deterministic
+    * proxy topics (top-6 words per language by frequency, ties by word).
+    * The aggregation is [[graft.operators.TopicCoherence.umassE6]] — the
+    * exact same operator a10c applies to real LDA topics; proxy topics make
+    * it DuckDB-checkable. */
+  def a10bUmassCoherence(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+    val w = Window.partitionBy("lang").orderBy(desc("cnt"), col("word"))
+    val topics = tok.groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 6)
+      .select(col("lang").as("topic"), col("word"), col("rank"))
+    val docWords = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    graft.operators.TopicCoherence.umassE6(topics, docWords).orderBy("topic")
+  }
+
+  val a10bUmassCoherenceSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS word FROM documents),
+      |ranked AS (
+      |  SELECT lang, word, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rank
+      |  FROM (SELECT lang, word, COUNT(*) AS cnt FROM tok GROUP BY lang, word) f),
+      |topics AS (SELECT lang AS topic, word, rank FROM ranked WHERE rank <= 6),
+      |inc AS (SELECT DISTINCT doc_id, word FROM tok WHERE word IN (SELECT word FROM topics)),
+      |dfreq AS (SELECT word, COUNT(*) AS df FROM inc GROUP BY word),
+      |cooc AS (
+      |  SELECT a.word AS wl, b.word AS wm, COUNT(*) AS codf
+      |  FROM inc a JOIN inc b ON a.doc_id = b.doc_id GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.topic, a.word AS wl, b.word AS wm
+      |  FROM topics a JOIN topics b ON a.topic = b.topic AND a.rank < b.rank)
+      |SELECT p.topic,
+      |  CAST(SUM(CAST(ROUND(1e6 * ln((COALESCE(c.codf, 0) + 1) / d.df)) AS BIGINT)) AS BIGINT) AS coherence_e6
+      |FROM pairs p
+      |LEFT JOIN cooc c ON c.wl = p.wl AND c.wm = p.wm
+      |JOIN dfreq d ON d.word = p.wl
+      |GROUP BY p.topic ORDER BY p.topic""".stripMargin
+
+  /** a10c_lda_coherence — UMass coherence of the REAL (shared, seeded) LDA
+    * model's topics: describeTopics(6) → termIndices mapped through the CV
+    * vocabulary → the same [[graft.operators.TopicCoherence]] aggregation.
+    * Seed-deterministic within Spark, no DuckDB twin (rows-only); the k-sweep
+    * shape (train per k, pick argmax coherence) is exercised in
+    * CoherenceSpec at sf0.001. */
+  def a10cLdaCoherence(s: SparkSession, dir: String): DataFrame = {
+    val (_, vocab, model) = fittedLda(s, dir)
+    val topics = model.describeTopics(6)
+      .select(col("topic"), posexplode(col("termIndices")).as(Seq("rk", "ti")))
+      .select(col("topic"),
+        element_at(typedLit(vocab.toSeq), col("ti") + 1).as("word"),
+        (col("rk") + 1).as("rank"))
+    val docWords = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    graft.operators.TopicCoherence.umassE6(topics, docWords).orderBy("topic")
   }
 
   /** Fixed 4×4 transition matrix for m2 (deterministic literal). */
@@ -134,10 +194,13 @@ object MLQueries {
     "a5_countvec_nnz" -> (a5CountvecNnz _),
     "a9_lda_doc_topics" -> (a9LdaDocTopics _),
     "a10_lda_perplexity" -> (a10LdaPerplexity _),
+    "a10b_umass_coherence" -> (a10bUmassCoherence _),
+    "a10c_lda_coherence" -> (a10cLdaCoherence _),
     "m2_viterbi_decode" -> (m2ViterbiDecode _),
     "v1_pad_vectorize" -> (v1PadVectorize _))
 
   val oracles: Map[String, String] = Map(
     "a5_countvec_nnz" -> a5CountvecNnzSql,
+    "a10b_umass_coherence" -> a10bUmassCoherenceSql,
     "v1_pad_vectorize" -> v1PadVectorizeSql)
 }

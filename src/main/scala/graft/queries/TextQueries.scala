@@ -94,6 +94,26 @@ object TextQueries {
       |  ' ') AS kept
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** f13_lemmatize — rule-based lemma per token ([[TF.lemma]]: irregular
+    * table + suffix rules, the documented dictionary-free approximation of
+    * the reference's WordNet/spaCy lemmatization, `TM_1:cell 17`). The
+    * oracle splices literally the same CASE expression — both engines run
+    * identical rules. */
+  def f13Lemmatize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "word")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("word"), TF.lemma("word").as("lemma"))
+      .orderBy("doc_id", "pos")
+
+  val f13LemmatizeSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS word,
+       |    generate_subscripts(string_split(text,' '), 1) AS pos
+       |  FROM documents)
+       |SELECT doc_id, pos, word, ${TF.lemmaCaseSql("word")} AS lemma
+       |FROM tok ORDER BY doc_id, pos""".stripMargin
+
   /** f14_porter_stem — Porter-stem every token (pure-Scala UDF; SURVEY §2.3
     * F14). No DuckDB twin (no stemmer there) → rows-only check; exactness is
     * covered by PorterStemmerSpec against published stemmer vectors. */
@@ -250,6 +270,7 @@ object TextQueries {
     "p5_short_filter" -> (p5ShortFilter _),
     "f1_clean_chain" -> (f1CleanChain _),
     "f5_token_filter" -> (f5TokenFilter _),
+    "f13_lemmatize" -> (f13Lemmatize _),
     "f14_porter_stem" -> (f14PorterStem _),
     "f17_deterministic_id" -> (f17DeterministicId _),
     "f18_parse_stringified_list" -> (f18ParseStringifiedList _),
@@ -264,6 +285,7 @@ object TextQueries {
     "p5_short_filter" -> p5ShortFilterSql,
     "f1_clean_chain" -> f1CleanChainSql,
     "f5_token_filter" -> f5TokenFilterSql,
+    "f13_lemmatize" -> f13LemmatizeSql,
     "f17_deterministic_id" -> f17DeterministicIdSql,
     "f18_parse_stringified_list" -> f18ParseStringifiedListSql,
     "f19_plus_join" -> f19PlusJoinSql,

@@ -50,16 +50,24 @@ object Sources {
 
   /** S9 — CoNLL scan: wholetext read → split sentences on blank lines →
     * one row per sentence with aligned token/tag arrays; sentences with <2
-    * tokens dropped (P5, `data_transformation.py:81-84`). */
+    * tokens dropped (P5, `data_transformation.py:81-84`).
+    *
+    * `sentence_id` is the sentence's block index within its file (posexplode
+    * over the per-file wholetext value) — a pure function of file content,
+    * stable under any repartitioning, unlike `monotonically_increasing_id`
+    * whose values depend on partition layout. `file` disambiguates ids
+    * across a multi-file directory scan. */
   def readConll(spark: SparkSession, path: String): DataFrame =
     spark.read.option("wholetext", "true").text(path)
-      .select(explode(split(col("value"), "\\n\\s*\\n")).as("block"))
-      .select(filter(split(col("block"), "\\n"), l => length(trim(l)) > 0).as("lines"))
+      .select(input_file_name().as("file"),
+        posexplode(split(col("value"), "\\n\\s*\\n")).as(Seq("sentence_id", "block")))
+      .select(col("file"), col("sentence_id").cast(LongType),
+        filter(split(col("block"), "\\n"), l => length(trim(l)) > 0).as("lines"))
       .select(
         expr("transform(lines, l -> split(l, '\\t')[0])").as("tokens"),
-        expr("transform(lines, l -> split(l, '\\t')[1])").as("tags"))
+        expr("transform(lines, l -> split(l, '\\t')[1])").as("tags"),
+        col("sentence_id"), col("file"))
       .filter(size(col("tokens")) >= 2)
-      .withColumn("sentence_id", monotonically_increasing_id())
 
   /** S11 — Prodigy JSONL sink: nested meta struct, one JSON object per line. */
   def writeProdigyJsonl(df: DataFrame, out: String): Unit =

@@ -23,6 +23,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(stripParens(col("s")), "Uni (CS Dept)") === "Uni CS Dept")
   }
 
+  test("F13 lemma rules: irregulars, plurals, gerunds, past tense") {
+    val cases = Seq(
+      "were" -> "be", "has" -> "have", "children" -> "child",
+      "matrices" -> "matrix", "indices" -> "index",
+      "queries" -> "query", "classes" -> "class", "watches" -> "watch",
+      "boxes" -> "box", "goes" -> "go", "tables" -> "table",
+      "pass" -> "pass", "bus" -> "bus", "analysis" -> "analysis",
+      "running" -> "run", "viewing" -> "view", "querying" -> "query",
+      "stopped" -> "stop", "agreed" -> "agree", "tried" -> "try",
+      "data" -> "data", "is" -> "be", "scan" -> "scan")
+    cases.foreach { case (in, want) =>
+      assert(one(lemma("s"), in) === want, s"lemma($in)")
+    }
+  }
+
   test("F11 whole-word expansion does not touch substrings") {
     val m = Seq("don't" -> "do not", "it's" -> "it is")
     assert(one(expandWords(col("s"), m), "don't say it's bandit's") === "do not say it is bandit's")

@@ -72,3 +72,29 @@ class FastMatchSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Sharded matcher ≡ unsharded (SCALE.md rule 3: gazetteer outgrowing one
+  * broadcast automaton splits into several broadcast passes). */
+class FastMatchShardedSpec extends graft.SparkSpec {
+
+  test("property: sharded == unsharded on random corpora, any shard size") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val words = Seq("data", "set", "scan", "deep learning", "bench", "x_y", "coco")
+    val texts = (1 to 40).map { _ =>
+      (1 to 3 + rnd.nextInt(20)).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(rnd.nextInt(3) match { case 0 => " "; case 1 => ", "; case _ => ". " })
+    }
+    val df = texts.toDF("text")
+    def collectMatches(c: org.apache.spark.sql.Column): Seq[Seq[(String, Int, Int)]] =
+      df.select(c.as("m")).collect().map(r =>
+        r.getSeq[org.apache.spark.sql.Row](0)
+          .map(m => (m.getString(0), m.getInt(1), m.getInt(2))).sorted.toSeq).toSeq
+    val whole = collectMatches(FastMatch.fastMatch(org.apache.spark.sql.functions.col("text"), words))
+    for (shardSize <- Seq(1, 2, 3, 100)) {
+      val sharded = collectMatches(
+        FastMatch.fastMatchSharded(org.apache.spark.sql.functions.col("text"), words, shardSize))
+      assert(sharded === whole, s"shardSize=$shardSize")
+    }
+  }
+}

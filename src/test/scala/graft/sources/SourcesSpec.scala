@@ -33,6 +33,19 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getSeq[String](0) === Seq("A", "B"))
   }
 
+  test("S9 conll sentence_id is deterministic under repartition") {
+    val dir = tmp()
+    val conll = (0 until 12).map(i => s"tok${i}a\tO\ntok${i}b\tO").mkString("\n\n")
+    Files.write(java.nio.file.Paths.get(dir, "y.conll"), conll.getBytes)
+    def ids(n: Int): Seq[(Long, Seq[String])] = {
+      val df = Sources.readConll(spark, dir + "/y.conll").repartition(n)
+      df.collect().map(r => (r.getLong(2), r.getSeq[String](0))).sortBy(_._1).toSeq
+    }
+    val one = ids(1)
+    assert(one === ids(7))
+    assert(one.map(_._1) === (0L until 12L)) // in-file positions, not partition-derived
+  }
+
   test("S11 prodigy jsonl sink shape round-trips") {
     val dir = tmp() + "/out"
     import spark.implicits._
