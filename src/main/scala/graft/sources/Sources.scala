@@ -23,7 +23,12 @@ object Sources {
 
   /** S1 — JSONL scan with projection and resumable window. The reference's
     * byte-offset resume becomes offset/limit on an ordered id — at scale,
-    * prefer the manifest anti-join (below) which parallelizes. */
+    * prefer the manifest anti-join (below) which parallelizes.
+    *
+    * Order contract: the offset/limit window is "file order, single input
+    * file" — row windows over an unordered multi-file listing are not stable
+    * across runs, exactly like the reference's byte offsets. Callers windowing
+    * a directory must sort on an explicit id first (or use the manifest). */
   def readJsonl(spark: SparkSession, path: String, begin: Long = 0L, maxLines: Long = Long.MaxValue): DataFrame = {
     val df = spark.read.json(path)
     val windowed = if (begin > 0) df.offset(begin.toInt) else df
