@@ -40,7 +40,26 @@ object MicroBench {
         size(regexp_extract_all(col("text"), lit("\\b" + c + "\\b"), lit(0))).as("n"))
         .agg(sum("n")).collect()(0).getLong(0)).sum
     }
-    println(s"""{"fm_expr_sec":$tExpr,"fm_udf_sec":$tUdf,"fm_regex_sec":$tRegex,"matches":[$nExpr,$nUdf,$nRegex],"sf":"$sfDir"}""")
+    // vec_dot: native codegen expression vs the composable HOF spelling —
+    // all-pairs within label blocks (the dd6-shaped workload)
+    val emb = Tables(spark, sfDir, "embeddings")
+    emb.count() // warm
+    def pairSum(dot: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Long = {
+      val a = emb.select(col("label"), col("vec_id").as("ia"), col("embedding").as("ea"))
+      val b = emb.select(col("label"), col("vec_id").as("ib"), col("embedding").as("eb"))
+      a.join(b, Seq("label")).filter(col("ia") < col("ib"))
+        .select(dot(col("ea"), col("eb")).as("d"))
+        .agg(sum(round(col("d") * 1000).cast("long"))).collect()(0).getLong(0)
+    }
+    val (tHof, nHof) = time {
+      pairSum((x, y) => aggregate(zip_with(x, y,
+        (p, q) => p.cast("double") * q.cast("double")), lit(0.0), (acc, v) => acc + v))
+    }
+    graft.plans.GraftFunctions.register(spark)
+    val (tNative, nNative) = time {
+      pairSum((x, y) => call_function("vec_dot", x, y))
+    }
+    println(s"""{"fm_expr_sec":$tExpr,"fm_udf_sec":$tUdf,"fm_regex_sec":$tRegex,"matches":[$nExpr,$nUdf,$nRegex],"dot_hof_sec":$tHof,"dot_native_sec":$tNative,"dot_sums":[$nHof,$nNative],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

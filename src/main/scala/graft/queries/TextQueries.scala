@@ -123,6 +123,59 @@ object TextQueries {
         array_join(PorterStemmer.stemArrayUdf(tokens(col("text"))), " ").as("stemmed"))
       .orderBy("doc_id")
 
+  /** f15_spellcheck — corpus-frequency spell correction (F15, the
+    * reference's autocorrect pass, `TM_1:cell 16`): suggestion = the
+    * vocabulary word minimizing (levenshtein, −frequency, word) within
+    * edit distance ≤ 2. The corpus vocabulary doubles as the dictionary —
+    * misspelled probes are derived deterministically (each vocab word of
+    * length > 3 with its last char dropped), since the synthetic corpus
+    * contains no typos.
+    *
+    * Scale shape: vocabulary capped top-8192 (Vocab contract) and
+    * broadcast; probe×vocab pairing is pre-filtered by a ±2 length band.
+    * A 100 TB deployment swaps the band filter for a SymSpell-style
+    * deletion-neighborhood equi-join (probe deletions ⋈ vocab deletions) —
+    * same argmin semantics, linear candidate generation. */
+  def f15Spellcheck(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val vocab = freq.orderBy(desc("cnt"), col("word")).limit(8192)
+    val probes = vocab.filter(length(col("word")) > 3)
+      .select(expr("substring(word, 1, length(word) - 1)").as("qword")).distinct()
+    probes.join(broadcast(vocab),
+        abs(length(col("qword")) - length(col("word"))) <= 2)
+      .withColumn("lev", levenshtein(col("qword"), col("word")))
+      .filter(col("lev") <= 2)
+      .groupBy("qword")
+      .agg(min(struct(col("lev"), (-col("cnt")).as("nc"), col("word"))).as("b"))
+      .select(col("qword"), col("b.word").as("suggestion"), col("b.lev").as("lev"))
+      .orderBy("qword")
+  }
+
+  val f15SpellcheckSql: String =
+    """WITH freq AS (
+      |  SELECT word, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents) t
+      |  GROUP BY word),
+      |vocab AS (SELECT word, cnt FROM freq ORDER BY cnt DESC, word LIMIT 8192),
+      |probes AS (
+      |  SELECT DISTINCT substring(word, 1, length(word) - 1) AS qword
+      |  FROM vocab WHERE length(word) > 3),
+      |scored AS (
+      |  SELECT p.qword, v.word, v.cnt, levenshtein(p.qword, v.word) AS lev
+      |  FROM probes p JOIN vocab v ON abs(length(p.qword) - length(v.word)) <= 2
+      |  WHERE levenshtein(p.qword, v.word) <= 2),
+      |best1 AS (SELECT qword, MIN(lev) AS blev FROM scored GROUP BY qword),
+      |best2 AS (
+      |  SELECT s.qword, MAX(s.cnt) AS bcnt FROM scored s
+      |  JOIN best1 b ON s.qword = b.qword AND s.lev = b.blev GROUP BY s.qword)
+      |SELECT s.qword, MIN(s.word) AS suggestion, MIN(s.lev) AS lev
+      |FROM scored s
+      |JOIN best1 b1 ON s.qword = b1.qword AND s.lev = b1.blev
+      |JOIN best2 b2 ON s.qword = b2.qword AND s.cnt = b2.bcnt
+      |GROUP BY s.qword ORDER BY s.qword""".stripMargin
+
   /** f17_deterministic_id — content-hash id (replaces reference's uuid4 per
     * its own idempotency TODO, `paper_processing.py:147-150`). */
   def f17DeterministicId(s: SparkSession, dir: String): DataFrame =
@@ -272,6 +325,7 @@ object TextQueries {
     "f5_token_filter" -> (f5TokenFilter _),
     "f13_lemmatize" -> (f13Lemmatize _),
     "f14_porter_stem" -> (f14PorterStem _),
+    "f15_spellcheck" -> (f15Spellcheck _),
     "f17_deterministic_id" -> (f17DeterministicId _),
     "f18_parse_stringified_list" -> (f18ParseStringifiedList _),
     "f19_plus_join" -> (f19PlusJoin _),
@@ -286,6 +340,7 @@ object TextQueries {
     "f1_clean_chain" -> f1CleanChainSql,
     "f5_token_filter" -> f5TokenFilterSql,
     "f13_lemmatize" -> f13LemmatizeSql,
+    "f15_spellcheck" -> f15SpellcheckSql,
     "f17_deterministic_id" -> f17DeterministicIdSql,
     "f18_parse_stringified_list" -> f18ParseStringifiedListSql,
     "f19_plus_join" -> f19PlusJoinSql,

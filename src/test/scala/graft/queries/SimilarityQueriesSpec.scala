@@ -8,6 +8,24 @@ class SimilarityQueriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("plan shape: ss2 corpus side reaches the probe join with no Exchange") {
+    val plan = SimilarityQueries.ss2IvfTopk(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // assignment is a projection over the literal centroid index: the only
+    // exchanges allowed are the broadcast of the probes and the per-query
+    // top-k/order AFTER the join — never a shuffle of the corpus before it
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0, s"expected a broadcast probe join:\n$plan")
+    // the tree prints parents above children: everything below the join line
+    // is its inputs (corpus side + broadcast side). The corpus side must
+    // carry no hash-partitioning shuffle; the probe side ships as a
+    // BroadcastExchange (allowed).
+    val belowJoin = plan.substring(joinIdx)
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"no corpus shuffle may sit between scan and probe join:\n$plan")
+    assert(plan.contains("vec_dot"), s"codegen dot product expected in plan:\n$plan")
+  }
+
   test("ivf recall@5 vs brute force is reasonable") {
     val exact = SimilarityQueries.ss1BruteforceTopk(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
