@@ -69,6 +69,45 @@ object Viterbi {
     s
   }
 
+  /** M3 — forward algorithm: log Σ_paths exp(score(path)) under the same
+    * scoring convention as [[decode]] (the CRF partition function,
+    * `crf.py:59-102`). Sum-product counterpart of Viterbi's max-product:
+    * α₀(c) = emit₀(c); α_t(j) = logΣexp_i(α_{t-1}(i) + trans(i)(j)) +
+    * emit_t(j); result = logΣexp_c α_{L-1}(c). Max-shifted logΣexp keeps it
+    * overflow-safe. Exactness vs brute-force path enumeration in
+    * ViterbiSpec. */
+  def forwardLogSum(emit: Array[Array[Double]], trans: Array[Array[Double]]): Double = {
+    val L = emit.length
+    if (L == 0) return Double.NegativeInfinity
+    val C = emit(0).length
+    def logSumExp(xs: Array[Double]): Double = {
+      var m = Double.NegativeInfinity
+      var i = 0
+      while (i < C) { if (xs(i) > m) m = xs(i); i += 1 }
+      if (m == Double.NegativeInfinity) return m
+      var s = 0.0
+      i = 0
+      while (i < C) { s += math.exp(xs(i) - m); i += 1 }
+      m + math.log(s)
+    }
+    var alpha = Array.tabulate(C)(c => emit(0)(c))
+    val scratch = new Array[Double](C)
+    var t = 1
+    while (t < L) {
+      val next = new Array[Double](C)
+      var j = 0
+      while (j < C) {
+        var i = 0
+        while (i < C) { scratch(i) = alpha(i) + trans(i)(j); i += 1 }
+        next(j) = logSumExp(scratch) + emit(t)(j)
+        j += 1
+      }
+      alpha = next
+      t += 1
+    }
+    logSumExp(alpha)
+  }
+
   /** UDF over an emissions column `array<array<double>>` with a transition
     * matrix fixed at construction (broadcast in the task closure). */
   def decoderUdf(trans: Array[Array[Double]]): UserDefinedFunction =
@@ -79,4 +118,14 @@ object Viterbi {
 
   def decodePath(emissions: Column, trans: Array[Array[Double]]): Column =
     decoderUdf(trans)(emissions)
+
+  /** Forward log-partition as a UDF (M3 twin of [[decoderUdf]]). */
+  def forwardUdf(trans: Array[Array[Double]]): UserDefinedFunction =
+    udf { (emit: Seq[Seq[Double]]) =>
+      if (emit == null) None
+      else Some(forwardLogSum(emit.map(_.toArray).toArray, trans))
+    }
+
+  def forwardLogProb(emissions: Column, trans: Array[Array[Double]]): Column =
+    forwardUdf(trans)(emissions)
 }

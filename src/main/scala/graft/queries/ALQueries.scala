@@ -192,6 +192,58 @@ object ALQueries {
        |  FROM embeddings) t
        |WHERE shot <= 5 ORDER BY label, shot""".stripMargin
 
+  /** sm4_batch_shuffle — epoch shuffle into fixed-size training batches
+    * (SURVEY §2.6 SM4, the DataLoader shuffle the reference runs per epoch):
+    * permutation order = seeded detHash of the id; global positions come
+    * from the two-phase [[graft.operators.Rank]] (range partition + local
+    * rank + broadcast offsets — no un-partitioned window); batch = rank
+    * div 32, position = rank mod 32. */
+  def sm4BatchShuffle(s: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("h", detHash(col("doc_id"), 7))
+    graft.operators.Rank.globalRowNumber(docs, 8, col("h"), col("doc_id"))
+      .withColumn("batch_id", floor((col("rank") - 1) / lit(B.toDouble)).cast("long"))
+      .withColumn("pos_in_batch", (col("rank") - 1) % B)
+      .select("doc_id", "rank", "batch_id", "pos_in_batch")
+      .orderBy("rank")
+  }
+
+  val sm4BatchShuffleSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ${detHashSql("doc_id", 7)}, doc_id) AS rank
+       |  FROM documents)
+       |SELECT doc_id, rank, CAST(FLOOR((rank - 1) / 32.0) AS BIGINT) AS batch_id,
+       |  (rank - 1) % 32 AS pos_in_batch
+       |FROM r ORDER BY rank""".stripMargin
+
+  /** t4_pack_padded — pack_padded_sequence ordering (SURVEY §2.7 T4): within
+    * each shuffled batch, sort by sequence length descending (torch's
+    * pack_padded requirement). The window is partitioned by batch — bounded
+    * at the batch size, never global. */
+  def t4PackPadded(s: SparkSession, dir: String): DataFrame = {
+    val lens = t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+    val w = Window.partitionBy("batch_id").orderBy(desc("n_tokens"), col("doc_id"))
+    sm4BatchShuffle(s, dir).join(lens, Seq("doc_id"))
+      .withColumn("sort_pos", row_number().over(w))
+      .select("batch_id", "sort_pos", "doc_id", "n_tokens")
+      .orderBy("batch_id", "sort_pos")
+  }
+
+  val t4PackPaddedSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ${detHashSql("doc_id", 7)}, doc_id) AS rank
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, CAST(FLOOR((rank - 1) / 32.0) AS BIGINT) AS batch_id FROM r),
+       |lens AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+       |SELECT batch_id,
+       |  ROW_NUMBER() OVER (PARTITION BY batch_id ORDER BY n_tokens DESC, doc_id) AS sort_pos,
+       |  doc_id, CAST(n_tokens AS INTEGER) AS n_tokens
+       |FROM b JOIN lens USING (doc_id)
+       |ORDER BY batch_id, sort_pos""".stripMargin
+
   private val lnStrategies =
     Seq("al3_least_confidence", "al4_normalized_lc", "al5_least_token_prob",
       "al6_min_token_prob", "al7_max_token_entropy", "al8_token_entropy")
@@ -202,7 +254,9 @@ object ALQueries {
       "al2_long" -> (al2Long _),
       "sm1_stratified_split" -> (sm1StratifiedSplit _),
       "sm2_random_split" -> (sm2RandomSplit _),
-      "sm3_episode_sampling" -> (sm3EpisodeSampling _)) ++
+      "sm3_episode_sampling" -> (sm3EpisodeSampling _),
+      "sm4_batch_shuffle" -> (sm4BatchShuffle _),
+      "t4_pack_padded" -> (t4PackPadded _)) ++
       lnStrategies.map(n => n -> strategyQuery(n)).toMap
 
   val oracles: Map[String, String] =
@@ -211,6 +265,8 @@ object ALQueries {
       "al2_long" -> al2LongSql,
       "sm1_stratified_split" -> sm1StratifiedSplitSql,
       "sm2_random_split" -> sm2RandomSplitSql,
-      "sm3_episode_sampling" -> sm3EpisodeSamplingSql) ++
+      "sm3_episode_sampling" -> sm3EpisodeSamplingSql,
+      "sm4_batch_shuffle" -> sm4BatchShuffleSql,
+      "t4_pack_padded" -> t4PackPaddedSql) ++
       lnStrategies.map(n => n -> strategySql(n)).toMap
 }

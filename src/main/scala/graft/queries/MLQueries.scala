@@ -157,6 +157,22 @@ object MLQueries {
       .orderBy("vec_id")
   }
 
+  /** m3_forward_logprob — forward-algorithm log partition over the same
+    * emissions derivation as m2 (SURVEY §2.10 M3, the CRF normalizer
+    * `crf.py:59-102`). Pure-Scala DP UDF, e6-rounded; rows-only —
+    * sum-product exactness vs brute-force enumeration in ViterbiSpec. */
+  def m3ForwardLogprob(s: SparkSession, dir: String): DataFrame = {
+    val emit = expr(
+      """transform(sequence(0, 7), t ->
+        |  transform(sequence(0, 3), c -> cast(element_at(embedding, 4*t + c + 1) as double)))""".stripMargin)
+    t(s, dir, "embeddings")
+      .withColumn("emit", emit)
+      .select(col("vec_id"),
+        round(Viterbi.forwardLogProb(col("emit"), TransFixture) * 1e6).cast(LongType)
+          .as("logz_e6"))
+      .orderBy("vec_id")
+  }
+
   /** v1_pad_vectorize — token→vocab-id vectors padded/truncated to 16
     * (SURVEY §2.9 V1/V2: fixed-length 0-padded id vectors, OOV→0). Vocab is
     * the capped [[graft.operators.Vocab]] rank — no full-vocab global window. */
@@ -197,6 +213,7 @@ object MLQueries {
     "a10b_umass_coherence" -> (a10bUmassCoherence _),
     "a10c_lda_coherence" -> (a10cLdaCoherence _),
     "m2_viterbi_decode" -> (m2ViterbiDecode _),
+    "m3_forward_logprob" -> (m3ForwardLogprob _),
     "v1_pad_vectorize" -> (v1PadVectorize _))
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class RankSpec extends SparkSpec {
+
+  private def df = {
+    import spark.implicits._
+    val rnd = new Random(3)
+    // duplicate keys exercise the unique-tiebreak requirement
+    (1 to 500).map(i => (rnd.nextInt(40), i.toLong)).toDF("k", "id")
+  }
+
+  test("two-phase rank equals the un-partitioned window rank") {
+    val naive = df.withColumn("rank",
+        row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+      .select("id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Rank.globalRowNumber(df, parts, col("k"), col("id"))
+        .select("id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === naive, s"parts=$parts")
+    }
+  }
+
+  test("plan shape: the data-bearing window is partitioned, never global") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"))
+    val plan = Rank.globalRowNumber(docs, 8, col("doc_id"))
+      .queryExecution.executedPlan.toString
+    // the only SinglePartition exchange allowed is the tiny per-partition
+    // offsets aggregate (numPartitions rows), which sits under a broadcast
+    val mainSide = plan.substring(0, plan.indexOf("BroadcastExchange") max 0)
+    assert(!mainSide.contains("Exchange SinglePartition"),
+      s"row-bearing side must not funnel through one partition:\n$plan")
+  }
+}
