@@ -29,14 +29,20 @@ object TopicCoherence {
     val inc = docWords.join(broadcast(topicWords), Seq("word"), "left_semi")
       .select("doc_id", "word").distinct()
     val dfreq = inc.groupBy("word").agg(count(lit(1)).as("df"))
-    val cooc = inc.select(col("doc_id"), col("word").as("wl"))
-      .join(inc.select(col("doc_id"), col("word").as("wm")), Seq("doc_id"))
-      .groupBy("wl", "wm").agg(count(lit(1)).as("codf"))
+    // doc co-occurrence is symmetric — count each unordered pair once
+    // (halves the self-join product) and look it up canonicalized
+    val cooc = inc.select(col("doc_id"), col("word").as("wa"))
+      .join(inc.select(col("doc_id"), col("word").as("wb")), Seq("doc_id"))
+      .filter(col("wa") < col("wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("codf"))
     val pairs = topics.select(col("topic"), col("word").as("wl"), col("rank").as("rl"))
       .join(topics.select(col("topic"), col("word").as("wm"), col("rank").as("rm")), Seq("topic"))
       .filter(col("rl") < col("rm"))
     pairs
-      .join(cooc, Seq("wl", "wm"), "left_outer")
+      .withColumn("wa", least(col("wl"), col("wm")))
+      .withColumn("wb", greatest(col("wl"), col("wm")))
+      .join(cooc, Seq("wa", "wb"), "left_outer")
+      .drop("wa", "wb")
       .withColumn("codf", coalesce(col("codf"), lit(0L)))
       .join(dfreq.select(col("word").as("wl"), col("df")), Seq("wl"))
       .withColumn("term_e6",

@@ -82,6 +82,20 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateState)
   }
 
+  /** Streaming exact dedup — the streaming twin of `Dedup.exact`/dd1 for a
+    * continuously-arriving corpus: drop re-deliveries of the same normalized
+    * content within the watermark horizon. Keyed on the content hash, so
+    * state is one (hash, expiry) entry per distinct document inside the
+    * horizon and is evicted as the watermark advances — a plain
+    * `dropDuplicates` on an unbounded stream would grow state forever.
+    * Exactly-once within the horizon; re-deliveries older than the horizon
+    * are the batch dedup's job (run dd1 over the sink periodically). */
+  def dedupStream(docs: DataFrame, horizon: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(lower(trim(col("text")))))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Incremental file-source ingestion of a parquet landing directory,
     * processed with AvailableNow (drain-then-stop — the idempotent batch
     * refresh pattern; checkpoint carries the manifest). */

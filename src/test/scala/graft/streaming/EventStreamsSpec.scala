@@ -47,6 +47,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.contains((60L, "view", 1L)))
   }
 
+  test("streaming exact dedup drops re-deliveries within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    case class Doc(doc_id: Long, text: String, ts: Timestamp)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = dedupStream(docs)
+      .writeStream.format("memory").queryName("dds").outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, "Alpha Text", ts(1)),
+      (2L, "  alpha text ", ts(2)), // same normalized content — duplicate
+      (3L, "beta", ts(3)))
+    q.processAllAvailable()
+    mem.addData((4L, "ALPHA TEXT", ts(4))) // still a duplicate within horizon
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dds").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+
   test("stateful sessionizer closes sessions on gap and on timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
