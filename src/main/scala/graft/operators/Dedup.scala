@@ -145,6 +145,12 @@ object Dedup {
       curSum = nextSum
       it += 1
     }
+    // Never return partially-propagated labels silently: a component whose
+    // diameter exceeds maxIter would otherwise split into several clusters
+    // with no sign anything went wrong.
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds — a component's " +
+        "diameter exceeds the bound; raise maxIter or switch to large-star/small-star")
     labels
   }
 

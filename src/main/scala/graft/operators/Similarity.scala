@@ -51,7 +51,11 @@ object Similarity {
         col(idCol).cast(LongType).as("cent_id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("cv")), "cv")
       .collect()
-    array(rows.map { r =>
+    if (rows.isEmpty)
+      // array() of zero children is array<null> — typing it keeps the
+      // downstream getField analysis valid and degrades to empty results
+      array().cast("array<struct<cent_id:bigint,cv:array<double>,cn:double>>")
+    else array(rows.map { r =>
       struct(lit(r.getLong(0)).as("cent_id"),
         typedLit(r.getSeq[Double](1)).as("cv"),
         lit(r.getDouble(2)).as("cn"))
@@ -60,11 +64,15 @@ object Similarity {
 
   /** Nearest-centroid cell per row as a pure projection: per-centroid cosine
     * via `transform` over the literal index, argmax via `array_max` on
-    * struct(cos, −cent_id) (ties → lowest cent_id). No crossJoin, no
-    * per-row window, no shuffle of the corpus. */
-  def assignCells(df: DataFrame, index: Column, vecCol: String, normCol: String): DataFrame = {
+    * struct(score, −cent_id) (ties → lowest cent_id). No crossJoin, no
+    * per-row window, no shuffle of the corpus. `score(dot, cn, norm)` builds
+    * the comparison value (raw cosine by default; the oracle-checked queries
+    * pass the e6-rounded spelling so ties resolve identically on both
+    * engines — it must see the raw factors to stay bit-exact). */
+  def assignCells(df: DataFrame, index: Column, vecCol: String, normCol: String,
+      score: (Column, Column, Column) => Column = (d, cn, n) => d / (cn * n)): DataFrame = {
     val scored = transform(index, c => struct(
-      (dot(c.getField("cv"), col(vecCol)) / (c.getField("cn") * col(normCol))).as("acos"),
+      score(dot(c.getField("cv"), col(vecCol)), c.getField("cn"), col(normCol)).as("acos"),
       (-c.getField("cent_id")).as("neg_id")))
     df.withColumn("cell", -array_max(scored).getField("neg_id"))
   }

@@ -124,9 +124,12 @@ object CorpusQueries {
       .filter(col("cnt") >= 5)
     val uni = tok.groupBy("w1").agg(count(lit(1)).as("ucnt"))
     val n = tok.agg(count(lit(1)).as("nw"))
+    // uni is the FULL distinct vocabulary (10⁷–10⁸ rows at 100 TB) — never
+    // broadcast it; plain equi-joins let AQE pick the strategy. Only the
+    // 1-row total is a broadcast.
     big.crossJoin(broadcast(n))
-      .join(broadcast(uni.select(col("w1"), col("ucnt").as("cnt_a"))), Seq("w1"))
-      .join(broadcast(uni.select(col("w1").as("w2"), col("ucnt").as("cnt_b"))), Seq("w2"))
+      .join(uni.select(col("w1"), col("ucnt").as("cnt_a")), Seq("w1"))
+      .join(uni.select(col("w1").as("w2"), col("ucnt").as("cnt_b")), Seq("w2"))
       .withColumn("npmi_e6", round(lit(1e6) *
         (log((col("cnt") / col("nw")) / ((col("cnt_a") / col("nw")) * (col("cnt_b") / col("nw")))) /
           -log(col("cnt") / col("nw")))).cast(LongType))

@@ -91,28 +91,18 @@ object SimilarityQueries {
     * 97th vector — the seeded test stand-in for k-means centers; real
     * deployments fix the centroid count, so the collect stays broadcast-sized
     * at any corpus scale). Collected once at plan-build time — the IVF
-    * index-build step. */
-  private def centIndex(emb: DataFrame): Column = {
-    val rows = emb.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("cv"), col("norm"))
-      .collect()
-    array(rows.map { r =>
-      struct(lit(r.getLong(0)).as("cent_id"),
-        typedLit(r.getSeq[Double](1)).as("cv"),
-        lit(r.getDouble(2)).as("cn"))
-    }: _*)
-  }
+    * index-build step, via [[graft.operators.Similarity.centroidIndex]]. */
+  private def centIndex(emb: DataFrame): Column =
+    graft.operators.Similarity.centroidIndex(
+      emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding")
 
   /** cell = argmax over the literal index of cosE6(centroid, embedding),
-    * ties → lowest cent_id. A pure projection: the corpus is never joined or
-    * shuffled to find its cell (vs the crossJoin + per-row row_number window,
-    * which exchanged the whole corpus×centroids product). */
-  private def withCell(emb: DataFrame, idx: Column): DataFrame = {
-    val scored = transform(idx, c => struct(
-      cosE6(dot(c.getField("cv"), col("embedding")), c.getField("cn"), col("norm")).as("a_cos"),
-      (-c.getField("cent_id")).as("neg_id")))
-    emb.withColumn("cell", -array_max(scored).getField("neg_id"))
-  }
+    * ties → lowest cent_id. A pure projection
+    * ([[graft.operators.Similarity.assignCells]] with the e6-rounded score,
+    * so cell choice matches the DuckDB oracle bit-for-bit). */
+  private def withCell(emb: DataFrame, idx: Column): DataFrame =
+    graft.operators.Similarity.assignCells(emb, idx, "embedding", "norm",
+      (d, cn, n) => cosE6(d, cn, n))
 
   /** ss2_ivf_topk — IVF with deterministic coarse centroids (every 97th
     * vector), n_probe=2. Same query set as ss1; recall vs ss1 measured in

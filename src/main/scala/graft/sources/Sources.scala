@@ -30,6 +30,10 @@ object Sources {
     * across runs, exactly like the reference's byte offsets. Callers windowing
     * a directory must sort on an explicit id first (or use the manifest). */
   def readJsonl(spark: SparkSession, path: String, begin: Long = 0L, maxLines: Long = Long.MaxValue): DataFrame = {
+    // offset/limit are Int-bounded in Spark; a silent .toInt would corrupt a
+    // resume past 2³¹ lines — fail loudly and point at the scalable pattern
+    require(begin <= Int.MaxValue && (maxLines == Long.MaxValue || maxLines <= Int.MaxValue),
+      s"offset window [$begin, +$maxLines) exceeds Int range — use notYetMaterialized (manifest anti-join) for large resumes")
     val df = spark.read.json(path)
     val windowed = if (begin > 0) df.offset(begin.toInt) else df
     if (maxLines < Long.MaxValue) windowed.limit(maxLines.toInt) else windowed

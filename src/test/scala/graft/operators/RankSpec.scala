@@ -35,7 +35,9 @@ class RankSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     // the only SinglePartition exchange allowed is the tiny per-partition
     // offsets aggregate (numPartitions rows), which sits under a broadcast
-    val mainSide = plan.substring(0, plan.indexOf("BroadcastExchange") max 0)
+    val bIdx = plan.indexOf("BroadcastExchange")
+    assert(bIdx >= 0, s"offsets must join back as a broadcast:\n$plan")
+    val mainSide = plan.substring(0, bIdx)
     assert(!mainSide.contains("Exchange SinglePartition"),
       s"row-bearing side must not funnel through one partition:\n$plan")
   }
