@@ -318,6 +318,52 @@ object TextQueries {
     """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** ta5_winnow_fingerprint — winnowing document fingerprint (Schleimer,
+    * Wilkerson, Aiken 2003 — the MOSS scheme): rolling token-4-gram hashes,
+    * minimum per sliding window of 4, fingerprint = md5 over the sorted
+    * distinct selected hashes. Guarantees any shared run of ≥ k+w−1 tokens
+    * contributes a shared fingerprint member — the locality property ta4's
+    * order-independent bag hash lacks. Pure array-HOF projection (one pass,
+    * no shuffle until the final orderBy). */
+  def ta5WinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val k = 4; val w = 4
+    t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= k + w - 1)
+      .withColumn("grams", expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
+      .withColumn("hs", expr(
+        "transform(grams, g -> cast(conv(substring(md5(concat('0', g)), 1, 15), 16, 10) as bigint))"))
+      .withColumn("mins", expr(
+        s"transform(sequence(1, size(hs) - ${w - 1}), i -> array_min(slice(hs, i, $w)))"))
+      .select(col("doc_id"),
+        md5(concat_ws(",", expr("transform(array_sort(array_distinct(mins)), x -> cast(x as string))")))
+          .as("winnow_fp"),
+        size(expr("array_distinct(mins)")).as("n_selected"))
+      .orderBy("doc_id")
+  }
+
+  val ta5WinnowFingerprintSql: String = {
+    val k = 4; val w = 4
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= ${k + w - 1}),
+       |g AS (
+       |  SELECT doc_id, list_transform(range(1, len(toks) - ${k - 2}),
+       |    i -> array_to_string(toks[i:i+${k - 1}], ' ')) AS grams FROM d),
+       |h AS (
+       |  SELECT doc_id, list_transform(grams,
+       |    g -> ('0x' || substr(md5('0' || g), 1, 15))::BIGINT) AS hs FROM g),
+       |m AS (
+       |  SELECT doc_id, list_transform(range(1, len(hs) - ${w - 2}),
+       |    i -> list_min(hs[i:i+${w - 1}])) AS mins FROM h)
+       |SELECT doc_id,
+       |  md5(array_to_string(list_transform(list_sort(list_distinct(mins)),
+       |    x -> CAST(x AS VARCHAR)), ',')) AS winnow_fp,
+       |  CAST(len(list_distinct(mins)) AS INTEGER) AS n_selected
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "p1_candidate_filter" -> (p1CandidateFilter _),
     "p5_short_filter" -> (p5ShortFilter _),
@@ -332,7 +378,8 @@ object TextQueries {
     "ta1_langid" -> (ta1LangId _),
     "ta2_quality_score" -> (ta2QualityScore _),
     "ta3_token_count" -> (ta3TokenCount _),
-    "ta4_fingerprint" -> (ta4Fingerprint _))
+    "ta4_fingerprint" -> (ta4Fingerprint _),
+    "ta5_winnow_fingerprint" -> (ta5WinnowFingerprint _))
 
   val oracles: Map[String, String] = Map(
     "p1_candidate_filter" -> p1CandidateFilterSql,
@@ -347,5 +394,6 @@ object TextQueries {
     "ta1_langid" -> ta1LangIdSql,
     "ta2_quality_score" -> ta2QualityScoreSql,
     "ta3_token_count" -> ta3TokenCountSql,
-    "ta4_fingerprint" -> ta4FingerprintSql)
+    "ta4_fingerprint" -> ta4FingerprintSql,
+    "ta5_winnow_fingerprint" -> ta5WinnowFingerprintSql)
 }
