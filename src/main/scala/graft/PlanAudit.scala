@@ -13,7 +13,10 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q3_join_topk", "q5_multi_join", "dd3_lsh_pairs",
-        "ss1_bruteforce_topk", "ta1_langid", "p1_candidate_filter", "ev1_sessionize")
+        "ss1_bruteforce_topk", "ta1_langid", "p1_candidate_filter", "ev1_sessionize",
+        // round-2 scale fixes: projection-based IVF assign, cell-blocked
+        // near-dup, capped vocab rank, two-phase global rank
+        "ss2_ivf_topk", "dd6_embed_neardup", "j5_vocab_lookup", "sm4_batch_shuffle")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -164,17 +164,56 @@ object Dedup {
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
-  /** 16-bit SimHash over the token multiset. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash over the token multiset; `bits` ≤ 64 (column `simhash<bits>`).
+    * 16 bits is the compact per-doc sketch (dd5 parity); 64 bits is what the
+    * pairing path needs — band keys must be wide enough that block
+    * population stays bounded (4-bit keys have only 16 values → quadratic
+    * blocks at scale). */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    // detHash yields 60 usable bits; bits 60+ draw from a second seed
     val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
       .withColumn("__h", detHash(col("__w"), 101))
-    val bitSums = (0 until 16).map(b =>
-      sum(when(expr(s"(shiftright(__h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"__b$b"))
-    val sh = (0 until 16).map(b =>
+      .withColumn("__h2", detHash(col("__w"), 102))
+    val bitSums = (0 until bits).map { b =>
+      val (src, off) = if (b < 60) ("__h", b) else ("__h2", b - 60)
+      sum(when(expr(s"(shiftright($src, $off) & 1) = 1"), 1).otherwise(-1)).as(s"__b$b")
+    }
+    val sh = (0 until bits).map(b =>
       when(col(s"__b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
     tok.groupBy(idCol)
       .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), sh.as("simhash16"))
+      .select(col(idCol), sh.as(s"simhash$bits"))
+  }
+
+  /** SimHash near-dup pairs at hamming distance ≤ `maxHamming`: the 16-bit
+    * signature splits into maxHamming+1 exact-match bands (pigeonhole: any
+    * pair within the distance agrees on at least one whole band), candidates
+    * come from an equi-join on (band, key) — never all-pairs — and are
+    * verified with bit_count(xor). Same block-then-verify shape as the
+    * MinHash LSH path, for the cheaper signature. */
+  def simhashPairs(sigs: DataFrame, idCol: String, bits: Int = 64,
+      maxHamming: Int = 3): DataFrame = {
+    val sigCol = s"simhash$bits"
+    val bands = maxHamming + 1
+    require(bits % bands == 0, s"$bits-bit signature must split evenly into $bands bands")
+    val width = bits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col(sigCol), b * width).bitwiseAND(lit(mask)).as("key"))
+    }
+    val banded = sigs
+      .select(col(idCol), col(sigCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col(sigCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col(idCol).as("id_a"), col(sigCol).as("sa"), col("band"), col("key"))
+    val b = banded.select(col(idCol).as("id_b"), col(sigCol).as("sb"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sa", "sb").distinct()
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** Exact dedup: canonical flag per normalized-content hash. */

@@ -149,6 +149,47 @@ object DedupQueries {
        |SELECT doc_id, $simhash AS simhash16 FROM sums ORDER BY doc_id""".stripMargin
   }
 
+  /** dd9_simhash_pairs — SimHash near-dup pairs at hamming ≤ 3 over the
+    * 64-bit signature ([[Dedup.simhashPairs]]: 16-bit band blocking by
+    * pigeonhole + bit_count verify; candidates from an equi-join, never
+    * all-pairs). 64 bits, not dd5's compact 16: band keys must be wide
+    * enough (2¹⁶ values) that block population stays bounded at scale. */
+  def dd9SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 64), "doc_id")
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      .orderBy("doc_a", "doc_b")
+
+  val dd9SimhashPairsSql: String = {
+    val bitSums = (0 until 64).map { b =>
+      val (src, off) = if (b < 60) ("h", b) else ("h2", b - 60)
+      s"SUM(CASE WHEN (($src >> $off) & 1) = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(", ")
+    val sh = (0 until 64)
+      .map { b =>
+        // DuckDB rejects 1::BIGINT << 63 as overflow — spell MinValue out
+        val term = if (b == 63) "(-9223372036854775807 - 1)" else s"(CAST(1 AS BIGINT) << $b)"
+        s"CASE WHEN b$b > 0 THEN $term ELSE CAST(0 AS BIGINT) END"
+      }
+      .mkString(" + ")
+    val bandArms = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash64, $b AS band, (simhash64 >> ${b * 16}) & 65535 AS key FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+       |tok AS (SELECT doc_id, ${detHashSql("word", 101)} AS h, ${detHashSql("word", 102)} AS h2 FROM words),
+       |sums AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sh AS simhash64 FROM sums),
+       |banded AS ($bandArms),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash64 AS sa, b.simhash64 AS sb
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** dd8_clusters — transitive duplicate clusters: connected components over
     * dd4's Jaccard-verified pairs (min-label propagation,
     * [[Dedup.connectedComponents]]); cluster_id = min doc_id in the
@@ -223,7 +264,8 @@ object DedupQueries {
     "dd3_lsh_pairs" -> (dd3LshPairs _),
     "dd4_ngram_jaccard" -> (dd4NgramJaccard _),
     "dd5_simhash" -> (dd5Simhash _),
-    "dd8_clusters" -> (dd8Clusters _))
+    "dd8_clusters" -> (dd8Clusters _),
+    "dd9_simhash_pairs" -> (dd9SimhashPairs _))
 
   val oracles: Map[String, String] = Map(
     "dd7_contamination" -> dd7ContaminationSql,
@@ -232,5 +274,6 @@ object DedupQueries {
     "dd3_lsh_pairs" -> dd3LshPairsSql,
     "dd4_ngram_jaccard" -> dd4NgramJaccardSql,
     "dd5_simhash" -> dd5SimhashSql,
-    "dd8_clusters" -> dd8ClustersSql)
+    "dd8_clusters" -> dd8ClustersSql,
+    "dd9_simhash_pairs" -> dd9SimhashPairsSql)
 }

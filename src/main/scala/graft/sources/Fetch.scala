@@ -64,4 +64,22 @@ object Fetch {
     val todo = input.join(done, Seq("id"), "left_anti")
     manifest.unionByName(fetchAll(todo, client).toDF())
   }
+
+  /** S3 — link extraction from fetched HTML (the SERP-result scrape step,
+    * `papers_download.py:103-127`: pull candidate PDF links out of result
+    * pages): one codegen projection per page. `href`/`src` attribute values
+    * are matched with a quote-aware regex (no DOM — the reference's own
+    * extraction is regex-grade, and a full parser would be a per-row UDF for
+    * no plan benefit); relative links are resolved against `baseUrlCol` when
+    * it is non-null. Output column `links`: array<string>, absolute-ized,
+    * distinct, order of first appearance. */
+  def extractLinks(htmlCol: org.apache.spark.sql.Column,
+      baseUrlCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val attrPattern = "(?i)(?:href|src)\\s*=\\s*[\"']([^\"'<>]+)[\"']"
+    val raw = regexp_extract_all(htmlCol, lit(attrPattern), lit(1))
+    transform(array_distinct(raw), u =>
+      when(u.rlike("^https?://"), u)
+        .otherwise(concat(regexp_replace(baseUrlCol, "/+$", ""), lit("/"),
+          regexp_replace(u, "^/+", ""))))
+  }
 }

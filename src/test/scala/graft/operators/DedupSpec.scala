@@ -56,6 +56,21 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L, 7L, 8L, 9L, 10L))
   }
 
+  test("simhashPairs finds exactly the pairs within the hamming bound") {
+    import spark.implicits._
+    val rnd = new Random(19)
+    val sigs = (0L until 60L).map(i => (i, rnd.nextInt(1 << 16).toLong)).toDF("doc_id", "simhash16")
+    val got = Dedup.simhashPairs(sigs, "doc_id", bits = 16, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force oracle over all pairs
+    val rows = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got === want) // pigeonhole banding guarantees NO misses
+  }
+
   test("connectedComponents on empty pairs returns empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

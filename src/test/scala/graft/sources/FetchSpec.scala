@@ -23,4 +23,22 @@ class FetchSpec extends SparkSpec {
     // latest pass still fails the same way (stub deterministic)
     assert(m2.filter(col("id") === "p2" && col("status") === "ok").count() === 0)
   }
+
+  test("S3 link extraction: href/src attributes, dedup, relative resolution") {
+    import spark.implicits._
+    val html =
+      """<a href="https://a.org/x.pdf">x</a>
+        |<A HREF='http://b.org/y'>y</A>
+        |<img src="/img/logo.png"/>
+        |<a href="papers/z.pdf">z</a>
+        |<a href="https://a.org/x.pdf">dup</a>""".stripMargin
+    val df = Seq((html, "https://base.org/dir/")).toDF("html", "base")
+    val links = df.select(Fetch.extractLinks(col("html"), col("base")).as("links"))
+      .collect()(0).getSeq[String](0)
+    assert(links === Seq(
+      "https://a.org/x.pdf",
+      "http://b.org/y",
+      "https://base.org/dir/img/logo.png",
+      "https://base.org/dir/papers/z.pdf"))
+  }
 }
