@@ -68,7 +68,8 @@ object MLQueries {
   }
 
   /** a10_lda_perplexity — LDA model quality (A10: gensim log_perplexity;
-    * c_v coherence deferred per SURVEY §7.2). One row, seed-deterministic;
+    * coherence lives in a10b/a10c — UMass instead of c_v, see
+    * [[graft.operators.TopicCoherence]]). One row, seed-deterministic;
     * rows-only. */
   def a10LdaPerplexity(s: SparkSession, dir: String): DataFrame = {
     val (bow, _, model) = fittedLda(s, dir)

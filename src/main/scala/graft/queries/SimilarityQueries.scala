@@ -159,6 +159,73 @@ object SimilarityQueries {
        |SELECT query_id, rank, vec_id, cos_e6 FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Deterministic random-hyperplane set for ss3: NBits planes × 64 dims,
+    * values from a fixed LCG formula — reproducible in the oracle SQL as
+    * plain literals (the LSH analogue of dd2's affine MinHash constants). */
+  private val NBits = 8
+  private val hyperplanes: Array[Array[Double]] =
+    Array.tabulate(NBits, 64)((j, i) => ((1103515245L * (j * 64 + i) + 12345L) % 2001 - 1000) / 1000.0)
+
+  /** Sign-bit bucket key of a vector: bit j = [round(1e6·⟨h_j, v⟩) > 0]
+    * (e6-rounded so the sign never flips between engines at the boundary).
+    * A pure projection — the corpus is bucketed with zero shuffle. */
+  private def lshKey(vec: Column): Column =
+    (0 until NBits).map { j =>
+      when(round(lit(1e6) * dot(typedLit(hyperplanes(j).toSeq), vec)) > 0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def lshKeySql(vec: String): String =
+    (0 until NBits).map { j =>
+      val h = hyperplanes(j).mkString("[", ", ", "]")
+      s"CASE WHEN ROUND(1e6 * ${dotSql(h, vec)}) > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** ss3_lsh_topk — LSH-bucketed ANN: random-hyperplane sign buckets
+    * (2⁸ keys), multi-probe at hamming ≤ 1 (the query's own bucket + its 8
+    * one-bit neighbors), exact cosine re-rank inside the probed buckets.
+    * Corpus side: one projection computing the bucket key, then the
+    * broadcast probe join — zero Exchange before it, like ss2. Recall vs
+    * ss1 measured in SimilarityQueriesSpec. */
+  def ss3LshTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(s, dir, "embeddings"))
+    val bucketed = emb.withColumn("bkey", lshKey(col("embedding")))
+    val q = bucketed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("bkey").as("qkey"))
+    // multi-probe: qkey plus each single-bit flip
+    val probeKeys = array((lit(0) +: (0 until NBits).map(j => lit(1 << j))): _*)
+    val probes = q.withColumn("flip", explode(probeKeys))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("qkey").bitwiseXOR(col("flip")).as("bkey"))
+    val wRank = Window.partitionBy("query_id").orderBy(desc("cos_e6"), col("vec_id"))
+    bucketed.join(broadcast(probes), Seq("bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_e6", cosE6(dot(col("qv"), col("embedding")), col("qn"), col("norm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "vec_id", "cos_e6")
+      .orderBy("query_id", "rank")
+  }
+
+  val ss3LshTopkSql: String =
+    s"""WITH emb AS ($withNormDuck),
+       |bucketed AS (SELECT vec_id, embedding, norm, ${lshKeySql("embedding")} AS bkey FROM emb),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, norm AS qn, bkey AS qkey
+       |      FROM bucketed WHERE vec_id < $NQueries),
+       |flips AS (SELECT unnest([${(0 +: (0 until NBits).map(1 << _).toList).mkString(", ")}]) AS flip),
+       |probes AS (SELECT query_id, qv, qn, xor(qkey, flip) AS bkey FROM q CROSS JOIN flips),
+       |scored AS (
+       |  SELECT p.query_id, b.vec_id,
+       |    ${cosE6Sql(dotSql("p.qv", "b.embedding"), "p.qn", "b.norm")} AS cos_e6
+       |  FROM bucketed b JOIN probes p USING (bkey) WHERE b.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cos_e6 FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** dd6_embed_neardup — near-duplicate vector pairs within IVF-cell blocks:
     * top-50 most-similar pairs. The blocking key is the nearest-centroid
     * cell (bounded ~97 rows by construction, constant as the corpus grows —
@@ -194,10 +261,12 @@ object SimilarityQueries {
   val queries: Map[String, QueryFn] = Map(
     "ss1_bruteforce_topk" -> (ss1BruteforceTopk _),
     "ss2_ivf_topk" -> (ss2IvfTopk _),
+    "ss3_lsh_topk" -> (ss3LshTopk _),
     "dd6_embed_neardup" -> (dd6EmbedNeardup _))
 
   val oracles: Map[String, String] = Map(
     "ss1_bruteforce_topk" -> ss1BruteforceTopkSql,
     "ss2_ivf_topk" -> ss2IvfTopkSql,
+    "ss3_lsh_topk" -> ss3LshTopkSql,
     "dd6_embed_neardup" -> dd6EmbedNeardupSql)
 }

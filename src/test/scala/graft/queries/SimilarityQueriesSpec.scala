@@ -38,6 +38,21 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("lsh multi-probe top-k: valid shape and non-trivial overlap with exact") {
+    val exact = SimilarityQueries.ss1BruteforceTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rows = SimilarityQueries.ss3LshTopk(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // ≤ k rows per query (sparse buckets at sf0.001 may yield fewer)
+    val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery.values.forall(_ <= 5))
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 8-bit buckets + 1-bit multi-probe on random vectors: a floor, not a
+    // target — documents measured behavior so regressions surface
+    assert(recall >= 0.05, s"recall@5 = $recall")
+  }
+
   test("brute-force top-k is k rows per query with cos in [-1e6, 1e6]") {
     val rows = SimilarityQueries.ss1BruteforceTopk(spark, dir).collect()
     assert(rows.length === 50)
