@@ -186,12 +186,14 @@ object Dedup {
       .select(col(idCol), sh.as(s"simhash$bits"))
   }
 
-  /** SimHash near-dup pairs at hamming distance ≤ `maxHamming`: the 16-bit
-    * signature splits into maxHamming+1 exact-match bands (pigeonhole: any
-    * pair within the distance agrees on at least one whole band), candidates
-    * come from an equi-join on (band, key) — never all-pairs — and are
-    * verified with bit_count(xor). Same block-then-verify shape as the
-    * MinHash LSH path, for the cheaper signature. */
+  /** SimHash near-dup pairs at hamming distance ≤ `maxHamming`: the
+    * `bits`-wide signature (64 by default — wide band keys keep block
+    * population bounded; dd5's compact 16-bit sketch would give 4-bit keys
+    * with only 16 values and near-quadratic blocks) splits into maxHamming+1
+    * exact-match bands (pigeonhole: any pair within the distance agrees on
+    * at least one whole band), candidates come from an equi-join on
+    * (band, key) — never all-pairs — and are verified with bit_count(xor).
+    * Same block-then-verify shape as the MinHash LSH path. */
   def simhashPairs(sigs: DataFrame, idCol: String, bits: Int = 64,
       maxHamming: Int = 3): DataFrame = {
     val sigCol = s"simhash$bits"

@@ -70,16 +70,27 @@ object Fetch {
     * pages): one codegen projection per page. `href`/`src` attribute values
     * are matched with a quote-aware regex (no DOM — the reference's own
     * extraction is regex-grade, and a full parser would be a per-row UDF for
-    * no plan benefit); relative links are resolved against `baseUrlCol` when
-    * it is non-null. Output column `links`: array<string>, absolute-ized,
-    * distinct, order of first appearance. */
+    * no plan benefit).
+    *
+    * Resolution follows urljoin semantics for the common cases: absolute
+    * http(s) kept; protocol-relative `//host/p` gets the base's scheme;
+    * root-relative `/p` resolves against the base's ORIGIN; anything else
+    * appends to the base treated as a directory. A null base leaves
+    * non-absolute links untouched. Output: array<string>, distinct after
+    * absolutizing (two raw spellings of one URL collapse), first-appearance
+    * order. */
   def extractLinks(htmlCol: org.apache.spark.sql.Column,
       baseUrlCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val attrPattern = "(?i)(?:href|src)\\s*=\\s*[\"']([^\"'<>]+)[\"']"
     val raw = regexp_extract_all(htmlCol, lit(attrPattern), lit(1))
-    transform(array_distinct(raw), u =>
-      when(u.rlike("^https?://"), u)
-        .otherwise(concat(regexp_replace(baseUrlCol, "/+$", ""), lit("/"),
-          regexp_replace(u, "^/+", ""))))
+    val scheme = regexp_extract(baseUrlCol, "^(https?):", 1)
+    val origin = regexp_extract(baseUrlCol, "^(https?://[^/]+)", 1)
+    val baseDir = regexp_replace(baseUrlCol, "/+$", "")
+    val resolved = transform(raw, u =>
+      when(u.rlike("^https?://") || baseUrlCol.isNull, u)
+        .when(u.startsWith("//"), concat(scheme, lit(":"), u))
+        .when(u.startsWith("/"), concat(origin, u))
+        .otherwise(concat(baseDir, lit("/"), u)))
+    array_distinct(resolved)
   }
 }
