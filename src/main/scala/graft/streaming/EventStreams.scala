@@ -82,6 +82,18 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateState)
   }
 
+  /** Streaming top-k users by total value — the streaming twin of
+    * ev3_top_users. A running unwindowed aggregate, so it must emit in
+    * Complete mode (the result set is a rolling leaderboard, not
+    * append-only); state is one (count, sum) pair per user. The sort+limit
+    * happens on the tiny aggregated result each trigger, never on events. */
+  def topUsers(events: DataFrame, k: Int = 10): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .orderBy(desc("total_value"), col("user_id"))
+      .limit(k)
+
   /** Streaming exact dedup — the streaming twin of `Dedup.exact`/dd1 for a
     * continuously-arriving corpus: drop re-deliveries of the same normalized
     * content within the watermark horizon. Keyed on the content hash, so

@@ -71,6 +71,40 @@ class DedupSpec extends SparkSpec {
     assert(got === want) // pigeonhole banding guarantees NO misses
   }
 
+  test("LSH banding recall: high-Jaccard pairs become candidates (S-curve)") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val vocab = (1 to 200).map(i => s"w$i")
+    // 20 base docs of 40 words; each gets a near-duplicate with 1-2 words
+    // swapped (3-shingle Jaccard ≈ 0.78–0.93) and the bases are mutually
+    // unrelated (J ≈ 0)
+    val docs = (0 until 20).flatMap { d =>
+      val words = Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
+      val dup = words.clone()
+      (0 until 1 + rnd.nextInt(2)).foreach(_ => dup(rnd.nextInt(40)) = vocab(rnd.nextInt(vocab.length)))
+      Seq((d.toLong * 2, words.mkString(" ")), (d.toLong * 2 + 1, dup.mkString(" ")))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatures(df, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // true Jaccard per planted pair, computed directly from shingle sets
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val planted = (0 until 20).map { d =>
+      val a = docs(d * 2)._2; val b = docs(d * 2 + 1)._2
+      val (sa, sb) = (shingleSet(a), shingleSet(b))
+      val j = (sa intersect sb).size.toDouble / (sa union sb).size
+      ((d.toLong * 2, d.toLong * 2 + 1), j)
+    }
+    val high = planted.filter(_._2 >= 0.8)
+    assert(high.nonEmpty)
+    val found = high.count(p => cands.contains(p._1))
+    // 16 hashes / 4 bands / 4 rows: P(candidate | J=0.8) ≈ 0.88 analytically;
+    // the seeded corpus must recover most planted high-J pairs
+    assert(found.toDouble / high.size >= 0.7,
+      s"LSH recall on J≥0.8 pairs: $found/${high.size}")
+  }
+
   test("connectedComponents on empty pairs returns empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

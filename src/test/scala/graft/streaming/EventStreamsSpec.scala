@@ -47,6 +47,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.contains((60L, "view", 1L)))
   }
 
+  test("streaming top-k users is a rolling leaderboard in complete mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = topUsers(mem.toDF(), k = 2)
+      .writeStream.format("memory").queryName("tu").outputMode(OutputMode.Complete()).start()
+    mem.addData(
+      Event(1, ts(1), 1, "click", 5.0),
+      Event(2, ts(2), 2, "click", 3.0),
+      Event(3, ts(3), 3, "click", 1.0))
+    q.processAllAvailable()
+    val first = spark.table("tu").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(first.toSeq === Seq((1L, 5.0), (2L, 3.0)))
+    // user 3 overtakes: the leaderboard re-ranks on the next trigger
+    mem.addData(Event(4, ts(4), 3, "view", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val second = spark.table("tu").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(second.toSeq === Seq((3L, 10.0), (1L, 5.0)))
+  }
+
   test("streaming exact dedup drops re-deliveries within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
