@@ -171,18 +171,21 @@ object Dedup {
     * blocks at scale). */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
-    // detHash yields 60 usable bits; bits 60+ draw from a second seed
+    // detHash yields 60 usable bits; bits 60+ draw from a second seed.
+    // Aggregate plain bit counts (one AND+shift per input, no conditional):
+    // Σ(±1) > 0  ⟺  2·Σ(bit) > n, so the sign test moves to the final
+    // projection where it runs once per doc, not once per token.
     val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
       .withColumn("__h", detHash(col("__w"), 101))
       .withColumn("__h2", detHash(col("__w"), 102))
     val bitSums = (0 until bits).map { b =>
       val (src, off) = if (b < 60) ("__h", b) else ("__h2", b - 60)
-      sum(when(expr(s"(shiftright($src, $off) & 1) = 1"), 1).otherwise(-1)).as(s"__b$b")
+      sum(expr(s"shiftright($src, $off) & 1")).as(s"__b$b")
     }
     val sh = (0 until bits).map(b =>
-      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+      when(col(s"__b$b") * 2 > col("__n"), lit(1L << b)).otherwise(0L)).reduce(_ + _)
     tok.groupBy(idCol)
-      .agg(bitSums.head, bitSums.tail: _*)
+      .agg(count(lit(1)).as("__n"), bitSums: _*)
       .select(col(idCol), sh.as(s"simhash$bits"))
   }
 

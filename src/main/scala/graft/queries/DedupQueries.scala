@@ -96,18 +96,21 @@ object DedupQueries {
        |FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
 
-  /** dd4_ngram_jaccard — exact 3-shingle Jaccard on dd3's candidates. */
-  def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.lshCandidatePairs(cachedSigs(s, dir), "doc_id")
-    Dedup.verifyJaccard(pairs, cachedShingles(s, dir), threshold = 0.0)
-      // e6 from the integer counts (single rounding — matches the oracle
-      // exactly; round(jaccard*1e6) would round twice)
-      .withColumn("jaccard_e6",
-        round(lit(1e6) * col("n_int") / (col("na") + col("nb") - col("n_int"))).cast(LongType))
-      .filter(col("jaccard_e6") >= 100000)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard_e6"))
-      .orderBy("doc_a", "doc_b")
-  }
+  /** dd4_ngram_jaccard — exact 3-shingle Jaccard on dd3's candidates. The
+    * verified pair set is itself materialized per (session, dir) so dd8's
+    * closure consumes it without re-running the verify join. */
+  def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    matCache.getOrElseUpdate((System.identityHashCode(s), dir, "dd4"), {
+      val pairs = Dedup.lshCandidatePairs(cachedSigs(s, dir), "doc_id")
+      Dedup.verifyJaccard(pairs, cachedShingles(s, dir), threshold = 0.0)
+        // e6 from the integer counts (single rounding — matches the oracle
+        // exactly; round(jaccard*1e6) would round twice)
+        .withColumn("jaccard_e6",
+          round(lit(1e6) * col("n_int") / (col("na") + col("nb") - col("n_int"))).cast(LongType))
+        .filter(col("jaccard_e6") >= 100000)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard_e6"))
+        .localCheckpoint()
+    }).orderBy("doc_a", "doc_b")
 
   val dd4NgramJaccardSql: String =
     s"""WITH sig AS ($minhashSigsDuck),
