@@ -191,6 +191,29 @@ object Relational {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin
 
+  /** t6_quantiles — exact interpolated quartiles of the price distribution
+    * per return flag (generalized §2.11 analytics: Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition, so
+    * the values agree; e6-rounded per the float rule). Exact percentile is
+    * a sort-based aggregate — at 100 TB swap in `percentile_approx` (t-digest)
+    * per the same shape; exactness here is what the oracle can check. */
+  def t6Quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(cast(l_extendedprice as double), array(0.25, 0.5, 0.75))").as("q"))
+      .select(col("l_returnflag"),
+        expr("cast(round(1e6 * q[0]) as bigint)").as("p25_e6"),
+        expr("cast(round(1e6 * q[1]) as bigint)").as("p50_e6"),
+        expr("cast(round(1e6 * q[2]) as bigint)").as("p75_e6"))
+      .orderBy("l_returnflag")
+
+  val t6QuantilesSql: String =
+    """SELECT l_returnflag,
+      |  CAST(ROUND(1e6 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25)) AS BIGINT) AS p25_e6,
+      |  CAST(ROUND(1e6 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50)) AS BIGINT) AS p50_e6,
+      |  CAST(ROUND(1e6 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75)) AS BIGINT) AS p75_e6
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** w1_grouped_topk — per-group top-3 via window row_number (SURVEY §2.13;
     * grouped variant of T2, same shape as SM3 episode sampling). */
   def w1GroupedTopk(s: SparkSession, dir: String): DataFrame = {
@@ -272,6 +295,7 @@ object Relational {
     "p7_null_guards" -> (p7NullGuards _),
     "t2_topk" -> (t2Topk _),
     "t5_offset_scan" -> (t5OffsetScan _),
+    "t6_quantiles" -> (t6Quantiles _),
     "w1_grouped_topk" -> (w1GroupedTopk _),
     "set1_pool_update" -> (set1PoolUpdate _))
 
@@ -286,6 +310,7 @@ object Relational {
     "p7_null_guards" -> p7NullGuardsSql,
     "t2_topk" -> t2TopkSql,
     "t5_offset_scan" -> t5OffsetScanSql,
+    "t6_quantiles" -> t6QuantilesSql,
     "w1_grouped_topk" -> w1GroupedTopkSql,
     "set1_pool_update" -> set1PoolUpdateSql)
 }
