@@ -29,7 +29,9 @@ object DedupQueries {
     * and without reuse every downstream stage recomputes it. localCheckpoint
     * (eager, executor-local) keeps the reuse exchange-free; the first
     * toucher pays the materialization, like the shared LDA model in
-    * MLQueries. */
+    * MLQueries. Lifetime contract: entries live for the session (one scale
+    * dir per JVM in Verify/Bench); a long-lived multi-dir session should
+    * unpersist via its own lifecycle, not this cache. */
   private val matCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
 
@@ -96,10 +98,10 @@ object DedupQueries {
        |FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
 
-  /** dd4_ngram_jaccard — exact 3-shingle Jaccard on dd3's candidates. The
-    * verified pair set is itself materialized per (session, dir) so dd8's
-    * closure consumes it without re-running the verify join. */
-  def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+  /** The Jaccard-verified pair set, materialized per (session, dir):
+    * dd4 is its sorted face; dd8's closure consumes it unsorted (no
+    * reliance on EliminateSorts to drop a useless total sort). */
+  private def dd4Verified(s: SparkSession, dir: String): DataFrame =
     matCache.getOrElseUpdate((System.identityHashCode(s), dir, "dd4"), {
       val pairs = Dedup.lshCandidatePairs(cachedSigs(s, dir), "doc_id")
       Dedup.verifyJaccard(pairs, cachedShingles(s, dir), threshold = 0.0)
@@ -110,7 +112,11 @@ object DedupQueries {
         .filter(col("jaccard_e6") >= 100000)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard_e6"))
         .localCheckpoint()
-    }).orderBy("doc_a", "doc_b")
+    })
+
+  /** dd4_ngram_jaccard — exact 3-shingle Jaccard on dd3's candidates. */
+  def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    dd4Verified(s, dir).orderBy("doc_a", "doc_b")
 
   val dd4NgramJaccardSql: String =
     s"""WITH sig AS ($minhashSigsDuck),
@@ -198,7 +204,7 @@ object DedupQueries {
     * [[Dedup.connectedComponents]]); cluster_id = min doc_id in the
     * component. This is the closure [[Dedup.dropDuplicates]] keys on. */
   def dd8Clusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(dd4NgramJaccard(s, dir), "doc_a", "doc_b")
+    Dedup.connectedComponents(dd4Verified(s, dir), "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy("doc_id")
 

@@ -82,16 +82,21 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateState)
   }
 
-  /** Streaming top-k users by total value — the streaming twin of
-    * ev3_top_users. A running unwindowed aggregate, so it must emit in
-    * Complete mode (the result set is a rolling leaderboard, not
-    * append-only); state is one (count, sum) pair per user. The sort+limit
-    * happens on the tiny aggregated result each trigger, never on events. */
+  /** Streaming top-k users by purchase value — the streaming twin of
+    * ev3_top_users (same filter, same DECIMAL money sum per Q.scala rule 1,
+    * so near-tied totals never swap rank run-to-run). A running unwindowed
+    * aggregate, so it must emit in Complete mode (the result set is a
+    * rolling leaderboard, not append-only); state is one (count, sum) pair
+    * per purchasing user. The sort+limit happens on the tiny aggregated
+    * result each trigger, never on events. */
   def topUsers(events: DataFrame, k: Int = 10): DataFrame =
     events
+      .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
-      .orderBy(desc("total_value"), col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .orderBy(desc("total"), col("user_id"))
       .limit(k)
 
   /** Streaming exact dedup — the streaming twin of `Dedup.exact`/dd1 for a

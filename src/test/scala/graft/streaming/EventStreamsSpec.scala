@@ -54,14 +54,15 @@ class EventStreamsSpec extends SparkSpec {
     val q = topUsers(mem.toDF(), k = 2)
       .writeStream.format("memory").queryName("tu").outputMode(OutputMode.Complete()).start()
     mem.addData(
-      Event(1, ts(1), 1, "click", 5.0),
-      Event(2, ts(2), 2, "click", 3.0),
-      Event(3, ts(3), 3, "click", 1.0))
+      Event(1, ts(1), 1, "purchase", 5.0),
+      Event(2, ts(2), 2, "purchase", 3.0),
+      Event(3, ts(3), 3, "purchase", 1.0),
+      Event(4, ts(3), 3, "view", 100.0)) // non-purchase: excluded like ev3
     q.processAllAvailable()
     val first = spark.table("tu").collect().map(r => (r.getLong(0), r.getDouble(2)))
     assert(first.toSeq === Seq((1L, 5.0), (2L, 3.0)))
     // user 3 overtakes: the leaderboard re-ranks on the next trigger
-    mem.addData(Event(4, ts(4), 3, "view", 9.0))
+    mem.addData(Event(5, ts(4), 3, "purchase", 9.0))
     q.processAllAvailable()
     q.stop()
     val second = spark.table("tu").collect().map(r => (r.getLong(0), r.getDouble(2)))
