@@ -100,15 +100,57 @@ object EventQueries {
       |  COUNT(*) AS n, CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
 
+  /** Microseconds per epoch week (integer week index = epoch_us div this —
+    * pure integer math, no cross-engine date_trunc semantics). */
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  /** ev5_retention — weekly cohort retention: of the users active in week
+    * w, the fraction also active in week w+1. Weekly-active is one distinct
+    * (user, week) projection; retention is a self left-semi equi-join on
+    * (user, week+1) — both shuffle on user/week only, never on raw events.
+    * The staple growth-analytics query the event suite lacked. */
+  def ev5Retention(s: SparkSession, dir: String): DataFrame = {
+    val wa = t(s, dir, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) div $WeekUs").as("week"))
+      .distinct()
+    val counts = wa.groupBy("week").agg(count(lit(1)).as("n_active"))
+    val retained = wa.as("a")
+      .join(wa.as("b"),
+        col("a.user_id") === col("b.user_id") && col("b.week") === col("a.week") + 1,
+        "left_semi")
+      .groupBy("week").agg(count(lit(1)).as("n_retained"))
+    counts.join(retained, Seq("week"), "left_outer")
+      .withColumn("n_retained", coalesce(col("n_retained"), lit(0L)))
+      .withColumn("retention_e6",
+        round(lit(1e6) * col("n_retained") / col("n_active")).cast(LongType))
+      .select("week", "n_active", "n_retained", "retention_e6")
+      .orderBy("week")
+  }
+
+  val ev5RetentionSql: String =
+    s"""WITH wa AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week FROM events),
+       |counts AS (SELECT week, COUNT(*) AS n_active FROM wa GROUP BY week),
+       |ret AS (
+       |  SELECT a.week, COUNT(*) AS n_retained
+       |  FROM wa a
+       |  WHERE EXISTS (SELECT 1 FROM wa b WHERE b.user_id = a.user_id AND b.week = a.week + 1)
+       |  GROUP BY a.week)
+       |SELECT c.week, c.n_active, COALESCE(r.n_retained, 0) AS n_retained,
+       |  CAST(ROUND(1e6 * COALESCE(r.n_retained, 0) / c.n_active) AS BIGINT) AS retention_e6
+       |FROM counts c LEFT JOIN ret r USING (week) ORDER BY week""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "ev1_sessionize" -> (ev1Sessionize _),
     "ev2_tumbling_agg" -> (ev2TumblingAgg _),
     "ev3_top_users" -> (ev3TopUsers _),
-    "ev4_props_json" -> (ev4PropsJson _))
+    "ev4_props_json" -> (ev4PropsJson _),
+    "ev5_retention" -> (ev5Retention _))
 
   val oracles: Map[String, String] = Map(
     "ev1_sessionize" -> ev1SessionizeSql,
     "ev2_tumbling_agg" -> ev2TumblingAggSql,
     "ev3_top_users" -> ev3TopUsersSql,
-    "ev4_props_json" -> ev4PropsJsonSql)
+    "ev4_props_json" -> ev4PropsJsonSql,
+    "ev5_retention" -> ev5RetentionSql)
 }
