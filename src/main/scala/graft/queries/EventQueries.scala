@@ -140,17 +140,64 @@ object EventQueries {
        |  CAST(ROUND(1e6 * COALESCE(r.n_retained, 0) / c.n_active) AS BIGINT) AS retention_e6
        |FROM counts c LEFT JOIN ret r USING (week) ORDER BY week""".stripMargin
 
+  /** ev6_funnel — ordered conversion funnel view → click → purchase: a user
+    * clears step 2 only with a click at-or-after their first view, step 3
+    * only with a purchase at-or-after that click. Three aggregate passes
+    * over events (first-view, first-qualifying-click, first-qualifying-
+    * purchase), each a per-user hash agg — raw events shuffle on user_id
+    * once per step, state per user is one timestamp. One summary row. */
+  def ev6Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("us") >= col("t_view"))
+      .groupBy("user_id").agg(min("us").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("us") >= col("t_click"))
+      .groupBy("user_id").agg(min("us").as("t_purchase"))
+    val nAll = e.select("user_id").distinct().count()
+    val (n1, n2, n3) = (v.count(), c.count(), p.count())
+    val spark = s
+    import spark.implicits._
+    Seq((nAll, n1, n2, n3,
+      math.round(1e6 * n2.toDouble / n1), math.round(1e6 * n3.toDouble / n2)))
+      .toDF("n_users", "n_view", "n_click_after", "n_purchase_after",
+        "click_conv_e6", "purchase_conv_e6")
+  }
+
+  val ev6FunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, MIN(us) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.us) AS t_click FROM e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.us >= v.t_view GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.us) AS t_purchase FROM e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.us >= c.t_click GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+      |  (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_click_after,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase_after,
+      |  CAST(ROUND(1e6 * (SELECT COUNT(*) FROM c) / (SELECT COUNT(*) FROM v)) AS BIGINT) AS click_conv_e6,
+      |  CAST(ROUND(1e6 * (SELECT COUNT(*) FROM p) / (SELECT COUNT(*) FROM c)) AS BIGINT) AS purchase_conv_e6""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "ev1_sessionize" -> (ev1Sessionize _),
     "ev2_tumbling_agg" -> (ev2TumblingAgg _),
     "ev3_top_users" -> (ev3TopUsers _),
     "ev4_props_json" -> (ev4PropsJson _),
-    "ev5_retention" -> (ev5Retention _))
+    "ev5_retention" -> (ev5Retention _),
+    "ev6_funnel" -> (ev6Funnel _))
 
   val oracles: Map[String, String] = Map(
     "ev1_sessionize" -> ev1SessionizeSql,
     "ev2_tumbling_agg" -> ev2TumblingAggSql,
     "ev3_top_users" -> ev3TopUsersSql,
     "ev4_props_json" -> ev4PropsJsonSql,
-    "ev5_retention" -> ev5RetentionSql)
+    "ev5_retention" -> ev5RetentionSql,
+    "ev6_funnel" -> ev6FunnelSql)
 }

@@ -318,6 +318,47 @@ object TextQueries {
     """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** ta6_tfidf — the canonical corpus weighting: per-doc top-3 terms by
+    * tf·idf, idf = ln(N/df) (plain inverse document frequency; smoothing
+    * variants are a one-line change). Term frequencies and document
+    * frequencies are two hash aggregates; the idf join keys on the word
+    * (sort-merge at scale — the df table is the corpus vocabulary, too big
+    * to broadcast by the a6 rule); the per-doc top-3 window is bounded by
+    * each doc's distinct-term count. Scores e6-rounded BEFORE ranking per
+    * the Q float rule. */
+  def ta6Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("word")).crossJoin(broadcast(n))
+      .withColumn("tfidf_e6",
+        round(lit(1e6) * col("tf") * log(col("n_docs") / col("df"))).cast(LongType))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf_e6"), col("word"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("word"), col("tfidf_e6"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val ta6TfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+      |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id, t.word,
+      |    CAST(ROUND(1e6 * t.tf * ln(n.n_docs / d.df)) AS BIGINT) AS tfidf_e6
+      |  FROM tf t JOIN dfreq d USING (word) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, word, tfidf_e6,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf_e6 DESC, word) AS rk
+      |  FROM scored)
+      |SELECT doc_id, rk, word, tfidf_e6 FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   /** ta5_winnow_fingerprint — winnowing document fingerprint (Schleimer,
     * Wilkerson, Aiken 2003 — the MOSS scheme): rolling token-4-gram hashes,
     * minimum per sliding window of 4, fingerprint = md5 over the sorted
@@ -379,7 +420,8 @@ object TextQueries {
     "ta2_quality_score" -> (ta2QualityScore _),
     "ta3_token_count" -> (ta3TokenCount _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
-    "ta5_winnow_fingerprint" -> (ta5WinnowFingerprint _))
+    "ta5_winnow_fingerprint" -> (ta5WinnowFingerprint _),
+    "ta6_tfidf" -> (ta6Tfidf _))
 
   val oracles: Map[String, String] = Map(
     "p1_candidate_filter" -> p1CandidateFilterSql,
@@ -395,5 +437,6 @@ object TextQueries {
     "ta2_quality_score" -> ta2QualityScoreSql,
     "ta3_token_count" -> ta3TokenCountSql,
     "ta4_fingerprint" -> ta4FingerprintSql,
-    "ta5_winnow_fingerprint" -> ta5WinnowFingerprintSql)
+    "ta5_winnow_fingerprint" -> ta5WinnowFingerprintSql,
+    "ta6_tfidf" -> ta6TfidfSql)
 }
