@@ -159,14 +159,20 @@ object EventQueries {
       .join(c, Seq("user_id"))
       .filter(col("us") >= col("t_click"))
       .groupBy("user_id").agg(min("us").as("t_purchase"))
-    val nAll = e.select("user_id").distinct().count()
-    val (n1, n2, n3) = (v.count(), c.count(), p.count())
-    val spark = s
-    import spark.implicits._
-    Seq((nAll, n1, n2, n3,
-      math.round(1e6 * n2.toDouble / n1), math.round(1e6 * n3.toDouble / n2)))
-      .toDF("n_users", "n_view", "n_click_after", "n_purchase_after",
-        "click_conv_e6", "purchase_conv_e6")
+    // one lazy plan (scalar aggregates cross-joined — the same shape as the
+    // oracle's scalar subqueries), not eager driver-side counts; ratios go
+    // NULL on an empty denominator exactly like DuckDB's x/0
+    val nAll = e.select("user_id").distinct().agg(count(lit(1)).as("n_users"))
+    val n1 = v.agg(count(lit(1)).as("n_view"))
+    val n2 = c.agg(count(lit(1)).as("n_click_after"))
+    val n3 = p.agg(count(lit(1)).as("n_purchase_after"))
+    nAll.crossJoin(n1).crossJoin(n2).crossJoin(n3)
+      .withColumn("click_conv_e6",
+        when(col("n_view") === 0, lit(null))
+          .otherwise(round(lit(1e6) * col("n_click_after") / col("n_view"))).cast(LongType))
+      .withColumn("purchase_conv_e6",
+        when(col("n_click_after") === 0, lit(null))
+          .otherwise(round(lit(1e6) * col("n_purchase_after") / col("n_click_after"))).cast(LongType))
   }
 
   val ev6FunnelSql: String =
