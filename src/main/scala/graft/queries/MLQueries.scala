@@ -81,6 +81,18 @@ object MLQueries {
     Seq((8, math.round(lp * 1000.0))).toDF("k", "log_perplexity_e3")
   }
 
+  /** Distinct (doc_id, word) incidence, materialized per (session, dir) —
+    * shared by the two coherence queries (both otherwise re-explode the
+    * whole corpus); same localCheckpoint pattern as the dedup signatures. */
+  private val docWordsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def cachedDocWords(s: SparkSession, dir: String): DataFrame =
+    docWordsCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .distinct().localCheckpoint())
+
   /** a10b_umass_coherence — the oracle-able face of the topic-coherence
     * metric (A10, `TM_2:cells 17-24`): UMass coherence over deterministic
     * proxy topics (top-6 words per language by frequency, ties by word).
@@ -95,8 +107,7 @@ object MLQueries {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 6)
       .select(col("lang").as("topic"), col("word"), col("rank"))
-    val docWords = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    graft.operators.TopicCoherence.umassE6(topics, docWords).orderBy("topic")
+    graft.operators.TopicCoherence.umassE6(topics, cachedDocWords(s, dir)).orderBy("topic")
   }
 
   val a10bUmassCoherenceSql: String =
@@ -134,9 +145,7 @@ object MLQueries {
       .select(col("topic"),
         element_at(typedLit(vocab.toSeq), col("ti") + 1).as("word"),
         (col("rk") + 1).as("rank"))
-    val docWords = t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    graft.operators.TopicCoherence.umassE6(topics, docWords).orderBy("topic")
+    graft.operators.TopicCoherence.umassE6(topics, cachedDocWords(s, dir)).orderBy("topic")
   }
 
   /** Fixed 4×4 transition matrix for m2 (deterministic literal). */
