@@ -191,13 +191,47 @@ object EventQueries {
       |  CAST(ROUND(1e6 * (SELECT COUNT(*) FROM c) / (SELECT COUNT(*) FROM v)) AS BIGINT) AS click_conv_e6,
       |  CAST(ROUND(1e6 * (SELECT COUNT(*) FROM p) / (SELECT COUNT(*) FROM c)) AS BIGINT) AS purchase_conv_e6""".stripMargin
 
+  /** ev7_moving_avg — 7-day trailing average of daily purchase totals.
+    * Day totals become integer CENTS before the rolling window, so the
+    * windowed sum is exact int64 on both engines regardless of how each
+    * implements sliding frames (incremental add/remove vs per-frame
+    * recompute would differ in ulps over doubles); the single double
+    * division happens once per output row. The rolling window runs over
+    * the per-day aggregate — one row per day, bounded at any corpus
+    * scale — never over raw events. */
+  def ev7MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400L * 1000000L
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr(s"unix_micros(ts) div $DayUs").as("day"))
+      .agg(decSum(col("value")).as("day_total"))
+      .withColumn("day_c", round(lit(100) * col("day_total")).cast(LongType))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("ma7_e6", round(lit(1e4) * avg(col("day_c")).over(w)).cast(LongType))
+      .withColumn("day_total_e6", col("day_c") * 10000)
+      .select("day", "day_total_e6", "ma7_e6")
+      .orderBy("day")
+  }
+
+  val ev7MovingAvgSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS day,
+       |    CAST(ROUND(100 * ${decSumSql("value")}) AS BIGINT) AS day_c
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+       |SELECT day,
+       |  day_c * 10000 AS day_total_e6,
+       |  CAST(ROUND(1e4 * AVG(day_c) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS BIGINT) AS ma7_e6
+       |FROM daily ORDER BY day""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "ev1_sessionize" -> (ev1Sessionize _),
     "ev2_tumbling_agg" -> (ev2TumblingAgg _),
     "ev3_top_users" -> (ev3TopUsers _),
     "ev4_props_json" -> (ev4PropsJson _),
     "ev5_retention" -> (ev5Retention _),
-    "ev6_funnel" -> (ev6Funnel _))
+    "ev6_funnel" -> (ev6Funnel _),
+    "ev7_moving_avg" -> (ev7MovingAvg _))
 
   val oracles: Map[String, String] = Map(
     "ev1_sessionize" -> ev1SessionizeSql,
@@ -205,5 +239,6 @@ object EventQueries {
     "ev3_top_users" -> ev3TopUsersSql,
     "ev4_props_json" -> ev4PropsJsonSql,
     "ev5_retention" -> ev5RetentionSql,
-    "ev6_funnel" -> ev6FunnelSql)
+    "ev6_funnel" -> ev6FunnelSql,
+    "ev7_moving_avg" -> ev7MovingAvgSql)
 }

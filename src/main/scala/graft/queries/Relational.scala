@@ -214,6 +214,29 @@ object Relational {
       |  CAST(ROUND(1e6 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75)) AS BIGINT) AS p75_e6
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** dq1_profile — the data-quality profiling staple (generalized pipeline
+    * hygiene: the screen a 100 TB ingest runs before anything else): row
+    * count, per-column null counts, distinct cardinalities, value ranges —
+    * one aggregate pass (countDistinct expands, still a single shuffle). */
+  def dq1Profile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("text").isNull.cast("int")).cast("long").as("null_text"),
+      sum(col("lang").isNull.cast("int")).cast("long").as("null_lang"),
+      countDistinct(col("lang")).as("d_lang"),
+      countDistinct(col("source")).as("d_source"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"))
+
+  val dq1ProfileSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+      |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+      |  COUNT(DISTINCT lang) AS d_lang,
+      |  COUNT(DISTINCT source) AS d_source,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents""".stripMargin
+
   /** w1_grouped_topk — per-group top-3 via window row_number (SURVEY §2.13;
     * grouped variant of T2, same shape as SM3 episode sampling). */
   def w1GroupedTopk(s: SparkSession, dir: String): DataFrame = {
@@ -296,6 +319,7 @@ object Relational {
     "t2_topk" -> (t2Topk _),
     "t5_offset_scan" -> (t5OffsetScan _),
     "t6_quantiles" -> (t6Quantiles _),
+    "dq1_profile" -> (dq1Profile _),
     "w1_grouped_topk" -> (w1GroupedTopk _),
     "set1_pool_update" -> (set1PoolUpdate _))
 
@@ -311,6 +335,7 @@ object Relational {
     "t2_topk" -> t2TopkSql,
     "t5_offset_scan" -> t5OffsetScanSql,
     "t6_quantiles" -> t6QuantilesSql,
+    "dq1_profile" -> dq1ProfileSql,
     "w1_grouped_topk" -> w1GroupedTopkSql,
     "set1_pool_update" -> set1PoolUpdateSql)
 }
