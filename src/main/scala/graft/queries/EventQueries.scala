@@ -191,14 +191,15 @@ object EventQueries {
       |  CAST(ROUND(1e6 * (SELECT COUNT(*) FROM c) / (SELECT COUNT(*) FROM v)) AS BIGINT) AS click_conv_e6,
       |  CAST(ROUND(1e6 * (SELECT COUNT(*) FROM p) / (SELECT COUNT(*) FROM c)) AS BIGINT) AS purchase_conv_e6""".stripMargin
 
-  /** ev7_moving_avg — 7-day trailing average of daily purchase totals.
-    * Day totals become integer CENTS before the rolling window, so the
-    * windowed sum is exact int64 on both engines regardless of how each
-    * implements sliding frames (incremental add/remove vs per-frame
-    * recompute would differ in ulps over doubles); the single double
-    * division happens once per output row. The rolling window runs over
-    * the per-day aggregate — one row per day, bounded at any corpus
-    * scale — never over raw events. */
+  /** ev7_moving_avg — trailing 7-CALENDAR-day average of daily purchase
+    * totals (RANGE frame over the integer day index, so purchase-free days
+    * shrink the frame rather than stretching it). Day totals become integer
+    * CENTS before the rolling window, so the windowed sum is exact int64 on
+    * both engines regardless of how each implements sliding frames
+    * (incremental add/remove vs per-frame recompute would differ in ulps
+    * over doubles); the single double division happens once per output row.
+    * The rolling window runs over the per-day aggregate — one row per day,
+    * bounded at any corpus scale — never over raw events. */
   def ev7MovingAvg(s: SparkSession, dir: String): DataFrame = {
     val DayUs = 86400L * 1000000L
     val daily = t(s, dir, "events")
@@ -206,7 +207,10 @@ object EventQueries {
       .groupBy(expr(s"unix_micros(ts) div $DayUs").as("day"))
       .agg(decSum(col("value")).as("day_total"))
       .withColumn("day_c", round(lit(100) * col("day_total")).cast(LongType))
-    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    // RANGE over the integer day, not ROWS: days with zero purchases are
+    // absent from `daily`, and a row frame would silently span more than 7
+    // calendar days across gaps
+    val w = Window.orderBy("day").rangeBetween(-6, 0)
     daily
       .withColumn("ma7_e6", round(lit(1e4) * avg(col("day_c")).over(w)).cast(LongType))
       .withColumn("day_total_e6", col("day_c") * 10000)
@@ -221,7 +225,7 @@ object EventQueries {
        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
        |SELECT day,
        |  day_c * 10000 AS day_total_e6,
-       |  CAST(ROUND(1e4 * AVG(day_c) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS BIGINT) AS ma7_e6
+       |  CAST(ROUND(1e4 * AVG(day_c) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS BIGINT) AS ma7_e6
        |FROM daily ORDER BY day""".stripMargin
 
   val queries: Map[String, QueryFn] = Map(

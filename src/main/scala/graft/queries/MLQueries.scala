@@ -81,17 +81,14 @@ object MLQueries {
     Seq((8, math.round(lp * 1000.0))).toDF("k", "log_perplexity_e3")
   }
 
-  /** Distinct (doc_id, word) incidence, materialized per (session, dir) —
-    * shared by the two coherence queries (both otherwise re-explode the
-    * whole corpus); same localCheckpoint pattern as the dedup signatures. */
-  private val docWordsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
-  private def cachedDocWords(s: SparkSession, dir: String): DataFrame =
-    docWordsCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .distinct().localCheckpoint())
+  /** Lazy (doc_id, word) incidence for the coherence queries. Deliberately
+    * NOT materialized/distinct'ed here: umassE6 semi-joins it down to the
+    * tiny topic vocabulary BEFORE its distinct, so a full-corpus distinct
+    * (global shuffle + checkpoint) would cost strictly more than the two
+    * scan + broadcast-semi-join plans it would replace. */
+  private def docWords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
 
   /** a10b_umass_coherence — the oracle-able face of the topic-coherence
     * metric (A10, `TM_2:cells 17-24`): UMass coherence over deterministic
@@ -107,7 +104,7 @@ object MLQueries {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 6)
       .select(col("lang").as("topic"), col("word"), col("rank"))
-    graft.operators.TopicCoherence.umassE6(topics, cachedDocWords(s, dir)).orderBy("topic")
+    graft.operators.TopicCoherence.umassE6(topics, docWords(s, dir)).orderBy("topic")
   }
 
   val a10bUmassCoherenceSql: String =
@@ -145,7 +142,7 @@ object MLQueries {
       .select(col("topic"),
         element_at(typedLit(vocab.toSeq), col("ti") + 1).as("word"),
         (col("rk") + 1).as("rank"))
-    graft.operators.TopicCoherence.umassE6(topics, cachedDocWords(s, dir)).orderBy("topic")
+    graft.operators.TopicCoherence.umassE6(topics, docWords(s, dir)).orderBy("topic")
   }
 
   /** Fixed 4×4 transition matrix for m2 (deterministic literal). */
