@@ -15,7 +15,7 @@ object SparkEntry {
       MatchQueries.queries ++ ALQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
       PipelineQueries.queries ++ MLQueries.queries ++
-      MultimodalQueries.queries ++ GapQueries.queries
+      MultimodalQueries.queries ++ GapQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys → driver records a weaker rows-only check. */
@@ -24,5 +24,5 @@ object SparkEntry {
       MatchQueries.oracles ++ ALQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
       PipelineQueries.oracles ++ MLQueries.oracles ++
-      MultimodalQueries.oracles ++ GapQueries.oracles
+      MultimodalQueries.oracles ++ GapQueries.oracles ++ CurationQueries.oracles
 }

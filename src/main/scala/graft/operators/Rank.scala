@@ -36,4 +36,28 @@ object Rank {
       .withColumn("rank", (col("__off") + col("__lrn")).cast(LongType))
       .drop("__pid", "__lrn", "__off")
   }
+
+  /** Exclusive global prefix sum of `value` in total `sortCols` order,
+    * added as column `cumBeforeCol` — same two-phase shape as
+    * [[globalRowNumber]]: range-partition on the sort key, running sum
+    * within each partition, then add the broadcast exclusive prefix of
+    * per-partition totals. The window input stays bounded by the partition,
+    * never the whole table. `value` must be non-null; callers must give a
+    * total order (unique tiebreak). */
+  def globalCumSum(df: DataFrame, numPartitions: Int, value: Column,
+                   cumBeforeCol: String, sortCols: Column*): DataFrame = {
+    val parted = df.repartitionByRange(numPartitions, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value.cast(LongType))
+    val local = parted.withColumn("__lcs",
+      coalesce(sum("__v").over(Window.partitionBy("__pid").orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = local.groupBy("__pid").agg(sum("__v").as("__tot"))
+      .withColumn("__off", coalesce(sum("__tot").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(cumBeforeCol, (col("__off") + col("__lcs")).cast(LongType))
+      .drop("__pid", "__v", "__lcs", "__off")
+  }
 }

@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Rank
+import Q._
+
+/** Training-data curation operators — the generalized LLM-pipeline surface
+  * beyond the reference's own inventory (SURVEY §8 "north star" table). The
+  * reference curates NER training data with ad-hoc pandas passes
+  * (`data_transformation.py`, `ner_pipeline.py`); these are the same moves a
+  * 100 TB pretraining pipeline needs, expressed as lazy Spark plans with
+  * DuckDB oracle twins:
+  *
+  *  - ta7: intra-document repetition signals (Gopher/C4-style quality
+  *    filters — Rae et al. 2021 §A1.1 use duplicate n-gram fractions).
+  *  - ta8: PII redaction (regex scrub + audit counts).
+  *  - ta9: unigram-LM negative log-likelihood scoring (the cheap stand-in
+  *    for KenLM perplexity filtering à la CCNet).
+  *  - pk1: sequence packing — concatenate-then-chunk token budgeting (the
+  *    GPT-style pretraining batch layout).
+  *  - sm5: domain-mixture resampling to a target per-group share.
+  *  - set2: snapshot upsert merge (CDC-style catalog refresh).
+  *
+  * Scale notes per query in SCALE.md; every shuffle key here is a document
+  * id, token, or group key — never a payload column.
+  */
+object CurationQueries {
+
+  /** Token 2-grams of the `toks` array column (n-1 rows per doc). */
+  private val bigramExpr =
+    "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+
+  /** ta7_repetition — per-document repetition fractions over token 2-grams:
+    * the modal-bigram share and the share of bigram instances whose bigram
+    * occurs more than once. Heavy repetition (boilerplate, keyword stuffing,
+    * decoding loops) is the classic pretraining-quality reject signal. Two
+    * shuffles, both keyed by doc_id — partitions stay document-sized at any
+    * corpus scale. */
+  def ta7Repetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(bigramExpr)).as("bg"))
+    grams.groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        max("cnt").as("top_cnt"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).as("dup_cnt"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(lit(1e6) * col("top_cnt") / col("n_bigrams")).cast(LongType).as("top_frac_e6"),
+        round(lit(1e6) * col("dup_cnt") / col("n_bigrams")).cast(LongType).as("dup_frac_e6"))
+      .withColumn("keep",
+        (col("top_frac_e6") < 180000 && col("dup_frac_e6") < 600000).cast(IntegerType))
+      .orderBy("doc_id")
+  }
+
+  val ta7RepetitionSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |  FROM d),
+      |c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM g GROUP BY doc_id, bg),
+      |a AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams, MAX(cnt) AS top_cnt,
+      |    CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS dup_cnt
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  CAST(ROUND(1e6 * top_cnt / n_bigrams) AS BIGINT) AS top_frac_e6,
+      |  CAST(ROUND(1e6 * dup_cnt / n_bigrams) AS BIGINT) AS dup_frac_e6,
+      |  CASE WHEN ROUND(1e6 * top_cnt / n_bigrams) < 180000
+      |        AND ROUND(1e6 * dup_cnt / n_bigrams) < 600000 THEN 1 ELSE 0 END AS keep
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\+1-555-0[0-9]{3}"
+  private val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** ta8_pii_redact — regex PII scrub with audit counts. The corpus is
+    * synthetic and PII-free, so a deterministic injection (doc_id-derived
+    * email/phone/IP on every third doc) makes the redaction observable; the
+    * scrub itself is the production operator: three codegen'd
+    * regexp_replace passes, no UDF, no shuffle — a pure projection that
+    * pipelines into whatever scan feeds it. */
+  def ta8PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val idS = col("doc_id").cast(StringType)
+    val aug = when(col("doc_id") % 3 === 0,
+      concat(col("text"),
+        lit(" contact u"), idS, lit("@mail.example.com or call +1-555-0"),
+        (col("doc_id") % 900 + 100).cast(StringType),
+        lit(" from 10.0."), (col("doc_id") % 256).cast(StringType), lit("."),
+        ((col("doc_id") * 7) % 256).cast(StringType)))
+      .otherwise(col("text"))
+    val redacted = regexp_replace(
+      regexp_replace(regexp_replace(aug, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+    t(s, dir, "documents")
+      .withColumn("aug", aug)
+      .withColumn("redacted", redacted)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0))).as("n_phone"),
+        size(regexp_extract_all(col("aug"), lit(IpRe), lit(0))).as("n_ip"),
+        expr("right(redacted, 64)").as("redact_tail"))
+      .orderBy("doc_id")
+  }
+
+  val ta8PiiRedactSql: String = {
+    // single line: interpolated multi-line fragments whose lines start with
+    // '||' would lose a pipe to the OUTER stripMargin
+    val augSql =
+      "CASE WHEN doc_id % 3 = 0 THEN text" +
+        " || ' contact u' || CAST(doc_id AS VARCHAR)" +
+        " || '@mail.example.com or call +1-555-0' || CAST(doc_id % 900 + 100 AS VARCHAR)" +
+        " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)" +
+        " ELSE text END"
+    s"""WITH a AS (SELECT doc_id, $augSql AS aug FROM documents),
+       |r AS (
+       |  SELECT doc_id, aug,
+       |    regexp_replace(regexp_replace(regexp_replace(aug,
+       |      '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$IpRe', '<IP>', 'g') AS redacted
+       |  FROM a)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(aug, '$EmailRe')) AS n_email,
+       |  len(regexp_extract_all(aug, '$PhoneRe')) AS n_phone,
+       |  len(regexp_extract_all(aug, '$IpRe')) AS n_ip,
+       |  right(redacted, 64) AS redact_tail
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** ta9_unigram_ppl — per-document mean negative log-likelihood under an
+    * add-one-smoothed unigram LM fit on the deterministic 80% train split
+    * (the cheap analogue of CCNet's KenLM perplexity filter). Each -ln p(w)
+    * term is e6-rounded BEFORE summing, making the aggregate exact integer
+    * math — order-independent across 32 partitions vs DuckDB's single
+    * thread. The token→frequency join shuffles on the token (vocabulary
+    * keys, well distributed); the two LM scalars ride in on a 1-row
+    * broadcast. */
+  def ta9UnigramPpl(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val freq = tok.filter(col("doc_id") % 5 < 4).groupBy("w").agg(count(lit(1)).as("cnt"))
+    val stats = freq.agg(sum("cnt").as("tt"), count(lit(1)).as("vv"))
+    tok.filter(col("doc_id") % 5 === 4)
+      .join(freq, Seq("w"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_e6",
+        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast(DoubleType) /
+          (col("tt") + col("vv")).cast(DoubleType)) * lit(-1e6)).cast(LongType))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("term_e6").as("nll_e6_sum"))
+      .withColumn("mean_nll_e6", round(col("nll_e6_sum") / col("n_tokens")).cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  val ta9UnigramPplSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |freq AS (
+      |  SELECT w, COUNT(*) AS cnt FROM tok WHERE doc_id % 5 < 4 GROUP BY w),
+      |st AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt, COUNT(*) AS vv FROM freq),
+      |terms AS (
+      |  SELECT t.doc_id,
+      |    CAST(ROUND(ln((COALESCE(f.cnt, 0) + 1) / (st.tt + st.vv)) * -1e6) AS BIGINT) AS term_e6
+      |  FROM tok t LEFT JOIN freq f USING (w) CROSS JOIN st
+      |  WHERE t.doc_id % 5 = 4)
+      |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(term_e6) AS BIGINT) AS nll_e6_sum,
+      |  CAST(ROUND(CAST(SUM(term_e6) AS BIGINT) / COUNT(*)) AS BIGINT) AS mean_nll_e6
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Tokens per training sequence for pk1. */
+  private val SeqBudget = 128
+
+  /** pk1_sequence_pack — GPT-style sequence packing: shuffle documents into
+    * a deterministic order, concatenate their token streams, and chunk the
+    * stream into fixed [[SeqBudget]]-token training sequences (documents may
+    * straddle a boundary — the standard concat-then-chunk layout). The
+    * global token offset comes from [[graft.operators.Rank.globalCumSum]]:
+    * range-partition on the order key, partition-local running sums, plus a
+    * broadcast prefix of per-partition totals — no un-partitioned window
+    * anywhere, so the plan holds at 10⁹ documents. */
+  def pk1SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+        detHash(col("doc_id"), 41).as("h"))
+    Rank.globalCumSum(docs, 32, col("n_tokens"), "start_tok", col("h"), col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div $SeqBudget").as("seq_first"),
+        expr(s"(start_tok + n_tokens - 1) div $SeqBudget").as("seq_last"))
+      .orderBy("doc_id")
+  }
+
+  val pk1SequencePackSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${detHashSql("doc_id", 41)} AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       |  FROM d)
+       |SELECT doc_id, n_tokens, start_tok,
+       |  start_tok // $SeqBudget AS seq_first,
+       |  (start_tok + n_tokens - 1) // $SeqBudget AS seq_last
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** sm5_domain_mixture — resample to a uniform target share per language
+    * (the domain-mixing move every pretraining corpus does: up/down-sample
+    * sources to a target mixture). Acceptance is exact integer math —
+    * keep doc iff detHash(doc_id) mod n_lang < min(target, n_lang) — so the
+    * realized share tracks the target without any cross-engine float. The
+    * per-group rates are a |groups|-row broadcast; the corpus itself is
+    * touched by one projection + one aggregate. */
+  def sm5DomainMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("target", expr("n_total div 5"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("kept",
+        (detHash(col("doc_id"), 53) % col("n_lang") < least(col("target"), col("n_lang")))
+          .cast(IntegerType))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"))
+      .withColumn("share_e6", round(lit(1e6) * col("n_kept") / col("n_docs")).cast(LongType))
+      .orderBy("lang")
+  }
+
+  val sm5DomainMixtureSql: String =
+    s"""WITH counts AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+       |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+       |rates AS (SELECT lang, n_lang, n_total // 5 AS target FROM counts CROSS JOIN tot),
+       |flagged AS (
+       |  SELECT d.lang,
+       |    CASE WHEN ${detHashSql("d.doc_id", 53)} % r.n_lang < LEAST(r.target, r.n_lang)
+       |      THEN 1 ELSE 0 END AS kept
+       |  FROM documents d JOIN rates r USING (lang))
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |  CAST(ROUND(1e6 * SUM(kept) / COUNT(*)) AS BIGINT) AS share_e6
+       |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** set2_upsert — CDC-style snapshot merge: a derived delta (every 7th doc
+    * re-crawled with new text, every 11th≡3 doc brand new) full-outer-joined
+    * into the catalog, newest version winning. The reference re-runs its
+    * whole pandas ingest on refresh (`paper_processing.py` has a TODO for
+    * idempotent re-runs); the merge join is the incremental alternative. At
+    * scale both sides shuffle on doc_id once — or zero times if the catalog
+    * is bucketed by doc_id (see graft.sources.Layout). */
+  def set2Upsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val updates = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text"))
+    val adds = docs.filter(col("doc_id") % 11 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"), concat(lit("new "), col("text")).as("text"))
+    docs.as("o").join(updates.union(adds).as("n"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("o.text").isNull, "added")
+          .when(col("n.text").isNull, "kept").otherwise("updated").as("status"),
+        length(coalesce(col("n.text"), col("o.text"))).as("final_len"))
+      .orderBy("doc_id")
+  }
+
+  val set2UpsertSql: String =
+    """WITH delta AS (
+      |  SELECT doc_id, text || ' rev2' AS text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+      |  FROM documents WHERE doc_id % 11 = 3)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'kept' ELSE 'updated' END AS status,
+      |  len(COALESCE(n.text, o.text)) AS final_len
+      |FROM documents o FULL OUTER JOIN delta n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    "ta7_repetition" -> (ta7Repetition _),
+    "ta8_pii_redact" -> (ta8PiiRedact _),
+    "ta9_unigram_ppl" -> (ta9UnigramPpl _),
+    "pk1_sequence_pack" -> (pk1SequencePack _),
+    "sm5_domain_mixture" -> (sm5DomainMixture _),
+    "set2_upsert" -> (set2Upsert _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ta7_repetition" -> ta7RepetitionSql,
+    "ta8_pii_redact" -> ta8PiiRedactSql,
+    "ta9_unigram_ppl" -> ta9UnigramPplSql,
+    "pk1_sequence_pack" -> pk1SequencePackSql,
+    "sm5_domain_mixture" -> sm5DomainMixtureSql,
+    "set2_upsert" -> set2UpsertSql
+  )
+}
+

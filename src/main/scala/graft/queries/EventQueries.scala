@@ -228,8 +228,48 @@ object EventQueries {
        |  CAST(ROUND(1e4 * AVG(day_c) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS BIGINT) AS ma7_e6
        |FROM daily ORDER BY day""".stripMargin
 
+  /** ev8_asof_join — backward as-of join: each purchase picks up the most
+    * recent strictly-earlier view by the same user (attribution — "which
+    * impression led to this conversion"). Spark has no ASOF JOIN operator;
+    * the scalable composition is a per-user ordered window over the UNION of
+    * both sides — one Exchange on user_id, state bounded by a user's events,
+    * never a range cross-product. The prior-view timestamp is
+    * MAX(CASE WHEN view) over rows (unbounded, -1] — portable to engines
+    * without IGNORE NULLS, and tie-safe because ts is monotone within the
+    * frame. */
+  def ev8AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("last_view_us"),
+        ((col("us") - col("last_view_us")) / lit(1000000L)).cast(LongType).as("gap_s"))
+      .orderBy("event_id")
+  }
+
+  val ev8AsofJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+      |  WHERE event_type IN ('view', 'purchase')),
+      |m AS (
+      |  SELECT event_id, user_id, event_type, us,
+      |    MAX(CASE WHEN event_type = 'view' THEN us END) OVER (
+      |      PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us
+      |  FROM e)
+      |SELECT event_id, user_id, us AS purchase_us, last_view_us,
+      |  CAST((us - last_view_us) // 1000000 AS BIGINT) AS gap_s
+      |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "ev1_sessionize" -> (ev1Sessionize _),
+    "ev8_asof_join" -> (ev8AsofJoin _),
     "ev2_tumbling_agg" -> (ev2TumblingAgg _),
     "ev3_top_users" -> (ev3TopUsers _),
     "ev4_props_json" -> (ev4PropsJson _),
@@ -239,6 +279,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "ev1_sessionize" -> ev1SessionizeSql,
+    "ev8_asof_join" -> ev8AsofJoinSql,
     "ev2_tumbling_agg" -> ev2TumblingAggSql,
     "ev3_top_users" -> ev3TopUsersSql,
     "ev4_props_json" -> ev4PropsJsonSql,

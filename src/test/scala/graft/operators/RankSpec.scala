@@ -41,4 +41,19 @@ class RankSpec extends SparkSpec {
     assert(!mainSide.contains("Exchange SinglePartition"),
       s"row-bearing side must not funnel through one partition:\n$plan")
   }
+
+  test("two-phase exclusive prefix sum equals the un-partitioned window sum") {
+    val withV = df.withColumn("v", (col("id") % 7) + 1)
+    val naive = withV.withColumn("cum",
+        coalesce(sum("v").over(Window.orderBy(col("k"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("id", "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Rank.globalCumSum(withV, parts, col("v"), "cum", col("k"), col("id"))
+        .select("id", "cum")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === naive, s"parts=$parts")
+    }
+  }
 }

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the curation suite (exact values are oracle-checked by the
+  * driver; these pin the semantic contracts). */
+class CurationQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pk1: packing is an exact partition of the concatenated token stream") {
+    val rows = CurationQueries.pk1SequencePack(spark, dir)
+      .select("n_tokens", "start_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._2)
+    assert(rows.head._2 === 0L)
+    rows.sliding(2).foreach {
+      case Array((n0, s0), (_, s1)) => assert(s1 === s0 + n0)
+      case _ =>
+    }
+    val total = rows.map(_._1).sum
+    assert(rows.last._2 + rows.last._1 === total)
+  }
+
+  test("pk1: seq ids cover floor(start/B) .. floor(end-1/B)") {
+    val bad = CurationQueries.pk1SequencePack(spark, dir)
+      .filter(col("seq_first") =!= expr("start_tok div 128") ||
+        col("seq_last") =!= expr("(start_tok + n_tokens - 1) div 128") ||
+        col("seq_last") < col("seq_first"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("ta7: fractions are in [0, 1e6] and modal share ≤ duplicated share or no dups") {
+    val rows = CurationQueries.ta7Repetition(spark, dir)
+      .select("top_frac_e6", "dup_frac_e6").collect()
+    rows.foreach { r =>
+      val (top, dup) = (r.getLong(0), r.getLong(1))
+      assert(top >= 0 && top <= 1000000L)
+      assert(dup >= 0 && dup <= 1000000L)
+      // the modal bigram either repeats (so its share counts into dup) or
+      // everything is unique (dup = 0)
+      assert(dup === 0L || top <= dup)
+    }
+  }
+
+  test("ta8: every injected doc has its email/phone/ip found and redacted") {
+    val rows = CurationQueries.ta8PiiRedact(spark, dir).collect()
+    rows.foreach { r =>
+      val injected = r.getLong(0) % 3 == 0
+      assert(r.getInt(1) === (if (injected) 1 else 0), s"email@${r.getLong(0)}")
+      assert(r.getInt(2) === (if (injected) 1 else 0), s"phone@${r.getLong(0)}")
+      assert(r.getInt(3) === (if (injected) 1 else 0), s"ip@${r.getLong(0)}")
+      if (injected) {
+        val tail = r.getString(4)
+        assert(tail.contains("<EMAIL>") && tail.contains("<PHONE>") && tail.contains("<IP>"))
+        assert(!tail.contains("@mail.example.com"))
+      }
+    }
+  }
+
+  test("ta9: OOV-free in-vocab tokens score below the OOV floor") {
+    // every term's nll is at most the OOV term -ln(1/(T+V)); means inherit it
+    val stats = CurationQueries.ta9UnigramPpl(spark, dir)
+      .agg(max("mean_nll_e6"), min("mean_nll_e6"), count(lit(1))).head()
+    assert(stats.getLong(2) > 0)
+    assert(stats.getLong(1) > 0L, "nll is positive (probabilities < 1)")
+  }
+
+  test("sm5: over-represented groups are downsampled toward the uniform target") {
+    val rows = CurationQueries.sm5DomainMixture(spark, dir)
+      .select("lang", "n_docs", "n_kept").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (lang, (n, k)) =>
+      assert(k <= n, s"$lang keeps more than it has")
+    }
+    // 'en' dominates the synthetic corpus → must actually shed docs
+    val (enN, enK) = rows("en")
+    assert(enK < enN, "dominant group must be downsampled")
+  }
+
+  test("set2: statuses partition the merged catalog deterministically") {
+    val byStatus = CurationQueries.set2Upsert(spark, dir)
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables(spark, dir, "documents")
+    val nDocs = docs.count()
+    val nUpd = docs.filter(col("doc_id") % 7 === 0).count()
+    val nAdd = docs.filter(col("doc_id") % 11 === 3).count()
+    assert(byStatus("updated") === nUpd)
+    assert(byStatus("added") === nAdd)
+    assert(byStatus("kept") === nDocs - nUpd)
+  }
+
+  test("ev8: the as-of view is strictly earlier than its purchase") {
+    val bad = EventQueries.ev8AsofJoin(spark, dir)
+      .filter(col("last_view_us").isNotNull &&
+        (col("last_view_us") >= col("purchase_us") || col("gap_s") < 0))
+      .count()
+    assert(bad === 0L)
+  }
+}
