@@ -113,6 +113,25 @@ object EventStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Stream-static enrichment — purchases joined to a slowly-changing user
+    * dimension, then watermark-windowed revenue per dimension attribute.
+    * The stream-static inner join is STATELESS (each micro-batch probes the
+    * static side; no join state accumulates), and broadcasting the dim keeps
+    * the stream side un-shuffled — at scale the only Exchange is the windowed
+    * aggregate's, keyed by (window, attribute). The dim is re-read per
+    * trigger, which is exactly how a slowly-changing lookup should refresh. */
+  def enrichedRevenue(events: DataFrame, userDim: DataFrame,
+      attr: String = "tier"): DataFrame =
+    events
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(userDim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col(attr))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .select(col("window.start").as("window_start"), col(attr), col("n"), col("revenue"))
+
   /** Incremental file-source ingestion of a parquet landing directory,
     * processed with AvailableNow (drain-then-stop — the idempotent batch
     * refresh pattern; checkpoint carries the manifest). */

@@ -56,4 +56,15 @@ class RankSpec extends SparkSpec {
       assert(got === naive, s"parts=$parts")
     }
   }
+
+  test("plan shape: prefix-sum rows never funnel through one partition") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), lit(1L).as("v"))
+    val plan = Rank.globalCumSum(docs, 8, col("v"), "cum", col("doc_id"))
+      .queryExecution.executedPlan.toString
+    val bIdx = plan.indexOf("BroadcastExchange")
+    assert(bIdx >= 0, s"offsets must join back as a broadcast:\n$plan")
+    assert(!plan.substring(0, bIdx).contains("Exchange SinglePartition"),
+      s"row-bearing side must not funnel through one partition:\n$plan")
+  }
 }

@@ -116,4 +116,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions(0).total_value === 3.0)
     assert(sessions(1).n_events === 1)
   }
+
+  test("stream-static enrichment joins the dim per batch, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic"), (3L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val q = enrichedRevenue(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("er").outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Event(1, ts(5), 1, "purchase", 10.0),
+      Event(2, ts(10), 2, "purchase", 2.5),
+      Event(3, ts(15), 3, "purchase", 1.5),
+      Event(4, ts(20), 1, "view", 99.0), // non-purchase excluded
+      Event(5, ts(25), 42, "purchase", 7.0)) // no dim row: inner join drops
+    q.processAllAvailable()
+    mem.addData(Event(6, ts(600), 3, "purchase", 0.5)) // close the window
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("er")
+      .select("window_start", "tier", "n", "revenue").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000 - Base, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.contains((0L, "gold", 1L, 10.0)))
+    assert(got.contains((0L, "basic", 2L, 4.0)))
+  }
 }
