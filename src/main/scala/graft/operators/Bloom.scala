@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Q.detHash
+
+/** Distributed Bloom filter, fully declarative — no UDF, no UDAF, no
+  * driver-side bit array.
+  *
+  * The filter is a table of 64-bit blocks: build explodes each item into its
+  * `numHashes` bit positions (double hashing: pos_i = (h1 + i·h2) mod m —
+  * Kirsch & Mitzenmacher 2006 show two hashes suffice) and `bit_or`-reduces
+  * `1 << (pos mod 64)` per block index. Map-side partial aggregation means
+  * the shuffle carries at most m/64 rows per map task regardless of input
+  * size; the result is ≤ m/64 rows total (a few MB for m = 2²⁰ bits), which
+  * the probe side consumes as a BROADCAST join — probes never shuffle.
+  *
+  * Spark's own BloomFilterAggregate is not SQL-registered (runtime-filter
+  * internal), and df.stat.bloomFilter builds on the driver; this keeps both
+  * sides distributed and — because positions derive from the md5-based
+  * detHash — bit-for-bit reproducible in any engine with md5 and integer
+  * ops (the DuckDB oracle replays the whole filter).
+  *
+  * Sizing: standard FPR ≈ (1 − e^(−kn/m))^k; the dd10 defaults
+  * (m = 2²⁰, k = 4) give ~1e-3 at n = 50k items, and m scales linearly with
+  * n at constant FPR. h1 + i·h2 stays < 2⁶² for k ≤ 4 (detHash is 60-bit),
+  * so the position math never overflows int64.
+  */
+object Bloom {
+
+  val DefaultBits: Long = 1L << 20
+  val DefaultHashes: Int = 4
+
+  /** Bit positions of one item: (h1 + i·h2) mod m, i = 0..k−1. */
+  private def positions(item: Column, numBits: Long, numHashes: Int): Column = {
+    val h1 = detHash(item, 1)
+    val h2 = detHash(item, 2)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => (h1 + i.cast(LongType) * h2) % lit(numBits))
+  }
+
+  /** Build: the filter as (blk, bits) rows — block index and its OR-ed
+    * word. Blocks hold 63 bits, not 64: the portable layout — a shift of 63
+    * into a signed int64 is UB-adjacent (DuckDB raises on it), and one spare
+    * bit per block costs 1.6% space. Rows with items absent entirely (blocks never touched)
+    * are simply missing; probes treat missing blocks as all-zero. */
+  def build(items: DataFrame, itemCol: String,
+      numBits: Long = DefaultBits, numHashes: Int = DefaultHashes): DataFrame =
+    items
+      .select(explode(positions(col(itemCol), numBits, numHashes)).as("pos"))
+      .groupBy((col("pos") / 63).cast(LongType).as("blk"))
+      .agg(bit_or(call_function("shiftleft", lit(1L), (col("pos") % 63).cast(IntegerType))).as("bits"))
+
+  /** Probe via broadcast join: adds `in_bloom` (1/0) to each row of `items`
+    * — 1 iff every one of the item's k bits is set. The filter side is
+    * ≤ m/64 rows (broadcast); the per-item AND is a partial-aggregated
+    * groupBy, so the shuffle carries one row per item. Fully lazy — use
+    * when the filter must stay a DataFrame. No false negatives. */
+  def probe(items: DataFrame, itemCol: String, filter: DataFrame,
+      numBits: Long = DefaultBits, numHashes: Int = DefaultHashes): DataFrame = {
+    val probes = items
+      .withColumn("__pos", explode(positions(col(itemCol), numBits, numHashes)))
+      .withColumn("__blk", (col("__pos") / 63).cast(LongType))
+    val grouping = items.columns.map(col)
+    probes
+      .join(broadcast(filter.select(col("blk").as("__blk"), col("bits").as("__bits"))),
+        Seq("__blk"), "left_outer")
+      .withColumn("__hit",
+        when(col("__bits").isNotNull &&
+          (col("__bits").bitwiseAND(call_function("shiftleft", lit(1L), (col("__pos") % 63).cast(IntegerType))) =!= 0L),
+          lit(1)).otherwise(lit(0)))
+      .groupBy(grouping: _*)
+      .agg(min("__hit").as("in_bloom"))
+  }
+
+  /** Zero-shuffle probe: the filter inlined as a dense block-array literal
+    * (m/64 longs — 8 MB at m = 2²⁶, fine to ship in the plan like a
+    * broadcast var), membership as a pure `forall` projection over the k
+    * positions. No explode, no join, no Exchange — the scan pipeline keeps
+    * whole-stage codegen (same literal-index trick as the IVF centroid
+    * argmax in ss2). Materializes the filter once per call via collect —
+    * the same contract as broadcasting any bounded index. */
+  def probeLit(items: DataFrame, itemCol: String, filter: DataFrame,
+      numBits: Long = DefaultBits, numHashes: Int = DefaultHashes): DataFrame = {
+    val nBlocks = ((numBits + 62) / 63).toInt
+    val dense = new Array[Long](nBlocks)
+    filter.select("blk", "bits").collect()
+      .foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
+    val blocksLit = typedLit(dense.toSeq)
+    val hit = forall(positions(col(itemCol), numBits, numHashes),
+      p => (element_at(blocksLit, (p / 63).cast(IntegerType) + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 63).cast(IntegerType)))) =!= 0L)
+    items.withColumn("in_bloom", hit.cast(IntegerType))
+  }
+}

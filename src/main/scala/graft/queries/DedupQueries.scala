@@ -273,8 +273,67 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Bloom geometry for dd10 — 2²⁰ bits / 4 hashes ≈ 1e-3 FPR at 50k train
+    * shingles; m grows linearly with the train set at constant FPR. */
+  private val BloomBits = 1L << 20
+  private val BloomK = 4
+
+  /** dd10_bloom_contamination — dd7's leak screen at the scale where the
+    * train shingle set no longer fits a semi-join's hash side comfortably:
+    * the train shingles compress into a [[graft.operators.Bloom]] (m/64
+    * long blocks, built with map-side bit_or combine), and each test
+    * shingle is screened by the zero-shuffle literal-block probe — a pure
+    * projection, no join, no Exchange until the per-doc count. Superset
+    * guarantee: n_bloom_hits ≥ dd7's exact n_contam per doc (no false
+    * negatives; BloomSpec pins it). The oracle replays the identical filter
+    * bit-for-bit from md5 integer math. */
+  def dd10BloomContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val train = docs.filter(detHash(col("doc_id"), 41) % 10 < 8)
+    val test = docs.filter(detHash(col("doc_id"), 41) % 10 >= 8)
+    val trainSh = Dedup.shingles(train, "doc_id", "text", n = 5).select("sh").distinct()
+    val filter = graft.operators.Bloom.build(trainSh, "sh", BloomBits, BloomK)
+    val testSh = Dedup.shingles(test, "doc_id", "text", n = 5)
+    graft.operators.Bloom.probeLit(testSh, "sh", filter, BloomBits, BloomK)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), sum("in_bloom").cast(LongType).as("n_bloom_hits"))
+      .orderBy("doc_id")
+  }
+
+  val dd10BloomContaminationSql: String = {
+    def sh5(src: String): String =
+      s"""SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) - 3),
+         |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4])) AS sh
+         |  FROM $src WHERE len(string_split(text,' ')) >= 5""".stripMargin
+    val m = BloomBits
+    s"""WITH train AS (SELECT * FROM documents WHERE ${detHashSql("doc_id", 41)} % 10 < 8),
+       |test AS (SELECT * FROM documents WHERE ${detHashSql("doc_id", 41)} % 10 >= 8),
+       |train_sh AS (SELECT DISTINCT sh FROM (${sh5("train")}) t),
+       |test_sh AS (${sh5("test")}),
+       |train_pos AS (
+       |  SELECT ((${detHashSql("sh", 1)} + i * ${detHashSql("sh", 2)}) % $m) AS pos
+       |  FROM (SELECT sh, unnest(range($BloomK)) AS i FROM train_sh) t),
+       |blocks AS (
+       |  SELECT pos // 63 AS blk,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+       |  FROM train_pos GROUP BY 1),
+       |test_pos AS (
+       |  SELECT doc_id, sh, ((${detHashSql("sh", 1)} + i * ${detHashSql("sh", 2)}) % $m) AS pos
+       |  FROM (SELECT doc_id, sh, unnest(range($BloomK)) AS i FROM test_sh) t),
+       |hits AS (
+       |  SELECT p.doc_id, p.sh,
+       |    MIN(CASE WHEN b.bits IS NOT NULL
+       |      AND (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INTEGER))) <> 0
+       |      THEN 1 ELSE 0 END) AS in_bloom
+       |  FROM test_pos p LEFT JOIN blocks b ON p.pos // 63 = b.blk
+       |  GROUP BY p.doc_id, p.sh)
+       |SELECT doc_id, COUNT(*) AS n_sh, CAST(SUM(in_bloom) AS BIGINT) AS n_bloom_hits
+       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "dd7_contamination" -> (dd7Contamination _),
+    "dd10_bloom_contamination" -> (dd10BloomContamination _),
     "dd1_exact_dedup" -> (dd1ExactDedup _),
     "dd2_minhash_sigs" -> (dd2MinhashSigs _),
     "dd3_lsh_pairs" -> (dd3LshPairs _),
@@ -285,6 +344,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dd7_contamination" -> dd7ContaminationSql,
+    "dd10_bloom_contamination" -> dd10BloomContaminationSql,
     "dd1_exact_dedup" -> dd1ExactDedupSql,
     "dd2_minhash_sigs" -> dd2MinhashSigsSql,
     "dd3_lsh_pairs" -> dd3LshPairsSql,
