@@ -16,7 +16,11 @@ object PlanAudit {
         "ss1_bruteforce_topk", "ta1_langid", "p1_candidate_filter", "ev1_sessionize",
         // round-2 scale fixes: projection-based IVF assign, cell-blocked
         // near-dup, capped vocab rank, two-phase global rank
-        "ss2_ivf_topk", "dd6_embed_neardup", "j5_vocab_lookup", "sm4_batch_shuffle")
+        "ss2_ivf_topk", "dd6_embed_neardup", "j5_vocab_lookup", "sm4_batch_shuffle",
+        // round-3 curation surface: zero-shuffle Bloom probe, two-phase
+        // prefix-sum packing, one-Exchange redaction/as-of plans
+        "dd10_bloom_contamination", "pk1_sequence_pack", "ta8_pii_redact",
+        "ev8_asof_join", "set2_upsert")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -281,8 +281,47 @@ object CurationQueries {
       |FROM documents o FULL OUTER JOIN delta n ON o.doc_id = n.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** 2⁶⁰ as an exact double — detHash's range, for mapping hashes onto
+    * (0, 1]. */
+  private val TwoPow60 = 1.152921504606846976e18
+
+  /** sm6_weighted_sample — weighted sampling without replacement, 5 docs per
+    * language, weight = document length (Efraimidis–Spirakis 2006: take the
+    * top-k by u^(1/w); we rank by the monotone-equivalent ln(u)/w so the key
+    * stays in safe double range, e9-rounded per the float rule). One
+    * projection + one bounded per-group window — the window partitions by
+    * group, so no global sort; at corpus scale the per-group top-k is the
+    * same partial-top-k shape as t2. Deterministic: u derives from detHash,
+    * so the "random" sample is reproducible and the oracle replays it. */
+  def sm6WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (detHash(col("doc_id"), 61) + 1).cast(DoubleType) / lit(TwoPow60)
+    val keyE9 = round(lit(1e9) * log(u) /
+      greatest(col("n_chars"), lit(1)).cast(DoubleType)).cast(LongType)
+    val w = Window.partitionBy("lang").orderBy(desc("key_e9"), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("key_e9", keyE9)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("lang", "rk", "doc_id", "n_chars", "key_e9")
+      .orderBy("lang", "rk")
+  }
+
+  val sm6WeightedSampleSql: String =
+    s"""WITH keyed AS (
+       |  SELECT lang, doc_id, n_chars,
+       |    CAST(ROUND(1e9 * ln((${detHashSql("doc_id", 61)} + 1) / 1152921504606846976.0)
+       |      / GREATEST(n_chars, 1)) AS BIGINT) AS key_e9
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, doc_id, n_chars, key_e9,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key_e9 DESC, doc_id) AS rk
+       |  FROM keyed)
+       |SELECT lang, rk, doc_id, n_chars, key_e9 FROM r WHERE rk <= 5
+       |ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "ta7_repetition" -> (ta7Repetition _),
+    "sm6_weighted_sample" -> (sm6WeightedSample _),
     "ta8_pii_redact" -> (ta8PiiRedact _),
     "ta9_unigram_ppl" -> (ta9UnigramPpl _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
@@ -292,6 +331,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "ta7_repetition" -> ta7RepetitionSql,
+    "sm6_weighted_sample" -> sm6WeightedSampleSql,
     "ta8_pii_redact" -> ta8PiiRedactSql,
     "ta9_unigram_ppl" -> ta9UnigramPplSql,
     "pk1_sequence_pack" -> pk1SequencePackSql,

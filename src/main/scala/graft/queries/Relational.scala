@@ -214,6 +214,22 @@ object Relational {
       |  CAST(ROUND(1e6 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75)) AS BIGINT) AS p75_e6
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** t7_approx_quantiles — the sketch twin of t6: `approx_percentile`
+    * (Greenwald–Khanna/t-digest family) at accuracy 10000 — mergeable
+    * per-partition sketches, the shape that replaces t6's exact sort-based
+    * percentile at 100 TB. Sketches aren't portable across engines →
+    * rows-only driver check; RelationalSpec bounds the drift vs t6's exact
+    * quartiles. */
+  def t7ApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(cast(l_extendedprice as double), array(0.25, 0.5, 0.75), 10000)").as("q"))
+      .select(col("l_returnflag"),
+        expr("cast(round(1e6 * q[0]) as bigint)").as("p25_e6"),
+        expr("cast(round(1e6 * q[1]) as bigint)").as("p50_e6"),
+        expr("cast(round(1e6 * q[2]) as bigint)").as("p75_e6"))
+      .orderBy("l_returnflag")
+
   /** dq1_profile — the data-quality profiling staple (generalized pipeline
     * hygiene: the screen a 100 TB ingest runs before anything else): row
     * count, per-column null counts, distinct cardinalities, value ranges —
@@ -319,6 +335,7 @@ object Relational {
     "t2_topk" -> (t2Topk _),
     "t5_offset_scan" -> (t5OffsetScan _),
     "t6_quantiles" -> (t6Quantiles _),
+    "t7_approx_quantiles" -> (t7ApproxQuantiles _),
     "dq1_profile" -> (dq1Profile _),
     "w1_grouped_topk" -> (w1GroupedTopk _),
     "set1_pool_update" -> (set1PoolUpdate _))

@@ -80,6 +80,25 @@ class CurationQueriesSpec extends SparkSpec {
     assert(enK < enN, "dominant group must be downsampled")
   }
 
+  test("sm6: per-group sample is exactly min(5, group size), keys descending, repartition-stable") {
+    val df = CurationQueries.sm6WeightedSample(spark, dir)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(4)))
+    val sizes = graft.Tables(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.length === math.min(5L, sizes(lang)).toInt, lang)
+      val keys = rs.sortBy(_._2).map(_._4)
+      assert(keys.zip(keys.tail).forall { case (a, b) => a >= b }, s"$lang keys not descending")
+      assert(keys.forall(_ <= 0L), "ln(u)/w keys must be non-positive")
+    }
+    // determinism: same rows regardless of physical layout
+    val again = CurationQueries.sm6WeightedSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(4)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("set2: statuses partition the merged catalog deterministically") {
     val byStatus = CurationQueries.set2Upsert(spark, dir)
       .groupBy("status").agg(count(lit(1)).as("n"))

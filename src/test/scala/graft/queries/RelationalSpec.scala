@@ -21,6 +21,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx quantile sketch tracks the exact quartiles within 1%") {
+    def byFlag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = byFlag(Relational.t6Quantiles(spark, dir))
+    val approx = byFlag(Relational.t7ApproxQuantiles(spark, dir))
+    assert(exact.keySet === approx.keySet)
+    for (k <- exact.keySet; (e, a) <- exact(k).zip(approx(k))) {
+      assert(math.abs(a - e).toDouble / e <= 0.01, s"$k: approx=$a exact=$e")
+    }
+  }
+
   test("rollup emits subtotal and grand-total rows") {
     val rows = Relational.r1Rollup(spark, dir).collect()
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
