@@ -59,7 +59,25 @@ object MicroBench {
     val (tNative, nNative) = time {
       pairSum((x, y) => call_function("vec_dot", x, y))
     }
-    println(s"""{"fm_expr_sec":$tExpr,"fm_udf_sec":$tUdf,"fm_regex_sec":$tRegex,"matches":[$nExpr,$nUdf,$nRegex],"dot_hof_sec":$tHof,"dot_native_sec":$tNative,"dot_sums":[$nHof,$nNative],"sf":"$sfDir"}""")
+    // Bloom contamination screen vs the exact shingle semi-join (the dd7 vs
+    // dd10 trade): flagged-shingle totals differ only by false positives
+    import graft.queries.Q.{detHash, detHashSql}
+    val docsAll = Tables(spark, sfDir, "documents")
+    val train = docsAll.filter(detHash(col("doc_id"), 41) % 10 < 8)
+    val test = docsAll.filter(detHash(col("doc_id"), 41) % 10 >= 8)
+    val trainSh = graft.operators.Dedup.shingles(train, "doc_id", "text", n = 5)
+      .select("sh").distinct().localCheckpoint()
+    val testSh = graft.operators.Dedup.shingles(test, "doc_id", "text", n = 5)
+      .localCheckpoint()
+    val (tSemi, nSemi) = time {
+      testSh.join(trainSh, Seq("sh"), "left_semi").count()
+    }
+    val bloomFilter = graft.operators.Bloom.build(trainSh, "sh").localCheckpoint()
+    val (tBloom, nBloom) = time {
+      graft.operators.Bloom.probeLit(testSh, "sh", bloomFilter)
+        .filter(col("in_bloom") === 1).count()
+    }
+    println(s"""{"fm_expr_sec":$tExpr,"fm_udf_sec":$tUdf,"fm_regex_sec":$tRegex,"matches":[$nExpr,$nUdf,$nRegex],"dot_hof_sec":$tHof,"dot_native_sec":$tNative,"dot_sums":[$nHof,$nNative],"semi_sec":$tSemi,"bloom_sec":$tBloom,"flagged":[$nSemi,$nBloom],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

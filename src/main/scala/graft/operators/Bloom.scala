@@ -23,14 +23,14 @@ import graft.queries.Q.detHash
   * detHash — bit-for-bit reproducible in any engine with md5 and integer
   * ops (the DuckDB oracle replays the whole filter).
   *
-  * Sizing: standard FPR ≈ (1 − e^(−kn/m))^k; the dd10 defaults
-  * (m = 2²⁰, k = 4) give ~1e-3 at n = 50k items, and m scales linearly with
-  * n at constant FPR. h1 + i·h2 stays < 2⁶² for k ≤ 4 (detHash is 60-bit),
-  * so the position math never overflows int64.
+  * Sizing: standard FPR ≈ (1 − e^(−kn/m))^k; the defaults (m = 2²², k = 4)
+  * give ~2e-4 at n = 150k items, and m scales linearly with n at constant
+  * FPR. h1 + i·h2 stays < 2⁶² for k ≤ 4 (detHash is 60-bit), so the
+  * position math never overflows int64.
   */
 object Bloom {
 
-  val DefaultBits: Long = 1L << 20
+  val DefaultBits: Long = 1L << 22
   val DefaultHashes: Int = 4
 
   /** Bit positions of one item: (h1 + i·h2) mod m, i = 0..k−1. */

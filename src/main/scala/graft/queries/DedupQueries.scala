@@ -273,9 +273,10 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Bloom geometry for dd10 — 2²⁰ bits / 4 hashes ≈ 1e-3 FPR at 50k train
-    * shingles; m grows linearly with the train set at constant FPR. */
-  private val BloomBits = 1L << 20
+  /** Bloom geometry for dd10 — 2²² bits / 4 hashes ≈ 2e-4 FPR at the sf0.1
+    * train set (~150k shingles); m grows linearly with the train set at
+    * constant FPR (the blocks stay a ~0.5 MB plan literal at this m). */
+  private val BloomBits = 1L << 22
   private val BloomK = 4
 
   /** dd10_bloom_contamination — dd7's leak screen at the scale where the
