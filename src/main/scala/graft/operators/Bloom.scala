@@ -83,15 +83,39 @@ object Bloom {
     * argmax in ss2). Materializes the filter once per call via collect —
     * the same contract as broadcasting any bounded index. */
   def probeLit(items: DataFrame, itemCol: String, filter: DataFrame,
-      numBits: Long = DefaultBits, numHashes: Int = DefaultHashes): DataFrame = {
+      numBits: Long = DefaultBits, numHashes: Int = DefaultHashes): DataFrame =
+    items.withColumn("in_bloom",
+      memberLit(col(itemCol), filter, numBits, numHashes).cast(IntegerType))
+
+  /** The literal-probe membership PREDICATE — a pure Column, so it composes
+    * into any projection, including Structured Streaming plans (stateless:
+    * no watermark, no state store). Collects the filter blocks once per
+    * call. */
+  def memberLit(item: Column, filter: DataFrame,
+      numBits: Long = DefaultBits, numHashes: Int = DefaultHashes): Column = {
+    val blocksLit = denseBlocksLit(filter, numBits)
+    hitAgainst(blocksLit, item, numBits, numHashes)
+  }
+
+  /** Any-element variant over an array<string> column — one doc row probes
+    * its whole n-gram set without exploding. */
+  def anyMemberLit(itemsArr: Column, filter: DataFrame,
+      numBits: Long = DefaultBits, numHashes: Int = DefaultHashes): Column = {
+    val blocksLit = denseBlocksLit(filter, numBits)
+    exists(itemsArr, item => hitAgainst(blocksLit, item, numBits, numHashes))
+  }
+
+  private def denseBlocksLit(filter: DataFrame, numBits: Long): Column = {
     val nBlocks = ((numBits + 62) / 63).toInt
     val dense = new Array[Long](nBlocks)
     filter.select("blk", "bits").collect()
       .foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
-    val blocksLit = typedLit(dense.toSeq)
-    val hit = forall(positions(col(itemCol), numBits, numHashes),
+    typedLit(dense.toSeq)
+  }
+
+  private def hitAgainst(blocksLit: Column, item: Column,
+      numBits: Long, numHashes: Int): Column =
+    forall(positions(item, numBits, numHashes),
       p => (element_at(blocksLit, (p / 63).cast(IntegerType) + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L), (p % 63).cast(IntegerType)))) =!= 0L)
-    items.withColumn("in_bloom", hit.cast(IntegerType))
-  }
 }

@@ -93,6 +93,16 @@ object Sources {
   def writeJsonReport(df: DataFrame, out: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(out)
 
+  /** ORC round-trip (generalized source breadth — the other splittable
+    * columnar format a lake migration meets; zlib is ORC's default codec).
+    * Same pruning/pushdown behavior as parquet through the same DSv2 scan
+    * machinery. */
+  def writeOrc(df: DataFrame, out: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(out)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Gazetteer scan — `{"dataset_names": ["...", ...]}` (the reference's
     * `db/data_set_labels.json`, 2,948 names) → candidate list for FastMatch.
     * Collected to the driver BY CONTRACT: the gazetteer is broadcast-sized

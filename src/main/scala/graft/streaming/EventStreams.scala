@@ -132,6 +132,30 @@ object EventStreams {
           .cast("double").as("revenue"))
       .select(col("window.start").as("window_start"), col(attr), col("n"), col("revenue"))
 
+  /** Streaming contamination gate — flag arriving documents whose word
+    * n-grams hit a Bloom filter of banned/reference n-grams (eval-set
+    * contamination, blocklists). The probe is a PURE PROJECTION
+    * ([[graft.operators.Bloom.anyMemberLit]] — the filter rides in the plan
+    * as a block literal), so the stream needs no watermark, no state store,
+    * and no shuffle: the gate runs at scan speed on every micro-batch.
+    * Bloom false positives (rate set by m,k) can only over-flag — route
+    * flagged docs to quarantine for the exact re-check, never silent-drop. */
+  def bloomGate(docs: DataFrame, filter: DataFrame, textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(j => s"element_at(__tok, i + $j)").mkString(", ")
+    docs
+      .withColumn("__tok", split(col(textCol), " "))
+      // the short branch matters: sequence(1, size-k) DESCENDS when size < k
+      // and ANSI element_at would then fault — CaseWhen evaluates lazily
+      .withColumn("__grams",
+        when(size(col("__tok")) >= n,
+          expr(s"transform(sequence(1, size(__tok) - ${n - 1}), i -> concat_ws(' ', $parts))"))
+          .otherwise(expr("array()").cast("array<string>")))
+      .withColumn("flagged",
+        graft.operators.Bloom.anyMemberLit(col("__grams"), filter).cast("int"))
+      .drop("__tok", "__grams")
+  }
+
   /** Incremental file-source ingestion of a parquet landing directory,
     * processed with AvailableNow (drain-then-stop — the idempotent batch
     * refresh pattern; checkpoint carries the manifest). */

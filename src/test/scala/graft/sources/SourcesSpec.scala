@@ -93,4 +93,19 @@ class SourcesSpec extends SparkSpec {
       Seq("O", "O", "U-DATASET_NAME", "O"))
     assert(!rows(1).getAs[Boolean]("has_entity"))
   }
+
+  test("ORC round-trip preserves values and pushes filters into the scan") {
+    val dir = tmp() + "/docs_orc"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    Sources.writeOrc(docs, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.count() === docs.count())
+    val a = docs.select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = back.select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    val plan = back.filter(col("n_chars") > 200).select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,200)]"),
+      s"ORC scan must push the predicate:\n$plan")
+  }
 }

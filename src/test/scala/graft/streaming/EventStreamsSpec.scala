@@ -141,4 +141,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.contains((0L, "gold", 1L, 10.0)))
     assert(got.contains((0L, "basic", 2L, 4.0)))
   }
+
+  test("streaming bloom gate flags banned n-grams at scan speed, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val banned = graft.operators.Bloom.build(
+      Seq("the secret eval", "held out answer").toDF("sh"), "sh")
+    val mem = MemoryStream[(Long, String)]
+    val q = bloomGate(mem.toDF().toDF("doc_id", "text"), banned)
+      .writeStream.format("memory").queryName("bg").outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, "this text leaks the secret eval verbatim"),
+      (2L, "a perfectly clean document with no leaks"),
+      (3L, "short"), // fewer tokens than the shingle width: must not fault
+      (4L, "another held out answer slipped in here"))
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.table("bg").select("doc_id", "flagged").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(flags === Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 1))
+  }
 }
