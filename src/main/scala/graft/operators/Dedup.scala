@@ -93,6 +93,41 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** Incremental LSH candidates for a DELTA against an existing corpus —
+    * the daily-crawl shape: dedup new documents against what's already
+    * indexed WITHOUT re-pairing the corpus. Returns pairs where at least
+    * one side is new: delta×corpus (band keys of the delta equi-join the
+    * stored band index — the corpus side streams, the delta side is
+    * typically broadcast-sized) plus delta×delta. Work is O(|delta| ·
+    * collisions), independent of corpus size; a full re-pair would be
+    * O(|corpus| · collisions) per refresh. Ids in both inputs must be
+    * globally unique; `corpusSigs` is the persisted signature store
+    * (dd2's checkpoint). */
+  def incrementalCandidatePairs(corpusSigs: DataFrame, deltaSigs: DataFrame,
+      idCol: String): DataFrame = {
+    val corpusBands = bandedSignatures(corpusSigs, idCol)
+    val deltaBands = bandedSignatures(deltaSigs, idCol)
+    val cross = deltaBands.select(col(idCol).as("id_a"), col("band"), col("key"))
+      .join(corpusBands.select(col(idCol).as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      // normalize to id_a < id_b so cross pairs merge cleanly with
+      // within-delta pairs and repeated refreshes stay canonical
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val within = bandedPairsOf(deltaBands)
+    cross.union(within.select("id_a", "id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  private def bandedPairsOf(b: DataFrame): DataFrame = {
+    val idCol = b.columns.head
+    val a = b.select(col(idCol).as("id_a"), col("band"), col("key"))
+    val c = b.select(col(idCol).as("id_b"), col("band"), col("key"))
+    a.join(c, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+  }
+
   /** Exact Jaccard over candidate pairs only; keeps pairs ≥ threshold. */
   def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val idCol = sh.columns.head

@@ -105,6 +105,23 @@ class DedupSpec extends SparkSpec {
       s"LSH recall on J≥0.8 pairs: $found/${high.size}")
   }
 
+  test("incremental LSH pairs == full re-pair restricted to delta-touching pairs") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = pairSet(Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id"))
+    val deltaIds = delta.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = full.filter(p => deltaIds(p._1) || deltaIds(p._2))
+    val got = pairSet(Dedup.incrementalCandidatePairs(
+      Dedup.minhashSignatures(corpus, "doc_id", "text"),
+      Dedup.minhashSignatures(delta, "doc_id", "text"), "doc_id"))
+    assert(got === expected)
+    assert(got.nonEmpty, "testdata should produce at least one delta-touching pair")
+  }
+
   test("connectedComponents on empty pairs returns empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
