@@ -106,6 +106,30 @@ object DedupQueries {
        |FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** dd11_incremental_pairs — the daily-crawl refresh face of
+    * [[Dedup.incrementalCandidatePairs]]: every 4th doc arrives as the new
+    * delta, the rest is the already-indexed corpus with a persisted
+    * signature store (the cachedSigs checkpoint, filtered — refreshes reuse
+    * it, they never re-shingle the corpus). Work scales with the delta, not
+    * the corpus; DedupSpec separately proves equality with a full re-pair
+    * restricted to delta-touching pairs. */
+  def dd11IncrementalPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = cachedSigs(s, dir)
+    val corpusSigs = sigs.filter(col("doc_id") % 4 =!= 0)
+    val deltaSigs = sigs.filter(col("doc_id") % 4 === 0)
+    Dedup.incrementalCandidatePairs(corpusSigs, deltaSigs, "doc_id")
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dd11IncrementalPairsSql: String =
+    s"""WITH sig AS ($minhashSigsDuck),
+       |band AS ($bandedSigsDuck)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+       |FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE a.doc_id % 4 = 0 OR b.doc_id % 4 = 0
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+
   /** The Jaccard-verified pair set, materialized per (session, dir):
     * dd4 is its sorted face; dd8's closure consumes it unsorted (no
     * reliance on EliminateSorts to drop a useless total sort). */
@@ -335,6 +359,7 @@ object DedupQueries {
   val queries: Map[String, QueryFn] = Map(
     "dd7_contamination" -> (dd7Contamination _),
     "dd10_bloom_contamination" -> (dd10BloomContamination _),
+    "dd11_incremental_pairs" -> (dd11IncrementalPairs _),
     "dd1_exact_dedup" -> (dd1ExactDedup _),
     "dd2_minhash_sigs" -> (dd2MinhashSigs _),
     "dd3_lsh_pairs" -> (dd3LshPairs _),
@@ -346,6 +371,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dd7_contamination" -> dd7ContaminationSql,
     "dd10_bloom_contamination" -> dd10BloomContaminationSql,
+    "dd11_incremental_pairs" -> dd11IncrementalPairsSql,
     "dd1_exact_dedup" -> dd1ExactDedupSql,
     "dd2_minhash_sigs" -> dd2MinhashSigsSql,
     "dd3_lsh_pairs" -> dd3LshPairsSql,
