@@ -36,4 +36,18 @@ object Layout {
     * the assertion that bucketing actually co-located a join. */
   def hasNoShuffle(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** Range-clustered write: repartitionByRange + sortWithinPartitions give
+    * every output file a TIGHT, pairwise-disjoint min/max envelope on the
+    * cluster column, so range predicates skip whole files/row-groups via
+    * parquet statistics — single-dimension clustering, the complement of
+    * [[writePartitioned]] for high-cardinality numeric columns where
+    * directory-per-value would explode. `files` is a data-size knob
+    * (~128 MB each at scale). LayoutSpec asserts the disjoint-envelope
+    * property that makes the skipping real. */
+  def writeRangeClustered(df: DataFrame, path: String, clusterCol: String,
+      files: Int): Unit =
+    df.repartitionByRange(files, org.apache.spark.sql.functions.col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

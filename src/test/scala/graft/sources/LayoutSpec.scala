@@ -38,4 +38,22 @@ class LayoutSpec extends SparkSpec {
       s"expected partition pruning, got:\n$physical")
     assert(scan.count() === docs.filter(col("lang") === "de").count())
   }
+
+  test("range-clustered files have pairwise-disjoint min/max envelopes") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft_range").toString + "/docs"
+    Layout.writeRangeClustered(docs, out, "n_chars", files = 4)
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(perFile.length === 4)
+    assert(perFile.map(_._3).sum === docs.count())
+    perFile.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) =>
+        assert(hi1 <= lo2, s"file envelopes overlap: hi=$hi1 > lo=$lo2")
+      case _ =>
+    }
+  }
 }
