@@ -49,9 +49,17 @@ object Dedup {
     * plain equi-join on the shingle — at scale, a bloom-filter pre-pass or
     * bucketing on `sh` drops the shuffle further. */
   def contamination(train: DataFrame, test: DataFrame, idCol: String,
-      textCol: String, n: Int = 5): DataFrame = {
-    val trainSh = shingles(train, idCol, textCol, n).select("sh").distinct()
-    val testSh = shingles(test, idCol, textCol, n)
+      textCol: String, n: Int = 5): DataFrame =
+    contaminationFromShingles(
+      shingles(train, idCol, textCol, n),
+      shingles(test, idCol, textCol, n), idCol)
+
+  /** [[contamination]] over pre-computed shingle tables — callers holding a
+    * persisted/checkpointed shingle store (the dd7/dd10 shared cache) skip
+    * re-exploding the corpus per screen. */
+  def contaminationFromShingles(trainShIn: DataFrame, testSh: DataFrame,
+      idCol: String): DataFrame = {
+    val trainSh = trainShIn.select("sh").distinct()
     val perDoc = testSh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val contam = testSh.join(trainSh, Seq("sh"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_contam"))
