@@ -34,6 +34,13 @@ object CurationQueries {
   private val bigramExpr =
     "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
 
+  /** ta7's keep thresholds — set near the synthetic corpus's p90 so the
+    * gate demonstrably fires (the production values are corpus-tuned knobs;
+    * Gopher's are far looser because real web text is far more repetitive
+    * than this synthetic corpus). */
+  private val KeepTopE6 = 60000L
+  private val KeepDupE6 = 120000L
+
   /** ta7_repetition — per-document repetition fractions over token 2-grams:
     * the modal-bigram share and the share of bigram instances whose bigram
     * occurs more than once. Heavy repetition (boilerplate, keyword stuffing,
@@ -54,12 +61,12 @@ object CurationQueries {
         round(lit(1e6) * col("top_cnt") / col("n_bigrams")).cast(LongType).as("top_frac_e6"),
         round(lit(1e6) * col("dup_cnt") / col("n_bigrams")).cast(LongType).as("dup_frac_e6"))
       .withColumn("keep",
-        (col("top_frac_e6") < 180000 && col("dup_frac_e6") < 600000).cast(IntegerType))
+        (col("top_frac_e6") < KeepTopE6 && col("dup_frac_e6") < KeepDupE6).cast(IntegerType))
       .orderBy("doc_id")
   }
 
   val ta7RepetitionSql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       |  WHERE len(string_split(text, ' ')) >= 2),
       |g AS (
@@ -74,9 +81,10 @@ object CurationQueries {
       |SELECT doc_id, n_bigrams,
       |  CAST(ROUND(1e6 * top_cnt / n_bigrams) AS BIGINT) AS top_frac_e6,
       |  CAST(ROUND(1e6 * dup_cnt / n_bigrams) AS BIGINT) AS dup_frac_e6,
-      |  CASE WHEN ROUND(1e6 * top_cnt / n_bigrams) < 180000
-      |        AND ROUND(1e6 * dup_cnt / n_bigrams) < 600000 THEN 1 ELSE 0 END AS keep
-      |FROM a ORDER BY doc_id""".stripMargin
+      |  CASE WHEN ROUND(1e6 * top_cnt / n_bigrams) < KEEPTOP
+      |        AND ROUND(1e6 * dup_cnt / n_bigrams) < KEEPDUP THEN 1 ELSE 0 END AS keep
+      |FROM a ORDER BY doc_id"""
+      .stripMargin.replace("KEEPTOP", KeepTopE6.toString).replace("KEEPDUP", KeepDupE6.toString)
 
   private val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhoneRe = "\\+1-555-0[0-9]{3}"
@@ -319,7 +327,61 @@ object CurationQueries {
        |SELECT lang, rk, doc_id, n_chars, key_e9 FROM r WHERE rk <= 5
        |ORDER BY lang, rk""".stripMargin
 
+  /** e2e1_curation_pipeline — the operators composed the way a real corpus
+    * refresh runs them: repetition-quality gate (ta7's keep predicate,
+    * thresholds set so it FIRES on this corpus) → exact dedup over the
+    * survivors plus a deterministic re-crawl injection (the dedup stage
+    * must visibly drop the copies — the raw corpus has no duplicate texts
+    * by construction) → sequence packing of the canonical rows. One lazy
+    * plan end-to-end — Catalyst sees the whole chain, so column pruning and
+    * filter placement cross stage boundaries; no intermediate
+    * materialization. The oracle replays all three stages as chained
+    * CTEs. */
+  def e2e1CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val kept = ta7Repetition(s, dir).filter(col("keep") === 1).select("doc_id")
+    val base = t(s, dir, "documents").join(kept, Seq("doc_id"))
+      .select("doc_id", "text")
+    // deterministic re-crawl: every 5th≡2 survivor arrives again under a new
+    // id — the dedup stage must keep the original and drop the copy
+    val recrawl = base.filter(col("doc_id") % 5 === 2)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val canonical = graft.operators.Dedup.exact(base.union(recrawl), "doc_id", "text")
+      .filter(col("is_canonical"))
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+        detHash(col("doc_id"), 71).as("h"))
+    Rank.globalCumSum(canonical, 32, col("n_tokens"), "start_tok", col("h"), col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div $SeqBudget").as("seq_first"))
+      .orderBy("doc_id")
+  }
+
+  val e2e1CurationPipelineSql: String =
+    s"""WITH kept AS (SELECT doc_id FROM ($ta7RepetitionSql) q WHERE keep = 1),
+       |base AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),
+       |merged AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, text FROM base WHERE doc_id % 5 = 2),
+       |canon AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+       |    FROM merged) t
+       |  WHERE rn = 1),
+       |keyed AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${detHashSql("doc_id", 71)} AS h
+       |  FROM canon),
+       |packed AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       |  FROM keyed)
+       |SELECT doc_id, n_tokens, start_tok, start_tok // $SeqBudget AS seq_first
+       |FROM packed ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "e2e1_curation_pipeline" -> (e2e1CurationPipeline _),
     "ta7_repetition" -> (ta7Repetition _),
     "sm6_weighted_sample" -> (sm6WeightedSample _),
     "ta8_pii_redact" -> (ta8PiiRedact _),
@@ -330,6 +392,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e2e1_curation_pipeline" -> e2e1CurationPipelineSql,
     "ta7_repetition" -> ta7RepetitionSql,
     "sm6_weighted_sample" -> sm6WeightedSampleSql,
     "ta8_pii_redact" -> ta8PiiRedactSql,

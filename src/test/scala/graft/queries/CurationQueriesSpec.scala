@@ -112,6 +112,22 @@ class CurationQueriesSpec extends SparkSpec {
     assert(byStatus("kept") === nDocs - nUpd)
   }
 
+  test("e2e1: the gate fires, re-crawl copies are dropped, packing stays exact") {
+    val rows = CurationQueries.e2e1CurationPipeline(spark, dir)
+      .select("doc_id", "n_tokens", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = graft.Tables(spark, dir, "documents").count()
+    assert(rows.length < total, "the repetition gate must reject some docs")
+    assert(rows.length > 0)
+    assert(!rows.exists(_._1 >= 2000000L), "injected re-crawl copies must dedup away")
+    val byStart = rows.sortBy(_._3)
+    assert(byStart.head._3 === 0L)
+    byStart.sliding(2).foreach {
+      case Array((_, n0, s0), (_, _, s1)) => assert(s1 === s0 + n0)
+      case _ =>
+    }
+  }
+
   test("ev8: the as-of view is strictly earlier than its purchase") {
     val bad = EventQueries.ev8AsofJoin(spark, dir)
       .filter(col("last_view_us").isNotNull &&
