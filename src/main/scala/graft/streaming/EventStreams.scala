@@ -156,6 +156,16 @@ object EventStreams {
       .drop("__tok", "__grams")
   }
 
+  /** Streaming curation — the streaming face of e2e1_curation_pipeline for
+    * a continuously-arriving corpus: contamination gate (stateless bloom
+    * projection) → drop flagged docs → watermarked exact dedup (bounded
+    * state, evicted at the horizon). Composes [[bloomGate]] and
+    * [[dedupStream]]; the only stateful stage is the dedup, whose state is
+    * one (hash, expiry) per distinct clean doc inside the horizon. */
+  def curationStream(docs: DataFrame, bannedFilter: DataFrame,
+      horizon: String = "2 hours"): DataFrame =
+    dedupStream(bloomGate(docs, bannedFilter).filter(col("flagged") === 0), horizon)
+
   /** Incremental file-source ingestion of a parquet landing directory,
     * processed with AvailableNow (drain-then-stop — the idempotent batch
     * refresh pattern; checkpoint carries the manifest). */

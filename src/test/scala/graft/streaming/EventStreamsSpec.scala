@@ -142,6 +142,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.contains((0L, "basic", 2L, 4.0)))
   }
 
+  test("streaming curation drops contaminated docs then dedups re-deliveries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val banned = graft.operators.Bloom.build(
+      Seq("the secret eval").toDF("sh"), "sh")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = curationStream(mem.toDF().toDF("doc_id", "ts", "text"), banned)
+      .writeStream.format("memory").queryName("cs").outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, ts(1), "a clean document body here"),
+      (2L, ts(2), "leaks the secret eval verbatim"), // gated out
+      (3L, ts(3), "a clean document body here"), // duplicate of 1: dedup'd
+      (4L, ts(4), "another clean and distinct body"))
+    q.processAllAvailable()
+    q.stop()
+    val survivors = spark.table("cs").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 4L))
+  }
+
   test("streaming bloom gate flags banned n-grams at scan speed, stateless") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
