@@ -39,6 +39,24 @@ object Sources {
     if (maxLines < Long.MaxValue) windowed.limit(maxLines.toInt) else windowed
   }
 
+  /** JSONL scan with corrupt-record capture — the ingest-robustness
+    * contract a web-scale crawl needs: malformed lines land in
+    * `_corrupt_record` instead of failing the job (PERMISSIVE) or being
+    * silently dropped (DROPMALFORMED). Callers split the result on
+    * `_corrupt_record IS NULL` and route the rest to quarantine with full
+    * line fidelity. The explicit schema matters twice at scale: it skips
+    * the inference pass over 100 TB, and it is what makes PERMISSIVE
+    * parsing well-defined. Note Spark's restriction: persist/cache the
+    * parsed batch before filtering ON `_corrupt_record` alone (raw-scan
+    * queries referencing only the internal corrupt column are refused). */
+  def readJsonlQuarantine(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** S8 — annotations CSV: header + quoted fields; `entities` and `biluo`
     * are Python-stringified lists parsed into real arrays (the honest-types
     * upgrade, SURVEY §1.2). */

@@ -94,6 +94,30 @@ class SourcesSpec extends SparkSpec {
     assert(!rows(1).getAs[Boolean]("has_entity"))
   }
 
+  test("quarantine jsonl scan captures malformed lines without failing or dropping") {
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    val lines = Seq(
+      """{"id":"a","n":1}""",
+      """{"id":"b","n":NOT_JSON}""",
+      """{"id":"c","n":3}""",
+      """{broken""")
+    Files.write(java.nio.file.Paths.get(dir, "mixed.jsonl"), lines.mkString("\n").getBytes)
+    val schema = StructType(Seq(StructField("id", StringType), StructField("n", LongType)))
+    // Spark refuses queries whose only referenced column is the internal
+    // corrupt-record column on a raw scan — persist the parsed batch first
+    // (the documented split-then-route pattern)
+    val df = Sources.readJsonlQuarantine(spark, dir + "/mixed.jsonl", schema).cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() === 2)
+    assert(good.select("id").collect().map(_.getString(0)).toSet === Set("a", "c"))
+    // quarantined rows keep the raw line for replay
+    assert(bad.count() === 2)
+    assert(bad.select("_corrupt_record").collect().map(_.getString(0)).toSet ===
+      Set("""{"id":"b","n":NOT_JSON}""", """{broken"""))
+  }
+
   test("ORC round-trip preserves values and pushes filters into the scan") {
     val dir = tmp() + "/docs_orc"
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
