@@ -10,6 +10,13 @@ object Verify {
     // iteration (oracle_sql.json is filtered to match, so check_local.py
     // reports rows-only/missing correctly on the subset)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    // fail fast on typos: a silently-empty filtered run would dump nothing
+    // and read as "all pass" downstream
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

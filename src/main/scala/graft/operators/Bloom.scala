@@ -33,8 +33,14 @@ object Bloom {
   val DefaultBits: Long = 1L << 22
   val DefaultHashes: Int = 4
 
-  /** Bit positions of one item: (h1 + i·h2) mod m, i = 0..k−1. */
+  /** Bit positions of one item: (h1 + i·h2) mod m, i = 0..k−1. k ≤ 8 keeps
+    * h1 + 7·h2 < 8·2⁶⁰ = 2⁶³ (detHash is 60-bit) — beyond that the sum
+    * wraps negative and membership silently breaks, so it is a hard
+    * require, not a doc note. */
   private def positions(item: Column, numBits: Long, numHashes: Int): Column = {
+    require(numHashes >= 1 && numHashes <= 8,
+      s"numHashes must be in [1, 8] (int64 overflow above 8), got $numHashes")
+    require(numBits > 0, s"numBits must be positive, got $numBits")
     val h1 = detHash(item, 1)
     val h2 = detHash(item, 2)
     transform(sequence(lit(0), lit(numHashes - 1)),
@@ -53,26 +59,38 @@ object Bloom {
       .groupBy((col("pos") / 63).cast(LongType).as("blk"))
       .agg(bit_or(call_function("shiftleft", lit(1L), (col("pos") % 63).cast(IntegerType))).as("bits"))
 
-  /** Probe via broadcast join: adds `in_bloom` (1/0) to each row of `items`
-    * — 1 iff every one of the item's k bits is set. The filter side is
-    * ≤ m/64 rows (broadcast); the per-item AND is a partial-aggregated
-    * groupBy, so the shuffle carries one row per item. Fully lazy — use
-    * when the filter must stay a DataFrame. No false negatives. */
+  /** Probe via broadcast join: adds `in_bloom` (1/0, or null for a null
+    * item) to each row of `items` — 1 iff every one of the item's k bits is
+    * set. Row fidelity: duplicate input rows stay duplicate (the per-item
+    * AND groups on an internal per-row id and joins back), matching
+    * [[probeLit]]'s per-row semantics exactly. The filter side is ≤ m/63
+    * rows (broadcast); the shuffle carries one row per input row. Fully
+    * lazy — use when the filter must stay a DataFrame. No false negatives.
+    * `numBits`/`numHashes` MUST match the build call (see
+    * [[denseBlocksLit]]'s note on why mismatches are on the caller). */
   def probe(items: DataFrame, itemCol: String, filter: DataFrame,
       numBits: Long = DefaultBits, numHashes: Int = DefaultHashes): DataFrame = {
-    val probes = items
-      .withColumn("__pos", explode(positions(col(itemCol), numBits, numHashes)))
+    // internal row id only — never exposed, so partition-dependent values
+    // are fine (output multiplicity is what must be preserved)
+    val withId = items.withColumn("__rid", monotonically_increasing_id())
+    val hits = withId
+      .select(col("__rid"), explode(positions(col(itemCol), numBits, numHashes)).as("__pos"))
       .withColumn("__blk", (col("__pos") / 63).cast(LongType))
-    val grouping = items.columns.map(col)
-    probes
       .join(broadcast(filter.select(col("blk").as("__blk"), col("bits").as("__bits"))),
         Seq("__blk"), "left_outer")
       .withColumn("__hit",
         when(col("__bits").isNotNull &&
           (col("__bits").bitwiseAND(call_function("shiftleft", lit(1L), (col("__pos") % 63).cast(IntegerType))) =!= 0L),
           lit(1)).otherwise(lit(0)))
-      .groupBy(grouping: _*)
+      .groupBy("__rid")
       .agg(min("__hit").as("in_bloom"))
+    // a null item produces [null × k] positions (sequence/transform are
+    // null-tolerant), which all miss — mask the 0 back to null so the
+    // result matches probeLit's null-in/null-out
+    withId.join(hits, Seq("__rid"), "left_outer")
+      .withColumn("in_bloom",
+        when(col(itemCol).isNull, lit(null)).otherwise(col("in_bloom")))
+      .drop("__rid")
   }
 
   /** Zero-shuffle probe: the filter inlined as a dense block-array literal
@@ -108,8 +126,18 @@ object Bloom {
   private def denseBlocksLit(filter: DataFrame, numBits: Long): Column = {
     val nBlocks = ((numBits + 62) / 63).toInt
     val dense = new Array[Long](nBlocks)
-    filter.select("blk", "bits").collect()
-      .foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
+    filter.select("blk", "bits").collect().foreach { r =>
+      val blk = r.getLong(0)
+      // the filter table carries no (m, k) metadata, so a probe called with
+      // a smaller numBits than the build is detectable only here — fail
+      // with the cause, not an ArrayIndexOutOfBounds. (The reverse mismatch
+      // — probe m LARGER than build m — is undetectable and yields false
+      // negatives: callers own keeping (m, k) with the stored filter.)
+      require(blk < nBlocks,
+        s"filter block $blk exceeds numBits=$numBits (${nBlocks} blocks) — " +
+          "probe must use the same numBits the filter was built with")
+      dense(blk.toInt) = r.getLong(1)
+    }
     typedLit(dense.toSeq)
   }
 

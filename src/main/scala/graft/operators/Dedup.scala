@@ -32,16 +32,15 @@ object Dedup {
   val hashA: IndexedSeq[Long] = (0 until NumHashes).map(i => (1103515245L * (i + 1) + 12345L) % P)
   val hashB: IndexedSeq[Long] = (0 until NumHashes).map(i => (2654435761L * i + 1013904223L) % P)
 
-  /** Distinct word-n-shingles per row: (idCol, sh). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val parts = (0 until n).map(j => s"element_at(__tok, i + $j)").mkString(", ")
+  /** Distinct word-n-shingles per row: (idCol, sh). The size filter is
+    * redundant with wordNgrams' own short-doc branch (explode of the empty
+    * array drops the row either way) but keeps the row drop visible at the
+    * scan. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.withColumn("__tok", split(col(textCol), " "))
       .filter(size(col("__tok")) >= n)
       .select(col(idCol),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, size(__tok) - ${n - 1}), i -> concat_ws(' ', $parts))"
-        ))).as("sh"))
-  }
+        explode(array_distinct(graft.queries.Q.wordNgrams("__tok", n))).as("sh"))
 
   /** Contamination screen: for each row of `test`, how many of its
     * n-shingles also appear anywhere in `train` (LLM train/test-leak check).

@@ -30,10 +30,6 @@ import Q._
   */
 object CurationQueries {
 
-  /** Token 2-grams of the `toks` array column (n-1 rows per doc). */
-  private val bigramExpr =
-    "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
-
   /** ta7's keep thresholds — set near the synthetic corpus's p90 so the
     * gate demonstrably fires (the production values are corpus-tuned knobs;
     * Gopher's are far looser because real web text is far more repetitive
@@ -47,11 +43,14 @@ object CurationQueries {
     * decoding loops) is the classic pretraining-quality reject signal. Two
     * shuffles, both keyed by doc_id — partitions stay document-sized at any
     * corpus scale. */
-  def ta7Repetition(s: SparkSession, dir: String): DataFrame = {
+  /** ta7's unsorted core — composable without embedding a mid-plan global
+    * sort (the dd4/dd8 split: sorted face for presentation, bare plan for
+    * consumers like e2e1). */
+  private def ta7Core(s: SparkSession, dir: String): DataFrame = {
     val grams = t(s, dir, "documents")
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(bigramExpr)).as("bg"))
+      .select(col("doc_id"), explode(wordNgrams("toks", 2)).as("bg"))
     grams.groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_bigrams"),
@@ -62,8 +61,10 @@ object CurationQueries {
         round(lit(1e6) * col("dup_cnt") / col("n_bigrams")).cast(LongType).as("dup_frac_e6"))
       .withColumn("keep",
         (col("top_frac_e6") < KeepTopE6 && col("dup_frac_e6") < KeepDupE6).cast(IntegerType))
-      .orderBy("doc_id")
   }
+
+  def ta7Repetition(s: SparkSession, dir: String): DataFrame =
+    ta7Core(s, dir).orderBy("doc_id")
 
   val ta7RepetitionSql: String =
     s"""WITH d AS (
@@ -263,6 +264,10 @@ object CurationQueries {
     * scale both sides shuffle on doc_id once — or zero times if the catalog
     * is bucketed by doc_id (see graft.sources.Layout). */
   def set2Upsert(s: SparkSession, dir: String): DataFrame = {
+    // FIXTURE NAMESPACE: the +1_000_000 id offset for synthetic "new" docs
+    // is valid under the testdata contract (doc_id < 1e6 at every SF). The
+    // production operator is the merge join itself — a real delta arrives
+    // with its own ids; only this self-derived demo delta needs an offset.
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val updates = docs.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text"))
@@ -338,11 +343,13 @@ object CurationQueries {
     * materialization. The oracle replays all three stages as chained
     * CTEs. */
   def e2e1CurationPipeline(s: SparkSession, dir: String): DataFrame = {
-    val kept = ta7Repetition(s, dir).filter(col("keep") === 1).select("doc_id")
+    val kept = ta7Core(s, dir).filter(col("keep") === 1).select("doc_id")
     val base = t(s, dir, "documents").join(kept, Seq("doc_id"))
       .select("doc_id", "text")
     // deterministic re-crawl: every 5th≡2 survivor arrives again under a new
-    // id — the dedup stage must keep the original and drop the copy
+    // id — the dedup stage must keep the original and drop the copy.
+    // (+2_000_000 is fixture namespace, disjoint from real ids by the
+    // testdata contract — see set2Upsert's note)
     val recrawl = base.filter(col("doc_id") % 5 === 2)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
     val canonical = graft.operators.Dedup.exact(base.union(recrawl), "doc_id", "text")

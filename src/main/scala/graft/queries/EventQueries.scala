@@ -234,12 +234,14 @@ object EventQueries {
     * the scalable composition is a per-user ordered window over the UNION of
     * both sides — one Exchange on user_id, state bounded by a user's events,
     * never a range cross-product. The prior-view timestamp is
-    * MAX(CASE WHEN view) over rows (unbounded, -1] — portable to engines
-    * without IGNORE NULLS, and tie-safe because ts is monotone within the
-    * frame. */
+    * MAX(CASE WHEN view) over a RANGE frame ending 1 µs before the current
+    * row — portable to engines without IGNORE NULLS, and the RANGE frame
+    * (not ROWS) is what makes "strictly earlier" hold when a view and a
+    * purchase share a timestamp: a ROWS (unbounded, -1] frame would let the
+    * equal-ts view in. */
   def ev8AsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(Window.unboundedPreceding, -1)
     t(s, dir, "events")
       .filter(col("event_type").isin("view", "purchase"))
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -260,8 +262,8 @@ object EventQueries {
       |m AS (
       |  SELECT event_id, user_id, event_type, us,
       |    MAX(CASE WHEN event_type = 'view' THEN us END) OVER (
-      |      PARTITION BY user_id ORDER BY us, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us
+      |      PARTITION BY user_id ORDER BY us
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us
       |  FROM e)
       |SELECT event_id, user_id, us AS purchase_us, last_view_us,
       |  CAST((us - last_view_us) // 1000000 AS BIGINT) AS gap_s

@@ -65,4 +65,18 @@ object Q {
 
   /** Whitespace tokens of the documents `text` column (single-space corpus). */
   def tokens(c: Column): Column = split(c, " ")
+
+  /** Space-joined word n-grams of a token-array column named `arrName`,
+    * SHORT-DOC SAFE: rows with fewer than n tokens get an empty array via a
+    * lazily-evaluated branch. The guard is load-bearing — `sequence(1,
+    * size-k)` DESCENDS when size < k+1, and ANSI `element_at` then faults
+    * on index ≤ 0. This is the one shared implementation (ta7, the
+    * streaming bloom gate, Dedup's shingles all build on it) so the trap is
+    * solved exactly once. */
+  def wordNgrams(arrName: String, n: Int): Column = {
+    val parts = (0 until n).map(j => s"element_at($arrName, i + $j)").mkString(", ")
+    when(size(col(arrName)) >= n,
+      expr(s"transform(sequence(1, size($arrName) - ${n - 1}), i -> concat_ws(' ', $parts))"))
+      .otherwise(expr("array()").cast("array<string>"))
+  }
 }

@@ -141,20 +141,13 @@ object EventStreams {
     * Bloom false positives (rate set by m,k) can only over-flag — route
     * flagged docs to quarantine for the exact re-check, never silent-drop. */
   def bloomGate(docs: DataFrame, filter: DataFrame, textCol: String = "text",
-      n: Int = 3): DataFrame = {
-    val parts = (0 until n).map(j => s"element_at(__tok, i + $j)").mkString(", ")
+      n: Int = 3): DataFrame =
     docs
       .withColumn("__tok", split(col(textCol), " "))
-      // the short branch matters: sequence(1, size-k) DESCENDS when size < k
-      // and ANSI element_at would then fault — CaseWhen evaluates lazily
-      .withColumn("__grams",
-        when(size(col("__tok")) >= n,
-          expr(s"transform(sequence(1, size(__tok) - ${n - 1}), i -> concat_ws(' ', $parts))"))
-          .otherwise(expr("array()").cast("array<string>")))
       .withColumn("flagged",
-        graft.operators.Bloom.anyMemberLit(col("__grams"), filter).cast("int"))
-      .drop("__tok", "__grams")
-  }
+        graft.operators.Bloom.anyMemberLit(
+          graft.queries.Q.wordNgrams("__tok", n), filter).cast("int"))
+      .drop("__tok")
 
   /** Streaming curation — the streaming face of e2e1_curation_pipeline for
     * a continuously-arriving corpus: contamination gate (stateless bloom

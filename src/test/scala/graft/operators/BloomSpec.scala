@@ -34,6 +34,29 @@ class BloomSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("probe keeps duplicate rows and returns null for null items, like probeLit") {
+    import spark.implicits._
+    val filter = Bloom.build(items(Seq("a", "b")), "item", m, k)
+    val in = Seq(Some("a"), Some("a"), None, Some("zz")).toDF("item")
+    for (probed <- Seq(
+        Bloom.probe(in, "item", filter, m, k),
+        Bloom.probeLit(in, "item", filter, m, k))) {
+      val rows = probed.collect()
+        .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      assert(rows.count(_ == (Some("a"), Some(1))) === 2, "duplicates must survive")
+      assert(rows.contains((None, None)), "null item must yield null")
+      assert(rows.count(_._1.contains("zz")) === 1)
+    }
+  }
+
+  test("probeLit fails loudly when numBits is smaller than the build's") {
+    val filter = Bloom.build(items((1 to 500).map("x" + _)), "item", 1L << 16, k)
+    val ex = intercept[IllegalArgumentException] {
+      Bloom.probeLit(items(Seq("x1")), "item", filter, 1L << 10, k).collect()
+    }
+    assert(ex.getMessage.contains("numBits"))
+  }
+
   test("false-positive rate stays near the (1-e^(-kn/m))^k design point") {
     val built = (1 to 1000).map(i => s"in-$i")
     val strangers = (1 to 2000).map(i => s"out-$i")
