@@ -34,24 +34,33 @@ object Bench {
     // first codegen compile don't land on the first timed query
     Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
       .foreach(t => Tables(spark, sfDir, t).count())
+    val failed = Vector.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a throwing query must be unmistakable in the output — a swallowed
+      // error once read as a fast query and a bogus "speedup"
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    results.filter(_._2 < 0).foreach(kv => failed += kv._1)
     def r2(v: Double): String = (math.rint(v * 100) / 100).toString
     def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + r2(kv._2)
-    val total = results.map(_._2).sum
+    // failed queries (time -1.0) are excluded from the total and listed in
+    // "errors" so a broken run can never read as a fast one
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val errs = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQs = results.map(entry).mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","n":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","n":${results.size},"errors":$errs,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     // full map for log readers; the marker prefix keeps it from ever being
     // mistaken for (truncated, unparseable) machine output
     println("BENCH_FULL " + fullLine)
     // final line: slowest queries first, cut off at the char budget
-    val head = s"""{"metric":"total","value":${r2(total)},"unit":"sec","n":${results.size},"queries":{"""
+    val head = s"""{"metric":"total","value":${r2(total)},"unit":"sec","n":${results.size},"errors":$errs,"queries":{"""
     val tail = s"""},"sf":"$sfDir"}"""
     var used = head.length + tail.length
     val kept = Vector.newBuilder[String]

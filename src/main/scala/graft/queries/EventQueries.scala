@@ -162,7 +162,10 @@ object EventQueries {
     // one lazy plan (scalar aggregates cross-joined — the same shape as the
     // oracle's scalar subqueries), not eager driver-side counts; ratios go
     // NULL on an empty denominator exactly like DuckDB's x/0
-    val nAll = e.select("user_id").distinct().agg(count(lit(1)).as("n_users"))
+    // countDistinct (not distinct().count): excludes NULL like the oracle's
+    // COUNT(DISTINCT user_id) — distinct() would keep a NULL group and
+    // hash-mismatch on the first null-bearing ingest
+    val nAll = e.agg(countDistinct(col("user_id")).as("n_users"))
     val n1 = v.agg(count(lit(1)).as("n_view"))
     val n2 = c.agg(count(lit(1)).as("n_click_after"))
     val n3 = p.agg(count(lit(1)).as("n_purchase_after"))

@@ -94,8 +94,7 @@ object EventStreams {
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purchases"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .cast("double").as("total"))
+        graft.queries.Q.decSum(col("value")).as("total"))
       .orderBy(desc("total"), col("user_id"))
       .limit(k)
 
