@@ -104,6 +104,84 @@ object Similarity {
       .select("query_id", "rank", "id", "cosine")
   }
 
+  /** Product-quantization codebook: `ks` sample vectors in deterministic
+    * detHash order, inlined as a literal array<array<double>> — the same
+    * bounded-literal contract as [[centroidIndex]] (a k-means codebook
+    * would drop in identically; the hash-sampled one keeps the whole path
+    * oracle-replayable). Floats widen to double exactly, so both engines
+    * see identical codebook values. */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String, ks: Int): Column = {
+    val rows = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("h", graft.queries.Q.detHash(col("id"), 97))
+      .orderBy("h", "id")
+      .limit(ks)
+      .select("v").collect().map(_.getSeq[Double](0))
+    array(rows.map(typedLit(_)): _*)
+  }
+
+  /** e9-rounded squared L2 distance between two same-length slices, folded
+    * in index order — the cross-engine-exact building block for encode and
+    * distance tables (see Q scaladoc rule on rounding float-derived scores
+    * BEFORE comparing). */
+  private def sqDistE9(a: Column, b: Column): Column =
+    round(lit(1e9) * aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast(DoubleType) - y.cast(DoubleType)
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)).cast(LongType)
+
+  /** PQ encode: adds `codes` (array<int>, one code per subspace) — each
+    * subspace's argmin over the literal codebook, ties to the lowest code.
+    * A pure projection: zero joins, zero Exchange, 10⁹ rows encode at scan
+    * speed and the result is nSub small ints per vector instead of the
+    * full float payload. */
+  def pqEncode(df: DataFrame, codebook: Column, vecCol: String,
+      nSub: Int, subDim: Int): DataFrame = {
+    val codes = transform(sequence(lit(0), lit(nSub - 1)), s => {
+      val lo = s * subDim + 1
+      // argmin with lowest-code tiebreak: min over struct(d, j), using
+      // transform's (element, index) form for the code index
+      val scored = transform(codebook, (cb, j) => struct(
+        sqDistE9(slice(col(vecCol), lo, lit(subDim)), slice(cb, lo, lit(subDim))).as("d"),
+        j.as("j")))
+      array_min(scored).getField("j")
+    })
+    df.withColumn("codes", codes)
+  }
+
+  /** PQ asymmetric-distance top-k: per query, an nSub×ks table of
+    * e9-rounded subspace distances to every code (one bounded projection
+    * per query row), then each corpus row scores as the SUM of nSub table
+    * lookups through its codes — integer adds, no float math per pair, no
+    * full-vector access. The queries (with tables) broadcast; the corpus
+    * streams its (id, codes) — at 100 TB that is the entire point: the
+    * probe never touches the original vectors. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, codebook: Column,
+      idCol: String, vecCol: String, k: Int, nSub: Int, subDim: Int): DataFrame = {
+    val enc = pqEncode(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), codebook, "v", nSub, subDim)
+      .select("id", "codes")
+    val dtab = transform(sequence(lit(0), lit(nSub - 1)), s => {
+      val lo = s * subDim + 1
+      transform(codebook, cb =>
+        sqDistE9(slice(col("qv"), lo, lit(subDim)), slice(cb, lo, lit(subDim))))
+    })
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("dtab", dtab).drop("qv")
+    val approx = aggregate(sequence(lit(0), lit(nSub - 1)), lit(0L),
+      (acc, s) => acc +
+        element_at(element_at(col("dtab"), s + 1), element_at(col("codes"), s + 1) + 1))
+    val w = Window.partitionBy("query_id").orderBy(col("adist_e9"), col("id"))
+    enc.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("adist_e9", approx)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "adist_e9")
+  }
+
   /** Near-duplicate pairs within `blockCol` blocks, cosine ≥ threshold.
     * `blockCol` must be a bounded-size blocking key — an IVF cell (see
     * [[assignCells]]) or LSH band key, whose block population stays O(1) as

@@ -258,14 +258,79 @@ object SimilarityQueries {
        |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |ORDER BY cos_e6 DESC, vec_a, vec_b LIMIT 50""".stripMargin
 
+  /** PQ geometry: 64-dim vectors → 8 subspaces × 8 dims, 16 codes per
+    * subspace (a 4-bit code ×8 = 4 bytes per vector vs 256 B of float32 —
+    * the memory-scale rung below IVF). */
+  private val PqSub = 8
+  private val PqSubDim = 8
+  private val PqKs = 16
+
+  /** ss4_pq_topk — product-quantization ANN
+    * ([[graft.operators.Similarity.pqTopK]]): vectors encode to 8 codebook
+    * indices (pure projection over a literal hash-sampled codebook — the
+    * deterministic stand-in for k-means, like ss2's centroids), queries
+    * carry an 8×16 table of e9-rounded subspace distances, and each
+    * candidate scores as 8 integer table lookups — the probe never touches
+    * the original floats. Every distance is e9-rounded BEFORE the argmin/
+    * ranking, so the DuckDB oracle replays encode, tables, and ranking
+    * exactly. Recall vs exact ss1 is measured in SimilarityQueriesSpec. */
+  def ss4PqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = graft.operators.Similarity.pqCodebook(emb, "vec_id", "embedding", PqKs)
+    graft.operators.Similarity.pqTopK(
+      emb, emb.filter(col("vec_id") < NQueries), cb,
+      "vec_id", "embedding", TopK, PqSub, PqSubDim)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("query_id", "rank")
+  }
+
+  val ss4PqTopkSql: String = {
+    val sq = {
+      val d = "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+      s"CAST(ROUND(1e9 * list_sum(list_transform(list_zip(SLICE_A, SLICE_B), p -> $d * $d))) AS BIGINT)"
+    }
+    def sqd(a: String, b: String): String = sq.replace("SLICE_A", a).replace("SLICE_B", b)
+    val eSub = s"e.embedding[(s.s * $PqSubDim + 1):(s.s * $PqSubDim + $PqSubDim)]"
+    val cSub = s"cb.cv[(s.s * $PqSubDim + 1):(s.s * $PqSubDim + $PqSubDim)]"
+    s"""WITH cb AS (
+       |  SELECT rn - 1 AS j, cv FROM (
+       |    SELECT embedding AS cv,
+       |      ROW_NUMBER() OVER (ORDER BY ${detHashSql("vec_id", 97)}, vec_id) AS rn
+       |    FROM embeddings) t
+       |  WHERE rn <= $PqKs),
+       |subs AS (SELECT unnest(range($PqSub)) AS s),
+       |dists AS (
+       |  SELECT e.vec_id, s.s, cb.j, ${sqd(eSub, cSub)} AS d
+       |  FROM embeddings e CROSS JOIN subs s CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT vec_id, s, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+       |    FROM dists) t
+       |  WHERE rn = 1),
+       |qtab AS (SELECT vec_id AS query_id, s, j, d FROM dists WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id, CAST(SUM(q.d) AS BIGINT) AS adist_e9
+       |  FROM codes c JOIN qtab q ON q.s = c.s AND q.j = c.code
+       |  WHERE c.vec_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adist_e9,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist_e9, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, adist_e9 FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "ss1_bruteforce_topk" -> (ss1BruteforceTopk _),
+    "ss4_pq_topk" -> (ss4PqTopk _),
     "ss2_ivf_topk" -> (ss2IvfTopk _),
     "ss3_lsh_topk" -> (ss3LshTopk _),
     "dd6_embed_neardup" -> (dd6EmbedNeardup _))
 
   val oracles: Map[String, String] = Map(
     "ss1_bruteforce_topk" -> ss1BruteforceTopkSql,
+    "ss4_pq_topk" -> ss4PqTopkSql,
     "ss2_ivf_topk" -> ss2IvfTopkSql,
     "ss3_lsh_topk" -> ss3LshTopkSql,
     "dd6_embed_neardup" -> dd6EmbedNeardupSql)
