@@ -20,7 +20,7 @@ object PlanAudit {
         // round-3 curation surface: zero-shuffle Bloom probe, two-phase
         // prefix-sum packing, one-Exchange redaction/as-of plans
         "dd10_bloom_contamination", "pk1_sequence_pack", "ta8_pii_redact",
-        "ev8_asof_join", "set2_upsert")
+        "ev8_asof_join", "set2_upsert", "ss4_pq_topk", "e2e1_curation_pipeline")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
