@@ -70,26 +70,28 @@ object Bloom {
     * [[denseBlocksLit]]'s note on why mismatches are on the caller). */
   def probe(items: DataFrame, itemCol: String, filter: DataFrame,
       numBits: Long = DefaultBits, numHashes: Int = DefaultHashes): DataFrame = {
-    // internal row id only — never exposed, so partition-dependent values
-    // are fine (output multiplicity is what must be preserved)
+    // ONE evaluation end-to-end: the row id is only ever used as a grouping
+    // key inside this single plan (explode → group back), never to join two
+    // independent evaluations of the input — monotonically_increasing_id is
+    // not stable across re-evaluations, so a self-join on it could misalign
+    // rows after a shuffle or task retry
     val withId = items.withColumn("__rid", monotonically_increasing_id())
-    val hits = withId
-      .select(col("__rid"), explode(positions(col(itemCol), numBits, numHashes)).as("__pos"))
+    val grouping = col("__rid") +: items.columns.map(col)
+    withId
+      // explode_outer: a null item yields null positions but KEEPS its row
+      .withColumn("__pos", explode_outer(positions(col(itemCol), numBits, numHashes)))
       .withColumn("__blk", (col("__pos") / 63).cast(LongType))
       .join(broadcast(filter.select(col("blk").as("__blk"), col("bits").as("__bits"))),
         Seq("__blk"), "left_outer")
       .withColumn("__hit",
-        when(col("__bits").isNotNull &&
-          (col("__bits").bitwiseAND(call_function("shiftleft", lit(1L), (col("__pos") % 63).cast(IntegerType))) =!= 0L),
-          lit(1)).otherwise(lit(0)))
-      .groupBy("__rid")
+        when(col("__pos").isNull, lit(null))
+          .when(col("__bits").isNotNull &&
+            (col("__bits").bitwiseAND(call_function("shiftleft", lit(1L), (col("__pos") % 63).cast(IntegerType))) =!= 0L),
+            lit(1)).otherwise(lit(0)))
+      .groupBy(grouping: _*)
+      // min over the k bits; a null item's single null hit aggregates to
+      // null — same null-in/null-out as probeLit
       .agg(min("__hit").as("in_bloom"))
-    // a null item produces [null × k] positions (sequence/transform are
-    // null-tolerant), which all miss — mask the 0 back to null so the
-    // result matches probeLit's null-in/null-out
-    withId.join(hits, Seq("__rid"), "left_outer")
-      .withColumn("in_bloom",
-        when(col(itemCol).isNull, lit(null)).otherwise(col("in_bloom")))
       .drop("__rid")
   }
 

@@ -30,23 +30,19 @@ import Q._
   */
 object CurationQueries {
 
-  /** ta7's keep thresholds — set near the synthetic corpus's p90 so the
-    * gate demonstrably fires (the production values are corpus-tuned knobs;
-    * Gopher's are far looser because real web text is far more repetitive
-    * than this synthetic corpus). */
+  /** ta7's default keep thresholds — corpus-tuned KNOBS, not constants of
+    * the operator: these sit near the synthetic corpus's p90 so the gate
+    * demonstrably fires here (Gopher's production values are far looser
+    * because real web text is far more repetitive than synthetic random
+    * text). Callers with a real corpus pass their own via [[ta7Core]]. */
   private val KeepTopE6 = 60000L
   private val KeepDupE6 = 120000L
 
-  /** ta7_repetition — per-document repetition fractions over token 2-grams:
-    * the modal-bigram share and the share of bigram instances whose bigram
-    * occurs more than once. Heavy repetition (boilerplate, keyword stuffing,
-    * decoding loops) is the classic pretraining-quality reject signal. Two
-    * shuffles, both keyed by doc_id — partitions stay document-sized at any
-    * corpus scale. */
-  /** ta7's unsorted core — composable without embedding a mid-plan global
-    * sort (the dd4/dd8 split: sorted face for presentation, bare plan for
-    * consumers like e2e1). */
-  private def ta7Core(s: SparkSession, dir: String): DataFrame = {
+  /** ta7's unsorted, threshold-parameterized core — composable without
+    * embedding a mid-plan global sort (the dd4/dd8 split: sorted face for
+    * presentation, bare plan for consumers like e2e1). */
+  private def ta7Core(s: SparkSession, dir: String,
+      keepTopE6: Long = KeepTopE6, keepDupE6: Long = KeepDupE6): DataFrame = {
     val grams = t(s, dir, "documents")
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 2)
@@ -60,9 +56,16 @@ object CurationQueries {
         round(lit(1e6) * col("top_cnt") / col("n_bigrams")).cast(LongType).as("top_frac_e6"),
         round(lit(1e6) * col("dup_cnt") / col("n_bigrams")).cast(LongType).as("dup_frac_e6"))
       .withColumn("keep",
-        (col("top_frac_e6") < KeepTopE6 && col("dup_frac_e6") < KeepDupE6).cast(IntegerType))
+        (col("top_frac_e6") < keepTopE6 && col("dup_frac_e6") < keepDupE6).cast(IntegerType))
   }
 
+  /** ta7_repetition — per-document repetition fractions over token 2-grams:
+    * the modal-bigram share and the share of bigram instances whose bigram
+    * occurs more than once. Heavy repetition (boilerplate, keyword stuffing,
+    * decoding loops) is the classic pretraining-quality reject signal. Two
+    * shuffles, both keyed by doc_id — partitions stay document-sized at any
+    * corpus scale. The `keep` flag applies the default thresholds (see
+    * their note: demo-tuned knobs). */
   def ta7Repetition(s: SparkSession, dir: String): DataFrame =
     ta7Core(s, dir).orderBy("doc_id")
 

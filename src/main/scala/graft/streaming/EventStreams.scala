@@ -127,8 +127,7 @@ object EventStreams {
       .join(broadcast(userDim), Seq("user_id"))
       .groupBy(window(col("ts"), "1 hour"), col(attr))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .cast("double").as("revenue"))
+        graft.queries.Q.decSum(col("value")).as("revenue"))
       .select(col("window.start").as("window_start"), col(attr), col("n"), col("revenue"))
 
   /** Streaming contamination gate — flag arriving documents whose word
@@ -150,13 +149,18 @@ object EventStreams {
 
   /** Streaming curation — the streaming face of e2e1_curation_pipeline for
     * a continuously-arriving corpus: contamination gate (stateless bloom
-    * projection) → drop flagged docs → watermarked exact dedup (bounded
-    * state, evicted at the horizon). Composes [[bloomGate]] and
-    * [[dedupStream]]; the only stateful stage is the dedup, whose state is
-    * one (hash, expiry) per distinct clean doc inside the horizon. */
-  def curationStream(docs: DataFrame, bannedFilter: DataFrame,
-      horizon: String = "2 hours"): DataFrame =
-    dedupStream(bloomGate(docs, bannedFilter).filter(col("flagged") === 0), horizon)
+    * projection) → clean docs flow to watermarked exact dedup (bounded
+    * state, evicted at the horizon), flagged docs flow to a QUARANTINE
+    * stream. Returns (clean, quarantined): the caller sinks BOTH — bloom
+    * false positives mean flagged ≠ contaminated, so quarantine holds them
+    * for the exact re-check (dd7/dd10's semi-join); dropping them would
+    * silently lose clean documents at the filter's FPR. */
+  def curationStreams(docs: DataFrame, bannedFilter: DataFrame,
+      horizon: String = "2 hours"): (DataFrame, DataFrame) = {
+    val gated = bloomGate(docs, bannedFilter)
+    (dedupStream(gated.filter(col("flagged") === 0).drop("flagged"), horizon),
+      gated.filter(col("flagged") === 1).drop("flagged"))
+  }
 
   /** Incremental file-source ingestion of a parquet landing directory,
     * processed with AvailableNow (drain-then-stop — the idempotent batch

@@ -142,23 +142,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.contains((0L, "basic", 2L, 4.0)))
   }
 
-  test("streaming curation drops contaminated docs then dedups re-deliveries") {
+  test("streaming curation quarantines flagged docs and dedups the clean path") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val banned = graft.operators.Bloom.build(
       Seq("the secret eval").toDF("sh"), "sh")
     val mem = MemoryStream[(Long, Timestamp, String)]
-    val q = curationStream(mem.toDF().toDF("doc_id", "ts", "text"), banned)
-      .writeStream.format("memory").queryName("cs").outputMode(OutputMode.Append()).start()
+    val (clean, quarantined) = curationStreams(mem.toDF().toDF("doc_id", "ts", "text"), banned)
+    val q1 = clean.writeStream.format("memory").queryName("cs_clean")
+      .outputMode(OutputMode.Append()).start()
+    val q2 = quarantined.writeStream.format("memory").queryName("cs_quar")
+      .outputMode(OutputMode.Append()).start()
     mem.addData(
       (1L, ts(1), "a clean document body here"),
-      (2L, ts(2), "leaks the secret eval verbatim"), // gated out
+      (2L, ts(2), "leaks the secret eval verbatim"), // gated to quarantine
       (3L, ts(3), "a clean document body here"), // duplicate of 1: dedup'd
       (4L, ts(4), "another clean and distinct body"))
-    q.processAllAvailable()
-    q.stop()
-    val survivors = spark.table("cs").select("doc_id").collect().map(_.getLong(0)).toSet
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val survivors = spark.table("cs_clean").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(survivors === Set(1L, 4L))
+    // flagged docs are held for exact re-check, never silently dropped
+    val quar = spark.table("cs_quar").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(quar === Set(2L))
   }
 
   test("streaming bloom gate flags banned n-grams at scan speed, stateless") {
