@@ -123,14 +123,15 @@ object Similarity {
   /** e9-rounded squared L2 distance between two same-length slices, folded
     * in index order — the cross-engine-exact building block for encode and
     * distance tables (see Q scaladoc rule on rounding float-derived scores
-    * BEFORE comparing). */
+    * BEFORE comparing). The fold is the native codegen
+    * [[graft.plans.VecSqDistExpression]] — bit-identical accumulation to
+    * the HOF spelling (and to the DuckDB oracle's list fold), without the
+    * per-evaluation array allocation and interpreted lambdas that dominate
+    * the 8×16-per-row PQ encode. (Round-3 measured dead end: unrolling the
+    * loops into a literal expression tree instead was 2.1× SLOWER — codegen
+    * method limits; the custom-Expression loop is the right fix.) */
   private def sqDistE9(a: Column, b: Column): Column =
-    round(lit(1e9) * aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast(DoubleType) - y.cast(DoubleType)
-        d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)).cast(LongType)
+    round(lit(1e9) * call_function("vec_sqdist", a, b)).cast(LongType)
 
   /** PQ encode: adds `codes` (array<int>, one code per subspace) — each
     * subspace's argmin over the literal codebook, ties to the lowest code.
@@ -139,6 +140,7 @@ object Similarity {
     * full float payload. */
   def pqEncode(df: DataFrame, codebook: Column, vecCol: String,
       nSub: Int, subDim: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val codes = transform(sequence(lit(0), lit(nSub - 1)), s => {
       val lo = s * subDim + 1
       // argmin with lowest-code tiebreak: min over struct(d, j), using

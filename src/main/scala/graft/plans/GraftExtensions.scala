@@ -46,6 +46,19 @@ object GraftFunctions {
       s"vec_dot expects 2 arguments, got ${other.length}")
   }
 
+  val vecSqDistIdent = new FunctionIdentifier("vec_sqdist")
+
+  val vecSqDistInfo = new ExpressionInfo(
+    classOf[VecSqDistExpression].getName, null, "vec_sqdist",
+    "vec_sqdist(a, b) - squared L2 distance of two float/double arrays, folded in index order (codegen).",
+    "")
+
+  val vecSqDistBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => VecSqDistExpression(a, b)
+    case other => throw new IllegalArgumentException(
+      s"vec_sqdist expects 2 arguments, got ${other.length}")
+  }
+
   /** Register on an already-running session (idempotent — re-registration
     * overwrites with an identical builder). */
   def register(spark: SparkSession): Unit = {
@@ -53,6 +66,8 @@ object GraftFunctions {
       .registerFunction(fastMatchIdent, fastMatchInfo, fastMatchBuilder)
     spark.sessionState.functionRegistry
       .registerFunction(vecDotIdent, vecDotInfo, vecDotBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(vecSqDistIdent, vecSqDistInfo, vecSqDistBuilder)
   }
 }
 
@@ -62,5 +77,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.fastMatchBuilder))
     ext.injectFunction((GraftFunctions.vecDotIdent, GraftFunctions.vecDotInfo,
       GraftFunctions.vecDotBuilder))
+    ext.injectFunction((GraftFunctions.vecSqDistIdent, GraftFunctions.vecSqDistInfo,
+      GraftFunctions.vecSqDistBuilder))
   }
 }
