@@ -162,6 +162,27 @@ object EventStreams {
       gated.filter(col("flagged") === 1).drop("flagged"))
   }
 
+  /** Stream-STREAM interval join — purchases joined to views by the same
+    * user within the preceding attribution window (the streaming face of
+    * ev8's as-of attribution, for when BOTH sides arrive continuously).
+    * The time-range predicate plus watermarks on both sides is what bounds
+    * the join state: each side buffers only rows younger than its watermark
+    * horizon, and Spark evicts as event time advances — without the range
+    * condition this would be unbounded-state and Spark rejects it in
+    * Append mode. One Exchange per side on user_id. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+      col("ts").as("view_ts")).withWatermark("view_ts", "1 hour")
+    val p = purchases.select(col("event_id").as("purchase_id"), col("user_id"),
+      col("ts").as("purchase_ts"), col("value")).withWatermark("purchase_ts", "1 hour")
+    p.join(v,
+      expr(s"""user_id = v_user AND
+              |view_ts <= purchase_ts AND
+              |view_ts >= purchase_ts - INTERVAL $windowMinutes MINUTES""".stripMargin))
+      .drop("v_user")
+  }
+
   /** Incremental file-source ingestion of a parquet landing directory,
     * processed with AvailableNow (drain-then-stop — the idempotent batch
     * refresh pattern; checkpoint carries the manifest). */

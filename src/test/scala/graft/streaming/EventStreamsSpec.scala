@@ -167,6 +167,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(quar === Set(2L))
   }
 
+  test("stream-stream attribution join matches views within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vMem = MemoryStream[Event]
+    val pMem = MemoryStream[Event]
+    val q = attributionJoin(vMem.toDF(), pMem.toDF(), windowMinutes = 30)
+      .select("purchase_id", "view_id")
+      .writeStream.format("memory").queryName("attr").outputMode(OutputMode.Append()).start()
+    vMem.addData(
+      Event(10, ts(0), 1, "view", 0), // 25 min before purchase: in window
+      Event(11, ts(50), 1, "view", 0), // 25 min AFTER purchase: excluded
+      Event(12, ts(0), 2, "view", 0)) // other user: excluded
+    pMem.addData(Event(20, ts(25), 1, "purchase", 9.99))
+    q.processAllAvailable()
+    // advance both watermarks so state is evictable (join results already
+    // emitted incrementally in append mode for inner joins)
+    vMem.addData(Event(98, ts(500), 98, "view", 0))
+    pMem.addData(Event(99, ts(500), 99, "purchase", 0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((20L, 10L)))
+  }
+
   test("streaming bloom gate flags banned n-grams at scan speed, stateless") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
