@@ -9,12 +9,13 @@ import graft.queries.Q.detHash
 /** Distributed Bloom filter, fully declarative — no UDF, no UDAF, no
   * driver-side bit array.
   *
-  * The filter is a table of 64-bit blocks: build explodes each item into its
-  * `numHashes` bit positions (double hashing: pos_i = (h1 + i·h2) mod m —
-  * Kirsch & Mitzenmacher 2006 show two hashes suffice) and `bit_or`-reduces
-  * `1 << (pos mod 64)` per block index. Map-side partial aggregation means
-  * the shuffle carries at most m/64 rows per map task regardless of input
-  * size; the result is ≤ m/64 rows total (a few MB for m = 2²⁰ bits), which
+  * The filter is a table of 63-bit blocks (63, not 64 — see [[build]]):
+  * build explodes each item into its `numHashes` bit positions (double
+  * hashing: pos_i = (h1 + i·h2) mod m — Kirsch & Mitzenmacher 2006 show two
+  * hashes suffice) and `bit_or`-reduces `1 << (pos mod 63)` per block index.
+  * Map-side partial aggregation means the shuffle carries at most m/63 rows
+  * per map task regardless of input size; the result is ≤ m/63 rows total (a
+  * few MB for m = 2²⁰ bits), which
   * the probe side consumes as a BROADCAST join — probes never shuffle.
   *
   * Spark's own BloomFilterAggregate is not SQL-registered (runtime-filter
@@ -32,6 +33,34 @@ object Bloom {
 
   val DefaultBits: Long = 1L << 22
   val DefaultHashes: Int = 4
+
+  /** One-row (num_bits, num_hashes) companion table for a filter that
+    * outlives the plan that built it. The block table itself carries no
+    * geometry — probing with the wrong (m, k) yields silent false negatives
+    * (probeLit catches only the smaller-m case via its block-index require)
+    * — so a persisted filter should be written WITH this row next to it and
+    * re-read through [[requireMeta]], which fails loudly on mismatch instead
+    * of relying on the caller remembering the build constants. */
+  def metaFor(spark: org.apache.spark.sql.SparkSession,
+      numBits: Long = DefaultBits, numHashes: Int = DefaultHashes): DataFrame = {
+    import spark.implicits._
+    Seq((numBits, numHashes)).toDF("num_bits", "num_hashes")
+  }
+
+  /** Asserts a stored filter's companion metadata row matches the geometry a
+    * probe is about to use; returns the validated (numBits, numHashes) so
+    * callers can thread the STORED geometry instead of re-typing constants.
+    * One collect of one row — negligible next to any probe. */
+  def requireMeta(meta: DataFrame, numBits: Long, numHashes: Int): (Long, Int) = {
+    val rows = meta.select(col("num_bits").cast(LongType), col("num_hashes").cast(IntegerType)).collect()
+    require(rows.length == 1, s"bloom meta must be exactly one row, got ${rows.length}")
+    val (m, k) = (rows(0).getLong(0), rows(0).getInt(1))
+    require(m == numBits && k == numHashes,
+      s"bloom geometry mismatch: filter was built with (numBits=$m, numHashes=$k), " +
+        s"probe requested (numBits=$numBits, numHashes=$numHashes) — " +
+        "probing with mismatched geometry yields silent false negatives")
+    (m, k)
+  }
 
   /** Bit positions of one item: (h1 + i·h2) mod m, i = 0..k−1. k ≤ 8 keeps
     * h1 + 7·h2 < 8·2⁶⁰ = 2⁶³ (detHash is 60-bit) — beyond that the sum
@@ -66,8 +95,10 @@ object Bloom {
     * [[probeLit]]'s per-row semantics exactly. The filter side is ≤ m/63
     * rows (broadcast); the shuffle carries one row per input row. Fully
     * lazy — use when the filter must stay a DataFrame. No false negatives.
-    * `numBits`/`numHashes` MUST match the build call (see
-    * [[denseBlocksLit]]'s note on why mismatches are on the caller). */
+    * `numBits`/`numHashes` MUST match the build call — this lazy join-based
+    * probe cannot detect a mismatch at all (no block-index bound is ever
+    * checked); for filters loaded from storage, validate through
+    * [[requireMeta]] first. */
   def probe(items: DataFrame, itemCol: String, filter: DataFrame,
       numBits: Long = DefaultBits, numHashes: Int = DefaultHashes): DataFrame = {
     // ONE evaluation end-to-end: the row id is only ever used as a grouping
@@ -96,7 +127,7 @@ object Bloom {
   }
 
   /** Zero-shuffle probe: the filter inlined as a dense block-array literal
-    * (m/64 longs — 8 MB at m = 2²⁶, fine to ship in the plan like a
+    * (m/63 longs — 8 MB at m = 2²⁶, fine to ship in the plan like a
     * broadcast var), membership as a pure `forall` projection over the k
     * positions. No explode, no join, no Exchange — the scan pipeline keeps
     * whole-stage codegen (same literal-index trick as the IVF centroid

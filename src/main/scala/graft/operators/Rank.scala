@@ -43,21 +43,35 @@ object Rank {
     * within each partition, then add the broadcast exclusive prefix of
     * per-partition totals. The window input stays bounded by the partition,
     * never the whole table. `value` must be non-null; callers must give a
-    * total order (unique tiebreak). */
+    * total order (unique tiebreak).
+    *
+    * Typing: an integral `value` (byte/short/int/long) sums as LONG and
+    * `cumBeforeCol` is LongType. A fractional or decimal `value` sums in its
+    * OWN type — no silent floor-truncation to long — and `cumBeforeCol`
+    * carries the sum's type; note double sums are addition-order-dependent,
+    * so oracle-compared callers should pass decimals or pre-scaled
+    * integers (the repo's e6 convention). */
   def globalCumSum(df: DataFrame, numPartitions: Int, value: Column,
                    cumBeforeCol: String, sortCols: Column*): DataFrame = {
+    val integral = df.select(value.as("__v")).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     val parted = df.repartitionByRange(numPartitions, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .withColumn("__v", value.cast(LongType))
+      .withColumn("__v", if (integral) value.cast(LongType) else value)
+    val zero = lit(0).cast(parted.schema("__v").dataType)
     val local = parted.withColumn("__lcs",
       coalesce(sum("__v").over(Window.partitionBy("__pid").orderBy(sortCols: _*)
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .rowsBetween(Window.unboundedPreceding, -1)), zero))
     val offsets = local.groupBy("__pid").agg(sum("__v").as("__tot"))
       .withColumn("__off", coalesce(sum("__tot").over(
-        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), zero))
       .select("__pid", "__off")
-    local.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(cumBeforeCol, (col("__off") + col("__lcs")).cast(LongType))
-      .drop("__pid", "__v", "__lcs", "__off")
+    val summed = local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(cumBeforeCol,
+        if (integral) (col("__off") + col("__lcs")).cast(LongType)
+        else col("__off") + col("__lcs"))
+    summed.drop("__pid", "__v", "__lcs", "__off")
   }
 }

@@ -176,9 +176,12 @@ object EventStreams {
       col("ts").as("view_ts")).withWatermark("view_ts", "1 hour")
     val p = purchases.select(col("event_id").as("purchase_id"), col("user_id"),
       col("ts").as("purchase_ts"), col("value")).withWatermark("purchase_ts", "1 hour")
+    // strictly-earlier views only (view_ts < purchase_ts), matching batch
+    // ev8AsofJoin's RANGE ... 1 PRECEDING frame — a same-timestamp view must
+    // not attribute in one engine and not the other
     p.join(v,
       expr(s"""user_id = v_user AND
-              |view_ts <= purchase_ts AND
+              |view_ts < purchase_ts AND
               |view_ts >= purchase_ts - INTERVAL $windowMinutes MINUTES""".stripMargin))
       .drop("v_user")
   }

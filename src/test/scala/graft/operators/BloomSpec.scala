@@ -81,6 +81,15 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("requireMeta validates stored geometry and fails loudly on mismatch") {
+    val meta = Bloom.metaFor(spark, m, k)
+    assert(Bloom.requireMeta(meta, m, k) === ((m, k)))
+    val wrongM = intercept[IllegalArgumentException] { Bloom.requireMeta(meta, m * 2, k) }
+    assert(wrongM.getMessage.contains("geometry mismatch"))
+    val wrongK = intercept[IllegalArgumentException] { Bloom.requireMeta(meta, m, k + 1) }
+    assert(wrongK.getMessage.contains("geometry mismatch"))
+  }
+
   test("plan shape: the literal probe is a pure projection — no join, no exchange") {
     val filter = Bloom.build(items((1 to 100).map("x" + _)), "item", m, k)
     val plan = Bloom.probeLit(items((1 to 100).map("y" + _)), "item", filter, m, k)

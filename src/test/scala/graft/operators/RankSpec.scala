@@ -57,6 +57,18 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  test("fractional values sum in their own type — no silent floor to long") {
+    val withV = df.withColumn("v", (col("id") % 7).cast("double") / 2.0 + 0.25)
+    val got = Rank.globalCumSum(withV, 4, col("v"), "cum", col("k"), col("id"))
+    assert(got.schema("cum").dataType.typeName === "double")
+    val total = withV.agg(sum(col("v"))).collect()(0).getDouble(0)
+    val lastBefore = got.orderBy(desc("k"), desc("id")).select("cum", "v")
+      .limit(1).collect()(0)
+    // exclusive prefix of the LAST row + its own value = the exact total;
+    // a truncating cast would lose every .25/.5/.75 fraction on the way
+    assert(math.abs(lastBefore.getDouble(0) + lastBefore.getDouble(1) - total) < 1e-9)
+  }
+
   test("plan shape: prefix-sum rows never funnel through one partition") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), lit(1L).as("v"))

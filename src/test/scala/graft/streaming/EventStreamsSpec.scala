@@ -178,7 +178,8 @@ class EventStreamsSpec extends SparkSpec {
     vMem.addData(
       Event(10, ts(0), 1, "view", 0), // 25 min before purchase: in window
       Event(11, ts(50), 1, "view", 0), // 25 min AFTER purchase: excluded
-      Event(12, ts(0), 2, "view", 0)) // other user: excluded
+      Event(12, ts(0), 2, "view", 0), // other user: excluded
+      Event(13, ts(25), 1, "view", 0)) // SAME ts as purchase: excluded (strict <, matches batch ev8)
     pMem.addData(Event(20, ts(25), 1, "purchase", 9.99))
     q.processAllAvailable()
     // advance both watermarks so state is evictable (join results already
