@@ -20,7 +20,11 @@ object PlanAudit {
         // round-3 curation surface: zero-shuffle Bloom probe, two-phase
         // prefix-sum packing, one-Exchange redaction/as-of plans
         "dd10_bloom_contamination", "pk1_sequence_pack", "ta8_pii_redact",
-        "ev8_asof_join", "set2_upsert", "ss4_pq_topk", "e2e1_curation_pipeline")
+        "ev8_asof_join", "set2_upsert", "ss4_pq_topk", "e2e1_curation_pipeline",
+        // round-4 additions: zero-shuffle chunking, two-phase per-group
+        // sampling rank, cell-blocked semantic prune, span islands
+        "pk2_chunk_overlap", "sm7_temperature_sample", "dd12_semantic_dedup",
+        "a13_span_f1", "dq2_outlier_mad")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

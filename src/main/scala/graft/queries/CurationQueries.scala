@@ -223,6 +223,110 @@ object CurationQueries {
        |  (start_tok + n_tokens - 1) // $SeqBudget AS seq_last
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** pk2's window geometry: 64-token chunks every 48 tokens (16-token
+    * overlap) — the RAG/long-context chunking layout, vs pk1's
+    * concat-then-chunk pretraining layout. */
+  private val ChunkW = 64
+  private val ChunkStride = 48
+
+  /** pk2_chunk_overlap — split each document into overlapping token windows
+    * (retrieval-index and long-context chunking both need this; overlap
+    * keeps boundary-straddling context retrievable). Pure per-document
+    * projection + one explode: chunk starts are `sequence(0, n−1, stride)`,
+    * each chunk a clamped `slice` — no shuffle at all until a consumer
+    * aggregates, and chunking 100 TB is embarrassingly parallel. Emits a
+    * content hash per chunk (the dedup/index key), not the text, so the
+    * result stays narrow. */
+  def pk2ChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(ChunkStride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .withColumn("ch", slice(col("toks"), col("start_tok") + 1, lit(ChunkW)))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("ch")).as("n_chunk_tokens"),
+        detHash(concat_ws(" ", col("ch")), 47).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val pk2ChunkOverlapSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(range(0, n, $ChunkStride)) AS start_tok,
+       |    generate_subscripts(range(0, n, $ChunkStride), 1) - 1 AS chunk_idx
+       |  FROM d WHERE n >= 1),
+       |ch AS (
+       |  SELECT doc_id, chunk_idx, start_tok,
+       |    list_slice(toks, start_tok + 1, start_tok + $ChunkW) AS ch
+       |  FROM st)
+       |SELECT doc_id, chunk_idx, start_tok, len(ch) AS n_chunk_tokens,
+       |  ${detHashSql("array_to_string(ch, ' ')", 47)} AS chunk_hash
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** sm7_temperature_sample — temperature-scaled domain sampling (the
+    * mT5/XLM-R move: sample groups ∝ n^α with α<1 so small domains are
+    * up-weighted relative to their natural share). Integer-exact end to
+    * end: per-group weight w = round(1e6·√n) (IEEE sqrt is correctly
+    * rounded, so both engines agree bit-for-bit), target_g = min(n_g,
+    * (N/2)·w_g ÷ Σw) in pure int64 math, and the sample itself is the
+    * target_g smallest-detHash docs per group. Differs from sm5 (fixed
+    * uniform share) in that the mixture is a smooth function of the
+    * observed sizes.
+    *
+    * Scale shape: the per-group rank does NOT use a window partitioned by
+    * the group key — with a handful of domains that is a handful of giant
+    * sort tasks (the low-cardinality cousin of the un-partitioned-window
+    * bottleneck; sm6 gets away with it only because its k is 5). Instead
+    * rows rank GLOBALLY by (lang, hash) via the two-phase
+    * [[graft.operators.Rank.globalRowNumber]] (range-partitioned, so one
+    * domain spreads over many tasks) and the per-group rank is the global
+    * rank minus the group's broadcast row offset. */
+  def sm7TemperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val weighted = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .withColumn("w", round(lit(1e6) * sqrt(col("n_lang"))).cast(LongType))
+    val tot = weighted.agg(sum("n_lang").as("n_total"), sum("w").as("sum_w"))
+    val targets = weighted.crossJoin(broadcast(tot))
+      .withColumn("target", least(col("n_lang"), expr("(n_total div 2) * w div sum_w")))
+      // rows before this lang in (lang, hk, doc_id) order — |groups| rows,
+      // the one place a global window is fine
+      .withColumn("off", coalesce(sum("n_lang").over(
+        Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "n_lang", "target", "off")
+    val hashed = docs.select(col("lang"), col("doc_id"))
+      .withColumn("hk", detHash(col("doc_id"), 59))
+    Rank.globalRowNumber(hashed, 32, col("lang"), col("hk"), col("doc_id"))
+      .join(broadcast(targets), Seq("lang"))
+      .withColumn("rk", col("rank") - col("off"))
+      .filter(col("rk") <= col("target"))
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_lang"), col("target"))
+      .orderBy("lang", "rk")
+  }
+
+  val sm7TemperatureSampleSql: String =
+    s"""WITH counts AS (
+       |  SELECT lang, COUNT(*) AS n_lang,
+       |    CAST(ROUND(1e6 * sqrt(COUNT(*))) AS BIGINT) AS w
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT SUM(n_lang) AS n_total, SUM(w) AS sum_w FROM counts),
+       |targets AS (
+       |  SELECT lang, n_lang,
+       |    LEAST(n_lang, (n_total // 2) * w // sum_w) AS target
+       |  FROM counts CROSS JOIN tot),
+       |ranked AS (
+       |  SELECT d.lang, d.doc_id, t.n_lang, t.target,
+       |    ROW_NUMBER() OVER (PARTITION BY d.lang
+       |      ORDER BY ${detHashSql("d.doc_id", 59)}, d.doc_id) AS rk
+       |  FROM documents d JOIN targets t USING (lang))
+       |SELECT lang, rk, doc_id, n_lang, target FROM ranked
+       |WHERE rk <= target ORDER BY lang, rk""".stripMargin
+
   /** sm5_domain_mixture — resample to a uniform target share per language
     * (the domain-mixing move every pretraining corpus does: up/down-sample
     * sources to a target mixture). Acceptance is exact integer math —
@@ -397,7 +501,9 @@ object CurationQueries {
     "ta8_pii_redact" -> (ta8PiiRedact _),
     "ta9_unigram_ppl" -> (ta9UnigramPpl _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
+    "pk2_chunk_overlap" -> (pk2ChunkOverlap _),
     "sm5_domain_mixture" -> (sm5DomainMixture _),
+    "sm7_temperature_sample" -> (sm7TemperatureSample _),
     "set2_upsert" -> (set2Upsert _)
   )
 
@@ -408,7 +514,9 @@ object CurationQueries {
     "ta8_pii_redact" -> ta8PiiRedactSql,
     "ta9_unigram_ppl" -> ta9UnigramPplSql,
     "pk1_sequence_pack" -> pk1SequencePackSql,
+    "pk2_chunk_overlap" -> pk2ChunkOverlapSql,
     "sm5_domain_mixture" -> sm5DomainMixtureSql,
+    "sm7_temperature_sample" -> sm7TemperatureSampleSql,
     "set2_upsert" -> set2UpsertSql
   )
 }

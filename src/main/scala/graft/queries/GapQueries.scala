@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -144,12 +145,105 @@ object GapQueries {
       |  array_to_string(list_transform(range(0, 10), i -> CASE WHEN i = label THEN 1 ELSE 0 END), ',') AS onehot
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** a13_span_f1 — ENTITY-SPAN-level precision/recall/F1, the seqeval
+    * "strict match" convention the NER literature reports (a span counts as
+    * TP only if gold and predicted start AND end agree exactly) — the
+    * span-level companion to a7's token-level confusion counts
+    * (`ner_pipeline.py:294-334` reports seqeval scores after training).
+    * Gold/pred token flags derive deterministically from the text (same
+    * convention as a7, with a noisier pred so span-level FP/FN/TP all
+    * occur); maximal runs of flagged tokens become spans via gaps-and-islands
+    * (island id = pos − rank-among-flagged; the window partitions by
+    * (doc, flag) so it is bounded by document length, never corpus size).
+    * TP = exact (doc, start, end) span match; per-language e6 ratios with
+    * zero-denominator null guards. */
+  def a13SpanF1(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    def spans(flag: Column): DataFrame = {
+      val w = Window.partitionBy("doc_id", "f").orderBy("pos")
+      tok.withColumn("f", flag.cast(IntegerType))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("f") === 1)
+        .withColumn("isl", col("pos") - col("rn"))
+        .groupBy("doc_id", "lang", "isl")
+        .agg(min("pos").as("s"), max("pos").as("e"))
+        .select("doc_id", "lang", "s", "e")
+    }
+    // pred = "first char in {c, d}": a noisy superset of gold's d-words, so
+    // all three outcomes occur (exact matches, boundary-extended misses
+    // where an adjacent c-word stretches the pred span, spurious c-only
+    // spans) — a13 with a pred that never aligns would be identically zero
+    val gold = spans(col("w").startsWith("d"))
+    val pred = spans(substring(col("w"), 1, 1).isin("c", "d"))
+    val ng = gold.groupBy("lang").agg(count(lit(1)).as("n_gold"))
+    val np = pred.groupBy("lang").agg(count(lit(1)).as("n_pred"))
+    val tp = gold.join(pred, Seq("doc_id", "lang", "s", "e"))
+      .groupBy("lang").agg(count(lit(1)).as("tp"))
+    def e6(num: Column, den: Column): Column =
+      when(den === 0, lit(null)).otherwise(round(lit(1e6) * num / den)).cast(LongType)
+    ng.join(np, Seq("lang"), "full_outer").join(tp, Seq("lang"), "left_outer")
+      .select(col("lang"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("lang"), col("n_gold"), col("n_pred"), col("tp"),
+        e6(col("tp"), col("n_pred")).as("precision_e6"),
+        e6(col("tp"), col("n_gold")).as("recall_e6"),
+        e6(lit(2) * col("tp"), col("n_gold") + col("n_pred")).as("f1_e6"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB twin: zipped unnest + generate_subscripts gives (pos, w); the
+    * 1-based pos offsets cancel inside the island identity but are aligned
+    * to 0-based anyway so span endpoints mean the same thing in both
+    * engines. */
+  val a13SpanF1Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split(text, ' ')) AS w,
+      |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      |  FROM documents),
+      |gtok AS (SELECT doc_id, lang, pos,
+      |    CASE WHEN w LIKE 'd%' THEN 1 ELSE 0 END AS f FROM tok),
+      |ptok AS (SELECT doc_id, lang, pos,
+      |    CASE WHEN substr(w, 1, 1) IN ('c', 'd') THEN 1 ELSE 0 END AS f FROM tok),
+      |gisl AS (SELECT doc_id, lang, pos, f,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id, f ORDER BY pos) AS isl FROM gtok),
+      |pisl AS (SELECT doc_id, lang, pos, f,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id, f ORDER BY pos) AS isl FROM ptok),
+      |gold AS (SELECT doc_id, lang, MIN(pos) AS s, MAX(pos) AS e
+      |  FROM gisl WHERE f = 1 GROUP BY doc_id, lang, isl),
+      |pred AS (SELECT doc_id, lang, MIN(pos) AS s, MAX(pos) AS e
+      |  FROM pisl WHERE f = 1 GROUP BY doc_id, lang, isl),
+      |ng AS (SELECT lang, COUNT(*) AS n_gold FROM gold GROUP BY lang),
+      |np AS (SELECT lang, COUNT(*) AS n_pred FROM pred GROUP BY lang),
+      |tp AS (SELECT g.lang, COUNT(*) AS tp FROM gold g
+      |  JOIN pred p ON g.doc_id = p.doc_id AND g.s = p.s AND g.e = p.e
+      |  GROUP BY g.lang),
+      |cm AS (
+      |  SELECT COALESCE(ng.lang, np.lang) AS lang,
+      |    COALESCE(ng.n_gold, 0) AS n_gold, COALESCE(np.n_pred, 0) AS n_pred,
+      |    COALESCE(tp.tp, 0) AS tp
+      |  FROM ng FULL OUTER JOIN np ON ng.lang = np.lang
+      |  LEFT JOIN tp ON COALESCE(ng.lang, np.lang) = tp.lang)
+      |SELECT lang, n_gold, n_pred, tp,
+      |  CASE WHEN n_pred = 0 THEN NULL
+      |    ELSE CAST(ROUND(1e6 * tp / n_pred) AS BIGINT) END AS precision_e6,
+      |  CASE WHEN n_gold = 0 THEN NULL
+      |    ELSE CAST(ROUND(1e6 * tp / n_gold) AS BIGINT) END AS recall_e6,
+      |  CASE WHEN n_gold + n_pred = 0 THEN NULL
+      |    ELSE CAST(ROUND(1e6 * 2 * tp / (n_gold + n_pred)) AS BIGINT) END AS f1_e6
+      |FROM cm ORDER BY lang""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "p2_min_words" -> (p2MinWords _),
     "p4_author_project" -> (p4AuthorProject _),
     "j2_positional_join" -> (j2PositionalJoin _),
     "j6_embedding_lookup" -> (j6EmbeddingLookup _),
     "a7_eval_metrics" -> (a7EvalMetrics _),
+    "a13_span_f1" -> (a13SpanF1 _),
     "v6_onehot" -> (v6Onehot _))
 
   val oracles: Map[String, String] = Map(
@@ -158,5 +252,6 @@ object GapQueries {
     "j2_positional_join" -> j2PositionalJoinSql,
     "j6_embedding_lookup" -> j6EmbeddingLookupSql,
     "a7_eval_metrics" -> a7EvalMetricsSql,
+    "a13_span_f1" -> a13SpanF1Sql,
     "v6_onehot" -> v6OnehotSql)
 }

@@ -253,6 +253,58 @@ object Relational {
       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM documents""".stripMargin
 
+  /** dq2_outlier_mad — robust outlier screen per event type: median + MAD
+    * (median absolute deviation), flag |v − median| > 3·1.4826·MAD (1.4826
+    * scales MAD to σ under normality — the standard robust z-score; unlike
+    * mean/stddev, one bad ingest batch can't drag the threshold). Three
+    * aggregate passes over events, every shuffle on the low-cardinality
+    * event_type key, group stats joined back as broadcasts. The scale
+    * constant is the SAME literal 4.4478 in both engines — computing
+    * 3×1.4826 at runtime could round differently than parsing the product.
+    * Deviations and thresholds are e6-rounded BIGINTs before the strict
+    * comparison, per the cross-engine float rule. */
+  def dq2OutlierMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("value").cast("double").as("v"))
+    val med = ev.groupBy("event_type").agg(expr("percentile(v, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val stats = dev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), expr("percentile(dev, 0.5)").as("mad"),
+        max("med").as("med"))
+      .withColumn("thr_e6", round(lit(1e6) * lit(4.4478) * col("mad")).cast("long"))
+    val outliers = dev.join(broadcast(stats.select("event_type", "thr_e6")), Seq("event_type"))
+      .withColumn("dev_e6", round(lit(1e6) * col("dev")).cast("long"))
+      .groupBy("event_type")
+      .agg(sum((col("dev_e6") > col("thr_e6")).cast("long")).as("n_outliers"))
+    stats.join(outliers, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        round(lit(1e6) * col("med")).cast("long").as("med_e6"),
+        round(lit(1e6) * col("mad")).cast("long").as("mad_e6"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val dq2OutlierMadSql: String =
+    """WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+      |med AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM ev GROUP BY event_type),
+      |dev AS (SELECT e.event_type, abs(e.v - m.med) AS dev, m.med
+      |  FROM ev e JOIN med m USING (event_type)),
+      |stats AS (SELECT event_type, COUNT(*) AS n, quantile_cont(dev, 0.5) AS mad,
+      |    MAX(med) AS med
+      |  FROM dev GROUP BY event_type),
+      |thr AS (SELECT event_type, n, med, mad,
+      |    CAST(ROUND(1e6 * 4.4478 * mad) AS BIGINT) AS thr_e6 FROM stats),
+      |outl AS (SELECT d.event_type,
+      |    CAST(SUM(CASE WHEN CAST(ROUND(1e6 * d.dev) AS BIGINT) > t.thr_e6
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |  FROM dev d JOIN thr t USING (event_type) GROUP BY d.event_type)
+      |SELECT t.event_type, t.n,
+      |  CAST(ROUND(1e6 * t.med) AS BIGINT) AS med_e6,
+      |  CAST(ROUND(1e6 * t.mad) AS BIGINT) AS mad_e6,
+      |  o.n_outliers
+      |FROM thr t JOIN outl o USING (event_type) ORDER BY event_type""".stripMargin
+
   /** w1_grouped_topk — per-group top-3 via window row_number (SURVEY §2.13;
     * grouped variant of T2, same shape as SM3 episode sampling). */
   def w1GroupedTopk(s: SparkSession, dir: String): DataFrame = {
@@ -337,6 +389,7 @@ object Relational {
     "t6_quantiles" -> (t6Quantiles _),
     "t7_approx_quantiles" -> (t7ApproxQuantiles _),
     "dq1_profile" -> (dq1Profile _),
+    "dq2_outlier_mad" -> (dq2OutlierMad _),
     "w1_grouped_topk" -> (w1GroupedTopk _),
     "set1_pool_update" -> (set1PoolUpdate _))
 
@@ -353,6 +406,7 @@ object Relational {
     "t5_offset_scan" -> t5OffsetScanSql,
     "t6_quantiles" -> t6QuantilesSql,
     "dq1_profile" -> dq1ProfileSql,
+    "dq2_outlier_mad" -> dq2OutlierMadSql,
     "w1_grouped_topk" -> w1GroupedTopkSql,
     "set1_pool_update" -> set1PoolUpdateSql)
 }

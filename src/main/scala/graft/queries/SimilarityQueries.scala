@@ -258,6 +258,64 @@ object SimilarityQueries {
        |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |ORDER BY cos_e6 DESC, vec_a, vec_b LIMIT 50""".stripMargin
 
+  /** dd12's cosine threshold (×1e6): vectors this similar within a cell are
+    * semantic duplicates. 64-dim uniform vectors have pairwise-cosine
+    * σ ≈ 1/√64, so 0.25 ≈ 2σ — high-percentile within a cell (cell-mates
+    * already share a nearest centroid), giving a demonstrably non-empty
+    * prune at every SF. */
+  private val SemThrE6 = 250000L
+
+  /** dd12_semantic_dedup — SemDeDup-style semantic pruning (Abbas et al.
+    * 2023, arXiv:2303.09540): cluster embeddings (here: the same IVF cells
+    * as ss2/dd6 — the deterministic k-means stand-in), and within each cell
+    * drop every vector that is ≥θ-cosine-similar to a SMALLER-id cell-mate,
+    * keeping minimal-id representatives. The drop rule is one equi-join
+    * within bounded cells + a distinct — deterministic, single-pass, and
+    * independent of the keeper's own fate (SemDeDup's keep-one-per-cluster
+    * differs only in which representative survives, not in how many).
+    * Block size is constant in corpus growth (more data ⇒ more cells), so
+    * the within-cell pair join never goes quadratic. Emits per-cell
+    * n_vecs/n_dropped/n_kept — the mixture-level view a curation run
+    * reports. */
+  def dd12SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(s, dir, "embeddings"))
+    val cellified = withCell(emb, centIndex(emb))
+    val a = cellified.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = cellified.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b") &&
+        cosE6(dot(col("ea"), col("eb")), col("na"), col("nb")) >= SemThrE6)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dropped", lit(1))
+    cellified.join(drops, Seq("vec_id"), "left_outer")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum("dropped"), lit(0L)).cast(LongType).as("n_dropped"))
+      .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
+      .orderBy("cell")
+  }
+
+  val dd12SemanticDedupSql: String =
+    s"""WITH emb AS ($withNormDuck),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cv, norm AS cn FROM emb WHERE vec_id % 97 = 0),
+       |assign AS (
+       |  SELECT vec_id, embedding, norm, cell FROM (
+       |    SELECT e.vec_id, e.embedding, e.norm, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE6Sql(dotSql("c.cv", "e.embedding"), "c.cn", "e.norm")} DESC, c.cent_id) AS ark
+       |    FROM emb e CROSS JOIN cent c) t WHERE ark = 1),
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cosE6Sql(dotSql("a.embedding", "b.embedding"), "a.norm", "b.norm")} >= $SemThrE6)
+       |SELECT v.cell, COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  COUNT(*) - CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM assign v LEFT JOIN drops d ON v.vec_id = d.vec_id
+       |GROUP BY v.cell ORDER BY v.cell""".stripMargin
+
   /** PQ geometry: 64-dim vectors → 8 subspaces × 8 dims, 16 codes per
     * subspace (a 4-bit code ×8 = 4 bytes per vector vs 256 B of float32 —
     * the memory-scale rung below IVF). */
@@ -326,12 +384,14 @@ object SimilarityQueries {
     "ss4_pq_topk" -> (ss4PqTopk _),
     "ss2_ivf_topk" -> (ss2IvfTopk _),
     "ss3_lsh_topk" -> (ss3LshTopk _),
-    "dd6_embed_neardup" -> (dd6EmbedNeardup _))
+    "dd6_embed_neardup" -> (dd6EmbedNeardup _),
+    "dd12_semantic_dedup" -> (dd12SemanticDedup _))
 
   val oracles: Map[String, String] = Map(
     "ss1_bruteforce_topk" -> ss1BruteforceTopkSql,
     "ss4_pq_topk" -> ss4PqTopkSql,
     "ss2_ivf_topk" -> ss2IvfTopkSql,
     "ss3_lsh_topk" -> ss3LshTopkSql,
-    "dd6_embed_neardup" -> dd6EmbedNeardupSql)
+    "dd6_embed_neardup" -> dd6EmbedNeardupSql,
+    "dd12_semantic_dedup" -> dd12SemanticDedupSql)
 }

@@ -128,6 +128,44 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("pk2: overlapping chunks tile every document end to end") {
+    val docLens = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = CurationQueries.pk2ChunkOverlap(spark, dir)
+      .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (doc, cs) =>
+      val n = docLens(doc)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 === 0, "first chunk starts at token 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 - a._3 === 48, "stride is constant")
+        case _ =>
+      }
+      assert(sorted.forall(_._4 <= 64), "no chunk exceeds the window")
+      assert(sorted.last._3 + sorted.last._4 === n, "last chunk reaches the end")
+      assert(sorted.length === ((n - 1) / 48 + 1), "chunk count = ceil(n/stride)")
+    }
+  }
+
+  test("sm7: temperature sampling keeps a larger fraction of smaller domains") {
+    val rows = CurationQueries.sm7TemperatureSample(spark, dir)
+      .groupBy("lang").agg(max("n_lang").as("n"), max("target").as("t"), count(lit(1)).as("got"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, t, got) => assert(got === t, "emits exactly target rows per group") }
+    // flattening: sampled fraction decreases as group size increases
+    val byN = rows.sortBy(_._1).map { case (n, t, _) => t.toDouble / n }
+    byN.sliding(2).foreach {
+      case Array(fSmall, fBig) => assert(fSmall >= fBig - 1e-9,
+        s"smaller domain must keep >= fraction: $fSmall < $fBig")
+      case _ =>
+    }
+  }
+
   test("ev8: the as-of view is strictly earlier than its purchase") {
     val bad = EventQueries.ev8AsofJoin(spark, dir)
       .filter(col("last_view_us").isNotNull &&

@@ -33,6 +33,17 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("dq2: MAD outlier screen flags a strict minority per event type") {
+    val rows = Relational.dq2OutlierMad(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, medE6, madE6, outliers) =>
+      assert(outliers >= 0L && outliers < n / 2,
+        s"$et: a robust screen can never flag a majority ($outliers of $n)")
+      assert(medE6 > 0L && madE6 > 0L, s"$et: degenerate spread")
+    }
+  }
+
   test("rollup emits subtotal and grand-total rows") {
     val rows = Relational.r1Rollup(spark, dir).collect()
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))

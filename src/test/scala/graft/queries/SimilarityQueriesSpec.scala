@@ -92,4 +92,17 @@ class SimilarityQueriesSpec extends SparkSpec {
     val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
     assert(perQuery.values.forall(_ === 5))
   }
+
+  test("dd12: every cell keeps at least its minimal-id representative") {
+    val rows = SimilarityQueries.dd12SemanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cell, nVecs, nDropped, nKept) =>
+      assert(nKept >= 1L, s"cell $cell pruned everything — the min-id vector has no smaller cell-mate and can never drop")
+      assert(nDropped + nKept === nVecs, s"cell $cell: counts must partition")
+      assert(nDropped >= 0L)
+    }
+    // the threshold is tuned to the corpus so the prune is non-degenerate
+    assert(rows.map(_._3).sum > 0L, "semantic prune dropped nothing")
+  }
 }
