@@ -243,7 +243,82 @@ object CorpusQueries {
     arms.mkString("", "\nUNION ALL\n", "\nORDER BY sdg")
   }
 
+  /** a16's PageRank iteration count and the a6-matching edge min-count. */
+  private val PrIters = 10
+  private val PrMinCount = 5
+
+  /** a16_textrank — TextRank keyword extraction (Mihalcea & Tarau 2004):
+    * PageRank over the word co-occurrence graph (adjacent-token pairs with
+    * count ≥ 5, symmetrized, self-loops dropped), 10 damped iterations
+    * (d = 0.85), top-20 words by final rank. The suite's second ITERATIVE
+    * operator after dd8's connected components, and the same scale recipe:
+    * per-iteration one equi-join + one aggregate, `localCheckpoint` between
+    * rounds to cut lineage. Integer-exact end to end — ranks live as e6
+    * BIGINTs, contributions are `r div deg`, damping is `(85·Σ) div 100` —
+    * so ten rounds of floor arithmetic land on identical values in both
+    * engines (the DuckDB oracle unrolls the ten iterations as chained
+    * CTEs). The two scalar counts (node count for the teleport term) are
+    * driver-side by the same bounded-index contract as the gazetteer. */
+  def a16TextRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w1")))
+    val pairs = tok
+      .withColumn("w2", lead("w1", 1).over(w))
+      .filter(col("w2").isNotNull && col("w1") =!= col("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= PrMinCount)
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"))
+      .union(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+      .distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(deg, Seq("src")).localCheckpoint()
+    val nodes = edges.select(col("src").as("word")).distinct().localCheckpoint()
+    val n = nodes.count()
+    val teleport = 150000L / n
+    var ranks = nodes.withColumn("r", lit(1000000L / n))
+    for (_ <- 1 to PrIters) {
+      ranks = edgesD.join(ranks, edgesD("src") === ranks("word"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+        .select(col("dst").as("word"),
+          (lit(teleport) + expr("(85 * sc) div 100")).cast(LongType).as("r"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(desc("r"), col("word")).limit(20)
+      .select(col("word"), col("r").as("rank_e6"))
+  }
+
+  val a16TextRankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.dst AS word,
+         |    (SELECT 150000 // n FROM nn) + (85 * CAST(SUM(p.r // e.deg) AS BIGINT)) // 100 AS r
+         |  FROM ed e JOIN pr${i - 1} p ON p.word = e.src GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w1,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT w1, w2, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, pos, w1,
+       |      LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok) x
+       |  WHERE w2 IS NOT NULL AND w1 <> w2
+       |  GROUP BY w1, w2 HAVING COUNT(*) >= $PrMinCount),
+       |edges AS (SELECT w1 AS src, w2 AS dst FROM pairs UNION SELECT w2, w1 FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+       |nodes AS (SELECT DISTINCT src AS word FROM edges),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |pr0 AS (SELECT word, 1000000 // n AS r FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT word, r AS rank_e6 FROM pr$PrIters
+       |ORDER BY rank_e6 DESC, word LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "a16_textrank" -> (a16TextRank _),
     "a1_corpus_stats" -> (a1CorpusStats _),
     "a3_word_freq" -> (a3WordFreq _),
     "a4_topn_removal" -> (a4TopnRemoval _),
@@ -253,6 +328,7 @@ object CorpusQueries {
     "j8_conjunctive_keywords" -> (j8ConjunctiveKeywords _))
 
   val oracles: Map[String, String] = Map(
+    "a16_textrank" -> a16TextRankSql,
     "a1_corpus_stats" -> a1CorpusStatsSql,
     "a3_word_freq" -> a3WordFreqSql,
     "a4_topn_removal" -> a4TopnRemovalSql,

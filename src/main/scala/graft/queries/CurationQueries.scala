@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -222,6 +222,52 @@ object CurationQueries {
        |  start_tok // $SeqBudget AS seq_first,
        |  (start_tok + n_tokens - 1) // $SeqBudget AS seq_last
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** ta11's alphabet (the synthetic corpus is lowercase + space) and keep
+    * threshold — corpus-tuned KNOB like ta7's: sits near this corpus's p10
+    * (measured 2.77e6 at sf0.01; range 2.55–2.93e6) so the gate
+    * demonstrably fires. */
+  private val EntropyAlphabet: Seq[String] = ("abcdefghijklmnopqrstuvwxyz" + " ").map(_.toString)
+  private val EntropyKeepE6 = 2750000L
+
+  /** ta11_entropy_gate — character-distribution entropy as a quality gate
+    * (low entropy = repetitive/degenerate text — keyboard mashing, repeated
+    * tokens, encoding junk; the information-theoretic complement to ta7's
+    * n-gram repetition fractions). ZERO shuffle until the presentation
+    * sort: per-character counts come from `length(text) − length(replace)`
+    * over a literal alphabet — no explode — and each −p·ln(p) term is
+    * e6-rounded BEFORE the fixed-alphabet-order sum, so the integer total
+    * is engine-exact. */
+  def ta11EntropyGate(s: SparkSession, dir: String): DataFrame = {
+    val L = length(col("text"))
+    def termE6(ch: String): Column = {
+      val cnt = L - length(call_function("replace", col("text"), lit(ch)))
+      val p = cnt.cast(DoubleType) / L.cast(DoubleType)
+      when(cnt > 0, round(lit(-1e6) * p * log(p)).cast(LongType)).otherwise(lit(0L))
+    }
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        EntropyAlphabet.map(termE6).reduce(_ + _).as("entropy_e6"))
+      .withColumn("keep", (col("entropy_e6") >= EntropyKeepE6).cast(IntegerType))
+      .orderBy("doc_id")
+  }
+
+  val ta11EntropyGateSql: String = {
+    val alphabetList = EntropyAlphabet.map(c => s"'$c'").mkString("[", ",", "]")
+    s"""WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents)
+       |SELECT doc_id,
+       |  CAST(list_sum(list_transform($alphabetList,
+       |    c -> CASE WHEN len(text) - len(replace(text, c, '')) > 0
+       |      THEN CAST(ROUND(-1e6 * ((len(text) - len(replace(text, c, ''))) / CAST(L AS DOUBLE))
+       |           * ln((len(text) - len(replace(text, c, ''))) / CAST(L AS DOUBLE))) AS BIGINT)
+       |      ELSE 0 END)) AS BIGINT) AS entropy_e6,
+       |  CASE WHEN CAST(list_sum(list_transform($alphabetList,
+       |    c -> CASE WHEN len(text) - len(replace(text, c, '')) > 0
+       |      THEN CAST(ROUND(-1e6 * ((len(text) - len(replace(text, c, ''))) / CAST(L AS DOUBLE))
+       |           * ln((len(text) - len(replace(text, c, ''))) / CAST(L AS DOUBLE))) AS BIGINT)
+       |      ELSE 0 END)) AS BIGINT) >= $EntropyKeepE6 THEN 1 ELSE 0 END AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
 
   /** pk2's window geometry: 64-token chunks every 48 tokens (16-token
     * overlap) — the RAG/long-context chunking layout, vs pk1's
@@ -500,6 +546,7 @@ object CurationQueries {
     "sm6_weighted_sample" -> (sm6WeightedSample _),
     "ta8_pii_redact" -> (ta8PiiRedact _),
     "ta9_unigram_ppl" -> (ta9UnigramPpl _),
+    "ta11_entropy_gate" -> (ta11EntropyGate _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
     "pk2_chunk_overlap" -> (pk2ChunkOverlap _),
     "sm5_domain_mixture" -> (sm5DomainMixture _),
@@ -513,6 +560,7 @@ object CurationQueries {
     "sm6_weighted_sample" -> sm6WeightedSampleSql,
     "ta8_pii_redact" -> ta8PiiRedactSql,
     "ta9_unigram_ppl" -> ta9UnigramPplSql,
+    "ta11_entropy_gate" -> ta11EntropyGateSql,
     "pk1_sequence_pack" -> pk1SequencePackSql,
     "pk2_chunk_overlap" -> pk2ChunkOverlapSql,
     "sm5_domain_mixture" -> sm5DomainMixtureSql,

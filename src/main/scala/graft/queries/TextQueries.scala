@@ -218,10 +218,18 @@ object TextQueries {
     """SELECT p_partkey, regexp_replace(trim(p_name), '\s+', '+', 'g') AS query_string
       |FROM part ORDER BY p_partkey""".stripMargin
 
-  /** ta1_langid — character-bigram language-ID: profiles counted from a
-    * deterministic 80% train split, argmax profile-overlap score on the rest.
-    * Two shuffles (profile agg, score agg) + a broadcast profile join — the
-    * shape that scales: profiles are |langs|×|bigrams| ≪ corpus. */
+  /** ta1_langid — character-bigram language-ID as add-one-smoothed naive
+    * Bayes: per-language bigram profiles counted from a deterministic 80%
+    * train split, each held-out document scored by Σ n_doc(bg) ·
+    * ln((cnt_lang(bg)+1)/(tot_lang+V)), argmax over languages. The
+    * normalization matters: an unnormalized overlap score Σ n_doc·cnt
+    * (this query's first version) degenerately predicts the LARGEST
+    * profile for every document — a14's confusion matrix caught exactly
+    * that. Each ln term is e6-rounded BEFORE the integer multiply/sum, so
+    * the score is order-independent and engine-exact. Two shuffles
+    * (profile agg, score agg) + broadcast profile/totals joins — the shape
+    * that scales: profiles are |langs|×|bigrams| ≪ corpus, and the
+    * candidate fan-out multiplies only the held-out slice by |langs|. */
   // NOTE (round 3): sharing one per-(doc,lang,bg) pre-aggregate between the
   // profile and test sides via localCheckpoint was MEASURED SLOWER (4.8 s vs
   // 2.6 s at sf0.1): it trades two cheap map-side-combined aggregations for
@@ -235,40 +243,136 @@ object TextQueries {
     val profile = bigrams.filter(col("doc_id") % 5 < 4)
       .groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
       .withColumnRenamed("lang", "cand_lang")
-    // pre-aggregate each test doc's bigram multiset so the profile join sees
-    // one row per (doc, distinct bigram), not one per bigram instance
+    val totals = profile.groupBy("cand_lang").agg(sum("cnt").as("tot"))
+    val vocabV = profile.select(countDistinct("bg").as("v"))
+    // pre-aggregate each test doc's bigram multiset so the candidate
+    // fan-out sees one row per (doc, distinct bigram), not per instance
     val test = bigrams.filter(col("doc_id") % 5 === 4)
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("n_doc"))
-    val scored = test.join(broadcast(profile), Seq("bg"))
+    val termE6 = col("n_doc") *
+      round(lit(1e6) * log((coalesce(col("cnt"), lit(0L)) + lit(1)).cast(DoubleType) /
+        (col("tot") + col("v")).cast(DoubleType))).cast(LongType)
+    val scored = test
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(vocabV))
+      .join(broadcast(profile), Seq("bg", "cand_lang"), "left_outer")
       .groupBy("doc_id", "cand_lang")
-      .agg(sum(col("n_doc") * col("cnt")).as("score"))
-    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("cand_lang"))
+      .agg(sum(termE6).as("score_e6"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score_e6"), col("cand_lang"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score"))
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score_e6"))
       .orderBy("doc_id")
   }
 
-  val ta1LangIdSql: String =
-    """WITH bigrams AS (
+  /** ta1's CTE chain through `ranked` — shared verbatim by ta1/a14/a15 so
+    * the prediction the confusion matrix scores is the prediction the
+    * langid query emits. */
+  private val ta1CoreSql: String =
+    """bigrams AS (
       |  SELECT doc_id, lang, unnest(list_transform(range(1, len(text)), i -> substr(text, i, 2))) AS bg
       |  FROM documents),
       |profile AS (
       |  SELECT lang AS cand_lang, bg, COUNT(*) AS cnt FROM bigrams
       |  WHERE doc_id % 5 < 4 GROUP BY lang, bg),
+      |totals AS (SELECT cand_lang, CAST(SUM(cnt) AS BIGINT) AS tot FROM profile GROUP BY cand_lang),
+      |vocabv AS (SELECT COUNT(DISTINCT bg) AS v FROM profile),
       |test AS (
       |  SELECT doc_id, bg, COUNT(*) AS n_doc FROM bigrams
       |  WHERE doc_id % 5 = 4 GROUP BY doc_id, bg),
       |scored AS (
-      |  SELECT b.doc_id, p.cand_lang, CAST(SUM(b.n_doc * p.cnt) AS BIGINT) AS score
-      |  FROM test b JOIN profile p USING (bg)
-      |  GROUP BY b.doc_id, p.cand_lang),
+      |  SELECT b.doc_id, t.cand_lang,
+      |    CAST(SUM(b.n_doc * CAST(ROUND(1e6 * ln(
+      |      (COALESCE(p.cnt, 0) + 1) / CAST(t.tot + vv.v AS DOUBLE))) AS BIGINT)) AS BIGINT) AS score_e6
+      |  FROM test b CROSS JOIN totals t CROSS JOIN vocabv vv
+      |  LEFT JOIN profile p ON p.bg = b.bg AND p.cand_lang = t.cand_lang
+      |  GROUP BY b.doc_id, t.cand_lang),
       |ranked AS (
-      |  SELECT doc_id, cand_lang, score,
-      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rk
-      |  FROM scored)
-      |SELECT doc_id, cand_lang AS pred_lang, score FROM ranked WHERE rk = 1
-      |ORDER BY doc_id""".stripMargin
+      |  SELECT doc_id, cand_lang, score_e6,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, cand_lang) AS rk
+      |  FROM scored)""".stripMargin
+
+  val ta1LangIdSql: String =
+    s"""WITH $ta1CoreSql
+       |SELECT doc_id, cand_lang AS pred_lang, score_e6 FROM ranked WHERE rk = 1
+       |ORDER BY doc_id""".stripMargin
+
+  /** a14_confusion_matrix — the model-eval staple over ta1's predictions:
+    * per (true, predicted) language cell counts on the held-out 20%. The
+    * classifier under test is ta1 itself (composition, not duplication:
+    * [[ta1LangId]] is reused as the prediction subplan). Tiny output
+    * (|langs|²); all heavy lifting is ta1's already-audited plan plus one
+    * broadcast-able join on doc_id. */
+  def a14ConfusionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val truth = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("lang").as("true_lang"))
+    ta1LangId(s, dir).join(truth, Seq("doc_id"))
+      .groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  val a14ConfusionMatrixSql: String =
+    s"""WITH $ta1CoreSql,
+       |pred AS (SELECT doc_id, cand_lang AS pred_lang FROM ranked WHERE rk = 1),
+       |truth AS (SELECT doc_id, lang AS true_lang FROM documents WHERE doc_id % 5 = 4)
+       |SELECT t.true_lang, p.pred_lang, COUNT(*) AS n
+       |FROM pred p JOIN truth t USING (doc_id)
+       |GROUP BY t.true_lang, p.pred_lang
+       |ORDER BY true_lang, pred_lang""".stripMargin
+
+  /** a15_cohens_kappa — chance-corrected agreement over a14's confusion
+    * matrix: κ = (p_o − p_e)/(1 − p_e) with p_e from the row×column
+    * marginal products. Every count stays an exact int64; the two divisions
+    * happen once, in identical expressions on both engines, then e6-round —
+    * the annotation-quality statistic an NER labeling pipeline reports
+    * before trusting its annotators (here scoring ta1 against ground
+    * truth).
+    *
+    * Honest caveat: on the synthetic corpus κ ≈ 0 — and that is the CORRECT
+    * measurement: the testdata generator draws every language's text from
+    * the same word distribution (verified: word-unigram naive Bayes also
+    * scores exactly at chance), so no classifier can beat chance here. The
+    * statistic's machinery is what's under test; a real corpus gives the
+    * same plan a real κ. */
+  def a15CohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val cm = a14ConfusionMatrix(s, dir)
+    val tot = cm.agg(sum("n").as("nn"),
+      sum(when(col("true_lang") === col("pred_lang"), col("n")).otherwise(0L)).as("agree"))
+    val rowsM = cm.groupBy(col("true_lang").as("l")).agg(sum("n").as("rn"))
+    val colsM = cm.groupBy(col("pred_lang").as("l")).agg(sum("n").as("cn"))
+    val rc = rowsM.join(colsM, Seq("l")).agg(sum(col("rn") * col("cn")).as("rc"))
+    val po = col("agree").cast(DoubleType) / col("nn").cast(DoubleType)
+    val pe = col("rc").cast(DoubleType) / (col("nn") * col("nn")).cast(DoubleType)
+    tot.crossJoin(rc)
+      .select(col("nn"), col("agree"),
+        round(lit(1e6) * po).cast(LongType).as("po_e6"),
+        round(lit(1e6) * pe).cast(LongType).as("pe_e6"),
+        round(lit(1e6) * (po - pe) / (lit(1d) - pe)).cast(LongType).as("kappa_e6"))
+  }
+
+  val a15CohensKappaSql: String =
+    s"""WITH $ta1CoreSql,
+       |pred AS (SELECT doc_id, cand_lang AS pred_lang FROM ranked WHERE rk = 1),
+       |truth AS (SELECT doc_id, lang AS true_lang FROM documents WHERE doc_id % 5 = 4),
+       |cm AS (
+       |  SELECT t.true_lang, p.pred_lang, COUNT(*) AS n
+       |  FROM pred p JOIN truth t USING (doc_id) GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+       |    CAST(SUM(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END) AS BIGINT) AS agree
+       |  FROM cm),
+       |rm AS (SELECT true_lang AS l, CAST(SUM(n) AS BIGINT) AS rn FROM cm GROUP BY 1),
+       |cmg AS (SELECT pred_lang AS l, CAST(SUM(n) AS BIGINT) AS cn FROM cm GROUP BY 1),
+       |rc AS (SELECT CAST(SUM(rn * cn) AS BIGINT) AS rc FROM rm JOIN cmg USING (l))
+       |SELECT nn, agree,
+       |  CAST(ROUND(1e6 * (CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE))) AS BIGINT) AS po_e6,
+       |  CAST(ROUND(1e6 * (CAST(rc AS DOUBLE) / CAST(nn * nn AS DOUBLE))) AS BIGINT) AS pe_e6,
+       |  CAST(ROUND(1e6 * ((CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE))
+       |      - (CAST(rc AS DOUBLE) / CAST(nn * nn AS DOUBLE)))
+       |    / (1 - (CAST(rc AS DOUBLE) / CAST(nn * nn AS DOUBLE)))) AS BIGINT) AS kappa_e6
+       |FROM tot CROSS JOIN rc""".stripMargin
 
   /** ta2_quality_score — document quality heuristics: token count, mean word
     * length, stopword ratio, combined into one scaled-integer score. */
@@ -423,6 +527,8 @@ object TextQueries {
     "f18_parse_stringified_list" -> (f18ParseStringifiedList _),
     "f19_plus_join" -> (f19PlusJoin _),
     "ta1_langid" -> (ta1LangId _),
+    "a14_confusion_matrix" -> (a14ConfusionMatrix _),
+    "a15_cohens_kappa" -> (a15CohensKappa _),
     "ta2_quality_score" -> (ta2QualityScore _),
     "ta3_token_count" -> (ta3TokenCount _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
@@ -440,6 +546,8 @@ object TextQueries {
     "f18_parse_stringified_list" -> f18ParseStringifiedListSql,
     "f19_plus_join" -> f19PlusJoinSql,
     "ta1_langid" -> ta1LangIdSql,
+    "a14_confusion_matrix" -> a14ConfusionMatrixSql,
+    "a15_cohens_kappa" -> a15CohensKappaSql,
     "ta2_quality_score" -> ta2QualityScoreSql,
     "ta3_token_count" -> ta3TokenCountSql,
     "ta4_fingerprint" -> ta4FingerprintSql,

@@ -25,6 +25,20 @@ class GapQueriesSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(3) < r.getLong(1)), "no false-negative spans")
   }
 
+  test("a14/a15: confusion marginals are consistent and kappa is bounded") {
+    val cm = TextQueries.a14ConfusionMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val kap = TextQueries.a15CohensKappa(spark, dir).collect()(0)
+    val (nn, agree) = (kap.getLong(0), kap.getLong(1))
+    assert(cm.map(_._3).sum === nn, "confusion cells sum to the held-out count")
+    assert(cm.filter(c => c._1 == c._2).map(_._3).sum === agree, "diagonal = agreements")
+    val kappa = kap.getLong(4)
+    assert(kappa >= -1000000L && kappa <= 1000000L, s"kappa_e6 out of range: $kappa")
+    // full-matrix sanity: predictions are spread over more than one class
+    // (the unnormalized overlap score this caught used to predict ONE class)
+    assert(cm.map(_._2).distinct.length > 1, "classifier predicts a single class")
+  }
+
   test("a13: span-level recall can only be <= token-level recall's span proxy") {
     // sanity vs a7: both derive gold from d-words; span-strict matching is
     // a harder criterion, so span precision <= 1e6 trivially and the span
