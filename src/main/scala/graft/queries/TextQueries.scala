@@ -236,34 +236,46 @@ object TextQueries {
   // one wide per-doc-bigram shuffle plus an eager materialization. The
   // double explode is the right plan here — profile collapses to
   // |langs|×|bigrams| in the map stage, and the test side is 1/5 of the data.
-  def ta1LangId(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val bigrams = docs.select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
-    val profile = bigrams.filter(col("doc_id") % 5 < 4)
-      .groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
-      .withColumnRenamed("lang", "cand_lang")
-    val totals = profile.groupBy("cand_lang").agg(sum("cnt").as("tot"))
-    val vocabV = profile.select(countDistinct("bg").as("v"))
-    // pre-aggregate each test doc's bigram multiset so the candidate
-    // fan-out sees one row per (doc, distinct bigram), not per instance
-    val test = bigrams.filter(col("doc_id") % 5 === 4)
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n_doc"))
-    val termE6 = col("n_doc") *
-      round(lit(1e6) * log((coalesce(col("cnt"), lit(0L)) + lit(1)).cast(DoubleType) /
-        (col("tot") + col("v")).cast(DoubleType))).cast(LongType)
-    val scored = test
-      .crossJoin(broadcast(totals))
-      .crossJoin(broadcast(vocabV))
-      .join(broadcast(profile), Seq("bg", "cand_lang"), "left_outer")
-      .groupBy("doc_id", "cand_lang")
-      .agg(sum(termE6).as("score_e6"))
-    val w = Window.partitionBy("doc_id").orderBy(desc("score_e6"), col("cand_lang"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score_e6"))
-      .orderBy("doc_id")
-  }
+  /** One persisted prediction table per (session, dir), shared by
+    * ta1/a14/a15 — same sharing recipe as MLQueries.ldaCache: the langid
+    * scoring subplan (the expensive double bigram explode + candidate
+    * fan-out) materializes once; each consumer still runs its own lazy
+    * downstream plan. */
+  private val langIdCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def langIdPred(s: SparkSession, dir: String): DataFrame =
+    langIdCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val docs = t(s, dir, "documents")
+      val bigrams = docs.select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+      val profile = bigrams.filter(col("doc_id") % 5 < 4)
+        .groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
+        .withColumnRenamed("lang", "cand_lang")
+      val totals = profile.groupBy("cand_lang").agg(sum("cnt").as("tot"))
+      val vocabV = profile.select(countDistinct("bg").as("v"))
+      // pre-aggregate each test doc's bigram multiset so the candidate
+      // fan-out sees one row per (doc, distinct bigram), not per instance
+      val test = bigrams.filter(col("doc_id") % 5 === 4)
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n_doc"))
+      val termE6 = col("n_doc") *
+        round(lit(1e6) * log((coalesce(col("cnt"), lit(0L)) + lit(1)).cast(DoubleType) /
+          (col("tot") + col("v")).cast(DoubleType))).cast(LongType)
+      val scored = test
+        .crossJoin(broadcast(totals))
+        .crossJoin(broadcast(vocabV))
+        .join(broadcast(profile), Seq("bg", "cand_lang"), "left_outer")
+        .groupBy("doc_id", "cand_lang")
+        .agg(sum(termE6).as("score_e6"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score_e6"), col("cand_lang"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score_e6"))
+        .persist()
+    })
+
+  def ta1LangId(s: SparkSession, dir: String): DataFrame =
+    langIdPred(s, dir).orderBy("doc_id")
 
   /** ta1's CTE chain through `ranked` — shared verbatim by ta1/a14/a15 so
     * the prediction the confusion matrix scores is the prediction the
@@ -307,7 +319,7 @@ object TextQueries {
     val truth = t(s, dir, "documents")
       .filter(col("doc_id") % 5 === 4)
       .select(col("doc_id"), col("lang").as("true_lang"))
-    ta1LangId(s, dir).join(truth, Seq("doc_id"))
+    langIdPred(s, dir).join(truth, Seq("doc_id"))
       .groupBy("true_lang", "pred_lang")
       .agg(count(lit(1)).as("n"))
       .orderBy("true_lang", "pred_lang")
