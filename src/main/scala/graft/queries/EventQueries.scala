@@ -272,8 +272,55 @@ object EventQueries {
       |  CAST((us - last_view_us) // 1000000 AS BIGINT) AS gap_s
       |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  /** ev9's geometry: 30-minute windows, bucket width = window span, so a
+    * window overlaps at most two buckets. */
+  private val Win9Us = 30L * 60L * 1000000L
+
+  /** ev9_range_bucket_join — interval containment join WITHOUT the
+    * cross-product: every 50th event opens a 30-minute window; count/sum
+    * the same-type events inside each window. A raw `e.us >= w.start AND
+    * e.us < w.end` join has no equi-key, so Spark would pick
+    * BroadcastNestedLoopJoin — O(|events|·|windows|) compares. The
+    * bucketize trick restores an equi-join: windows explode to the (≤2)
+    * fixed-width buckets they overlap, events map to exactly one bucket,
+    * join on (event_type, bucket) then filter exact containment — each
+    * qualifying pair meets exactly once (an event lives in ONE bucket), so
+    * no dedup pass. Candidate volume is O(events·windows-per-bucket),
+    * linear at fixed window density; both sides shuffle once on a
+    * well-distributed key. The standard time-series/geospatial band-join
+    * recipe, usable verbatim for numeric bands. */
+  def ev9RangeBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("bkt", expr(s"us div $Win9Us"))
+    val win = t(s, dir, "events")
+      .filter(col("event_id") % 50 === 0)
+      .select(col("event_id").as("window_id"), col("event_type"),
+        unix_micros(col("ts")).as("w_start"))
+      .withColumn("w_end", col("w_start") + lit(Win9Us))
+      .withColumn("bkt", explode(sequence(expr(s"w_start div $Win9Us"), expr(s"(w_end - 1) div $Win9Us"))))
+    ev.join(win, Seq("event_type", "bkt"))
+      .filter(col("us") >= col("w_start") && col("us") < col("w_end"))
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
+      .orderBy("window_id")
+  }
+
+  val ev9RangeBucketJoinSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, epoch_us(ts) AS us, value FROM events),
+       |win AS (
+       |  SELECT event_id AS window_id, event_type, epoch_us(ts) AS w_start,
+       |    epoch_us(ts) + $Win9Us AS w_end
+       |  FROM events WHERE event_id % 50 = 0)
+       |SELECT w.window_id, COUNT(*) AS n_events, ${decSumSql("e.value")} AS total_value
+       |FROM ev e JOIN win w
+       |  ON e.event_type = w.event_type AND e.us >= w.w_start AND e.us < w.w_end
+       |GROUP BY w.window_id ORDER BY w.window_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "ev1_sessionize" -> (ev1Sessionize _),
+    "ev9_range_bucket_join" -> (ev9RangeBucketJoin _),
     "ev8_asof_join" -> (ev8AsofJoin _),
     "ev2_tumbling_agg" -> (ev2TumblingAgg _),
     "ev3_top_users" -> (ev3TopUsers _),
@@ -284,6 +331,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "ev1_sessionize" -> ev1SessionizeSql,
+    "ev9_range_bucket_join" -> ev9RangeBucketJoinSql,
     "ev8_asof_join" -> ev8AsofJoinSql,
     "ev2_tumbling_agg" -> ev2TumblingAggSql,
     "ev3_top_users" -> ev3TopUsersSql,

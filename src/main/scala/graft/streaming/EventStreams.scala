@@ -82,6 +82,25 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateState)
   }
 
+  /** Gap-based sessionization via the BUILT-IN `session_window` aggregate —
+    * the declarative twin of [[sessionize]]: same 30-minute gap semantics,
+    * but the engine owns session state merging (Spark's session-window state
+    * store merges overlapping windows per key as events arrive; watermark
+    * evicts closed sessions). Prefer this when per-session output columns
+    * are expressible as aggregates — drop to flatMapGroupsWithState (the
+    * [[sessionize]] recipe) only for custom state machines the aggregate
+    * surface can't express. Emits one row per closed session in Append
+    * mode. */
+  def sessionWindowCounts(events: DataFrame, gapMinutes: Int = GapMinutes): DataFrame =
+    events
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Streaming top-k users by purchase value — the streaming twin of
     * ev3_top_users (same filter, same DECIMAL money sum per Q.scala rule 1,
     * so near-tied totals never swap rank run-to-run). A running unwindowed

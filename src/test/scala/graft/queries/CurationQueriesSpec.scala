@@ -166,6 +166,17 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("ev9: bucketized containment join is an equi-join, never a nested loop") {
+    val df = EventQueries.ev9RangeBucketJoin(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must bucketize to an equi-join:\n$plan")
+    // every window contains at least its own opening event
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) >= 1L))
+  }
+
   test("ev8: the as-of view is strictly earlier than its purchase") {
     val bad = EventQueries.ev8AsofJoin(spark, dir)
       .filter(col("last_view_us").isNotNull &&

@@ -47,6 +47,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.contains((60L, "view", 1L)))
   }
 
+  test("built-in session_window agrees with the custom stateful sessionizer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val data = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0), // 10 min gap: same session
+      Event(3, ts(60), 1, "click", 4.0), // 50 min gap: NEW session
+      Event(4, ts(5), 2, "view", 8.0)) // other user: own session
+    val mem = MemoryStream[Event]
+    val q = sessionWindowCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sw").outputMode(OutputMode.Append()).start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    // push the watermark far past every session's close so all rows emit
+    mem.addData(Event(99, ts(600), 99, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sw")
+      .select("user_id", "session_start", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000 - Base, r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.contains((1L, 0L, 2L, 3.0)), s"user 1 first session: $got")
+    assert(got.contains((1L, 60L, 1L, 4.0)), s"user 1 second session: $got")
+    assert(got.contains((2L, 5L, 1L, 8.0)), s"user 2 session: $got")
+    // cross-check (session starts, counts) against the custom state operator
+    // on the same input — the two sessionizers must carve identical sessions
+    val mem2 = MemoryStream[Event]
+    val q2 = sessionize(mem2.toDS())
+      .writeStream.format("memory").queryName("sw2").outputMode(OutputMode.Append()).start()
+    mem2.addData(data: _*)
+    q2.processAllAvailable()
+    mem2.addData(Event(99, ts(600), 99, "click", 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val custom = spark.table("sw2")
+      .select("user_id", "start_us", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 60000000L - Base, r.getLong(2)))
+      .filter(_._1 != 99L).toSet
+    assert(custom === got.filter(_._1 != 99L).map(t3 => (t3._1, t3._2, t3._3)))
+  }
+
   test("streaming top-k users is a rolling leaderboard in complete mode") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
