@@ -372,7 +372,66 @@ object DedupQueries {
        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** dd13_minhash_estimate — sketch-accuracy audit: for every exact-verified
+    * pair (dd4), the MinHash ESTIMATE of Jaccard (fraction of the 16
+    * signature components that agree — the estimator LSH's banding is built
+    * on) next to the exact 3-shingle value, with the absolute error. This is
+    * the measurement that justifies (or indicts) the sketch parameters: at
+    * k = 16 the estimator's σ = √(J(1−J)/16) ≈ 0.12 worst-case, so err_e6
+    * spread is expected and HONEST — a production pipeline reads this table
+    * before trusting banding thresholds. Signatures come from the shared
+    * per-session materialization; the whole query is two broadcast-able
+    * joins on doc ids. */
+  def dd13MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val sigs = cachedSigs(s, dir)
+    val idx = 0 until Dedup.NumHashes
+    val sa = sigs.select(col("doc_id").as("doc_a") +: idx.map(i => col(s"s$i").as(s"a$i")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +: idx.map(i => col(s"s$i").as(s"b$i")): _*)
+    dd4Verified(s, dir)
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("n_match",
+        idx.map(i => (col(s"a$i") === col(s"b$i")).cast(IntegerType)).reduce(_ + _))
+      .withColumn("est_e6",
+        round(lit(1e6) * col("n_match") / lit(Dedup.NumHashes)).cast(LongType))
+      .withColumn("err_e6", abs(col("est_e6") - col("jaccard_e6")))
+      .select("doc_a", "doc_b", "jaccard_e6", "est_e6", "err_e6")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dd13MinhashEstimateSql: String = {
+    val matches = (0 until Dedup.NumHashes)
+      .map(i => s"CASE WHEN za.s$i = zb.s$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sig AS ($minhashSigsDuck),
+       |band AS ($bandedSigsDuck),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sh AS ($shinglesDuck),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_int
+       |  FROM cand p
+       |  JOIN sh sa ON sa.doc_id = p.doc_a
+       |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    CAST(ROUND(1e6 * n_int / (za.n_sh + zb.n_sh - n_int)) AS BIGINT) AS jaccard_e6
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE CAST(ROUND(1e6 * n_int / (za.n_sh + zb.n_sh - n_int)) AS BIGINT) >= 100000)
+       |SELECT e.doc_a, e.doc_b, e.jaccard_e6,
+       |  CAST(ROUND(1e6 * ($matches) / ${Dedup.NumHashes}.0) AS BIGINT) AS est_e6,
+       |  abs(CAST(ROUND(1e6 * ($matches) / ${Dedup.NumHashes}.0) AS BIGINT) - e.jaccard_e6) AS err_e6
+       |FROM exact e
+       |JOIN sig za ON za.doc_id = e.doc_a
+       |JOIN sig zb ON zb.doc_id = e.doc_b
+       |ORDER BY e.doc_a, e.doc_b""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "dd13_minhash_estimate" -> (dd13MinhashEstimate _),
     "dd7_contamination" -> (dd7Contamination _),
     "dd10_bloom_contamination" -> (dd10BloomContamination _),
     "dd11_incremental_pairs" -> (dd11IncrementalPairs _),
@@ -385,6 +444,7 @@ object DedupQueries {
     "dd9_simhash_pairs" -> (dd9SimhashPairs _))
 
   val oracles: Map[String, String] = Map(
+    "dd13_minhash_estimate" -> dd13MinhashEstimateSql,
     "dd7_contamination" -> dd7ContaminationSql,
     "dd10_bloom_contamination" -> dd10BloomContaminationSql,
     "dd11_incremental_pairs" -> dd11IncrementalPairsSql,

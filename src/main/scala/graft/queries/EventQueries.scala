@@ -318,9 +318,42 @@ object EventQueries {
        |  ON e.event_type = w.event_type AND e.us >= w.w_start AND e.us < w.w_end
        |GROUP BY w.window_id ORDER BY w.window_id""".stripMargin
 
+  /** ev11_markov_transitions — first-order event-type transition matrix:
+    * per-user event streams ordered by time, adjacent (type → next_type)
+    * pairs counted, rows normalized to e6 probabilities. The sequence-
+    * mining staple behind next-action prediction and funnel discovery
+    * (ev6's funnel hand-picks one path; this surfaces all of them). The
+    * lead window partitions by user — bounded by one user's history — and
+    * the matrix is |types|², so normalization runs on a handful of rows. */
+  def ev11MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+    val wRow = Window.partitionBy("event_type")
+    pairs
+      .withColumn("p_e6", round(lit(1e6) * col("n") / sum("n").over(wRow)).cast(LongType))
+      .orderBy("event_type", "next_type")
+  }
+
+  val ev11MarkovTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+      |  FROM events),
+      |cm AS (
+      |  SELECT event_type, next_type, COUNT(*) AS n FROM seq
+      |  WHERE next_type IS NOT NULL GROUP BY event_type, next_type)
+      |SELECT event_type, next_type, n,
+      |  CAST(ROUND(1e6 * n / SUM(n) OVER (PARTITION BY event_type)) AS BIGINT) AS p_e6
+      |FROM cm ORDER BY event_type, next_type""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "ev1_sessionize" -> (ev1Sessionize _),
     "ev9_range_bucket_join" -> (ev9RangeBucketJoin _),
+    "ev11_markov_transitions" -> (ev11MarkovTransitions _),
     "ev8_asof_join" -> (ev8AsofJoin _),
     "ev2_tumbling_agg" -> (ev2TumblingAgg _),
     "ev3_top_users" -> (ev3TopUsers _),
@@ -332,6 +365,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "ev1_sessionize" -> ev1SessionizeSql,
     "ev9_range_bucket_join" -> ev9RangeBucketJoinSql,
+    "ev11_markov_transitions" -> ev11MarkovTransitionsSql,
     "ev8_asof_join" -> ev8AsofJoinSql,
     "ev2_tumbling_agg" -> ev2TumblingAggSql,
     "ev3_top_users" -> ev3TopUsersSql,

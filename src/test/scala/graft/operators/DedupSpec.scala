@@ -122,6 +122,21 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "testdata should produce at least one delta-touching pair")
   }
 
+  test("dd13: minhash estimate is a bounded-error sketch of exact jaccard") {
+    val rows = graft.queries.DedupQueries.dd13MinhashEstimate(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (exact, est, err) =>
+      assert(est >= 0L && est <= 1000000L)
+      assert(err === math.abs(est - exact))
+    }
+    // k=16 gives sigma <= 0.125; mean |error| across verified pairs should
+    // sit well inside 3 sigma — a systematic estimator bug (wrong hash
+    // family, misaligned components) blows far past this
+    val meanErr = rows.map(_._3).sum.toDouble / rows.length
+    assert(meanErr < 375000.0, s"mean |est - exact| = $meanErr")
+  }
+
   test("connectedComponents on empty pairs returns empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
