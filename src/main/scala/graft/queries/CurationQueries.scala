@@ -254,19 +254,18 @@ object CurationQueries {
 
   val ta11EntropyGateSql: String = {
     val alphabetList = EntropyAlphabet.map(c => s"'$c'").mkString("[", ",", "]")
-    s"""WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents)
-       |SELECT doc_id,
-       |  CAST(list_sum(list_transform($alphabetList,
-       |    c -> CASE WHEN len(text) - len(replace(text, c, '')) > 0
-       |      THEN CAST(ROUND(-1e6 * ((len(text) - len(replace(text, c, ''))) / CAST(L AS DOUBLE))
-       |           * ln((len(text) - len(replace(text, c, ''))) / CAST(L AS DOUBLE))) AS BIGINT)
-       |      ELSE 0 END)) AS BIGINT) AS entropy_e6,
-       |  CASE WHEN CAST(list_sum(list_transform($alphabetList,
-       |    c -> CASE WHEN len(text) - len(replace(text, c, '')) > 0
-       |      THEN CAST(ROUND(-1e6 * ((len(text) - len(replace(text, c, ''))) / CAST(L AS DOUBLE))
-       |           * ln((len(text) - len(replace(text, c, ''))) / CAST(L AS DOUBLE))) AS BIGINT)
-       |      ELSE 0 END)) AS BIGINT) >= $EntropyKeepE6 THEN 1 ELSE 0 END AS keep
-       |FROM d ORDER BY doc_id""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents),
+       |ent AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform($alphabetList,
+       |      c -> CASE WHEN len(text) - len(replace(text, c, '')) > 0
+       |        THEN CAST(ROUND(-1e6 * ((len(text) - len(replace(text, c, ''))) / CAST(L AS DOUBLE))
+       |             * ln((len(text) - len(replace(text, c, ''))) / CAST(L AS DOUBLE))) AS BIGINT)
+       |        ELSE 0 END)) AS BIGINT) AS entropy_e6
+       |  FROM d)
+       |SELECT doc_id, entropy_e6,
+       |  CASE WHEN entropy_e6 >= $EntropyKeepE6 THEN 1 ELSE 0 END AS keep
+       |FROM ent ORDER BY doc_id""".stripMargin
   }
 
   /** pk2's window geometry: 64-token chunks every 48 tokens (16-token

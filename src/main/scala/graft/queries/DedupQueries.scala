@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, SessionShare}
 import Q._
 
 /** Deduplication suite — oracle-checked faces of the [[graft.operators.Dedup]]
@@ -29,34 +29,30 @@ object DedupQueries {
     * and without reuse every downstream stage recomputes it. localCheckpoint
     * (eager, executor-local) keeps the reuse exchange-free; the first
     * toucher pays the materialization, like the shared LDA model in
-    * MLQueries. Lifetime contract: entries live for the session (one scale
-    * dir per JVM in Verify/Bench); a long-lived multi-dir session should
-    * unpersist via its own lifecycle, not this cache. */
-  private val matCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
-
+    * MLQueries. Keying + lifetime contract live on the shared
+    * [[graft.operators.SessionShare]] helper. */
   private def cachedSigs(s: SparkSession, dir: String): DataFrame =
-    matCache.getOrElseUpdate((System.identityHashCode(s), dir, "sigs"),
-      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text").localCheckpoint())
+    SessionShare.materialized(s, dir, "sigs")(
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text"))
 
   private def cachedShingles(s: SparkSession, dir: String): DataFrame =
-    matCache.getOrElseUpdate((System.identityHashCode(s), dir, "sh"),
-      Dedup.shingles(t(s, dir, "documents"), "doc_id", "text").localCheckpoint())
+    SessionShare.materialized(s, dir, "sh")(
+      Dedup.shingles(t(s, dir, "documents"), "doc_id", "text"))
 
   /** 5-gram shingles (the contamination width), materialized once and
     * shared by dd7/dd10 — each would otherwise explode the corpus twice
     * (train + test side; measured ~2 s of dd10's 2.6 s at sf0.1). */
   private def cachedShingles5(s: SparkSession, dir: String): DataFrame =
-    matCache.getOrElseUpdate((System.identityHashCode(s), dir, "sh5"),
-      Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 5).localCheckpoint())
+    SessionShare.materialized(s, dir, "sh5")(
+      Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 5))
 
   /** dd9's 64-bit signature, materialized once: the pairing self-join would
     * otherwise evaluate the 65-column token aggregate twice (once per join
     * side) and pay its whole-stage-codegen compile inside one query wall-time
     * (measured 11 s cold vs ~1 s for the join itself at sf0.1). */
   private def cachedSimhash64(s: SparkSession, dir: String): DataFrame =
-    matCache.getOrElseUpdate((System.identityHashCode(s), dir, "sh64"),
-      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 64).localCheckpoint())
+    SessionShare.materialized(s, dir, "sh64")(
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 64))
 
   /** dd1_exact_dedup — canonical-row selection by normalized content hash. */
   def dd1ExactDedup(s: SparkSession, dir: String): DataFrame =
@@ -141,7 +137,7 @@ object DedupQueries {
     * dd4 is its sorted face; dd8's closure consumes it unsorted (no
     * reliance on EliminateSorts to drop a useless total sort). */
   private def dd4Verified(s: SparkSession, dir: String): DataFrame =
-    matCache.getOrElseUpdate((System.identityHashCode(s), dir, "dd4"), {
+    SessionShare.materialized(s, dir, "dd4") {
       val pairs = Dedup.lshCandidatePairs(cachedSigs(s, dir), "doc_id")
       Dedup.verifyJaccard(pairs, cachedShingles(s, dir), threshold = 0.0)
         // e6 from the integer counts (single rounding — matches the oracle
@@ -150,8 +146,7 @@ object DedupQueries {
           round(lit(1e6) * col("n_int") / (col("na") + col("nb") - col("n_int"))).cast(LongType))
         .filter(col("jaccard_e6") >= 100000)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard_e6"))
-        .localCheckpoint()
-    })
+    }
 
   /** dd4_ngram_jaccard — exact 3-shingle Jaccard on dd3's candidates. */
   def dd4NgramJaccard(s: SparkSession, dir: String): DataFrame =
@@ -325,12 +320,12 @@ object DedupQueries {
     * Rebuilding per probe (measured: ~1.8 s of dd10's 2.1 s warm time at
     * sf0.1) would defeat the point. */
   private def cachedBloom5(s: SparkSession, dir: String): DataFrame =
-    matCache.getOrElseUpdate((System.identityHashCode(s), dir, "bloom5"), {
+    SessionShare.materialized(s, dir, "bloom5") {
       val trainSh = cachedShingles5(s, dir)
         .filter(detHash(col("doc_id"), 41) % 10 < 8)
         .select("sh").distinct()
-      graft.operators.Bloom.build(trainSh, "sh", BloomBits, BloomK).localCheckpoint()
-    })
+      graft.operators.Bloom.build(trainSh, "sh", BloomBits, BloomK)
+    }
 
   def dd10BloomContamination(s: SparkSession, dir: String): DataFrame = {
     val filter = cachedBloom5(s, dir)
@@ -420,14 +415,16 @@ object DedupQueries {
        |  FROM inter i
        |  JOIN sizes za ON za.doc_id = i.doc_a
        |  JOIN sizes zb ON zb.doc_id = i.doc_b
-       |  WHERE CAST(ROUND(1e6 * n_int / (za.n_sh + zb.n_sh - n_int)) AS BIGINT) >= 100000)
-       |SELECT e.doc_a, e.doc_b, e.jaccard_e6,
-       |  CAST(ROUND(1e6 * ($matches) / ${Dedup.NumHashes}.0) AS BIGINT) AS est_e6,
-       |  abs(CAST(ROUND(1e6 * ($matches) / ${Dedup.NumHashes}.0) AS BIGINT) - e.jaccard_e6) AS err_e6
-       |FROM exact e
-       |JOIN sig za ON za.doc_id = e.doc_a
-       |JOIN sig zb ON zb.doc_id = e.doc_b
-       |ORDER BY e.doc_a, e.doc_b""".stripMargin
+       |  WHERE CAST(ROUND(1e6 * n_int / (za.n_sh + zb.n_sh - n_int)) AS BIGINT) >= 100000),
+       |est AS (
+       |  SELECT e.doc_a, e.doc_b, e.jaccard_e6,
+       |    CAST(ROUND(1e6 * ($matches) / ${Dedup.NumHashes}.0) AS BIGINT) AS est_e6
+       |  FROM exact e
+       |  JOIN sig za ON za.doc_id = e.doc_a
+       |  JOIN sig zb ON zb.doc_id = e.doc_b)
+       |SELECT doc_a, doc_b, jaccard_e6, est_e6,
+       |  abs(est_e6 - jaccard_e6) AS err_e6
+       |FROM est ORDER BY doc_a, doc_b""".stripMargin
   }
 
   val queries: Map[String, QueryFn] = Map(

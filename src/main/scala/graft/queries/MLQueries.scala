@@ -40,11 +40,8 @@ object MLQueries {
   /** One CV+LDA training per (session, dir), shared by a9/a10/a10c — model
     * reuse, not result caching: each query still runs its own scoring plan.
     * Carries the CV vocabulary so termIndices can be mapped back to words. */
-  private val ldaCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, Array[String], org.apache.spark.ml.clustering.LDAModel)]
-
   private def fittedLda(s: SparkSession, dir: String): (DataFrame, Array[String], org.apache.spark.ml.clustering.LDAModel) =
-    ldaCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    graft.operators.SessionShare.cached(s, dir, "lda") {
       val docs = t(s, dir, "documents").withColumn("tok", split(col("text"), " "))
       val cv = new CountVectorizer().setInputCol("tok").setOutputCol("bow")
         .setVocabSize(1 << 10)
@@ -52,7 +49,7 @@ object MLQueries {
       val bow = cvModel.transform(docs)
       val lda = new LDA().setK(8).setMaxIter(10).setSeed(42L).setFeaturesCol("bow")
       (bow, cvModel.vocabulary, lda.fit(bow))
-    })
+    }
 
   /** a9_lda_doc_topics — LDA topic modeling (A9: gensim LdaModel k=8,
     * passes=10 → MLlib LDA k=8, maxIter=10, fixed seed) + per-doc dominant

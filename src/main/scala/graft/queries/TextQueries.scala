@@ -236,16 +236,13 @@ object TextQueries {
   // one wide per-doc-bigram shuffle plus an eager materialization. The
   // double explode is the right plan here — profile collapses to
   // |langs|×|bigrams| in the map stage, and the test side is 1/5 of the data.
-  /** One persisted prediction table per (session, dir), shared by
-    * ta1/a14/a15 — same sharing recipe as MLQueries.ldaCache: the langid
-    * scoring subplan (the expensive double bigram explode + candidate
-    * fan-out) materializes once; each consumer still runs its own lazy
-    * downstream plan. */
-  private val langIdCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
+  /** One materialized prediction table per (session, dir), shared by
+    * ta1/a14/a15 via [[graft.operators.SessionShare]]: the langid scoring
+    * subplan (the expensive double bigram explode + candidate fan-out)
+    * materializes once; each consumer still runs its own lazy downstream
+    * plan. */
   private def langIdPred(s: SparkSession, dir: String): DataFrame =
-    langIdCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    graft.operators.SessionShare.materialized(s, dir, "langid_pred") {
       val docs = t(s, dir, "documents")
       val bigrams = docs.select(col("doc_id"), col("lang"),
           explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
@@ -271,8 +268,7 @@ object TextQueries {
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score_e6"))
-        .persist()
-    })
+    }
 
   def ta1LangId(s: SparkSession, dir: String): DataFrame =
     langIdPred(s, dir).orderBy("doc_id")
@@ -361,7 +357,12 @@ object TextQueries {
       .select(col("nn"), col("agree"),
         round(lit(1e6) * po).cast(LongType).as("po_e6"),
         round(lit(1e6) * pe).cast(LongType).as("pe_e6"),
-        round(lit(1e6) * (po - pe) / (lit(1d) - pe)).cast(LongType).as("kappa_e6"))
+        // pe = 1 (single-class matrix) → kappa undefined: NULL in both
+        // engines, per the repo's zero-denominator rule (Spark would give
+        // round(NaN) = 0, DuckDB NULL — a silent hash mismatch)
+        when(col("rc") === col("nn") * col("nn"), lit(null))
+          .otherwise(round(lit(1e6) * (po - pe) / (lit(1d) - pe)))
+          .cast(LongType).as("kappa_e6"))
   }
 
   val a15CohensKappaSql: String =
@@ -381,9 +382,10 @@ object TextQueries {
        |SELECT nn, agree,
        |  CAST(ROUND(1e6 * (CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE))) AS BIGINT) AS po_e6,
        |  CAST(ROUND(1e6 * (CAST(rc AS DOUBLE) / CAST(nn * nn AS DOUBLE))) AS BIGINT) AS pe_e6,
-       |  CAST(ROUND(1e6 * ((CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE))
+       |  CASE WHEN rc = nn * nn THEN NULL
+       |    ELSE CAST(ROUND(1e6 * ((CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE))
        |      - (CAST(rc AS DOUBLE) / CAST(nn * nn AS DOUBLE)))
-       |    / (1 - (CAST(rc AS DOUBLE) / CAST(nn * nn AS DOUBLE)))) AS BIGINT) AS kappa_e6
+       |    / (1 - (CAST(rc AS DOUBLE) / CAST(nn * nn AS DOUBLE)))) AS BIGINT) END AS kappa_e6
        |FROM tot CROSS JOIN rc""".stripMargin
 
   /** ta2_quality_score — document quality heuristics: token count, mean word

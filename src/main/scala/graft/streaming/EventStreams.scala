@@ -90,11 +90,20 @@ object EventStreams {
     * are expressible as aggregates — drop to flatMapGroupsWithState (the
     * [[sessionize]] recipe) only for custom state machines the aggregate
     * surface can't express. Emits one row per closed session in Append
-    * mode. */
+    * mode.
+    *
+    * Boundary alignment: the built-in merges only on STRICT overlap
+    * (next.ts < last.ts + gap), while [[sessionize]] and batch ev1 keep an
+    * event at EXACTLY last+gap in the same session (`us - lastUs <= gapUs`).
+    * Passing gap+1µs to session_window makes the two semantics identical at
+    * the data's microsecond granularity: an exactly-30-minute follower now
+    * satisfies the strict bound, and the next representable instant still
+    * splits — exercised at the boundary in EventStreamsSpec. */
   def sessionWindowCounts(events: DataFrame, gapMinutes: Int = GapMinutes): DataFrame =
     events
       .withWatermark("ts", "1 minute")
-      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${gapMinutes * 60L * 1000000L + 1} microseconds"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),

@@ -54,7 +54,9 @@ class EventStreamsSpec extends SparkSpec {
       Event(1, ts(0), 1, "click", 1.0),
       Event(2, ts(10), 1, "click", 2.0), // 10 min gap: same session
       Event(3, ts(60), 1, "click", 4.0), // 50 min gap: NEW session
-      Event(4, ts(5), 2, "view", 8.0)) // other user: own session
+      Event(4, ts(5), 2, "view", 8.0), // other user: own session
+      Event(5, ts(35), 2, "view", 16.0)) // EXACTLY the 30-min gap: must merge
+    // like the custom sessionizer's <=-gap rule (gap+1us alignment)
     val mem = MemoryStream[Event]
     val q = sessionWindowCounts(mem.toDF())
       .writeStream.format("memory").queryName("sw").outputMode(OutputMode.Append()).start()
@@ -70,7 +72,7 @@ class EventStreamsSpec extends SparkSpec {
       .toSet
     assert(got.contains((1L, 0L, 2L, 3.0)), s"user 1 first session: $got")
     assert(got.contains((1L, 60L, 1L, 4.0)), s"user 1 second session: $got")
-    assert(got.contains((2L, 5L, 1L, 8.0)), s"user 2 session: $got")
+    assert(got.contains((2L, 5L, 2L, 24.0)), s"user 2 boundary-merged session: $got")
     // cross-check (session starts, counts) against the custom state operator
     // on the same input — the two sessionizers must carve identical sessions
     val mem2 = MemoryStream[Event]
