@@ -62,8 +62,13 @@ object ALQueries {
     def plogp(pi: String) =
       s"(CASE WHEN $pi > 0 THEN $pi * ln($pi) ELSE cast(0 as double) END)"
     val ent = s"(0.0 - (${p.map(plogp).mkString(" + ")}))"
+    // runner-up probability = max over all pairs of min(p_i, p_j): the max
+    // of pairwise minima IS the second-largest — pure greatest/least, no
+    // sort, portable to both engines
+    val second = s"greatest(${p.combinations(2).map(pr => s"least(${pr(0)}, ${pr(1)})").mkString(", ")})"
     Map("maxp" -> maxp, "pathp" -> pathp, "ent" -> ent,
-      "lnpathp" -> s"ln(greatest($pathp, 1e-300))")
+      "lnpathp" -> s"ln(greatest($pathp, 1e-300))",
+      "margin" -> s"($maxp - $second)")
   }
 
   /** Scaled-integer score: kills cross-libm ln ulp noise before ordering. */
@@ -86,7 +91,11 @@ object ALQueries {
       // AL7 MTE: largest total token entropy
       "al7_max_token_entropy" -> (e6(d.foldSum(n, t("ent"))), true),
       // AL8 TE: largest mean token entropy
-      "al8_token_entropy" -> (e6(s"(${d.foldSum(n, t("ent"))}) / $n"), true))
+      "al8_token_entropy" -> (e6(s"(${d.foldSum(n, t("ent"))}) / $n"), true),
+      // AL9 margin (beyond the reference's 8: the classic strategy its
+      // registry lacks — Scheffer et al. 2001): smallest mean per-token
+      // margin between the top class and the runner-up
+      "al9_margin" -> (e6(s"(${d.foldSum(n, t("margin"))}) / $n"), false))
   }
 
   private def pathLenSpark = s"cast(4 + pmod(${hashSpark("vec_id", 11)}, 5) as int)"
@@ -246,7 +255,8 @@ object ALQueries {
 
   private val lnStrategies =
     Seq("al3_least_confidence", "al4_normalized_lc", "al5_least_token_prob",
-      "al6_min_token_prob", "al7_max_token_entropy", "al8_token_entropy")
+      "al6_min_token_prob", "al7_max_token_entropy", "al8_token_entropy",
+      "al9_margin")
 
   val queries: Map[String, QueryFn] =
     Map(

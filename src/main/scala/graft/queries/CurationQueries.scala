@@ -282,7 +282,9 @@ object CurationQueries {
     * aggregates, and chunking 100 TB is embarrassingly parallel. Emits a
     * content hash per chunk (the dedup/index key), not the text, so the
     * result stays narrow. */
-  def pk2ChunkOverlap(s: SparkSession, dir: String): DataFrame =
+  /** pk2's unsorted core — shared with e2e2's index pipeline (the dd4/ta7
+    * split: sorted face for presentation, bare plan for composition). */
+  private def pk2Chunks(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
@@ -294,10 +296,14 @@ object CurationQueries {
       .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
         size(col("ch")).as("n_chunk_tokens"),
         detHash(concat_ws(" ", col("ch")), 47).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
 
-  val pk2ChunkOverlapSql: String =
-    s"""WITH d AS (
+  def pk2ChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    pk2Chunks(s, dir).orderBy("doc_id", "chunk_idx")
+
+  /** The shared CTE chain producing (doc_id, chunk_idx, start_tok,
+    * n_chunk_tokens, chunk_hash) — spliced into pk2's and e2e2's oracles. */
+  private val pk2CteSql: String =
+    s"""d AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks,
        |    len(string_split(text, ' ')) AS n
        |  FROM documents),
@@ -309,10 +315,47 @@ object CurationQueries {
        |ch AS (
        |  SELECT doc_id, chunk_idx, start_tok,
        |    list_slice(toks, start_tok + 1, start_tok + $ChunkW) AS ch
-       |  FROM st)
-       |SELECT doc_id, chunk_idx, start_tok, len(ch) AS n_chunk_tokens,
-       |  ${detHashSql("array_to_string(ch, ' ')", 47)} AS chunk_hash
-       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+       |  FROM st),
+       |chunks AS (
+       |  SELECT doc_id, chunk_idx, start_tok, len(ch) AS n_chunk_tokens,
+       |    ${detHashSql("array_to_string(ch, ' ')", 47)} AS chunk_hash
+       |  FROM ch)""".stripMargin
+
+  val pk2ChunkOverlapSql: String =
+    s"""WITH $pk2CteSql
+       |SELECT doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_hash
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** e2e2_chunk_index — the retrieval-index build as ONE lazy plan: chunk
+    * every document (pk2's core), dedup chunks ACROSS documents by content
+    * hash (shared boilerplate collapses to one canonical copy — the index
+    * bloat killer for RAG corpora), and report per document how many of its
+    * chunks it canonically owns vs deduped away to another document. The
+    * canonical pick is the hash-group minimum (doc_id, chunk_idx) — a
+    * bounded window per chunk_hash (group size = duplicate count). Chained
+    * composition like e2e1: no action between stages, Catalyst sees the
+    * whole pipeline. */
+  def e2e2ChunkIndex(s: SparkSession, dir: String): DataFrame = {
+    val wH = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    pk2Chunks(s, dir)
+      .withColumn("rn", row_number().over(wH))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_canonical"))
+      .withColumn("n_dup", col("n_chunks") - col("n_canonical"))
+      .orderBy("doc_id")
+  }
+
+  val e2e2ChunkIndexSql: String =
+    s"""WITH $pk2CteSql,
+       |ranked AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM chunks)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       |  COUNT(*) - CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** sm7_temperature_sample — temperature-scaled domain sampling (the
     * mT5/XLM-R move: sample groups ∝ n^α with α<1 so small domains are
@@ -548,6 +591,7 @@ object CurationQueries {
     "ta11_entropy_gate" -> (ta11EntropyGate _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
     "pk2_chunk_overlap" -> (pk2ChunkOverlap _),
+    "e2e2_chunk_index" -> (e2e2ChunkIndex _),
     "sm5_domain_mixture" -> (sm5DomainMixture _),
     "sm7_temperature_sample" -> (sm7TemperatureSample _),
     "set2_upsert" -> (set2Upsert _)
@@ -562,6 +606,7 @@ object CurationQueries {
     "ta11_entropy_gate" -> ta11EntropyGateSql,
     "pk1_sequence_pack" -> pk1SequencePackSql,
     "pk2_chunk_overlap" -> pk2ChunkOverlapSql,
+    "e2e2_chunk_index" -> e2e2ChunkIndexSql,
     "sm5_domain_mixture" -> sm5DomainMixtureSql,
     "sm7_temperature_sample" -> sm7TemperatureSampleSql,
     "set2_upsert" -> set2UpsertSql

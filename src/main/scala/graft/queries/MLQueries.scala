@@ -210,7 +210,37 @@ object MLQueries {
       |  (list_concat(ids, [0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0]))[1:16], ',') AS vec16
       |FROM vecs ORDER BY doc_id""".stripMargin
 
+  /** v7's hashed feature space — 64 buckets is demo-sized; production uses
+    * 2¹⁸–2²⁰ with identical plan shape. */
+  private val HashDim = 64
+
+  /** v7_feature_hash — the hashing-trick vectorizer (Weinberger et al.
+    * 2009): token → bucket via detHash mod D, per-doc bucket counts plus
+    * the sign-hash-corrected sum that makes the estimator unbiased under
+    * collisions. The vectorizer that needs NO vocabulary: no driver-side
+    * dictionary, no OOV contract, no vocab-rank join — one projection + one
+    * aggregate at any corpus size (what V1/J5's vocab pipeline cannot do
+    * without the capped-rank contract). MLlib's HashingTF is this same
+    * operator with murmur3 — detHash here so the DuckDB oracle replays the
+    * buckets bit-for-bit. */
+  def v7FeatureHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), (detHash(col("w"), 17) % HashDim).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(detHash(col("w"), 19) % 2 === 0, 1L).otherwise(-1L)).as("signed_sum"))
+      .orderBy("doc_id", "bucket")
+
+  val v7FeatureHashSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT doc_id, ${detHashSql("w", 17)} % $HashDim AS bucket,
+       |  COUNT(*) AS cnt,
+       |  CAST(SUM(CASE WHEN ${detHashSql("w", 19)} % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS signed_sum
+       |FROM tok GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "v7_feature_hash" -> (v7FeatureHash _),
     "a5_countvec_nnz" -> (a5CountvecNnz _),
     "a9_lda_doc_topics" -> (a9LdaDocTopics _),
     "a10_lda_perplexity" -> (a10LdaPerplexity _),
@@ -221,6 +251,7 @@ object MLQueries {
     "v1_pad_vectorize" -> (v1PadVectorize _))
 
   val oracles: Map[String, String] = Map(
+    "v7_feature_hash" -> v7FeatureHashSql,
     "a5_countvec_nnz" -> a5CountvecNnzSql,
     "a10b_umass_coherence" -> a10bUmassCoherenceSql,
     "v1_pad_vectorize" -> v1PadVectorizeSql)

@@ -151,6 +151,32 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("e2e2: chunk-index counts partition and cross-doc dedup fires") {
+    val rows = CurationQueries.e2e2ChunkIndex(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, n, canon, dup) =>
+      assert(canon + dup === n, s"doc $doc: counts must partition")
+      assert(canon >= 0L && dup >= 0L)
+    }
+    val totalChunks = CurationQueries.pk2ChunkOverlap(spark, dir).count()
+    assert(rows.map(_._2).sum === totalChunks, "index covers every chunk exactly once")
+    assert(rows.map(_._4).sum > 0L, "the corpus's duplicate docs must collapse some chunks")
+  }
+
+  test("v7: hashed features reconstruct token counts with bounded signed sums") {
+    val rows = MLQueries.v7FeatureHash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, bucket, cnt, signed) =>
+      assert(bucket >= 0L && bucket < 64L)
+      assert(math.abs(signed) <= cnt, "signed sum can never exceed the bucket count")
+    }
+    val tokTotal = graft.Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    assert(rows.map(_._3).sum === tokTotal, "bucket counts partition the token stream")
+  }
+
   test("sm7: temperature sampling keeps a larger fraction of smaller domains") {
     val rows = CurationQueries.sm7TemperatureSample(spark, dir)
       .groupBy("lang").agg(max("n_lang").as("n"), max("target").as("t"), count(lit(1)).as("got"))
