@@ -77,7 +77,17 @@ object MicroBench {
       graft.operators.Bloom.probeLit(testSh, "sh", bloomFilter)
         .filter(col("in_bloom") === 1).count()
     }
-    println(s"""{"fm_expr_sec":$tExpr,"fm_udf_sec":$tUdf,"fm_regex_sec":$tRegex,"matches":[$nExpr,$nUdf,$nRegex],"dot_hof_sec":$tHof,"dot_native_sec":$tNative,"dot_sums":[$nHof,$nNative],"semi_sec":$tSemi,"bloom_sec":$tBloom,"flagged":[$nSemi,$nBloom],"sf":"$sfDir"}""")
+    // det_hash60: native digest+shift vs the md5/conv hex round-trip, over
+    // the per-shingle workload every dedup/bloom stage runs (5 hashes per
+    // shingle in bloom position math; here one per shingle, 3 rounds each)
+    def hashSum(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Long =
+      (1 to 3).map { _ =>
+        testSh.select("sh").union(trainSh)
+          .select(h(col("sh")).as("h")).agg(sum(col("h") % 97)).collect()(0).getLong(0)
+      }.sum
+    val (tHashMd5, nHashMd5) = time { hashSum(c => graft.queries.Q.detHashMd5(c, 7)) }
+    val (tHashNat, nHashNat) = time { hashSum(c => graft.queries.Q.detHash(c, 7)) }
+    println(s"""{"fm_expr_sec":$tExpr,"fm_udf_sec":$tUdf,"fm_regex_sec":$tRegex,"matches":[$nExpr,$nUdf,$nRegex],"dot_hof_sec":$tHof,"dot_native_sec":$tNative,"dot_sums":[$nHof,$nNative],"semi_sec":$tSemi,"bloom_sec":$tBloom,"flagged":[$nSemi,$nBloom],"hash_md5_sec":$tHashMd5,"hash_native_sec":$tHashNat,"hash_sums":[$nHashMd5,$nHashNat],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   * data fits anywhere in particular.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every query path passes through here, so this is the one chokepoint
+    // that guarantees graft's native functions (det_hash60, vec_dot, ...)
+    // resolve on whatever session is live (idempotent, microseconds)
+    graft.plans.GraftFunctions.register(spark)
     if (name == "events") events(spark, dir)
     else raw(spark, dir, name)
+  }
 
   private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

@@ -59,6 +59,19 @@ object GraftFunctions {
       s"vec_sqdist expects 2 arguments, got ${other.length}")
   }
 
+  val detHashIdent = new FunctionIdentifier("det_hash60")
+
+  val detHashInfo = new ExpressionInfo(
+    classOf[DetHash60Expression].getName, null, "det_hash60",
+    "det_hash60(s) - top 60 bits of md5(s) as a non-negative bigint; identical to conv(substring(md5(s),1,15),16,10) (codegen).",
+    "")
+
+  val detHashBuilder: Seq[Expression] => Expression = {
+    case Seq(s) => DetHash60Expression(s)
+    case other => throw new IllegalArgumentException(
+      s"det_hash60 expects 1 argument, got ${other.length}")
+  }
+
   /** Register on an already-running session (idempotent — re-registration
     * overwrites with an identical builder). */
   def register(spark: SparkSession): Unit = {
@@ -68,6 +81,8 @@ object GraftFunctions {
       .registerFunction(vecDotIdent, vecDotInfo, vecDotBuilder)
     spark.sessionState.functionRegistry
       .registerFunction(vecSqDistIdent, vecSqDistInfo, vecSqDistBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(detHashIdent, detHashInfo, detHashBuilder)
   }
 }
 
@@ -79,5 +94,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.vecDotBuilder))
     ext.injectFunction((GraftFunctions.vecSqDistIdent, GraftFunctions.vecSqDistInfo,
       GraftFunctions.vecSqDistBuilder))
+    ext.injectFunction((GraftFunctions.detHashIdent, GraftFunctions.detHashInfo,
+      GraftFunctions.detHashBuilder))
   }
 }

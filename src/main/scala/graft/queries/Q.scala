@@ -29,8 +29,19 @@ object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables(s, dir, name)
 
-  /** Deterministic 60-bit hash of an expression (+ seed), portable to DuckDB. */
+  /** Deterministic 60-bit hash of an expression (+ seed), portable to
+    * DuckDB. Computed by the native codegen [[graft.plans.DetHash60Expression]]
+    * — one MD5 digest + shift instead of the four-node hex round-trip —
+    * bit-identical to [[detHashMd5]] (property-pinned in DetHashSpec), so
+    * the DuckDB oracle spelling in [[detHashSql]] is unchanged. Resolution:
+    * every query reads through graft.Tables, which registers the function
+    * on the live session. */
   def detHash(c: Column, seed: Int = 0): Column =
+    call_function("det_hash60", concat(lit(seed.toString), c.cast(StringType)))
+
+  /** The composable spelling det_hash60 replaced — kept as the equivalence
+    * witness for DetHashSpec and for sessions without graft functions. */
+  private[graft] def detHashMd5(c: Column, seed: Int = 0): Column =
     conv(substring(md5(concat(lit(seed.toString), c.cast(StringType))), 1, 15), 16, 10)
       .cast(LongType)
 
