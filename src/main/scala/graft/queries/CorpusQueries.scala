@@ -251,9 +251,14 @@ object CorpusQueries {
     * PageRank over the word co-occurrence graph (adjacent-token pairs with
     * count ≥ 5, symmetrized, self-loops dropped), 10 damped iterations
     * (d = 0.85), top-20 words by final rank. The suite's second ITERATIVE
-    * operator after dd8's connected components, and the same scale recipe:
-    * per-iteration one equi-join + one aggregate, `localCheckpoint` between
-    * rounds to cut lineage. Integer-exact end to end — ranks live as e6
+    * operator after dd8's connected components: per-iteration one equi-join
+    * + one aggregate. Unlike dd8 (unknown iteration count → localCheckpoint
+    * per round to cut lineage), the FIXED 10 rounds chain lazily into ONE
+    * plan — measured 2.1 s vs 2.8 s warm (7.7 s vs 2.9 s cold) at sf0.1,
+    * because ten scheduler round-trips cost more than one deep-but-small
+    * plan. Only the shared edge/node base is checkpointed (each iteration
+    * references it, so an unmaterialized base would recompute the corpus
+    * scan ten times). Integer-exact end to end — ranks live as e6
     * BIGINTs, contributions are `r div deg`, damping is `(85·Σ) div 100` —
     * so ten rounds of floor arithmetic land on identical values in both
     * engines (the DuckDB oracle unrolls the ten iterations as chained
@@ -283,7 +288,6 @@ object CorpusQueries {
         .groupBy("dst").agg(sum("c").as("sc"))
         .select(col("dst").as("word"),
           (lit(teleport) + expr("(85 * sc) div 100")).cast(LongType).as("r"))
-        .localCheckpoint()
     }
     ranks.orderBy(desc("r"), col("word")).limit(20)
       .select(col("word"), col("r").as("rank_e6"))
