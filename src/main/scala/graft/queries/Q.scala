@@ -36,8 +36,14 @@ object Q {
     * the DuckDB oracle spelling in [[detHashSql]] is unchanged. Resolution:
     * every query reads through graft.Tables, which registers the function
     * on the live session. */
-  def detHash(c: Column, seed: Int = 0): Column =
-    call_function("det_hash60", concat(lit(seed.toString), c.cast(StringType)))
+  def detHash(c: Column, seed: Int = 0): Column = {
+    // build the expression node directly (no function-registry resolution)
+    // so detHash works on ANY session — including specs and operators fed
+    // raw in-memory DataFrames that never pass through graft.Tables
+    org.apache.spark.sql.GraftColumnBridge.column(graft.plans.DetHash60Expression(
+      org.apache.spark.sql.GraftColumnBridge.expression(
+        concat(lit(seed.toString), c.cast(StringType)))))
+  }
 
   /** The composable spelling det_hash60 replaced — kept as the equivalence
     * witness for DetHashSpec and for sessions without graft functions. */

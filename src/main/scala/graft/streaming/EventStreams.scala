@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, Trigger}
 
 /** Structured Streaming layer — the streaming faces of the event analytics
   * (EventQueries runs the same logic over the bounded table; SURVEY §2.14:
@@ -212,6 +213,48 @@ object EventStreams {
               |view_ts < purchase_ts AND
               |view_ts >= purchase_ts - INTERVAL $windowMinutes MINUTES""".stripMargin))
       .drop("v_user")
+  }
+
+  case class Admission(doc_id: Long, source: String, admitted: Int, n_seen: Long)
+
+  /** Per-source admission decisions from [[quotaGate]]. */
+  private class QuotaProcessor(maxPerKey: Long)
+      extends StatefulProcessor[String, (Long, String), Admission] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(Long, String)],
+        timers: TimerValues): Iterator[Admission] = {
+      var n = if (seen.exists()) seen.get() else 0L
+      // deterministic admission order within a batch: by doc_id, so replays
+      // and micro-batch boundary shifts admit the same documents
+      val out = rows.toSeq.sortBy(_._1).map { case (docId, source) =>
+        n += 1
+        Admission(docId, source, if (n <= maxPerKey) 1 else 0, n)
+      }
+      seen.update(n)
+      out.iterator
+    }
+  }
+
+  /** Per-source ingestion quota on the transformWithState API (Spark 4's
+    * arbitrary-state successor to flatMapGroupsWithState — typed per-key
+    * `ValueState`, explicit `TimeMode`, state-store TTL support): admit the
+    * first `maxPerKey` documents per source, flag the rest. The streaming
+    * face of sm5's domain capping — a crawl frontier applies exactly this
+    * gate so one exploding domain cannot drown the mixture. State is ONE
+    * long per source; rejected rows are flagged, never dropped silently
+    * (quarantine convention, same as the bloom gate). */
+  def quotaGate(docs: DataFrame, maxPerKey: Long = 100L): Dataset[Admission] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("source").cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .transformWithState(new QuotaProcessor(maxPerKey),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Incremental file-source ingestion of a parquet landing directory,

@@ -235,6 +235,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === Set((20L, 10L)))
   }
 
+  test("transformWithState quota gate admits per-source caps across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires a multi-column-family state store; scope
+    // the RocksDB provider to this query and restore the session default
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val mem = MemoryStream[(Long, String)]
+    val q = quotaGate(mem.toDF().toDF("doc_id", "source"), maxPerKey = 2)
+      .writeStream.format("memory").queryName("qg").outputMode(OutputMode.Append()).start()
+    mem.addData((1L, "srcA"), (2L, "srcA"), (10L, "srcB"))
+    q.processAllAvailable()
+    // second micro-batch: state must carry srcA's count of 2 forward
+    mem.addData((3L, "srcA"), (11L, "srcB"), (12L, "srcB"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("qg").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getLong(3))).toMap
+    assert(got(1L) === (("srcA", 1, 1L)))
+    assert(got(2L) === (("srcA", 1, 2L)))
+    assert(got(3L) === (("srcA", 0, 3L)), "third srcA doc must be over quota — state crossed the batch boundary")
+    assert(got(10L) === (("srcB", 1, 1L)))
+    assert(got(11L) === (("srcB", 1, 2L)))
+    assert(got(12L) === (("srcB", 0, 3L)))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming bloom gate flags banned n-grams at scan speed, stateless") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
