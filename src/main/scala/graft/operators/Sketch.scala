@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Q.detHash
+
+/** Distributed Count-Min sketch, fully declarative — no UDF, no UDAF, no
+  * driver-side counter array (Cormode & Muthukrishnan 2005).
+  *
+  * The sketch is a table of (row_idx, col_idx, cell) counts: build explodes
+  * each item into `depth` cell coordinates (row i, column = detHash(item,
+  * seed=i) mod width) and count-reduces per coordinate. Map-side partial
+  * aggregation means the shuffle carries at most depth·width rows per map
+  * task regardless of input size; the finished sketch is ≤ depth·width rows
+  * total (a few KB at the defaults), which [[estimates]] consumes as a
+  * BROADCAST join — the probe side never shuffles the corpus.
+  *
+  * Estimates are the min over the depth cells a probe item maps to: always
+  * ≥ the true count (cells only ever accumulate), with overcount ≤
+  * 2n/width at probability 1 − 2^−depth. The point-query twin of [[Bloom]]:
+  * where the bloom answers "seen at all?", the CMS answers "roughly how
+  * often?" without holding the (at 100 TB, unboundedly large) exact
+  * vocabulary — the exact groupBy this replaces keys on every distinct
+  * item; the CMS shuffle is capped at depth·width cells no matter how many
+  * distinct items exist.
+  *
+  * Positions derive from the md5-based detHash (seed = row index), so the
+  * whole sketch is bit-for-bit reproducible in any engine with md5 and
+  * integer ops — the DuckDB oracle replays build AND probe
+  * (`cms1_heavy_hitters`).
+  */
+object Sketch {
+
+  val DefaultDepth: Int = 4
+  val DefaultWidth: Long = 8192L
+
+  /** The depth cell coordinates of one item as an array column; index i of
+    * the array is the column index in sketch row i. */
+  private def positions(item: Column, depth: Int, width: Long): Column = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
+    require(width > 0, s"width must be positive, got $width")
+    array((0 until depth).map(i => detHash(item, seed = i) % width): _*)
+  }
+
+  /** Builds the sketch table (row_idx INT, col_idx BIGINT, cell BIGINT) from
+    * one item per input row. Only coordinates that were actually hit appear
+    * (absent coordinate = 0), so sparse corpora stay sparse. */
+  def buildCms(items: DataFrame, item: Column,
+      depth: Int = DefaultDepth, width: Long = DefaultWidth): DataFrame =
+    items
+      .select(posexplode(positions(item, depth, width)).as(Seq("row_idx", "col_idx")))
+      .groupBy("row_idx", "col_idx")
+      .agg(count(lit(1)).as("cell"))
+
+  /** Point-query estimates for a (small, heavy-hitter-candidate) probe set:
+    * returns `probes` plus an `est` column = min over the depth cells,
+    * coalescing never-hit cells to 0. The sketch side broadcasts; the only
+    * shuffle is the per-probe min, sized by the probe set. `itemCol` must be
+    * a unique key in `probes` (the re-group key). */
+  def estimates(sketch: DataFrame, probes: DataFrame, itemCol: String,
+      depth: Int = DefaultDepth, width: Long = DefaultWidth): DataFrame = {
+    val other = probes.columns.filter(_ != itemCol).map(c => first(col(c)).as(c))
+    probes
+      .select(col("*"),
+        posexplode(positions(col(itemCol), depth, width)).as(Seq("row_idx", "col_idx")))
+      .join(broadcast(sketch), Seq("row_idx", "col_idx"), "left")
+      .groupBy(itemCol)
+      .agg(min(coalesce(col("cell"), lit(0L))).as("est"), other: _*)
+  }
+}

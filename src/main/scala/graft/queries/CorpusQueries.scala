@@ -321,7 +321,46 @@ object CorpusQueries {
        |ORDER BY rank_e6 DESC, word LIMIT 20""".stripMargin
   }
 
+  /** cms1_heavy_hitters — Count-Min sketch point queries audited against
+    * exact counts (SURVEY §2.5 extension; the a3 word-frequency groupBy's
+    * bounded-memory twin). Build hashes every token occurrence into a
+    * depth×width cell table ([[graft.operators.Sketch]]); the top-50 exact
+    * heavy hitters then probe it, reporting estimate and overcount. The
+    * width is deliberately small (64) so the synthetic ~31-word vocabulary
+    * collides and the overcount column is non-trivially exercised — at
+    * production width (8192+) the estimates are exact. est ≥ exact always
+    * (cells only accumulate); the oracle replays build and probe. */
+  def cms1HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents").select(explode(toks(col("text"))).as("word"))
+    val sketch = graft.operators.Sketch.buildCms(words, col("word"), depth = 3, width = 64)
+    val top = words.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), col("word")).limit(50)
+    graft.operators.Sketch.estimates(sketch, top, "word", depth = 3, width = 64)
+      .select(col("word"), col("exact_cnt"), col("est").as("est_cnt"),
+        (col("est") - col("exact_cnt")).as("overcount"))
+      .orderBy(desc("exact_cnt"), col("word"))
+  }
+
+  val cms1HeavyHittersSql: String =
+    """WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |pos AS (SELECT word, i,
+      |  (('0x' || substr(md5(CAST(i AS VARCHAR) || word), 1, 15))::BIGINT) % 64 AS col_idx
+      |  FROM words CROSS JOIN (SELECT unnest(range(0, 3)) AS i) r),
+      |cells AS (SELECT i, col_idx, COUNT(*) AS cell FROM pos GROUP BY 1, 2),
+      |exact AS (SELECT word, COUNT(*) AS exact_cnt FROM words GROUP BY word
+      |          ORDER BY exact_cnt DESC, word LIMIT 50),
+      |probe AS (SELECT e.word, e.exact_cnt, r.i,
+      |  (('0x' || substr(md5(CAST(r.i AS VARCHAR) || e.word), 1, 15))::BIGINT) % 64 AS col_idx
+      |  FROM exact e CROSS JOIN (SELECT unnest(range(0, 3)) AS i) r)
+      |SELECT p.word, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+      |  CAST(MIN(c.cell) AS BIGINT) AS est_cnt,
+      |  CAST(MIN(c.cell) - p.exact_cnt AS BIGINT) AS overcount
+      |FROM probe p JOIN cells c ON p.i = c.i AND p.col_idx = c.col_idx
+      |GROUP BY p.word, p.exact_cnt
+      |ORDER BY exact_cnt DESC, word""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "cms1_heavy_hitters" -> (cms1HeavyHitters _),
     "a16_textrank" -> (a16TextRank _),
     "a1_corpus_stats" -> (a1CorpusStats _),
     "a3_word_freq" -> (a3WordFreq _),
@@ -332,6 +371,7 @@ object CorpusQueries {
     "j8_conjunctive_keywords" -> (j8ConjunctiveKeywords _))
 
   val oracles: Map[String, String] = Map(
+    "cms1_heavy_hitters" -> cms1HeavyHittersSql,
     "a16_textrank" -> a16TextRankSql,
     "a1_corpus_stats" -> a1CorpusStatsSql,
     "a3_word_freq" -> a3WordFreqSql,
