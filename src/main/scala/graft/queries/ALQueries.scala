@@ -49,11 +49,18 @@ object ALQueries {
     (n, term) => s"list_sum(list_transform(range(0, $n), t -> ($term)))",
     (n, term) => s"list_min(list_transform(range(0, $n), t -> ($term)))")
 
-  /** Per-token class probabilities p1..p4 and derived terms, as SQL(t). */
-  private def terms(d: Dialect): Map[String, String] = {
+  /** Per-token class probabilities p_1..p_C as SQL(t): the L1-normalized
+    * |embedding| slice. Shared by the strategy scores and a17's
+    * calibration audit. */
+  private def probs(d: Dialect): IndexedSeq[String] = {
     val a = (1 to C).map(i => s"abs(${d.elem(s"$C*t + $i")})")
     val denom = a.mkString(" + ")
-    val p = a.map(ai => s"(($ai) / ($denom))")
+    a.map(ai => s"(($ai) / ($denom))")
+  }
+
+  /** Per-token derived terms, as SQL(t). */
+  private def terms(d: Dialect): Map[String, String] = {
+    val p = probs(d)
     val maxp = s"greatest(${p.mkString(", ")})"
     val pathp = s"(CASE CAST((vec_id + t) % $C AS INT) " +
       p.zipWithIndex.map { case (pi, i) =>
@@ -253,6 +260,69 @@ object ALQueries {
        |FROM b JOIN lens USING (doc_id)
        |ORDER BY batch_id, sort_pos""".stripMargin
 
+  /** First-max argmax over p_1..p_C as a CASE chain — identical text for
+    * both engines, so tie-breaking (smallest class index) is deterministic
+    * by construction rather than by trusting two argmax builtins to agree. */
+  private def predCase(p: IndexedSeq[String]): String = {
+    val arms = (0 until C - 1).map { i =>
+      val geRest = (i + 1 until C).map(j => s"${p(i)} >= ${p(j)}").mkString(" AND ")
+      s"WHEN $geRest THEN $i"
+    }
+    s"(CASE ${arms.mkString(" ")} ELSE ${C - 1} END)"
+  }
+
+  /** a17_ece_calibration — expected-calibration-error audit of the scorer
+    * the AL strategies rank by (reliability diagram, Guo et al. 2017): each
+    * token's confidence (max class probability) lands in one of 10 bins;
+    * per bin, predicted-vs-synthetic-tag accuracy is compared with mean
+    * confidence. All bin statistics are integer sums (e6-scaled before
+    * aggregation), so the result is order-independent on both engines. The
+    * per-bin |accuracy − confidence| gap is the ECE integrand; a
+    * well-calibrated scorer has gap ≈ 0 in every bin. Scale shape: pure
+    * projection + 10-group hash-agg — no shuffle beyond the 10 rows. */
+  def a17EceCalibration(s: SparkSession, dir: String): DataFrame = {
+    val p = probs(sparkD)
+    val maxp = s"greatest(${p.mkString(", ")})"
+    pool(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        explode(expr("sequence(0, path_len - 1)")).as("t"))
+      .withColumn("maxp", expr(maxp))
+      .withColumn("pred", expr(predCase(p)))
+      .select(
+        least(floor(col("maxp") * 10), lit(9L)).cast("int").as("bin"),
+        expr("CAST(ROUND(maxp * 1e6) AS BIGINT)").as("conf_e6"),
+        when(col("pred") === expr("CAST((vec_id + t) % 4 AS INT)"), 1L)
+          .otherwise(0L).as("correct"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("correct").as("n_correct"),
+        sum("conf_e6").as("sum_conf_e6"))
+      .withColumn("mean_conf_e6", expr("sum_conf_e6 div n"))
+      .withColumn("acc_e6", expr("(1000000 * n_correct) div n"))
+      .withColumn("gap_e6", abs(col("mean_conf_e6") - col("acc_e6")))
+      .orderBy("bin")
+  }
+
+  val a17EceCalibrationSql: String = {
+    val p = probs(duckD)
+    val maxp = s"GREATEST(${p.mkString(", ")})"
+    s"""WITH tok AS (
+       |  SELECT vec_id, embedding, unnest(range(0, path_len)) AS t
+       |  FROM (SELECT vec_id, embedding, $pathLenDuck AS path_len FROM embeddings) pool),
+       |x AS (SELECT vec_id, t, $maxp AS maxp, ${predCase(p)} AS pred FROM tok),
+       |y AS (SELECT
+       |  CAST(LEAST(CAST(FLOOR(maxp * 10) AS BIGINT), 9) AS INT) AS bin,
+       |  CAST(ROUND(maxp * 1e6) AS BIGINT) AS conf_e6,
+       |  CASE WHEN pred = CAST((vec_id + t) % 4 AS INT) THEN 1 ELSE 0 END AS correct
+       |  FROM x),
+       |b AS (SELECT bin, COUNT(*) AS n, CAST(SUM(correct) AS BIGINT) AS n_correct,
+       |  CAST(SUM(conf_e6) AS BIGINT) AS sum_conf_e6 FROM y GROUP BY bin)
+       |SELECT bin, n, n_correct, sum_conf_e6,
+       |  sum_conf_e6 // n AS mean_conf_e6,
+       |  (1000000 * n_correct) // n AS acc_e6,
+       |  ABS(sum_conf_e6 // n - (1000000 * n_correct) // n) AS gap_e6
+       |FROM b ORDER BY bin""".stripMargin
+  }
+
   private val lnStrategies =
     Seq("al3_least_confidence", "al4_normalized_lc", "al5_least_token_prob",
       "al6_min_token_prob", "al7_max_token_entropy", "al8_token_entropy",
@@ -262,6 +332,7 @@ object ALQueries {
     Map(
       "al1_random" -> (al1Random _),
       "al2_long" -> (al2Long _),
+      "a17_ece_calibration" -> (a17EceCalibration _),
       "sm1_stratified_split" -> (sm1StratifiedSplit _),
       "sm2_random_split" -> (sm2RandomSplit _),
       "sm3_episode_sampling" -> (sm3EpisodeSampling _),
@@ -273,6 +344,7 @@ object ALQueries {
     Map(
       "al1_random" -> al1RandomSql,
       "al2_long" -> al2LongSql,
+      "a17_ece_calibration" -> a17EceCalibrationSql,
       "sm1_stratified_split" -> sm1StratifiedSplitSql,
       "sm2_random_split" -> sm2RandomSplitSql,
       "sm3_episode_sampling" -> sm3EpisodeSamplingSql,

@@ -350,7 +350,45 @@ object EventQueries {
       |  CAST(ROUND(1e6 * n / SUM(n) OVER (PARTITION BY event_type)) AS BIGINT) AS p_e6
       |FROM cm ORDER BY event_type, next_type""".stripMargin
 
+  /** set3_scd2 — slowly-changing-dimension (type 2) build from the event
+    * log: each user's event_type stream collapses consecutive repeats into
+    * versioned validity intervals — valid_from/valid_to micros, version
+    * number, current flag (open interval). The standard CDC→dimension move:
+    * change-point detection is one lag window, interval stitching one lead
+    * window, both partitioned by user_id — shuffle is user-hash, no global
+    * sort, so 100 TB of events scale by user cardinality. */
+  def set3Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val changes = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("valid_to_us", lead("us", 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        col("us").as("valid_from_us"), col("valid_to_us"),
+        when(col("valid_to_us").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val set3Scd2Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events),
+      |c AS (SELECT * FROM e WHERE prev_type IS NULL OR prev_type <> event_type),
+      |v AS (SELECT user_id, event_type, us,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS version,
+      |  LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+      |  FROM c)
+      |SELECT user_id, version, event_type AS state, us AS valid_from_us, valid_to_us,
+      |  CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "set3_scd2" -> (set3Scd2 _),
     "ev1_sessionize" -> (ev1Sessionize _),
     "ev9_range_bucket_join" -> (ev9RangeBucketJoin _),
     "ev11_markov_transitions" -> (ev11MarkovTransitions _),
@@ -363,6 +401,7 @@ object EventQueries {
     "ev7_moving_avg" -> (ev7MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "set3_scd2" -> set3Scd2Sql,
     "ev1_sessionize" -> ev1SessionizeSql,
     "ev9_range_bucket_join" -> ev9RangeBucketJoinSql,
     "ev11_markov_transitions" -> ev11MarkovTransitionsSql,

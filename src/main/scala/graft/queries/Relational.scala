@@ -363,6 +363,112 @@ object Relational {
        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** r2_cube — full grouping-sets lattice with subtotal provenance (the
+    * rollup's 2^k generalization). The grouping id is composed from
+    * single-column `grouping()` bits — portable by construction, where the
+    * engines' native multi-column grouping-id bitmask orderings would have
+    * to be trusted to agree. Same partial+final hash-agg as r1: Spark
+    * expands the cube on the map side, so the shuffle carries one partial
+    * row per (set, key) — no extra pass per grouping set. */
+  def r2Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg((grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast(org.apache.spark.sql.types.IntegerType).as("gid"),
+        count(lit(1)).as("n"), decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  val r2CubeSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+       |  COUNT(*) AS n, ${decSumSql("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** p9_pivot — long-to-wide reshape: per-status order counts by priority
+    * as one row per status (report-shaped output; the reference's notebook
+    * crosstabs). Values are pinned explicitly so the plan is one
+    * partial+final agg — `pivot` without a value list runs a separate
+    * distinct job first, a hidden extra pass at 100 TB. Absent combinations
+    * coalesce to 0 to match the oracle's FILTER counts. */
+  def p9Pivot(s: SparkSession, dir: String): DataFrame = {
+    val prio = Seq("1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high",
+      "3-MEDIUM" -> "n_medium", "4-NOT SPECIFIED" -> "n_not_specified",
+      "5-LOW" -> "n_low")
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", prio.map(_._1))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus") +:
+        prio.map { case (v, n) => coalesce(col(s"`$v`"), lit(0L)).as(n) }: _*)
+      .orderBy("o_orderstatus")
+  }
+
+  val p9PivotSql: String =
+    """SELECT o_orderstatus,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_not_specified,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** dq3_snapshot_drift — column-profile drift between two temporal
+    * snapshots of `orders` (pre/post a pivot date): row count, key
+    * cardinalities, mean price (integer cents), null counts — the
+    * snapshot-diff a data-catalog runs when a new partition lands, long
+    * format so new metrics append as rows, not schema changes. Both
+    * snapshots profile in ONE pass (groupBy snap), then the 10 metric rows
+    * pivot a-vs-b; at 100 TB the only shuffle is the 2-group agg (distinct
+    * counts expand to (snap, value) partials — still key-bounded). */
+  def dq3SnapshotDrift(s: SparkSession, dir: String): DataFrame = {
+    val stats = t(s, dir, "orders")
+      .withColumn("snap",
+        when(col("o_orderdate") < lit("1995-01-01").cast("timestamp"), "a").otherwise("b"))
+      .groupBy("snap")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("null_priority"))
+    stats
+      .select(col("snap"), expr(
+        """stack(5,
+          |  'mean_price_cents', price_cents div n_rows,
+          |  'n_cust', n_cust,
+          |  'n_rows', n_rows,
+          |  'n_status', n_status,
+          |  'null_priority', null_priority) AS (metric, value)""".stripMargin))
+      .groupBy("metric")
+      .agg(max(when(col("snap") === "a", col("value"))).as("snap_a"),
+        max(when(col("snap") === "b", col("value"))).as("snap_b"))
+      .withColumn("delta", col("snap_b") - col("snap_a"))
+      .orderBy("metric")
+  }
+
+  val dq3SnapshotDriftSql: String =
+    """WITH o AS (SELECT *,
+      |  CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 'a' ELSE 'b' END AS snap
+      |  FROM orders),
+      |s AS (SELECT snap, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT o_custkey) AS n_cust,
+      |  COUNT(DISTINCT o_orderstatus) AS n_status,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+      |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_priority
+      |  FROM o GROUP BY snap),
+      |m AS (
+      |  SELECT snap, 'mean_price_cents' AS metric, price_cents // n_rows AS value FROM s
+      |  UNION ALL SELECT snap, 'n_cust', n_cust FROM s
+      |  UNION ALL SELECT snap, 'n_rows', n_rows FROM s
+      |  UNION ALL SELECT snap, 'n_status', n_status FROM s
+      |  UNION ALL SELECT snap, 'null_priority', null_priority FROM s)
+      |SELECT metric,
+      |  MAX(CASE WHEN snap = 'a' THEN value END) AS snap_a,
+      |  MAX(CASE WHEN snap = 'b' THEN value END) AS snap_b,
+      |  MAX(CASE WHEN snap = 'b' THEN value END) - MAX(CASE WHEN snap = 'a' THEN value END) AS delta
+      |FROM m GROUP BY metric ORDER BY metric""".stripMargin
+
   /** a12_approx_distinct — HyperLogLog-family approximate distinct counts
     * (the 100 TB cardinality primitive). Sketches differ across engines →
     * rows-only driver check; the ≤5% error bound vs exact is asserted in
@@ -376,6 +482,8 @@ object Relational {
 
   val queries: Map[String, QueryFn] = Map(
     "r1_rollup" -> (r1Rollup _),
+    "r2_cube" -> (r2Cube _),
+    "p9_pivot" -> (p9Pivot _),
     "a12_approx_distinct" -> (a12ApproxDistinct _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopk _),
@@ -390,11 +498,14 @@ object Relational {
     "t7_approx_quantiles" -> (t7ApproxQuantiles _),
     "dq1_profile" -> (dq1Profile _),
     "dq2_outlier_mad" -> (dq2OutlierMad _),
+    "dq3_snapshot_drift" -> (dq3SnapshotDrift _),
     "w1_grouped_topk" -> (w1GroupedTopk _),
     "set1_pool_update" -> (set1PoolUpdate _))
 
   val oracles: Map[String, String] = Map(
     "r1_rollup" -> r1RollupSql,
+    "r2_cube" -> r2CubeSql,
+    "p9_pivot" -> p9PivotSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopkSql,
     "q5_multi_join" -> q5MultiJoinSql,
@@ -407,6 +518,7 @@ object Relational {
     "t6_quantiles" -> t6QuantilesSql,
     "dq1_profile" -> dq1ProfileSql,
     "dq2_outlier_mad" -> dq2OutlierMadSql,
+    "dq3_snapshot_drift" -> dq3SnapshotDriftSql,
     "w1_grouped_topk" -> w1GroupedTopkSql,
     "set1_pool_update" -> set1PoolUpdateSql)
 }

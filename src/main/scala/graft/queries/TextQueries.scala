@@ -416,6 +416,46 @@ object TextQueries {
       |  ) * 1e6) AS BIGINT) AS quality_score_e6
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** ta12_readability — Flesch reading-ease quality gate (the classic
+    * pretraining-corpus readability filter): 206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/words), syllables approximated as vowel
+    * groups per word (min 1 — the standard dictionary-free heuristic) and
+    * sentences as period count (min 1; the synthetic corpus is
+    * single-sentence so that term degenerates to the word count — real
+    * corpora exercise it). All counts are integers; the two divisions and
+    * the final affine combination are single IEEE ops in the same tree
+    * shape on both engines, then e6-rounded. Pure codegen projection —
+    * no shuffle at any scale. */
+  def ta12Readability(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = greatest(size(toks), lit(1))
+    val nSyll = aggregate(toks,
+      lit(0), (acc, w) => acc + greatest(regexp_count(w, lit("[aeiouy]+")).cast("int"), lit(1)))
+    val nSent = greatest(length(col("text")) - length(expr("replace(text, '.', '')")), lit(1))
+    val flesch = round((lit(206.835)
+      - lit(1.015) * (nWords.cast(DoubleType) / nSent.cast(DoubleType))
+      - lit(84.6) * (nSyll.cast(DoubleType) / nWords.cast(DoubleType))) * 1e6)
+      .cast(LongType)
+    t(s, dir, "documents")
+      .select(col("doc_id"), nWords.as("n_words"), nSyll.as("n_syllables"),
+        nSent.as("n_sentences"), flesch.as("flesch_e6"))
+      .orderBy("doc_id")
+  }
+
+  val ta12ReadabilitySql: String =
+    """WITH x AS (SELECT doc_id,
+      |  GREATEST(len(string_split(text, ' ')), 1) AS n_words,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |    w -> GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS INT) AS n_syllables,
+      |  GREATEST(len(text) - len(replace(text, '.', '')), 1) AS n_sentences
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_syllables, n_sentences,
+      |  CAST(ROUND((206.835
+      |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+      |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))) * 1e6) AS BIGINT)
+      |    AS flesch_e6
+      |FROM x ORDER BY doc_id""".stripMargin
+
   /** ta3_token_count — whitespace tokens vs BPE-ish regex tokens
     * (letters-runs | digit-runs | single other char). */
   def ta3TokenCount(s: SparkSession, dir: String): DataFrame =
@@ -544,6 +584,7 @@ object TextQueries {
     "a14_confusion_matrix" -> (a14ConfusionMatrix _),
     "a15_cohens_kappa" -> (a15CohensKappa _),
     "ta2_quality_score" -> (ta2QualityScore _),
+    "ta12_readability" -> (ta12Readability _),
     "ta3_token_count" -> (ta3TokenCount _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
     "ta5_winnow_fingerprint" -> (ta5WinnowFingerprint _),
@@ -563,6 +604,7 @@ object TextQueries {
     "a14_confusion_matrix" -> a14ConfusionMatrixSql,
     "a15_cohens_kappa" -> a15CohensKappaSql,
     "ta2_quality_score" -> ta2QualityScoreSql,
+    "ta12_readability" -> ta12ReadabilitySql,
     "ta3_token_count" -> ta3TokenCountSql,
     "ta4_fingerprint" -> ta4FingerprintSql,
     "ta5_winnow_fingerprint" -> ta5WinnowFingerprintSql,
