@@ -323,6 +323,65 @@ object ALQueries {
        |FROM b ORDER BY bin""".stripMargin
   }
 
+  /** sm8_curriculum — curriculum-learning bucket assignment (Bengio et al.
+    * 2009): a composite difficulty score (length, mean word length,
+    * rare-word ratio vs the broadcast top-8 frequent set) ranks the corpus
+    * easy→hard and splits it into 5 equal-depth stages. The quantile split
+    * uses [[graft.operators.Rank.globalRowNumber]] — two-phase
+    * range-partitioned rank, NOT `ntile()` over an un-partitioned window
+    * (the single-task sort that dies at 10⁸ rows); bucket = (rank−1)·5/N
+    * with N from a broadcast scalar. */
+  def sm8Curriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val top8 = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("word")).limit(8).select("word")
+    val rare = tok.join(broadcast(top8), Seq("word"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    val toks = split(col("text"), " ")
+    val base = docs
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        (aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast("double") /
+          size(toks).cast("double")).as("mean_len"))
+      .join(rare, Seq("doc_id"), "left")
+      .withColumn("n_rare", coalesce(col("n_rare"), lit(0L)))
+    val difficulty = round((
+      (least(col("n_tokens"), lit(200)).cast("double") / 200.0) * 0.5 +
+        (least(col("mean_len"), lit(10.0)) / 10.0) * 0.3 +
+        (col("n_rare").cast("double") / col("n_tokens").cast("double")) * 0.2) * 1e6)
+      .cast("long")
+    val scored = base.select(col("doc_id"), difficulty.as("difficulty_e6"))
+    val total = scored.agg(count(lit(1)).as("total"))
+    graft.operators.Rank.globalRowNumber(scored, 8, col("difficulty_e6"), col("doc_id"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("difficulty_e6"),
+        expr("((rank - 1) * 5) div total").as("bucket"))
+      .orderBy("difficulty_e6", "doc_id")
+  }
+
+  val sm8CurriculumSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |top8 AS (SELECT word FROM (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word
+      |         ORDER BY cnt DESC, word LIMIT 8) t),
+      |rare AS (SELECT doc_id, COUNT(*) AS n_rare FROM tok
+      |  WHERE word NOT IN (SELECT word FROM top8) GROUP BY doc_id),
+      |base AS (SELECT d.doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), w -> len(w))) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_len,
+      |  COALESCE(r.n_rare, 0) AS n_rare
+      |  FROM documents d LEFT JOIN rare r USING (doc_id)),
+      |d2 AS (SELECT doc_id, CAST(ROUND((
+      |  (CAST(LEAST(n_tokens, 200) AS DOUBLE) / 200.0) * 0.5 +
+      |  (LEAST(mean_len, 10.0) / 10.0) * 0.3 +
+      |  (CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.2) * 1e6) AS BIGINT)
+      |  AS difficulty_e6 FROM base),
+      |n AS (SELECT COUNT(*) AS total FROM d2),
+      |r2 AS (SELECT doc_id, difficulty_e6,
+      |  ROW_NUMBER() OVER (ORDER BY difficulty_e6, doc_id) AS rn FROM d2)
+      |SELECT doc_id, difficulty_e6, ((rn - 1) * 5) // total AS bucket
+      |FROM r2 CROSS JOIN n ORDER BY difficulty_e6, doc_id""".stripMargin
+
   private val lnStrategies =
     Seq("al3_least_confidence", "al4_normalized_lc", "al5_least_token_prob",
       "al6_min_token_prob", "al7_max_token_entropy", "al8_token_entropy",
@@ -333,6 +392,7 @@ object ALQueries {
       "al1_random" -> (al1Random _),
       "al2_long" -> (al2Long _),
       "a17_ece_calibration" -> (a17EceCalibration _),
+      "sm8_curriculum" -> (sm8Curriculum _),
       "sm1_stratified_split" -> (sm1StratifiedSplit _),
       "sm2_random_split" -> (sm2RandomSplit _),
       "sm3_episode_sampling" -> (sm3EpisodeSampling _),
@@ -345,6 +405,7 @@ object ALQueries {
       "al1_random" -> al1RandomSql,
       "al2_long" -> al2LongSql,
       "a17_ece_calibration" -> a17EceCalibrationSql,
+      "sm8_curriculum" -> sm8CurriculumSql,
       "sm1_stratified_split" -> sm1StratifiedSplitSql,
       "sm2_random_split" -> sm2RandomSplitSql,
       "sm3_episode_sampling" -> sm3EpisodeSamplingSql,

@@ -469,6 +469,25 @@ object Relational {
       |  MAX(CASE WHEN snap = 'b' THEN value END) - MAX(CASE WHEN snap = 'a' THEN value END) AS delta
       |FROM m GROUP BY metric ORDER BY metric""".stripMargin
 
+  /** dq4_k_anonymity — re-identification audit over quasi-identifier
+    * columns (Sweeney 2002): group sizes for the (mktsegment, nationkey)
+    * QI tuple, flagging groups below k = 5 — the governance check a
+    * training-data catalog runs before a release ships user-derived rows.
+    * One hash-agg; at 100 TB the group count is bounded by the QI-domain
+    * product, not the row count. */
+  def dq4KAnonymity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", (col("n") < 5).cast("int"))
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  val dq4KAnonymitySql: String =
+    """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+      |  CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS at_risk
+      |FROM customer GROUP BY c_mktsegment, c_nationkey
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
   /** a12_approx_distinct — HyperLogLog-family approximate distinct counts
     * (the 100 TB cardinality primitive). Sketches differ across engines →
     * rows-only driver check; the ≤5% error bound vs exact is asserted in
@@ -499,6 +518,7 @@ object Relational {
     "dq1_profile" -> (dq1Profile _),
     "dq2_outlier_mad" -> (dq2OutlierMad _),
     "dq3_snapshot_drift" -> (dq3SnapshotDrift _),
+    "dq4_k_anonymity" -> (dq4KAnonymity _),
     "w1_grouped_topk" -> (w1GroupedTopk _),
     "set1_pool_update" -> (set1PoolUpdate _))
 
@@ -519,6 +539,7 @@ object Relational {
     "dq1_profile" -> dq1ProfileSql,
     "dq2_outlier_mad" -> dq2OutlierMadSql,
     "dq3_snapshot_drift" -> dq3SnapshotDriftSql,
+    "dq4_k_anonymity" -> dq4KAnonymitySql,
     "w1_grouped_topk" -> w1GroupedTopkSql,
     "set1_pool_update" -> set1PoolUpdateSql)
 }

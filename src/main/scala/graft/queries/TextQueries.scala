@@ -456,6 +456,60 @@ object TextQueries {
       |    AS flesch_e6
       |FROM x ORDER BY doc_id""".stripMargin
 
+  /** ta13_bm25 — Okapi BM25 retrieval scoring (Robertson & Walker 1994;
+    * k1 = 1.2, b = 0.75) for a pinned 3-term query, top-20 docs. The ta6
+    * tf-idf's ranked-retrieval successor: corpus statistics (N, Σdl, per-term
+    * df) reduce in ONE pass to a single row that broadcast-cross-joins back
+    * — the corpus itself never shuffles, and the result is a
+    * TakeOrderedAndProject top-k. Per-term scores combine in a fixed
+    * left-to-right tree (no row-order-dependent float aggregation); the
+    * ln-based score is e6-rounded before ordering per the Q convention. */
+  def ta13Bm25(s: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("data", "spark", "join")
+    val (k1, b) = (1.2, 0.75)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")))
+    val statCols = sum("dl").as("total_dl") +:
+      qterms.map(q => sum(when(array_contains(col("tk"), q), 1L).otherwise(0L))
+        .as(s"df_$q"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    val avgdl = col("total_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    def termScore(q: String) = {
+      val tf = size(filter(col("tk"), x => x === lit(q))).cast(DoubleType)
+      val df = col(s"df_$q").cast(DoubleType)
+      val idf = log((col("n_docs").cast(DoubleType) - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * (k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
+    }
+    val score = qterms.map(termScore).reduceLeft(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        round(score * 1e6).cast(LongType).as("bm25_e6"))
+      .orderBy(desc("bm25_e6"), col("doc_id"))
+      .limit(20)
+  }
+
+  val ta13Bm25Sql: String = {
+    val qterms = Seq("data", "spark", "join")
+    val dfCols = qterms.map(q =>
+      s"CAST(SUM(CASE WHEN list_contains(tk, '$q') THEN 1 ELSE 0 END) AS BIGINT) AS df_$q").mkString(",\n  ")
+    val avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    def termScore(q: String) = {
+      val tf = s"CAST(len(list_filter(tk, x -> x = '$q')) AS DOUBLE)"
+      val df = s"CAST(df_$q AS DOUBLE)"
+      val idf = s"ln((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5) + 1.0)"
+      s"$idf * ($tf * (1.2 + 1.0)) / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / $avgdl)))"
+    }
+    val score = qterms.map(termScore).mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+       |  len(string_split(text, ' ')) AS dl FROM documents),
+       |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl,
+       |  $dfCols
+       |  FROM d)
+       |SELECT doc_id, dl, CAST(ROUND(($score) * 1e6) AS BIGINT) AS bm25_e6
+       |FROM d CROSS JOIN st ORDER BY bm25_e6 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** ta3_token_count — whitespace tokens vs BPE-ish regex tokens
     * (letters-runs | digit-runs | single other char). */
   def ta3TokenCount(s: SparkSession, dir: String): DataFrame =
@@ -585,6 +639,7 @@ object TextQueries {
     "a15_cohens_kappa" -> (a15CohensKappa _),
     "ta2_quality_score" -> (ta2QualityScore _),
     "ta12_readability" -> (ta12Readability _),
+    "ta13_bm25" -> (ta13Bm25 _),
     "ta3_token_count" -> (ta3TokenCount _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
     "ta5_winnow_fingerprint" -> (ta5WinnowFingerprint _),
@@ -605,6 +660,7 @@ object TextQueries {
     "a15_cohens_kappa" -> a15CohensKappaSql,
     "ta2_quality_score" -> ta2QualityScoreSql,
     "ta12_readability" -> ta12ReadabilitySql,
+    "ta13_bm25" -> ta13Bm25Sql,
     "ta3_token_count" -> ta3TokenCountSql,
     "ta4_fingerprint" -> ta4FingerprintSql,
     "ta5_winnow_fingerprint" -> ta5WinnowFingerprintSql,
