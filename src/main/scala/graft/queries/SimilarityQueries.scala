@@ -159,6 +159,37 @@ object SimilarityQueries {
        |SELECT query_id, rank, vec_id, cos_e6 FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** ss5_recall_audit — recall@k of the IVF index against the brute-force
+    * ground truth, per query, as an oracle-checked query (the quality gate
+    * every ANN deployment runs after an index rebuild; the spec-level
+    * recall assertions get a driver-checked face here). Composes the ss1
+    * and ss2 plans and inner-joins their (query, id) sets — at production
+    * scale both sides are the materialized index outputs, so the audit is
+    * a k·n_queries-row join, independent of corpus size. */
+  def ss5RecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val ex = ss1BruteforceTopk(s, dir).select("query_id", "vec_id")
+    val ap = ss2IvfTopk(s, dir).select("query_id", "vec_id")
+    val hits = ex.join(ap, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    ex.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_e6", expr(s"(1000000 * n_hits) div $TopK"))
+      .orderBy("query_id")
+  }
+
+  val ss5RecallAuditSql: String =
+    s"""WITH ex AS ($ss1BruteforceTopkSql),
+       |ap AS ($ss2IvfTopkSql),
+       |hits AS (
+       |  SELECT e.query_id, COUNT(*) AS n_hits FROM ex e
+       |  JOIN ap a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+       |  GROUP BY e.query_id)
+       |SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+       |  (1000000 * COALESCE(h.n_hits, 0)) // $TopK AS recall_e6
+       |FROM (SELECT DISTINCT query_id FROM ex) q
+       |LEFT JOIN hits h USING (query_id) ORDER BY query_id""".stripMargin
+
   /** Deterministic random-hyperplane set for ss3: NBits planes × 64 dims,
     * values from a fixed LCG formula — reproducible in the oracle SQL as
     * plain literals (the LSH analogue of dd2's affine MinHash constants). */
@@ -384,10 +415,12 @@ object SimilarityQueries {
     "ss4_pq_topk" -> (ss4PqTopk _),
     "ss2_ivf_topk" -> (ss2IvfTopk _),
     "ss3_lsh_topk" -> (ss3LshTopk _),
+    "ss5_recall_audit" -> (ss5RecallAudit _),
     "dd6_embed_neardup" -> (dd6EmbedNeardup _),
     "dd12_semantic_dedup" -> (dd12SemanticDedup _))
 
   val oracles: Map[String, String] = Map(
+    "ss5_recall_audit" -> ss5RecallAuditSql,
     "ss1_bruteforce_topk" -> ss1BruteforceTopkSql,
     "ss4_pq_topk" -> ss4PqTopkSql,
     "ss2_ivf_topk" -> ss2IvfTopkSql,

@@ -50,4 +50,37 @@ object Layout {
     df.repartitionByRange(files, org.apache.spark.sql.functions.col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** 16-bit Morton (Z-order) interleave of two non-negative integer columns
+    * already scaled into [0, 2¹⁶): bit i of `x` lands at position 2i, bit i
+    * of `y` at 2i+1. Pure shift/and/or tree — whole-stage codegen, no UDF.
+    * Callers with unbounded domains rank first (e.g. [[graft.operators
+    * .Rank.globalRowNumber]] or a fixed quantile grid) so both inputs fit
+    * 16 bits; the require-style masking here just truncates higher bits. */
+  def zOrderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    (0 until 16).map { i =>
+      val xb = shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+      val yb = shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      xb.bitwiseOR(yb)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order-clustered write: range-partition + sort on the Morton key of
+    * TWO columns, so every output file covers a small rectangle of the
+    * (x, y) plane and parquet min/max statistics skip files for predicates
+    * on EITHER column — the multi-dimension generalization of
+    * [[writeRangeClustered]] (which clusters one dimension perfectly and
+    * the others not at all). The written files carry the original columns
+    * plus `zkey`; LayoutSpec asserts the per-file bounding boxes shrink on
+    * both dimensions. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("zkey", zOrderKey(col(xCol), col(yCol)))
+      .repartitionByRange(files, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -127,6 +127,22 @@ object EventStreams {
       .orderBy(desc("total"), col("user_id"))
       .limit(k)
 
+  /** Streaming Count-Min sketch — the streaming face of
+    * [[graft.operators.Sketch.buildCms]], and deliberately the SAME plan:
+    * posexplode to (row, col) coordinates + incremental count aggregation.
+    * In update mode each micro-batch emits only the cells it touched; the
+    * sink upserts by (row_idx, col_idx) and [[graft.operators.Sketch
+    * .estimates]] probes the maintained table at any moment. This is how a
+    * 100 TB ingest keeps live approximate term frequencies without ever
+    * re-scanning the corpus: state is capped at depth·width cells
+    * regardless of stream length — no watermark needed because the key
+    * space, not time, bounds it. CmsStreamSpec proves stream ≡ batch on
+    * the union of all micro-batches. */
+  def sketchStream(items: DataFrame, itemCol: String,
+      depth: Int = graft.operators.Sketch.DefaultDepth,
+      width: Long = graft.operators.Sketch.DefaultWidth): DataFrame =
+    graft.operators.Sketch.buildCms(items, col(itemCol), depth, width)
+
   /** Streaming exact dedup — the streaming twin of `Dedup.exact`/dd1 for a
     * continuously-arriving corpus: drop re-deliveries of the same normalized
     * content within the watermark horizon. Keyed on the content hash, so

@@ -56,4 +56,36 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("zOrderKey interleaves bits (known vectors) and round-trips extremes") {
+    import spark.implicits._
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(Layout.zOrderKey(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // interleave(x,y): x bits at even positions, y bits at odd
+    // 3=0b11, 5=0b101 -> z = x0<<0|y0<<1|x1<<2|y1<<3|x2<<4|y2<<5 = 1|0|4|0|0|32 = 39
+    assert(rows === Seq(0L, 1L, 2L, 3L, 39L, (1L << 32) - 1))
+  }
+
+  test("z-ordered files bound BOTH dimensions (rectangles, not stripes)") {
+    import spark.implicits._
+    // 64x64 grid, one row per cell — file bboxes should be small rectangles
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val out = java.nio.file.Files.createTempDirectory("graft_z").toString + "/grid"
+    Layout.writeZOrdered(grid, out, "x", "y", files = 16)
+    val boxes = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(boxes.map(_._3).sum === 64L * 64L)
+    val meanX = boxes.map(_._1).sum.toDouble / boxes.length
+    val meanY = boxes.map(_._2).sum.toDouble / boxes.length
+    // a single-column range cluster would leave the other dim's span at ~63;
+    // z-order must shrink BOTH well below half the global span
+    assert(meanX < 32.0, s"mean x-span $meanX not rectangular")
+    assert(meanY < 32.0, s"mean y-span $meanY not rectangular")
+  }
 }
