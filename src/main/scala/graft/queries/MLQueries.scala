@@ -239,7 +239,63 @@ object MLQueries {
        |  CAST(SUM(CASE WHEN ${detHashSql("w", 19)} % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS signed_sum
        |FROM tok GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin
 
+  /** v8_negative_sampling — word2vec-style negative sampler (Mikolov et al.
+    * 2013): sampling weight ∝ count^0.75 (e3-scaled to integers), each
+    * deterministic draw lands in a word's slice of the cumulative weight
+    * line. Composes three scale primitives: the exclusive prefix sum is
+    * [[graft.operators.Rank.globalCumSum]] (two-phase, no global window);
+    * draw→slice lookup is the ev9 bucketized interval join (bucket width =
+    * max weight, so each slice spans ≤ 2 buckets and each draw meets
+    * exactly its one containing slice — no BroadcastNestedLoopJoin); draws
+    * are detHash-deterministic so the oracle replays them. The oracle uses
+    * the naive range join — it checks semantics, not the plan. */
+  def v8NegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val wts = freq.select(col("word"),
+      round(pow(col("cnt").cast("double"), 0.75) * 1000).cast("long").as("weight"))
+    val cum = graft.operators.Rank.globalCumSum(wts, 8, col("weight"), "cum_before", col("word"))
+    val scal = wts.agg(sum("weight").cast("long").as("total_w"),
+      max("weight").cast("long").as("bw"))
+    val draws = t(s, dir, "embeddings").filter(col("vec_id") < 100)
+      .crossJoin(broadcast(scal))
+      .select(col("vec_id").as("draw_id"),
+        (detHash(col("vec_id"), 31) % col("total_w")).as("target"), col("bw"))
+      .withColumn("bkt", expr("target div bw"))
+      .select("draw_id", "target", "bkt")
+    val slices = cum.crossJoin(broadcast(scal.select("bw")))
+      .withColumn("bkt", explode(sequence(
+        expr("cum_before div bw"), expr("(cum_before + weight - 1) div bw"))))
+    draws.join(slices, Seq("bkt"))
+      .filter(col("target") >= col("cum_before") &&
+        col("target") < col("cum_before") + col("weight"))
+      .select("draw_id", "word", "target")
+      .orderBy("draw_id")
+  }
+
+  val v8NegativeSamplingSql: String =
+    s"""WITH freq AS (
+       |  SELECT word, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  GROUP BY word),
+       |wts AS (SELECT word,
+       |  CAST(ROUND(POW(CAST(cnt AS DOUBLE), 0.75) * 1000) AS BIGINT) AS weight FROM freq),
+       |cum AS (SELECT word, weight,
+       |  COALESCE(CAST(SUM(weight) OVER (ORDER BY word
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+       |  FROM wts),
+       |tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w FROM wts),
+       |draws AS (SELECT vec_id AS draw_id,
+       |  ${detHashSql("vec_id", 31)} % total_w AS target
+       |  FROM embeddings CROSS JOIN tot WHERE vec_id < 100)
+       |SELECT d.draw_id, c.word, d.target
+       |FROM draws d JOIN cum c
+       |  ON d.target >= c.cum_before AND d.target < c.cum_before + c.weight
+       |ORDER BY d.draw_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "v8_negative_sampling" -> (v8NegativeSampling _),
     "v7_feature_hash" -> (v7FeatureHash _),
     "a5_countvec_nnz" -> (a5CountvecNnz _),
     "a9_lda_doc_topics" -> (a9LdaDocTopics _),
@@ -251,6 +307,7 @@ object MLQueries {
     "v1_pad_vectorize" -> (v1PadVectorize _))
 
   val oracles: Map[String, String] = Map(
+    "v8_negative_sampling" -> v8NegativeSamplingSql,
     "v7_feature_hash" -> v7FeatureHashSql,
     "a5_countvec_nnz" -> a5CountvecNnzSql,
     "a10b_umass_coherence" -> a10bUmassCoherenceSql,

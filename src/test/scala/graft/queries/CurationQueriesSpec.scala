@@ -203,6 +203,20 @@ class CurationQueriesSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) >= 1L))
   }
 
+  test("v8: negative sampler is an equi-join and every draw matches one slice") {
+    val df = graft.queries.MLQueries.v8NegativeSampling(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the draw->slice containment join must be a hash equi-join on the
+    // bucket key (the only tolerated nested-loop is the 1-row scalar-stats
+    // cross join that feeds total_w/bw)
+    assert(plan.contains("HashJoin [bkt"),
+      s"draw->slice lookup must bucketize to a hash equi-join:\n$plan")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length,
+      "each draw must land in exactly one weight slice")
+    assert(rows.length === 100)
+  }
+
   test("ev8: the as-of view is strictly earlier than its purchase") {
     val bad = EventQueries.ev8AsofJoin(spark, dir)
       .filter(col("last_view_us").isNotNull &&
