@@ -273,6 +273,61 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class ScdVersion(user_id: Long, version: Long, state: String,
+      valid_from_us: Long, valid_to_us: Long)
+
+  private case class CurState(tpe: String, fromUs: Long, version: Long)
+
+  /** Closes a version whenever the key's tracked attribute changes. */
+  private class Scd2Processor
+      extends StatefulProcessor[Long, (Long, Long, Long, String), ScdVersion] {
+    @transient private var cur: org.apache.spark.sql.streaming.ValueState[CurState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[CurState]("cur", Encoders.product[CurState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, String)],
+        timers: TimerValues): Iterator[ScdVersion] = {
+      var st = if (cur.exists()) Option(cur.get()) else None
+      val out = Seq.newBuilder[ScdVersion]
+      // deterministic in-batch order: by (us, event_id) — replays and
+      // micro-batch boundary shifts close the same versions
+      rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, us, tpe) =>
+        st match {
+          case None =>
+            st = Some(CurState(tpe, us, 1L))
+          case Some(c) if c.tpe != tpe =>
+            out += ScdVersion(key, c.version, c.tpe, c.fromUs, us)
+            st = Some(CurState(tpe, us, c.version + 1L))
+          case _ => ()
+        }
+      }
+      st.foreach(cur.update)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming SCD2 — the streaming twin of batch `set3_scd2`: maintains
+    * each user's current (state, valid_from, version) in typed
+    * `ValueState` and emits a version row the moment the tracked attribute
+    * changes — append-mode CDC into the dimension table, no re-scan of
+    * history. Emitted rows are exactly the batch face's CLOSED intervals
+    * (valid_to_us set); the one open version per user lives in the state
+    * store until its closing event arrives (queryable there, or via the
+    * batch query over the union — EventStreamsSpec proves the parity
+    * across micro-batch boundaries). State is O(1) per user. Input
+    * contract: events arrive time-ordered across micro-batches (the usual
+    * log-compaction guarantee); within a batch, rows are sorted. */
+  def scd2Stream(events: DataFrame): Dataset[ScdVersion] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("us").cast("long"), col("event_type").cast("string"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new Scd2Processor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Incremental file-source ingestion of a parquet landing directory,
     * processed with AvailableNow (drain-then-stop — the idempotent batch
     * refresh pattern; checkpoint carries the manifest). */

@@ -270,6 +270,57 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming SCD2 emits exactly the batch face's closed versions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // (user_id, event_id, us, event_type); user 1 changes A->B->A,
+      // user 2 stays constant (no closed version ever)
+      val all = Seq(
+        (1L, 1L, 100L, "A"), (1L, 2L, 200L, "A"), (1L, 3L, 300L, "B"),
+        (2L, 4L, 150L, "C"), (1L, 5L, 400L, "A"), (2L, 6L, 500L, "C"))
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val q = EventStreams.scd2Stream(
+          mem.toDF().toDF("user_id", "event_id", "us", "event_type"))
+        .writeStream.format("memory").queryName("scd")
+        .outputMode(OutputMode.Append()).start()
+      // split mid-version so state must carry across the boundary
+      mem.addData(all.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("scd")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(streamed === Set(
+        (1L, 1L, "A", 100L, 300L),
+        (1L, 2L, "B", 300L, 400L)))
+      // parity with the batch face's closed intervals over the same rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+      val batchClosed = all.toDF("user_id", "event_id", "us", "event_type")
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to_us", lead("us", 1).over(w))
+        .filter(col("valid_to_us").isNotNull)
+        .select("user_id", "version", "event_type", "us", "valid_to_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(streamed === batchClosed)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming bloom gate flags banned n-grams at scan speed, stateless") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
