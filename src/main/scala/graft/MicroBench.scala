@@ -87,7 +87,39 @@ object MicroBench {
       }.sum
     val (tHashMd5, nHashMd5) = time { hashSum(c => graft.queries.Q.detHashMd5(c, 7)) }
     val (tHashNat, nHashNat) = time { hashSum(c => graft.queries.Q.detHash(c, 7)) }
-    println(s"""{"fm_expr_sec":$tExpr,"fm_udf_sec":$tUdf,"fm_regex_sec":$tRegex,"matches":[$nExpr,$nUdf,$nRegex],"dot_hof_sec":$tHof,"dot_native_sec":$tNative,"dot_sums":[$nHof,$nNative],"semi_sec":$tSemi,"bloom_sec":$tBloom,"flagged":[$nSemi,$nBloom],"hash_md5_sec":$tHashMd5,"hash_native_sec":$tHashNat,"hash_sums":[$nHashMd5,$nHashNat],"sf":"$sfDir"}""")
+    // Skewed sort-merge join: one hot key carrying ~50% of the fact side,
+    // joined to a 1001-row dim forced off the broadcast path (the
+    // too-big-to-broadcast regime). Three plans over identical data:
+    // AQE skew-split OFF (the single-task straggler), AQE skew-split ON
+    // (thresholds lowered so the local data size trips the same logic the
+    // 256 MB default trips at cluster scale), and the manual salted join.
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .withColumn("skey",
+        when(col("l_orderkey") % 100 < 50, 0L).otherwise(col("l_orderkey") % 1000))
+      .localCheckpoint()
+    val dim = spark.range(0, 1001).select(col("id").as("skey"),
+      (col("id") * 7 % 13).as("payload")).localCheckpoint()
+    def joinSum(): Long = li.join(dim, Seq("skey"))
+      .agg(sum(col("payload"))).collect()(0).getLong(0)
+    def saltedSum(): Long = graft.operators.Skew
+      .saltedJoin(li, dim, "skey", "l_orderkey", buckets = 32)
+      .agg(sum(col("payload"))).collect()(0).getLong(0)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val (tSkewOff, nSkewOff) = time { joinSum() }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    val (tSkewAqe, nSkewAqe) = time { joinSum() }
+    val (tSalted, nSalted) = time { saltedSum() }
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+    println(s"""{"fm_expr_sec":$tExpr,"fm_udf_sec":$tUdf,"fm_regex_sec":$tRegex,"matches":[$nExpr,$nUdf,$nRegex],"dot_hof_sec":$tHof,"dot_native_sec":$tNative,"dot_sums":[$nHof,$nNative],"semi_sec":$tSemi,"bloom_sec":$tBloom,"flagged":[$nSemi,$nBloom],"hash_md5_sec":$tHashMd5,"hash_native_sec":$tHashNat,"hash_sums":[$nHashMd5,$nHashNat],"skew_smj_noaqe_sec":$tSkewOff,"skew_smj_aqe_sec":$tSkewAqe,"skew_salted_sec":$tSalted,"skew_sums":[$nSkewOff,$nSkewAqe,$nSalted],"sf":"$sfDir"}""")
     spark.stop()
   }
 }
