@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning (Sennrich et al. 2016) as iterative
+  * DataFrame plans — the vocabulary-construction step of every modern
+  * subword tokenizer, run where the corpus lives instead of on a
+  * driver-side counter.
+  *
+  * Each round: (1) count adjacent symbol pairs across the word table,
+  * weighted by word frequency — an explode + hash-agg with map-side
+  * combine; (2) pick the top pair (count desc, then lexicographic — pure
+  * integer/string ordering, no floats); (3) merge every occurrence via a
+  * per-word lag/lead window — bounded by one word's symbol count, never a
+  * global sort. Rounds chain lazily (the a16 lesson: Catalyst pipelines the
+  * fixed iteration count better than eager checkpoints at this depth).
+  *
+  * One documented deviation from textbook BPE: self-pairs (a, a) are
+  * skipped when choosing the merge. With a ≠ b, matches can never overlap
+  * ("aba b" ambiguity needs a = b), so the merge pass is a stateless
+  * flag-and-drop — identical left-to-right semantics in any engine, which
+  * is what makes the DuckDB oracle replay (`tok1_bpe_merges`) bit-exact.
+  * Real tokenizers special-case repeated-character runs anyway (GPT-2's
+  * regex pre-splits them).
+  */
+object Bpe {
+
+  /** (word, freq, syms) after splitting each word into 1-char symbols. */
+  def initialState(words: DataFrame): DataFrame =
+    words.withColumn("syms",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
+  private val byWord = Window.partitionBy("word").orderBy("pos")
+
+  /** One merge round: returns (merge row, next state). The merge row is
+    * (pa, pb, cnt); the state keeps (word, freq, syms). */
+  def step(state: DataFrame): (DataFrame, DataFrame) = {
+    val tok = state
+      .select(col("word"), col("freq"), posexplode(col("syms")).as(Seq("pos", "sym")))
+      .withColumn("nxt", lead("sym", 1).over(byWord))
+    val top = tok
+      .filter(col("nxt").isNotNull && col("sym") =!= col("nxt"))
+      .groupBy(col("sym").as("pa"), col("nxt").as("pb"))
+      .agg(sum("freq").as("cnt"))
+      .orderBy(desc("cnt"), col("pa"), col("pb"))
+      .limit(1)
+    val merged = tok.crossJoin(broadcast(top))
+      .withColumn("m", (col("sym") === col("pa") && col("nxt") === col("pb")).cast("int"))
+      .withColumn("pm", lag("m", 1).over(byWord))
+      .filter(coalesce(col("pm"), lit(0)) === 0)
+      .withColumn("sym2", when(col("m") === 1, concat(col("sym"), col("nxt"))).otherwise(col("sym")))
+      .groupBy("word", "freq")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sym2")))),
+        e => e.getField("sym2")).as("syms"))
+    (top, merged)
+  }
+
+  /** Learn `steps` merges; returns one row per round:
+    * (step, merge_pair, cnt, n_symbols_after). */
+  def learnMerges(words: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 8, s"steps must be in [1, 8], got $steps")
+    var state = initialState(words)
+    val rounds = (1 to steps).map { i =>
+      val (top, next) = step(state)
+      state = next
+      val after = state.agg(
+        sum(col("freq") * size(col("syms"))).as("n_symbols_after"))
+      top.crossJoin(broadcast(after))
+        .select(lit(i).as("step"),
+          concat(col("pa"), lit("+"), col("pb")).as("merge_pair"),
+          col("cnt"), col("n_symbols_after"))
+    }
+    rounds.reduce(_ unionAll _).orderBy("step")
+  }
+}

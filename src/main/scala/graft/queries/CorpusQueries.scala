@@ -359,7 +359,55 @@ object CorpusQueries {
       |GROUP BY p.word, p.exact_cnt
       |ORDER BY exact_cnt DESC, word""".stripMargin
 
+  /** tok1_bpe_merges — the first 3 BPE merge rounds learned over the corpus
+    * ([[graft.operators.Bpe]]; Sennrich et al. 2016): per round, the
+    * winning pair, its weighted count, and the corpus symbol mass after the
+    * merge applies. The oracle unrolls all 3 rounds as chained CTEs (the
+    * a16 iterative recipe) — pair counting, argmax selection, and the
+    * lag-window merge replay bit-for-bit in DuckDB. */
+  def tok1BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    graft.operators.Bpe.learnMerges(words, 3)
+  }
+
+  val tok1BpeMergesSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""tok$r AS (SELECT word, freq, unnest(syms) AS sym,
+         |  generate_subscripts(syms, 1) AS pos FROM state${r - 1}),
+         |nx$r AS (SELECT word, freq, pos, sym,
+         |  LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM tok$r),
+         |top$r AS (SELECT sym AS pa, nxt AS pb, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM nx$r WHERE nxt IS NOT NULL AND sym <> nxt
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |mg$r AS (SELECT n.word, n.freq, n.pos,
+         |    CASE WHEN n.sym = t.pa AND n.nxt = t.pb THEN n.sym || n.nxt ELSE n.sym END AS sym2,
+         |    CASE WHEN n.sym = t.pa AND n.nxt = t.pb THEN 1 ELSE 0 END AS m
+         |  FROM nx$r n CROSS JOIN top$r t),
+         |fl$r AS (SELECT *, LAG(m) OVER (PARTITION BY word ORDER BY pos) AS pm FROM mg$r),
+         |state$r AS (SELECT word, freq, list(sym2 ORDER BY pos) AS syms
+         |  FROM fl$r WHERE COALESCE(pm, 0) = 0 GROUP BY word, freq),
+         |st$r AS (SELECT $r AS step, t.pa || '+' || t.pb AS merge_pair, t.cnt,
+         |    (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) FROM state$r) AS n_symbols_after
+         |  FROM top$r t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH freq0 AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  GROUP BY word),
+       |state0 AS (SELECT word, freq,
+       |  list_transform(range(1, len(word) + 1), i -> substr(word, CAST(i AS INT), 1)) AS syms
+       |  FROM freq0),
+       |$rounds
+       |SELECT step, merge_pair, cnt, n_symbols_after FROM st1
+       |UNION ALL SELECT step, merge_pair, cnt, n_symbols_after FROM st2
+       |UNION ALL SELECT step, merge_pair, cnt, n_symbols_after FROM st3
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "tok1_bpe_merges" -> (tok1BpeMerges _),
     "cms1_heavy_hitters" -> (cms1HeavyHitters _),
     "a16_textrank" -> (a16TextRank _),
     "a1_corpus_stats" -> (a1CorpusStats _),
@@ -371,6 +419,7 @@ object CorpusQueries {
     "j8_conjunctive_keywords" -> (j8ConjunctiveKeywords _))
 
   val oracles: Map[String, String] = Map(
+    "tok1_bpe_merges" -> tok1BpeMergesSql,
     "cms1_heavy_hitters" -> cms1HeavyHittersSql,
     "a16_textrank" -> a16TextRankSql,
     "a1_corpus_stats" -> a1CorpusStatsSql,
