@@ -14,8 +14,16 @@ import org.apache.spark.sql.functions._
   * combine; (2) pick the top pair (count desc, then lexicographic — pure
   * integer/string ordering, no floats); (3) merge every occurrence via a
   * per-word lag/lead window — bounded by one word's symbol count, never a
-  * global sort. Rounds chain lazily (the a16 lesson: Catalyst pipelines the
-  * fixed iteration count better than eager checkpoints at this depth).
+  * global sort. Unlike a16's single linear chain (where lazy chaining won),
+  * each BPE round FORKS its state — the top pair feeds both the merge and
+  * the output row, the merged state feeds both the symbol-mass stat and
+  * the next round — and Spark does not common-subexpression-share forked
+  * plan subtrees, so lazy chaining re-executes earlier rounds
+  * multiplicatively. [[learnMerges]] therefore localCheckpoints the
+  * (vocab-sized) state, the shared explode+lead frame, and the 1-row top
+  * pair per round (the dd8 recipe): 2.3 s → 1.5 s at sf0.1 for 3 rounds —
+  * the residue is fixed per-job scheduling over a 31-word test vocabulary,
+  * i.e. the local overhead floor, not data cost.
   *
   * One documented deviation from textbook BPE: self-pairs (a, a) are
   * skipped when choosing the merge. With a ≠ b, matches can never overlap
@@ -34,19 +42,21 @@ object Bpe {
 
   private val byWord = Window.partitionBy("word").orderBy("pos")
 
-  /** One merge round: returns (merge row, next state). The merge row is
-    * (pa, pb, cnt); the state keeps (word, freq, syms). */
-  def step(state: DataFrame): (DataFrame, DataFrame) = {
-    val tok = state
+  private def exploded(state: DataFrame): DataFrame =
+    state
       .select(col("word"), col("freq"), posexplode(col("syms")).as(Seq("pos", "sym")))
       .withColumn("nxt", lead("sym", 1).over(byWord))
-    val top = tok
+
+  private def topFromTok(tok: DataFrame): DataFrame =
+    tok
       .filter(col("nxt").isNotNull && col("sym") =!= col("nxt"))
       .groupBy(col("sym").as("pa"), col("nxt").as("pb"))
       .agg(sum("freq").as("cnt"))
       .orderBy(desc("cnt"), col("pa"), col("pb"))
       .limit(1)
-    val merged = tok.crossJoin(broadcast(top))
+
+  private def mergeFromTok(tok: DataFrame, top: DataFrame): DataFrame =
+    tok.crossJoin(broadcast(top))
       .withColumn("m", (col("sym") === col("pa") && col("nxt") === col("pb")).cast("int"))
       .withColumn("pm", lag("m", 1).over(byWord))
       .filter(coalesce(col("pm"), lit(0)) === 0)
@@ -54,17 +64,44 @@ object Bpe {
       .groupBy("word", "freq")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("sym2")))),
         e => e.getField("sym2")).as("syms"))
-    (top, merged)
+
+  /** The round's winning pair as a 1-row (pa, pb, cnt) frame. */
+  def topPair(state: DataFrame): DataFrame =
+    exploded(state)
+      .filter(col("nxt").isNotNull && col("sym") =!= col("nxt"))
+      .groupBy(col("sym").as("pa"), col("nxt").as("pb"))
+      .agg(sum("freq").as("cnt"))
+      .orderBy(desc("cnt"), col("pa"), col("pb"))
+      .limit(1)
+
+  /** Applies one merge pair to every word. */
+  def merge(state: DataFrame, top: DataFrame): DataFrame =
+    exploded(state).crossJoin(broadcast(top))
+      .withColumn("m", (col("sym") === col("pa") && col("nxt") === col("pb")).cast("int"))
+      .withColumn("pm", lag("m", 1).over(byWord))
+      .filter(coalesce(col("pm"), lit(0)) === 0)
+      .withColumn("sym2", when(col("m") === 1, concat(col("sym"), col("nxt"))).otherwise(col("sym")))
+      .groupBy("word", "freq")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sym2")))),
+        e => e.getField("sym2")).as("syms"))
+
+  /** One merge round: returns (merge row, next state). The merge row is
+    * (pa, pb, cnt); the state keeps (word, freq, syms). */
+  def step(state: DataFrame): (DataFrame, DataFrame) = {
+    val top = topPair(state)
+    (top, merge(state, top))
   }
 
   /** Learn `steps` merges; returns one row per round:
     * (step, merge_pair, cnt, n_symbols_after). */
   def learnMerges(words: DataFrame, steps: Int): DataFrame = {
     require(steps >= 1 && steps <= 8, s"steps must be in [1, 8], got $steps")
-    var state = initialState(words)
+    var state = initialState(words).localCheckpoint()
     val rounds = (1 to steps).map { i =>
-      val (top, next) = step(state)
-      state = next
+      // one explode+lead window per round, shared by count and merge
+      val tok = exploded(state).localCheckpoint()
+      val top = topFromTok(tok).localCheckpoint()
+      state = mergeFromTok(tok, top).localCheckpoint()
       val after = state.agg(
         sum(col("freq") * size(col("syms"))).as("n_symbols_after"))
       top.crossJoin(broadcast(after))
