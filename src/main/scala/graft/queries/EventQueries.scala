@@ -387,7 +387,38 @@ object EventQueries {
       |  CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin
 
+  /** ev12_streaks — longest consecutive-active-day streak per user: the
+    * gaps-and-islands idiom (island id = day − dense row number; a13's
+    * span trick applied to calendar days). Retention's sibling metric —
+    * ev5 measures who comes back, this measures how persistently. Windows
+    * partition by user (bounded by one user's distinct days); epoch-day
+    * integer math is identical in both engines. */
+  def ev12Streaks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val days = t(s, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("streak"))
+      .groupBy("user_id")
+      .agg(sum("streak").as("n_active_days"), max("streak").as("longest_streak"))
+      .orderBy("user_id")
+  }
+
+  val ev12StreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |isl AS (SELECT user_id,
+      |  day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days),
+      |st AS (SELECT user_id, grp, COUNT(*) AS streak FROM isl GROUP BY user_id, grp)
+      |SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_active_days,
+      |  MAX(streak) AS longest_streak
+      |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "ev12_streaks" -> (ev12Streaks _),
     "set3_scd2" -> (set3Scd2 _),
     "ev1_sessionize" -> (ev1Sessionize _),
     "ev9_range_bucket_join" -> (ev9RangeBucketJoin _),
@@ -402,6 +433,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "set3_scd2" -> set3Scd2Sql,
+    "ev12_streaks" -> ev12StreaksSql,
     "ev1_sessionize" -> ev1SessionizeSql,
     "ev9_range_bucket_join" -> ev9RangeBucketJoinSql,
     "ev11_markov_transitions" -> ev11MarkovTransitionsSql,

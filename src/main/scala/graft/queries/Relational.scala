@@ -488,6 +488,52 @@ object Relational {
       |FROM customer GROUP BY c_mktsegment, c_nationkey
       |ORDER BY c_mktsegment, c_nationkey""".stripMargin
 
+  /** dq5_referential_integrity — orphan-FK audit across the star schema's
+    * edges: per edge, child row count and rows whose FK misses every parent
+    * key (left-anti). The constraint check a catalog runs on every load —
+    * engines without enforced FKs (Spark, most lakes) need it as a query.
+    * Each edge is one anti-join; orphan counts are expected 0 on
+    * consistent data and the query proves it rather than assuming it. */
+  def dq5ReferentialIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val nChild = child.agg(count(lit(1)).as("n_child"))
+      val nOrphan = child.join(parent.select(col(pkey)),
+          col(key) === col(pkey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      nChild.crossJoin(nOrphan).select(lit(name).as("fk_edge"),
+        col("n_child"), col("n_orphans"))
+    }
+    edge("customer.nationkey->nation", t(s, dir, "customer"), "c_nationkey",
+        t(s, dir, "nation"), "n_nationkey")
+      .unionAll(edge("lineitem.orderkey->orders", t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey"))
+      .unionAll(edge("lineitem.suppkey->supplier", t(s, dir, "lineitem"), "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey"))
+      .unionAll(edge("orders.custkey->customer", t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+      .orderBy("fk_edge")
+  }
+
+  val dq5ReferentialIntegritySql: String =
+    """SELECT 'customer.nationkey->nation' AS fk_edge,
+      |  (SELECT COUNT(*) FROM customer) AS n_child,
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_orphans
+      |UNION ALL SELECT 'lineitem.orderkey->orders',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |UNION ALL SELECT 'lineitem.suppkey->supplier',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+      |UNION ALL SELECT 'orders.custkey->customer',
+      |  (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |ORDER BY fk_edge""".stripMargin
+
   /** a12_approx_distinct — HyperLogLog-family approximate distinct counts
     * (the 100 TB cardinality primitive). Sketches differ across engines →
     * rows-only driver check; the ≤5% error bound vs exact is asserted in
@@ -519,6 +565,7 @@ object Relational {
     "dq2_outlier_mad" -> (dq2OutlierMad _),
     "dq3_snapshot_drift" -> (dq3SnapshotDrift _),
     "dq4_k_anonymity" -> (dq4KAnonymity _),
+    "dq5_referential_integrity" -> (dq5ReferentialIntegrity _),
     "w1_grouped_topk" -> (w1GroupedTopk _),
     "set1_pool_update" -> (set1PoolUpdate _))
 
@@ -540,6 +587,7 @@ object Relational {
     "dq2_outlier_mad" -> dq2OutlierMadSql,
     "dq3_snapshot_drift" -> dq3SnapshotDriftSql,
     "dq4_k_anonymity" -> dq4KAnonymitySql,
+    "dq5_referential_integrity" -> dq5ReferentialIntegritySql,
     "w1_grouped_topk" -> w1GroupedTopkSql,
     "set1_pool_update" -> set1PoolUpdateSql)
 }
