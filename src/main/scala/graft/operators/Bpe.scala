@@ -92,9 +92,12 @@ object Bpe {
     (top, merge(state, top))
   }
 
-  /** Learn `steps` merges; returns one row per round:
-    * (step, merge_pair, cnt, n_symbols_after). */
-  def learnMerges(words: DataFrame, steps: Int): DataFrame = {
+  /** Learn `steps` merges; returns (rounds, finalState): one row per round
+    * (step, merge_pair, cnt, n_symbols_after), plus the word table with its
+    * post-merge segmentation (word, freq, syms) — the ENCODE side of the
+    * tokenizer. Both frames are checkpointed, so callers can consume either
+    * without replaying the iteration (tok1 reads rounds, tok2 reads state). */
+  def learn(words: DataFrame, steps: Int): (DataFrame, DataFrame) = {
     require(steps >= 1 && steps <= 8, s"steps must be in [1, 8], got $steps")
     var state = initialState(words).localCheckpoint()
     val rounds = (1 to steps).map { i =>
@@ -109,6 +112,10 @@ object Bpe {
           concat(col("pa"), lit("+"), col("pb")).as("merge_pair"),
           col("cnt"), col("n_symbols_after"))
     }
-    rounds.reduce(_ unionAll _).orderBy("step")
+    (rounds.reduce(_ unionAll _).orderBy("step"), state)
   }
+
+  /** Learn `steps` merges; returns one row per round:
+    * (step, merge_pair, cnt, n_symbols_after). */
+  def learnMerges(words: DataFrame, steps: Int): DataFrame = learn(words, steps)._1
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Model-evaluation aggregates that need a GLOBAL order statistic, built
+  * without a global per-row sort (the repo's two-phase Rank recipe).
+  *
+  * [[rocAuc]] — exact tie-aware ROC-AUC via the Mann–Whitney identity
+  * AUC = U/(n⁺·n⁻) with U = Σ_pos rank-above-negatives, computed as:
+  *   1. aggregate (n_pos, n_neg) per DISTINCT score — map-side combined,
+  *      output bounded by score cardinality, not row count;
+  *   2. exclusive prefix sum of negatives in ascending-score order via
+  *      [[Rank.globalCumSum]] (range partitions + broadcast offsets — no
+  *      single-partition window even at 10⁸ distinct scores);
+  *   3. U2 = Σ np·(2·cum_neg + nn) keeps the ties/2 term integer-exact;
+  *      AUC = U2 / (2·n⁺·n⁻), e6-rounded once at the end.
+  *
+  * The pairwise definition (for the spec's brute-force oracle):
+  * AUC = [#(neg_score < pos_score) + ½·#(neg_score = pos_score)] / (n⁺·n⁻).
+  */
+object Eval {
+
+  /** One row: (n_pos, n_neg, u2, auc_e6). `label` must evaluate to 1/0
+    * (long); rows with a null score or label are the caller's job to drop.
+    * Degenerate inputs (no positives or no negatives) yield null auc_e6 —
+    * AUC is undefined, and the zero-denominator rule (Q scaladoc) says
+    * null, not NaN-rounded-to-0. */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val perScore = df.select(score.as("__s"), label.cast(LongType).as("__y"))
+      .groupBy("__s")
+      .agg(sum("__y").as("np"), sum(lit(1L) - col("__y")).as("nn"))
+    Rank.globalCumSum(perScore, 32, col("nn"), "cum_neg", col("__s"))
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cum_neg") + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+          .otherwise(round(lit(1e6) * col("u2").cast(DoubleType) /
+            (lit(2d) * col("n_pos").cast(DoubleType) * col("n_neg").cast(DoubleType))))
+          .cast(LongType).as("auc_e6"))
+  }
+}

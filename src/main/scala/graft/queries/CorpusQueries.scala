@@ -365,14 +365,37 @@ object CorpusQueries {
     * merge applies. The oracle unrolls all 3 rounds as chained CTEs (the
     * a16 iterative recipe) — pair counting, argmax selection, and the
     * lag-window merge replay bit-for-bit in DuckDB. */
-  def tok1BpeMerges(s: SparkSession, dir: String): DataFrame = {
-    val words = t(s, dir, "documents")
-      .select(explode(toks(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-    graft.operators.Bpe.learnMerges(words, 3)
-  }
+  /** One BPE learning pass per (session, dir), shared by tok1 (merge table)
+    * and tok2 (encoded state) — learn() checkpoints every round, so the
+    * iteration runs once and both faces read materialized frames. */
+  private def bpeLearned(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.operators.SessionShare.cached(s, dir, "bpe_learn3") {
+      val words = t(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      graft.operators.Bpe.learn(words, 3)
+    }
 
-  val tok1BpeMergesSql: String = {
+  def tok1BpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeLearned(s, dir)._1
+
+  /** tok2_bpe_encode — the ENCODE face of the tok1 tokenizer: every corpus
+    * word segmented by the 3 learned merges, top-20 by corpus frequency.
+    * Composition, not duplication — the shared [[bpeLearned]] state means
+    * the merge table tok1 reports IS the segmentation tok2 applies (the
+    * vocabulary a trainer would ship). Per-word output stays vocabulary-
+    * sized: at 100 TB the word table is the (bounded) distinct vocabulary,
+    * and encoding documents is then a broadcast word→syms join — no
+    * per-document iteration anywhere. */
+  def tok2BpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeLearned(s, dir)._2
+      .select(col("word"), col("freq"), size(col("syms")).as("n_pieces"),
+        concat_ws("|", col("syms")).as("pieces"))
+      .orderBy(desc("freq"), col("word")).limit(20)
+
+  /** Shared CTE chain (state0 → state3 + per-round st rows) for the tok1 /
+    * tok2 oracles — the DuckDB replay of [[bpeLearned]]. */
+  private val bpeCoreSql: String = {
     val rounds = (1 to 3).map { r =>
       s"""tok$r AS (SELECT word, freq, unnest(syms) AS sym,
          |  generate_subscripts(syms, 1) AS pos FROM state${r - 1}),
@@ -392,22 +415,32 @@ object CorpusQueries {
          |    (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) FROM state$r) AS n_symbols_after
          |  FROM top$r t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH freq0 AS (
+    s"""freq0 AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
        |  GROUP BY word),
        |state0 AS (SELECT word, freq,
        |  list_transform(range(1, len(word) + 1), i -> substr(word, CAST(i AS INT), 1)) AS syms
        |  FROM freq0),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val tok1BpeMergesSql: String =
+    s"""WITH $bpeCoreSql
        |SELECT step, merge_pair, cnt, n_symbols_after FROM st1
        |UNION ALL SELECT step, merge_pair, cnt, n_symbols_after FROM st2
        |UNION ALL SELECT step, merge_pair, cnt, n_symbols_after FROM st3
        |ORDER BY step""".stripMargin
-  }
+
+  val tok2BpeEncodeSql: String =
+    s"""WITH $bpeCoreSql
+       |SELECT word, freq, CAST(len(syms) AS INT) AS n_pieces,
+       |  array_to_string(syms, '|') AS pieces
+       |FROM state3 ORDER BY freq DESC, word LIMIT 20""".stripMargin
 
   val queries: Map[String, QueryFn] = Map(
     "tok1_bpe_merges" -> (tok1BpeMerges _),
+    "tok2_bpe_encode" -> (tok2BpeEncode _),
     "cms1_heavy_hitters" -> (cms1HeavyHitters _),
     "a16_textrank" -> (a16TextRank _),
     "a1_corpus_stats" -> (a1CorpusStats _),
@@ -420,6 +453,7 @@ object CorpusQueries {
 
   val oracles: Map[String, String] = Map(
     "tok1_bpe_merges" -> tok1BpeMergesSql,
+    "tok2_bpe_encode" -> tok2BpeEncodeSql,
     "cms1_heavy_hitters" -> cms1HeavyHittersSql,
     "a16_textrank" -> a16TextRankSql,
     "a1_corpus_stats" -> a1CorpusStatsSql,

@@ -582,9 +582,72 @@ object CurationQueries {
        |SELECT doc_id, n_tokens, start_tok, start_tok // $SeqBudget AS seq_first
        |FROM packed ORDER BY doc_id""".stripMargin
 
+  /** Hashed-feature bucket count for sm9 (DSIR uses 10⁴–10⁶; 256 keeps the
+    * oracle CTEs readable and the bucket tables obviously broadcast-size). */
+  private val DsirBuckets = 256
+
+  /** sm9_dsir_weights — data-selection importance weights (DSIR, Xie et al.
+    * 2023): per-document log-likelihood ratio between a hashed-unigram model
+    * of the TARGET distribution (here: the 'en' slice) and one of the raw
+    * corpus, add-one smoothed. The classic cheap alternative to a trained
+    * quality classifier — documents that look like the target domain get
+    * positive weight, and sampling ∝ exp(weight) tilts the mixture.
+    *
+    * Scale shape: token→bucket hashing is a pure projection; the two bucket
+    * tables are [[DsirBuckets]] rows (broadcast, like ta1's profile); the
+    * per-document pass aggregates (doc, bucket) with map-side combine before
+    * the broadcast joins, so no shuffle is ever wider than the per-doc
+    * aggregate. Each ln-ratio term is e6-rounded BEFORE the integer
+    * multiply/sum (the ta9/ta1 recipe) — order-independent, engine-exact. */
+  def sm9DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val tokb = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+      .withColumn("b", detHash(col("w"), 9) % DsirBuckets)
+    val target = tokb.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val back = tokb.groupBy("b").agg(count(lit(1)).as("cb"))
+    val tots = target.agg(sum("ct").as("tt"))
+      .crossJoin(back.agg(sum("cb").as("bt")))
+    val termE6 = round(lit(1e6) * (
+      log((coalesce(col("ct"), lit(0L)) + 1).cast(DoubleType) /
+        (col("tt") + DsirBuckets).cast(DoubleType)) -
+      log((coalesce(col("cb"), lit(0L)) + 1).cast(DoubleType) /
+        (col("bt") + DsirBuckets).cast(DoubleType)))).cast(LongType)
+    tokb.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .join(broadcast(target), Seq("b"), "left_outer")
+      .join(broadcast(back), Seq("b"), "left_outer")
+      .crossJoin(broadcast(tots))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_tokens"), sum(col("n") * termE6).as("dsir_e6"))
+      .orderBy("doc_id")
+  }
+
+  val sm9DsirWeightsSql: String = {
+    val bExpr = s"(${detHashSql("w", 9)} % $DsirBuckets)"
+    s"""WITH tokb AS (
+       |  SELECT doc_id, lang, $bExpr AS b
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents) t),
+       |target AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tokb WHERE lang = 'en' GROUP BY b),
+       |back AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cb FROM tokb GROUP BY b),
+       |tots AS (
+       |  SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM target) AS tt,
+       |    (SELECT CAST(SUM(cb) AS BIGINT) FROM back) AS bt),
+       |docb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n FROM tokb GROUP BY doc_id, b)
+       |SELECT d.doc_id, CAST(SUM(d.n) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(d.n * CAST(ROUND(1e6 * (
+       |    ln((COALESCE(t.ct, 0) + 1) / CAST(ts.tt + $DsirBuckets AS DOUBLE)) -
+       |    ln((COALESCE(b2.cb, 0) + 1) / CAST(ts.bt + $DsirBuckets AS DOUBLE)))) AS BIGINT)) AS BIGINT) AS dsir_e6
+       |FROM docb d
+       |LEFT JOIN target t USING (b)
+       |LEFT JOIN back b2 USING (b)
+       |CROSS JOIN tots ts
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "e2e1_curation_pipeline" -> (e2e1CurationPipeline _),
     "ta7_repetition" -> (ta7Repetition _),
+    "sm9_dsir_weights" -> (sm9DsirWeights _),
     "sm6_weighted_sample" -> (sm6WeightedSample _),
     "ta8_pii_redact" -> (ta8PiiRedact _),
     "ta9_unigram_ppl" -> (ta9UnigramPpl _),
@@ -600,6 +663,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "e2e1_curation_pipeline" -> e2e1CurationPipelineSql,
     "ta7_repetition" -> ta7RepetitionSql,
+    "sm9_dsir_weights" -> sm9DsirWeightsSql,
     "sm6_weighted_sample" -> sm6WeightedSampleSql,
     "ta8_pii_redact" -> ta8PiiRedactSql,
     "ta9_unigram_ppl" -> ta9UnigramPplSql,

@@ -427,7 +427,80 @@ object DedupQueries {
        |FROM est ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Segment length (tokens) for dd14's line-level pass — the "line" unit
+    * of the synthetic corpus (no newlines; 3-token windows give the repeat
+    * rate real boilerplate lines have). */
+  private val SegTokens = 3
+
+  /** dd14_line_dedup — CCNet-style LINE-level dedup (Wenzek et al. 2020):
+    * where dd1–dd9 decide per DOCUMENT, this removes the boilerplate
+    * SEGMENTS repeated across documents (headers, footers, nav bars) and
+    * reassembles each document from its surviving segments. Stages:
+    * (1) chunk each doc into non-overlapping [[SegTokens]]-token segments —
+    * pure projection, no shuffle; (2) count distinct owning docs per
+    * segment text (hash-agg on content — well-spread keys; the hottest
+    * segments are exactly the boilerplate being dropped); (3) left-join the
+    * ≥2-doc segment set back and rebuild the doc in segment order. At
+    * 100 TB the duplicated-segment set is far smaller than the corpus
+    * (most text is unique), so stage 3's join side is compact; the rebuild
+    * groups on doc_id with the window bounded by document length. Output
+    * carries an md5 fingerprint of the rebuilt text, not the text — the
+    * e2e2/pk2 narrow-output convention. */
+  def dd14LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val segs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(arr) / $SegTokens.0d) as int) - 1),
+           |  i -> concat_ws(' ', slice(arr, i * $SegTokens + 1, $SegTokens)))""".stripMargin))
+        .as(Seq("seg_idx", "seg")))
+    val boiler = segs.groupBy("seg")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("seg"), lit(1).as("dup"))
+    segs.join(boiler, Seq("seg"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("dup").isNull, size(split(col("seg"), " ")).cast(LongType))
+          .otherwise(0L)).as("kept_tokens"),
+        substring(md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("dup").isNull,
+            struct(col("seg_idx"), col("seg"))))),
+          e => e.getField("seg")))), 1, 16).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
+  val dd14LineDedupSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       |ex AS (
+       |  SELECT doc_id, arr,
+       |    unnest(range(0, CAST(ceil(len(arr) / $SegTokens.0) AS BIGINT))) AS seg_idx
+       |  FROM tok),
+       |segs AS (
+       |  SELECT doc_id, seg_idx,
+       |    array_to_string(arr[CAST(seg_idx * $SegTokens + 1 AS BIGINT) :
+       |      CAST(seg_idx * $SegTokens + $SegTokens AS BIGINT)], ' ') AS seg
+       |  FROM ex),
+       |boiler AS (
+       |  SELECT seg, 1 AS dup FROM segs
+       |  GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2)
+       |SELECT s.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_segs,
+       |  CAST(SUM(CASE WHEN b.dup IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN b.dup IS NULL
+       |    THEN len(string_split(s.seg, ' ')) ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |  -- array_to_string([]) is NULL in DuckDB (Spark concat_ws gives '');
+       |  -- coalesce the STRING so zero-kept docs hash the empty rebuild
+       |  substr(md5(COALESCE(array_to_string(
+       |    list(s.seg ORDER BY s.seg_idx) FILTER (WHERE b.dup IS NULL), ' '), '')), 1, 16)
+       |    AS kept_hash
+       |FROM segs s LEFT JOIN boiler b USING (seg)
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "dd14_line_dedup" -> (dd14LineDedup _),
     "dd13_minhash_estimate" -> (dd13MinhashEstimate _),
     "dd7_contamination" -> (dd7Contamination _),
     "dd10_bloom_contamination" -> (dd10BloomContamination _),
@@ -441,6 +514,7 @@ object DedupQueries {
     "dd9_simhash_pairs" -> (dd9SimhashPairs _))
 
   val oracles: Map[String, String] = Map(
+    "dd14_line_dedup" -> dd14LineDedupSql,
     "dd13_minhash_estimate" -> dd13MinhashEstimateSql,
     "dd7_contamination" -> dd7ContaminationSql,
     "dd10_bloom_contamination" -> dd10BloomContaminationSql,

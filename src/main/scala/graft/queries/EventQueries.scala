@@ -417,7 +417,57 @@ object EventQueries {
       |  MAX(streak) AS longest_streak
       |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** ev13_anomaly — trailing-window volume-spike detection: per (event_type,
+    * day), flag days whose count sits more than 2σ above the mean of the 7
+    * STRICTLY PRECEDING calendar days (RANGE frame, not ROWS — absent days
+    * must not stretch the baseline). The z² test is kept in pure integer
+    * math — with S = Σ, Q = Σn² over the baseline, z² = (7n−S)²/(7Q−S²) —
+    * so the flag is engine-exact with no sqrt/stddev float path; a
+    * zero-variance baseline flags any positive deviation (the z→∞ limit).
+    * Scale: the window runs on the daily PRE-AGGREGATE — |event types| ×
+    * |days| rows regardless of corpus size — and the daily rollup itself is
+    * one map-side-combined count. The monitoring face a streaming ingest
+    * pipeline runs batch-side. */
+  def ev13Anomaly(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400L * 1000000L
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), expr(s"unix_micros(ts) div $DayUs").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-7, -1)
+    daily
+      .withColumn("s7", sum("n").over(w))
+      .withColumn("q7", sum(col("n") * col("n")).over(w))
+      .withColumn("d7", count(lit(1)).over(w))
+      .filter(col("d7") === 7)
+      .withColumn("dev7", lit(7L) * col("n") - col("s7"))
+      .withColumn("var49", lit(7L) * col("q7") - col("s7") * col("s7"))
+      .select(col("event_type"), col("day"), col("n"), col("s7"), col("dev7"), col("var49"),
+        when(col("dev7") > 0 && col("dev7") * col("dev7") > lit(4L) * col("var49"), 1)
+          .otherwise(0).as("spike"))
+      .orderBy("event_type", "day")
+  }
+
+  val ev13AnomalySql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // ${86400L * 1000000L} AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |w AS (
+       |  SELECT *, SUM(n) OVER win AS s7, SUM(n * n) OVER win AS q7,
+       |    COUNT(*) OVER win AS d7
+       |  FROM daily
+       |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+       |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, day, n, CAST(s7 AS BIGINT) AS s7,
+       |  CAST(7 * n - s7 AS BIGINT) AS dev7,
+       |  CAST(7 * q7 - s7 * s7 AS BIGINT) AS var49,
+       |  CAST(CASE WHEN 7 * n - s7 > 0
+       |    AND (7 * n - s7) * (7 * n - s7) > 4 * (7 * q7 - s7 * s7)
+       |    THEN 1 ELSE 0 END AS INT) AS spike
+       |FROM w WHERE d7 = 7 ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "ev13_anomaly" -> (ev13Anomaly _),
     "ev12_streaks" -> (ev12Streaks _),
     "set3_scd2" -> (set3Scd2 _),
     "ev1_sessionize" -> (ev1Sessionize _),
@@ -432,6 +482,7 @@ object EventQueries {
     "ev7_moving_avg" -> (ev7MovingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "ev13_anomaly" -> ev13AnomalySql,
     "set3_scd2" -> set3Scd2Sql,
     "ev12_streaks" -> ev12StreaksSql,
     "ev1_sessionize" -> ev1SessionizeSql,

@@ -241,8 +241,12 @@ object TextQueries {
     * subplan (the expensive double bigram explode + candidate fan-out)
     * materializes once; each consumer still runs its own lazy downstream
     * plan. */
-  private def langIdPred(s: SparkSession, dir: String): DataFrame =
-    graft.operators.SessionShare.materialized(s, dir, "langid_pred") {
+  /** The full (doc_id, cand_lang, score_e6) posterior table, materialized
+    * once per (session, dir) — [[langIdPred]] derives the argmax winners
+    * from it, and a18's ROC-AUC reads the 'en' score column directly (the
+    * ranking score, not just the winner — what a threshold sweep needs). */
+  private def langIdScored(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionShare.materialized(s, dir, "langid_scored") {
       val docs = t(s, dir, "documents")
       val bigrams = docs.select(col("doc_id"), col("lang"),
           explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
@@ -258,14 +262,18 @@ object TextQueries {
       val termE6 = col("n_doc") *
         round(lit(1e6) * log((coalesce(col("cnt"), lit(0L)) + lit(1)).cast(DoubleType) /
           (col("tot") + col("v")).cast(DoubleType))).cast(LongType)
-      val scored = test
+      test
         .crossJoin(broadcast(totals))
         .crossJoin(broadcast(vocabV))
         .join(broadcast(profile), Seq("bg", "cand_lang"), "left_outer")
         .groupBy("doc_id", "cand_lang")
         .agg(sum(termE6).as("score_e6"))
+    }
+
+  private def langIdPred(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionShare.materialized(s, dir, "langid_pred") {
       val w = Window.partitionBy("doc_id").orderBy(desc("score_e6"), col("cand_lang"))
-      scored.withColumn("rk", row_number().over(w))
+      langIdScored(s, dir).withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score_e6"))
     }
@@ -387,6 +395,48 @@ object TextQueries {
        |      - (CAST(rc AS DOUBLE) / CAST(nn * nn AS DOUBLE)))
        |    / (1 - (CAST(rc AS DOUBLE) / CAST(nn * nn AS DOUBLE)))) AS BIGINT) END AS kappa_e6
        |FROM tot CROSS JOIN rc""".stripMargin
+
+  /** a18_roc_auc — exact tie-aware ROC-AUC of ta1's 'en' posterior as a
+    * binary detector (is-English) on the held-out slice: the Mann–Whitney
+    * identity AUC = U/(n⁺·n⁻), computed WITHOUT a global per-row rank —
+    * scores aggregate per distinct value (np, nn per score), the exclusive
+    * negative prefix comes from [[graft.operators.Rank.globalCumSum]] (range
+    * partitions + broadcast offsets, never one sort task), and ties
+    * contribute the standard nn/2 term, kept integer-exact by accumulating
+    * 2·U. Completes the eval family: a7/a13 (P/R/F1), a14 (confusion),
+    * a15 (κ), a17 (ECE) — AUC is the threshold-free one. Like a15, chance-
+    * level (~0.5) on the synthetic corpus is the CORRECT reading: every
+    * language draws from the same word distribution. */
+  def a18RocAuc(s: SparkSession, dir: String): DataFrame = {
+    val truth = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    graft.operators.Eval.rocAuc(
+      langIdScored(s, dir).filter(col("cand_lang") === "en")
+        .join(truth, Seq("doc_id")),
+      col("score_e6"), col("pos"))
+  }
+
+  val a18RocAucSql: String =
+    s"""WITH $ta1CoreSql,
+       |en AS (
+       |  SELECT s.score_e6, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM scored s JOIN documents d USING (doc_id)
+       |  WHERE s.cand_lang = 'en' AND d.doc_id % 5 = 4),
+       |g AS (
+       |  SELECT score_e6, CAST(SUM(pos) AS BIGINT) AS np,
+       |    CAST(SUM(1 - pos) AS BIGINT) AS nn
+       |  FROM en GROUP BY score_e6),
+       |c AS (
+       |  SELECT *, CAST(COALESCE(SUM(nn) OVER (ORDER BY score_e6
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_neg
+       |  FROM g)
+       |SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+       |  CAST(SUM(np * (2 * cum_neg + nn)) AS BIGINT) AS u2,
+       |  CASE WHEN SUM(np) = 0 OR SUM(nn) = 0 THEN NULL
+       |    ELSE CAST(ROUND(1e6 * CAST(SUM(np * (2 * cum_neg + nn)) AS DOUBLE)
+       |      / (2 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE))) AS BIGINT) END AS auc_e6
+       |FROM c""".stripMargin
 
   /** ta2_quality_score — document quality heuristics: token count, mean word
     * length, stopword ratio, combined into one scaled-integer score. */
@@ -636,6 +686,7 @@ object TextQueries {
     "f19_plus_join" -> (f19PlusJoin _),
     "ta1_langid" -> (ta1LangId _),
     "a14_confusion_matrix" -> (a14ConfusionMatrix _),
+    "a18_roc_auc" -> (a18RocAuc _),
     "a15_cohens_kappa" -> (a15CohensKappa _),
     "ta2_quality_score" -> (ta2QualityScore _),
     "ta12_readability" -> (ta12Readability _),
@@ -657,6 +708,7 @@ object TextQueries {
     "f19_plus_join" -> f19PlusJoinSql,
     "ta1_langid" -> ta1LangIdSql,
     "a14_confusion_matrix" -> a14ConfusionMatrixSql,
+    "a18_roc_auc" -> a18RocAucSql,
     "a15_cohens_kappa" -> a15CohensKappaSql,
     "ta2_quality_score" -> ta2QualityScoreSql,
     "ta12_readability" -> ta12ReadabilitySql,

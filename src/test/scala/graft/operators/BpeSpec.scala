@@ -21,6 +21,20 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, "a+b", 7L, 10L), (2, "ab+c", 3L, 7L)))
   }
 
+  test("encode state: pieces concatenate back to each word, mass matches rounds") {
+    val (rounds, state) = Bpe.learn(words("abab" -> 2L, "abc" -> 3L, "bca" -> 1L), 2)
+    // lossless segmentation: every word's pieces rebuild the word exactly
+    val bad = state.filter(
+      concat_ws("", col("syms")) =!= col("word")).count()
+    assert(bad === 0L)
+    // the final round's reported symbol mass equals the state's actual mass
+    val massReported = rounds.orderBy(desc("step")).select("n_symbols_after")
+      .collect().head.getLong(0)
+    val massActual = state.select(sum(col("freq") * size(col("syms"))))
+      .collect().head.getLong(0)
+    assert(massReported === massActual)
+  }
+
   test("disjoint adjacent matches merge in the same round (abab case)") {
     // both (a,b) pairs of abab merge in round 1 — the shared-boundary case
     // a naive string replace would miss

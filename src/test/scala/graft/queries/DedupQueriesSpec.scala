@@ -1,0 +1,35 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the dedup query faces that go beyond the DuckDB
+  * oracle replay (which pins exact values at sf0.01): dd14's rebuild must
+  * be consistent with the source text it filtered. */
+class DedupQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dd14: untouched docs rebuild to exactly their original text") {
+    val out = DedupQueries.dd14LineDedup(spark, dir)
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        substring(md5(col("text")), 1, 16).as("orig_hash"),
+        size(split(col("text"), " ")).cast("long").as("orig_tokens"))
+    val joined = out.join(docs, Seq("doc_id")).cache()
+    try {
+      // a doc whose segments all survive must hash to its original text —
+      // proves segmentation+reassembly is lossless, not just plausible
+      val untouched = joined.filter(col("n_kept") === col("n_segs"))
+      assert(untouched.count() > 0, "fixture regression: no untouched docs")
+      assert(untouched.filter(col("kept_hash") =!= col("orig_hash")).count() === 0L)
+      assert(untouched.filter(col("kept_tokens") =!= col("orig_tokens")).count() === 0L)
+      // and the filter actually fires somewhere (kept < segs for some doc)
+      assert(joined.filter(col("n_kept") < col("n_segs")).count() > 0,
+        "fixture regression: boilerplate filter never fired")
+      // kept counts are sane everywhere
+      assert(joined.filter(col("n_kept") > col("n_segs") ||
+        col("kept_tokens") > col("orig_tokens")).count() === 0L)
+    } finally joined.unpersist()
+  }
+}
