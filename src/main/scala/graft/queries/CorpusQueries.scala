@@ -393,9 +393,36 @@ object CorpusQueries {
         concat_ws("|", col("syms")).as("pieces"))
       .orderBy(desc("freq"), col("word")).limit(20)
 
+  /** tok3_bpe_doc_tokens — the DOCUMENT face of the tokenizer: per-doc
+    * subword token counts under tok1's merges, computed exactly the way
+    * SCALE.md promises it scales — the corpus joins the (vocabulary-sized)
+    * word→pieces table as a BROADCAST; no per-document iteration, no
+    * shuffle beyond the per-doc count aggregate. The token-budget input to
+    * pk1-style packing when the budget is subwords, not words. */
+  def tok3BpeDocTokens(s: SparkSession, dir: String): DataFrame = {
+    val pieces = bpeLearned(s, dir)._2
+      .select(col("word"), size(col("syms")).cast(LongType).as("n_pieces"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .join(broadcast(pieces), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_subword_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val tok3BpeDocTokensSql: String =
+    s"""WITH $bpeCoreSql
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(st.syms)) AS BIGINT) AS n_subword_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
+       |JOIN state3 st USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** Shared CTE chain (state0 → state3 + per-round st rows) for the tok1 /
-    * tok2 oracles — the DuckDB replay of [[bpeLearned]]. */
-  private val bpeCoreSql: String = {
+    * tok2 / tok3 oracles — the DuckDB replay of [[bpeLearned]]. LAZY:
+    * tok3's val sits above this definition in source order, and a strict
+    * val here would splice "null" into its WITH clause at object init. */
+  private lazy val bpeCoreSql: String = {
     val rounds = (1 to 3).map { r =>
       s"""tok$r AS (SELECT word, freq, unnest(syms) AS sym,
          |  generate_subscripts(syms, 1) AS pos FROM state${r - 1}),
@@ -441,6 +468,7 @@ object CorpusQueries {
   val queries: Map[String, QueryFn] = Map(
     "tok1_bpe_merges" -> (tok1BpeMerges _),
     "tok2_bpe_encode" -> (tok2BpeEncode _),
+    "tok3_bpe_doc_tokens" -> (tok3BpeDocTokens _),
     "cms1_heavy_hitters" -> (cms1HeavyHitters _),
     "a16_textrank" -> (a16TextRank _),
     "a1_corpus_stats" -> (a1CorpusStats _),
@@ -454,6 +482,7 @@ object CorpusQueries {
   val oracles: Map[String, String] = Map(
     "tok1_bpe_merges" -> tok1BpeMergesSql,
     "tok2_bpe_encode" -> tok2BpeEncodeSql,
+    "tok3_bpe_doc_tokens" -> tok3BpeDocTokensSql,
     "cms1_heavy_hitters" -> cms1HeavyHittersSql,
     "a16_textrank" -> a16TextRankSql,
     "a1_corpus_stats" -> a1CorpusStatsSql,

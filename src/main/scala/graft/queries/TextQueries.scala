@@ -438,6 +438,47 @@ object TextQueries {
        |      / (2 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE))) AS BIGINT) END AS auc_e6
        |FROM c""".stripMargin
 
+  /** a19_pr_auc — average precision (PR-AUC) of the same 'en' detector a18
+    * scores with ROC-AUC: the step-wise AP = Σ ΔR·P over distinct
+    * thresholds descending ([[graft.operators.Eval.prAuc]]). The
+    * class-imbalance-honest companion metric — on a rare-positive screen
+    * (contamination, PII, toxicity) ROC-AUC flatters, AP does not. Each
+    * threshold term e6-rounds before the integer sum, so the float path
+    * never depends on partitioning. */
+  def a19PrAuc(s: SparkSession, dir: String): DataFrame = {
+    val truth = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    graft.operators.Eval.prAuc(
+      langIdScored(s, dir).filter(col("cand_lang") === "en")
+        .join(truth, Seq("doc_id")),
+      col("score_e6"), col("pos"))
+  }
+
+  val a19PrAucSql: String =
+    s"""WITH $ta1CoreSql,
+       |en AS (
+       |  SELECT s.score_e6, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM scored s JOIN documents d USING (doc_id)
+       |  WHERE s.cand_lang = 'en' AND d.doc_id % 5 = 4),
+       |g AS (
+       |  SELECT score_e6, CAST(SUM(pos) AS BIGINT) AS np,
+       |    CAST(SUM(1 - pos) AS BIGINT) AS nn
+       |  FROM en GROUP BY score_e6),
+       |c AS (
+       |  SELECT *,
+       |    CAST(COALESCE(SUM(np) OVER w, 0) + np AS BIGINT) AS cum_tp,
+       |    CAST(COALESCE(SUM(nn) OVER w, 0) + nn AS BIGINT) AS cum_fp
+       |  FROM g
+       |  WINDOW w AS (ORDER BY score_e6 DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+       |  CASE WHEN SUM(np) = 0 THEN NULL
+       |    ELSE CAST(ROUND(SUM(CASE WHEN np > 0
+       |      THEN CAST(ROUND(1e6 * np * cum_tp / (cum_tp + cum_fp)) AS BIGINT)
+       |      ELSE 0 END) / CAST(SUM(np) AS DOUBLE)) AS BIGINT) END AS ap_e6
+       |FROM c""".stripMargin
+
   /** ta2_quality_score — document quality heuristics: token count, mean word
     * length, stopword ratio, combined into one scaled-integer score. */
   def ta2QualityScore(s: SparkSession, dir: String): DataFrame = {
@@ -687,6 +728,7 @@ object TextQueries {
     "ta1_langid" -> (ta1LangId _),
     "a14_confusion_matrix" -> (a14ConfusionMatrix _),
     "a18_roc_auc" -> (a18RocAuc _),
+    "a19_pr_auc" -> (a19PrAuc _),
     "a15_cohens_kappa" -> (a15CohensKappa _),
     "ta2_quality_score" -> (ta2QualityScore _),
     "ta12_readability" -> (ta12Readability _),
@@ -709,6 +751,7 @@ object TextQueries {
     "ta1_langid" -> ta1LangIdSql,
     "a14_confusion_matrix" -> a14ConfusionMatrixSql,
     "a18_roc_auc" -> a18RocAucSql,
+    "a19_pr_auc" -> a19PrAucSql,
     "a15_cohens_kappa" -> a15CohensKappaSql,
     "ta2_quality_score" -> ta2QualityScoreSql,
     "ta12_readability" -> ta12ReadabilitySql,

@@ -328,6 +328,79 @@ object EventStreams {
       .transformWithState(new Scd2Processor, TimeMode.None(), OutputMode.Append())
   }
 
+  case class AnomalyFlag(event_type: String, day: Long, n: Long, s7: Long,
+      dev7: Long, var49: Long, spike: Int)
+
+  private case class DayCount(day: Long, n: Long)
+  private case class AnomState(hist: Seq[DayCount], openDay: Long, openN: Long)
+
+  /** Closes a calendar day when a later day's first row arrives, then
+    * scores it against the 7 strictly preceding days — the same integer z²
+    * test as batch ev13: spike ⇔ dev7 > 0 ∧ dev7² > 4·var49 with
+    * dev7 = 7n−S, var49 = 7Q−S². State per key is the open day's running
+    * count plus ≤7 closed (day, n) pairs — O(1), trimmed on every close. */
+  private class AnomalyProcessor
+      extends StatefulProcessor[String, (String, Long), AnomalyFlag] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[AnomState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AnomState]("anom", Encoders.product[AnomState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def score(key: String, day: Long, n: Long,
+        hist: Seq[DayCount]): Option[AnomalyFlag] = {
+      val base = hist.filter(d => d.day >= day - 7 && d.day <= day - 1)
+      if (base.size != 7) None
+      else {
+        val s7 = base.map(_.n).sum
+        val q7 = base.map(d => d.n * d.n).sum
+        val dev7 = 7L * n - s7
+        val var49 = 7L * q7 - s7 * s7
+        val spike = if (dev7 > 0 && dev7 * dev7 > 4L * var49) 1 else 0
+        Some(AnomalyFlag(key, day, n, s7, dev7, var49, spike))
+      }
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timers: TimerValues): Iterator[AnomalyFlag] = {
+      var s = if (st.exists()) st.get() else null
+      val out = Seq.newBuilder[AnomalyFlag]
+      // per-day counts of this batch, ascending — the cross-batch order
+      // contract is scd2Stream's: events arrive time-ordered
+      val days = rows.toSeq.groupBy(_._2).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      days.foreach { case (day, n) =>
+        if (s == null) s = AnomState(Nil, day, n)
+        else if (day == s.openDay) s = s.copy(openN = s.openN + n)
+        else {
+          val closed = DayCount(s.openDay, s.openN)
+          out ++= score(key, closed.day, closed.n, s.hist)
+          s = AnomState((closed +: s.hist).filter(_.day >= day - 7), day, n)
+        }
+      }
+      if (s != null) st.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming volume-spike monitor — the streaming twin of batch
+    * `ev13_anomaly`: per event type, each CLOSED calendar day is scored
+    * against its trailing-7-day baseline the moment the next day's first
+    * event arrives, in the same pure integer math as the batch face
+    * (AnomalyStreamSpec proves row-level parity across micro-batch
+    * boundaries). The one OPEN day per key sits in the state store until
+    * its closing event — identical contract to [[scd2Stream]]'s open
+    * version. Input: (event_type, us) rows, time-ordered across batches. */
+  def anomalyStream(events: DataFrame): Dataset[AnomalyFlag] = {
+    import events.sparkSession.implicits._
+    val DayUs = 86400L * 1000000L
+    events.select(col("event_type").cast("string"),
+        expr(s"cast(us as long) div $DayUs").as("day"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new AnomalyProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Incremental file-source ingestion of a parquet landing directory,
     * processed with AvailableNow (drain-then-stop — the idempotent batch
     * refresh pattern; checkpoint carries the manifest). */
