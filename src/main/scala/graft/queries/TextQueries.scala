@@ -479,6 +479,67 @@ object TextQueries {
        |      ELSE 0 END) / CAST(SUM(np) AS DOUBLE)) AS BIGINT) END AS ap_e6
        |FROM c""".stripMargin
 
+  /** a20_mcnemar — McNemar's paired test between ta1's langid and the
+    * majority-class baseline on the same held-out docs: b = baseline-only
+    * errors, c = model-only errors, χ² = (b−c)²/(b+c) (no continuity
+    * correction; the b+c=0 degenerate is null per the zero-denominator
+    * rule). THE honest way to claim "model beats baseline" on shared eval
+    * data — marginal accuracies ignore that the two classifiers err on
+    * correlated examples. All counts integer; one final division e6-rounds.
+    * Scale: two broadcast-joined scalars over ta1's already-shared
+    * prediction table; the discordant-pair counts aggregate map-side. */
+  def a20Mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val majority = docs.filter(col("doc_id") % 5 < 4)
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("lang")).limit(1)
+      .select(col("lang").as("maj_lang"))
+    val truth = docs.filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("lang").as("true_lang"))
+    langIdPred(s, dir).join(truth, Seq("doc_id"))
+      .crossJoin(broadcast(majority))
+      .select(col("maj_lang"),
+        (col("pred_lang") === col("true_lang")).cast(LongType).as("a_ok"),
+        (col("maj_lang") === col("true_lang")).cast(LongType).as("b_ok"))
+      .groupBy("maj_lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a_ok") === 1L && col("b_ok") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(col("a_ok") === 0L && col("b_ok") === 1L, 1L).otherwise(0L)).as("c"))
+      .select(col("maj_lang"), col("n"), col("b"), col("c"),
+        when(col("b") + col("c") === 0L, lit(null))
+          .otherwise(round(lit(1e6) * (col("b") - col("c")).cast(DoubleType) *
+            (col("b") - col("c")).cast(DoubleType) /
+            (col("b") + col("c")).cast(DoubleType)))
+          .cast(LongType).as("chi2_e6"))
+  }
+
+  val a20McnemarSql: String =
+    s"""WITH $ta1CoreSql,
+       |pred AS (SELECT doc_id, cand_lang AS pred_lang FROM ranked WHERE rk = 1),
+       |maj AS (
+       |  SELECT lang AS maj_lang FROM documents WHERE doc_id % 5 < 4
+       |  GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1),
+       |paired AS (
+       |  SELECT m.maj_lang,
+       |    CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END AS a_ok,
+       |    CASE WHEN m.maj_lang = d.lang THEN 1 ELSE 0 END AS b_ok
+       |  FROM pred p JOIN documents d USING (doc_id) CROSS JOIN maj m
+       |  WHERE d.doc_id % 5 = 4)
+       |SELECT maj_lang, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |  CAST(SUM(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |  CASE WHEN SUM(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END)
+       |      + SUM(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END) = 0 THEN NULL
+       |    ELSE CAST(ROUND(1e6 *
+       |      CAST(SUM(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END)
+       |         - SUM(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END) AS DOUBLE) *
+       |      CAST(SUM(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END)
+       |         - SUM(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |      CAST(SUM(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END)
+       |         + SUM(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END) AS DOUBLE))
+       |      AS BIGINT) END AS chi2_e6
+       |FROM paired GROUP BY maj_lang""".stripMargin
+
   /** ta2_quality_score — document quality heuristics: token count, mean word
     * length, stopword ratio, combined into one scaled-integer score. */
   def ta2QualityScore(s: SparkSession, dir: String): DataFrame = {
@@ -729,6 +790,7 @@ object TextQueries {
     "a14_confusion_matrix" -> (a14ConfusionMatrix _),
     "a18_roc_auc" -> (a18RocAuc _),
     "a19_pr_auc" -> (a19PrAuc _),
+    "a20_mcnemar" -> (a20Mcnemar _),
     "a15_cohens_kappa" -> (a15CohensKappa _),
     "ta2_quality_score" -> (ta2QualityScore _),
     "ta12_readability" -> (ta12Readability _),
@@ -752,6 +814,7 @@ object TextQueries {
     "a14_confusion_matrix" -> a14ConfusionMatrixSql,
     "a18_roc_auc" -> a18RocAucSql,
     "a19_pr_auc" -> a19PrAucSql,
+    "a20_mcnemar" -> a20McnemarSql,
     "a15_cohens_kappa" -> a15CohensKappaSql,
     "ta2_quality_score" -> ta2QualityScoreSql,
     "ta12_readability" -> ta12ReadabilitySql,
