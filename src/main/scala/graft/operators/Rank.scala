@@ -18,14 +18,28 @@ import org.apache.spark.sql.types._
   *     partition, joined back as a broadcast.
   *
   * Ranks do not depend on where the range boundaries fall as long as the
-  * order is total — callers must include a unique tiebreak column. */
+  * order is total — callers must include a unique tiebreak column.
+  *
+  * Determinism: the locally-ranked frame feeds BOTH the offsets branch and
+  * the final join. `repartitionByRange` samples its boundaries per physical
+  * evaluation (seeded by `rdd.id`), so if the subtree were evaluated twice
+  * the two sides could land rows in different `__pid`s and silently corrupt
+  * ranks. We therefore materialize the ranked intermediate ONCE
+  * (`localCheckpoint`) and derive both branches from the same physical
+  * partitioning. On a cluster, local checkpoints live on executors — an
+  * executor loss fails (not corrupts) the job; swap for `checkpoint()` with
+  * a reliable dir if that trade-off is wrong for a deployment. */
 object Rank {
+
+  /** Materialize the partitioned+ranked intermediate so every consumer sees
+    * one physical evaluation. Eager, so the cost is paid exactly once. */
+  private def pinned(df: DataFrame): DataFrame = df.localCheckpoint()
 
   def globalRowNumber(df: DataFrame, numPartitions: Int, sortCols: Column*): DataFrame = {
     val parted = df.repartitionByRange(numPartitions, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-    val local = parted.withColumn("__lrn",
-      row_number().over(Window.partitionBy("__pid").orderBy(sortCols: _*)))
+    val local = pinned(parted.withColumn("__lrn",
+      row_number().over(Window.partitionBy("__pid").orderBy(sortCols: _*))))
     // prefix offsets: numPartitions rows — the one place a global window is
     // fine, because its input is bounded by the partition count
     val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
@@ -61,9 +75,9 @@ object Rank {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", if (integral) value.cast(LongType) else value)
     val zero = lit(0).cast(parted.schema("__v").dataType)
-    val local = parted.withColumn("__lcs",
+    val local = pinned(parted.withColumn("__lcs",
       coalesce(sum("__v").over(Window.partitionBy("__pid").orderBy(sortCols: _*)
-        .rowsBetween(Window.unboundedPreceding, -1)), zero))
+        .rowsBetween(Window.unboundedPreceding, -1)), zero)))
     val offsets = local.groupBy("__pid").agg(sum("__v").as("__tot"))
       .withColumn("__off", coalesce(sum("__tot").over(
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), zero))

@@ -41,12 +41,28 @@ object Similarity {
       .select("query_id", "rank", "id", "cosine")
   }
 
-  /** IVF index build: collects `centroids` (idCol, vecCol) into a literal
+  /** Centroid counts up to this inline as expression literals (readable
+    * plans, constant-foldable); above it the index ships as a broadcast
+    * variable behind [[graft.plans.BroadcastDataExpression]] — at the
+    * contract bound (~2¹⁶ centroids × 128 dims ≈ 8M doubles) a literal tree
+    * would blow up plan serialization and Janino constant pools. Both paths
+    * carry identical values, so results (and oracle hashes) do not move. */
+  val IndexInlineThreshold = 1024
+
+  private val centroidStructType = StructType(Seq(
+    StructField("cent_id", LongType, nullable = false),
+    StructField("cv", ArrayType(DoubleType), nullable = true),
+    StructField("cn", DoubleType, nullable = false)))
+
+  /** IVF index build: collects `centroids` (idCol, vecCol) into ONE
     * array<struct<cent_id, cv, cn>> column, so that cell assignment and cell
     * probing are pure projections — zero joins, zero Exchange. The collect is
     * bounded by contract: centroid count is a knob (k-means k, typically
-    * ≤ 2¹⁶ even for a 100 TB corpus), never proportional to the corpus. */
-  def centroidIndex(centroids: DataFrame, idCol: String, vecCol: String): Column = {
+    * ≤ 2¹⁶ even for a 100 TB corpus), never proportional to the corpus.
+    * Small indexes inline as literals; large ones ride a broadcast variable
+    * (see [[IndexInlineThreshold]]). */
+  def centroidIndex(centroids: DataFrame, idCol: String, vecCol: String,
+      inlineThreshold: Int = IndexInlineThreshold): Column = {
     val rows = withNorm(centroids.select(
         col(idCol).cast(LongType).as("cent_id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("cv")), "cv")
@@ -55,11 +71,14 @@ object Similarity {
       // array() of zero children is array<null> — typing it keeps the
       // downstream getField analysis valid and degrades to empty results
       array().cast("array<struct<cent_id:bigint,cv:array<double>,cn:double>>")
-    else array(rows.map { r =>
+    else if (rows.length <= inlineThreshold) array(rows.map { r =>
       struct(lit(r.getLong(0)).as("cent_id"),
         typedLit(r.getSeq[Double](1)).as("cv"),
         lit(r.getDouble(2)).as("cn"))
     }: _*)
+    else graft.plans.BroadcastDataExpression.column(
+      centroids.sparkSession, rows.toSeq, ArrayType(centroidStructType),
+      s"centroid_index[${rows.length}]")
   }
 
   /** Nearest-centroid cell per row as a pure projection: per-centroid cosine
@@ -110,14 +129,18 @@ object Similarity {
     * would drop in identically; the hash-sampled one keeps the whole path
     * oracle-replayable). Floats widen to double exactly, so both engines
     * see identical codebook values. */
-  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String, ks: Int): Column = {
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String, ks: Int,
+      inlineThreshold: Int = IndexInlineThreshold): Column = {
     val rows = corpus
       .select(col(idCol).as("id"), col(vecCol).cast(ArrayType(DoubleType)).as("v"))
       .withColumn("h", graft.queries.Q.detHash(col("id"), 97))
       .orderBy("h", "id")
       .limit(ks)
       .select("v").collect().map(_.getSeq[Double](0))
-    array(rows.map(typedLit(_)): _*)
+    if (rows.length <= inlineThreshold) array(rows.map(typedLit(_)): _*)
+    else graft.plans.BroadcastDataExpression.column(
+      corpus.sparkSession, rows.toSeq, ArrayType(ArrayType(DoubleType)),
+      s"pq_codebook[${rows.length}]")
   }
 
   /** e9-rounded squared L2 distance between two same-length slices, folded

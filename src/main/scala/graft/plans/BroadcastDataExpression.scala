@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.LeafExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.DataType
+
+/** A constant whose VALUE travels as a Spark broadcast variable instead of
+  * being inlined into the expression tree.
+  *
+  * Why it exists: the ANN index builders ([[graft.operators.Similarity]])
+  * inline their centroid/codebook data as literals, which is ideal while the
+  * index is small (constant-folds, prints readably, oracle-replayable). But
+  * the documented contract allows up to ~2¹⁶ centroids × 128 dims ≈ 8M
+  * doubles — as expression literals that blows up plan toString/serialization
+  * and Janino constant pools long before the contract bound. Above a size
+  * threshold the builders switch to this node: the serialized expression
+  * carries only the broadcast HANDLE; executors pull the data once each via
+  * torrent broadcast, and codegen reads it through a reference object (no
+  * per-element code, no giant constant pool).
+  *
+  * `foldable = false` on purpose — constant folding would re-inline the data
+  * as a literal, undoing the point.
+  *
+  * The broadcast value must already be in CATALYST form (e.g.
+  * `GenericArrayData` of `InternalRow`s) — [[BroadcastDataExpression.column]]
+  * does the conversion from external Scala values. */
+case class BroadcastDataExpression(bc: Broadcast[Any], dataType: DataType, label: String)
+    extends LeafExpression {
+
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  override def eval(input: InternalRow): Any = bc.value
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("graftBcData", bc, classOf[Broadcast[Any]].getName)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"final $javaType ${ev.value} = ($javaType) $bcRef.value();",
+      isNull = FalseLiteral)
+  }
+
+  override def toString: String = s"broadcast_data($label)"
+  override def sql: String = toString
+}
+
+object BroadcastDataExpression {
+
+  /** Broadcast `value` (an EXTERNAL Scala value matching `dataType`, e.g.
+    * Seq[Row] for array<struct>) and wrap it as a Column. */
+  def column(spark: SparkSession, value: Any, dataType: DataType, label: String): Column = {
+    val catalystValue = CatalystTypeConverters.createToCatalystConverter(dataType)(value)
+    val bc = spark.sparkContext.broadcast[Any](catalystValue)
+    GraftColumnBridge.column(BroadcastDataExpression(bc, dataType, label))
+  }
+}

@@ -593,19 +593,24 @@ object CurationQueries {
     * quality classifier — documents that look like the target domain get
     * positive weight, and sampling ∝ exp(weight) tilts the mixture.
     *
-    * Scale shape: token→bucket hashing is a pure projection; the two bucket
-    * tables are [[DsirBuckets]] rows (broadcast, like ta1's profile); the
-    * per-document pass aggregates (doc, bucket) with map-side combine before
-    * the broadcast joins, so no shuffle is ever wider than the per-doc
-    * aggregate. Each ln-ratio term is e6-rounded BEFORE the integer
-    * multiply/sum (the ta9/ta1 recipe) — order-independent, engine-exact. */
+    * Scale shape: ONE corpus scan — the explode aggregates once to
+    * (doc, lang, bucket) counts (map-side combine), is materialized via
+    * [[graft.operators.SessionShare]], and target / background / per-doc
+    * tables all derive from that bounded intermediate (≤ docs×buckets rows)
+    * instead of re-exploding the corpus three times. The two bucket tables
+    * are [[DsirBuckets]] rows (broadcast, like ta1's profile). Each ln-ratio
+    * term is e6-rounded BEFORE the integer multiply/sum (the ta9/ta1
+    * recipe) — order-independent, engine-exact. */
   def sm9DsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val tokb = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
-      .withColumn("b", detHash(col("w"), 9) % DsirBuckets)
-    val target = tokb.filter(col("lang") === "en")
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val back = tokb.groupBy("b").agg(count(lit(1)).as("cb"))
+    val docLangB = graft.operators.SessionShare.materialized(s, dir, "sm9_doc_lang_b") {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+        .withColumn("b", detHash(col("w"), 9) % DsirBuckets)
+        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("nn"))
+    }
+    val target = docLangB.filter(col("lang") === "en")
+      .groupBy("b").agg(sum("nn").as("ct"))
+    val back = docLangB.groupBy("b").agg(sum("nn").as("cb"))
     val tots = target.agg(sum("ct").as("tt"))
       .crossJoin(back.agg(sum("cb").as("bt")))
     val termE6 = round(lit(1e6) * (
@@ -613,7 +618,7 @@ object CurationQueries {
         (col("tt") + DsirBuckets).cast(DoubleType)) -
       log((coalesce(col("cb"), lit(0L)) + 1).cast(DoubleType) /
         (col("bt") + DsirBuckets).cast(DoubleType)))).cast(LongType)
-    tokb.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+    docLangB.groupBy("doc_id", "b").agg(sum("nn").as("n"))
       .join(broadcast(target), Seq("b"), "left_outer")
       .join(broadcast(back), Seq("b"), "left_outer")
       .crossJoin(broadcast(tots))

@@ -44,8 +44,10 @@ object MatchQueries {
   }
 
   /** fm1_match_spans — full (matched, start, end) spans, 0-based end-exclusive
-    * offsets. No SQL twin (offset extraction isn't relational) → rows-only
-    * check here; span correctness is property-tested against a regex oracle
+    * offsets. Oracle: the SURVEY §2.8 plan-B naive scan — enumerate every
+    * start position (unnest over range(0, len)), test the substring plus both
+    * word boundaries per candidate. O(chars × candidates), test scale only;
+    * span correctness is additionally property-tested against a regex oracle
     * in FastMatchSpec. */
   def fm1MatchSpans(s: SparkSession, dir: String): DataFrame = {
     val fm = FastMatch.matcher(gazetteer)
@@ -56,10 +58,24 @@ object MatchQueries {
       .orderBy("doc_id", "start", "matched")
   }
 
+  val fm1MatchSpansSql: String = {
+    val values = gazetteer.map(c => s"('${c.replace("'", "''")}')").mkString(", ")
+    s"""WITH cands(cand) AS (VALUES $values),
+       |pos AS (SELECT doc_id, lower(text) AS t, unnest(range(0, len(text))) AS s FROM documents)
+       |SELECT p.doc_id, c.cand AS matched, p.s AS start, p.s + len(c.cand) AS "end"
+       |FROM pos p CROSS JOIN cands c
+       |WHERE substr(p.t, CAST(p.s + 1 AS INT), len(c.cand)) = c.cand
+       |  AND (p.s = 0 OR NOT regexp_matches(substr(p.t, CAST(p.s AS INT), 1), '^[a-z0-9_]$$'))
+       |  AND (p.s + len(c.cand) >= len(p.t)
+       |       OR NOT regexp_matches(substr(p.t, CAST(p.s + len(c.cand) + 1 AS INT), 1), '^[a-z0-9_]$$'))
+       |ORDER BY doc_id, start, matched""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "fm1_gazetteer_counts" -> (fm1GazetteerCounts _),
     "fm1_match_spans" -> (fm1MatchSpans _))
 
   val oracles: Map[String, String] = Map(
-    "fm1_gazetteer_counts" -> fm1GazetteerCountsSql)
+    "fm1_gazetteer_counts" -> fm1GazetteerCountsSql,
+    "fm1_match_spans" -> fm1MatchSpansSql)
 }

@@ -31,10 +31,16 @@ import graft.functions.TextFunctions
   * The reference's `Pool(threads).map(wrapper_paper, paths)` becomes task
   * parallelism over input splits; per-row SQLite commits become one atomic
   * parquet write. */
-object PaperXml {
+/** Result row of the CERMINE-XML DOM extraction. MUST stay a TOP-LEVEL
+  * public case class: when it was nested (private) inside [[PaperXml]],
+  * Janino could not bind the accessors (`PaperXml$Parsed.title()`), so every
+  * ingested row silently fell back to interpreted projection — a
+  * constant-factor killer on the 100 TB ingest path. PaperXmlSpec pins the
+  * codegen path with `spark.sql.codegen.factoryMode=CODEGEN_ONLY`. */
+case class PaperXmlParsed(title: String, abstractText: String, authors: Seq[String],
+    affiliations: Seq[String], paragraphs: Seq[String])
 
-  private case class Parsed(title: String, abstractText: String, authors: Seq[String],
-      affiliations: Seq[String], paragraphs: Seq[String])
+object PaperXml {
 
   /** DOM extraction of the CERMINE fields. Returns nulls per P7 when a
     * section is absent (`paper_processing.py:72-129`). */
@@ -64,7 +70,7 @@ object PaperXml {
           }
           out.toSeq
         }
-        Parsed(first("article-title").orNull, first("abstract").orNull,
+        PaperXmlParsed(first("article-title").orNull, first("abstract").orNull,
           authors, texts("institution"), texts("p"))
       } catch { case _: Exception => null }
     })

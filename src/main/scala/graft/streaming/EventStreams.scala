@@ -365,13 +365,25 @@ object EventStreams {
         timers: TimerValues): Iterator[AnomalyFlag] = {
       var s = if (st.exists()) st.get() else null
       val out = Seq.newBuilder[AnomalyFlag]
-      // per-day counts of this batch, ascending — the cross-batch order
-      // contract is scd2Stream's: events arrive time-ordered
-      val days = rows.toSeq.groupBy(_._2).view.mapValues(_.size.toLong)
-        .toSeq.sortBy(_._1)
-      days.foreach { case (day, n) =>
+      // fold the iterator incrementally into per-day counts — per-batch
+      // memory is O(distinct days per key), never O(events per key per
+      // batch); a high-volume event type must not buffer its whole batch
+      val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+      rows.foreach { case (_, day) =>
+        counts.update(day, counts.getOrElse(day, 0L) + 1L)
+      }
+      // ascending — the cross-batch order contract is scd2Stream's: events
+      // arrive time-ordered
+      counts.toSeq.sortBy(_._1).foreach { case (day, n) =>
         if (s == null) s = AnomState(Nil, day, n)
         else if (day == s.openDay) s = s.copy(openN = s.openN + n)
+        else if (day < s.openDay) {
+          // defensive guard on the documented time-ordered contract: a late
+          // event from a PAST day must not close the open day early and
+          // reopen the past one (that would emit duplicate or wrongly-
+          // counted flags). Dropped — the batch face (ev13) over the sink
+          // is the recovery path for out-of-order history.
+        }
         else {
           val closed = DayCount(s.openDay, s.openN)
           out ++= score(key, closed.day, closed.n, s.hist)

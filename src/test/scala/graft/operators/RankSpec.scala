@@ -69,6 +69,43 @@ class RankSpec extends SparkSpec {
     assert(math.abs(lastBefore.getDouble(0) + lastBefore.getDouble(1) - total) < 1e-9)
   }
 
+  test("determinism: independent rank constructions agree row-for-row") {
+    // regression for the r4 sm7 flake: before the ranked intermediate was
+    // pinned (localCheckpoint), the repartitionByRange subtree was evaluated
+    // once per join side and its sampled boundaries could diverge, silently
+    // corrupting ranks. Two independent builds must agree exactly, and each
+    // build must hand out a perfect permutation 1..N.
+    import spark.implicits._
+    val rnd = new Random(11)
+    // heavy duplicate keys + skew, the adversarial case for range sampling
+    val skewed = (1 to 2000).map(i => (if (i % 3 == 0) 0 else rnd.nextInt(5), i.toLong))
+      .toDF("k", "id")
+    def build() = Rank.globalRowNumber(skewed, 7, col("k"), col("id"))
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = build(); val b = build()
+    assert(a.toMap === b.toMap)
+    assert(a.map(_._2).sorted.toSeq === (1L to 2000L))
+    // and the returned frame itself is pinned: re-collecting cannot re-derive
+    val pinnedDf = Rank.globalRowNumber(skewed, 7, col("k"), col("id")).select("id", "rank")
+    assert(pinnedDf.collect().toSet === pinnedDf.collect().toSet)
+  }
+
+  test("determinism: independent prefix-sum constructions agree row-for-row") {
+    import spark.implicits._
+    val rnd = new Random(12)
+    val skewed = (1 to 2000).map(i => (if (i % 3 == 0) 0 else rnd.nextInt(5), i.toLong, (i % 13).toLong))
+      .toDF("k", "id", "v")
+    def build() = Rank.globalCumSum(skewed, 7, col("v"), "cum", col("k"), col("id"))
+      .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = build(); val b = build()
+    assert(a.toMap === b.toMap)
+    // cross-check one absolute value: total of all v = last row's cum + its v
+    val total = skewed.agg(sum("v")).collect()(0).getLong(0)
+    val last = Rank.globalCumSum(skewed, 7, col("v"), "cum", col("k"), col("id"))
+      .orderBy(desc("k"), desc("id")).select("cum", "v").limit(1).collect()(0)
+    assert(last.getLong(0) + last.getLong(1) === total)
+  }
+
   test("plan shape: prefix-sum rows never funnel through one partition") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), lit(1L).as("v"))

@@ -58,4 +58,27 @@ class PaperXmlSpec extends SparkSpec {
     assert(paragraphs2.select("paragraph_id").collect().map(_.getString(0)).sorted.toSeq ===
       paras.map(_.getAs[String]("paragraph_id")).sorted.toSeq)
   }
+
+  test("ingest path codegens — no silent interpreted-projection fallback") {
+    // r4 regression: Parsed was a private nested case class, Janino could not
+    // bind its accessors, and every row fell back to interpreted projection
+    // (WARN-only, invisible). CODEGEN_ONLY turns that fallback into a hard
+    // failure, so this test goes red if the encoder ever stops codegen-ing.
+    val dir = Files.createTempDirectory("cermxml_cg").toString
+    Files.write(Paths.get(dir, "c.cermxml"), paper(
+      "Another Fine Title", "Carol Chen",
+      Seq("a paragraph with data in it")).getBytes)
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val (papers, paragraphs) = PaperXml.ingest(spark, dir)
+      assert(papers.count() === 1L)
+      assert(paragraphs.count() === 1L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }

@@ -78,4 +78,37 @@ class AnomalyStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("a late event from a past day is dropped, not treated as a day change") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, Long)]
+      val q = EventStreams.anomalyStream(mem.toDF().toDF("event_type", "us"))
+        .writeStream.format("memory").queryName("anom_late")
+        .outputMode(OutputMode.Append()).start()
+      // 8 in-order days build a full baseline, open day = 9
+      (1L to 9L).foreach { d => mem.addData(("A", d * DayUs + 1000L)); q.processAllAvailable() }
+      val before = spark.table("anom_late").count()
+      // late event from day 3 (already closed): must NOT close day 9 early,
+      // must NOT reopen day 3, must emit nothing
+      mem.addData(("A", 3L * DayUs + 2000L)); q.processAllAvailable()
+      assert(spark.table("anom_late").count() === before)
+      // day 10 then closes day 9 with its count UNAFFECTED by the late row
+      mem.addData(("A", 10L * DayUs + 1000L)); q.processAllAvailable()
+      q.stop()
+      val day9 = spark.table("anom_late").filter(col("day") === 9).collect()
+      assert(day9.length === 1)
+      assert(day9(0).getAs[Long]("n") === 1L)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
