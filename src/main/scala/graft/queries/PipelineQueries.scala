@@ -87,8 +87,22 @@ object PipelineQueries {
       |  COUNT(*) AS n_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** e1_ingest_files — the REAL S5/E1 file-ingest path end-to-end: a
+    * deterministic synthetic `*.cermxml` corpus scaled to the sf dir
+    * (generated once, see [[graft.sources.PaperXmlGen]]) read via wholetext
+    * scan, DOM-parsed per task, projected to candidate paragraphs. This is
+    * the query that prices XML ingest in the bench (the e1_ingest_explode
+    * proxy prices only the explode); rows-only in the driver gate — DuckDB
+    * has no XML reader — with byte-level goldens in PaperXmlSpec. */
+  def e1IngestFiles(s: SparkSession, dir: String): DataFrame = {
+    val corpusDir = graft.sources.PaperXmlGen.ensureCorpus(s, dir)
+    val (_, paragraphs) = graft.sources.PaperXml.ingest(s, corpusDir)
+    paragraphs.orderBy("paragraph_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "e1_ingest_explode" -> (e1IngestExplode _),
+    "e1_ingest_files" -> (e1IngestFiles _),
     "e3_prodigy_export" -> (e3ProdigyExport _),
     "a2_entity_count" -> (a2EntityCount _))
 

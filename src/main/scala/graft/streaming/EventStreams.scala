@@ -276,7 +276,11 @@ object EventStreams {
   case class ScdVersion(user_id: Long, version: Long, state: String,
       valid_from_us: Long, valid_to_us: Long)
 
-  private case class CurState(tpe: String, fromUs: Long, version: Long)
+  // NOT private: Janino-compiled state-encoder projections cannot bind
+  // private accessors (same failure as the r4 PaperXml$Parsed fallback) —
+  // a private state case class silently demotes every state (de)serialize
+  // to interpreted projection. AnomalyStreamSpec pins CODEGEN_ONLY.
+  case class CurState(tpe: String, fromUs: Long, version: Long)
 
   /** Closes a version whenever the key's tracked attribute changes. */
   private class Scd2Processor
@@ -331,8 +335,9 @@ object EventStreams {
   case class AnomalyFlag(event_type: String, day: Long, n: Long, s7: Long,
       dev7: Long, var49: Long, spike: Int)
 
-  private case class DayCount(day: Long, n: Long)
-  private case class AnomState(hist: Seq[DayCount], openDay: Long, openN: Long)
+  // NOT private — see CurState
+  case class DayCount(day: Long, n: Long)
+  case class AnomState(hist: Seq[DayCount], openDay: Long, openN: Long)
 
   /** Closes a calendar day when a later day's first row arrives, then
     * scores it against the 7 strictly preceding days — the same integer z²

@@ -25,6 +25,44 @@ class CoherenceSpec extends SparkSpec {
     assert(got.head.getLong(1) === math.round(1e6 * math.log(2.0 / 3.0)))
   }
 
+  test("cvE6 matches a hand-computed c_v on a tiny fixture") {
+    import spark.implicits._
+    // D = 4 docs; topic words a, b: df(a)=3, df(b)=2, codf(a,b)=2
+    val docWords = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"),
+      (4L, "x")).toDF("doc_id", "word")
+    val topics = Seq(("t0", "a", 1), ("t0", "b", 2)).toDF("topic", "word", "rank")
+    val got = TopicCoherence.cvE6(topics, docWords, nTop = 2).collect()
+    assert(got.length === 1)
+    // replicate the pipeline in plain Scala: e6-rounded NPMI matrix, integer
+    // vector algebra, one double cosine per word, mean over words
+    val D = 4.0
+    def npmiE6(joint: Double, pi: Double, pj: Double): Long = {
+      val p = joint / D + TopicCoherence.CvEps
+      math.round(1e6 * math.log(p * D * D / (pi * pj)) / -math.log(p))
+    }
+    val eAA = npmiE6(3, 3, 3); val eAB = npmiE6(2, 3, 2)
+    val eBA = eAB; val eBB = npmiE6(2, 2, 2)
+    val s1 = eAA + eBA; val s2 = eAB + eBB
+    val nw = math.sqrt((s1 * s1 + s2 * s2).toDouble)
+    def phi(e1: Long, e2: Long): Long = math.round(
+      1e6 * (e1 * s1 + e2 * s2) / (math.sqrt((e1 * e1 + e2 * e2).toDouble) * nw))
+    val expected = math.round((phi(eAA, eAB) + phi(eBA, eBB)) / 2.0)
+    assert(got.head.getLong(1) === expected)
+    // and both words fully co-occurring with themselves score NPMI ≈ 1
+    assert(eAA > 990000 && eBB > 990000)
+  }
+
+  test("c_v window premise holds: every testdata document fits one 110-token window") {
+    // cvE6 computes boolean sliding-window counts as per-document booleans,
+    // which is EXACT c_v iff no document exceeds the window size. If this
+    // assert ever fails (new testdata with longer docs), cvE6 callers must
+    // pre-split documents into sliding windows first.
+    val maxTok = graft.Tables(spark, dir, "documents")
+      .select(size(split(col("text"), " ")).as("n"))
+      .agg(max("n")).collect()(0).getInt(0)
+    assert(maxTok <= 110, s"max doc tokens $maxTok exceeds the c_v window")
+  }
+
   test("coherence-vs-k sweep runs and selects an argmax") {
     val docs = graft.Tables(spark, dir, "documents")
       .withColumn("tok", split(col("text"), " "))

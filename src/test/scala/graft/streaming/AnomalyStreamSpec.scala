@@ -86,6 +86,12 @@ class AnomalyStreamSpec extends SparkSpec {
     val prior = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // CODEGEN_ONLY: a private state case class (DayCount/AnomState) demotes
+    // every state (de)serialize to interpreted projection with only a WARN;
+    // this turns that silent fallback into a hard test failure
+    val cgKey = "spark.sql.codegen.factoryMode"
+    val cgPrior = spark.conf.getOption(cgKey)
+    spark.conf.set(cgKey, "CODEGEN_ONLY")
     try {
       val mem = MemoryStream[(String, Long)]
       val q = EventStreams.anomalyStream(mem.toDF().toDF("event_type", "us"))
@@ -108,6 +114,10 @@ class AnomalyStreamSpec extends SparkSpec {
       prior match {
         case Some(v) => spark.conf.set(providerKey, v)
         case None => spark.conf.unset(providerKey)
+      }
+      cgPrior match {
+        case Some(v) => spark.conf.set(cgKey, v)
+        case None => spark.conf.unset(cgKey)
       }
     }
   }
