@@ -42,17 +42,32 @@ case class PaperXmlParsed(title: String, abstractText: String, authors: Seq[Stri
 
 object PaperXml {
 
+  /** One DocumentBuilder per task thread, reset between documents, instead
+    * of a fresh factory per row. Measured on the 2,500-file sf0.1 corpus the
+    * end-to-end time is unchanged — the ingest is bound by per-file open/
+    * schedule overhead of the wholetext scan (profiled: the raw read with no
+    * parsing at all costs the same 12 s at local[2] as the full ingest), so
+    * this is hygiene for parse-heavy corpora (large files), not a measured
+    * win here. DocumentBuilder is not thread-safe; ThreadLocal isolates it
+    * per executor task thread. */
+  private val builders = new ThreadLocal[javax.xml.parsers.DocumentBuilder] {
+    override def initialValue(): javax.xml.parsers.DocumentBuilder = {
+      val f = DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(false)
+      f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+      f.newDocumentBuilder()
+    }
+  }
+
   /** DOM extraction of the CERMINE fields. Returns nulls per P7 when a
     * section is absent (`paper_processing.py:72-129`). */
   val parseXml: UserDefinedFunction = udf(
     (xml: String) => {
       if (xml == null) null
       else try {
-        val f = DocumentBuilderFactory.newInstance()
-        f.setNamespaceAware(false)
-        f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
-        val doc = f.newDocumentBuilder()
-          .parse(new ByteArrayInputStream(xml.getBytes(StandardCharsets.UTF_8)))
+        val b = builders.get()
+        b.reset()
+        val doc = b.parse(new ByteArrayInputStream(xml.getBytes(StandardCharsets.UTF_8)))
         def texts(tag: String): Seq[String] = {
           val nodes = doc.getElementsByTagName(tag)
           (0 until nodes.getLength).map(i => nodes.item(i).getTextContent)
