@@ -80,14 +80,19 @@ object TopicCoherence {
     *                 and CV-vocabulary LDA topics)
     * @param docWords (doc_id, word) incidence — one row per token is fine,
     *                 it is distinct'ed after the vocabulary semi-join
+    * @param docTotal optional one-row (d_total) frame with the corpus
+    *                 document count. Pass the cheap `docs.agg(count)` (a
+    *                 metadata-speed count-star) — deriving it from docWords
+    *                 would re-explode the whole corpus just to count docs
     * @return (topic, cv_e6), cosine ∈ [−1,1] scaled by 1e6 */
-  def cvE6(topics: DataFrame, docWords: DataFrame, nTop: Int = 6): DataFrame = {
+  def cvE6(topics: DataFrame, docWords: DataFrame, nTop: Int = 6,
+      docTotal: Option[DataFrame] = None): DataFrame = {
     val topicWords = topics.select("word").distinct()
     val inc = docWords.join(broadcast(topicWords), Seq("word"), "left_semi")
       .select("doc_id", "word").distinct()
     // D = total boolean windows = total documents (incl. docs with no topic
     // word) — a one-row broadcast, never a driver scalar in the plan
-    val dTot = docWords.agg(countDistinct("doc_id").as("d_total"))
+    val dTot = docTotal.getOrElse(docWords.agg(countDistinct("doc_id").as("d_total")))
     val dfreq = inc.groupBy("word").agg(count(lit(1)).as("df"))
     val cooc = inc.select(col("doc_id"), col("word").as("wa"))
       .join(inc.select(col("doc_id"), col("word").as("wb")), Seq("doc_id"))

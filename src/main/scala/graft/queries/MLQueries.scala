@@ -156,7 +156,8 @@ object MLQueries {
     * [[graft.operators.TopicCoherence.cvE6]]). Closes the r4 verdict's "one
     * declared approximation with no error bound". */
   def a10dCvCoherence(s: SparkSession, dir: String): DataFrame =
-    graft.operators.TopicCoherence.cvE6(proxyTopics(s, dir), docWords(s, dir))
+    graft.operators.TopicCoherence.cvE6(proxyTopics(s, dir), docWords(s, dir),
+        docTotal = Some(t(s, dir, "documents").agg(count(lit(1)).as("d_total"))))
       .orderBy("topic")
 
   val a10dCvCoherenceSql: String =
@@ -211,7 +212,9 @@ object MLQueries {
       .select(col("topic"),
         element_at(typedLit(vocab.toSeq), col("ti") + 1).as("word"),
         (col("rk") + 1).as("rank"))
-    graft.operators.TopicCoherence.cvE6(topics, docWords(s, dir)).orderBy("topic")
+    graft.operators.TopicCoherence.cvE6(topics, docWords(s, dir),
+        docTotal = Some(t(s, dir, "documents").agg(count(lit(1)).as("d_total"))))
+      .orderBy("topic")
   }
 
   /** Fixed 4×4 transition matrix for m2 (deterministic literal). */
@@ -220,8 +223,8 @@ object MLQueries {
 
   /** m2_viterbi_decode — Viterbi best-path over per-token emission matrices
     * derived from `embeddings` (same L=8, C=4 derivation as the AL pool).
-    * Pure-Scala DP UDF; no SQL twin (rows-only) — exactness vs brute-force
-    * enumeration in ViterbiSpec. */
+    * Pure-Scala DP UDF; hash-checked against the unrolled-CTE SQL twin
+    * ([[m2ViterbiDecodeSql]], r5) + brute-force enumeration in ViterbiSpec. */
   def m2ViterbiDecode(s: SparkSession, dir: String): DataFrame = {
     val emit = expr(
       """transform(sequence(0, 7), t ->
@@ -235,8 +238,9 @@ object MLQueries {
 
   /** m3_forward_logprob — forward-algorithm log partition over the same
     * emissions derivation as m2 (SURVEY §2.10 M3, the CRF normalizer
-    * `crf.py:59-102`). Pure-Scala DP UDF, e6-rounded; rows-only —
-    * sum-product exactness vs brute-force enumeration in ViterbiSpec. */
+    * `crf.py:59-102`). Pure-Scala DP UDF, e6-rounded; hash-checked against
+    * the unrolled log-sum-exp SQL twin ([[m3ForwardLogprobSql]], r5) +
+    * brute-force enumeration in ViterbiSpec. */
   def m3ForwardLogprob(s: SparkSession, dir: String): DataFrame = {
     val emit = expr(
       """transform(sequence(0, 7), t ->
@@ -247,6 +251,66 @@ object MLQueries {
         round(Viterbi.forwardLogProb(col("emit"), TransFixture) * 1e6).cast(LongType)
           .as("logz_e6"))
       .orderBy("vec_id")
+  }
+
+  /** DuckDB oracles for the M2/M3 dynamic programs: the fixed L=8, C=4
+    * recurrence UNROLLED into 8 CTE stages of plain column arithmetic —
+    * GREATEST for the max-product step (first-max CASE chain replicates the
+    * decoder's lowest-index tie-break), GREATEST+exp/ln for the max-shifted
+    * log-sum-exp, additions in the same left-to-right order as the Scala
+    * loops. Verified bit-exact against the UDF output at sf0.01 — converts
+    * both queries from rows-only to hash-checked. (Generated, not
+    * hand-written: the shape is mechanical in (t, state).) */
+  private def emitSql(t: Int, j: Int): String =
+    s"CAST(embedding[${4 * t + j + 1}] AS DOUBLE)"
+  private val C = 4
+  private val L = 8
+
+  val m2ViterbiDecodeSql: String = {
+    def a(t: Int, i: Int, j: Int) = s"(v${t - 1}_$i + (${TransFixture(i)(j)}))"
+    def mx(t: Int, j: Int) =
+      s"GREATEST(${(0 until C).map(a(t, _, j)).mkString(", ")})"
+    val s0 = s"s0 AS (SELECT vec_id, embedding, ${
+      (0 until C).map(j => s"${emitSql(0, j)} AS v0_$j").mkString(", ")} FROM embeddings)"
+    val steps = (1 until L).map { t =>
+      val vs = (0 until C).map(j => s"${mx(t, j)} + ${emitSql(t, j)} AS v${t}_$j")
+      val bs = (0 until C).map { j =>
+        val cases = (0 until C - 1)
+          .map(i => s"WHEN ${a(t, i, j)} = ${mx(t, j)} THEN $i").mkString(" ")
+        s"CASE $cases ELSE ${C - 1} END AS b${t}_$j"
+      }
+      s"s$t AS (SELECT *, ${(vs ++ bs).mkString(", ")} FROM s${t - 1})"
+    }
+    val g = s"GREATEST(${(0 until C).map(j => s"v${L - 1}_$j").mkString(", ")})"
+    val endCases = (0 until C - 1).map(j => s"WHEN v${L - 1}_$j = $g THEN $j").mkString(" ")
+    val endSel = s"p AS (SELECT *, CASE $endCases ELSE ${C - 1} END AS p${L - 1} FROM s${L - 1})"
+    val back = (L - 2 to 0 by -1).map { t =>
+      val cases = (0 until C).map(j => s"WHEN $j THEN b${t + 1}_$j").mkString(" ")
+      val src = if (t == L - 2) "p" else s"bk${t + 1}"
+      s"bk$t AS (SELECT *, CASE p${t + 1} $cases END AS p$t FROM $src)"
+    }
+    val path = (0 until L).map(t => s"CAST(p$t AS VARCHAR)").mkString(" || ',' || ")
+    (Seq(s0) ++ steps ++ Seq(endSel) ++ back).mkString("WITH ", ",\n", "") +
+      s"\nSELECT vec_id, $path AS path FROM bk0 ORDER BY vec_id"
+  }
+
+  val m3ForwardLogprobSql: String = {
+    def a(t: Int, i: Int, j: Int) = s"(f${t - 1}_$i + (${TransFixture(i)(j)}))"
+    def lse(terms: Seq[String]): String = {
+      val g = s"GREATEST(${terms.mkString(", ")})"
+      val sums = terms.map(x => s"exp($x - $g)").mkString(" + ")
+      s"($g + ln($sums))"
+    }
+    val s0 = s"s0 AS (SELECT vec_id, embedding, ${
+      (0 until C).map(j => s"${emitSql(0, j)} AS f0_$j").mkString(", ")} FROM embeddings)"
+    val steps = (1 until L).map { t =>
+      val fs = (0 until C).map(j =>
+        s"${lse((0 until C).map(a(t, _, j)))} + ${emitSql(t, j)} AS f${t}_$j")
+      s"s$t AS (SELECT *, ${fs.mkString(", ")} FROM s${t - 1})"
+    }
+    val logz = lse((0 until C).map(j => s"f${L - 1}_$j"))
+    (Seq(s0) ++ steps).mkString("WITH ", ",\n", "") +
+      s"\nSELECT vec_id, CAST(ROUND($logz * 1e6) AS BIGINT) AS logz_e6 FROM s${L - 1} ORDER BY vec_id"
   }
 
   /** v1_pad_vectorize — token→vocab-id vectors padded/truncated to 16
@@ -386,5 +450,7 @@ object MLQueries {
     "a5_countvec_nnz" -> a5CountvecNnzSql,
     "a10b_umass_coherence" -> a10bUmassCoherenceSql,
     "a10d_cv_coherence" -> a10dCvCoherenceSql,
+    "m2_viterbi_decode" -> m2ViterbiDecodeSql,
+    "m3_forward_logprob" -> m3ForwardLogprobSql,
     "v1_pad_vectorize" -> v1PadVectorizeSql)
 }
