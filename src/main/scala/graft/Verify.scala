@@ -28,10 +28,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // GRAFT_DIFF: comma-separated query names whose Spark-side rows are ALSO
+    // dumped as canonical sorted JSONL (<name>.rows.jsonl) — a human-diffable
+    // artifact for hash mismatches the driver record can't localize. Default
+    // covers the one historically driver-divergent query.
+    val diffNames: Set[String] = sys.env.getOrElse("GRAFT_DIFF",
+      "sm7_temperature_sample").split(",").map(_.trim).filter(_.nonEmpty).toSet
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        if (diffNames.contains(name)) {
+          val cols = df.columns.sorted.map(org.apache.spark.sql.functions.col)
+          val rows = df.select(cols: _*).orderBy(cols: _*).toJSON.collect()
+          Files.writeString(Paths.get(s"$outDir/$name.rows.jsonl"),
+            rows.mkString("", "\n", "\n"))
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -360,12 +360,16 @@ object CurationQueries {
   /** sm7_temperature_sample — temperature-scaled domain sampling (the
     * mT5/XLM-R move: sample groups ∝ n^α with α<1 so small domains are
     * up-weighted relative to their natural share). Integer-exact end to
-    * end: per-group weight w = round(1e6·√n) (IEEE sqrt is correctly
-    * rounded, so both engines agree bit-for-bit), target_g = min(n_g,
-    * (N/2)·w_g ÷ Σw) in pure int64 math, and the sample itself is the
-    * target_g smallest-detHash docs per group. Differs from sm5 (fixed
-    * uniform share) in that the mixture is a smooth function of the
-    * observed sizes.
+    * end: per-group weight w = isqrt(10¹²·n) = ⌊1e6·√n⌋ computed as a pure
+    * int64 integer square root (float sqrt only seeds the estimate; a
+    * two-sided ±1 correction in int64 makes the result independent of any
+    * engine's sqrt/rounding behavior), target_g = min(n_g, (N/2)·w_g ÷ Σw)
+    * in pure int64 math, and the sample itself is the target_g
+    * smallest-detHash docs per group. Differs from sm5 (fixed uniform
+    * share) in that the mixture is a smooth function of the observed
+    * sizes. The float seed is provably within ¼ of the true root for
+    * n ≤ 9·10⁶ (x ≤ 9·10¹⁸ is exact-ish in double: |δx| ≤ 1024 ulps ⇒
+    * |δ√x| < 10⁻⁶), so one ±1 step always lands exactly.
     *
     * Scale shape: the per-group rank does NOT use a window partitioned by
     * the group key — with a handful of domains that is a handful of giant
@@ -378,7 +382,11 @@ object CurationQueries {
   def sm7TemperatureSample(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val weighted = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-      .withColumn("w", round(lit(1e6) * sqrt(col("n_lang"))).cast(LongType))
+      .withColumn("x", col("n_lang") * lit(1000000000000L))
+      .withColumn("c", floor(sqrt(col("x").cast(DoubleType))).cast(LongType))
+      .withColumn("w", expr(
+        "CASE WHEN (c+1)*(c+1) <= x THEN c+1 WHEN c*c > x THEN c-1 ELSE c END"))
+      .drop("x", "c")
     val tot = weighted.agg(sum("n_lang").as("n_total"), sum("w").as("sum_w"))
     val targets = weighted.crossJoin(broadcast(tot))
       .withColumn("target", least(col("n_lang"), expr("(n_total div 2) * w div sum_w")))
@@ -398,10 +406,16 @@ object CurationQueries {
   }
 
   val sm7TemperatureSampleSql: String =
-    s"""WITH counts AS (
+    s"""WITH counts0 AS (
        |  SELECT lang, COUNT(*) AS n_lang,
-       |    CAST(ROUND(1e6 * sqrt(COUNT(*))) AS BIGINT) AS w
+       |    COUNT(*) * 1000000000000 AS x,
+       |    CAST(FLOOR(SQRT(CAST(COUNT(*) * 1000000000000 AS DOUBLE))) AS BIGINT) AS c
        |  FROM documents GROUP BY lang),
+       |counts AS (
+       |  SELECT lang, n_lang,
+       |    CASE WHEN (c+1)*(c+1) <= x THEN c+1
+       |         WHEN c*c > x THEN c-1 ELSE c END AS w
+       |  FROM counts0),
        |tot AS (SELECT SUM(n_lang) AS n_total, SUM(w) AS sum_w FROM counts),
        |targets AS (
        |  SELECT lang, n_lang,
