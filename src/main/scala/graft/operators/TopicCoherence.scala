@@ -21,12 +21,17 @@ import org.apache.spark.sql.types._
   * counting touches ≤ docs·M² rows regardless of corpus vocabulary. */
 object TopicCoherence {
 
-  /** @param topics   (topic, word, rank), rank 1 = most probable, M small
-    * @param docWords distinct (doc_id, word) incidence for the corpus
-    * @return (topic, coherence_e6), one row per topic */
-  def umassE6(topics: DataFrame, docWords: DataFrame): DataFrame = {
-    val topicWords = topics.select("word").distinct()
-    val inc = docWords.join(broadcast(topicWords), Seq("word"), "left_semi")
+  /** Document-frequency + canonicalized unordered pair-co-occurrence counts
+    * for `vocab` words over a (doc_id, word) incidence. Both counts are
+    * VOCABULARY-INDEPENDENT — df(w) and codf(wa,wb) computed over a superset
+    * vocabulary and filtered later are identical to computing them over the
+    * exact topic vocabulary — which is what lets the a10 coherence family
+    * share ONE materialized base across four queries (two topic sets).
+    *
+    * @return (dfreq(word, df), cooc(wa, wb, codf)) with wa < wb */
+  def docStats(vocab: DataFrame, docWords: DataFrame): (DataFrame, DataFrame) = {
+    val inc = docWords.join(broadcast(vocab.select("word").distinct()),
+        Seq("word"), "left_semi")
       .select("doc_id", "word").distinct()
     val dfreq = inc.groupBy("word").agg(count(lit(1)).as("df"))
     // doc co-occurrence is symmetric — count each unordered pair once
@@ -35,6 +40,20 @@ object TopicCoherence {
       .join(inc.select(col("doc_id"), col("word").as("wb")), Seq("doc_id"))
       .filter(col("wa") < col("wb"))
       .groupBy("wa", "wb").agg(count(lit(1)).as("codf"))
+    (dfreq, cooc)
+  }
+
+  /** @param topics   (topic, word, rank), rank 1 = most probable, M small
+    * @param docWords distinct (doc_id, word) incidence for the corpus
+    * @return (topic, coherence_e6), one row per topic */
+  def umassE6(topics: DataFrame, docWords: DataFrame): DataFrame = {
+    val (dfreq, cooc) = docStats(topics, docWords)
+    umassE6FromStats(topics, dfreq, cooc)
+  }
+
+  /** [[umassE6]] over precomputed (superset-ok) [[docStats]] frames. */
+  def umassE6FromStats(topics: DataFrame, dfreq: DataFrame,
+      cooc: DataFrame): DataFrame = {
     val pairs = topics.select(col("topic"), col("word").as("wl"), col("rank").as("rl"))
       .join(topics.select(col("topic"), col("word").as("wm"), col("rank").as("rm")), Seq("topic"))
       .filter(col("rl") < col("rm"))
@@ -83,21 +102,25 @@ object TopicCoherence {
     * @param docTotal optional one-row (d_total) frame with the corpus
     *                 document count. Pass the cheap `docs.agg(count)` (a
     *                 metadata-speed count-star) — deriving it from docWords
-    *                 would re-explode the whole corpus just to count docs
+    *                 would re-explode the whole corpus just to count docs.
+    *                 The DEFAULT (countDistinct over docWords) counts only
+    *                 documents with ≥1 token — equal to count(*) whenever
+    *                 every document tokenizes non-empty, which holds for
+    *                 the testdata; pass docTotal explicitly when a corpus
+    *                 may carry empty-text rows
     * @return (topic, cv_e6), cosine ∈ [−1,1] scaled by 1e6 */
   def cvE6(topics: DataFrame, docWords: DataFrame, nTop: Int = 6,
       docTotal: Option[DataFrame] = None): DataFrame = {
-    val topicWords = topics.select("word").distinct()
-    val inc = docWords.join(broadcast(topicWords), Seq("word"), "left_semi")
-      .select("doc_id", "word").distinct()
     // D = total boolean windows = total documents (incl. docs with no topic
     // word) — a one-row broadcast, never a driver scalar in the plan
     val dTot = docTotal.getOrElse(docWords.agg(countDistinct("doc_id").as("d_total")))
-    val dfreq = inc.groupBy("word").agg(count(lit(1)).as("df"))
-    val cooc = inc.select(col("doc_id"), col("word").as("wa"))
-      .join(inc.select(col("doc_id"), col("word").as("wb")), Seq("doc_id"))
-      .filter(col("wa") < col("wb"))
-      .groupBy("wa", "wb").agg(count(lit(1)).as("codf"))
+    val (dfreq, cooc) = docStats(topics, docWords)
+    cvE6FromStats(topics, dfreq, cooc, dTot, nTop)
+  }
+
+  /** [[cvE6]] over precomputed (superset-ok) [[docStats]] frames. */
+  def cvE6FromStats(topics: DataFrame, dfreq: DataFrame, cooc: DataFrame,
+      dTot: DataFrame, nTop: Int = 6): DataFrame = {
     // all nTop×nTop ordered pairs per topic; the diagonal's joint count is
     // the word's own document frequency
     val pairs = topics.select(col("topic"), col("word").as("wl"), col("rank").as("rl"))
