@@ -51,7 +51,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
     }
+    // optional comma-separated name filter (SPARK_GRAFT_BENCH_ONLY) for
+    // fast targeted iteration — the Bench twin of Verify's third arg. The
+    // driver never sets it, so round benches always cover the full suite.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
     val pass1 = ordered.map { case (n, fn) => n -> timeOne(n, fn) }.toMap
     val results = ordered.map { case (n, fn) =>
       val t2 = timeOne(n, fn)

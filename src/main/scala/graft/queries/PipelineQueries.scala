@@ -100,9 +100,23 @@ object PipelineQueries {
     paragraphs.orderBy("paragraph_id")
   }
 
+  /** e1_ingest_packed — the same S5/E1 ingest over the PACKED corpus (a
+    * 4-file parquet of (paper_path, xml) built from the identical bytes,
+    * [[graft.sources.PaperXmlGen.ensurePacked]]): measures what e1 costs
+    * when inputs arrive in the fewer-larger-containers shape SCALE.md
+    * prescribes for 100 TB, next to e1_ingest_files' per-file-overhead
+    * price on 2,500 small files. Same rows as e1_ingest_files by
+    * construction (asserted in PaperXmlSpec); rows-only in the driver. */
+  def e1IngestPacked(s: SparkSession, dir: String): DataFrame = {
+    val packed = graft.sources.PaperXmlGen.ensurePacked(s, dir)
+    val (_, paragraphs) = graft.sources.PaperXml.ingestPacked(s, packed)
+    paragraphs.orderBy("paragraph_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "e1_ingest_explode" -> (e1IngestExplode _),
     "e1_ingest_files" -> (e1IngestFiles _),
+    "e1_ingest_packed" -> (e1IngestPacked _),
     "e3_prodigy_export" -> (e3ProdigyExport _),
     "a2_entity_count" -> (a2EntityCount _))
 

@@ -91,10 +91,24 @@ object PaperXml {
     })
 
   /** papers + paragraph catalog tables from a directory of `*.cermxml`. */
-  def ingest(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val raw = spark.read.option("wholetext", "true")
+  def ingest(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ingestFrom(spark.read.option("wholetext", "true")
       .text(dir + "/*.cermxml")
-      .select(input_file_name().as("paper_path"), col("value").as("xml"))
+      .select(input_file_name().as("paper_path"), col("value").as("xml")))
+
+  /** Packed variant: the same pipeline over a parquet of (paper_path, xml)
+    * rows — the "fewer, larger inputs" shape SCALE.md argues for at 100 TB.
+    * The many-small-files path pays a per-file open/schedule constant that
+    * dominates at sf0.1 (2,500 files); packing the corpus into a handful of
+    * parquet files amortizes it away while the DOM parse and all downstream
+    * projections stay byte-identical (asserted in PaperXmlSpec). */
+  def ingestPacked(spark: SparkSession, packedPath: String): (DataFrame, DataFrame) =
+    ingestFrom(spark.read.parquet(packedPath))
+
+  /** Shared tail of both ingest paths: DOM parse + the reference's
+    * projections over any (paper_path, xml) frame. */
+  def ingestFrom(rawIn: DataFrame): (DataFrame, DataFrame) = {
+    val raw = rawIn
       .withColumn("parsed", parseXml(col("xml")))
       .filter(col("parsed").isNotNull)
       .withColumn("paper_id", sha2(col("paper_path"), 256))

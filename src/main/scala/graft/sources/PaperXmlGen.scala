@@ -58,11 +58,23 @@ object PaperXmlGen {
        |</article>""".stripMargin
   }
 
+  /** Version stamp baked into the cache directory name so ANY change to the
+    * generated content invalidates shared-tmpdir corpora from earlier builds
+    * (ADVICE r5: a count-only key silently reused stale files). Derived from
+    * the actual bytes of paper(0) — editing the generator changes the hash
+    * with no constant to remember to bump. */
+  private lazy val contentVersion: String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(paper(0).getBytes(StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+  }
+
   /** Generate (once) and return the corpus directory for `sfDir`'s scale. */
   def ensureCorpus(s: SparkSession, sfDir: String): String = {
     val nDocs = graft.Tables(s, sfDir, "documents").count()
     val nPapers = math.max(20L, nDocs / 2).toInt
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_cermxml_$nPapers")
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_cermxml_${contentVersion}_$nPapers")
     val marker = dir.resolve("_COMPLETE")
     if (!Files.exists(marker)) {
       Files.createDirectories(dir)
@@ -73,5 +85,23 @@ object PaperXmlGen {
       Files.write(marker, nPapers.toString.getBytes(StandardCharsets.UTF_8))
     }
     dir.toString
+  }
+
+  /** Generate (once) the PACKED form of the same corpus: a parquet of
+    * (paper_path, xml) rows built by reading the many-files corpus exactly
+    * as [[graft.sources.PaperXml.ingest]] would — so paths and bytes are
+    * identical between the two representations — coalesced to a handful of
+    * files. This is the input shape a 100 TB ingest should arrive in. */
+  def ensurePacked(s: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val filesDir = ensureCorpus(s, sfDir)
+    val packed = Paths.get(filesDir + "_packed")
+    if (!Files.exists(packed.resolve("_SUCCESS"))) {
+      s.read.option("wholetext", "true").text(filesDir + "/*.cermxml")
+        .select(input_file_name().as("paper_path"), col("value").as("xml"))
+        .coalesce(4)
+        .write.mode("overwrite").parquet(packed.toString)
+    }
+    packed.toString
   }
 }

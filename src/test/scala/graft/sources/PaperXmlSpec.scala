@@ -59,6 +59,26 @@ class PaperXmlSpec extends SparkSpec {
       paras.map(_.getAs[String]("paragraph_id")).sorted.toSeq)
   }
 
+  test("packed ingest is row-identical to many-files ingest") {
+    val dir = Files.createTempDirectory("cermxml_pk").toString
+    (0 until 5).foreach { i =>
+      Files.write(Paths.get(dir, f"p$i%02d.cermxml"), paper(
+        s"Packed Parity Title $i", s"Dana$i Lee",
+        Seq(s"paragraph $i with data inside", "filler without the keyword")).getBytes)
+    }
+    val packed = dir + "_packed"
+    spark.read.option("wholetext", "true").text(dir + "/*.cermxml")
+      .select(input_file_name().as("paper_path"), col("value").as("xml"))
+      .coalesce(1).write.parquet(packed)
+
+    val (papFiles, parFiles) = PaperXml.ingest(spark, dir)
+    val (papPacked, parPacked) = PaperXml.ingestPacked(spark, packed)
+    assert(papPacked.orderBy("paper_id").collect().toSeq ===
+      papFiles.orderBy("paper_id").collect().toSeq)
+    assert(parPacked.orderBy("paragraph_id").collect().toSeq ===
+      parFiles.orderBy("paragraph_id").collect().toSeq)
+  }
+
   test("ingest path codegens — no silent interpreted-projection fallback") {
     // r4 regression: Parsed was a private nested case class, Janino could not
     // bind its accessors, and every row fell back to interpreted projection
