@@ -217,18 +217,37 @@ object Relational {
   /** t7_approx_quantiles — the sketch twin of t6: `approx_percentile`
     * (Greenwald–Khanna/t-digest family) at accuracy 10000 — mergeable
     * per-partition sketches, the shape that replaces t6's exact sort-based
-    * percentile at 100 TB. Sketches aren't portable across engines →
-    * rows-only driver check; RelationalSpec bounds the drift vs t6's exact
-    * quartiles. */
+    * percentile at 100 TB. Sketch values aren't portable across engines, so
+    * the ORACLE-FACING output is (exact quartiles, within_bound): the exact
+    * columns replay in DuckDB (the t6-proven expressions) and within_bound
+    * asserts ON THE SPARK SIDE that each sketch estimate lands inside the
+    * exact value band at rank ±0.02 — 200× looser than the sketch's
+    * guaranteed ≤1e-4 rank error, so a pass is stable while any gross
+    * sketch breakage flips the boolean and hash-fails against the oracle's
+    * constant TRUE. Upgrades the r5 rows-only check to a hash check. */
   def t7ApproxQuantiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(expr("approx_percentile(cast(l_extendedprice as double), array(0.25, 0.5, 0.75), 10000)").as("q"))
+      .agg(
+        expr("approx_percentile(cast(l_extendedprice as double), array(0.25, 0.5, 0.75), 10000)").as("aq"),
+        expr("""percentile(cast(l_extendedprice as double),
+                array(0.23, 0.25, 0.27, 0.48, 0.5, 0.52, 0.73, 0.75, 0.77))""").as("eq"))
       .select(col("l_returnflag"),
-        expr("cast(round(1e6 * q[0]) as bigint)").as("p25_e6"),
-        expr("cast(round(1e6 * q[1]) as bigint)").as("p50_e6"),
-        expr("cast(round(1e6 * q[2]) as bigint)").as("p75_e6"))
+        expr("cast(round(1e6 * eq[1]) as bigint)").as("p25_e6"),
+        expr("cast(round(1e6 * eq[4]) as bigint)").as("p50_e6"),
+        expr("cast(round(1e6 * eq[7]) as bigint)").as("p75_e6"),
+        expr("""aq[0] between eq[0] and eq[2] and
+                aq[1] between eq[3] and eq[5] and
+                aq[2] between eq[6] and eq[8]""").as("within_bound"))
       .orderBy("l_returnflag")
+
+  val t7ApproxQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  CAST(ROUND(1e6 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25)) AS BIGINT) AS p25_e6,
+      |  CAST(ROUND(1e6 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50)) AS BIGINT) AS p50_e6,
+      |  CAST(ROUND(1e6 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75)) AS BIGINT) AS p75_e6,
+      |  TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** dq1_profile — the data-quality profiling staple (generalized pipeline
     * hygiene: the screen a 100 TB ingest runs before anything else): row
@@ -535,15 +554,28 @@ object Relational {
       |ORDER BY fk_edge""".stripMargin
 
   /** a12_approx_distinct — HyperLogLog-family approximate distinct counts
-    * (the 100 TB cardinality primitive). Sketches differ across engines →
-    * rows-only driver check; the ≤5% error bound vs exact is asserted in
-    * RelationalSpec. */
+    * (the 100 TB cardinality primitive). HLL registers differ across
+    * engines, so the oracle-facing output is (exact distinct, n,
+    * within_bound): within_bound asserts on the Spark side that the HLL
+    * estimate sits within 15% of exact (3× the default 5% rsd — stable),
+    * hash-compared against the oracle's constant TRUE; the exact columns
+    * replay relationally. Upgrades the r5 rows-only check to a hash check;
+    * RelationalSpec keeps the tighter ≤5% drift assertion. */
   def a12ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("approx") - col("exact_parts")) <=
+          col("exact_parts").cast("double") * 0.15).as("within_bound"))
       .orderBy("l_returnflag")
+
+  val a12ApproxDistinctSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(*) AS n, TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, QueryFn] = Map(
     "r1_rollup" -> (r1Rollup _),
@@ -583,6 +615,8 @@ object Relational {
     "t2_topk" -> t2TopkSql,
     "t5_offset_scan" -> t5OffsetScanSql,
     "t6_quantiles" -> t6QuantilesSql,
+    "t7_approx_quantiles" -> t7ApproxQuantilesSql,
+    "a12_approx_distinct" -> a12ApproxDistinctSql,
     "dq1_profile" -> dq1ProfileSql,
     "dq2_outlier_mad" -> dq2OutlierMadSql,
     "dq3_snapshot_drift" -> dq3SnapshotDriftSql,
