@@ -115,13 +115,48 @@ object TextQueries {
        |FROM tok ORDER BY doc_id, pos""".stripMargin
 
   /** f14_porter_stem — Porter-stem every token (pure-Scala UDF; SURVEY §2.3
-    * F14). No DuckDB twin (no stemmer there) → rows-only check; exactness is
-    * covered by PorterStemmerSpec against published stemmer vectors. */
+    * F14). DuckDB has no stemmer (the fts extension can't load offline), but
+    * the corpus vocabulary is CLOSED — 31 words — so the oracle is a VALUES
+    * lookup of their stems, each hand-derived from the published 1980
+    * algorithm (key→kei / query→queri by step 1c (*v*)Y→I, customer→custom
+    * by step 4 -er at m=2, merge/table/value lose final e by step 5a at
+    * m=1 ∧ ¬*o, filter/order keep -er at m=1) and cross-checked against
+    * PorterStemmerSpec's published vectors. An INNER join makes any
+    * unmapped corpus word shorten the oracle string → loud hash fail, never
+    * a silent pass. Upgrades the r5 rows-only check to a hash check. */
   def f14PorterStem(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
         array_join(PorterStemmer.stemArrayUdf(tokens(col("text"))), " ").as("stemmed"))
       .orderBy("doc_id")
+
+  /** The closed corpus vocabulary with hand-derived Porter stems (see
+    * [[f14PorterStem]]); TextQueriesSpec asserts it agrees with the Scala
+    * stemmer word-for-word, pinning oracle and implementation together. */
+  val F14StemTable: Seq[(String, String)] = Seq(
+    "a" -> "a", "agg" -> "agg", "batch" -> "batch", "big" -> "big",
+    "column" -> "column", "customer" -> "custom", "data" -> "data",
+    "dup" -> "dup", "fast" -> "fast", "filter" -> "filter",
+    "group" -> "group", "hash" -> "hash", "join" -> "join", "key" -> "kei",
+    "line" -> "line", "merge" -> "merg", "order" -> "order",
+    "part" -> "part", "query" -> "queri", "row" -> "row", "scan" -> "scan",
+    "slow" -> "slow", "small" -> "small", "sort" -> "sort",
+    "spark" -> "spark", "stream" -> "stream", "table" -> "tabl",
+    "the" -> "the", "value" -> "valu", "vector" -> "vector",
+    "window" -> "window")
+
+  val f14PorterStemSql: String = {
+    val values = F14StemTable
+      .map { case (w, st) => s"('$w','$st')" }.mkString(", ")
+    s"""WITH stems(word, stem) AS (VALUES $values),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS word,
+       |    generate_subscripts(string_split(text,' '), 1) AS pos
+       |  FROM documents)
+       |SELECT t.doc_id, string_agg(s.stem, ' ' ORDER BY t.pos) AS stemmed
+       |FROM tok t JOIN stems s USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  }
 
   /** f15_spellcheck — corpus-frequency spell correction (F15, the
     * reference's autocorrect pass, `TM_1:cell 16`): suggestion = the
@@ -806,6 +841,7 @@ object TextQueries {
     "f1_clean_chain" -> f1CleanChainSql,
     "f5_token_filter" -> f5TokenFilterSql,
     "f13_lemmatize" -> f13LemmatizeSql,
+    "f14_porter_stem" -> f14PorterStemSql,
     "f15_spellcheck" -> f15SpellcheckSql,
     "f17_deterministic_id" -> f17DeterministicIdSql,
     "f18_parse_stringified_list" -> f18ParseStringifiedListSql,
