@@ -252,6 +252,42 @@ object MLQueries {
       .orderBy("topic")
   }
 
+  /** a9b_lda_invariants — the HASH-CHECKED face of the LDA family (r5
+    * verdict item 7): one row of invariants that hold for ANY correct LDA
+    * run regardless of MLlib internals, compared against a constant-row
+    * oracle. k topics = 8 and 48 distinct (topic, term) top-term rows
+    * (describeTopics(6)); every doc's dominant topic ∈ [0, 8); every doc's
+    * e6-scaled topic distribution sums to 1e6±1 (row normalization); CV
+    * vocabulary ≤ 1024 (the configured cap); doc count preserved through
+    * transform (relationally replayed by the oracle). Any violation flips
+    * a boolean/count and hash-fails. a9/a10c/a10e stay rows-only for their
+    * payloads; this query turns their shared model into hard signal. */
+  def a9bLdaInvariants(s: SparkSession, dir: String): DataFrame = {
+    val (bow, vocab, model) = fittedLda(s, dir)
+    val dist = model.transform(bow)
+      .withColumn("dist", vector_to_array(col("topicDistribution")))
+      .withColumn("sum_e6",
+        expr("cast(round(1e6 * aggregate(dist, 0D, (a, x) -> a + x)) as bigint)"))
+      .withColumn("top_topic", expr("array_position(dist, array_max(dist)) - 1"))
+    val docAgg = dist.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(abs(col("sum_e6") - 1000000L) > 1, 1L).otherwise(0L)).as("docs_bad_rowsum"),
+      (min("top_topic") >= 0 && max("top_topic") <= 7).as("topics_in_range"))
+    val ttAgg = ldaTopics(s, dir).agg(
+      count(lit(1)).as("topterm_rows"),
+      countDistinct("topic").as("k_topics"),
+      (countDistinct(concat_ws("|", col("topic"), col("word"))) === count(lit(1)))
+        .as("topterms_distinct"))
+    docAgg.crossJoin(ttAgg)
+      .withColumn("vocab_le_1024", lit(vocab.length <= 1024))
+  }
+
+  val a9bLdaInvariantsSql: String =
+    """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |  CAST(0 AS BIGINT) AS docs_bad_rowsum, TRUE AS topics_in_range,
+      |  CAST(48 AS BIGINT) AS topterm_rows, CAST(8 AS BIGINT) AS k_topics,
+      |  TRUE AS topterms_distinct, TRUE AS vocab_le_1024""".stripMargin
+
   /** Fixed 4×4 transition matrix for m2 (deterministic literal). */
   val TransFixture: Array[Array[Double]] =
     Array.tabulate(4, 4)((i, j) => ((i * 7 + j * 3) % 5 - 2) * 0.1)
@@ -470,6 +506,7 @@ object MLQueries {
     "v7_feature_hash" -> (v7FeatureHash _),
     "a5_countvec_nnz" -> (a5CountvecNnz _),
     "a9_lda_doc_topics" -> (a9LdaDocTopics _),
+    "a9b_lda_invariants" -> (a9bLdaInvariants _),
     "a10_lda_perplexity" -> (a10LdaPerplexity _),
     "a10b_umass_coherence" -> (a10bUmassCoherence _),
     "a10c_lda_coherence" -> (a10cLdaCoherence _),
@@ -483,6 +520,7 @@ object MLQueries {
     "v8_negative_sampling" -> v8NegativeSamplingSql,
     "v7_feature_hash" -> v7FeatureHashSql,
     "a5_countvec_nnz" -> a5CountvecNnzSql,
+    "a9b_lda_invariants" -> a9bLdaInvariantsSql,
     "a10b_umass_coherence" -> a10bUmassCoherenceSql,
     "a10d_cv_coherence" -> a10dCvCoherenceSql,
     "m2_viterbi_decode" -> m2ViterbiDecodeSql,
