@@ -387,10 +387,68 @@ object ALQueries {
       "al6_min_token_prob", "al7_max_token_entropy", "al8_token_entropy",
       "al9_margin")
 
+  /** e2e3_al_loop — the E2 active-learning loop END-TO-END as one composed
+    * oracle query (mirrors `wrapper_ner.py:53-74`: score pool → rank by
+    * strategy → take k → re-attach winners → export shape). The
+    * deterministic scored pool ranks under ALL 9 strategies, each takes its
+    * top-25, the union of winners joins back to the document catalog by FK,
+    * and the result projects the e3 Prodigy shape. Every stage reuses the
+    * exact expression template its standalone query uses, so the hash check
+    * covers the COMPOSITION — selection ∪ union ∪ join ∪ projection — not
+    * just the parts (the standalone al1..al9 and e3 checks). Scale shape: 9 parallel
+    * TakeOrderedAndProject scans over one pool projection, a 225-row
+    * broadcast join to documents — no corpus shuffle anywhere. */
+  def e2e3AlLoop(s: SparkSession, dir: String): DataFrame = {
+    val k = 25
+    val p = pool(s, dir)
+    val ln = lnStrategies.map { name =>
+      val (score, desc0) = strategyScore(sparkD)(name)
+      name -> p.withColumn("r", expr(score))
+        .orderBy(if (desc0) col("r").desc else col("r").asc, col("vec_id"))
+        .limit(k).select("vec_id")
+    }
+    val fixed = Seq(
+      "al1_random" -> t(s, dir, "embeddings")
+        .select(col("vec_id"), detHash(col("vec_id"), 23).as("r"))
+        .orderBy("r", "vec_id").limit(k).select("vec_id"),
+      "al2_long" -> p.orderBy(desc("path_len"), col("vec_id")).limit(k)
+        .select("vec_id"))
+    val winners = (fixed ++ ln)
+      .map { case (n, df) => df.select(lit(n).as("strategy"), col("vec_id")) }
+      .reduce(_.union(_))
+    winners.join(t(s, dir, "documents"), col("vec_id") === col("doc_id"))
+      .select(col("strategy"), col("vec_id"), col("text"),
+        graft.functions.TextFunctions
+          .deterministicId(lit("para"), col("doc_id").cast("string"))
+          .as("paragraph_id"),
+        col("source").as("paper_id"))
+      .orderBy("strategy", "vec_id")
+  }
+
+  val e2e3AlLoopSql: String = {
+    val k = 25
+    val lnSubs = lnStrategies.map { name =>
+      val (score, desc0) = strategyScore(duckD)(name)
+      val dir0 = if (desc0) "DESC" else "ASC"
+      s"SELECT '$name' AS strategy, vec_id FROM (SELECT vec_id, $score AS r FROM $poolDuck ORDER BY r $dir0, vec_id LIMIT $k)"
+    }
+    val al1 = s"SELECT 'al1_random' AS strategy, vec_id FROM (SELECT vec_id FROM embeddings ORDER BY ${detHashSql("vec_id", 23)}, vec_id LIMIT $k)"
+    val al2 = s"SELECT 'al2_long' AS strategy, vec_id FROM (SELECT vec_id FROM $poolDuck ORDER BY path_len DESC, vec_id LIMIT $k)"
+    val union = (Seq(al1, al2) ++ lnSubs).mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       |$union)
+       |SELECT w.strategy, w.vec_id, d.text,
+       |  sha256('para' || chr(1) || CAST(d.doc_id AS VARCHAR)) AS paragraph_id,
+       |  d.source AS paper_id
+       |FROM w JOIN documents d ON d.doc_id = w.vec_id
+       |ORDER BY strategy, vec_id""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] =
     Map(
       "al1_random" -> (al1Random _),
       "al2_long" -> (al2Long _),
+      "e2e3_al_loop" -> (e2e3AlLoop _),
       "a17_ece_calibration" -> (a17EceCalibration _),
       "sm8_curriculum" -> (sm8Curriculum _),
       "sm1_stratified_split" -> (sm1StratifiedSplit _),
@@ -404,6 +462,7 @@ object ALQueries {
     Map(
       "al1_random" -> al1RandomSql,
       "al2_long" -> al2LongSql,
+      "e2e3_al_loop" -> e2e3AlLoopSql,
       "a17_ece_calibration" -> a17EceCalibrationSql,
       "sm8_curriculum" -> sm8CurriculumSql,
       "sm1_stratified_split" -> sm1StratifiedSplitSql,
