@@ -32,7 +32,18 @@ import org.apache.spark.sql.types._
 object Rank {
 
   /** Materialize the partitioned+ranked intermediate so every consumer sees
-    * one physical evaluation. Eager, so the cost is paid exactly once. */
+    * one physical evaluation. Eager, so the cost is paid exactly once.
+    *
+    * Two side effects callers accept (ADVICE r5, documented trade-off):
+    * (1) construction runs a Spark job at PLAN time — building a rank is
+    * not lazy like other DataFrame combinators; (2) each construction pins
+    * checkpoint blocks for the session — they are deliberately NOT
+    * unpersisted here because a caller may still hold (and re-evaluate) the
+    * returned frame; dropping blocks under a live plan fails the plan, the
+    * worse failure mode. Sessions that build many ranks over the same input
+    * should memoize the result via [[SessionShare.materialized]] (keyed
+    * reuse) rather than reconstructing; Verify/Bench build each rank a
+    * bounded number of times per JVM, so accumulation is bounded there. */
   private def pinned(df: DataFrame): DataFrame = df.localCheckpoint()
 
   def globalRowNumber(df: DataFrame, numPartitions: Int, sortCols: Column*): DataFrame = {

@@ -54,10 +54,23 @@ case class BroadcastDataExpression(bc: Broadcast[Any], dataType: DataType, label
 object BroadcastDataExpression {
 
   /** Broadcast `value` (an EXTERNAL Scala value matching `dataType`, e.g.
-    * Seq[Row] for array<struct>) and wrap it as a Column. */
+    * Seq[Row] for array<struct>) and wrap it as a Column.
+    *
+    * The broadcast is memoized per (session, label, content hash) through
+    * [[graft.operators.SessionShare]] — repeated builder invocations over
+    * the same index (every query re-plans its centroidIndex/pqCodebook)
+    * reuse ONE pinned broadcast instead of stacking a new multi-MB variable
+    * per call (ADVICE r5). Entries live for the session, matching
+    * SessionShare's no-evict contract: destroying a superseded broadcast
+    * under a live plan would fail the plan. */
   def column(spark: SparkSession, value: Any, dataType: DataType, label: String): Column = {
-    val catalystValue = CatalystTypeConverters.createToCatalystConverter(dataType)(value)
-    val bc = spark.sparkContext.broadcast[Any](catalystValue)
+    // Seq/Row hashCodes are content-based — one O(n) pass, paid once per
+    // builder call, vs. re-serializing and re-shipping the value
+    val key = s"$label#${value.hashCode}"
+    val bc = graft.operators.SessionShare.cached(spark, key, "broadcast_data") {
+      val catalystValue = CatalystTypeConverters.createToCatalystConverter(dataType)(value)
+      spark.sparkContext.broadcast[Any](catalystValue)
+    }
     GraftColumnBridge.column(BroadcastDataExpression(bc, dataType, label))
   }
 }

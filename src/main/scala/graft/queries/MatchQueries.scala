@@ -59,15 +59,21 @@ object MatchQueries {
   }
 
   val fm1MatchSpansSql: String = {
+    // boundary class mirrors FastMatch.isWordChar (Character.isLetterOrDigit
+    // || '_') via Unicode \p{L}\p{N} — an ASCII-only [a-z0-9_] would accept
+    // matches adjacent to non-ASCII letters that the Scala matcher rejects
+    // (ADVICE r5). Offsets index the ORIGINAL text: lower() is applied for
+    // comparison only, safe because no corpus char changes length under
+    // lowercasing (ASCII vocabulary; a locale-sensitive 'İ' would not).
     val values = gazetteer.map(c => s"('${c.replace("'", "''")}')").mkString(", ")
     s"""WITH cands(cand) AS (VALUES $values),
        |pos AS (SELECT doc_id, lower(text) AS t, unnest(range(0, len(text))) AS s FROM documents)
        |SELECT p.doc_id, c.cand AS matched, p.s AS start, p.s + len(c.cand) AS "end"
        |FROM pos p CROSS JOIN cands c
        |WHERE substr(p.t, CAST(p.s + 1 AS INT), len(c.cand)) = c.cand
-       |  AND (p.s = 0 OR NOT regexp_matches(substr(p.t, CAST(p.s AS INT), 1), '^[a-z0-9_]$$'))
+       |  AND (p.s = 0 OR NOT regexp_matches(substr(p.t, CAST(p.s AS INT), 1), '^[\\p{L}\\p{N}_]$$'))
        |  AND (p.s + len(c.cand) >= len(p.t)
-       |       OR NOT regexp_matches(substr(p.t, CAST(p.s + len(c.cand) + 1 AS INT), 1), '^[a-z0-9_]$$'))
+       |       OR NOT regexp_matches(substr(p.t, CAST(p.s + len(c.cand) + 1 AS INT), 1), '^[\\p{L}\\p{N}_]$$'))
        |ORDER BY doc_id, start, matched""".stripMargin
   }
 
