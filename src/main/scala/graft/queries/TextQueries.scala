@@ -603,6 +603,59 @@ object TextQueries {
       |  ) * 1e6) AS BIGINT) AS quality_score_e6
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** ta10_gopher_rules — the published Gopher corpus-quality rule set (Rae
+    * et al. 2021, "Scaling Language Models", App. A1.1.1 — the filter
+    * battery every LLM data pipeline since has copied): word count in
+    * [50, 100k], mean word length in [3, 10], symbol-word ratio ≤ 0.1,
+    * ≥80% of words alphabetic, ≥2 occurrences of the stop-word set
+    * {the, be, to, of, and, that, have, with}. Every rule is evaluated in
+    * PURE INTEGER form (3n ≤ Σlen ≤ 10n instead of a float mean; 5·alpha ≥
+    * 4·n instead of 0.8) so both engines agree bit-for-bit. Emits each
+    * rule's verdict plus the conjunction — the shape a curation pipeline
+    * wants for per-rule rejection stats. Pure codegen projection, no
+    * shuffle at any scale. */
+  def ta10GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val sumLen = aggregate(toks, lit(0), (acc, w) => acc + length(w))
+    val nAlpha = size(filter(toks, w => w.rlike("[a-z]")))
+    val nSym = size(filter(toks, w => w.isin("#", "...")))
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(filter(toks, w => w.isin(stops.map(x => x: Any): _*)))
+    val rWc = n >= 50 && n <= 100000
+    val rMwl = sumLen >= n * 3 && sumLen <= n * 10
+    val rSym = nSym * 10 <= n
+    val rAlpha = nAlpha * 5 >= n * 4
+    val rStop = nStop >= 2
+    t(s, dir, "documents")
+      .select(col("doc_id"), n.as("n_words"),
+        rWc.as("rule_word_count"), rMwl.as("rule_mean_word_len"),
+        rSym.as("rule_symbol_ratio"), rAlpha.as("rule_alpha_words"),
+        rStop.as("rule_stop_words"),
+        (rWc && rMwl && rSym && rAlpha && rStop).as("pass"))
+      .orderBy("doc_id")
+  }
+
+  val ta10GopherRulesSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    len(string_split(text,' ')) AS n,
+      |    list_sum(list_transform(string_split(text,' '), w -> len(w))) AS sum_len,
+      |    len(list_filter(string_split(text,' '), w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+      |    len(list_filter(string_split(text,' '), w -> w IN ('#', '...'))) AS n_sym,
+      |    len(list_filter(string_split(text,' '),
+      |      w -> w IN ('the','be','to','of','and','that','have','with'))) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, n AS n_words,
+      |  (n >= 50 AND n <= 100000) AS rule_word_count,
+      |  (sum_len >= n * 3 AND sum_len <= n * 10) AS rule_mean_word_len,
+      |  (n_sym * 10 <= n) AS rule_symbol_ratio,
+      |  (n_alpha * 5 >= n * 4) AS rule_alpha_words,
+      |  (n_stop >= 2) AS rule_stop_words,
+      |  ((n >= 50 AND n <= 100000) AND (sum_len >= n * 3 AND sum_len <= n * 10)
+      |    AND (n_sym * 10 <= n) AND (n_alpha * 5 >= n * 4) AND (n_stop >= 2)) AS pass
+      |FROM f ORDER BY doc_id""".stripMargin
+
   /** ta12_readability — Flesch reading-ease quality gate (the classic
     * pretraining-corpus readability filter): 206.835 − 1.015·(words/
     * sentences) − 84.6·(syllables/words), syllables approximated as vowel
@@ -828,6 +881,7 @@ object TextQueries {
     "a20_mcnemar" -> (a20Mcnemar _),
     "a15_cohens_kappa" -> (a15CohensKappa _),
     "ta2_quality_score" -> (ta2QualityScore _),
+    "ta10_gopher_rules" -> (ta10GopherRules _),
     "ta12_readability" -> (ta12Readability _),
     "ta13_bm25" -> (ta13Bm25 _),
     "ta3_token_count" -> (ta3TokenCount _),
@@ -853,6 +907,7 @@ object TextQueries {
     "a20_mcnemar" -> a20McnemarSql,
     "a15_cohens_kappa" -> a15CohensKappaSql,
     "ta2_quality_score" -> ta2QualityScoreSql,
+    "ta10_gopher_rules" -> ta10GopherRulesSql,
     "ta12_readability" -> ta12ReadabilitySql,
     "ta13_bm25" -> ta13Bm25Sql,
     "ta3_token_count" -> ta3TokenCountSql,
