@@ -118,11 +118,31 @@ object ALQueries {
   private def poolDuck: String =
     s"(SELECT vec_id, embedding, $pathLenDuck AS path_len FROM embeddings) pool"
 
-  /** Spark query for one ln/HOF strategy. */
+  /** The pool scored under EVERY strategy in one pass, materialized per
+    * (session, dir) — the production AL shape (`wrapper_ner.py:53-74` runs
+    * the model ONCE per loop iteration and ranks the cached scores many
+    * ways), and what lets 7 strategy queries + the e2e3 composition rank
+    * over one scan instead of re-deriving the emissions 8×. Columns:
+    * (vec_id, path_len, h23, score_<strategy>). Values are bit-identical
+    * to per-query derivation — same expression tree, evaluated once. At
+    * 100 TB this is a (pool × ~10 int64) table, far smaller than the
+    * corpus it summarizes. */
+  private def scoredPool(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionShare.materialized(s, dir, "al_scores") {
+      val scoreCols = strategyScore(sparkD).toSeq.map { case (name, (sql, _)) =>
+        expr(sql).as(s"score_$name")
+      }
+      pool(s, dir).select(
+        Seq(col("vec_id"), col("path_len"),
+          detHash(col("vec_id"), 23).as("h23")) ++ scoreCols: _*)
+    }
+
+  /** Spark query for one ln/HOF strategy: a k-row sort over the shared
+    * scored pool — no emission re-derivation, no corpus-width shuffle. */
   private def strategyQuery(name: String): QueryFn = (s, dir) => {
-    val (score, desc0) = strategyScore(sparkD)(name)
-    val p = pool(s, dir).withColumn("score_e6", expr(score))
-    p.select("vec_id", "score_e6")
+    val desc0 = strategyScore(sparkD)(name)._2
+    scoredPool(s, dir)
+      .select(col("vec_id"), col(s"score_$name").as("score_e6"))
       .orderBy(if (desc0) col("score_e6").desc else col("score_e6").asc, col("vec_id"))
       .limit(K)
   }
@@ -137,8 +157,8 @@ object ALQueries {
   /** al1_random — uniform choice via portable deterministic hash
     * (`active_learning.py:26-45`; seeds replaced by detHash — SURVEY §7.3(3)). */
   def al1Random(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
-      .select(col("vec_id"), detHash(col("vec_id"), 23).as("h"))
+    scoredPool(s, dir)
+      .select(col("vec_id"), col("h23").as("h"))
       .orderBy("h", "vec_id")
       .limit(K)
 
@@ -148,7 +168,7 @@ object ALQueries {
 
   /** al2_long — longest sequences first (`active_learning.py:48-59`). */
   def al2Long(s: SparkSession, dir: String): DataFrame =
-    pool(s, dir)
+    scoredPool(s, dir)
       .select("vec_id", "path_len")
       .orderBy(desc("path_len"), col("vec_id"))
       .limit(K)
@@ -400,17 +420,16 @@ object ALQueries {
     * broadcast join to documents — no corpus shuffle anywhere. */
   def e2e3AlLoop(s: SparkSession, dir: String): DataFrame = {
     val k = 25
-    val p = pool(s, dir)
+    val p = scoredPool(s, dir)
     val ln = lnStrategies.map { name =>
-      val (score, desc0) = strategyScore(sparkD)(name)
-      name -> p.withColumn("r", expr(score))
+      val desc0 = strategyScore(sparkD)(name)._2
+      name -> p.withColumn("r", col(s"score_$name"))
         .orderBy(if (desc0) col("r").desc else col("r").asc, col("vec_id"))
         .limit(k).select("vec_id")
     }
     val fixed = Seq(
-      "al1_random" -> t(s, dir, "embeddings")
-        .select(col("vec_id"), detHash(col("vec_id"), 23).as("r"))
-        .orderBy("r", "vec_id").limit(k).select("vec_id"),
+      "al1_random" -> p.orderBy(col("h23"), col("vec_id")).limit(k)
+        .select("vec_id"),
       "al2_long" -> p.orderBy(desc("path_len"), col("vec_id")).limit(k)
         .select("vec_id"))
     val winners = (fixed ++ ln)
