@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -499,8 +500,73 @@ object DedupQueries {
        |FROM segs s LEFT JOIN boiler b USING (seg)
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 
+  /** Shingle width for dd15 (ExactSubstr uses 50 BPE tokens on web corpora;
+    * 8 words matches this corpus's 10–99-token documents). */
+  val SubstrW = 8
+
+  /** dd15_exact_substr — SPAN-level exact-substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr technique): any `SubstrW`-token window whose exact text
+    * appears more than once in the corpus marks its positions duplicated;
+    * runs of duplicated starts merge into spans via gaps-and-islands. The
+    * granularity dd1–dd14 don't cover: doc-level (dd1), line-level (dd14),
+    * and this, span-level — what you'd cut before training.
+    *
+    * Scale shape: the only corpus-scale stage is the groupBy on shingle
+    * TEXT (the honest ExactSubstr cost — a suffix array's distributed
+    * equivalent is exactly this shuffle); the island windows partition by
+    * doc_id and are bounded by document length. Grouping by the string
+    * itself (not a hash) keeps both engines collision-free and identical.
+    *
+    * @return (doc_id, span_start, span_end) — 1-based token positions,
+    *         end inclusive of the last window's tail */
+  def dd15ExactSubstr(s: SparkSession, dir: String): DataFrame = {
+    val w = SubstrW
+    val shingles = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(arr) - $w + 1),
+           |  i -> concat_ws(' ', slice(arr, i, $w)))""".stripMargin))
+        .as(Seq("pos0", "s")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("s"))
+    val dup = shingles.groupBy("s")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("s"))
+    val flagged = shingles.join(dup, Seq("s"), "left_semi")
+    val islands = flagged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .withColumn("grp", col("pos") - col("rn"))
+    islands.groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(w.toLong - 1)).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+      .orderBy("doc_id", "span_start")
+  }
+
+  val dd15ExactSubstrSql: String = {
+    val w = SubstrW
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $w),
+       |sh AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(list_slice(arr, i, i + $w - 1), ' ') AS s
+       |  FROM tok, unnest(range(1, len(arr) - $w + 2)) AS u(i)),
+       |dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 1),
+       |flagged AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM flagged)
+       |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + $w - 1 AS span_end
+       |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "dd14_line_dedup" -> (dd14LineDedup _),
+    "dd15_exact_substr" -> (dd15ExactSubstr _),
     "dd13_minhash_estimate" -> (dd13MinhashEstimate _),
     "dd7_contamination" -> (dd7Contamination _),
     "dd10_bloom_contamination" -> (dd10BloomContamination _),
@@ -515,6 +581,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dd14_line_dedup" -> dd14LineDedupSql,
+    "dd15_exact_substr" -> dd15ExactSubstrSql,
     "dd13_minhash_estimate" -> dd13MinhashEstimateSql,
     "dd7_contamination" -> dd7ContaminationSql,
     "dd10_bloom_contamination" -> dd10BloomContaminationSql,
