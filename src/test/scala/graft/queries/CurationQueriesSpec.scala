@@ -192,6 +192,23 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("sm7: the int64 isqrt weight is exactly floor(1e6*sqrt(n)) for all group sizes") {
+    // replays the query's seed+correct spelling over a dense range plus
+    // adversarial perfect squares, and checks w*w <= 1e12*n < (w+1)^2 —
+    // the invariant that makes sm7 independent of any engine's sqrt
+    val spark0 = spark
+    import spark0.implicits._
+    val ns = ((1L to 4096L) ++ Seq(9409L, 1000000L, 4000000L, 9000000L)).toDF("n")
+    val checked = ns
+      .withColumn("x", col("n") * lit(1000000000000L))
+      .withColumn("c", floor(sqrt(col("x").cast("double"))).cast("long"))
+      .withColumn("w", expr(
+        "CASE WHEN (c+1)*(c+1) <= x THEN c+1 WHEN c*c > x THEN c-1 ELSE c END"))
+      .filter(!(col("w") * col("w") <= col("x") &&
+        (col("w") + 1) * (col("w") + 1) > col("x")))
+    assert(checked.count() === 0L)
+  }
+
   test("ev9: bucketized containment join is an equi-join, never a nested loop") {
     val df = EventQueries.ev9RangeBucketJoin(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -10,6 +10,28 @@ class DedupQueriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("dd15: spans are disjoint, at least window-wide, and inside their document") {
+    val w = DedupQueries.SubstrW.toLong
+    val spans = DedupQueries.dd15ExactSubstr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.nonEmpty)
+    val lens = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spans.foreach { case (d, a, b) =>
+      assert(a >= 1 && b <= lens(d), s"span outside doc: ($d, $a, $b)")
+      assert(b - a + 1 >= w, s"span narrower than the window: ($d, $a, $b)")
+    }
+    // merged islands must not touch: a gap of 0 would have been one island
+    spans.groupBy(_._1).values.foreach { g =>
+      g.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) =>
+          assert(s2 > e1 - w + 1, "flagged runs separated by a gap only")
+        case _ =>
+      }
+    }
+  }
+
   test("dd14: untouched docs rebuild to exactly their original text") {
     val out = DedupQueries.dd14LineDedup(spark, dir)
     val docs = graft.Tables(spark, dir, "documents")
