@@ -750,6 +750,92 @@ object TextQueries {
        |FROM d CROSS JOIN st ORDER BY bm25_e6 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** a21_ndcg — retrieval-quality evaluation: nDCG@10 (Järvelin &
+    * Kekäläinen 2002) of the per-term BM25 ranking against deterministic
+    * graded relevance rel = min(tf, 3). The eval metric the a13–a20 suite
+    * lacked: classification/calibration/agreement were covered, ranking
+    * quality was not. Per term: DCG@10 = Σ (2^rel − 1)/log₂(pos+1) over the
+    * BM25 top-10 (each addend e6-rounded before the integer sum — the Q
+    * float rule), IDCG@10 the same over the corpus's ideal top-10
+    * relevances, nDCG their e6 ratio. Rankings use the e6-rounded BM25
+    * score with doc_id tiebreak, so ordering is engine-exact; position
+    * windows sit ABOVE a limit(10), never over the corpus. */
+  def a21Ndcg(s: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("data", "spark", "join")
+    val (k1, b) = (1.2, 0.75)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")))
+    val statCols = sum("dl").as("total_dl") +:
+      qterms.map(q => sum(when(array_contains(col("tk"), q), 1L).otherwise(0L))
+        .as(s"df_$q"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    val avgdl = col("total_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    def termScore(q: String) = {
+      val tf = size(filter(col("tk"), x => x === lit(q))).cast(DoubleType)
+      val df = col(s"df_$q").cast(DoubleType)
+      val idf = log((col("n_docs").cast(DoubleType) - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * (k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
+    }
+    def dcgAddend = round(lit(1e6) *
+      (pow(lit(2.0), col("rel").cast(DoubleType)) - lit(1.0)) /
+      (log(col("pos").cast(DoubleType) + lit(1.0)) / log(lit(2.0)))).cast(LongType)
+    val perTerm = qterms.map { q =>
+      val rel = least(size(filter(col("tk"), x => x === lit(q))), lit(3))
+      val scored = docs.crossJoin(broadcast(stats))
+        .select(col("doc_id"), rel.as("rel"),
+          round(termScore(q) * 1e6).cast(LongType).as("score_e6"))
+      val dcg = scored.orderBy(col("score_e6").desc, col("doc_id")).limit(10)
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("score_e6").desc, col("doc_id"))))
+        .agg(sum(dcgAddend).as("dcg_e6"))
+      val idcg = scored.orderBy(col("rel").desc, col("doc_id")).limit(10)
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("rel").desc, col("doc_id"))))
+        .agg(sum(dcgAddend).as("idcg_e6"))
+      dcg.crossJoin(idcg)
+        .select(lit(q).as("qterm"), col("dcg_e6"), col("idcg_e6"),
+          round(lit(1e6) * col("dcg_e6") / col("idcg_e6")).cast(LongType)
+            .as("ndcg_e6"))
+    }
+    perTerm.reduce(_.union(_)).orderBy("qterm")
+  }
+
+  val a21NdcgSql: String = {
+    val qterms = Seq("data", "spark", "join")
+    val dfCols = qterms.map(q =>
+      s"CAST(SUM(CASE WHEN list_contains(tk, '$q') THEN 1 ELSE 0 END) AS BIGINT) AS df_$q").mkString(",\n  ")
+    val avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    def termScore(q: String) = {
+      val tf = s"CAST(len(list_filter(tk, x -> x = '$q')) AS DOUBLE)"
+      val df = s"CAST(df_$q AS DOUBLE)"
+      val idf = s"ln((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5) + 1.0)"
+      s"$idf * ($tf * (1.2 + 1.0)) / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / $avgdl)))"
+    }
+    val addend = "CAST(ROUND(1e6 * (power(2.0, CAST(rel AS DOUBLE)) - 1.0) / " +
+      "(ln(CAST(pos AS DOUBLE) + 1.0) / ln(2.0))) AS BIGINT)"
+    val arms = qterms.map { q =>
+      s"""SELECT '$q' AS qterm,
+         |  (SELECT CAST(SUM($addend) AS BIGINT) FROM (
+         |     SELECT least(len(list_filter(tk, x -> x = '$q')), 3) AS rel,
+         |       ROW_NUMBER() OVER (ORDER BY CAST(ROUND((${termScore(q)}) * 1e6) AS BIGINT) DESC, doc_id) AS pos
+         |     FROM d CROSS JOIN st QUALIFY pos <= 10)) AS dcg_e6,
+         |  (SELECT CAST(SUM($addend) AS BIGINT) FROM (
+         |     SELECT least(len(list_filter(tk, x -> x = '$q')), 3) AS rel,
+         |       ROW_NUMBER() OVER (ORDER BY least(len(list_filter(tk, x -> x = '$q')), 3) DESC, doc_id) AS pos
+         |     FROM d QUALIFY pos <= 10)) AS idcg_e6""".stripMargin
+    }
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+       |  len(string_split(text, ' ')) AS dl FROM documents),
+       |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl,
+       |  $dfCols
+       |  FROM d),
+       |terms AS (${arms.mkString("\nUNION ALL\n")})
+       |SELECT qterm, dcg_e6, idcg_e6,
+       |  CAST(ROUND(1e6 * dcg_e6 / idcg_e6) AS BIGINT) AS ndcg_e6
+       |FROM terms ORDER BY qterm""".stripMargin
+  }
+
   /** ta3_token_count — whitespace tokens vs BPE-ish regex tokens
     * (letters-runs | digit-runs | single other char). */
   def ta3TokenCount(s: SparkSession, dir: String): DataFrame =
@@ -884,6 +970,7 @@ object TextQueries {
     "ta10_gopher_rules" -> (ta10GopherRules _),
     "ta12_readability" -> (ta12Readability _),
     "ta13_bm25" -> (ta13Bm25 _),
+    "a21_ndcg" -> (a21Ndcg _),
     "ta3_token_count" -> (ta3TokenCount _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
     "ta5_winnow_fingerprint" -> (ta5WinnowFingerprint _),
@@ -910,6 +997,7 @@ object TextQueries {
     "ta10_gopher_rules" -> ta10GopherRulesSql,
     "ta12_readability" -> ta12ReadabilitySql,
     "ta13_bm25" -> ta13Bm25Sql,
+    "a21_ndcg" -> a21NdcgSql,
     "ta3_token_count" -> ta3TokenCountSql,
     "ta4_fingerprint" -> ta4FingerprintSql,
     "ta5_winnow_fingerprint" -> ta5WinnowFingerprintSql,
