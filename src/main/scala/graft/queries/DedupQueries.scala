@@ -512,10 +512,13 @@ object DedupQueries {
     * granularity dd1–dd14 don't cover: doc-level (dd1), line-level (dd14),
     * and this, span-level — what you'd cut before training.
     *
-    * Scale shape: the only corpus-scale stage is the groupBy on shingle
-    * TEXT (the honest ExactSubstr cost — a suffix array's distributed
-    * equivalent is exactly this shuffle); the island windows partition by
-    * doc_id and are bounded by document length. Grouping by the string
+    * Scale shape: ONE shingle explode, ONE hash shuffle on the shingle
+    * text (the honest ExactSubstr cost — a suffix array's distributed
+    * equivalent is exactly this shuffle): the duplicate flag is a count
+    * window PARTITIONED BY the shingle, bounded by the largest duplicate
+    * group — strictly cheaper than the aggregate+semi-join spelling, which
+    * scans and shuffles the explode twice. The island windows partition by
+    * doc_id and are bounded by document length. Keying on the string
     * itself (not a hash) keeps both engines collision-free and identical.
     *
     * @return (doc_id, span_start, span_end) — 1-based token positions,
@@ -530,10 +533,9 @@ object DedupQueries {
            |  i -> concat_ws(' ', slice(arr, i, $w)))""".stripMargin))
         .as(Seq("pos0", "s")))
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("s"))
-    val dup = shingles.groupBy("s")
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .select(col("s"))
-    val flagged = shingles.join(dup, Seq("s"), "left_semi")
+    val flagged = shingles
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("n") > 1)
     val islands = flagged
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy("pos")))
