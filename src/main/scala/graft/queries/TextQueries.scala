@@ -780,11 +780,20 @@ object TextQueries {
     def dcgAddend = round(lit(1e6) *
       (pow(lit(2.0), col("rel").cast(DoubleType)) - lit(1.0)) /
       (log(col("pos").cast(DoubleType) + lit(1.0)) / log(lit(2.0)))).cast(LongType)
+    // score every term in ONE corpus pass and materialize the narrow
+    // (doc_id, rel_*, score_*) frame per (session, dir) — without it each
+    // term's dcg/idcg branch re-scans the corpus (12 pruned scans; audited
+    // by PlanPeek r6). Same evaluate-many-rankings shape as the AL pool.
+    val scoredAll = graft.operators.SessionShare.materialized(s, dir, "ndcg_scored") {
+      val cols = qterms.flatMap { q =>
+        Seq(least(size(filter(col("tk"), x => x === lit(q))), lit(3)).as(s"rel_$q"),
+          round(termScore(q) * 1e6).cast(LongType).as(s"score_$q"))
+      }
+      docs.crossJoin(broadcast(stats)).select(col("doc_id") +: cols: _*)
+    }
     val perTerm = qterms.map { q =>
-      val rel = least(size(filter(col("tk"), x => x === lit(q))), lit(3))
-      val scored = docs.crossJoin(broadcast(stats))
-        .select(col("doc_id"), rel.as("rel"),
-          round(termScore(q) * 1e6).cast(LongType).as("score_e6"))
+      val scored = scoredAll.select(col("doc_id"),
+        col(s"rel_$q").as("rel"), col(s"score_$q").as("score_e6"))
       val dcg = scored.orderBy(col("score_e6").desc, col("doc_id")).limit(10)
         .withColumn("pos", row_number().over(
           Window.orderBy(col("score_e6").desc, col("doc_id"))))

@@ -37,6 +37,8 @@ class PlanGateSpec extends SparkSpec {
   private def isBoundedSource(p: SparkPlan): Boolean = p.exists {
     case _: BaseAggregateExec => true
     case _: GlobalLimitExec | _: LocalLimitExec => true
+    // orderBy+limit(k) plans as TakeOrderedAndProject — bounded by k
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
     case _: LocalTableScanExec => true
     case _: RangeExec => true
     case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
