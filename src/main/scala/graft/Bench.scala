@@ -52,10 +52,18 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
     }
     // optional comma-separated name filter (SPARK_GRAFT_BENCH_ONLY) for
-    // fast targeted iteration — the Bench twin of Verify's third arg. The
-    // driver never sets it, so round benches always cover the full suite.
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    // fast targeted iteration — the Bench twin of Verify's third arg,
+    // including its fail-fast: a typo'd or empty filter must error, not
+    // print a valid-looking zero-query total. The driver never sets it, so
+    // round benches always cover the full suite.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
     val pass1 = ordered.map { case (n, fn) => n -> timeOne(n, fn) }.toMap

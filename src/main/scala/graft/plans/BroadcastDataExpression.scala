@@ -64,9 +64,18 @@ object BroadcastDataExpression {
     * SessionShare's no-evict contract: destroying a superseded broadcast
     * under a live plan would fail the plan. */
   def column(spark: SparkSession, value: Any, dataType: DataType, label: String): Column = {
-    // Seq/Row hashCodes are content-based — one O(n) pass, paid once per
-    // builder call, vs. re-serializing and re-shipping the value
-    val key = s"$label#${value.hashCode}"
+    // key = sha256 over the Java-serialized value: content-based for ANY
+    // value shape (Arrays' identity hashCode would defeat the cache) and
+    // collision-safe where a 32-bit hashCode is not — a hashCode collision
+    // would silently reuse the WRONG broadcast with no oracle signal. One
+    // serialization pass per builder call, far cheaper than re-shipping.
+    val key = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(value); oos.close()
+      s"$label#${md.digest(bos.toByteArray).map(b => f"$b%02x").mkString}"
+    }
     val bc = graft.operators.SessionShare.cached(spark, key, "broadcast_data") {
       val catalystValue = CatalystTypeConverters.createToCatalystConverter(dataType)(value)
       spark.sparkContext.broadcast[Any](catalystValue)

@@ -367,9 +367,11 @@ object CurationQueries {
     * in pure int64 math, and the sample itself is the target_g
     * smallest-detHash docs per group. Differs from sm5 (fixed uniform
     * share) in that the mixture is a smooth function of the observed
-    * sizes. The float seed is provably within ¼ of the true root for
-    * n ≤ 9·10⁶ (x ≤ 9·10¹⁸ is exact-ish in double: |δx| ≤ 1024 ulps ⇒
-    * |δ√x| < 10⁻⁶), so one ±1 step always lands exactly.
+    * sizes. Wide-integer domain: x = 10¹²·n and both correction squares are
+    * DECIMAL(38,0) / HUGEINT, so the math is exact for EVERY int64 group
+    * size (10¹²·n overflows int64 past n ≈ 9.2·10⁶ — a real group size at
+    * 100 TB); the float seed's absolute error stays < 1 across that whole
+    * domain, so one ±1 step always lands exactly.
     *
     * Scale shape: the per-group rank does NOT use a window partitioned by
     * the group key — with a handful of domains that is a handful of giant
@@ -381,15 +383,26 @@ object CurationQueries {
     * rank minus the group's broadcast row offset. */
   def sm7TemperatureSample(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // x and the correction squares live in DECIMAL(38,0) (HUGEINT on the
+    // oracle side): 10¹²·n overflows int64 past n ≈ 9.2·10⁶ docs per group
+    // — real at the 100 TB target. The double SEED is computed from
+    // n.toDouble · 1e12 (never through the wide integer), and its error is
+    // < 1 across the whole int64 domain of n (√x ≤ 3·10¹⁵, rel err
+    // ≤ 1.5·2⁻⁵², abs err ≤ 0.99), so the one ±1 step still lands exactly.
     val weighted = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-      .withColumn("x", col("n_lang") * lit(1000000000000L))
-      .withColumn("c", floor(sqrt(col("x").cast(DoubleType))).cast(LongType))
+      .withColumn("x", col("n_lang").cast(DecimalType(38, 0)) * lit(1000000000000L))
+      .withColumn("c",
+        floor(sqrt(col("n_lang").cast(DoubleType) * lit(1e12))).cast(LongType))
       .withColumn("w", expr(
-        "CASE WHEN (c+1)*(c+1) <= x THEN c+1 WHEN c*c > x THEN c-1 ELSE c END"))
+        """CASE WHEN (CAST(c AS DECIMAL(38,0))+1)*(CAST(c AS DECIMAL(38,0))+1) <= x THEN c+1
+          |     WHEN CAST(c AS DECIMAL(38,0))*CAST(c AS DECIMAL(38,0)) > x THEN c-1
+          |     ELSE c END""".stripMargin))
       .drop("x", "c")
     val tot = weighted.agg(sum("n_lang").as("n_total"), sum("w").as("sum_w"))
+    // the (N/2)·w product also outgrows int64 at scale — widen it too
     val targets = weighted.crossJoin(broadcast(tot))
-      .withColumn("target", least(col("n_lang"), expr("(n_total div 2) * w div sum_w")))
+      .withColumn("target", least(col("n_lang"),
+        expr("CAST(CAST(n_total div 2 AS DECIMAL(38,0)) * w div sum_w AS BIGINT)")))
       // rows before this lang in (lang, hk, doc_id) order — |groups| rows,
       // the one place a global window is fine
       .withColumn("off", coalesce(sum("n_lang").over(
@@ -408,18 +421,18 @@ object CurationQueries {
   val sm7TemperatureSampleSql: String =
     s"""WITH counts0 AS (
        |  SELECT lang, COUNT(*) AS n_lang,
-       |    COUNT(*) * 1000000000000 AS x,
-       |    CAST(FLOOR(SQRT(CAST(COUNT(*) * 1000000000000 AS DOUBLE))) AS BIGINT) AS c
+       |    CAST(COUNT(*) AS HUGEINT) * 1000000000000 AS x,
+       |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE) * 1e12)) AS BIGINT) AS c
        |  FROM documents GROUP BY lang),
        |counts AS (
        |  SELECT lang, n_lang,
-       |    CASE WHEN (c+1)*(c+1) <= x THEN c+1
-       |         WHEN c*c > x THEN c-1 ELSE c END AS w
+       |    CASE WHEN (CAST(c AS HUGEINT)+1)*(CAST(c AS HUGEINT)+1) <= x THEN c+1
+       |         WHEN CAST(c AS HUGEINT)*CAST(c AS HUGEINT) > x THEN c-1 ELSE c END AS w
        |  FROM counts0),
        |tot AS (SELECT SUM(n_lang) AS n_total, SUM(w) AS sum_w FROM counts),
        |targets AS (
        |  SELECT lang, n_lang,
-       |    LEAST(n_lang, (n_total // 2) * w // sum_w) AS target
+       |    LEAST(n_lang, CAST(CAST(n_total // 2 AS HUGEINT) * w // sum_w AS BIGINT)) AS target
        |  FROM counts CROSS JOIN tot),
        |ranked AS (
        |  SELECT d.lang, d.doc_id, t.n_lang, t.target,

@@ -508,7 +508,9 @@ object DedupQueries {
     * "Deduplicating Training Data Makes Language Models Better" — the
     * ExactSubstr technique): any `SubstrW`-token window whose exact text
     * appears more than once in the corpus marks its positions duplicated;
-    * runs of duplicated starts merge into spans via gaps-and-islands. The
+    * windows whose TEXT SPANS overlap or touch (start gap ≤ w) merge into
+    * maximal spans — so emitted spans are pairwise disjoint and a consumer
+    * can cut them without double-counting. The
     * granularity dd1–dd14 don't cover: doc-level (dd1), line-level (dd14),
     * and this, span-level — what you'd cut before training.
     *
@@ -536,10 +538,17 @@ object DedupQueries {
     val flagged = shingles
       .withColumn("n", count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("n") > 1)
+    // interval merge, not consecutive-start islands: two duplicated windows
+    // starting ≤ w apart OVERLAP as text spans (starts 3 and 6 at w=8 cover
+    // tokens 3..13 jointly), so a new span begins only when the gap between
+    // flagged starts exceeds w — otherwise a consumer cutting spans would
+    // double-cut the overlap (review r6)
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val islands = flagged
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy("pos")))
-      .withColumn("grp", col("pos") - col("rn"))
+      .withColumn("prev", lag("pos", 1).over(byPos))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > w, 1L).otherwise(0L))
+      .withColumn("grp", sum("brk").over(byPos))
     islands.groupBy("doc_id", "grp")
       .agg(min("pos").as("span_start"),
         (max("pos") + lit(w.toLong - 1)).as("span_end"))
@@ -558,10 +567,15 @@ object DedupQueries {
        |  FROM tok, unnest(range(1, len(arr) - $w + 2)) AS u(i)),
        |dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 1),
        |flagged AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)),
+       |lagged AS (
+       |  SELECT doc_id, pos,
+       |    LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM flagged),
        |isl AS (
        |  SELECT doc_id, pos,
-       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-       |  FROM flagged)
+       |    SUM(CASE WHEN prev IS NULL OR pos - prev > $w THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM lagged)
        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + $w - 1 AS span_end
        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
   }

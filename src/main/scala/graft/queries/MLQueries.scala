@@ -101,17 +101,19 @@ object MLQueries {
         .localCheckpoint()
     }
 
-  /** ONE windowed co-occurrence base for the whole a10 coherence family
+  /** Shared windowed co-occurrence bases for the a10 coherence family
     * (r5 verdict: a10b/c/d/e each re-scanned the corpus). df/codf counts
-    * are vocabulary-independent ([[graft.operators.TopicCoherence.docStats]]),
-    * so one base over the UNION of the proxy-topic and LDA-topic
-    * vocabularies (both ≤ 48 words) serves all four queries with values
-    * identical to per-query bases. dfreq/cooc are tiny (≤|V|, ≤|V|² rows)
-    * — materialized per (session, dir). */
-  private def coherenceStats(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
-    graft.operators.SessionShare.cached(s, dir, "coherence_stats") {
-      val vocab = proxyTopics(s, dir).select("word")
-        .union(ldaTopics(s, dir).select("word")).distinct()
+    * are vocabulary-independent ([[graft.operators.TopicCoherence.docStats]]);
+    * dfreq/cooc are tiny (≤|V|, ≤|V|² rows) — materialized per
+    * (session, dir). TWO bases, not one union: the proxy base keeps the
+    * oracle-checked a10b/a10d purely relational (a union base would make a
+    * standalone a10b run pay a full LDA fit its result provably does not
+    * depend on — review r6); the LDA base serves a10c/a10e, whose topics
+    * need the model anyway. Full-suite cost: two incidence scans per
+    * session, still down from four pre-r6. */
+  private def coherenceStats(s: SparkSession, dir: String, tag: String,
+      vocab: => DataFrame): (DataFrame, DataFrame, DataFrame) =
+    graft.operators.SessionShare.cached(s, dir, tag) {
       val (dfreq, cooc) =
         graft.operators.TopicCoherence.docStats(vocab, docWords(s, dir))
       // dTot stays LAZY: a grouping-free count-star is metadata-speed on
@@ -122,6 +124,12 @@ object MLQueries {
       (dfreq.localCheckpoint(), cooc.localCheckpoint(), dTot)
     }
 
+  private def proxyStats(s: SparkSession, dir: String) =
+    coherenceStats(s, dir, "coherence_stats_proxy", proxyTopics(s, dir))
+
+  private def ldaStats(s: SparkSession, dir: String) =
+    coherenceStats(s, dir, "coherence_stats_lda", ldaTopics(s, dir))
+
   /** a10b_umass_coherence — the oracle-able face of the topic-coherence
     * metric (A10, `TM_2:cells 17-24`): UMass coherence over deterministic
     * proxy topics (top-6 words per language by frequency, ties by word).
@@ -129,7 +137,7 @@ object MLQueries {
     * — the exact same operator a10c applies to real LDA topics; proxy
     * topics make it DuckDB-checkable. */
   def a10bUmassCoherence(s: SparkSession, dir: String): DataFrame = {
-    val (dfreq, cooc, _) = coherenceStats(s, dir)
+    val (dfreq, cooc, _) = proxyStats(s, dir)
     graft.operators.TopicCoherence
       .umassE6FromStats(proxyTopics(s, dir), dfreq, cooc)
       .orderBy("topic")
@@ -164,7 +172,7 @@ object MLQueries {
     * shape (train per k, pick argmax coherence) is exercised in
     * CoherenceSpec at sf0.001. */
   def a10cLdaCoherence(s: SparkSession, dir: String): DataFrame = {
-    val (dfreq, cooc, _) = coherenceStats(s, dir)
+    val (dfreq, cooc, _) = ldaStats(s, dir)
     graft.operators.TopicCoherence
       .umassE6FromStats(ldaTopics(s, dir), dfreq, cooc)
       .orderBy("topic")
@@ -194,7 +202,7 @@ object MLQueries {
     * [[graft.operators.TopicCoherence.cvE6]]). Closes the r4 verdict's "one
     * declared approximation with no error bound". */
   def a10dCvCoherence(s: SparkSession, dir: String): DataFrame = {
-    val (dfreq, cooc, dTot) = coherenceStats(s, dir)
+    val (dfreq, cooc, dTot) = proxyStats(s, dir)
     graft.operators.TopicCoherence
       .cvE6FromStats(proxyTopics(s, dir), dfreq, cooc, dTot)
       .orderBy("topic")
@@ -246,7 +254,7 @@ object MLQueries {
     * the a10c shape with the c_v aggregation instead of UMass. Rows-only
     * (LDA has no DuckDB twin); the metric itself is oracle-proven by a10d. */
   def a10eLdaCv(s: SparkSession, dir: String): DataFrame = {
-    val (dfreq, cooc, dTot) = coherenceStats(s, dir)
+    val (dfreq, cooc, dTot) = ldaStats(s, dir)
     graft.operators.TopicCoherence
       .cvE6FromStats(ldaTopics(s, dir), dfreq, cooc, dTot)
       .orderBy("topic")

@@ -224,14 +224,25 @@ object Relational {
     * exact value band at rank ±0.02 — 200× looser than the sketch's
     * guaranteed ≤1e-4 rank error, so a pass is stable while any gross
     * sketch breakage flips the boolean and hash-fails against the oracle's
-    * constant TRUE. Upgrades the r5 rows-only check to a hash check. */
-  def t7ApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    * constant TRUE. Upgrades the r5 rows-only check to a hash check.
+    *
+    * The exact side (nine sort-based ranks) lives in a session-shared
+    * 3-row frame so the BENCHED warm path is the sketch aggregate plus a
+    * broadcast join — t7's number keeps measuring the mergeable-sketch
+    * shape its docstring sells, not exact-percentile work the oracle
+    * check added (review r6); one-time exact cost shows in pass 1, the
+    * bench's documented steady-state convention. */
+  def t7ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val bands = graft.operators.SessionShare.materialized(s, dir, "t7_bands") {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("""percentile(cast(l_extendedprice as double),
+                  array(0.23, 0.25, 0.27, 0.48, 0.5, 0.52, 0.73, 0.75, 0.77))""").as("eq"))
+    }
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(
-        expr("approx_percentile(cast(l_extendedprice as double), array(0.25, 0.5, 0.75), 10000)").as("aq"),
-        expr("""percentile(cast(l_extendedprice as double),
-                array(0.23, 0.25, 0.27, 0.48, 0.5, 0.52, 0.73, 0.75, 0.77))""").as("eq"))
+      .agg(expr("approx_percentile(cast(l_extendedprice as double), array(0.25, 0.5, 0.75), 10000)").as("aq"))
+      .join(broadcast(bands), Seq("l_returnflag"))
       .select(col("l_returnflag"),
         expr("cast(round(1e6 * eq[1]) as bigint)").as("p25_e6"),
         expr("cast(round(1e6 * eq[4]) as bigint)").as("p50_e6"),
@@ -240,6 +251,7 @@ object Relational {
                 aq[1] between eq[3] and eq[5] and
                 aq[2] between eq[6] and eq[8]""").as("within_bound"))
       .orderBy("l_returnflag")
+  }
 
   val t7ApproxQuantilesSql: String =
     """SELECT l_returnflag,
@@ -560,17 +572,26 @@ object Relational {
     * estimate sits within 15% of exact (3× the default 5% rsd — stable),
     * hash-compared against the oracle's constant TRUE; the exact columns
     * replay relationally. Upgrades the r5 rows-only check to a hash check;
-    * RelationalSpec keeps the tighter ≤5% drift assertion. */
-  def a12ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    * RelationalSpec keeps the tighter ≤5% drift assertion. Like t7, the
+    * exact side (countDistinct = a full distinct shuffle) is a
+    * session-shared 3-row frame, so the benched warm path is HLL plus a
+    * broadcast join — the sketch shape the query exists to price. */
+  def a12ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val exact = graft.operators.SessionShare.materialized(s, dir, "a12_exact") {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n"))
+    }
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        count(lit(1)).as("n"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"))
+      .join(broadcast(exact), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_parts"), col("n"),
         (abs(col("approx") - col("exact_parts")) <=
           col("exact_parts").cast("double") * 0.15).as("within_bound"))
       .orderBy("l_returnflag")
+  }
 
   val a12ApproxDistinctSql: String =
     """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,

@@ -192,20 +192,28 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
-  test("sm7: the int64 isqrt weight is exactly floor(1e6*sqrt(n)) for all group sizes") {
-    // replays the query's seed+correct spelling over a dense range plus
-    // adversarial perfect squares, and checks w*w <= 1e12*n < (w+1)^2 —
-    // the invariant that makes sm7 independent of any engine's sqrt
+  test("sm7: the isqrt weight is exactly floor(1e6*sqrt(n)) across the int64 domain") {
+    // replays the query's seed+correct spelling (decimal-wide x and squares)
+    // over a dense range, adversarial perfect squares, and group sizes far
+    // past the 9.2e6 int64-overflow point of the naive 1e12*n, checking
+    // w*w <= 1e12*n < (w+1)^2 — the invariant that makes sm7 independent
+    // of any engine's sqrt
     val spark0 = spark
     import spark0.implicits._
-    val ns = ((1L to 4096L) ++ Seq(9409L, 1000000L, 4000000L, 9000000L)).toDF("n")
+    val ns = ((1L to 4096L) ++ Seq(9409L, 1000000L, 4000000L, 9000000L,
+      9300000L, 123456789L, 987654321012L, 4000000000000000L,
+      9223372036854775L)).toDF("n")
     val checked = ns
-      .withColumn("x", col("n") * lit(1000000000000L))
-      .withColumn("c", floor(sqrt(col("x").cast("double"))).cast("long"))
+      .withColumn("x", col("n").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        * lit(1000000000000L))
+      .withColumn("c", floor(sqrt(col("n").cast("double") * lit(1e12))).cast("long"))
       .withColumn("w", expr(
-        "CASE WHEN (c+1)*(c+1) <= x THEN c+1 WHEN c*c > x THEN c-1 ELSE c END"))
-      .filter(!(col("w") * col("w") <= col("x") &&
-        (col("w") + 1) * (col("w") + 1) > col("x")))
+        """CASE WHEN (CAST(c AS DECIMAL(38,0))+1)*(CAST(c AS DECIMAL(38,0))+1) <= x THEN c+1
+          |     WHEN CAST(c AS DECIMAL(38,0))*CAST(c AS DECIMAL(38,0)) > x THEN c-1
+          |     ELSE c END""".stripMargin))
+      .filter(expr(
+        """NOT (CAST(w AS DECIMAL(38,0))*CAST(w AS DECIMAL(38,0)) <= x
+          |  AND (CAST(w AS DECIMAL(38,0))+1)*(CAST(w AS DECIMAL(38,0))+1) > x)""".stripMargin))
     assert(checked.count() === 0L)
   }
 

@@ -22,14 +22,36 @@ class DedupQueriesSpec extends SparkSpec {
       assert(a >= 1 && b <= lens(d), s"span outside doc: ($d, $a, $b)")
       assert(b - a + 1 >= w, s"span narrower than the window: ($d, $a, $b)")
     }
-    // merged islands must not touch: a gap of 0 would have been one island
+    // interval merge contract: consecutive spans never overlap or touch
     spans.groupBy(_._1).values.foreach { g =>
       g.sortBy(_._2).sliding(2).foreach {
         case Array((_, _, e1), (_, s2, _)) =>
-          assert(s2 > e1 - w + 1, "flagged runs separated by a gap only")
+          assert(s2 > e1 + 1, s"spans must be disjoint and non-adjacent: end=$e1 next=$s2")
         case _ =>
       }
     }
+  }
+
+  test("dd15: overlapping duplicated windows merge into one maximal span") {
+    // crafted corpus (the testdata has no multi-span docs, so the merge path
+    // needs its own fixture): doc 0 = 20 unique tokens; doc 1 copies its
+    // tokens 3..10 (window start 3), doc 2 copies tokens 6..13 (start 6).
+    // Starts 3 and 6 are 3 apart (< w = 8): as text they jointly cover
+    // tokens 3..13, so dd15 must emit ONE span (3, 13) for doc 0 — the
+    // pre-fix islands logic emitted overlapping (3,10) and (6,13).
+    val spark0 = spark
+    import spark0.implicits._
+    val base = (1 to 20).map(i => s"u$i")
+    val docs = Seq(
+      (0L, base.mkString(" ")),
+      (1L, base.slice(2, 10).mkString(" ")),  // tokens 3..10
+      (2L, base.slice(5, 13).mkString(" "))   // tokens 6..13
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("dd15merge").toString
+    docs.coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    val spans = DedupQueries.dd15ExactSubstr(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((0L, 3L, 13L), (1L, 1L, 8L), (2L, 1L, 8L)))
   }
 
   test("dd14: untouched docs rebuild to exactly their original text") {
