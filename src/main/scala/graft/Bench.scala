@@ -31,6 +31,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional comma-separated name filter (SPARK_GRAFT_BENCH_ONLY) for
+    // fast targeted iteration — the Bench twin of Verify's third arg,
+    // including its fail-fast: a typo'd or empty filter must error, not
+    // print a valid-looking zero-query total — BEFORE the session boot and
+    // six-table warmup a targeted run exists to skip. The driver never
+    // sets it, so round benches always cover the full suite.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,19 +64,6 @@ object Bench {
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
-    }
-    // optional comma-separated name filter (SPARK_GRAFT_BENCH_ONLY) for
-    // fast targeted iteration — the Bench twin of Verify's third arg,
-    // including its fail-fast: a typo'd or empty filter must error, not
-    // print a valid-looking zero-query total. The driver never sets it, so
-    // round benches always cover the full suite.
-    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { names =>
-      require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
-      val unknown = names -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))

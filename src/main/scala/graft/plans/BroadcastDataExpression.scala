@@ -54,7 +54,10 @@ case class BroadcastDataExpression(bc: Broadcast[Any], dataType: DataType, label
 object BroadcastDataExpression {
 
   /** Broadcast `value` (an EXTERNAL Scala value matching `dataType`, e.g.
-    * Seq[Row] for array<struct>) and wrap it as a Column.
+    * Seq[Row] for array<struct>; must be java.io.Serializable — the memo
+    * key below serializes it, a narrower contract than Spark's broadcast
+    * itself, which would also take Kryo-only values) and wrap it as a
+    * Column.
     *
     * The broadcast is memoized per (session, label, content hash) through
     * [[graft.operators.SessionShare]] — repeated builder invocations over
@@ -71,10 +74,13 @@ object BroadcastDataExpression {
     // serialization pass per builder call, far cheaper than re-shipping.
     val key = {
       val md = java.security.MessageDigest.getInstance("SHA-256")
-      val bos = new java.io.ByteArrayOutputStream()
-      val oos = new java.io.ObjectOutputStream(bos)
+      // stream straight into the digest — no full-size transient byte copy
+      // of a potentially multi-hundred-MB index per (re-)planning call
+      val oos = new java.io.ObjectOutputStream(
+        new java.security.DigestOutputStream(
+          java.io.OutputStream.nullOutputStream(), md))
       oos.writeObject(value); oos.close()
-      s"$label#${md.digest(bos.toByteArray).map(b => f"$b%02x").mkString}"
+      s"$label#${md.digest().map(b => f"$b%02x").mkString}"
     }
     val bc = graft.operators.SessionShare.cached(spark, key, "broadcast_data") {
       val catalystValue = CatalystTypeConverters.createToCatalystConverter(dataType)(value)

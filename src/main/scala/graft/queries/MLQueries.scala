@@ -89,7 +89,8 @@ object MLQueries {
 
   /** Topics of the shared LDA model: describeTopics(6) → termIndices mapped
     * through the CV vocabulary. Cheap once the model is fitted; shared by
-    * a10c/a10e and the coherence-stats vocabulary union. */
+    * a10c/a10e and their [[ldaStats]] base (deliberately NOT unioned into
+    * the proxy base — a10b/a10d must never trigger an LDA fit). */
   private def ldaTopics(s: SparkSession, dir: String): DataFrame =
     graft.operators.SessionShare.cached(s, dir, "lda_topics") {
       val (_, vocab, model) = fittedLda(s, dir)
@@ -178,8 +179,8 @@ object MLQueries {
       .orderBy("topic")
   }
 
-  /** Deterministic proxy topics shared by a10b/a10d (and the coherence-base
-    * vocabulary union): top-6 words per language by frequency, ties by
+  /** Deterministic proxy topics shared by a10b/a10d and their
+    * [[proxyStats]] base: top-6 words per language by frequency, ties by
     * word. ≤ |langs|·6 rows — materialized per (session, dir) so the
     * corpus-wide frequency scan runs once for the family. */
   private def proxyTopics(s: SparkSession, dir: String): DataFrame =

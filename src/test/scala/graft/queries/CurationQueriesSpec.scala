@@ -202,7 +202,12 @@ class CurationQueriesSpec extends SparkSpec {
     import spark0.implicits._
     val ns = ((1L to 4096L) ++ Seq(9409L, 1000000L, 4000000L, 9000000L,
       9300000L, 123456789L, 987654321012L, 4000000000000000L,
-      9223372036854775L)).toDF("n")
+      9223372036854775L,
+      // the top of the int64 domain, where the seed error approaches the
+      // ±1 correction's limit, plus a perfect square up there and its
+      // off-by-one neighbours
+      9223372030926249001L, 9223372030926249000L, 9223372030926249002L,
+      Long.MaxValue - 1, Long.MaxValue)).toDF("n")
     val checked = ns
       .withColumn("x", col("n").cast(org.apache.spark.sql.types.DecimalType(38, 0))
         * lit(1000000000000L))
