@@ -757,9 +757,12 @@ object TextQueries {
     * quality was not. Per term: DCG@10 = Σ (2^rel − 1)/log₂(pos+1) over the
     * BM25 top-10 (each addend e6-rounded before the integer sum — the Q
     * float rule), IDCG@10 the same over the corpus's ideal top-10
-    * relevances, nDCG their e6 ratio. Rankings use the e6-rounded BM25
-    * score with doc_id tiebreak, so ordering is engine-exact; position
-    * windows sit ABOVE a limit(10), never over the corpus. */
+    * relevances, nDCG their e6 ratio; plus MRR@10 (reciprocal rank of the
+    * first relevant result, 0 if none in the top-10 — the standard
+    * companion metric, exact as an e6 integer since pos ∈ 1..10). Rankings
+    * use the e6-rounded BM25 score with doc_id tiebreak, so ordering is
+    * engine-exact; position windows sit ABOVE a limit(10), never over the
+    * corpus. */
   def a21Ndcg(s: SparkSession, dir: String): DataFrame = {
     val qterms = Seq("data", "spark", "join")
     val (k1, b) = (1.2, 0.75)
@@ -797,7 +800,10 @@ object TextQueries {
       val dcg = scored.orderBy(col("score_e6").desc, col("doc_id")).limit(10)
         .withColumn("pos", row_number().over(
           Window.orderBy(col("score_e6").desc, col("doc_id"))))
-        .agg(sum(dcgAddend).as("dcg_e6"))
+        .agg(sum(dcgAddend).as("dcg_e6"),
+          coalesce(round(lit(1e6) /
+            min(when(col("rel") > 0, col("pos")))).cast(LongType), lit(0L))
+            .as("mrr_e6"))
       val idcg = scored.orderBy(col("rel").desc, col("doc_id")).limit(10)
         .withColumn("pos", row_number().over(
           Window.orderBy(col("rel").desc, col("doc_id"))))
@@ -805,7 +811,8 @@ object TextQueries {
       dcg.crossJoin(idcg)
         .select(lit(q).as("qterm"), col("dcg_e6"), col("idcg_e6"),
           round(lit(1e6) * col("dcg_e6") / col("idcg_e6")).cast(LongType)
-            .as("ndcg_e6"))
+            .as("ndcg_e6"),
+          col("mrr_e6"))
     }
     perTerm.reduce(_.union(_)).orderBy("qterm")
   }
@@ -832,7 +839,11 @@ object TextQueries {
          |  (SELECT CAST(SUM($addend) AS BIGINT) FROM (
          |     SELECT least(len(list_filter(tk, x -> x = '$q')), 3) AS rel,
          |       ROW_NUMBER() OVER (ORDER BY least(len(list_filter(tk, x -> x = '$q')), 3) DESC, doc_id) AS pos
-         |     FROM d QUALIFY pos <= 10)) AS idcg_e6""".stripMargin
+         |     FROM d QUALIFY pos <= 10)) AS idcg_e6,
+         |  (SELECT COALESCE(CAST(ROUND(1e6 / MIN(CASE WHEN rel > 0 THEN pos END)) AS BIGINT), 0) FROM (
+         |     SELECT least(len(list_filter(tk, x -> x = '$q')), 3) AS rel,
+         |       ROW_NUMBER() OVER (ORDER BY CAST(ROUND((${termScore(q)}) * 1e6) AS BIGINT) DESC, doc_id) AS pos
+         |     FROM d CROSS JOIN st QUALIFY pos <= 10)) AS mrr_e6""".stripMargin
     }
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
        |  len(string_split(text, ' ')) AS dl FROM documents),
@@ -841,7 +852,7 @@ object TextQueries {
        |  FROM d),
        |terms AS (${arms.mkString("\nUNION ALL\n")})
        |SELECT qterm, dcg_e6, idcg_e6,
-       |  CAST(ROUND(1e6 * dcg_e6 / idcg_e6) AS BIGINT) AS ndcg_e6
+       |  CAST(ROUND(1e6 * dcg_e6 / idcg_e6) AS BIGINT) AS ndcg_e6, mrr_e6
        |FROM terms ORDER BY qterm""".stripMargin
   }
 
