@@ -514,14 +514,22 @@ object DedupQueries {
     * granularity dd1–dd14 don't cover: doc-level (dd1), line-level (dd14),
     * and this, span-level — what you'd cut before training.
     *
-    * Scale shape: ONE shingle explode, ONE hash shuffle on the shingle
-    * text (the honest ExactSubstr cost — a suffix array's distributed
-    * equivalent is exactly this shuffle): the duplicate flag is a count
-    * window PARTITIONED BY the shingle, bounded by the largest duplicate
-    * group — strictly cheaper than the aggregate+semi-join spelling, which
-    * scans and shuffles the explode twice. The island windows partition by
-    * doc_id and are bounded by document length. Keying on the string
-    * itself (not a hash) keeps both engines collision-free and identical.
+    * Scale shape (de-skewed r7): the duplicate flag is a
+    * `groupBy(s).count` — partial (map-side) aggregation collapses a hot
+    * boilerplate shingle to ONE row per map task before the shuffle, so
+    * the reduce side of the count sees at most numMapTasks rows per key
+    * no matter how many billions of times "click here to read …" repeats
+    * — followed by a LEFT SEMI join of the positions back onto the >1
+    * set. That join is a sort-merge join on `s`, which AQE's
+    * OptimizeSkewedJoin CAN split (it rewrites skewed SMJ partitions;
+    * window operators get no such rewrite — the r6 spelling's
+    * `count over (partition by s)` would pin the entire hot-shingle group
+    * in one un-splittable task). Cost: the explode is computed twice
+    * (agg branch + probe branch) — two scans of cheap codegen'd
+    * string-slicing vs. an unbounded-partition risk; at 100 TB that
+    * trade is not close. The island windows partition by doc_id and are
+    * bounded by document length. Keying on the string itself (not a
+    * hash) keeps both engines collision-free and identical.
     *
     * @return (doc_id, span_start, span_end) — 1-based token positions,
     *         end inclusive of the last window's tail */
@@ -535,9 +543,11 @@ object DedupQueries {
            |  i -> concat_ws(' ', slice(arr, i, $w)))""".stripMargin))
         .as(Seq("pos0", "s")))
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("s"))
-    val flagged = shingles
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("s")))
+    val dupShingles = shingles
+      .groupBy("s").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
+      .select("s")
+    val flagged = shingles.join(dupShingles, Seq("s"), "left_semi")
     // interval merge, not consecutive-start islands: two duplicated windows
     // starting ≤ w apart OVERLAP as text spans (starts 3 and 6 at w=8 cover
     // tokens 3..13 jointly), so a new span begins only when the gap between

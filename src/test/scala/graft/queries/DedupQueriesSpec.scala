@@ -54,6 +54,44 @@ class DedupQueriesSpec extends SparkSpec {
     assert(spans === Set((0L, 3L, 13L), (1L, 1L, 8L), (2L, 1L, 8L)))
   }
 
+  test("dd15: plan shape — dup flag is agg + semi-join, never a shingle-partitioned window") {
+    // The scale contract from SCALE.md: under a hot boilerplate shingle,
+    // every stage must have bounded partitions. A `count over (partition by
+    // s)` window pins the hot shingle's entire group in one un-splittable
+    // task (windows get no AQE skew rewrite); the agg+semi-join spelling is
+    // bounded by map-side combine (agg) and AQE skew split (SMJ). This test
+    // pins that spelling in the physical plan so it cannot silently regress.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val plan = DedupQueries.dd15ExactSubstr(spark, dir).queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "islands stage should still be a window")
+      windows.foreach { w =>
+        val keys = w.partitionSpec.flatMap(_.references.toSeq).map(_.name).toSet
+        assert(keys == Set("doc_id"),
+          s"window partition keys must be exactly doc_id (bounded by doc length), got $keys")
+      }
+      val semiJoins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semiJoins.nonEmpty, "dup flag must join positions back onto the >1 set")
+      val shingleAggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.groupingExpressions.exists(_.references.exists(_.name == "s")) => a
+      }
+      assert(shingleAggs.nonEmpty,
+        "dup counting must be a groupBy on the shingle (map-side combinable)")
+    } finally prior match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
+    }
+  }
+
   test("dd14: untouched docs rebuild to exactly their original text") {
     val out = DedupQueries.dd14LineDedup(spark, dir)
     val docs = graft.Tables(spark, dir, "documents")
