@@ -74,6 +74,12 @@ object BroadcastDataExpression {
     // serialization pass per builder call, far cheaper than re-shipping.
     val key = {
       val md = java.security.MessageDigest.getInstance("SHA-256")
+      // the cached object is the CATALYST conversion, which depends on
+      // dataType — two call sites sharing a label and value bytes but
+      // differing in type must not collide (ADVICE r6), so the type is
+      // part of the digested content
+      md.update(dataType.catalogString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
       // stream straight into the digest — no full-size transient byte copy
       // of a potentially multi-hundred-MB index per (re-)planning call
       val oos = new java.io.ObjectOutputStream(

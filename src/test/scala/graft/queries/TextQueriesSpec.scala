@@ -18,12 +18,20 @@ class TextQueriesSpec extends SparkSpec {
 
   test("f14 oracle stem table covers the whole corpus vocabulary") {
     // the oracle INNER-joins tokens to the table, so a word outside it
-    // would silently shorten the oracle string; this pins closure instead
-    val vocab = graft.Tables(spark, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("word"))
-      .distinct().collect().map(_.getString(0)).toSet
+    // would silently shorten the oracle string; this pins closure instead.
+    // Checked against every SF the driver touches, not just sf0.001 — a
+    // scale-dependent vocabulary gap would otherwise surface only as a
+    // verify-time hash fail, loud but hard to localize (ADVICE r6)
     val mapped = TextQueries.F14StemTable.map(_._1).toSet
-    assert((vocab -- mapped).isEmpty,
-      s"unmapped corpus words: ${(vocab -- mapped).toSeq.sorted.mkString(", ")}")
+    val dirs = (Seq(dir) ++ sys.env.get("SPARK_GRAFT_SF_DIR") ++
+      Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+        .filter(d => new java.io.File(d).isDirectory)).distinct
+    dirs.foreach { d =>
+      val vocab = graft.Tables(spark, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .distinct().collect().map(_.getString(0)).toSet
+      assert((vocab -- mapped).isEmpty,
+        s"unmapped words at $d: ${(vocab -- mapped).toSeq.sorted.mkString(", ")}")
+    }
   }
 }
