@@ -92,8 +92,11 @@ object PipelineQueries {
     * (generated once, see [[graft.sources.PaperXmlGen]]) read via wholetext
     * scan, DOM-parsed per task, projected to candidate paragraphs. This is
     * the query that prices XML ingest in the bench (the e1_ingest_explode
-    * proxy prices only the explode); rows-only in the driver gate — DuckDB
-    * has no XML reader — with byte-level goldens in PaperXmlSpec. */
+    * proxy prices only the explode); hash-checked since r7 against the
+    * generator-side golden VALUES oracle
+    * ([[graft.sources.PaperXmlGen.expectedParagraphsSql]] — DuckDB has no
+    * XML reader, but the corpus is deterministic), with byte-level goldens
+    * in PaperXmlSpec. */
   def e1IngestFiles(s: SparkSession, dir: String): DataFrame = {
     val corpusDir = graft.sources.PaperXmlGen.ensureCorpus(s, dir)
     val (_, paragraphs) = graft.sources.PaperXml.ingest(s, corpusDir)
@@ -106,7 +109,7 @@ object PipelineQueries {
     * when inputs arrive in the fewer-larger-containers shape SCALE.md
     * prescribes for 100 TB, next to e1_ingest_files' per-file-overhead
     * price on 2,500 small files. Same rows as e1_ingest_files by
-    * construction (asserted in PaperXmlSpec); rows-only in the driver. */
+    * construction (asserted in PaperXmlSpec); shares its golden oracle. */
   def e1IngestPacked(s: SparkSession, dir: String): DataFrame = {
     val packed = graft.sources.PaperXmlGen.ensurePacked(s, dir)
     val (_, paragraphs) = graft.sources.PaperXml.ingestPacked(s, packed)
@@ -120,8 +123,16 @@ object PipelineQueries {
     "e3_prodigy_export" -> (e3ProdigyExport _),
     "a2_entity_count" -> (a2EntityCount _))
 
-  val oracles: Map[String, String] = Map(
+  // the e1 twins' oracle is generator-derived and pinned to the 250-paper
+  // corpus the driver's sf0.01 gate produces (see expectedParagraphsSql
+  // scaladoc) — built lazily so merely loading the oracle map costs nothing
+  private lazy val e1GoldenSql: String =
+    graft.sources.PaperXmlGen.expectedParagraphsSql(250)
+
+  lazy val oracles: Map[String, String] = Map(
     "e1_ingest_explode" -> e1IngestExplodeSql,
+    "e1_ingest_files" -> e1GoldenSql,
+    "e1_ingest_packed" -> e1GoldenSql,
     "e3_prodigy_export" -> e3ProdigyExportSql,
     "a2_entity_count" -> a2EntityCountSql)
 }

@@ -69,6 +69,47 @@ object PaperXmlGen {
       .take(4).map(b => f"$b%02x").mkString
   }
 
+  /** Golden oracle for the e1 ingest twins (VERDICT r6 #2): the expected
+    * (paragraph_id, body_text, paper_id) rows recomputed WITHOUT Spark or
+    * the DOM parser, emitted as a DuckDB VALUES relation so the driver's
+    * gate can hash-compare `e1_ingest_files`/`e1_ingest_packed` instead of
+    * recording them rows-only. A second, independent parse path: paragraphs
+    * are pulled from the generated XML bytes with a regex extractor, ids
+    * re-derived straight from their specs (paper_id = sha256 of the
+    * `file://`-prefixed path; paragraph_id = sha256 of
+    * `paperId || chr(1) || idx` — [[graft.functions.TextFunctions.deterministicId]])
+    * via MessageDigest, the candidate filter re-applied as a plain
+    * `contains("data")`. A DOM-parser regression, id-derivation change, or
+    * filter drift all surface as a hash mismatch.
+    *
+    * Pinned to the corpus size (`nPapers`) the DRIVER's gate produces:
+    * `oracleSql` is static while the corpus scales with the sf dir, so the
+    * oracle is only valid where docs/2 == nPapers (sf0.001 and sf0.01 both
+    * generate 250 papers; sf0.1's 2,500-paper corpus is bench-only). */
+  def expectedParagraphsSql(nPapers: Int): String = {
+    def sha256(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes(StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_cermxml_${contentVersion}_$nPapers")
+    val pRe = "(?s)<p>(.*?)</p>".r
+    val rows = (0 until nPapers).flatMap { i =>
+      val paperId = sha256(f"file://$dir/paper_$i%06d.cermxml")
+      pRe.findAllMatchIn(paper(i)).map(_.group(1)).zipWithIndex.toSeq
+        .map { case (raw, idx) =>
+          (sha256(paperId + "\u0001" + idx), raw.replaceAll("\\s+", " ").trim, paperId)
+        }
+        .filter(_._2.contains("data"))
+    }
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    rows.map { case (pid, body, paper) => s"(${q(pid)}, ${q(body)}, ${q(paper)})" }
+      .mkString(
+        "SELECT * FROM (VALUES\n",
+        ",\n",
+        "\n) AS t(paragraph_id, body_text, paper_id) ORDER BY paragraph_id")
+  }
+
   /** Generate (once) and return the corpus directory for `sfDir`'s scale. */
   def ensureCorpus(s: SparkSession, sfDir: String): String = {
     val nDocs = graft.Tables(s, sfDir, "documents").count()
@@ -97,10 +138,24 @@ object PaperXmlGen {
     val filesDir = ensureCorpus(s, sfDir)
     val packed = Paths.get(filesDir + "_packed")
     if (!Files.exists(packed.resolve("_SUCCESS"))) {
+      // build in a process-unique staging dir, then atomically rename into
+      // place: two JVMs sharing java.io.tmpdir (a Bench and a Verify run)
+      // can both see the marker missing, but a reader can never observe a
+      // partially-written directory — whoever loses the rename race just
+      // discards its staging copy (ADVICE r6)
+      val tmp = Paths.get(s"${packed}_stage_${ProcessHandle.current().pid()}")
       s.read.option("wholetext", "true").text(filesDir + "/*.cermxml")
         .select(input_file_name().as("paper_path"), col("value").as("xml"))
         .coalesce(4)
-        .write.mode("overwrite").parquet(packed.toString)
+        .write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, packed, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // lost the race — a complete directory is (or is about to be) in
+          // place from the winner; drop the staging copy
+          Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+      }
     }
     packed.toString
   }
