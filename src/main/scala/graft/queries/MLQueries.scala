@@ -91,6 +91,11 @@ object MLQueries {
     * through the CV vocabulary. Cheap once the model is fitted; shared by
     * a10c/a10e and their [[ldaStats]] base (deliberately NOT unioned into
     * the proxy base — a10b/a10d must never trigger an LDA fit). */
+  /** Visible-for-oracle accessor: the seeded topic table a10c/a10e's golden
+    * VALUES oracle pins (see [[a10cLdaCoherenceSql]]). */
+  private[graft] def ldaTopicsForOracle(s: SparkSession, dir: String): DataFrame =
+    ldaTopics(s, dir)
+
   private def ldaTopics(s: SparkSession, dir: String): DataFrame =
     graft.operators.SessionShare.cached(s, dir, "lda_topics") {
       val (_, vocab, model) = fittedLda(s, dir)
@@ -169,8 +174,13 @@ object MLQueries {
   /** a10c_lda_coherence — UMass coherence of the REAL (shared, seeded) LDA
     * model's topics: describeTopics(6) → termIndices mapped through the CV
     * vocabulary → the same [[graft.operators.TopicCoherence]] aggregation.
-    * Seed-deterministic within Spark, no DuckDB twin (rows-only); the k-sweep
-    * shape (train per k, pick argmax coherence) is exercised in
+    * Hash-checked since r7 (VERDICT r6 #3): the seeded topic table is
+    * partition-count-independent (verified identical at local[8] vs
+    * local[32]), so [[LdaTopicValues]] pins it as a VALUES literal and the
+    * oracle recomputes the coherence RELATIONALLY from the corpus — the
+    * metric math is independently proven by a10b's proxy-topic oracle, and
+    * any MLlib topic drift (version/env) surfaces as a loud hash fail.
+    * The k-sweep shape (train per k, pick argmax coherence) is exercised in
     * CoherenceSpec at sf0.001. */
   def a10cLdaCoherence(s: SparkSession, dir: String): DataFrame = {
     val (dfreq, cooc, _) = ldaStats(s, dir)
@@ -178,6 +188,46 @@ object MLQueries {
       .umassE6FromStats(ldaTopics(s, dir), dfreq, cooc)
       .orderBy("topic")
   }
+
+  /** The seeded (k=8, seed=42, maxIter=10, describeTopics(6)) topic table at
+    * the driver's sf0.01 gate corpus, dumped once and pinned — the golden
+    * half of the a10c/a10e oracles. Valid ONLY at sf0.01 (the driver's gate
+    * scale): the coherence math is recomputed relationally from whatever
+    * `documents` the check runs over, but the topics are a function of the
+    * training corpus, and sf0.001's documents differ in content. A
+    * check_local run at another SF will report these two red by design. */
+  private val LdaTopicValues: String =
+    """(0, 'agg', 1), (0, 'order', 2), (0, 'a', 3), (0, 'column', 4),
+      |(0, 'hash', 5), (0, 'small', 6), (1, 'spark', 1), (1, 'data', 2),
+      |(1, 'filter', 3), (1, 'order', 4), (1, 'group', 5), (1, 'window', 6),
+      |(2, 'filter', 1), (2, 'scan', 2), (2, 'column', 3), (2, 'key', 4),
+      |(2, 'group', 5), (2, 'hash', 6), (3, 'key', 1), (3, 'column', 2),
+      |(3, 'row', 3), (3, 'batch', 4), (3, 'agg', 5), (3, 'table', 6),
+      |(4, 'fast', 1), (4, 'agg', 2), (4, 'the', 3), (4, 'a', 4),
+      |(4, 'table', 5), (4, 'hash', 6), (5, 'fast', 1), (5, 'data', 2),
+      |(5, 'line', 3), (5, 'table', 4), (5, 'key', 5), (5, 'small', 6),
+      |(6, 'slow', 1), (6, 'agg', 2), (6, 'scan', 3), (6, 'data', 4),
+      |(6, 'batch', 5), (6, 'line', 6), (7, 'query', 1), (7, 'line', 2),
+      |(7, 'stream', 3), (7, 'value', 4), (7, 'fast', 5), (7, 'big', 6)""".stripMargin
+
+  val a10cLdaCoherenceSql: String =
+    s"""WITH topics(topic, word, rank) AS (VALUES $LdaTopicValues),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+       |inc AS (SELECT DISTINCT doc_id, word FROM tok WHERE word IN (SELECT word FROM topics)),
+       |dfreq AS (SELECT word, COUNT(*) AS df FROM inc GROUP BY word),
+       |cooc AS (
+       |  SELECT a.word AS wl, b.word AS wm, COUNT(*) AS codf
+       |  FROM inc a JOIN inc b ON a.doc_id = b.doc_id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.topic, a.word AS wl, b.word AS wm
+       |  FROM topics a JOIN topics b ON a.topic = b.topic AND a.rank < b.rank)
+       |SELECT p.topic,
+       |  CAST(SUM(CAST(ROUND(1e6 * ln((COALESCE(c.codf, 0) + 1) / d.df)) AS BIGINT)) AS BIGINT) AS coherence_e6
+       |FROM pairs p
+       |LEFT JOIN cooc c ON c.wl = p.wl AND c.wm = p.wm
+       |JOIN dfreq d ON d.word = p.wl
+       |GROUP BY p.topic ORDER BY p.topic""".stripMargin
 
   /** Deterministic proxy topics shared by a10b/a10d and their
     * [[proxyStats]] base: top-6 words per language by frequency, ties by
@@ -252,14 +302,54 @@ object MLQueries {
       |FROM phi GROUP BY topic ORDER BY topic""".stripMargin
 
   /** a10e_lda_cv — c_v of the real (shared, seeded) LDA model's topics:
-    * the a10c shape with the c_v aggregation instead of UMass. Rows-only
-    * (LDA has no DuckDB twin); the metric itself is oracle-proven by a10d. */
+    * the a10c shape with the c_v aggregation instead of UMass. Hash-checked
+    * since r7 via the same [[LdaTopicValues]] pin; the c_v math is
+    * oracle-proven by a10d's proxy-topic face. */
   def a10eLdaCv(s: SparkSession, dir: String): DataFrame = {
     val (dfreq, cooc, dTot) = ldaStats(s, dir)
     graft.operators.TopicCoherence
       .cvE6FromStats(ldaTopics(s, dir), dfreq, cooc, dTot)
       .orderBy("topic")
   }
+
+  val a10eLdaCvSql: String =
+    s"""WITH topics(topic, word, rank) AS (VALUES $LdaTopicValues),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+       |dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_total FROM documents),
+       |inc AS (SELECT DISTINCT doc_id, word FROM tok WHERE word IN (SELECT word FROM topics)),
+       |dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM inc GROUP BY word),
+       |cooc AS (
+       |  SELECT a.word AS wa, b.word AS wb, CAST(COUNT(*) AS BIGINT) AS codf
+       |  FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.word < b.word GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.topic, a.word AS wl, a.rank AS rl, b.word AS wm, b.rank AS rm
+       |  FROM topics a JOIN topics b ON a.topic = b.topic),
+       |base AS (
+       |  SELECT p.topic, p.rl, p.rm, dl.df AS dfl, dm.df AS dfm, d_total,
+       |    (CASE WHEN p.rl = p.rm THEN CAST(dl.df AS DOUBLE) / d_total
+       |          ELSE CAST(COALESCE(c.codf, 0) AS DOUBLE) / d_total END + 1e-12) AS pj
+       |  FROM pairs p
+       |  LEFT JOIN cooc c ON c.wa = least(p.wl, p.wm) AND c.wb = greatest(p.wl, p.wm)
+       |  JOIN dfreq dl ON dl.word = p.wl
+       |  JOIN dfreq dm ON dm.word = p.wm
+       |  CROSS JOIN dtot),
+       |npmi AS (
+       |  SELECT topic, rl, rm,
+       |    CAST(ROUND(1e6 * ln(pj * d_total * d_total / (CAST(dfl AS DOUBLE) * dfm)) / -ln(pj)) AS BIGINT) AS e
+       |  FROM base),
+       |s AS (SELECT topic, rm, CAST(SUM(e) AS BIGINT) AS s FROM npmi GROUP BY topic, rm),
+       |nw AS (SELECT topic, CAST(SUM(s * s) AS BIGINT) AS nw2 FROM s GROUP BY topic),
+       |pw AS (
+       |  SELECT n.topic, n.rl, CAST(SUM(n.e * s.s) AS BIGINT) AS dot,
+       |    CAST(SUM(n.e * n.e) AS BIGINT) AS ni2
+       |  FROM npmi n JOIN s ON s.topic = n.topic AND s.rm = n.rm GROUP BY n.topic, n.rl),
+       |phi AS (
+       |  SELECT pw.topic,
+       |    CAST(ROUND(1e6 * dot / (sqrt(CAST(ni2 AS DOUBLE)) * sqrt(CAST(nw2 AS DOUBLE)))) AS BIGINT) AS phi_e6
+       |  FROM pw JOIN nw ON nw.topic = pw.topic)
+       |SELECT topic, CAST(ROUND(SUM(phi_e6) / 6.0) AS BIGINT) AS cv_e6
+       |FROM phi GROUP BY topic ORDER BY topic""".stripMargin
 
   /** a9b_lda_invariants — the HASH-CHECKED face of the LDA family (r5
     * verdict item 7): one row of invariants that hold for ANY correct LDA
@@ -531,7 +621,9 @@ object MLQueries {
     "a5_countvec_nnz" -> a5CountvecNnzSql,
     "a9b_lda_invariants" -> a9bLdaInvariantsSql,
     "a10b_umass_coherence" -> a10bUmassCoherenceSql,
+    "a10c_lda_coherence" -> a10cLdaCoherenceSql,
     "a10d_cv_coherence" -> a10dCvCoherenceSql,
+    "a10e_lda_cv" -> a10eLdaCvSql,
     "m2_viterbi_decode" -> m2ViterbiDecodeSql,
     "m3_forward_logprob" -> m3ForwardLogprobSql,
     "v1_pad_vectorize" -> v1PadVectorizeSql)
