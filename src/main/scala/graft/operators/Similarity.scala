@@ -123,6 +123,63 @@ object Similarity {
       .select("query_id", "rank", "id", "cosine")
   }
 
+  /** TRAINED centroid set for [[centroidIndex]]/[[ivfTopK]]: MLlib k-means
+    * over the corpus vectors, centers exported as an ordinary
+    * (cent_id, vec) DataFrame so the downstream index build — literal or
+    * broadcast — is byte-for-byte the same machinery as the hash-sampled
+    * path. The hash-sampled variant stays the ORACLE face (k-means centers
+    * are MLlib-numeric floats with no DuckDB twin); this is the production
+    * face: on clustered data trained cells align with the real clusters, so
+    * the same nProbe recovers more true neighbors (SimilaritySpec proves
+    * trained ≥ hash-sampled recall on a clustered corpus). The fit runs at
+    * index-BUILD time over a sample-able input — at 100 TB you train on a
+    * bounded sample and ship k centers, which is exactly this contract:
+    * only k rows ever leave the fit. */
+  def trainedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feats = corpus.select(
+      array_to_vector(col(vecCol).cast(ArrayType(DoubleType))).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(feats)
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+      .toDF(idCol, vecCol)
+  }
+
+  /** TRAINED product-quantization codebook: one k-means PER SUBSPACE over
+    * the corpus's subvector slices (the real PQ training loop — Jégou et
+    * al. 2011), with subspace-s center j concatenated across subspaces into
+    * code j's full-width vector, so it drops into [[pqEncode]]/[[pqTopK]]
+    * unchanged (they slice per subspace anyway). Hash-sampled
+    * [[pqCodebook]] remains the oracle face; on clustered data the trained
+    * codebook's cells track the residual structure and asymmetric-distance
+    * ranking improves (spec-proven). nSub fits at build time over bounded
+    * slices; only nSub×ks small arrays leave the driver. */
+  def trainedPqCodebook(corpus: DataFrame, vecCol: String, nSub: Int,
+      subDim: Int, ks: Int, seed: Long = 42L,
+      inlineThreshold: Int = IndexInlineThreshold): Column = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val perSub: Seq[Array[org.apache.spark.ml.linalg.Vector]] =
+      (0 until nSub).map { sIx =>
+        val feats = corpus.select(array_to_vector(
+          slice(col(vecCol).cast(ArrayType(DoubleType)), sIx * subDim + 1, subDim))
+          .as("features"))
+        new KMeans().setK(ks).setSeed(seed + sIx).setMaxIter(20)
+          .fit(feats).clusterCenters
+      }
+    val rows: Seq[Seq[Double]] = (0 until ks).map { j =>
+      perSub.flatMap(centers => centers(j).toArray.toSeq)
+    }
+    if (rows.length <= inlineThreshold) array(rows.map(typedLit(_)): _*)
+    else graft.plans.BroadcastDataExpression.column(
+      corpus.sparkSession, rows, ArrayType(ArrayType(DoubleType)),
+      s"trained_pq_codebook[${rows.length}]")
+  }
+
   /** Product-quantization codebook: `ks` sample vectors in deterministic
     * detHash order, inlined as a literal array<array<double>> — the same
     * bounded-literal contract as [[centroidIndex]] (a k-means codebook

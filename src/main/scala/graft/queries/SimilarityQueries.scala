@@ -91,7 +91,11 @@ object SimilarityQueries {
     * 97th vector — the seeded test stand-in for k-means centers; real
     * deployments fix the centroid count, so the collect stays broadcast-sized
     * at any corpus scale). Collected once at plan-build time — the IVF
-    * index-build step, via [[graft.operators.Similarity.centroidIndex]]. */
+    * index-build step, via [[graft.operators.Similarity.centroidIndex]].
+    * The PRODUCTION face is [[graft.operators.Similarity.trainedCentroids]]
+    * (MLlib k-means → the same index builder; SimilaritySpec proves trained
+    * ≥ hash-sampled recall on clustered data) — hash-sampled stays the
+    * oracle face because k-means centers have no DuckDB twin. */
   private def centIndex(emb: DataFrame): Column =
     graft.operators.Similarity.centroidIndex(
       emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding")
@@ -357,7 +361,10 @@ object SimilarityQueries {
   /** ss4_pq_topk — product-quantization ANN
     * ([[graft.operators.Similarity.pqTopK]]): vectors encode to 8 codebook
     * indices (pure projection over a literal hash-sampled codebook — the
-    * deterministic stand-in for k-means, like ss2's centroids), queries
+    * deterministic stand-in for k-means, like ss2's centroids; the
+    * production face is
+    * [[graft.operators.Similarity.trainedPqCodebook]] — per-subspace
+    * k-means, spec-proven lower quantization distortion), queries
     * carry an 8×16 table of e9-rounded subspace distances, and each
     * candidate scores as 8 integer table lookups — the probe never touches
     * the original floats. Every distance is e9-rounded BEFORE the argmin/
