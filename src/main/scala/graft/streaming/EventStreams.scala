@@ -418,6 +418,137 @@ object EventStreams {
       .transformWithState(new AnomalyProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  case class FlaggedPos(doc_id: Long, pos: Long)
+
+  // NOT private — see CurState (Janino cannot bind private state accessors)
+  case class ShingleState(firstDoc: Long, firstPos: Long, count: Long)
+
+  /** Flags every occurrence of a shingle whose corpus count exceeds one —
+    * the streaming half of dd15's duplicate detection. The trick that keeps
+    * state O(1) per shingle: only the FIRST occurrence ever needs
+    * buffering. The moment a second arrives, both are known-duplicated and
+    * emit right then; every later occurrence is known-duplicated ON ARRIVAL
+    * and emits immediately, so the stored first is emitted exactly once and
+    * the state never holds more than (firstDoc, firstPos, count). The
+    * emitted SET is therefore independent of micro-batch boundaries —
+    * exactly the batch face's "count > 1" flags (spec-proven). */
+  private class SubstrFlagProcessor
+      extends StatefulProcessor[String, (String, Long, Long), FlaggedPos] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[ShingleState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ShingleState]("sh", Encoders.product[ShingleState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
+        timers: TimerValues): Iterator[FlaggedPos] = {
+      var s = if (st.exists()) st.get() else ShingleState(-1L, -1L, 0L)
+      val out = Seq.newBuilder[FlaggedPos]
+      // deterministic within-batch order (replay-stable emissions)
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, docId, pos) =>
+        s = s.copy(count = s.count + 1L)
+        if (s.count == 1L) s = s.copy(firstDoc = docId, firstPos = pos)
+        else {
+          if (s.count == 2L) out += FlaggedPos(s.firstDoc, s.firstPos)
+          out += FlaggedPos(docId, pos)
+        }
+      }
+      st.update(s)
+      out.result().iterator
+    }
+  }
+
+  case class DocSpans(doc_id: Long, rev: Long, spans: Seq[(Long, Long)])
+
+  case class MergeState(positions: Seq[Long], rev: Long)
+
+  /** Interval merge of a document's flagged window starts into maximal
+    * disjoint spans — dd15's gaps-and-islands tail, maintained per doc with
+    * UPDATE semantics: each time a doc gains flagged positions, its full
+    * current span set re-emits under a bumped `rev`; the sink upserts per
+    * doc (latest rev wins), so once the horizon closes the sink row equals
+    * the batch face's spans for that doc. State per doc = its flagged
+    * starts — bounded by document length in windows, the same bound as the
+    * batch face's per-doc island window. */
+  private class SpanMergeProcessor(w: Int)
+      extends StatefulProcessor[Long, FlaggedPos, DocSpans] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[MergeState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[MergeState]("mg", Encoders.product[MergeState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FlaggedPos],
+        timers: TimerValues): Iterator[DocSpans] = {
+      val prev = if (st.exists()) st.get() else MergeState(Nil, 0L)
+      val merged = (prev.positions ++ rows.map(_.pos)).distinct.sorted
+      if (merged == prev.positions) Iterator.empty
+      else {
+        val next = MergeState(merged, prev.rev + 1L)
+        st.update(next)
+        val spans = Seq.newBuilder[(Long, Long)]
+        var start = merged.head
+        var last = merged.head
+        merged.tail.foreach { p =>
+          if (p - last > w) { spans += ((start, last + w - 1)); start = p }
+          last = p
+        }
+        spans += ((start, last + w - 1))
+        Iterator.single(DocSpans(key, next.rev, spans.result()))
+      }
+    }
+  }
+
+  /** Streaming twin of `dd15_exact_substr` — span-level exact-substring
+    * dedup over a continuously-arriving corpus, completing the dedup
+    * streaming set (dd1 exact → [[dedupStream]], dd7/dd10 bloom →
+    * [[bloomGate]], dd15 spans → here). Two chained stateful stages,
+    * composed through a durable topic/landing dir in production (each is an
+    * independently-recoverable query — the same composition contract as
+    * [[curationStreams]]):
+    *
+    *  1. [[substrFlagStream]]: explode docs into w-token shingles (pure
+    *     projection — the batch face's explode verbatim), then flag
+    *     occurrences of any shingle seen more than once. O(1) state per
+    *     distinct shingle (first occurrence + count — see
+    *     [[SubstrFlagProcessor]] for why nothing more ever buffers);
+    *     production sets a state TTL for the dedup horizon, mirroring
+    *     [[dedupStream]]'s within-horizon contract.
+    *  2. [[spanMergeStream]]: per-doc interval merge of flagged starts into
+    *     maximal disjoint spans, update-semantics re-emission under a
+    *     monotone `rev` — "merge on close": when the horizon passes, the
+    *     doc's latest rev IS the batch answer (EventStreamsSpec proves
+    *     set-parity with `DedupQueries.dd15ExactSubstr` across micro-batch
+    *     splits).
+    *
+    * Skew note: a hot boilerplate shingle is ONE state-store key with O(1)
+    * state and per-arrival O(1) emission — the streaming face never
+    * materializes the hot group at all, the same bounded-partition property
+    * the r7 batch de-skew established. */
+  def substrFlagStream(docs: DataFrame, w: Int = graft.queries.DedupQueries.SubstrW): Dataset[FlaggedPos] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id").cast("long"), split(col("text"), " ").as("arr"))
+      .filter(size(col("arr")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(arr) - $w + 1),
+           |  i -> concat_ws(' ', slice(arr, i, $w)))""".stripMargin))
+        .as(Seq("pos0", "s")))
+      .select(col("s").cast("string"), col("doc_id"),
+        (col("pos0") + 1).cast("long").as("pos"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SubstrFlagProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Stage 2 of the dd15 twin — see [[substrFlagStream]]. */
+  def spanMergeStream(flags: Dataset[FlaggedPos],
+      w: Int = graft.queries.DedupQueries.SubstrW): Dataset[DocSpans] = {
+    import flags.sparkSession.implicits._
+    flags.groupByKey(_.doc_id)
+      .transformWithState(new SpanMergeProcessor(w), TimeMode.None(), OutputMode.Update())
+  }
+
   /** Incremental file-source ingestion of a parquet landing directory,
     * processed with AvailableNow (drain-then-stop — the idempotent batch
     * refresh pattern; checkpoint carries the manifest). */

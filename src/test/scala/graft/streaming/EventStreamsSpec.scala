@@ -340,4 +340,64 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(flags === Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 1))
   }
+
+  test("dd15 streaming twin: flag + merge stages reproduce the batch spans across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires a multi-column-family state store; scope
+    // the RocksDB provider to this query and restore the session default
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val dir = "/root/testdata/sf0.001"
+    val batchSpans = graft.queries.DedupQueries.dd15ExactSubstr(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    // stage 1: shingle flagger, corpus split mid-stream so duplicate pairs
+    // straddle the micro-batch boundary (the state-carrying case)
+    val memDocs = MemoryStream[(Long, String)]
+    val q1 = substrFlagStream(memDocs.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dd15flags")
+      .outputMode(OutputMode.Append()).start()
+    val (half1, half2) = docs.splitAt(docs.length / 2)
+    memDocs.addData(half1.toSeq: _*)
+    q1.processAllAvailable()
+    memDocs.addData(half2.toSeq: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    val flags = spark.table("dd15flags").as[FlaggedPos].collect()
+    assert(flags.nonEmpty, "fixture regression: no duplicated shingles")
+    // each flagged position is emitted exactly once, regardless of splits
+    assert(flags.map(f => (f.doc_id, f.pos)).distinct.length === flags.length)
+
+    // stage 2: per-doc interval merge, flags again split mid-stream; the
+    // sink keeps every rev — the LATEST rev per doc is the upsert value
+    val memFlags = MemoryStream[FlaggedPos]
+    val q2 = spanMergeStream(memFlags.toDS())
+      .writeStream.format("memory").queryName("dd15spans")
+      .outputMode(OutputMode.Update()).start()
+    val (f1, f2) = flags.splitAt(flags.length / 2)
+    memFlags.addData(f1.toSeq: _*)
+    q2.processAllAvailable()
+    memFlags.addData(f2.toSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val latest = spark.table("dd15spans").as[DocSpans].collect()
+      .groupBy(_.doc_id).view.mapValues(_.maxBy(_.rev).spans.toSet).toMap
+    assert(latest === batchSpans,
+      "latest-rev streamed spans must equal the batch dd15 face")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
