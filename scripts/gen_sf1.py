@@ -127,8 +127,12 @@ gen("documents", f"""
          END) AS n_chars
   FROM {src('documents')} CROSS JOIN reps""")
 
+# vec_id shifts by the DOCUMENTS stride (5000, not embeddings' own 2000):
+# documents.doc_id joins embeddings.vec_id (j6/al8/gap queries), so each
+# replica's vectors must land inside its own doc-id range — a 2000 shift
+# paired replica-k vectors with replica-0 text (review r7)
 gen("embeddings", f"""
-  SELECT vec_id + k * 2000 AS vec_id,
+  SELECT vec_id + k * 5000 AS vec_id,
          CAST(list_transform(embedding, (x, i) ->
            x + ((k * 31 + i) % 7 - 3) * 0.01) AS FLOAT[]) AS embedding,
          label

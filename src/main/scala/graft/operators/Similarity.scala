@@ -171,7 +171,11 @@ object Similarity {
         new KMeans().setK(ks).setSeed(seed + sIx).setMaxIter(20)
           .fit(feats).clusterCenters
       }
-    val rows: Seq[Seq[Double]] = (0 until ks).map { j =>
+    // k-means may converge to fewer than ks centers (low-cardinality
+    // subspace slices); clamp so the codebook degrades to fewer codes
+    // instead of crashing the index build (review r7)
+    val ksEff = (ks +: perSub.map(_.length)).min
+    val rows: Seq[Seq[Double]] = (0 until ksEff).map { j =>
       perSub.flatMap(centers => centers(j).toArray.toSeq)
     }
     if (rows.length <= inlineThreshold) array(rows.map(typedLit(_)): _*)

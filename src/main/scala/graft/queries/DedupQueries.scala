@@ -533,16 +533,25 @@ object DedupQueries {
     *
     * @return (doc_id, span_start, span_end) — 1-based token positions,
     *         end inclusive of the last window's tail */
-  def dd15ExactSubstr(s: SparkSession, dir: String): DataFrame = {
-    val w = SubstrW
-    val shingles = t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+  /** The ONE shingle-explode spelling both dd15 faces share — batch
+    * ([[dd15ExactSubstr]]) and streaming
+    * (`graft.streaming.EventStreams.substrFlagStream`). Spec-proven parity
+    * between the faces depends on the two exploding identically, so the
+    * projection lives here once (review r7: it was copy-pasted).
+    * @return (doc_id, pos, s): 1-based window start + window text */
+  def substrShingles(docs: DataFrame, w: Int = SubstrW): DataFrame =
+    docs
+      .select(col("doc_id").cast(LongType).as("doc_id"), split(col("text"), " ").as("arr"))
       .filter(size(col("arr")) >= w)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(1, size(arr) - $w + 1),
            |  i -> concat_ws(' ', slice(arr, i, $w)))""".stripMargin))
         .as(Seq("pos0", "s")))
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("s"))
+
+  def dd15ExactSubstr(s: SparkSession, dir: String): DataFrame = {
+    val w = SubstrW
+    val shingles = substrShingles(t(s, dir, "documents"), w)
     val dupShingles = shingles
       .groupBy("s").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)

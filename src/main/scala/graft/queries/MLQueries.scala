@@ -195,20 +195,26 @@ object MLQueries {
     * scale): the coherence math is recomputed relationally from whatever
     * `documents` the check runs over, but the topics are a function of the
     * training corpus, and sf0.001's documents differ in content. A
-    * check_local run at another SF will report these two red by design. */
+    * check_local run at another SF will report these two red by design.
+    * Drift guard: CoherenceSpec re-fits the model at sf0.01 and asserts
+    * this pin row-for-row, so an MLlib topic change fails the local suite
+    * before it fails the driver gate. */
+  private[graft] val LdaTopicRows: Seq[(Int, String, Int)] = Seq(
+    (0, "agg", 1), (0, "order", 2), (0, "a", 3), (0, "column", 4),
+    (0, "hash", 5), (0, "small", 6), (1, "spark", 1), (1, "data", 2),
+    (1, "filter", 3), (1, "order", 4), (1, "group", 5), (1, "window", 6),
+    (2, "filter", 1), (2, "scan", 2), (2, "column", 3), (2, "key", 4),
+    (2, "group", 5), (2, "hash", 6), (3, "key", 1), (3, "column", 2),
+    (3, "row", 3), (3, "batch", 4), (3, "agg", 5), (3, "table", 6),
+    (4, "fast", 1), (4, "agg", 2), (4, "the", 3), (4, "a", 4),
+    (4, "table", 5), (4, "hash", 6), (5, "fast", 1), (5, "data", 2),
+    (5, "line", 3), (5, "table", 4), (5, "key", 5), (5, "small", 6),
+    (6, "slow", 1), (6, "agg", 2), (6, "scan", 3), (6, "data", 4),
+    (6, "batch", 5), (6, "line", 6), (7, "query", 1), (7, "line", 2),
+    (7, "stream", 3), (7, "value", 4), (7, "fast", 5), (7, "big", 6))
+
   private val LdaTopicValues: String =
-    """(0, 'agg', 1), (0, 'order', 2), (0, 'a', 3), (0, 'column', 4),
-      |(0, 'hash', 5), (0, 'small', 6), (1, 'spark', 1), (1, 'data', 2),
-      |(1, 'filter', 3), (1, 'order', 4), (1, 'group', 5), (1, 'window', 6),
-      |(2, 'filter', 1), (2, 'scan', 2), (2, 'column', 3), (2, 'key', 4),
-      |(2, 'group', 5), (2, 'hash', 6), (3, 'key', 1), (3, 'column', 2),
-      |(3, 'row', 3), (3, 'batch', 4), (3, 'agg', 5), (3, 'table', 6),
-      |(4, 'fast', 1), (4, 'agg', 2), (4, 'the', 3), (4, 'a', 4),
-      |(4, 'table', 5), (4, 'hash', 6), (5, 'fast', 1), (5, 'data', 2),
-      |(5, 'line', 3), (5, 'table', 4), (5, 'key', 5), (5, 'small', 6),
-      |(6, 'slow', 1), (6, 'agg', 2), (6, 'scan', 3), (6, 'data', 4),
-      |(6, 'batch', 5), (6, 'line', 6), (7, 'query', 1), (7, 'line', 2),
-      |(7, 'stream', 3), (7, 'value', 4), (7, 'fast', 5), (7, 'big', 6)""".stripMargin
+    LdaTopicRows.map { case (t, w, r) => s"($t, '$w', $r)" }.mkString(", ")
 
   val a10cLdaCoherenceSql: String =
     s"""WITH topics(topic, word, rank) AS (VALUES $LdaTopicValues),

@@ -148,13 +148,26 @@ object PaperXmlGen {
         .select(input_file_name().as("paper_path"), col("value").as("xml"))
         .coalesce(4)
         .write.mode("overwrite").parquet(tmp.toString)
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => Files.deleteIfExists(q))
       try Files.move(tmp, packed, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
+        case _: java.nio.file.FileSystemException
+            if Files.exists(packed.resolve("_SUCCESS")) =>
+          // lost the race to a COMPLETE winner — drop the staging copy
+          rmTree(tmp)
         case _: java.nio.file.FileSystemException =>
-          // lost the race — a complete directory is (or is about to be) in
-          // place from the winner; drop the staging copy
-          Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
+          // the target exists but is incomplete (a stale partial dir from an
+          // interrupted builder — review r7: without this branch the stale
+          // dir wedged every future build, each loser deleting its own good
+          // copy): clear it and move the fresh build into place
+          rmTree(packed)
+          try Files.move(tmp, packed, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileSystemException => rmTree(tmp)
+          }
       }
     }
     packed.toString

@@ -442,10 +442,16 @@ object EventStreams {
 
     override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
         timers: TimerValues): Iterator[FlaggedPos] = {
+      // STREAMING single pass, no buffering of the group (review r7: a
+      // sortBy here materialized a hot shingle's whole micro-batch group,
+      // contradicting the O(1) contract). Arrival order is fine: the
+      // emitted SET is order-independent — every occurrence of a >1
+      // shingle emits exactly once (the buffered first when the second
+      // arrives, all others on arrival), and when only one occurrence
+      // exists there is no choice to make.
       var s = if (st.exists()) st.get() else ShingleState(-1L, -1L, 0L)
       val out = Seq.newBuilder[FlaggedPos]
-      // deterministic within-batch order (replay-stable emissions)
-      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, docId, pos) =>
+      rows.foreach { case (_, docId, pos) =>
         s = s.copy(count = s.count + 1L)
         if (s.count == 1L) s = s.copy(firstDoc = docId, firstPos = pos)
         else {
@@ -527,15 +533,10 @@ object EventStreams {
     * the r7 batch de-skew established. */
   def substrFlagStream(docs: DataFrame, w: Int = graft.queries.DedupQueries.SubstrW): Dataset[FlaggedPos] = {
     import docs.sparkSession.implicits._
-    docs
-      .select(col("doc_id").cast("long"), split(col("text"), " ").as("arr"))
-      .filter(size(col("arr")) >= w)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(1, size(arr) - $w + 1),
-           |  i -> concat_ws(' ', slice(arr, i, $w)))""".stripMargin))
-        .as(Seq("pos0", "s")))
-      .select(col("s").cast("string"), col("doc_id"),
-        (col("pos0") + 1).cast("long").as("pos"))
+    // the explode is the batch face's, shared verbatim — parity by
+    // construction, not by copy (review r7)
+    graft.queries.DedupQueries.substrShingles(docs, w)
+      .select(col("s").cast("string"), col("doc_id"), col("pos"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new SubstrFlagProcessor, TimeMode.None(), OutputMode.Append())

@@ -85,4 +85,17 @@ class CoherenceSpec extends SparkSpec {
     val best = scores.maxBy(_._2)._1
     assert(Seq(2, 3).contains(best))
   }
+
+  test("a10c/a10e pinned topic table matches the live seeded model at sf0.01") {
+    // The golden half of the a10c/a10e oracles is a VALUES pin of the
+    // seeded LDA topic table; this re-fits the model on the gate corpus and
+    // asserts the pin row-for-row, so MLlib drift (version, tie-break
+    // change) fails HERE instead of surfacing only as a driver-gate hash
+    // mismatch (review r7: the pin had no local guard).
+    val live = MLQueries.ldaTopicsForOracle(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        r.get(2).asInstanceOf[Number].intValue)).toSeq.sorted
+    assert(live === MLQueries.LdaTopicRows.sorted,
+      "seeded LDA topics drifted from the pinned a10c/a10e oracle table")
+  }
 }

@@ -23,9 +23,14 @@ class TextQueriesSpec extends SparkSpec {
     // scale-dependent vocabulary gap would otherwise surface only as a
     // verify-time hash fail, loud but hard to localize (ADVICE r6)
     val mapped = TextQueries.F14StemTable.map(_._1).toSet
-    val dirs = (Seq(dir) ++ sys.env.get("SPARK_GRAFT_SF_DIR") ++
-      Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
-        .filter(d => new java.io.File(d).isDirectory)).distinct
+    // env dir is guarded like the hardcoded ones, and only oracle corpora
+    // count: SPARK_GRAFT_SF_DIR may point at bench-only synthesized data
+    // (e.g. /tmp/testdata_sf1's suffixed tokens) where the f14 oracle is
+    // never evaluated (review r7)
+    val dirs = (Seq(dir) ++ sys.env.get("SPARK_GRAFT_SF_DIR").toSeq ++
+      Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+      .filter(d => d.startsWith("/root/testdata") && new java.io.File(d).isDirectory)
+      .distinct
     dirs.foreach { d =>
       val vocab = graft.Tables(spark, d, "documents")
         .select(explode(split(col("text"), " ")).as("word"))

@@ -101,4 +101,32 @@ class PaperXmlSpec extends SparkSpec {
       }
     }
   }
+
+  test("ensurePacked recovers from a stale partial packed directory") {
+    // review r7: an interrupted builder leaves <corpus>_packed with part
+    // files but no _SUCCESS; the rename-based build must clear the stale
+    // target and install a fresh complete copy, not delete its own staging
+    // copy and return the broken directory forever
+    val sfDir = "/root/testdata/sf0.001"
+    val filesDir = PaperXmlGen.ensureCorpus(spark, sfDir)
+    val packed = Paths.get(filesDir + "_packed")
+    // wipe any complete build, then plant a stale partial dir
+    if (Files.exists(packed))
+      Files.walk(packed).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    Files.createDirectories(packed)
+    Files.write(packed.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    assert(!Files.exists(packed.resolve("_SUCCESS")))
+
+    val got = PaperXmlGen.ensurePacked(spark, sfDir)
+    assert(got === packed.toString)
+    assert(Files.exists(packed.resolve("_SUCCESS")),
+      "rebuild must install a COMPLETE packed dir over the stale partial one")
+    // and it is readable with the expected row count (one per paper)
+    val n = spark.read.parquet(got).count()
+    val nPapers = Files.list(Paths.get(filesDir)).iterator()
+    var cnt = 0L
+    while (nPapers.hasNext) { if (nPapers.next().toString.endsWith(".cermxml")) cnt += 1 }
+    assert(n === cnt)
+  }
 }
