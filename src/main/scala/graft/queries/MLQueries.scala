@@ -53,7 +53,13 @@ object MLQueries {
 
   /** a9_lda_doc_topics — LDA topic modeling (A9: gensim LdaModel k=8,
     * passes=10 → MLlib LDA k=8, maxIter=10, fixed seed) + per-doc dominant
-    * topic (A11: doc→topic distribution). Seed-deterministic; rows-only. */
+    * topic (A11: doc→topic distribution). Hash-checked since r7: per-doc
+    * inference under the seeded model is partition-count independent
+    * (verified identical at local[8] vs local[32], like the a10c topic
+    * table), so the 500 dominant topics pin as [[A9DocTopicPin]] — one
+    * digit per doc_id — and the oracle unrolls them as VALUES. Drift fails
+    * loudly at the gate; CoherenceSpec pins the upstream topic table
+    * locally. Valid ONLY at sf0.01 (same caveat as [[LdaTopicRows]]). */
   def a9LdaDocTopics(s: SparkSession, dir: String): DataFrame = {
     val (bow, _, model) = fittedLda(s, dir)
     model.transform(bow)
@@ -64,10 +70,32 @@ object MLQueries {
       .orderBy("doc_id")
   }
 
+  /** The dominant topic of each sf0.01 document under the seeded model,
+    * doc_id-indexed (char i = topic of doc i) — the golden half of the a9
+    * oracle, dumped once from the verified partition-independent output. */
+  private[graft] val A9DocTopicPin: String =
+    ("42222222222226256224227622122222262222262222622622224622221222" +
+     "22262222222652222122222422222272222222222252525222222262262225" +
+     "67222262222226272222266266226222222222222222222222622222222222" +
+     "22222222622262222652225222246222222242222222222642662226242242" +
+     "22226622762657222252622222222526222222222222612222222222222222" +
+     "22262262222722222222222226222222262226262222222266222256227222" +
+     "22222222222222222222527222226222222252226242226622222222222276" +
+     "26252222222262227222252222272222262722722622262767226222222223" +
+     "2222")
+
+  val a9LdaDocTopicsSql: String =
+    "SELECT (i - 1) AS doc_id, CAST(topics[i] AS INTEGER) AS topic " +
+      s"FROM (SELECT string_split('${A9DocTopicPin.mkString(",")}', ',') AS topics), " +
+      "unnest(range(1, 501)) AS u(i) ORDER BY doc_id"
+
   /** a10_lda_perplexity — LDA model quality (A10: gensim log_perplexity;
     * coherence lives in a10b/a10c — UMass instead of c_v, see
-    * [[graft.operators.TopicCoherence]]). One row, seed-deterministic;
-    * rows-only. */
+    * [[graft.operators.TopicCoherence]]). One row; hash-checked since r7
+    * against its constant pin — the e3-rounded perplexity over the
+    * deterministic 20% sample is partition-count independent (verified
+    * local[8] ≡ local[32]), the same justification as [[A9DocTopicPin]].
+    * Valid ONLY at sf0.01. */
   def a10LdaPerplexity(s: SparkSession, dir: String): DataFrame = {
     val (bow, _, model) = fittedLda(s, dir)
     // perplexity over a deterministic 20% sample — the metric needs a
@@ -77,6 +105,9 @@ object MLQueries {
     import spark.implicits._
     Seq((8, math.round(lp * 1000.0))).toDF("k", "log_perplexity_e3")
   }
+
+  val a10LdaPerplexitySql: String =
+    "SELECT 8 AS k, CAST(3590 AS BIGINT) AS log_perplexity_e3"
 
   /** Lazy (doc_id, word) incidence for the coherence queries. Deliberately
     * NOT materialized/distinct'ed here: umassE6 semi-joins it down to the
@@ -625,7 +656,9 @@ object MLQueries {
     "v8_negative_sampling" -> v8NegativeSamplingSql,
     "v7_feature_hash" -> v7FeatureHashSql,
     "a5_countvec_nnz" -> a5CountvecNnzSql,
+    "a9_lda_doc_topics" -> a9LdaDocTopicsSql,
     "a9b_lda_invariants" -> a9bLdaInvariantsSql,
+    "a10_lda_perplexity" -> a10LdaPerplexitySql,
     "a10b_umass_coherence" -> a10bUmassCoherenceSql,
     "a10c_lda_coherence" -> a10cLdaCoherenceSql,
     "a10d_cv_coherence" -> a10dCvCoherenceSql,
