@@ -599,9 +599,69 @@ object DedupQueries {
        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
   }
 
+  /** dd16_span_cut — the CUT half of ExactSubstr dedup (Lee et al. 2021
+    * §4.2: the deduplicated corpus IS the text with duplicated spans
+    * removed; dd15 only reports the spans). Every document re-emits with
+    * its dd15 spans excised: per-doc token explode, spans attached as ONE
+    * bounded array per doc (collect_list over span rows — ≤ len/w spans by
+    * the disjointness contract), containment tested in a projection
+    * (`exists(spans, …)`), survivors re-joined in position order. The
+    * span attach is an equi-join on doc_id (LEFT — span-free docs pass
+    * through whole), never a range join: the per-token BETWEEN runs inside
+    * the projection over the tiny per-doc array, so the plan is
+    * explode → one doc-keyed join → one doc-keyed agg, the dd14 shape.
+    *
+    * @return (doc_id, n_tokens, n_kept, kept_hash) for EVERY document —
+    *         kept_hash is md5 (first 16 hex) of the space-joined surviving
+    *         tokens in original order ('' hashes for fully-cut docs, the
+    *         dd14 COALESCE convention) */
+  def dd16SpanCut(s: SparkSession, dir: String): DataFrame = {
+    val spans = dd15ExactSubstr(s, dir)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("tok"))
+    toks.join(spans, Seq("doc_id"), "left_outer")
+      .withColumn("cut", coalesce(exists(col("spans"),
+        sp => col("pos") >= sp.getField("span_start") &&
+          col("pos") <= sp.getField("span_end")), lit(false)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(!col("cut"), 1L).otherwise(0L)).as("n_kept"),
+        substring(md5(coalesce(concat_ws(" ",
+          sort_array(collect_list(when(!col("cut"),
+            struct(col("pos"), col("tok"))))).getField("tok")), lit(""))), 1, 16)
+          .as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
+  val dd16SpanCutSql: String = {
+    val w = SubstrW
+    s"""WITH spans AS ($dd15ExactSubstrSql),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |marked AS (
+       |  SELECT t.doc_id, t.pos, t.tok,
+       |    EXISTS (SELECT 1 FROM spans s
+       |            WHERE s.doc_id = t.doc_id
+       |              AND t.pos BETWEEN s.span_start AND s.span_end) AS cut
+       |  FROM tok t)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN NOT cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  substr(md5(COALESCE(array_to_string(
+       |    list(tok ORDER BY pos) FILTER (WHERE NOT cut), ' '), '')), 1, 16)
+       |    AS kept_hash
+       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "dd14_line_dedup" -> (dd14LineDedup _),
     "dd15_exact_substr" -> (dd15ExactSubstr _),
+    "dd16_span_cut" -> (dd16SpanCut _),
     "dd13_minhash_estimate" -> (dd13MinhashEstimate _),
     "dd7_contamination" -> (dd7Contamination _),
     "dd10_bloom_contamination" -> (dd10BloomContamination _),
@@ -617,6 +677,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dd14_line_dedup" -> dd14LineDedupSql,
     "dd15_exact_substr" -> dd15ExactSubstrSql,
+    "dd16_span_cut" -> dd16SpanCutSql,
     "dd13_minhash_estimate" -> dd13MinhashEstimateSql,
     "dd7_contamination" -> dd7ContaminationSql,
     "dd10_bloom_contamination" -> dd10BloomContaminationSql,

@@ -92,6 +92,30 @@ class DedupQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dd16: cut accounting is exact and untouched docs keep their text hash") {
+    val spans = DedupQueries.dd15ExactSubstr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(s => s._3 - s._2 + 1).sum).toMap
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        substring(md5(col("text")), 1, 16).as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val out = DedupQueries.dd16SpanCut(spark, dir).collect()
+    assert(out.length === docs.size, "every document must emit a row")
+    out.foreach { r =>
+      val (d, nTok, nKept, hash) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(nTok === docs(d)._1, s"token count mismatch for doc $d")
+      // spans are disjoint (dd15 contract), so the cut size is their sum
+      assert(nKept === nTok - spans.getOrElse(d, 0L),
+        s"doc $d: kept $nKept != $nTok - ${spans.getOrElse(d, 0L)}")
+      if (!spans.contains(d))
+        assert(hash === docs(d)._2, s"untouched doc $d must keep its text hash")
+    }
+    assert(spans.nonEmpty, "fixture regression: nothing was cut")
+  }
+
   test("dd14: untouched docs rebuild to exactly their original text") {
     val out = DedupQueries.dd14LineDedup(spark, dir)
     val docs = graft.Tables(spark, dir, "documents")
