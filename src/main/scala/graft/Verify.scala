@@ -27,6 +27,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // register the corpus fingerprint BEFORE any oracle map is read: the
+    // seeded-pin oracles (a9/a10/a10c/a10e) and the e1 goldens are SF-keyed
+    // (SfPins, r8) and regenerate their SQL for this dir's corpus
+    graft.queries.SfPins.register(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // GRAFT_DIFF: comma-separated query names whose Spark-side rows are ALSO
     // dumped as canonical sorted JSONL (<name>.rows.jsonl) — a human-diffable

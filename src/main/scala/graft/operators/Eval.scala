@@ -35,7 +35,7 @@ object Eval {
     * AUC is undefined, and the zero-denominator rule (Q scaladoc) says
     * null, not NaN-rounded-to-0. */
   def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame =
-    Rank.globalCumSum(perScore(df, score, label), 32, col("nn"), "cum_neg", col("__s"))
+    Rank.globalCumSum(perScore(df, score, label), col("nn"), "cum_neg", col("__s"))
       .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
         sum(col("np") * (lit(2L) * col("cum_neg") + col("nn"))).as("u2"))
       .select(col("n_pos"), col("n_neg"), col("u2"),
@@ -57,8 +57,8 @@ object Eval {
     * result is engine-exact under any partitioning. */
   def prAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
     val ps = perScore(df, score, label).withColumn("__negs", -col("__s"))
-    val withTp = Rank.globalCumSum(ps, 32, col("np"), "tp_before", col("__negs"))
-    val withBoth = Rank.globalCumSum(withTp, 32, col("nn"), "fp_before", col("__negs"))
+    val withTp = Rank.globalCumSum(ps, col("np"), "tp_before", col("__negs"))
+    val withBoth = Rank.globalCumSum(withTp, col("nn"), "fp_before", col("__negs"))
     // term_k = (tp_k/P) · (cumTP_k/(cumTP_k+cumFP_k)); rounded to e6 per
     // threshold. cumTP_k ≥ np_k > 0 whenever the term contributes, so the
     // precision denominator is never zero for contributing rows.

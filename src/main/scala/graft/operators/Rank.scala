@@ -46,6 +46,21 @@ object Rank {
     * bounded number of times per JVM, so accumulation is bounded there. */
   private def pinned(df: DataFrame): DataFrame = df.localCheckpoint()
 
+  /** The session's configured shuffle parallelism — the right default range
+    * partition count. A hardcoded literal here is a driver-chosen ceiling on
+    * sort parallelism: 32 range partitions over 100 TB = 32 sort tasks of
+    * ~3 TB each. Partition-independence is spec-proven (RankSpec + the
+    * per-query dual-count specs), so following the conf is safe: output is
+    * identical at any count, only task granularity changes. */
+  private def defaultParts(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** [[globalRowNumber]] with the partition count taken from
+    * `spark.sql.shuffle.partitions` — what production call sites should
+    * use. */
+  def globalRowNumber(df: DataFrame, sortCols: Column*): DataFrame =
+    globalRowNumber(df, defaultParts(df), sortCols: _*)
+
   def globalRowNumber(df: DataFrame, numPartitions: Int, sortCols: Column*): DataFrame = {
     val parted = df.repartitionByRange(numPartitions, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
@@ -76,6 +91,13 @@ object Rank {
     * carries the sum's type; note double sums are addition-order-dependent,
     * so oracle-compared callers should pass decimals or pre-scaled
     * integers (the repo's e6 convention). */
+  /** [[globalCumSum]] with the partition count taken from
+    * `spark.sql.shuffle.partitions` — what production call sites should
+    * use. */
+  def globalCumSum(df: DataFrame, value: Column, cumBeforeCol: String,
+                   sortCols: Column*): DataFrame =
+    globalCumSum(df, defaultParts(df), value, cumBeforeCol, sortCols: _*)
+
   def globalCumSum(df: DataFrame, numPartitions: Int, value: Column,
                    cumBeforeCol: String, sortCols: Column*): DataFrame = {
     val integral = df.select(value.as("__v")).schema.head.dataType match {

@@ -238,7 +238,7 @@ object ALQueries {
     val B = 32
     val docs = t(s, dir, "documents").select(col("doc_id"))
       .withColumn("h", detHash(col("doc_id"), 7))
-    graft.operators.Rank.globalRowNumber(docs, 8, col("h"), col("doc_id"))
+    graft.operators.Rank.globalRowNumber(docs, col("h"), col("doc_id"))
       .withColumn("batch_id", floor((col("rank") - 1) / lit(B.toDouble)).cast("long"))
       .withColumn("pos_in_batch", (col("rank") - 1) % B)
       .select("doc_id", "rank", "batch_id", "pos_in_batch")
@@ -372,7 +372,7 @@ object ALQueries {
       .cast("long")
     val scored = base.select(col("doc_id"), difficulty.as("difficulty_e6"))
     val total = scored.agg(count(lit(1)).as("total"))
-    graft.operators.Rank.globalRowNumber(scored, 8, col("difficulty_e6"), col("doc_id"))
+    graft.operators.Rank.globalRowNumber(scored, col("difficulty_e6"), col("doc_id"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("difficulty_e6"),
         expr("((rank - 1) * 5) div total").as("bucket"))

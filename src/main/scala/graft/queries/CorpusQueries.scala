@@ -277,13 +277,29 @@ object CorpusQueries {
       .union(pairs.select(col("w2").as("src"), col("w1").as("dst")))
       .distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesD = edges.join(deg, Seq("src")).localCheckpoint()
+    // pre-partition the pinned edge base by dst (r8): each iteration is a
+    // broadcast join (ranks is vocabulary-bounded) that PRESERVES the
+    // streamed side's partitioning, followed by groupBy(dst) — so an edge
+    // base already hash-partitioned on dst satisfies the agg's required
+    // distribution and the ten iterations need no per-iteration edge
+    // shuffle. Pinning is cache+count, NOT localCheckpoint: under AQE the
+    // checkpoint's LogicalRDD reports UnknownPartitioning (probed r8), while
+    // InMemoryTableScan keeps the cached plan's HashPartitioning (AQE
+    // leaves cached-plan output partitioning alone by default).
+    val edgesD = edges.join(deg, Seq("src")).repartition(col("dst")).persist()
+    edgesD.count()
     val nodes = edges.select(col("src").as("word")).distinct().localCheckpoint()
     val n = nodes.count()
     val teleport = 150000L / n
     var ranks = nodes.withColumn("r", lit(1000000L / n))
     for (_ <- 1 to PrIters) {
-      ranks = edgesD.join(ranks, edgesD("src") === ranks("word"))
+      // broadcast(ranks) is FORCED, not left to stats: ranks is one row per
+      // vocabulary word (two columns) — the same bounded-index contract as
+      // the gazetteer — while edgesD is one row per distinct co-occurrence
+      // PAIR, strictly larger. Left to size estimates, the tiny-SF planner
+      // broadcasts edgesD instead, which discards its dst partitioning and
+      // re-introduces the edge-sized per-iteration exchange.
+      ranks = edgesD.join(broadcast(ranks), edgesD("src") === ranks("word"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("sc"))
         .select(col("dst").as("word"),

@@ -201,7 +201,7 @@ object CurationQueries {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"),
         detHash(col("doc_id"), 41).as("h"))
-    Rank.globalCumSum(docs, 32, col("n_tokens"), "start_tok", col("h"), col("doc_id"))
+    Rank.globalCumSum(docs, col("n_tokens"), "start_tok", col("h"), col("doc_id"))
       .select(col("doc_id"), col("n_tokens"), col("start_tok"),
         expr(s"start_tok div $SeqBudget").as("seq_first"),
         expr(s"(start_tok + n_tokens - 1) div $SeqBudget").as("seq_last"))
@@ -410,7 +410,7 @@ object CurationQueries {
       .select("lang", "n_lang", "target", "off")
     val hashed = docs.select(col("lang"), col("doc_id"))
       .withColumn("hk", detHash(col("doc_id"), 59))
-    Rank.globalRowNumber(hashed, 32, col("lang"), col("hk"), col("doc_id"))
+    Rank.globalRowNumber(hashed, col("lang"), col("hk"), col("doc_id"))
       .join(broadcast(targets), Seq("lang"))
       .withColumn("rk", col("rank") - col("off"))
       .filter(col("rk") <= col("target"))
@@ -572,13 +572,24 @@ object CurationQueries {
     // id — the dedup stage must keep the original and drop the copy.
     // (+2_000_000 is fixture namespace, disjoint from real ids by the
     // testdata contract — see set2Upsert's note)
-    val recrawl = base.filter(col("doc_id") % 5 === 2)
-      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-    val canonical = graft.operators.Dedup.exact(base.union(recrawl), "doc_id", "text")
+    //
+    // The copy is emitted in-row: explode an id-offset array (one element
+    // normally, two for the re-crawled rows) inside a single projection over
+    // `base`. Catalyst does not dedupe common subtrees, so the previous
+    // base.union(base.filter(...)) shape evaluated the whole gate
+    // (ta7Core's 2-gram explode + aggregation + the join) TWICE per
+    // execution — the one `weak` plan of round 7. One scan now feeds both
+    // the originals and the copies.
+    val merged = base
+      .select(col("doc_id"), col("text"),
+        explode(when(col("doc_id") % 5 === 2, array(lit(0L), lit(2000000L)))
+          .otherwise(array(lit(0L)))).as("__off"))
+      .select((col("doc_id") + col("__off")).as("doc_id"), col("text"))
+    val canonical = graft.operators.Dedup.exact(merged, "doc_id", "text")
       .filter(col("is_canonical"))
       .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"),
         detHash(col("doc_id"), 71).as("h"))
-    Rank.globalCumSum(canonical, 32, col("n_tokens"), "start_tok", col("h"), col("doc_id"))
+    Rank.globalCumSum(canonical, col("n_tokens"), "start_tok", col("h"), col("doc_id"))
       .select(col("doc_id"), col("n_tokens"), col("start_tok"),
         expr(s"start_tok div $SeqBudget").as("seq_first"))
       .orderBy("doc_id")

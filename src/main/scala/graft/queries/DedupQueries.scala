@@ -549,7 +549,10 @@ object DedupQueries {
         .as(Seq("pos0", "s")))
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("s"))
 
-  def dd15ExactSubstr(s: SparkSession, dir: String): DataFrame = {
+  /** The detect phase as a bare LAZY plan — the plan-shape spec pins its
+    * physical structure (agg + semi-join, doc-bounded windows) here, BEFORE
+    * the [[dd15Spans]] materialization collapses it to a checkpoint scan. */
+  private[queries] def dd15SpansPlan(s: SparkSession, dir: String): DataFrame = {
     val w = SubstrW
     val shingles = substrShingles(t(s, dir, "documents"), w)
     val dupShingles = shingles
@@ -572,8 +575,22 @@ object DedupQueries {
       .agg(min("pos").as("span_start"),
         (max("pos") + lit(w.toLong - 1)).as("span_end"))
       .select("doc_id", "span_start", "span_end")
-      .orderBy("doc_id", "span_start")
   }
+
+  /** The detect phase, memoized per (session, dir): dd15 (the report face)
+    * and dd16 (the cut face) both consume these spans, and the detect is by
+    * far the expensive part — the shingle explode runs twice inside it (the
+    * documented de-skew trade). Before r8, dd16 re-PLANNED the whole detect,
+    * so one Verify/Bench session paid the explode three times;
+    * [[graft.operators.SessionShare.materialized]] pins one physical
+    * evaluation (the a10/ta1/sm9 pattern) and both faces read it. */
+  private def dd15Spans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionShare.materialized(s, dir, "dd15_spans") {
+      dd15SpansPlan(s, dir)
+    }
+
+  def dd15ExactSubstr(s: SparkSession, dir: String): DataFrame =
+    dd15Spans(s, dir).orderBy("doc_id", "span_start")
 
   val dd15ExactSubstrSql: String = {
     val w = SubstrW
@@ -616,7 +633,7 @@ object DedupQueries {
     *         tokens in original order ('' hashes for fully-cut docs, the
     *         dd14 COALESCE convention) */
   def dd16SpanCut(s: SparkSession, dir: String): DataFrame = {
-    val spans = dd15ExactSubstr(s, dir)
+    val spans = dd15Spans(s, dir)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     val toks = t(s, dir, "documents")

@@ -56,10 +56,10 @@ object MLQueries {
     * topic (A11: doc→topic distribution). Hash-checked since r7: per-doc
     * inference under the seeded model is partition-count independent
     * (verified identical at local[8] vs local[32], like the a10c topic
-    * table), so the 500 dominant topics pin as [[A9DocTopicPin]] — one
-    * digit per doc_id — and the oracle unrolls them as VALUES. Drift fails
-    * loudly at the gate; CoherenceSpec pins the upstream topic table
-    * locally. Valid ONLY at sf0.01 (same caveat as [[LdaTopicRows]]). */
+    * table), so the dominant topics pin as [[A9DocTopicPins]] — one
+    * digit per doc_id, one entry per pinned SF — and the oracle unrolls
+    * them as VALUES. Drift fails loudly at the gate; CoherenceSpec pins
+    * the upstream topic table locally. */
   def a9LdaDocTopics(s: SparkSession, dir: String): DataFrame = {
     val (bow, _, model) = fittedLda(s, dir)
     model.transform(bow)
@@ -70,32 +70,36 @@ object MLQueries {
       .orderBy("doc_id")
   }
 
-  /** The dominant topic of each sf0.01 document under the seeded model,
-    * doc_id-indexed (char i = topic of doc i) — the golden half of the a9
-    * oracle, dumped once from the verified partition-independent output. */
-  private[graft] val A9DocTopicPin: String =
-    ("42222222222226256224227622122222262222262222622622224622221222" +
-     "22262222222652222122222422222272222222222252525222222262262225" +
-     "67222262222226272222266266226222222222222222222222622222222222" +
-     "22222222622262222652225222246222222242222222222642662226242242" +
-     "22226622762657222252622222222526222222222222612222222222222222" +
-     "22262262222722222222222226222222262226262222222266222256227222" +
-     "22222222222222222222527222226222222252226242226622222222222276" +
-     "26252222222262227222252222272222262722722622262767226222222223" +
-     "2222")
+  /** The dominant topic of each document under the seeded model,
+    * doc_id-indexed (char i = topic of doc i) and KEYED BY SF (documents
+    * row count — [[SfPins]], r8): the golden half of the a9 oracle, each
+    * entry dumped once via `graft.tools.PinDump` from
+    * partition-independence-verified output (local[8] ≡ local[32]). */
+  private[graft] val A9DocTopicPins: Map[(Long, Long), String] = Map(
+    (500L, 149174L) ->
+      ("42222222222226256224227622122222262222262222622622224622221222" +
+       "22262222222652222122222422222272222222222252525222222262262225" +
+       "67222262222226272222266266226222222222222222222222622222222222" +
+       "22222222622262222652225222246222222242222222222642662226242242" +
+       "22226622762657222252622222222526222222222222612222222222222222" +
+       "22262262222722222222222226222222262226262222222266222256227222" +
+       "22222222222222222222527222226222222252226242226622222222222276" +
+       "26252222222262227222252222272222262722722622262767226222222223" +
+       "2222"))
 
-  val a9LdaDocTopicsSql: String =
+  def a9LdaDocTopicsSql: String = {
+    val n = SfPins.activeDocCount
     "SELECT (i - 1) AS doc_id, CAST(topics[i] AS INTEGER) AS topic " +
-      s"FROM (SELECT string_split('${A9DocTopicPin.mkString(",")}', ',') AS topics), " +
-      "unnest(range(1, 501)) AS u(i) ORDER BY doc_id"
+      s"FROM (SELECT string_split('${A9DocTopicPins(SfPins.activeSf).mkString(",")}', ',') AS topics), " +
+      s"unnest(range(1, ${n + 1})) AS u(i) ORDER BY doc_id"
+  }
 
   /** a10_lda_perplexity — LDA model quality (A10: gensim log_perplexity;
     * coherence lives in a10b/a10c — UMass instead of c_v, see
     * [[graft.operators.TopicCoherence]]). One row; hash-checked since r7
     * against its constant pin — the e3-rounded perplexity over the
     * deterministic 20% sample is partition-count independent (verified
-    * local[8] ≡ local[32]), the same justification as [[A9DocTopicPin]].
-    * Valid ONLY at sf0.01. */
+    * local[8] ≡ local[32]), the same justification as [[A9DocTopicPins]]. */
   def a10LdaPerplexity(s: SparkSession, dir: String): DataFrame = {
     val (bow, _, model) = fittedLda(s, dir)
     // perplexity over a deterministic 20% sample — the metric needs a
@@ -106,8 +110,12 @@ object MLQueries {
     Seq((8, math.round(lp * 1000.0))).toDF("k", "log_perplexity_e3")
   }
 
-  val a10LdaPerplexitySql: String =
-    "SELECT 8 AS k, CAST(3590 AS BIGINT) AS log_perplexity_e3"
+  /** e3-rounded seeded perplexity per SF ([[SfPins]] key), dumped with the
+    * [[A9DocTopicPins]] batch under the same partition-independence proof. */
+  private[graft] val A10PerplexityPins: Map[(Long, Long), Long] = Map((500L, 149174L) -> 3590L)
+
+  def a10LdaPerplexitySql: String =
+    s"SELECT 8 AS k, CAST(${A10PerplexityPins(SfPins.activeSf)} AS BIGINT) AS log_perplexity_e3"
 
   /** Lazy (doc_id, word) incidence for the coherence queries. Deliberately
     * NOT materialized/distinct'ed here: umassE6 semi-joins it down to the
@@ -220,17 +228,22 @@ object MLQueries {
       .orderBy("topic")
   }
 
-  /** The seeded (k=8, seed=42, maxIter=10, describeTopics(6)) topic table at
-    * the driver's sf0.01 gate corpus, dumped once and pinned — the golden
-    * half of the a10c/a10e oracles. Valid ONLY at sf0.01 (the driver's gate
-    * scale): the coherence math is recomputed relationally from whatever
-    * `documents` the check runs over, but the topics are a function of the
-    * training corpus, and sf0.001's documents differ in content. A
-    * check_local run at another SF will report these two red by design.
-    * Drift guard: CoherenceSpec re-fits the model at sf0.01 and asserts
-    * this pin row-for-row, so an MLlib topic change fails the local suite
-    * before it fails the driver gate. */
-  private[graft] val LdaTopicRows: Seq[(Int, String, Int)] = Seq(
+  /** The seeded (k=8, seed=42, maxIter=10, describeTopics(6)) topic table
+    * per SF ([[SfPins]] key), dumped once and pinned — the golden half of
+    * the a10c/a10e oracles. The coherence math is recomputed relationally
+    * from whatever `documents` the check runs over, but the topics are a
+    * function of the training corpus, so each SF needs its own dump (an
+    * unpinned SF drops to rows-only, loudly). Drift guard: CoherenceSpec
+    * re-fits the model at sf0.01 and asserts that pin row-for-row, so an
+    * MLlib topic change fails the local suite before it fails the driver
+    * gate. */
+  private[graft] val LdaTopicRowsBySf: Map[(Long, Long), Seq[(Int, String, Int)]] =
+    Map((500L, 149174L) -> LdaTopicRowsSf001)
+
+  private[graft] def LdaTopicRows: Seq[(Int, String, Int)] =
+    LdaTopicRowsBySf(SfPins.activeSf)
+
+  private lazy val LdaTopicRowsSf001: Seq[(Int, String, Int)] = Seq(
     (0, "agg", 1), (0, "order", 2), (0, "a", 3), (0, "column", 4),
     (0, "hash", 5), (0, "small", 6), (1, "spark", 1), (1, "data", 2),
     (1, "filter", 3), (1, "order", 4), (1, "group", 5), (1, "window", 6),
@@ -244,10 +257,10 @@ object MLQueries {
     (6, "batch", 5), (6, "line", 6), (7, "query", 1), (7, "line", 2),
     (7, "stream", 3), (7, "value", 4), (7, "fast", 5), (7, "big", 6))
 
-  private val LdaTopicValues: String =
+  private def LdaTopicValues: String =
     LdaTopicRows.map { case (t, w, r) => s"($t, '$w', $r)" }.mkString(", ")
 
-  val a10cLdaCoherenceSql: String =
+  def a10cLdaCoherenceSql: String =
     s"""WITH topics(topic, word, rank) AS (VALUES $LdaTopicValues),
        |tok AS (
        |  SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
@@ -349,7 +362,7 @@ object MLQueries {
       .orderBy("topic")
   }
 
-  val a10eLdaCvSql: String =
+  def a10eLdaCvSql: String =
     s"""WITH topics(topic, word, rank) AS (VALUES $LdaTopicValues),
        |tok AS (
        |  SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
@@ -598,7 +611,7 @@ object MLQueries {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
     val wts = freq.select(col("word"),
       round(pow(col("cnt").cast("double"), 0.75) * 1000).cast("long").as("weight"))
-    val cum = graft.operators.Rank.globalCumSum(wts, 8, col("weight"), "cum_before", col("word"))
+    val cum = graft.operators.Rank.globalCumSum(wts, col("weight"), "cum_before", col("word"))
     val scal = wts.agg(sum("weight").cast("long").as("total_w"),
       max("weight").cast("long").as("bw"))
     val draws = t(s, dir, "embeddings").filter(col("vec_id") < 100)
@@ -652,18 +665,29 @@ object MLQueries {
     "m3_forward_logprob" -> (m3ForwardLogprob _),
     "v1_pad_vectorize" -> (v1PadVectorize _))
 
-  val oracles: Map[String, String] = Map(
-    "v8_negative_sampling" -> v8NegativeSamplingSql,
-    "v7_feature_hash" -> v7FeatureHashSql,
-    "a5_countvec_nnz" -> a5CountvecNnzSql,
-    "a9_lda_doc_topics" -> a9LdaDocTopicsSql,
-    "a9b_lda_invariants" -> a9bLdaInvariantsSql,
-    "a10_lda_perplexity" -> a10LdaPerplexitySql,
-    "a10b_umass_coherence" -> a10bUmassCoherenceSql,
-    "a10c_lda_coherence" -> a10cLdaCoherenceSql,
-    "a10d_cv_coherence" -> a10dCvCoherenceSql,
-    "a10e_lda_cv" -> a10eLdaCvSql,
-    "m2_viterbi_decode" -> m2ViterbiDecodeSql,
-    "m3_forward_logprob" -> m3ForwardLogprobSql,
-    "v1_pad_vectorize" -> v1PadVectorizeSql)
+  /** def, not val (r8): the four seeded-pin oracles are SF-keyed
+    * ([[SfPins]]) — they join the map only when the active SF has a pin,
+    * and their SQL is regenerated for whatever SF Verify registered.
+    * An unpinned SF drops them to the driver's rows-only check, loudly. */
+  def oracles: Map[String, String] = {
+    val base = Map(
+      "v8_negative_sampling" -> v8NegativeSamplingSql,
+      "v7_feature_hash" -> v7FeatureHashSql,
+      "a5_countvec_nnz" -> a5CountvecNnzSql,
+      "a9b_lda_invariants" -> a9bLdaInvariantsSql,
+      "a10b_umass_coherence" -> a10bUmassCoherenceSql,
+      "a10d_cv_coherence" -> a10dCvCoherenceSql,
+      "m2_viterbi_decode" -> m2ViterbiDecodeSql,
+      "m3_forward_logprob" -> m3ForwardLogprobSql,
+      "v1_pad_vectorize" -> v1PadVectorizeSql)
+    val pinned = Seq(
+      ("a9_lda_doc_topics", A9DocTopicPins, () => a9LdaDocTopicsSql),
+      ("a10_lda_perplexity", A10PerplexityPins, () => a10LdaPerplexitySql),
+      ("a10c_lda_coherence", LdaTopicRowsBySf, () => a10cLdaCoherenceSql),
+      ("a10e_lda_cv", LdaTopicRowsBySf, () => a10eLdaCvSql))
+      .collect { case (name, pins, sql) if SfPins.pinnedOrWarn(name, pins) =>
+        name -> sql()
+      }
+    base ++ pinned
+  }
 }

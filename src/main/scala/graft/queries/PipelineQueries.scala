@@ -123,13 +123,16 @@ object PipelineQueries {
     "e3_prodigy_export" -> (e3ProdigyExport _),
     "a2_entity_count" -> (a2EntityCount _))
 
-  // the e1 twins' oracle is generator-derived and pinned to the 250-paper
-  // corpus the driver's sf0.01 gate produces (see expectedParagraphsSql
-  // scaladoc) — built lazily so merely loading the oracle map costs nothing
-  private lazy val e1GoldenSql: String =
-    graft.sources.PaperXmlGen.expectedParagraphsSql(250)
+  // the e1 twins' oracle is generator-derived — unlike the LDA pins it is
+  // COMPUTABLE for any SF, so it scales with the registered SF directly
+  // (papers = docs/2, min 20 — the ensureCorpus formula). def, not lazy
+  // val: the paper count must track SfPins at dump time (r8).
+  private def e1GoldenSql: String = {
+    val nPapers = math.max(20L, graft.queries.SfPins.activeDocCount / 2).toInt
+    graft.sources.PaperXmlGen.expectedParagraphsSql(nPapers)
+  }
 
-  lazy val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "e1_ingest_explode" -> e1IngestExplodeSql,
     "e1_ingest_files" -> e1GoldenSql,
     "e1_ingest_packed" -> e1GoldenSql,

@@ -108,17 +108,20 @@ object PaperXml {
   def ingest(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val glob = dir + "/*.cermxml"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.globStatus(new org.apache.hadoop.fs.Path(glob))
-      .map(_.getLen).sum
+    // Hadoop Path, not java.net.URI (ADVICE r7): URI.<init> throws on
+    // unescaped spaces / reserved chars in corpus directories, which the
+    // previous DataFrame wholetext reader accepted; Path handles raw paths
+    val globPath = new org.apache.hadoop.fs.Path(glob)
+    val fs = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.globStatus(globPath).map(_.getLen).sum
     val minParts = math.max(spark.sparkContext.defaultParallelism.toLong,
       totalBytes / (32L << 20) + 1).toInt
     val rows = spark.sparkContext.wholeTextFiles(glob, minParts)
       .map { case (p, xml) =>
         // wholeTextFiles yields file:/tmp/...; input_file_name() yields
         // file:///tmp/... — normalize so ids match the packed corpus
-        ("file://" + new java.net.URI(p).getPath, xml)
+        // (Path.toUri round-trips unescaped chars that URI.<init> rejects)
+        ("file://" + new org.apache.hadoop.fs.Path(p).toUri.getPath, xml)
       }
     ingestFrom(rows.toDF("paper_path", "xml"))
   }

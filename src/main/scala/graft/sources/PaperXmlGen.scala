@@ -161,12 +161,39 @@ object PaperXmlGen {
         case _: java.nio.file.FileSystemException =>
           // the target exists but is incomplete (a stale partial dir from an
           // interrupted builder — review r7: without this branch the stale
-          // dir wedged every future build, each loser deleting its own good
-          // copy): clear it and move the fresh build into place
-          rmTree(packed)
-          try Files.move(tmp, packed, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileSystemException => rmTree(tmp)
+          // dir wedged every future build). Clearing it must be SERIALIZED
+          // (ADVICE r7: two builders both taking this branch could delete
+          // each other's freshly installed copy): a lock file elects one
+          // cleaner, which re-checks _SUCCESS under the lock — so a
+          // complete dir is never deleted and no reader that passed the
+          // marker check can see a half-deleted directory. Losers wait for
+          // the winner (or its death) and never touch `packed`.
+          val lock = Paths.get(packed.toString + ".lock")
+          def installUnderLock(): Unit = {
+            try {
+              if (Files.exists(packed.resolve("_SUCCESS"))) rmTree(tmp)
+              else {
+                rmTree(packed)
+                try Files.move(tmp, packed, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                catch { case _: java.nio.file.FileSystemException => rmTree(tmp) }
+              }
+            } finally Files.deleteIfExists(lock)
+          }
+          def tryLock(): Boolean =
+            try { Files.createFile(lock); true }
+            catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          if (tryLock()) installUnderLock()
+          else {
+            // bounded wait for the lock holder; if the marker appears we
+            // lost to a good copy, if the lock vanishes without a marker
+            // the holder failed — take over once
+            val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+            while (!Files.exists(packed.resolve("_SUCCESS")) &&
+                   Files.exists(lock) && System.nanoTime() < deadline)
+              Thread.sleep(200)
+            if (Files.exists(packed.resolve("_SUCCESS"))) rmTree(tmp)
+            else if (tryLock()) installUnderLock()
+            else rmTree(tmp) // give up; next ensurePacked call rebuilds
           }
       }
     }

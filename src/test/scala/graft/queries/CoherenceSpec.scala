@@ -98,4 +98,29 @@ class CoherenceSpec extends SparkSpec {
     assert(live === MLQueries.LdaTopicRows.sorted,
       "seeded LDA topics drifted from the pinned a10c/a10e oracle table")
   }
+
+  test("a9 doc-topic and a10 perplexity pins match the live model at sf0.01") {
+    // ADVICE r7: the a10 oracle was a bare constant and A9DocTopicPin had
+    // no local guard — MLlib drift in per-doc inference or perplexity
+    // surfaced only at the driver gate. Both constants are now asserted
+    // against a live fit here (the SessionShare'd model, so this shares
+    // the fit with the topic-table test above).
+    val dir = "/root/testdata/sf0.01"
+    val gateKey = (500L, 149174L)
+    graft.queries.SfPins.register(spark, dir)
+    assert(graft.queries.SfPins.activeSf === gateKey,
+      "sf0.01 corpus fingerprint changed — every seeded pin must be re-dumped")
+    // the digit-string pin indexes topics BY doc_id — contiguity is the
+    // precondition for both the pin and its range-join oracle (ADVICE r7)
+    val ids = graft.Tables(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 500L), "sf0.01 doc_ids must be exactly 0..499")
+    val live = MLQueries.a9LdaDocTopics(spark, dir)
+      .collect().map(_.getInt(1)).mkString
+    assert(live === MLQueries.A9DocTopicPins(gateKey),
+      "per-doc dominant topics drifted from the pinned a9 oracle string")
+    val ppl = MLQueries.a10LdaPerplexity(spark, dir).collect()(0).getLong(1)
+    assert(ppl === MLQueries.A10PerplexityPins(gateKey),
+      "seeded perplexity drifted from the pinned a10 oracle constant")
+  }
 }

@@ -65,7 +65,10 @@ class DedupQueriesSpec extends SparkSpec {
     val prior = spark.conf.getOption(aqeKey)
     spark.conf.set(aqeKey, "false")
     try {
-      val plan = DedupQueries.dd15ExactSubstr(spark, dir).queryExecution.executedPlan
+      // the bare lazy plan — the production dd15ExactSubstr face routes
+      // through SessionShare.materialized (r8), whose executed plan is a
+      // checkpoint scan; the structure being pinned lives in dd15SpansPlan
+      val plan = DedupQueries.dd15SpansPlan(spark, dir).queryExecution.executedPlan
       val windows = plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
