@@ -172,11 +172,21 @@ object Similarity {
           .fit(feats).clusterCenters
       }
     // k-means may converge to fewer than ks centers (low-cardinality
-    // subspace slices); clamp so the codebook degrades to fewer codes
-    // instead of crashing the index build (review r7)
-    val ksEff = (ks +: perSub.map(_.length)).min
-    val rows: Seq[Seq[Double]] = (0 until ksEff).map { j =>
-      perSub.flatMap(centers => centers(j).toArray.toSeq)
+    // subspace slices). PAD a short subspace by repeating its last center
+    // (ADVICE r7: the r7 min-clamp truncated EVERY subspace to the worst
+    // one's count — one degenerate slice silently collapsed the whole
+    // codebook's resolution). Repeated centers are valid codes that simply
+    // never win an argmin, so the other subspaces keep full resolution;
+    // log the degradation so it is visible.
+    perSub.zipWithIndex.foreach { case (centers, sIx) =>
+      if (centers.length < ks) System.err.println(
+        s"[trainedPqCodebook] subspace $sIx converged to ${centers.length} < $ks " +
+          "centers - padding by repeating its last center")
+    }
+    val rows: Seq[Seq[Double]] = (0 until ks).map { j =>
+      perSub.flatMap { centers =>
+        centers(math.min(j, centers.length - 1)).toArray.toSeq
+      }
     }
     if (rows.length <= inlineThreshold) array(rows.map(typedLit(_)): _*)
     else graft.plans.BroadcastDataExpression.column(

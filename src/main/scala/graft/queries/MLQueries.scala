@@ -85,7 +85,101 @@ object MLQueries {
        "22262262222722222222222226222222262226262222222266222256227222" +
        "22222222222222222222527222226222222252226242226622222222222276" +
        "26252222222262227222252222272222262722722622262767226222222223" +
-       "2222"))
+       "2222"),
+    // sf0.001 (dumped r8 via PinDump, identical at local[8] and local[32])
+    (500L, 153156L) ->
+      ("55555457557554225545255655565577755552555546555555454757507545" +
+       "44426575554575555554556527545575475544575756745554745547257475" +
+       "46554657575675542457555575255554555545554244754555455565547667" +
+       "55572575652565565554677465455525555425745527544224557474554455" +
+       "55545545755777257774455557756475467555572554524574444575555274" +
+       "54745457557557560447455555675745555542555557554544552557554564" +
+       "44554565446755555757774556454455545675555445765545555645454556" +
+       "55566455255556654525765555774545655745555455575555452445555770" +
+       "4257"),
+    // sf0.1 (dumped r8 via PinDump, identical at local[8] and local[32])
+    (5000L, 1485576L) ->
+      ("44515264507576656527452504756414455660146565727407574765642646" +
+       "07642275757424636043102175211474177246072246514555551655727471" +
+       "54247360442275445772406652355552215255554707400521726054120456" +
+       "75354542202224525607432276477625552542031622552642525776451106" +
+       "41055722664262742455174145404014662661465177356252750205651504" +
+       "73212665216652321264522454524614525652565445152554646576752076" +
+       "15742557535545765576457575527552665542605421125456144771157745" +
+       "76574775552551650174526744442222353465221521617126025771177266" +
+       "16752556252006524675505227557160255732402716727645220242521247" +
+       "53174256702452417565141765134675411272114374155757544424155756" +
+       "10554552542640554755515621241675024045276614624377444773234240" +
+       "43444274024254427552112726455604225520024456631541775564456760" +
+       "76562262265357747545577171777662664524125252655224517513775464" +
+       "05770665727625226445656362165427242244115415554664645242724534" +
+       "64152162512144154560544552122462126556275444757560457157575674" +
+       "57127472244322420723624144272525462512522201265454551575224445" +
+       "27415124205655716777425655056676222345514247254561515174444055" +
+       "24717761526412641721254726044004271674624541552517146255244655" +
+       "56040544453564646656765772540023667725175722575547406263345562" +
+       "32265650264244561325074677251654727545764517203242650340150070" +
+       "45647411446215224552704366674274575064445526475240472550215736" +
+       "74671264565414216607254254640522416254475451254617572572722442" +
+       "42267525572525557251624445634272520427244213556511751412725411" +
+       "46644442743246725772605154211134614121154452262464242241460210" +
+       "76542663515754446722424572220524713501002455545211512541406654" +
+       "04727205171615216051257516540644651455574740554532466154715427" +
+       "46643361164434275460046074544726764642574521024174650552251754" +
+       "55676354445146244612241577475644543235622711227656044462374102" +
+       "62467471504225165621543675507552427025227000276204742622546627" +
+       "66555442154245672672625424243220222567237003447262420426452162" +
+       "50424457721645137342567234156625454225301345474155464555042257" +
+       "54474066475215440654207615066460425304710545266727565004760465" +
+       "22742445126124426452721525411724477566614564566526604254507742" +
+       "16526014522155635426566617720477154265424425256666504756612526" +
+       "54555506046627671457406222256527254427254645654625554544727722" +
+       "17767404520152525064725561252662424326046252521522425250622644" +
+       "17502436072475125547152027464216557675163572160032125755523527" +
+       "22117554121556553575275555270654425720072255252552567072455041" +
+       "57421544114217647455720264625712252162260765752626534424245525" +
+       "06675254272470456772262447650555025260217577422670553446225757" +
+       "21147542636724650723522642164270762272504774505641405565522355" +
+       "21752522175224466447654275644244606261327247560602541266744227" +
+       "56117457552106642414756462242670524451667474266025757462552712" +
+       "45166775052225724275424225267465445624267445617474217165656711" +
+       "46255405204452402254745444124275475705757506475672102423711440" +
+       "46056022565464545624554745505252252432574544441265551625536152" +
+       "20227222446465526421674136612455420626527151654743654050415546" +
+       "42547122642441527570505275635425575145267667224171555226044745" +
+       "22377465747254246424255007540667017627662525027745745451464176" +
+       "51244074263272531424525475655607465344454552552714215554717326" +
+       "66674522242354265550165544644725453552637641252512451455522150" +
+       "54234321474416502766472546742246070541645556225542766242554414" +
+       "66722254462641455724541676470445247272446575532646235757344427" +
+       "52277567244455466660154647221444745244765766057545646777254754" +
+       "10447770541436401644152552756477545524547446221372272574660774" +
+       "55577445446675325525244264155562155427256245244541217224772744" +
+       "47217545775557222572424735542257554622741204446743275645650726" +
+       "12040111177457447675641265654540415555417762545732256254765756" +
+       "46650547157225442744726045664256634202674174671254254614520024" +
+       "54542466374555640551740365542225525604667636045535611427053524" +
+       "45525376421545550675225445447535456604116411214254427754542557" +
+       "46635061245452507402577266324551744345622775567607046252666465" +
+       "72547727776746161571150226722442545276666426201506465556555625" +
+       "45765520757444100272254272064621555524132726755752756521626456" +
+       "04707556445227547104130552702607273216650655715472616661074636" +
+       "22366635555067202455055544444542552224643105476526266514451225" +
+       "45146717550552002247274452105176012156624102565755552124664471" +
+       "35027264423552571726565774424747055155557455574436524277023221" +
+       "46542245765271275541567576624201202552176515121615525625065705" +
+       "12756125105642345245665615124025654272524645510017052154044255" +
+       "75326370717426274624260156444174121524764024651057765627643225" +
+       "25164102656145555627627546362543244151525754165444471725555272" +
+       "75761427544476601424227556544405244544561447757246451241660276" +
+       "11544525600540125135645056445715445245774625077246554274657474" +
+       "44550465252070214015274217524545214520625311505672426725552447" +
+       "45472237506556634545677616274505657462533544253724452575241627" +
+       "25465276656670576462172562437041444256522242521754225225057106" +
+       "45721427142525645066721415774276272235645500751774410733502661" +
+       "23755275265627115352512224044655424564222455770765752451071235" +
+       "46472752537745564232424754574625304653646475540714627452244355" +
+       "5645244065516655722257632257414565524050"))
 
   def a9LdaDocTopicsSql: String = {
     val n = SfPins.activeDocCount
@@ -112,7 +206,10 @@ object MLQueries {
 
   /** e3-rounded seeded perplexity per SF ([[SfPins]] key), dumped with the
     * [[A9DocTopicPins]] batch under the same partition-independence proof. */
-  private[graft] val A10PerplexityPins: Map[(Long, Long), Long] = Map((500L, 149174L) -> 3590L)
+  private[graft] val A10PerplexityPins: Map[(Long, Long), Long] = Map(
+    (500L, 149174L) -> 3590L,  // sf0.01 (the driver gate)
+    (500L, 153156L) -> 3603L,  // sf0.001
+    (5000L, 1485576L) -> 3513L)  // sf0.1
 
   def a10LdaPerplexitySql: String =
     s"SELECT 8 AS k, CAST(${A10PerplexityPins(SfPins.activeSf)} AS BIGINT) AS log_perplexity_e3"
@@ -238,12 +335,14 @@ object MLQueries {
     * MLlib topic change fails the local suite before it fails the driver
     * gate. */
   private[graft] val LdaTopicRowsBySf: Map[(Long, Long), Seq[(Int, String, Int)]] =
-    Map((500L, 149174L) -> LdaTopicRowsSf001)
+    Map((500L, 149174L) -> LdaTopicRowsGate,
+        (500L, 153156L) -> LdaTopicRowsTiny,
+        (5000L, 1485576L) -> LdaTopicRowsBench)
 
   private[graft] def LdaTopicRows: Seq[(Int, String, Int)] =
     LdaTopicRowsBySf(SfPins.activeSf)
 
-  private lazy val LdaTopicRowsSf001: Seq[(Int, String, Int)] = Seq(
+  private lazy val LdaTopicRowsGate: Seq[(Int, String, Int)] = Seq(
     (0, "agg", 1), (0, "order", 2), (0, "a", 3), (0, "column", 4),
     (0, "hash", 5), (0, "small", 6), (1, "spark", 1), (1, "data", 2),
     (1, "filter", 3), (1, "order", 4), (1, "group", 5), (1, "window", 6),
@@ -256,6 +355,37 @@ object MLQueries {
     (6, "slow", 1), (6, "agg", 2), (6, "scan", 3), (6, "data", 4),
     (6, "batch", 5), (6, "line", 6), (7, "query", 1), (7, "line", 2),
     (7, "stream", 3), (7, "value", 4), (7, "fast", 5), (7, "big", 6))
+
+  /** sf0.001's seeded topic table (PinDump r8). */
+  private lazy val LdaTopicRowsTiny: Seq[(Int, String, Int)] = Seq(
+    (0, "vector", 1), (0, "merge", 2), (0, "table", 3), (0, "slow", 4),
+    (0, "fast", 5), (0, "batch", 6), (1, "table", 1), (1, "small", 2),
+    (1, "key", 3), (1, "spark", 4), (1, "join", 5), (1, "batch", 6),
+    (2, "row", 1), (2, "window", 2), (2, "stream", 3), (2, "table", 4),
+    (2, "slow", 5), (2, "merge", 6), (3, "hash", 1), (3, "merge", 2),
+    (3, "agg", 3), (3, "fast", 4), (3, "batch", 5), (3, "the", 6),
+    (4, "value", 1), (4, "customer", 2), (4, "batch", 3), (4, "sort", 4),
+    (4, "agg", 5), (4, "table", 6), (5, "part", 1), (5, "column", 2),
+    (5, "data", 3), (5, "a", 4), (5, "line", 5), (5, "group", 6),
+    (6, "line", 1), (6, "scan", 2), (6, "spark", 3), (6, "window", 4),
+    (6, "merge", 5), (6, "filter", 6), (7, "filter", 1), (7, "the", 2),
+    (7, "join", 3), (7, "column", 4), (7, "order", 5), (7, "slow", 6))
+
+  /** sf0.1's seeded topic table (PinDump r8). */
+  private lazy val LdaTopicRowsBench: Seq[(Int, String, Int)] = Seq(
+    (0, "hash", 1), (0, "query", 2), (0, "batch", 3), (0, "big", 4),
+    (0, "row", 5), (0, "window", 6), (1, "big", 1), (1, "a", 2),
+    (1, "agg", 3), (1, "part", 4), (1, "key", 5), (1, "hash", 6),
+    (2, "agg", 1), (2, "merge", 2), (2, "order", 3), (2, "stream", 4),
+    (2, "the", 5), (2, "data", 6), (3, "fast", 1), (3, "line", 2),
+    (3, "merge", 3), (3, "part", 4), (3, "table", 5), (3, "value", 6),
+    (4, "value", 1), (4, "vector", 2), (4, "sort", 3), (4, "part", 4),
+    (4, "scan", 5), (4, "row", 6), (5, "query", 1), (5, "group", 2),
+    (5, "sort", 3), (5, "small", 4), (5, "customer", 5), (5, "slow", 6),
+    (6, "column", 1), (6, "customer", 2), (6, "filter", 3),
+    (6, "small", 4), (6, "line", 5), (6, "spark", 6), (7, "the", 1),
+    (7, "small", 2), (7, "key", 3), (7, "spark", 4), (7, "line", 5),
+    (7, "a", 6))
 
   private def LdaTopicValues: String =
     LdaTopicRows.map { case (t, w, r) => s"($t, '$w', $r)" }.mkString(", ")
