@@ -19,7 +19,8 @@ import Q._
   *    n_cells · n_probe) instead of everything, and cell assignment is a
   *    pure projection over a literal centroid index (no corpus shuffle).
   *  - dd6: embedding near-duplicate pairs, blocked by IVF cell — equi-join
-  *    within ~constant-size blocks, never O(n²) global.
+  *    within √N-size blocks over √N cells (the balanced single-level IVF
+  *    geometry, N^1.5 total), never O(n²) global.
   *
   * Perf shape: vector norms are computed ONCE per vector in a projection and
   * joined through — a pair evaluation is one dot-product HOF, not three.
@@ -99,6 +100,30 @@ object SimilarityQueries {
   private def centIndex(emb: DataFrame): Column =
     graft.operators.Similarity.centroidIndex(
       emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding")
+
+  /** √N centroid stride for the PAIRING queries (dd6/dd12) — r8. With a
+    * stride s the stand-in yields N/s centroids and cells of ~s rows, so
+    * within-cell pairing costs N·s and assignment costs N·(N/s); the fixed
+    * s=97 of r7 made the centroid count LINEAR in the corpus and the
+    * assign step quadratic (the sf0.1→sf1 sweep's worst ratio, dd6 3.6×).
+    * s = ⌈√N⌉ balances the two at N^1.5 total — the single-level IVF
+    * optimum (Jégou et al. 2011 §IV pick k ∝ √N for the same reason).
+    * The PROBE queries (ss2) keep the fixed stand-in: their production
+    * face is [[graft.operators.Similarity.trainedCentroids]] with the k
+    * knob, and their cost is already linear in N. DuckDB replays the same
+    * stride from COUNT(*), so both engines block identically. */
+  private def pairStride(s: SparkSession, dir: String): Long =
+    math.max(2L, math.ceil(math.sqrt(t(s, dir, "embeddings").count().toDouble)).toLong)
+
+  private def pairCentIndex(s: SparkSession, dir: String, emb: DataFrame): Column =
+    graft.operators.Similarity.centroidIndex(
+      emb.filter(col("vec_id") % pairStride(s, dir) === 0), "vec_id", "embedding")
+
+  /** The shared CTE prefix replaying [[pairStride]]/[[pairCentIndex]]. */
+  private def pairCentSql: String =
+    """st AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS stride FROM emb),
+      |cent AS (SELECT vec_id AS cent_id, embedding AS cv, norm AS cn FROM emb
+      |         WHERE vec_id % (SELECT stride FROM st) = 0)""".stripMargin
 
   /** cell = argmax over the literal index of cosE6(centroid, embedding),
     * ties → lowest cent_id. A pure projection
@@ -263,12 +288,14 @@ object SimilarityQueries {
 
   /** dd6_embed_neardup — near-duplicate vector pairs within IVF-cell blocks:
     * top-50 most-similar pairs. The blocking key is the nearest-centroid
-    * cell (bounded ~97 rows by construction, constant as the corpus grows —
-    * more data ⇒ more cells, not bigger cells), NOT a metadata label whose
-    * blocks grow linearly and make within-block pairing quadratic. */
+    * cell under the √N stride ([[pairStride]]): ~√N cells of ~√N rows, so
+    * BOTH the assign (N·#cells) and the within-cell pairing (N·cellsize)
+    * scale N^1.5 — NOT a metadata label whose blocks grow linearly and
+    * make within-block pairing quadratic, and NOT the r7 fixed stride
+    * whose centroid count grew linearly and made the assign quadratic. */
   def dd6EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(t(s, dir, "embeddings"))
-    val cellified = withCell(emb, centIndex(emb))
+    val cellified = withCell(emb, pairCentIndex(s, dir, emb))
     val a = cellified.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("ea"), col("norm").as("na"))
     val b = cellified.select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("eb"), col("norm").as("nb"))
     a.join(b, Seq("cell"))
@@ -281,7 +308,7 @@ object SimilarityQueries {
 
   val dd6EmbedNeardupSql: String =
     s"""WITH emb AS ($withNormDuck),
-       |cent AS (SELECT vec_id AS cent_id, embedding AS cv, norm AS cn FROM emb WHERE vec_id % 97 = 0),
+       |$pairCentSql,
        |assign AS (
        |  SELECT vec_id, embedding, norm, cell FROM (
        |    SELECT e.vec_id, e.embedding, e.norm, c.cent_id AS cell,
@@ -314,7 +341,7 @@ object SimilarityQueries {
     * reports. */
   def dd12SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(t(s, dir, "embeddings"))
-    val cellified = withCell(emb, centIndex(emb))
+    val cellified = withCell(emb, pairCentIndex(s, dir, emb))
     val a = cellified.select(col("cell"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("norm").as("na"))
     val b = cellified.select(col("cell"), col("vec_id").as("vec_b"),
@@ -334,7 +361,7 @@ object SimilarityQueries {
 
   val dd12SemanticDedupSql: String =
     s"""WITH emb AS ($withNormDuck),
-       |cent AS (SELECT vec_id AS cent_id, embedding AS cv, norm AS cn FROM emb WHERE vec_id % 97 = 0),
+       |$pairCentSql,
        |assign AS (
        |  SELECT vec_id, embedding, norm, cell FROM (
        |    SELECT e.vec_id, e.embedding, e.norm, c.cent_id AS cell,
