@@ -273,9 +273,16 @@ object CorpusQueries {
       .filter(col("w2").isNotNull && col("w1") =!= col("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= PrMinCount)
+    // the symmetrized edge list is pinned ONCE: un-pinned, the corpus
+    // explode chain under `pairs` would re-evaluate for every consumer —
+    // deg's agg, the edgesD join's probe side, and nodes each re-planned
+    // it, so the expensive tok+lead scan ran three times per execution
+    // (the same Catalyst no-CSE trap as e2e1's r7 finding). The edge list
+    // itself is vocabulary²-bounded — checkpoint-sized at any corpus scale.
     val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"))
       .union(pairs.select(col("w2").as("src"), col("w1").as("dst")))
       .distinct()
+      .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // pre-partition the pinned edge base by dst (r8): each iteration is a
     // broadcast join (ranks is vocabulary-bounded) that PRESERVES the
@@ -288,7 +295,8 @@ object CorpusQueries {
     // leaves cached-plan output partitioning alone by default).
     val edgesD = edges.join(deg, Seq("src")).repartition(col("dst")).persist()
     edgesD.count()
-    val nodes = edges.select(col("src").as("word")).distinct().localCheckpoint()
+    // nodes derive from the pinned edge list — no checkpoint of their own
+    val nodes = edges.select(col("src").as("word")).distinct()
     val n = nodes.count()
     val teleport = 150000L / n
     var ranks = nodes.withColumn("r", lit(1000000L / n))
