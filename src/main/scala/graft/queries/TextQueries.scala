@@ -892,8 +892,16 @@ object TextQueries {
     * the Q float rule. */
   def ta6Tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // tf feeds BOTH the df aggregate and the scored join; Catalyst does
+    // not dedupe the common subtree and (probed r8) neither ReuseExchange
+    // nor AQE stage reuse fires across the two consumers, so un-pinned the
+    // corpus explode+shuffle ran twice per execution. One localCheckpoint
+    // pins the (doc, word, tf) intermediate — the same evaluate-once trade
+    // as Rank.pinned, and strictly cheaper than the second scan+shuffle it
+    // replaces (the shuffle already hits disk).
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, Seq("word")).crossJoin(broadcast(n))
