@@ -113,17 +113,32 @@ object CorpusQueries {
     * probabilities normalized by the corpus token count (gensim's
     * npmi_scorer convention); e6-scaled per the Q.scala float rule. */
   def a6Bigrams(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val tok = t(s, dir, "documents")
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w1")))
-    val big = tok
-      .withColumn("w2", lead("w1", 1).over(w))
-      .filter(col("w2").isNotNull)
+    // Adjacent pairs are built in the ARRAY domain (r8): the r7 spelling
+    // posexploded every token and ran a lead window partitioned by doc_id —
+    // a corpus-sized Exchange just to see each token's neighbor, plus the
+    // un-pinned tok subtree re-evaluated for the unigram agg and the token
+    // total (the Catalyst no-CSE trap, three corpus passes). Adjacency is
+    // already present inside each document's token array, so the pair
+    // stream is a pure explode of a transform — no window, no shuffle
+    // before the map-side-combining aggs — and the scalar token total
+    // derives from the vocab-sized unigram table instead of a third pass.
+    val docsTok = t(s, dir, "documents").withColumn("tk", toks(col("text")))
+    val big = docsTok
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 5)
-    val uni = tok.groupBy("w1").agg(count(lit(1)).as("ucnt"))
-    val n = tok.agg(count(lit(1)).as("nw"))
+    // uni is consumed three times (cnt_a side, cnt_b side, token total) —
+    // pinned so the corpus explode+agg under it evaluates once; the pinned
+    // table is vocab-sized, checkpoint-safe at any corpus scale
+    val uni = docsTok.select(explode(col("tk")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("ucnt"))
+      .localCheckpoint()
+    val n = uni.agg(sum("ucnt").as("nw"))
     // uni is the FULL distinct vocabulary (10⁷–10⁸ rows at 100 TB) — never
     // broadcast it; plain equi-joins let AQE pick the strategy. Only the
     // 1-row total is a broadcast.
