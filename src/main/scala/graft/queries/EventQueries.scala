@@ -149,8 +149,17 @@ object EventQueries {
   def ev6Funnel(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    // v is consumed by three downstream subtrees (c's join, p via c, and
+    // its own count) — un-pinned, Catalyst re-evaluated its events
+    // scan+agg three times (the no-CSE trap). One pin of the per-user
+    // view table (one row per user, far smaller than events — the
+    // scored-pool pinning contract) cuts the funnel to one full events
+    // pass per stage. c/p stay lazy: each is consumed twice at most and
+    // reads the pinned v, and a measured all-three-pinned variant paid
+    // more in checkpoint jobs than it saved locally.
     val v = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("us").as("t_view"))
+      .localCheckpoint()
     val c = e.filter(col("event_type") === "click")
       .join(v, Seq("user_id"))
       .filter(col("us") >= col("t_view"))
