@@ -175,6 +175,13 @@ object GapQueries {
     // all three outcomes occur (exact matches, boundary-extended misses
     // where an adjacent c-word stretches the pred span, spurious c-only
     // spans) — a13 with a pred that never aligns would be identically zero
+    // NOTE (r8, measured): each span table is consumed twice (count + TP
+    // join), so the spans() subtree evaluates twice per side — but the
+    // four evaluations run CONCURRENTLY inside one pipelined job, and a
+    // localCheckpoint of both span tables measured 0.88 → 1.54 s at sf0.1
+    // (two serialized checkpoint jobs cost more wall than the shared
+    // evaluation saves). Left un-pinned deliberately; at cluster scale the
+    // trade re-opens only if the corpus scan is IO-bound.
     val gold = spans(col("w").startsWith("d"))
     val pred = spans(substring(col("w"), 1, 1).isin("c", "d"))
     val ng = gold.groupBy("lang").agg(count(lit(1)).as("n_gold"))
