@@ -739,8 +739,12 @@ object MLQueries {
     val freq = t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+    // wts feeds the rank build AND scal, and scal is consumed twice — so
+    // un-pinned the corpus explode+agg under wts evaluated three times per
+    // execution (the no-CSE trap). The pinned table is vocab-sized.
     val wts = freq.select(col("word"),
       round(pow(col("cnt").cast("double"), 0.75) * 1000).cast("long").as("weight"))
+      .localCheckpoint()
     val cum = graft.operators.Rank.globalCumSum(wts, col("weight"), "cum_before", col("word"))
     val scal = wts.agg(sum("weight").cast("long").as("total_w"),
       max("weight").cast("long").as("bw"))
