@@ -280,12 +280,19 @@ object CorpusQueries {
     * CTEs). The two scalar counts (node count for the teleport term) are
     * driver-side by the same bounded-index contract as the gazetteer. */
   def a16TextRank(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val tok = t(s, dir, "documents")
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w1")))
-    val pairs = tok
-      .withColumn("w2", lead("w1", 1).over(w))
-      .filter(col("w2").isNotNull && col("w1") =!= col("w2"))
+    // adjacent pairs in the array domain (r8, the a6 shape): the lead
+    // window spelling shuffled the whole exploded token stream by doc_id
+    // just to see each token's neighbor; adjacency is already present in
+    // the token array, so the pair stream is a pure explode — no window,
+    // no Exchange before the map-side-combining pair count
+    val pairs = t(s, dir, "documents")
+      .withColumn("tk", toks(col("text")))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= PrMinCount)
     // the symmetrized edge list is pinned ONCE: un-pinned, the corpus
