@@ -370,7 +370,11 @@ object ALQueries {
         (least(col("mean_len"), lit(10.0)) / 10.0) * 0.3 +
         (col("n_rare").cast("double") / col("n_tokens").cast("double")) * 0.2) * 1e6)
       .cast("long")
+    // scored feeds both the total count and the rank build — un-pinned,
+    // its whole chain (corpus explode ×2 under rare/top8 + the base join)
+    // re-evaluated per consumer. The pinned frame is two columns per doc.
     val scored = base.select(col("doc_id"), difficulty.as("difficulty_e6"))
+      .localCheckpoint()
     val total = scored.agg(count(lit(1)).as("total"))
     graft.operators.Rank.globalRowNumber(scored, col("difficulty_e6"), col("doc_id"))
       .crossJoin(broadcast(total))
