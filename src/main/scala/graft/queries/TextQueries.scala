@@ -704,8 +704,14 @@ object TextQueries {
     * TakeOrderedAndProject top-k. Per-term scores combine in a fixed
     * left-to-right tree (no row-order-dependent float aggregation); the
     * ln-based score is e6-rounded before ordering per the Q convention. */
-  def ta13Bm25(s: SparkSession, dir: String): DataFrame = {
-    val qterms = Seq("data", "spark", "join")
+  /** The fixed ad-hoc query of the retrieval family (ta13 / ir1). */
+  private[queries] val RetrievalQTerms = Seq("data", "spark", "join")
+
+  /** Per-document e6 BM25 of [[RetrievalQTerms]] over ALL documents — the
+    * shared scoring core of ta13 (top-20 face) and ir1 (fusion input).
+    * One corpus pass + a broadcast one-row stats frame. */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val qterms = RetrievalQTerms
     val (k1, b) = (1.2, 0.75)
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("tk"))
@@ -725,9 +731,12 @@ object TextQueries {
     docs.crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dl"),
         round(score * 1e6).cast(LongType).as("bm25_e6"))
+  }
+
+  def ta13Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir)
       .orderBy(desc("bm25_e6"), col("doc_id"))
       .limit(20)
-  }
 
   val ta13Bm25Sql: String = {
     val qterms = Seq("data", "spark", "join")
@@ -748,6 +757,98 @@ object TextQueries {
        |  FROM d)
        |SELECT doc_id, dl, CAST(ROUND(($score) * 1e6) AS BIGINT) AS bm25_e6
        |FROM d CROSS JOIN st ORDER BY bm25_e6 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** RRF constants (Cormack, Clarke & Buettcher 2009): the canonical k=60
+    * damping and a top-50 pool per system. */
+  private val RrfK = 60
+  private val RrfPoolK = 50
+
+  /** Per-document e6 query-tf-idf of [[RetrievalQTerms]] — the second
+    * retriever of ir1: Σ_q tf(q)·ln(N/df(q)), zero when a term matches no
+    * document. Same one-pass + broadcast-stats shape as [[bm25Scores]]. */
+  private def queryTfidfScores(s: SparkSession, dir: String): DataFrame = {
+    val qterms = RetrievalQTerms
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val statCols = qterms.map(q =>
+      sum(when(array_contains(col("tk"), q), 1L).otherwise(0L)).as(s"df_$q"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    def termScore(q: String) = {
+      val tf = size(filter(col("tk"), x => x === lit(q))).cast(DoubleType)
+      when(col(s"df_$q") > 0,
+        tf * log(col("n_docs").cast(DoubleType) / col(s"df_$q").cast(DoubleType)))
+        .otherwise(lit(0.0))
+    }
+    val score = qterms.map(termScore).reduceLeft(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score * 1e6).cast(LongType).as("tfidf_e6"))
+  }
+
+  /** ir1_rrf_fusion — hybrid retrieval by reciprocal rank fusion (Cormack,
+    * Clarke & Buettcher 2009, the standard RAG hybrid-search combiner):
+    * two retrievers score the same ad-hoc query ([[RetrievalQTerms]]) —
+    * BM25 and plain query-tf-idf — each contributes
+    * round(1e6/(60 + rank)) for its top-50 documents, fused by per-doc
+    * sum; top-20 fused docs win. Scale shape: each retriever is one corpus
+    * pass + a bounded TakeOrdered top-50; the rank windows sit ABOVE
+    * limit(50) (the a21 convention — never a corpus-wide window); the
+    * fusion is a 100-row union + hash-agg. Determinism: ranks order by the
+    * e6-rounded scores with doc_id tiebreaks, contributions are integer,
+    * so both engines fuse identically. */
+  def ir1RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    def contribs(scored: DataFrame, scoreCol: String): DataFrame = {
+      val w = Window.orderBy(desc(scoreCol), col("doc_id"))
+      scored.orderBy(desc(scoreCol), col("doc_id")).limit(RrfPoolK)
+        .withColumn("rank", row_number().over(w))
+        .select(col("doc_id"),
+          round(lit(1e6) / (col("rank") + lit(RrfK))).cast(LongType).as("contrib_e6"))
+    }
+    contribs(bm25Scores(s, dir).select("doc_id", "bm25_e6"), "bm25_e6")
+      .unionByName(contribs(queryTfidfScores(s, dir), "tfidf_e6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_systems"), sum("contrib_e6").as("rrf_e6"))
+      .orderBy(desc("rrf_e6"), col("doc_id"))
+      .limit(20)
+  }
+
+  val ir1RrfFusionSql: String = {
+    val qterms = RetrievalQTerms
+    val dfCols = qterms.map(q =>
+      s"CAST(SUM(CASE WHEN list_contains(tk, '$q') THEN 1 ELSE 0 END) AS BIGINT) AS df_$q")
+      .mkString(",\n  ")
+    val avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    def bmTerm(q: String) = {
+      val tf = s"CAST(len(list_filter(tk, x -> x = '$q')) AS DOUBLE)"
+      val df = s"CAST(df_$q AS DOUBLE)"
+      val idf = s"ln((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5) + 1.0)"
+      s"$idf * ($tf * (1.2 + 1.0)) / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / $avgdl)))"
+    }
+    def tiTerm(q: String) = {
+      val tf = s"CAST(len(list_filter(tk, x -> x = '$q')) AS DOUBLE)"
+      s"CASE WHEN df_$q > 0 THEN $tf * ln(CAST(n_docs AS DOUBLE) / CAST(df_$q AS DOUBLE)) ELSE 0.0 END"
+    }
+    val bmScore = qterms.map(bmTerm).mkString(" + ")
+    val tiScore = qterms.map(tiTerm).mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+       |  len(string_split(text, ' ')) AS dl FROM documents),
+       |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl,
+       |  $dfCols
+       |  FROM d),
+       |bm AS (SELECT doc_id, CAST(ROUND(($bmScore) * 1e6) AS BIGINT) AS sc
+       |  FROM d CROSS JOIN st),
+       |bmtop AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank
+       |  FROM bm ORDER BY sc DESC, doc_id LIMIT $RrfPoolK),
+       |ti AS (SELECT doc_id, CAST(ROUND(($tiScore) * 1e6) AS BIGINT) AS sc
+       |  FROM d CROSS JOIN st),
+       |titop AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank
+       |  FROM ti ORDER BY sc DESC, doc_id LIMIT $RrfPoolK),
+       |contribs AS (
+       |  SELECT doc_id, CAST(ROUND(1e6 / (rank + $RrfK)) AS BIGINT) AS c FROM bmtop
+       |  UNION ALL
+       |  SELECT doc_id, CAST(ROUND(1e6 / (rank + $RrfK)) AS BIGINT) AS c FROM titop)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_systems, CAST(SUM(c) AS BIGINT) AS rrf_e6
+       |FROM contribs GROUP BY doc_id ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin
   }
 
   /** a21_ndcg — retrieval-quality evaluation: nDCG@10 (Järvelin &
@@ -998,6 +1099,7 @@ object TextQueries {
     "ta10_gopher_rules" -> (ta10GopherRules _),
     "ta12_readability" -> (ta12Readability _),
     "ta13_bm25" -> (ta13Bm25 _),
+    "ir1_rrf_fusion" -> (ir1RrfFusion _),
     "a21_ndcg" -> (a21Ndcg _),
     "ta3_token_count" -> (ta3TokenCount _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
@@ -1025,6 +1127,7 @@ object TextQueries {
     "ta10_gopher_rules" -> ta10GopherRulesSql,
     "ta12_readability" -> ta12ReadabilitySql,
     "ta13_bm25" -> ta13Bm25Sql,
+    "ir1_rrf_fusion" -> ir1RrfFusionSql,
     "a21_ndcg" -> a21NdcgSql,
     "ta3_token_count" -> ta3TokenCountSql,
     "ta4_fingerprint" -> ta4FingerprintSql,
