@@ -54,9 +54,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch every table once so file listing + footer reads and the
-    // first codegen compile don't land on the first timed query
+    // first codegen compile don't land on the first timed query. Guarded
+    // per-table: in r8 an events-schema change threw here, outside any
+    // per-query catch, and zeroed the whole round's bench (rc=1, no JSON).
+    // A broken table must surface as its queries' per-query errors, not as
+    // a dead run.
     Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
-      .foreach(t => Tables(spark, sfDir, t).count())
+      .foreach { t =>
+        try Tables(spark, sfDir, t).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $t FAILED: ${e.getMessage}") }
+      }
     // a throwing query must be unmistakable in the output — a swallowed
     // error once read as a fast query and a bogus "speedup"
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

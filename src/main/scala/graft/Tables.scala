@@ -31,13 +31,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and the nanos column is
-    * normalized here to a microsecond TIMESTAMP (truncation — same semantics
-    * DuckDB applies when casting ns→us). */
-  def events(s: SparkSession, d: String): DataFrame =
-    raw(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** `events.parquet`'s `ts` column has shipped in two physical layouts:
+    * parquet TIMESTAMP(NANOS) (read as BIGINT nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, normalized here by ns→us
+    * truncation — the same semantics DuckDB applies) and, since the r9
+    * testdata refresh, plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
+    * Branch on the observed type so both layouts yield the identical
+    * session-UTC microsecond TIMESTAMP column. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val e = raw(s, d, "events")
+    e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => e
+      case _ => // TIMESTAMP_NTZ: session tz is UTC, so the cast is micros-identity
+        e.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
