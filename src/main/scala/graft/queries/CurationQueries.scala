@@ -186,6 +186,95 @@ object CurationQueries {
       |  CAST(ROUND(CAST(SUM(term_e6) AS BIGINT) / COUNT(*)) AS BIGINT) AS mean_nll_e6
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Interpolation weight on the bigram ML estimate in ta14 (the remaining
+    * mass backs off to the add-one unigram). */
+  private val BigramLambda = 0.7
+
+  /** ta14_bigram_ppl — per-document mean negative log-likelihood under a
+    * Jelinek-Mercer-interpolated bigram LM fit on the deterministic 80%
+    * train split: p(w|v) = λ·c(vw)/c(v) + (1−λ)·(c(w)+1)/(T+V). One order
+    * above ta9's unigram gate — the closest oracle-checkable analogue of
+    * CCNet's KenLM perplexity filter (Wenzek et al. 2020). Only
+    * transitions are scored (i ≥ 2), so every test doc with ≥2 tokens gets
+    * a score and the metric is a pure function of adjacent pairs.
+    *
+    * Scale shape: adjacent pairs are built in the ARRAY domain (the a6
+    * shape — no per-token window, no pre-agg shuffle); the three
+    * probability joins all key on tokens / token pairs (vocabulary-bounded,
+    * well-distributed); the two LM scalars ride a 1-row broadcast; each
+    * -ln p term is e6-rounded BEFORE summing so the per-doc aggregate is
+    * exact integer math, order-independent across partitions. `uni` is
+    * consumed three times (stats + both context/predicted join sides) —
+    * pinned once, vocab-sized. */
+  def ta14BigramPpl(s: SparkSession, dir: String): DataFrame = {
+    def pairs(df: DataFrame): DataFrame = df
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val docsTok = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val trainTok = docsTok.filter(col("doc_id") % 5 < 4)
+    val uni = trainTok.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("ucnt"))
+      .localCheckpoint()
+    val stats = uni.agg(sum("ucnt").as("tt"), count(lit(1)).as("vv"))
+    val big = pairs(trainTok).groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+    val pb = when(col("ucnt_w1").isNotNull && col("bcnt").isNotNull,
+      col("bcnt").cast(DoubleType) / col("ucnt_w1").cast(DoubleType))
+      .otherwise(lit(0.0))
+    val pu = (coalesce(col("ucnt_w2"), lit(0L)) + 1).cast(DoubleType) /
+      (col("tt") + col("vv")).cast(DoubleType)
+    pairs(docsTok.filter(col("doc_id") % 5 === 4))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("ucnt").as("ucnt_w1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("ucnt").as("ucnt_w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_e6",
+        round(log(lit(BigramLambda) * pb + lit(1.0 - BigramLambda) * pu) * lit(-1e6))
+          .cast(LongType))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum("term_e6").as("nll_e6_sum"))
+      .withColumn("mean_nll_e6", round(col("nll_e6_sum") / col("n_trans")).cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  val ta14BigramPplSql: String = {
+    val lam = s"CAST($BigramLambda AS DOUBLE)"
+    val oneMinusLam = s"CAST(${1.0 - BigramLambda} AS DOUBLE)"
+    s"""WITH tokpos AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, w AS w1, LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM tokpos),
+       |uni AS (
+       |  SELECT w, COUNT(*) AS ucnt FROM tokpos WHERE doc_id % 5 < 4 GROUP BY w),
+       |st AS (SELECT CAST(SUM(ucnt) AS BIGINT) AS tt, COUNT(*) AS vv FROM uni),
+       |big AS (
+       |  SELECT w1, w2, COUNT(*) AS bcnt FROM pairs
+       |  WHERE w2 IS NOT NULL AND doc_id % 5 < 4 GROUP BY w1, w2),
+       |terms AS (
+       |  SELECT p.doc_id,
+       |    CAST(ROUND(ln(
+       |      $lam * (CASE WHEN u1.ucnt IS NOT NULL AND b.bcnt IS NOT NULL
+       |        THEN CAST(b.bcnt AS DOUBLE) / CAST(u1.ucnt AS DOUBLE)
+       |        ELSE CAST(0 AS DOUBLE) END) +
+       |      $oneMinusLam * (CAST(COALESCE(u2.ucnt, 0) + 1 AS DOUBLE) /
+       |        CAST(st.tt + st.vv AS DOUBLE))) * -1e6) AS BIGINT) AS term_e6
+       |  FROM pairs p
+       |  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+       |  LEFT JOIN uni u1 ON u1.w = p.w1
+       |  LEFT JOIN uni u2 ON u2.w = p.w2
+       |  CROSS JOIN st
+       |  WHERE p.w2 IS NOT NULL AND p.doc_id % 5 = 4)
+       |SELECT doc_id, COUNT(*) AS n_trans, CAST(SUM(term_e6) AS BIGINT) AS nll_e6_sum,
+       |  CAST(ROUND(CAST(SUM(term_e6) AS BIGINT) / COUNT(*)) AS BIGINT) AS mean_nll_e6
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Tokens per training sequence for pk1. */
   private val SeqBudget = 128
 
@@ -694,6 +783,7 @@ object CurationQueries {
     "sm6_weighted_sample" -> (sm6WeightedSample _),
     "ta8_pii_redact" -> (ta8PiiRedact _),
     "ta9_unigram_ppl" -> (ta9UnigramPpl _),
+    "ta14_bigram_ppl" -> (ta14BigramPpl _),
     "ta11_entropy_gate" -> (ta11EntropyGate _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
     "pk2_chunk_overlap" -> (pk2ChunkOverlap _),
@@ -710,6 +800,7 @@ object CurationQueries {
     "sm6_weighted_sample" -> sm6WeightedSampleSql,
     "ta8_pii_redact" -> ta8PiiRedactSql,
     "ta9_unigram_ppl" -> ta9UnigramPplSql,
+    "ta14_bigram_ppl" -> ta14BigramPplSql,
     "ta11_entropy_gate" -> ta11EntropyGateSql,
     "pk1_sequence_pack" -> pk1SequencePackSql,
     "pk2_chunk_overlap" -> pk2ChunkOverlapSql,

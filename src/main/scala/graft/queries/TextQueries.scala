@@ -851,6 +851,86 @@ object TextQueries {
        |FROM contribs GROUP BY doc_id ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** PRF constants: pseudo-relevant pool size, expansion-term count, and
+    * the integer fusion weight per expansion-term occurrence (0.05 in e6
+    * units — fusion stays pure integer math). */
+  private val PrfPoolK = 10
+  private val PrfExpandK = 5
+  private val PrfWeightE6 = 50000L
+
+  /** ir2_prf_expansion — pseudo-relevance feedback (Rocchio 1971 / RM3
+    * family, the classic recall-widening rerank): run the
+    * [[RetrievalQTerms]] BM25 retriever, treat its top-[[PrfPoolK]] docs as
+    * pseudo-relevant, mine their [[PrfExpandK]] most frequent informative
+    * terms (≥4 chars, not an original query term), and rescore the corpus
+    * as bm25_e6 + [[PrfWeightE6]]·tf(expansion terms) — integer fusion, no
+    * cross-engine float risk beyond the already-proven BM25 rounding.
+    *
+    * Scale shape: the BM25 pass is pinned once per session (ir1/ta13 share
+    * the same core); the pseudo-relevant pool is a bounded TakeOrdered
+    * top-10 whose doc ids broadcast into a semi-join BELOW the explode —
+    * term mining touches 10 documents, not the corpus; the 5 expansion
+    * terms broadcast into the second corpus pass, which shuffles only the
+    * matching (doc, term) rows to a per-doc count. No corpus-global
+    * window anywhere; final top-20 is TakeOrdered. */
+  def ir2PrfExpansion(s: SparkSession, dir: String): DataFrame = {
+    val scores = graft.operators.SessionShare.materialized(s, dir, "ir2_bm25")(
+      bm25Scores(s, dir).select("doc_id", "bm25_e6"))
+    val top10 = scores.orderBy(desc("bm25_e6"), col("doc_id")).limit(PrfPoolK)
+      .select("doc_id")
+    val expTerms = t(s, dir, "documents")
+      .join(broadcast(top10), Seq("doc_id"))
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 4 && !col("w").isInCollection(RetrievalQTerms))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("w")).limit(PrfExpandK)
+    val expTf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(expTerms.select("w")), Seq("w"))
+      .groupBy("doc_id").agg(count(lit(1)).as("exp_tf"))
+    scores.join(expTf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bm25_e6"),
+        coalesce(col("exp_tf"), lit(0L)).as("exp_tf"),
+        (col("bm25_e6") + coalesce(col("exp_tf"), lit(0L)) * lit(PrfWeightE6))
+          .as("fused_e6"))
+      .orderBy(desc("fused_e6"), col("doc_id")).limit(20)
+  }
+
+  val ir2PrfExpansionSql: String = {
+    val qterms = RetrievalQTerms
+    val dfCols = qterms.map(q =>
+      s"CAST(SUM(CASE WHEN list_contains(tk, '$q') THEN 1 ELSE 0 END) AS BIGINT) AS df_$q")
+      .mkString(",\n  ")
+    val avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    def bmTerm(q: String) = {
+      val tf = s"CAST(len(list_filter(tk, x -> x = '$q')) AS DOUBLE)"
+      val df = s"CAST(df_$q AS DOUBLE)"
+      val idf = s"ln((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5) + 1.0)"
+      s"$idf * ($tf * (1.2 + 1.0)) / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / $avgdl)))"
+    }
+    val bmScore = qterms.map(bmTerm).mkString(" + ")
+    val notIn = qterms.map(q => s"'$q'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+       |  len(string_split(text, ' ')) AS dl FROM documents),
+       |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl,
+       |  $dfCols
+       |  FROM d),
+       |bm AS (SELECT doc_id, CAST(ROUND(($bmScore) * 1e6) AS BIGINT) AS bm25_e6
+       |  FROM d CROSS JOIN st),
+       |top10 AS (SELECT doc_id FROM bm ORDER BY bm25_e6 DESC, doc_id LIMIT $PrfPoolK),
+       |ptok AS (SELECT unnest(tk) AS w FROM d JOIN top10 USING (doc_id)),
+       |exp5 AS (SELECT w FROM ptok WHERE len(w) >= 4 AND w NOT IN ($notIn)
+       |  GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT $PrfExpandK),
+       |tok AS (SELECT doc_id, unnest(tk) AS w FROM d),
+       |etf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS exp_tf
+       |  FROM tok JOIN exp5 USING (w) GROUP BY doc_id)
+       |SELECT b.doc_id, b.bm25_e6,
+       |  CAST(COALESCE(e.exp_tf, 0) AS BIGINT) AS exp_tf,
+       |  CAST(b.bm25_e6 + COALESCE(e.exp_tf, 0) * $PrfWeightE6 AS BIGINT) AS fused_e6
+       |FROM bm b LEFT JOIN etf e USING (doc_id)
+       |ORDER BY fused_e6 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** a21_ndcg — retrieval-quality evaluation: nDCG@10 (Järvelin &
     * Kekäläinen 2002) of the per-term BM25 ranking against deterministic
     * graded relevance rel = min(tf, 3). The eval metric the a13–a20 suite
@@ -956,6 +1036,101 @@ object TextQueries {
        |  CAST(ROUND(1e6 * dcg_e6 / idcg_e6) AS BIGINT) AS ndcg_e6, mrr_e6
        |FROM terms ORDER BY qterm""".stripMargin
   }
+
+  /** a22_bleu — generation-quality evaluation: smoothed sentence-level
+    * BLEU-2 (Papineni et al. 2002; add-one smoothing on the bigram
+    * precision per Lin & Och 2004) over deterministic candidate/reference
+    * pairs — doc 2k is the candidate, doc 2k+1 its reference. The eval
+    * family's missing modality: a13–a21 cover classification, calibration,
+    * agreement and ranking; n-gram-overlap generation scoring is what an
+    * LLM-data pipeline runs to compare a distilled/cleaned rewrite against
+    * its source. BLEU = BP · √(p1·p2s): clipped unigram precision,
+    * add-one-smoothed clipped bigram precision, brevity penalty
+    * exp(min(0, 1 − r/c)).
+    *
+    * Scale shape: ONE corpus pass — both gram orders explode from the same
+    * token array in a single projection (n tagged in the struct), clipping
+    * is a groupBy on (pair_id, n, gram) — a well-distributed key an order
+    * finer than doc_id — and the per-pair rollup is two map-side-combined
+    * hash aggregates. No windows, no joins, no broadcast. Every precision
+    * numerator/denominator is an exact integer; floats enter only in the
+    * final per-pair metric projection, e6-rounded per the Q rule. */
+  def a22Bleu(s: SparkSession, dir: String): DataFrame = {
+    val d = DoubleType
+    val grams = t(s, dir, "documents")
+      .select(expr("doc_id div 2").as("pair_id"), (col("doc_id") % 2).as("side"),
+        tokens(col("text")).as("tk"))
+      .withColumn("g2", wordNgrams("tk", 2))
+      .select(col("pair_id"), col("side"), explode(concat(
+        expr("transform(tk, x -> struct(1 AS n, x AS g))"),
+        expr("transform(g2, x -> struct(2 AS n, x AS g))"))).as("p"))
+      .select(col("pair_id"), col("side"), col("p.n").as("n"), col("p.g").as("g"))
+    val clipped = grams.groupBy("pair_id", "n", "g")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cc"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("rc"))
+      .groupBy("pair_id", "n")
+      .agg(sum(least(col("cc"), col("rc"))).as("m"),
+        sum(col("cc")).as("tc"), sum(col("rc")).as("tr"))
+    val p1 = col("m1").cast(d) / col("c_len").cast(d)
+    val p2 = (col("m2") + 1).cast(d) / (col("t2") + 1).cast(d)
+    val bp = exp(least(lit(0.0).cast(d), lit(1.0).cast(d) - col("r_len").cast(d) / col("c_len").cast(d)))
+    clipped.groupBy("pair_id")
+      .agg(sum(when(col("n") === 1, col("m"))).as("m1"),
+        sum(when(col("n") === 1, col("tc"))).as("c_len"),
+        sum(when(col("n") === 1, col("tr"))).as("r_len"),
+        coalesce(sum(when(col("n") === 2, col("m"))), lit(0L)).as("m2"),
+        coalesce(sum(when(col("n") === 2, col("tc"))), lit(0L)).as("t2"))
+      .filter(col("c_len") > 0 && col("r_len") > 0)
+      .select(col("pair_id"), col("c_len"), col("r_len"), col("m1"), col("m2"),
+        round(p1 * lit(1e6)).cast(LongType).as("p1_e6"),
+        round(p2 * lit(1e6)).cast(LongType).as("p2s_e6"),
+        round(bp * lit(1e6)).cast(LongType).as("bp_e6"),
+        round(bp * sqrt(p1 * p2) * lit(1e6)).cast(LongType).as("bleu_e6"))
+      .orderBy("pair_id")
+  }
+
+  val a22BleuSql: String =
+    """WITH d AS (
+      |  SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+      |    string_split(text, ' ') AS tk FROM documents),
+      |tokpos AS (
+      |  SELECT pair_id, side, unnest(tk) AS w, generate_subscripts(tk, 1) AS pos FROM d),
+      |grams AS (
+      |  SELECT pair_id, side, 1 AS n, w AS g FROM tokpos
+      |  UNION ALL
+      |  SELECT pair_id, side, 2 AS n, g FROM (
+      |    SELECT pair_id, side,
+      |      w || ' ' || LEAD(w) OVER (PARTITION BY pair_id, side ORDER BY pos) AS g
+      |    FROM tokpos) WHERE g IS NOT NULL),
+      |pg AS (
+      |  SELECT pair_id, n, g,
+      |    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cc,
+      |    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS rc
+      |  FROM grams GROUP BY pair_id, n, g),
+      |pp AS (
+      |  SELECT pair_id, n, CAST(SUM(LEAST(cc, rc)) AS BIGINT) AS m,
+      |    CAST(SUM(cc) AS BIGINT) AS tc, CAST(SUM(rc) AS BIGINT) AS tr
+      |  FROM pg GROUP BY pair_id, n),
+      |wide AS (
+      |  SELECT pair_id,
+      |    CAST(SUM(CASE WHEN n = 1 THEN m END) AS BIGINT) AS m1,
+      |    CAST(SUM(CASE WHEN n = 1 THEN tc END) AS BIGINT) AS c_len,
+      |    CAST(SUM(CASE WHEN n = 1 THEN tr END) AS BIGINT) AS r_len,
+      |    CAST(COALESCE(SUM(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2,
+      |    CAST(COALESCE(SUM(CASE WHEN n = 2 THEN tc END), 0) AS BIGINT) AS t2
+      |  FROM pp GROUP BY pair_id),
+      |met AS (
+      |  SELECT pair_id, c_len, r_len, m1, m2,
+      |    CAST(m1 AS DOUBLE) / CAST(c_len AS DOUBLE) AS p1,
+      |    CAST(m2 + 1 AS DOUBLE) / CAST(t2 + 1 AS DOUBLE) AS p2,
+      |    exp(LEAST(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE))) AS bp
+      |  FROM wide WHERE c_len > 0 AND r_len > 0)
+      |SELECT pair_id, c_len, r_len, m1, m2,
+      |  CAST(ROUND(p1 * 1e6) AS BIGINT) AS p1_e6,
+      |  CAST(ROUND(p2 * 1e6) AS BIGINT) AS p2s_e6,
+      |  CAST(ROUND(bp * 1e6) AS BIGINT) AS bp_e6,
+      |  CAST(ROUND(bp * sqrt(p1 * p2) * 1e6) AS BIGINT) AS bleu_e6
+      |FROM met ORDER BY pair_id""".stripMargin
 
   /** ta3_token_count — whitespace tokens vs BPE-ish regex tokens
     * (letters-runs | digit-runs | single other char). */
@@ -1100,7 +1275,9 @@ object TextQueries {
     "ta12_readability" -> (ta12Readability _),
     "ta13_bm25" -> (ta13Bm25 _),
     "ir1_rrf_fusion" -> (ir1RrfFusion _),
+    "ir2_prf_expansion" -> (ir2PrfExpansion _),
     "a21_ndcg" -> (a21Ndcg _),
+    "a22_bleu" -> (a22Bleu _),
     "ta3_token_count" -> (ta3TokenCount _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
     "ta5_winnow_fingerprint" -> (ta5WinnowFingerprint _),
@@ -1128,7 +1305,9 @@ object TextQueries {
     "ta12_readability" -> ta12ReadabilitySql,
     "ta13_bm25" -> ta13Bm25Sql,
     "ir1_rrf_fusion" -> ir1RrfFusionSql,
+    "ir2_prf_expansion" -> ir2PrfExpansionSql,
     "a21_ndcg" -> a21NdcgSql,
+    "a22_bleu" -> a22BleuSql,
     "ta3_token_count" -> ta3TokenCountSql,
     "ta4_fingerprint" -> ta4FingerprintSql,
     "ta5_winnow_fingerprint" -> ta5WinnowFingerprintSql,
