@@ -1065,21 +1065,21 @@ object TextQueries {
         expr("transform(tk, x -> struct(1 AS n, x AS g))"),
         expr("transform(g2, x -> struct(2 AS n, x AS g))"))).as("p"))
       .select(col("pair_id"), col("side"), col("p.n").as("n"), col("p.g").as("g"))
-    val clipped = grams.groupBy("pair_id", "n", "g")
-      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cc"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("rc"))
-      .groupBy("pair_id", "n")
-      .agg(sum(least(col("cc"), col("rc"))).as("m"),
-        sum(col("cc")).as("tc"), sum(col("rc")).as("tr"))
     val p1 = col("m1").cast(d) / col("c_len").cast(d)
     val p2 = (col("m2") + 1).cast(d) / (col("t2") + 1).cast(d)
     val bp = exp(least(lit(0.0).cast(d), lit(1.0).cast(d) - col("r_len").cast(d) / col("c_len").cast(d)))
-    clipped.groupBy("pair_id")
-      .agg(sum(when(col("n") === 1, col("m"))).as("m1"),
-        sum(when(col("n") === 1, col("tc"))).as("c_len"),
-        sum(when(col("n") === 1, col("tr"))).as("r_len"),
-        coalesce(sum(when(col("n") === 2, col("m"))), lit(0L)).as("m2"),
-        coalesce(sum(when(col("n") === 2, col("tc"))), lit(0L)).as("t2"))
+    // clip at gram granularity, then roll straight up to the pair — the
+    // (pair_id, n) middle rollup was a pure reshaping and cost one whole
+    // Exchange (folded r9; the n split survives as conditional sums)
+    grams.groupBy("pair_id", "n", "g")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cc"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("rc"))
+      .groupBy("pair_id")
+      .agg(sum(when(col("n") === 1, least(col("cc"), col("rc")))).as("m1"),
+        sum(when(col("n") === 1, col("cc"))).as("c_len"),
+        sum(when(col("n") === 1, col("rc"))).as("r_len"),
+        coalesce(sum(when(col("n") === 2, least(col("cc"), col("rc")))), lit(0L)).as("m2"),
+        coalesce(sum(when(col("n") === 2, col("cc"))), lit(0L)).as("t2"))
       .filter(col("c_len") > 0 && col("r_len") > 0)
       .select(col("pair_id"), col("c_len"), col("r_len"), col("m1"), col("m2"),
         round(p1 * lit(1e6)).cast(LongType).as("p1_e6"),
