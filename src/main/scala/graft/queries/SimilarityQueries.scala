@@ -444,7 +444,67 @@ object SimilarityQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** ir3_hybrid_dense — dense+sparse hybrid retrieval, the modern RAG
+    * first-stage: arm 1 ranks by BM25 over the [[TextQueries.RetrievalQTerms]]
+    * ad-hoc query (the ta13/ir1 shared core), arm 2 ranks by exact cosine
+    * against a fixed query embedding (vec_id 0 — the probe-side contract of
+    * ss1), and the two top-50 pools fuse by reciprocal rank
+    * (round(1e6/(60+rank)), the ir1 convention). Dense coverage is partial
+    * by design — only embedded docs can earn a dense contribution, exactly
+    * the production shape where the vector index trails the corpus.
+    *
+    * Scale shape: the dense arm is ONE scan with a 1-row broadcast query
+    * vector and a bounded TakeOrdered top-50 (no corpus shuffle at all);
+    * the sparse arm is the proven one-pass BM25; rank windows sit ABOVE
+    * limit(50); the fusion is a ≤100-row union + hash-agg. Pure integer
+    * contributions, doc_id tiebreaks — both engines fuse identically. */
+  def ir3HybridDense(s: SparkSession, dir: String): DataFrame = {
+    import TextQueries.{RrfK, RrfPoolK}
+    def contribs(scored: DataFrame, scoreCol: String, idCol: String): DataFrame = {
+      val w = Window.orderBy(desc(scoreCol), col(idCol))
+      scored.orderBy(desc(scoreCol), col(idCol)).limit(RrfPoolK)
+        .withColumn("rank", row_number().over(w))
+        .select(col(idCol).as("doc_id"),
+          round(lit(1e6) / (col("rank") + lit(RrfK))).cast(LongType).as("contrib_e6"))
+    }
+    val emb = withNorm(t(s, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("norm").as("qn"))
+    val dense = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosE6(dot(col("qv"), col("embedding")), col("qn"), col("norm")).as("cos_e6"))
+    contribs(dense, "cos_e6", "vec_id")
+      .unionByName(contribs(
+        TextQueries.bm25Scores(s, dir).select("doc_id", "bm25_e6"), "bm25_e6", "doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_arms"), sum("contrib_e6").as("rrf_e6"))
+      .orderBy(desc("rrf_e6"), col("doc_id"))
+      .limit(20)
+  }
+
+  val ir3HybridDenseSql: String = {
+    import TextQueries.{Bm25CtesSql, RrfK, RrfPoolK}
+    s"""WITH $Bm25CtesSql,
+       |emb AS ($withNormDuck),
+       |qv AS (SELECT embedding AS qe, norm AS qn FROM emb WHERE vec_id = 0),
+       |dense AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    ${cosE6Sql(dotSql("qv.qe", "e.embedding"), "qv.qn", "e.norm")} AS sc
+       |  FROM emb e CROSS JOIN qv),
+       |dtop AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank
+       |  FROM dense ORDER BY sc DESC, doc_id LIMIT $RrfPoolK),
+       |stop AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id) AS rank
+       |  FROM bm ORDER BY bm25_e6 DESC, doc_id LIMIT $RrfPoolK),
+       |contribs AS (
+       |  SELECT doc_id, CAST(ROUND(1e6 / (rank + $RrfK)) AS BIGINT) AS c FROM dtop
+       |  UNION ALL
+       |  SELECT doc_id, CAST(ROUND(1e6 / (rank + $RrfK)) AS BIGINT) AS c FROM stop)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_arms, CAST(SUM(c) AS BIGINT) AS rrf_e6
+       |FROM contribs GROUP BY doc_id ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "ir3_hybrid_dense" -> (ir3HybridDense _),
     "ss1_bruteforce_topk" -> (ss1BruteforceTopk _),
     "ss4_pq_topk" -> (ss4PqTopk _),
     "ss2_ivf_topk" -> (ss2IvfTopk _),
@@ -454,6 +514,7 @@ object SimilarityQueries {
     "dd12_semantic_dedup" -> (dd12SemanticDedup _))
 
   val oracles: Map[String, String] = Map(
+    "ir3_hybrid_dense" -> ir3HybridDenseSql,
     "ss5_recall_audit" -> ss5RecallAuditSql,
     "ss1_bruteforce_topk" -> ss1BruteforceTopkSql,
     "ss4_pq_topk" -> ss4PqTopkSql,

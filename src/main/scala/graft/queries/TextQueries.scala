@@ -708,9 +708,10 @@ object TextQueries {
   private[queries] val RetrievalQTerms = Seq("data", "spark", "join")
 
   /** Per-document e6 BM25 of [[RetrievalQTerms]] over ALL documents — the
-    * shared scoring core of ta13 (top-20 face) and ir1 (fusion input).
-    * One corpus pass + a broadcast one-row stats frame. */
-  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    * shared scoring core of ta13 (top-20 face), ir1 (fusion input), and
+    * ir3's sparse arm (SimilarityQueries). One corpus pass + a broadcast
+    * one-row stats frame. */
+  private[queries] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val qterms = RetrievalQTerms
     val (k1, b) = (1.2, 0.75)
     val docs = t(s, dir, "documents")
@@ -760,9 +761,34 @@ object TextQueries {
   }
 
   /** RRF constants (Cormack, Clarke & Buettcher 2009): the canonical k=60
-    * damping and a top-50 pool per system. */
-  private val RrfK = 60
-  private val RrfPoolK = 50
+    * damping and a top-50 pool per system. Shared with ir3's hybrid fusion
+    * (SimilarityQueries). */
+  private[queries] val RrfK = 60
+  private[queries] val RrfPoolK = 50
+
+  /** DuckDB CTE bodies `d`, `st`, `bm` — the BM25 oracle core shared by the
+    * retrieval oracles (ta13/ir1 inline their own copies; ir3 splices this). */
+  private[queries] val Bm25CtesSql: String = {
+    val qterms = RetrievalQTerms
+    val dfCols = qterms.map(q =>
+      s"CAST(SUM(CASE WHEN list_contains(tk, '$q') THEN 1 ELSE 0 END) AS BIGINT) AS df_$q")
+      .mkString(",\n  ")
+    val avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    def bmTerm(q: String) = {
+      val tf = s"CAST(len(list_filter(tk, x -> x = '$q')) AS DOUBLE)"
+      val df = s"CAST(df_$q AS DOUBLE)"
+      val idf = s"ln((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5) + 1.0)"
+      s"$idf * ($tf * (1.2 + 1.0)) / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / $avgdl)))"
+    }
+    val bmScore = qterms.map(bmTerm).mkString(" + ")
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+       |  len(string_split(text, ' ')) AS dl FROM documents),
+       |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl,
+       |  $dfCols
+       |  FROM d),
+       |bm AS (SELECT doc_id, CAST(ROUND(($bmScore) * 1e6) AS BIGINT) AS bm25_e6
+       |  FROM d CROSS JOIN st)""".stripMargin
+  }
 
   /** Per-document e6 query-tf-idf of [[RetrievalQTerms]] — the second
     * retriever of ir1: Σ_q tf(q)·ln(N/df(q)), zero when a term matches no
