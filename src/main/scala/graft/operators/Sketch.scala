@@ -54,6 +54,34 @@ object Sketch {
       .groupBy("row_idx", "col_idx")
       .agg(count(lit(1)).as("cell"))
 
+  /** The literal-probe ESTIMATE — the [[graft.operators.Bloom.memberLit]]
+    * dual for point counts: the finished sketch inlined as one dense
+    * depth×width long-array literal (bounded by GEOMETRY — depth·width
+    * cells no matter how many distinct items the corpus holds; 256 KB at
+    * the 4×8192 default), and the returned function maps any item Column
+    * to its min-over-depth estimate as a pure projection. No explode, no
+    * join, no Exchange, no state — it composes into `transform(...)`
+    * lambdas and stateless Structured Streaming plans (the CMS-LM
+    * perplexity gate). Collects the sketch once per call — the same
+    * bounded-index contract as broadcasting it. */
+  def estimatorLit(sketch: DataFrame,
+      depth: Int = DefaultDepth, width: Long = DefaultWidth): Column => Column = {
+    val dense = new Array[Long]((depth * width).toInt)
+    sketch.select(col("row_idx").cast(IntegerType), col("col_idx").cast(LongType),
+        col("cell").cast(LongType)).collect().foreach { r =>
+      val (i, cix, cell) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      require(i >= 0 && i < depth && cix >= 0 && cix < width,
+        s"sketch cell ($i, $cix) outside geometry ${depth}x$width — " +
+          "probe must use the same (depth, width) the sketch was built with")
+      dense(i * width.toInt + cix.toInt) = cell
+    }
+    val cellsLit = typedLit(dense.toSeq)
+    item => (0 until depth)
+      .map(i => element_at(cellsLit,
+        (lit(i * width) + detHash(item, seed = i) % width).cast(IntegerType) + 1))
+      .reduceLeft(least(_, _))
+  }
+
   /** Point-query estimates for a (small, heavy-hitter-candidate) probe set:
     * returns `probes` plus an `est` column = min over the depth cells,
     * coalescing never-hit cells to 0. The sketch side broadcasts; the only

@@ -275,6 +275,76 @@ object CurationQueries {
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** ta15's CMS-LM geometry — the cms1 audit geometry: width 64 is
+    * deliberately small so the synthetic vocabulary collides and the
+    * sketch's overcounting (which can only LOWER a token's NLL — one-sided
+    * error, the CMS guarantee) is non-trivially exercised. Production
+    * width 8192+ makes estimates exact on any bounded vocabulary. */
+  private[graft] val CmsLmDepth = 3
+  private[graft] val CmsLmWidth = 64L
+
+  /** ta15_cms_ppl — ta9's unigram-LM gate with the LM compressed into a
+    * Count-Min sketch ([[graft.operators.Sketch]]): p̂(w) = (cms(w)+1) /
+    * (T+width). The point at 100 TB: the exact LM keys on every distinct
+    * token (an unbounded vocabulary — URLs, hashes, typos), while the CMS
+    * build's shuffle is capped at depth·width cells REGARDLESS of
+    * vocabulary, and the finished sketch is a fixed-size broadcast/literal.
+    * CMS estimates only overcount, so a document's CMS-NLL is ≤ its exact
+    * NLL — the gate's one-sided-error quarantine contract (a doc can only
+    * look more fluent, never less; same polarity convention as dd10's
+    * Bloom). Estimates are computed once per DISTINCT test token (a
+    * vocabulary-bounded probe set) and joined back; the streaming face
+    * ([[graft.streaming.EventStreams.pplGateStream]]) evaluates the SAME
+    * sketch as a literal-array projection — zero joins, zero state. */
+  def ta15CmsPpl(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val train = tok.filter(col("doc_id") % 5 < 4).select("w")
+    val sketch = graft.operators.Sketch.buildCms(
+      train, col("w"), CmsLmDepth, CmsLmWidth)
+    val tt = train.agg(count(lit(1)).as("tt"))
+    val testTok = tok.filter(col("doc_id") % 5 === 4)
+    val est = graft.operators.Sketch.estimates(
+      sketch, testTok.select("w").distinct(), "w", CmsLmDepth, CmsLmWidth)
+    testTok.join(est, Seq("w"))
+      .crossJoin(broadcast(tt))
+      .withColumn("term_e6",
+        round(log((col("est") + 1).cast(DoubleType) /
+          (col("tt") + lit(CmsLmWidth)).cast(DoubleType)) * lit(-1e6)).cast(LongType))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("term_e6").as("nll_e6_sum"))
+      .withColumn("mean_nll_e6", round(col("nll_e6_sum") / col("n_tokens")).cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  val ta15CmsPplSql: String = {
+    def hashMod(expr: String) =
+      s"(('0x' || substr(md5(CAST(r.i AS VARCHAR) || $expr), 1, 15))::BIGINT) % $CmsLmWidth"
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |train AS (SELECT w FROM tok WHERE doc_id % 5 < 4),
+       |tt AS (SELECT COUNT(*) AS tt FROM train),
+       |pos AS (SELECT w, r.i, ${hashMod("w")} AS col_idx
+       |  FROM train CROSS JOIN (SELECT unnest(range(0, $CmsLmDepth)) AS i) r),
+       |cells AS (SELECT i, col_idx, COUNT(*) AS cell FROM pos GROUP BY 1, 2),
+       |probes AS (SELECT DISTINCT w FROM tok WHERE doc_id % 5 = 4),
+       |ppos AS (SELECT p.w, r.i, ${hashMod("p.w")} AS col_idx
+       |  FROM probes p CROSS JOIN (SELECT unnest(range(0, $CmsLmDepth)) AS i) r),
+       |est AS (
+       |  SELECT pp.w, CAST(MIN(COALESCE(c.cell, 0)) AS BIGINT) AS est
+       |  FROM ppos pp LEFT JOIN cells c ON pp.i = c.i AND pp.col_idx = c.col_idx
+       |  GROUP BY pp.w),
+       |terms AS (
+       |  SELECT tk.doc_id,
+       |    CAST(ROUND(ln(CAST(e.est + 1 AS DOUBLE) /
+       |      CAST(tt.tt + $CmsLmWidth AS DOUBLE)) * -1e6) AS BIGINT) AS term_e6
+       |  FROM tok tk JOIN est e USING (w) CROSS JOIN tt
+       |  WHERE tk.doc_id % 5 = 4)
+       |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(term_e6) AS BIGINT) AS nll_e6_sum,
+       |  CAST(ROUND(CAST(SUM(term_e6) AS BIGINT) / COUNT(*)) AS BIGINT) AS mean_nll_e6
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Tokens per training sequence for pk1. */
   private val SeqBudget = 128
 
@@ -784,6 +854,7 @@ object CurationQueries {
     "ta8_pii_redact" -> (ta8PiiRedact _),
     "ta9_unigram_ppl" -> (ta9UnigramPpl _),
     "ta14_bigram_ppl" -> (ta14BigramPpl _),
+    "ta15_cms_ppl" -> (ta15CmsPpl _),
     "ta11_entropy_gate" -> (ta11EntropyGate _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
     "pk2_chunk_overlap" -> (pk2ChunkOverlap _),
@@ -801,6 +872,7 @@ object CurationQueries {
     "ta8_pii_redact" -> ta8PiiRedactSql,
     "ta9_unigram_ppl" -> ta9UnigramPplSql,
     "ta14_bigram_ppl" -> ta14BigramPplSql,
+    "ta15_cms_ppl" -> ta15CmsPplSql,
     "ta11_entropy_gate" -> ta11EntropyGateSql,
     "pk1_sequence_pack" -> pk1SequencePackSql,
     "pk2_chunk_overlap" -> pk2ChunkOverlapSql,

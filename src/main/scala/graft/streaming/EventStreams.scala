@@ -143,6 +143,35 @@ object EventStreams {
       width: Long = graft.operators.Sketch.DefaultWidth): DataFrame =
     graft.operators.Sketch.buildCms(items, col(itemCol), depth, width)
 
+  /** CMS-LM perplexity gate — the streaming face of `ta15_cms_ppl`
+    * (CurationQueries): score each arriving document's mean unigram NLL
+    * under a TRAINED Count-Min-compressed LM and flag the high-perplexity
+    * tail. The sketch rides in the plan as one dense depth×width literal
+    * ([[graft.operators.Sketch.estimatorLit]], the Bloom-gate pattern), so
+    * per-token estimates, the per-doc NLL fold, and the gate are ONE
+    * stateless projection — no join, no watermark, no state store: the
+    * quality filter runs at scan speed on an unbounded ingest stream.
+    * Per-term e6 math is IDENTICAL to the batch face (spec-pinned parity),
+    * so a document scores the same wherever it's evaluated. Flagged rows
+    * are marked, never dropped (quarantine convention). */
+  def pplGateStream(docs: DataFrame, sketch: DataFrame, totalTrainTokens: Long,
+      gateMeanNllE6: Long,
+      depth: Int = graft.queries.CurationQueries.CmsLmDepth,
+      width: Long = graft.queries.CurationQueries.CmsLmWidth): DataFrame = {
+    val est = graft.operators.Sketch.estimatorLit(sketch, depth, width)
+    val denom = lit((totalTrainTokens + width).toDouble)
+    docs
+      .withColumn("terms_e6", transform(split(col("text"), " "), w =>
+        round(log((est(w) + 1).cast("double") / denom) * lit(-1e6)).cast("long")))
+      .withColumn("n_tokens", size(col("terms_e6")).cast("long"))
+      .withColumn("nll_e6_sum",
+        aggregate(col("terms_e6"), lit(0L), (a, x) => a + x))
+      .withColumn("mean_nll_e6",
+        round(col("nll_e6_sum") / col("n_tokens")).cast("long"))
+      .withColumn("flagged", (col("mean_nll_e6") > gateMeanNllE6).cast("int"))
+      .drop("terms_e6")
+  }
+
   /** Streaming exact dedup — the streaming twin of `Dedup.exact`/dd1 for a
     * continuously-arriving corpus: drop re-deliveries of the same normalized
     * content within the watermark horizon. Keyed on the content hash, so
