@@ -464,6 +464,42 @@ object CorpusQueries {
        |JOIN state3 st USING (word)
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** tok4_fertility — per-language tokenizer fertility under tok1's learned
+    * merges: subword tokens per word and characters per subword token — the
+    * two numbers a team actually watches when sizing a vocabulary for a
+    * multilingual corpus (fertility ≫ 1 on a language means the tokenizer
+    * fragments it and its effective training cost inflates; Rust et al.
+    * 2021). Same broadcast word→pieces composition as tok3, aggregated by
+    * the documents' lang column — group count is the language inventory,
+    * bounded at any corpus scale. Integer sums, e6 ratios. */
+  def tok4Fertility(s: SparkSession, dir: String): DataFrame = {
+    val pieces = bpeLearned(s, dir)._2
+      .select(col("word"), size(col("syms")).cast(LongType).as("n_pieces"))
+    t(s, dir, "documents")
+      .select(col("lang"), explode(toks(col("text"))).as("word"))
+      .join(broadcast(pieces), Seq("word"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_pieces").as("n_subword_tokens"),
+        sum(length(col("word")).cast(LongType)).as("n_chars"))
+      .withColumn("fertility_e6",
+        round(lit(1e6) * col("n_subword_tokens") / col("n_words")).cast(LongType))
+      .withColumn("chars_per_token_e6",
+        round(lit(1e6) * col("n_chars") / col("n_subword_tokens")).cast(LongType))
+      .orderBy("lang")
+  }
+
+  val tok4FertilitySql: String =
+    s"""WITH $bpeCoreSql
+       |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(st.syms)) AS BIGINT) AS n_subword_tokens,
+       |  CAST(SUM(len(d.word)) AS BIGINT) AS n_chars,
+       |  CAST(ROUND(1e6 * SUM(len(st.syms)) / COUNT(*)) AS BIGINT) AS fertility_e6,
+       |  CAST(ROUND(1e6 * SUM(len(d.word)) / SUM(len(st.syms))) AS BIGINT) AS chars_per_token_e6
+       |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) d
+       |JOIN state3 st USING (word)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** Shared CTE chain (state0 → state3 + per-round st rows) for the tok1 /
     * tok2 / tok3 oracles — the DuckDB replay of [[bpeLearned]]. LAZY:
     * tok3's val sits above this definition in source order, and a strict
@@ -515,6 +551,7 @@ object CorpusQueries {
     "tok1_bpe_merges" -> (tok1BpeMerges _),
     "tok2_bpe_encode" -> (tok2BpeEncode _),
     "tok3_bpe_doc_tokens" -> (tok3BpeDocTokens _),
+    "tok4_fertility" -> (tok4Fertility _),
     "cms1_heavy_hitters" -> (cms1HeavyHitters _),
     "a16_textrank" -> (a16TextRank _),
     "a1_corpus_stats" -> (a1CorpusStats _),
@@ -529,6 +566,7 @@ object CorpusQueries {
     "tok1_bpe_merges" -> tok1BpeMergesSql,
     "tok2_bpe_encode" -> tok2BpeEncodeSql,
     "tok3_bpe_doc_tokens" -> tok3BpeDocTokensSql,
+    "tok4_fertility" -> tok4FertilitySql,
     "cms1_heavy_hitters" -> cms1HeavyHittersSql,
     "a16_textrank" -> a16TextRankSql,
     "a1_corpus_stats" -> a1CorpusStatsSql,
