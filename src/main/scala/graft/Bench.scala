@@ -62,7 +62,7 @@ object Bench {
     Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
       .foreach { t =>
         try Tables(spark, sfDir, t).count()
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] warmup $t FAILED: ${e.getMessage}") }
       }
     // a throwing query must be unmistakable in the output — a swallowed

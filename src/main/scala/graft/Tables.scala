@@ -44,8 +44,17 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => e
-      case _ => // TIMESTAMP_NTZ: session tz is UTC, so the cast is micros-identity
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // micros-identity only under a UTC session — assert, don't assume:
+        // a silent wrong-tz cast would shift every window/session boundary
+        require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+          "events ts is TIMESTAMP_NTZ; normalizing requires spark.sql.session.timeZone=UTC")
         e.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        // a THIRD layout change must fail loud here (the r8 lesson), not
+        // flow NULLs or misread integers into 15 queries
+        throw new IllegalStateException(
+          s"events.parquet ts has unhandled type $other — teach Tables.events this layout")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

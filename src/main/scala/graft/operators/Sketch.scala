@@ -66,6 +66,11 @@ object Sketch {
     * bounded-index contract as broadcasting it. */
   def estimatorLit(sketch: DataFrame,
       depth: Int = DefaultDepth, width: Long = DefaultWidth): Column => Column = {
+    // the dense literal and its Int cell indices cap the literal geometry;
+    // fail with the cause, not a wrapped index or a zero-length array
+    require(depth.toLong * width <= Int.MaxValue,
+      s"estimatorLit geometry ${depth}x$width exceeds the dense-literal bound " +
+        s"(${Int.MaxValue} cells) — use the broadcast-join estimates() path")
     val dense = new Array[Long]((depth * width).toInt)
     sketch.select(col("row_idx").cast(IntegerType), col("col_idx").cast(LongType),
         col("cell").cast(LongType)).collect().foreach { r =>

@@ -459,22 +459,14 @@ object SimilarityQueries {
     * limit(50); the fusion is a ≤100-row union + hash-agg. Pure integer
     * contributions, doc_id tiebreaks — both engines fuse identically. */
   def ir3HybridDense(s: SparkSession, dir: String): DataFrame = {
-    import TextQueries.{RrfK, RrfPoolK}
-    def contribs(scored: DataFrame, scoreCol: String, idCol: String): DataFrame = {
-      val w = Window.orderBy(desc(scoreCol), col(idCol))
-      scored.orderBy(desc(scoreCol), col(idCol)).limit(RrfPoolK)
-        .withColumn("rank", row_number().over(w))
-        .select(col(idCol).as("doc_id"),
-          round(lit(1e6) / (col("rank") + lit(RrfK))).cast(LongType).as("contrib_e6"))
-    }
     val emb = withNorm(t(s, dir, "embeddings"))
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("norm").as("qn"))
     val dense = emb.crossJoin(broadcast(q))
       .select(col("vec_id"),
         cosE6(dot(col("qv"), col("embedding")), col("qn"), col("norm")).as("cos_e6"))
-    contribs(dense, "cos_e6", "vec_id")
-      .unionByName(contribs(
+    TextQueries.rrfContribs(dense, "cos_e6", "vec_id")
+      .unionByName(TextQueries.rrfContribs(
         TextQueries.bm25Scores(s, dir).select("doc_id", "bm25_e6"), "bm25_e6", "doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_arms"), sum("contrib_e6").as("rrf_e6"))

@@ -766,6 +766,21 @@ object TextQueries {
   private[queries] val RrfK = 60
   private[queries] val RrfPoolK = 50
 
+  /** The RRF contribution kernel shared by ir1 (both sparse systems) and
+    * ir3's hybrid arms: the top-[[RrfPoolK]] of `scored` by (`scoreCol`
+    * desc, `idCol`) each contribute round(1e6/([[RrfK]]+rank)) under a
+    * `doc_id` key. The rank window sits ABOVE the limit — never over the
+    * corpus. One definition so a fusion-convention change moves every
+    * retriever together. */
+  private[queries] def rrfContribs(scored: DataFrame, scoreCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.orderBy(desc(scoreCol), col(idCol))
+    scored.orderBy(desc(scoreCol), col(idCol)).limit(RrfPoolK)
+      .withColumn("rank", row_number().over(w))
+      .select(col(idCol).as("doc_id"),
+        round(lit(1e6) / (col("rank") + lit(RrfK))).cast(LongType).as("contrib_e6"))
+  }
+
   /** DuckDB CTE bodies `d`, `st`, `bm` — the BM25 oracle core shared by the
     * retrieval oracles (ta13/ir1 inline their own copies; ir3 splices this). */
   private[queries] val Bm25CtesSql: String = {
@@ -823,15 +838,8 @@ object TextQueries {
     * e6-rounded scores with doc_id tiebreaks, contributions are integer,
     * so both engines fuse identically. */
   def ir1RrfFusion(s: SparkSession, dir: String): DataFrame = {
-    def contribs(scored: DataFrame, scoreCol: String): DataFrame = {
-      val w = Window.orderBy(desc(scoreCol), col("doc_id"))
-      scored.orderBy(desc(scoreCol), col("doc_id")).limit(RrfPoolK)
-        .withColumn("rank", row_number().over(w))
-        .select(col("doc_id"),
-          round(lit(1e6) / (col("rank") + lit(RrfK))).cast(LongType).as("contrib_e6"))
-    }
-    contribs(bm25Scores(s, dir).select("doc_id", "bm25_e6"), "bm25_e6")
-      .unionByName(contribs(queryTfidfScores(s, dir), "tfidf_e6"))
+    rrfContribs(bm25Scores(s, dir).select("doc_id", "bm25_e6"), "bm25_e6", "doc_id")
+      .unionByName(rrfContribs(queryTfidfScores(s, dir), "tfidf_e6", "doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_systems"), sum("contrib_e6").as("rrf_e6"))
       .orderBy(desc("rrf_e6"), col("doc_id"))
@@ -923,26 +931,10 @@ object TextQueries {
   }
 
   val ir2PrfExpansionSql: String = {
-    val qterms = RetrievalQTerms
-    val dfCols = qterms.map(q =>
-      s"CAST(SUM(CASE WHEN list_contains(tk, '$q') THEN 1 ELSE 0 END) AS BIGINT) AS df_$q")
-      .mkString(",\n  ")
-    val avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
-    def bmTerm(q: String) = {
-      val tf = s"CAST(len(list_filter(tk, x -> x = '$q')) AS DOUBLE)"
-      val df = s"CAST(df_$q AS DOUBLE)"
-      val idf = s"ln((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5) + 1.0)"
-      s"$idf * ($tf * (1.2 + 1.0)) / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / $avgdl)))"
-    }
-    val bmScore = qterms.map(bmTerm).mkString(" + ")
-    val notIn = qterms.map(q => s"'$q'").mkString(", ")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
-       |  len(string_split(text, ' ')) AS dl FROM documents),
-       |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl,
-       |  $dfCols
-       |  FROM d),
-       |bm AS (SELECT doc_id, CAST(ROUND(($bmScore) * 1e6) AS BIGINT) AS bm25_e6
-       |  FROM d CROSS JOIN st),
+    // the BM25 core splices from the ONE shared CTE text (Bm25CtesSql) —
+    // a k1/b/idf change there moves every retrieval oracle together
+    val notIn = RetrievalQTerms.map(q => s"'$q'").mkString(", ")
+    s"""WITH $Bm25CtesSql,
        |top10 AS (SELECT doc_id FROM bm ORDER BY bm25_e6 DESC, doc_id LIMIT $PrfPoolK),
        |ptok AS (SELECT unnest(tk) AS w FROM d JOIN top10 USING (doc_id)),
        |exp5 AS (SELECT w FROM ptok WHERE len(w) >= 4 AND w NOT IN ($notIn)

@@ -161,7 +161,7 @@ object EventStreams {
     val est = graft.operators.Sketch.estimatorLit(sketch, depth, width)
     val denom = lit((totalTrainTokens + width).toDouble)
     docs
-      .withColumn("terms_e6", transform(split(col("text"), " "), w =>
+      .withColumn("terms_e6", transform(graft.queries.Q.tokens(col("text")), w =>
         round(log((est(w) + 1).cast("double") / denom) * lit(-1e6)).cast("long")))
       .withColumn("n_tokens", size(col("terms_e6")).cast("long"))
       .withColumn("nll_e6_sum",

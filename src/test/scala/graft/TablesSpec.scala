@@ -53,4 +53,10 @@ class TablesSpec extends SparkSpec {
     assert(dt === TimestampType)
     assert(got === micros)
   }
+
+  test("an unhandled ts layout fails loud, not as NULLs in 15 queries") {
+    val dir = eventsDir(_.withColumn("ts", col("us").cast("string")))
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("unhandled type"))
+  }
 }
