@@ -1150,6 +1150,73 @@ object TextQueries {
       |  CAST(ROUND(bp * sqrt(p1 * p2) * 1e6) AS BIGINT) AS bleu_e6
       |FROM met ORDER BY pair_id""".stripMargin
 
+  /** a23_chrf — chrF2 (Popović 2015, the WMT-standard companion to BLEU):
+    * character-trigram precision/recall F-score with β = 2 (recall weighted
+    * double) over the same deterministic candidate/reference pairs as a22.
+    * Character n-grams make the metric robust where token BLEU is brittle
+    * (morphology, spacing, small edits) — the second generation-eval
+    * modality an LLM-data pipeline runs. Whitespace is kept in the grams
+    * (documented divergence from the paper's space-stripping; both engines
+    * apply the identical text, so the oracle pins it).
+    *
+    * Scale shape: same single-pass clip skeleton as a22 — trigrams explode
+    * from one `sequence` projection (no joins, no windows), clipping is a
+    * hash agg on (pair_id, gram), the rollup is one map-side-combined agg.
+    * The clip key is finer than doc_id, so skew is impossible by
+    * construction; floats enter only in the final metric projection. */
+  def a23Chrf(s: SparkSession, dir: String): DataFrame = {
+    val d = DoubleType
+    val wide = t(s, dir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(expr("doc_id div 2").as("pair_id"), (col("doc_id") % 2).as("side"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+      .groupBy("pair_id", "g")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cc"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("rc"))
+      .groupBy("pair_id")
+      .agg(sum(least(col("cc"), col("rc"))).as("m"),
+        sum(col("cc")).as("cand_ngrams"), sum(col("rc")).as("ref_ngrams"))
+      .filter(col("cand_ngrams") > 0 && col("ref_ngrams") > 0)
+    val p = col("m").cast(d) / col("cand_ngrams").cast(d)
+    val r = col("m").cast(d) / col("ref_ngrams").cast(d)
+    wide.select(col("pair_id"), col("m"), col("cand_ngrams"), col("ref_ngrams"),
+      round(p * lit(1e6)).cast(LongType).as("chrp_e6"),
+      round(r * lit(1e6)).cast(LongType).as("chrr_e6"),
+      round(when(lit(4) * p + r > 0, lit(5) * p * r / (lit(4) * p + r))
+        .otherwise(lit(0.0)) * lit(1e6)).cast(LongType).as("chrf_e6"))
+      .orderBy("pair_id")
+  }
+
+  val a23ChrfSql: String =
+    """WITH d AS (
+      |  SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side, text
+      |  FROM documents WHERE len(text) >= 3),
+      |idx AS (
+      |  SELECT pair_id, side, text,
+      |    unnest(generate_series(1, len(text) - 2)) AS i FROM d),
+      |grams AS (SELECT pair_id, side, substring(text, i, 3) AS g FROM idx),
+      |pg AS (
+      |  SELECT pair_id, g,
+      |    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cc,
+      |    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS rc
+      |  FROM grams GROUP BY pair_id, g),
+      |wide AS (
+      |  SELECT pair_id, CAST(SUM(LEAST(cc, rc)) AS BIGINT) AS m,
+      |    CAST(SUM(cc) AS BIGINT) AS cand_ngrams,
+      |    CAST(SUM(rc) AS BIGINT) AS ref_ngrams
+      |  FROM pg GROUP BY pair_id),
+      |met AS (
+      |  SELECT pair_id, m, cand_ngrams, ref_ngrams,
+      |    CAST(m AS DOUBLE) / CAST(cand_ngrams AS DOUBLE) AS p,
+      |    CAST(m AS DOUBLE) / CAST(ref_ngrams AS DOUBLE) AS r
+      |  FROM wide WHERE cand_ngrams > 0 AND ref_ngrams > 0)
+      |SELECT pair_id, m, cand_ngrams, ref_ngrams,
+      |  CAST(ROUND(p * 1e6) AS BIGINT) AS chrp_e6,
+      |  CAST(ROUND(r * 1e6) AS BIGINT) AS chrr_e6,
+      |  CAST(ROUND((CASE WHEN 4 * p + r > 0 THEN 5 * p * r / (4 * p + r) ELSE 0 END) * 1e6) AS BIGINT) AS chrf_e6
+      |FROM met ORDER BY pair_id""".stripMargin
+
   /** ta3_token_count — whitespace tokens vs BPE-ish regex tokens
     * (letters-runs | digit-runs | single other char). */
   def ta3TokenCount(s: SparkSession, dir: String): DataFrame =
@@ -1296,6 +1363,7 @@ object TextQueries {
     "ir2_prf_expansion" -> (ir2PrfExpansion _),
     "a21_ndcg" -> (a21Ndcg _),
     "a22_bleu" -> (a22Bleu _),
+    "a23_chrf" -> (a23Chrf _),
     "ta3_token_count" -> (ta3TokenCount _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
     "ta5_winnow_fingerprint" -> (ta5WinnowFingerprint _),
@@ -1326,6 +1394,7 @@ object TextQueries {
     "ir2_prf_expansion" -> ir2PrfExpansionSql,
     "a21_ndcg" -> a21NdcgSql,
     "a22_bleu" -> a22BleuSql,
+    "a23_chrf" -> a23ChrfSql,
     "ta3_token_count" -> ta3TokenCountSql,
     "ta4_fingerprint" -> ta4FingerprintSql,
     "ta5_winnow_fingerprint" -> ta5WinnowFingerprintSql,

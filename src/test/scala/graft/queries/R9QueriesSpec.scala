@@ -59,6 +59,22 @@ class R9QueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("bleu_e6") === expBp)
   }
 
+  test("a23: chrF is 1e6 on identical pairs, and recall-weighted when truncated") {
+    val same = docsDir(Seq((0L, "the quick brown fox"), (1L, "the quick brown fox")), "a23p")
+    val r1 = TextQueries.a23Chrf(spark, same).collect().head
+    assert(r1.getAs[Long]("chrp_e6") === 1000000L)
+    assert(r1.getAs[Long]("chrr_e6") === 1000000L)
+    assert(r1.getAs[Long]("chrf_e6") === 1000000L)
+    // truncated candidate: precision 1, recall < 1 — with beta = 2 the F
+    // score must sit closer to recall than to precision
+    val cut = docsDir(Seq((0L, "the quick"), (1L, "the quick brown fox")), "a23t")
+    val r2 = TextQueries.a23Chrf(spark, cut).collect().head
+    val (p, r, f) = (r2.getAs[Long]("chrp_e6"), r2.getAs[Long]("chrr_e6"),
+      r2.getAs[Long]("chrf_e6"))
+    assert(p === 1000000L && r < 1000000L)
+    assert(math.abs(f - r) < math.abs(f - p), "chrF2 must weight recall double")
+  }
+
   test("a22: disjoint candidate/reference scores zero") {
     val dir = docsDir(Seq((0L, "a b"), (1L, "c d")), "a22z")
     val r = TextQueries.a22Bleu(spark, dir).collect().head
