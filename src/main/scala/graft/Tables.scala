@@ -46,9 +46,16 @@ object Tables {
       case org.apache.spark.sql.types.TimestampType => e
       case org.apache.spark.sql.types.TimestampNTZType =>
         // micros-identity only under a UTC session — assert, don't assume:
-        // a silent wrong-tz cast would shift every window/session boundary
-        require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
-          "events ts is TIMESTAMP_NTZ; normalizing requires spark.sql.session.timeZone=UTC")
+        // a silent wrong-tz cast would shift every window/session boundary.
+        // Any zone id that NORMALIZES to UTC (Etc/UTC, GMT, +00:00) is
+        // equally safe — compare resolved offsets, not the id string.
+        val tz = s.conf.get("spark.sql.session.timeZone", "")
+        val isUtc = try {
+          java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+        } catch { case _: java.time.DateTimeException => false }
+        require(isUtc,
+          s"events ts is TIMESTAMP_NTZ; normalizing requires a UTC-equivalent " +
+            s"spark.sql.session.timeZone, got '$tz'")
         e.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case other =>
         // a THIRD layout change must fail loud here (the r8 lesson), not

@@ -46,13 +46,36 @@ object Sketch {
 
   /** Builds the sketch table (row_idx INT, col_idx BIGINT, cell BIGINT) from
     * one item per input row. Only coordinates that were actually hit appear
-    * (absent coordinate = 0), so sparse corpora stay sparse. */
+    * (absent coordinate = 0), so sparse corpora stay sparse. The build
+    * geometry rides along as column metadata on `cell` so a probe with a
+    * DIFFERENT (depth, width) fails loudly instead of silently reading
+    * mostly-zero cells (probing a 4x8192 sketch as 4x16384 passes every
+    * coordinate bound but hashes into cells the build never wrote). */
   def buildCms(items: DataFrame, item: Column,
-      depth: Int = DefaultDepth, width: Long = DefaultWidth): DataFrame =
+      depth: Int = DefaultDepth, width: Long = DefaultWidth): DataFrame = {
+    val geom = new MetadataBuilder()
+      .putLong(GeomDepthKey, depth.toLong).putLong(GeomWidthKey, width).build()
     items
       .select(posexplode(positions(item, depth, width)).as(Seq("row_idx", "col_idx")))
       .groupBy("row_idx", "col_idx")
-      .agg(count(lit(1)).as("cell"))
+      .agg(count(lit(1)).as("cell", geom))
+  }
+
+  private val GeomDepthKey = "graft.cms.depth"
+  private val GeomWidthKey = "graft.cms.width"
+
+  /** Asserts probe geometry == build geometry when the sketch still carries
+    * its [[buildCms]] metadata. Sketches reconstructed from a sink (the
+    * streaming upsert path) lose the stamp — for those the coordinate-bound
+    * checks below remain the only guard, as before. */
+  private def checkGeometry(sketch: DataFrame, depth: Int, width: Long): Unit =
+    sketch.schema.fields.find(_.name == "cell").map(_.metadata)
+      .filter(_.contains(GeomDepthKey)).foreach { m =>
+        require(m.getLong(GeomDepthKey) == depth.toLong && m.getLong(GeomWidthKey) == width,
+          s"probe geometry ${depth}x$width != build geometry " +
+            s"${m.getLong(GeomDepthKey)}x${m.getLong(GeomWidthKey)} — " +
+            "estimates are only valid under the geometry the sketch was built with")
+      }
 
   /** The literal-probe ESTIMATE — the [[graft.operators.Bloom.memberLit]]
     * dual for point counts: the finished sketch inlined as one dense
@@ -71,6 +94,7 @@ object Sketch {
     require(depth.toLong * width <= Int.MaxValue,
       s"estimatorLit geometry ${depth}x$width exceeds the dense-literal bound " +
         s"(${Int.MaxValue} cells) — use the broadcast-join estimates() path")
+    checkGeometry(sketch, depth, width)
     val dense = new Array[Long]((depth * width).toInt)
     sketch.select(col("row_idx").cast(IntegerType), col("col_idx").cast(LongType),
         col("cell").cast(LongType)).collect().foreach { r =>
@@ -94,6 +118,7 @@ object Sketch {
     * a unique key in `probes` (the re-group key). */
   def estimates(sketch: DataFrame, probes: DataFrame, itemCol: String,
       depth: Int = DefaultDepth, width: Long = DefaultWidth): DataFrame = {
+    checkGeometry(sketch, depth, width)
     val other = probes.columns.filter(_ != itemCol).map(c => first(col(c)).as(c))
     probes
       .select(col("*"),

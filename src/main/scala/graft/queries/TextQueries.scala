@@ -708,10 +708,18 @@ object TextQueries {
   private[queries] val RetrievalQTerms = Seq("data", "spark", "join")
 
   /** Per-document e6 BM25 of [[RetrievalQTerms]] over ALL documents — the
-    * shared scoring core of ta13 (top-20 face), ir1 (fusion input), and
-    * ir3's sparse arm (SimilarityQueries). One corpus pass + a broadcast
-    * one-row stats frame. */
-  private[queries] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    * shared scoring core of ta13 (top-20 face), ir1/ir4 (fusion input),
+    * ir2 (PRF base), and ir3's sparse arm (SimilarityQueries). One corpus
+    * pass + a broadcast one-row stats frame, pinned ONCE per (session, dir)
+    * under the `bm25_core` tag so every retrieval consumer reads the same
+    * materialization — Catalyst does not dedupe the common subtree across
+    * separate queries, and the frame is a narrow (doc_id, dl, bm25_e6)
+    * projection, far cheaper to checkpoint than to rescore (r10, closing
+    * the r9 advisory: the pin previously lived inside ir2 only). */
+  private[queries] def bm25Scores(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionShare.materialized(s, dir, "bm25_core")(bm25ScoresPlan(s, dir))
+
+  private def bm25ScoresPlan(s: SparkSession, dir: String): DataFrame = {
     val qterms = RetrievalQTerms
     val (k1, b) = (1.2, 0.75)
     val docs = t(s, dir, "documents")
@@ -900,16 +908,15 @@ object TextQueries {
     * as bm25_e6 + [[PrfWeightE6]]·tf(expansion terms) — integer fusion, no
     * cross-engine float risk beyond the already-proven BM25 rounding.
     *
-    * Scale shape: the BM25 pass is pinned once per session (ir1/ta13 share
-    * the same core); the pseudo-relevant pool is a bounded TakeOrdered
+    * Scale shape: the BM25 pass reads the session-pinned [[bm25Scores]]
+    * core (shared with ta13/ir1/ir3/ir4); the pseudo-relevant pool is a bounded TakeOrdered
     * top-10 whose doc ids broadcast into a semi-join BELOW the explode —
     * term mining touches 10 documents, not the corpus; the 5 expansion
     * terms broadcast into the second corpus pass, which shuffles only the
     * matching (doc, term) rows to a per-doc count. No corpus-global
     * window anywhere; final top-20 is TakeOrdered. */
   def ir2PrfExpansion(s: SparkSession, dir: String): DataFrame = {
-    val scores = graft.operators.SessionShare.materialized(s, dir, "ir2_bm25")(
-      bm25Scores(s, dir).select("doc_id", "bm25_e6"))
+    val scores = bm25Scores(s, dir).select("doc_id", "bm25_e6")
     val top10 = scores.orderBy(desc("bm25_e6"), col("doc_id")).limit(PrfPoolK)
       .select("doc_id")
     val expTerms = t(s, dir, "documents")

@@ -54,6 +54,23 @@ class TablesSpec extends SparkSpec {
     assert(got === micros)
   }
 
+  test("NTZ layout accepts any UTC-equivalent session zone id (r9 advisory)") {
+    val dir = eventsDir(_.withColumn("ts",
+      timestamp_micros(col("us")).cast(org.apache.spark.sql.types.TimestampNTZType)))
+    val orig = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (tz <- Seq("Etc/UTC", "GMT", "+00:00")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        val (dt, got) = readMicros(dir)
+        assert(dt === TimestampType, s"zone $tz")
+        assert(got === micros, s"zone $tz")
+      }
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException](Tables.events(spark, dir))
+      assert(e.getMessage.contains("UTC-equivalent"))
+    } finally spark.conf.set("spark.sql.session.timeZone", orig)
+  }
+
   test("an unhandled ts layout fails loud, not as NULLs in 15 queries") {
     val dir = eventsDir(_.withColumn("ts", col("us").cast("string")))
     val e = intercept[IllegalStateException](Tables.events(spark, dir))

@@ -62,6 +62,32 @@ class SketchSpec extends SparkSpec {
     est.values.foreach(v => assert(v === 0L))
   }
 
+  test("probing with a different geometry than the build fails loud") {
+    val sketch = Sketch.buildCms(freqTable(corpus), col("item"), 3, 64)
+    // larger width passes every coordinate bound but reads cells the build
+    // never wrote — the silent mostly-zero-estimate failure mode (r9 advisory)
+    val wider = intercept[IllegalArgumentException](
+      Sketch.estimates(sketch, freqTable(Seq("item-1")), "item", 3, 128))
+    assert(wider.getMessage.contains("geometry"))
+    val deeper = intercept[IllegalArgumentException](
+      Sketch.estimatorLit(sketch, 4, 64))
+    assert(deeper.getMessage.contains("geometry"))
+  }
+
+  test("a sketch reconstructed without metadata keeps the coordinate guard") {
+    // the streaming-upsert path rebuilds the cell table from a sink and
+    // loses the build stamp: matching geometry works, out-of-bounds cells
+    // still fail on the estimatorLit coordinate check
+    val bare = Sketch.buildCms(freqTable(corpus), col("item"), 3, 64)
+      .select(col("row_idx"), col("col_idx"),
+        col("cell").as("cell", org.apache.spark.sql.types.Metadata.empty))
+    val est = Sketch.estimates(bare, freqTable(Seq("item-1")), "item", 3, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("item-1") >= 100L)
+    val narrow = intercept[IllegalArgumentException](Sketch.estimatorLit(bare, 3, 32))
+    assert(narrow.getMessage.contains("outside geometry"))
+  }
+
   test("probe-side extra columns survive estimates") {
     import spark.implicits._
     val sketch = Sketch.buildCms(freqTable(corpus), col("item"), 3, 64)
