@@ -72,6 +72,19 @@ object GraftFunctions {
       s"det_hash60 expects 1 argument, got ${other.length}")
   }
 
+  val lcsLenIdent = new FunctionIdentifier("lcs_len")
+
+  val lcsLenInfo = new ExpressionInfo(
+    classOf[LcsLenExpression].getName, null, "lcs_len",
+    "lcs_len(a, b) - longest-common-subsequence length of two string arrays (codegen).",
+    "")
+
+  val lcsLenBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => LcsLenExpression(a, b)
+    case other => throw new IllegalArgumentException(
+      s"lcs_len expects 2 arguments, got ${other.length}")
+  }
+
   /** Register on an already-running session (idempotent — re-registration
     * overwrites with an identical builder). */
   def register(spark: SparkSession): Unit = {
@@ -83,6 +96,8 @@ object GraftFunctions {
       .registerFunction(vecSqDistIdent, vecSqDistInfo, vecSqDistBuilder)
     spark.sessionState.functionRegistry
       .registerFunction(detHashIdent, detHashInfo, detHashBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(lcsLenIdent, lcsLenInfo, lcsLenBuilder)
   }
 }
 
@@ -96,5 +111,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.vecSqDistBuilder))
     ext.injectFunction((GraftFunctions.detHashIdent, GraftFunctions.detHashInfo,
       GraftFunctions.detHashBuilder))
+    ext.injectFunction((GraftFunctions.lcsLenIdent, GraftFunctions.lcsLenInfo,
+      GraftFunctions.lcsLenBuilder))
   }
 }

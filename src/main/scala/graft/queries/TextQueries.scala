@@ -1224,6 +1224,96 @@ object TextQueries {
       |  CAST(ROUND((CASE WHEN 4 * p + r > 0 THEN 5 * p * r / (4 * p + r) ELSE 0 END) * 1e6) AS BIGINT) AS chrf_e6
       |FROM met ORDER BY pair_id""".stripMargin
 
+  /** a24's token budget per side — ROUGE-L is an O(m·n) dynamic program per
+    * pair, so the operator truncates both sequences to a fixed bound, the
+    * ROUGE-1.5.5 `-l`/`-b` length-limit convention (Lin 2004 §5 evaluates
+    * at fixed summary lengths). The bound makes per-pair cost CONSTANT in
+    * document growth — at 100 TB the metric's cost is #pairs · budget²,
+    * never corpus-length-quadratic. */
+  private val RougeTokenBudget = 40
+
+  /** a24_rouge_l — ROUGE-L (Lin 2004): longest-common-subsequence
+    * F-measure over the same deterministic candidate/reference pairs as
+    * a22/a23 — the third standard generation metric (BLEU: clipped n-gram
+    * precision; chrF: char-gram F; ROUGE-L: in-order subsequence overlap,
+    * the one that rewards sentence-level word order without requiring
+    * contiguity). P = LCS/m, R = LCS/n, F = 2PR/(P+R) (β=1, the
+    * rouge-score-library convention; Lin's recall-weighted β is a
+    * constant away).
+    *
+    * Scale shape: pairing is ONE hash agg on pair_id (arrays truncated to
+    * [[RougeTokenBudget]] BEFORE the shuffle, so rows are bounded); the DP
+    * itself is the native codegen [[graft.plans.LcsLenExpression]] — a
+    * per-pair O(budget²) int kernel inside the projection, no joins, no
+    * windows, no explode at all (grams never materialize — unlike a22/a23
+    * nothing here is corpus-token-proportional beyond the tokenize). The
+    * oracle replays the identical DP as a recursive CTE via the prefix-max
+    * form dp(i)(j) = max_{k≤j} t(k) — the same unrolled-DP convention as
+    * the Viterbi/BPE oracles. */
+  def a24RougeL(s: SparkSession, dir: String): DataFrame = {
+    val d = DoubleType
+    graft.plans.GraftFunctions.register(s)
+    val paired = t(s, dir, "documents")
+      .select(expr("doc_id div 2").as("pair_id"), (col("doc_id") % 2).as("side"),
+        slice(tokens(col("text")), 1, RougeTokenBudget).as("tk"))
+      .groupBy("pair_id")
+      .agg(max(when(col("side") === 0, col("tk"))).as("c"),
+        max(when(col("side") === 1, col("tk"))).as("r"))
+      .filter(col("c").isNotNull && col("r").isNotNull)
+      .select(col("pair_id"),
+        call_function("lcs_len", col("c"), col("r")).cast(LongType).as("lcs_len"),
+        size(col("c")).cast(LongType).as("c_len"),
+        size(col("r")).cast(LongType).as("r_len"))
+    val p = col("lcs_len").cast(d) / col("c_len").cast(d)
+    val r = col("lcs_len").cast(d) / col("r_len").cast(d)
+    paired.select(col("pair_id"), col("lcs_len"), col("c_len"), col("r_len"),
+      round(p * lit(1e6)).cast(LongType).as("rougel_p_e6"),
+      round(r * lit(1e6)).cast(LongType).as("rougel_r_e6"),
+      round(when(p + r > lit(0.0), lit(2.0) * p * r / (p + r))
+        .otherwise(lit(0.0)) * lit(1e6)).cast(LongType).as("rougel_f_e6"))
+      .orderBy("pair_id")
+  }
+
+  /** The oracle unrolls the SAME dp via one recursive CTE over candidate
+    * position i, carrying dp row i as a list. The within-row left-neighbor
+    * dependency folds away through the prefix-max identity: with
+    * t(j) = dp(i−1)(j−1)+1 if aᵢ=bⱼ else dp(i−1)(j), a row's cells are
+    * dp(i)(j) = max_{k≤j} t(k) (valid because dp rows grow by ≤1 per
+    * column, so the matched case dominates its up-neighbor). */
+  val a24RougeLSql: String = {
+    val T = RougeTokenBudget
+    s"""WITH RECURSIVE pr0 AS (
+       |  SELECT doc_id // 2 AS pair_id,
+       |    MAX(CASE WHEN doc_id % 2 = 0 THEN string_split(text, ' ')[1:$T] END) AS c,
+       |    MAX(CASE WHEN doc_id % 2 = 1 THEN string_split(text, ' ')[1:$T] END) AS r
+       |  FROM documents GROUP BY 1),
+       |pr AS (SELECT * FROM pr0 WHERE c IS NOT NULL AND r IS NOT NULL),
+       |dp AS (
+       |  SELECT pair_id, c, r, 0 AS i,
+       |    list_transform(range(0, len(r) + 1), x -> 0) AS row
+       |  FROM pr
+       |  UNION ALL
+       |  SELECT pair_id, c, r, i + 1,
+       |    list_prepend(0, list_transform(range(1, len(r) + 1), j ->
+       |      list_max(list_transform(range(1, j + 1), k ->
+       |        CASE WHEN c[i + 1] = r[k] THEN row[k] + 1 ELSE row[k + 1] END))))
+       |  FROM dp WHERE i < len(c)),
+       |fin AS (
+       |  SELECT pair_id, CAST(row[len(r) + 1] AS BIGINT) AS lcs_len,
+       |    CAST(len(c) AS BIGINT) AS c_len, CAST(len(r) AS BIGINT) AS r_len
+       |  FROM dp WHERE i = len(c)),
+       |met AS (
+       |  SELECT pair_id, lcs_len, c_len, r_len,
+       |    CAST(lcs_len AS DOUBLE) / CAST(c_len AS DOUBLE) AS p,
+       |    CAST(lcs_len AS DOUBLE) / CAST(r_len AS DOUBLE) AS r2
+       |  FROM fin)
+       |SELECT pair_id, lcs_len, c_len, r_len,
+       |  CAST(ROUND(p * 1e6) AS BIGINT) AS rougel_p_e6,
+       |  CAST(ROUND(r2 * 1e6) AS BIGINT) AS rougel_r_e6,
+       |  CAST(ROUND((CASE WHEN p + r2 > 0 THEN 2 * p * r2 / (p + r2) ELSE 0 END) * 1e6) AS BIGINT) AS rougel_f_e6
+       |FROM met ORDER BY pair_id""".stripMargin
+  }
+
   /** ta3_token_count — whitespace tokens vs BPE-ish regex tokens
     * (letters-runs | digit-runs | single other char). */
   def ta3TokenCount(s: SparkSession, dir: String): DataFrame =
@@ -1371,6 +1461,7 @@ object TextQueries {
     "a21_ndcg" -> (a21Ndcg _),
     "a22_bleu" -> (a22Bleu _),
     "a23_chrf" -> (a23Chrf _),
+    "a24_rouge_l" -> (a24RougeL _),
     "ta3_token_count" -> (ta3TokenCount _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
     "ta5_winnow_fingerprint" -> (ta5WinnowFingerprint _),
@@ -1402,6 +1493,7 @@ object TextQueries {
     "a21_ndcg" -> a21NdcgSql,
     "a22_bleu" -> a22BleuSql,
     "a23_chrf" -> a23ChrfSql,
+    "a24_rouge_l" -> a24RougeLSql,
     "ta3_token_count" -> ta3TokenCountSql,
     "ta4_fingerprint" -> ta4FingerprintSql,
     "ta5_winnow_fingerprint" -> ta5WinnowFingerprintSql,
