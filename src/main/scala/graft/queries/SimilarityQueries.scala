@@ -495,8 +495,94 @@ object SimilarityQueries {
        |FROM contribs GROUP BY doc_id ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** The IVF-probed dense arm shared by ir4 and its recall audit: assign
+    * the corpus to cells under `idx`, probe the `nProbe` cells nearest the
+    * fixed query embedding (vec_id 0 — ir3's dense-query contract), exact
+    * cosine inside the probed cells only. Both assign and probe are
+    * projections over the literal centroid index, so the corpus reaches
+    * the probe join with zero prior Exchange — and unlike ir3's exact arm,
+    * the scored candidate set is O(corpus/n_cells · n_probe), not the
+    * whole corpus. The spec swaps `idx` for the trained-k-means face. */
+  private[queries] def ivfDenseScores(emb: DataFrame, idx: Column,
+      nProbe: Int = 2): DataFrame = {
+    val assign = withCell(emb, idx)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("norm").as("qn"))
+    val probeArr = slice(array_sort(transform(idx, c => struct(
+        (-cosE6(dot(c.getField("cv"), col("qv")), c.getField("cn"), col("qn"))).as("neg_cos"),
+        c.getField("cent_id").as("cent_id")))), 1, nProbe)
+    val probes = q.withColumn("pc", explode(probeArr))
+      .select(col("qv"), col("qn"), col("pc.cent_id").as("cell"))
+    assign.join(broadcast(probes), Seq("cell"))
+      .select(col("vec_id"),
+        cosE6(dot(col("qv"), col("embedding")), col("qn"), col("norm")).as("cos_e6"))
+  }
+
+  /** ir4_hybrid_ann — the production hybrid-retrieval face: BM25 ⊕ IVF-ANN
+    * fused by RRF. ir3 (the exactness baseline) scores EVERY embedding
+    * against the query; at 100 TB the vector side of a RAG stack never
+    * does that — it probes an ANN index. ir4 is that shape: the dense arm
+    * is the ss2 IVF probe ([[ivfDenseScores]] — cell assign + 2-cell probe
+    * as pure projections over the literal centroid index), the sparse arm
+    * is the session-pinned BM25 core, and the two top-50 pools fuse by
+    * reciprocal rank exactly like ir1/ir3. The recall cost of probing vs
+    * exact is audited in SimilarityQueriesSpec against ir3's dense arm
+    * (the ss5-audits-ss2 convention), including the trained-k-means
+    * centroid face ([[graft.operators.Similarity.trainedCentroids]] — the
+    * production index; hash-stride stays the query face because k-means
+    * centers have no DuckDB twin).
+    *
+    * Scale shape: zero corpus-wide dense scan — the only corpus-touching
+    * dense work is one projection (cell assign) and the probed-cell cosine;
+    * rank windows sit ABOVE limit(50); fusion is a ≤100-row hash agg. */
+  def ir4HybridAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(s, dir, "embeddings"))
+    TextQueries.rrfContribs(ivfDenseScores(emb, centIndex(emb)), "cos_e6", "vec_id")
+      .unionByName(TextQueries.rrfContribs(
+        TextQueries.bm25Scores(s, dir).select("doc_id", "bm25_e6"), "bm25_e6", "doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_arms"), sum("contrib_e6").as("rrf_e6"))
+      .orderBy(desc("rrf_e6"), col("doc_id"))
+      .limit(20)
+  }
+
+  val ir4HybridAnnSql: String = {
+    import TextQueries.{Bm25CtesSql, RrfK, RrfPoolK}
+    s"""WITH $Bm25CtesSql,
+       |emb AS ($withNormDuck),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cv, norm AS cn FROM emb WHERE vec_id % 97 = 0),
+       |assign AS (
+       |  SELECT vec_id, embedding, norm, cell FROM (
+       |    SELECT e.vec_id, e.embedding, e.norm, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE6Sql(dotSql("c.cv", "e.embedding"), "c.cn", "e.norm")} DESC, c.cent_id) AS ark
+       |    FROM emb e CROSS JOIN cent c) t WHERE ark = 1),
+       |qv AS (SELECT embedding AS qe, norm AS qn FROM emb WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT cell FROM (
+       |    SELECT c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (ORDER BY ${cosE6Sql(dotSql("c.cv", "qv.qe"), "c.cn", "qv.qn")} DESC, c.cent_id) AS prk
+       |    FROM qv CROSS JOIN cent c) t WHERE prk <= 2),
+       |dense AS (
+       |  SELECT a.vec_id AS doc_id,
+       |    ${cosE6Sql(dotSql("qv.qe", "a.embedding"), "qv.qn", "a.norm")} AS sc
+       |  FROM assign a JOIN probes p USING (cell) CROSS JOIN qv),
+       |dtop AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank
+       |  FROM dense ORDER BY sc DESC, doc_id LIMIT $RrfPoolK),
+       |stop AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id) AS rank
+       |  FROM bm ORDER BY bm25_e6 DESC, doc_id LIMIT $RrfPoolK),
+       |contribs AS (
+       |  SELECT doc_id, CAST(ROUND(1e6 / (rank + $RrfK)) AS BIGINT) AS c FROM dtop
+       |  UNION ALL
+       |  SELECT doc_id, CAST(ROUND(1e6 / (rank + $RrfK)) AS BIGINT) AS c FROM stop)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_arms, CAST(SUM(c) AS BIGINT) AS rrf_e6
+       |FROM contribs GROUP BY doc_id ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "ir3_hybrid_dense" -> (ir3HybridDense _),
+    "ir4_hybrid_ann" -> (ir4HybridAnn _),
     "ss1_bruteforce_topk" -> (ss1BruteforceTopk _),
     "ss4_pq_topk" -> (ss4PqTopk _),
     "ss2_ivf_topk" -> (ss2IvfTopk _),
@@ -507,6 +593,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "ir3_hybrid_dense" -> ir3HybridDenseSql,
+    "ir4_hybrid_ann" -> ir4HybridAnnSql,
     "ss5_recall_audit" -> ss5RecallAuditSql,
     "ss1_bruteforce_topk" -> ss1BruteforceTopkSql,
     "ss4_pq_topk" -> ss4PqTopkSql,
