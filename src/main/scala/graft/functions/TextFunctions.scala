@@ -139,4 +139,31 @@ object TextFunctions {
 
   /** F20 — char length. */
   def charLength(c: Column): Column = length(c)
+
+  /** Control chars (minus \t \n \r, which are whitespace the F1 chain
+    * owns), DEL, soft hyphen, zero-width/bidi marks, word-joiner, BOM —
+    * the invisible code points that survive NFC and poison tokenization,
+    * dedup hashes, and gram counts. One RE2-safe character class, valid
+    * verbatim in Java regex and DuckDB's regexp_replace. */
+  private val ControlZeroWidth: String =
+    "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}" +
+      "\\x{00AD}\\x{200B}-\\x{200F}\\x{2060}\\x{FEFF}]"
+
+  /** F21 — Unicode pre-clean (beyond the reference, which is ASCII-bound:
+    * the CCNet/Gopher preprocessing step every multilingual pipeline runs
+    * FIRST): NFC canonical composition (the codegen
+    * [[graft.plans.NfcNormalizeExpression]]) then control/zero-width
+    * strip, in that pinned order on both engines. Idempotent — NFC is a
+    * closure, the strip class maps to the empty string, and re-normalizing
+    * stripped text composes nothing new (property-pinned in
+    * TextFunctionsSpec). Requires the graft function registry (every
+    * `Tables` read registers it). */
+  def unicodeNormalize(c: Column): Column =
+    regexp_replace(call_function("nfc_normalize", c), ControlZeroWidth, "")
+
+  /** The DuckDB twin of [[unicodeNormalize]] — same builtin name, same
+    * RE2 class verbatim (single-quoted SQL strings keep backslashes
+    * literal), global flag explicit (Spark replaces all by default). */
+  def unicodeNormalizeSql(c: String): String =
+    s"regexp_replace(nfc_normalize($c), '$ControlZeroWidth', '', 'g')"
 }

@@ -85,6 +85,19 @@ object GraftFunctions {
       s"lcs_len expects 2 arguments, got ${other.length}")
   }
 
+  val nfcIdent = new FunctionIdentifier("nfc_normalize")
+
+  val nfcInfo = new ExpressionInfo(
+    classOf[NfcNormalizeExpression].getName, null, "nfc_normalize",
+    "nfc_normalize(s) - Unicode NFC canonical composition, same semantics as the DuckDB builtin (codegen).",
+    "")
+
+  val nfcBuilder: Seq[Expression] => Expression = {
+    case Seq(s) => NfcNormalizeExpression(s)
+    case other => throw new IllegalArgumentException(
+      s"nfc_normalize expects 1 argument, got ${other.length}")
+  }
+
   /** Register on an already-running session (idempotent — re-registration
     * overwrites with an identical builder). */
   def register(spark: SparkSession): Unit = {
@@ -98,6 +111,8 @@ object GraftFunctions {
       .registerFunction(detHashIdent, detHashInfo, detHashBuilder)
     spark.sessionState.functionRegistry
       .registerFunction(lcsLenIdent, lcsLenInfo, lcsLenBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(nfcIdent, nfcInfo, nfcBuilder)
   }
 }
 
@@ -113,5 +128,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.detHashBuilder))
     ext.injectFunction((GraftFunctions.lcsLenIdent, GraftFunctions.lcsLenInfo,
       GraftFunctions.lcsLenBuilder))
+    ext.injectFunction((GraftFunctions.nfcIdent, GraftFunctions.nfcInfo,
+      GraftFunctions.nfcBuilder))
   }
 }

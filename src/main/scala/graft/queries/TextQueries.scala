@@ -75,6 +75,39 @@ object TextQueries {
       |    '\s+', ' ', 'g')) AS cleaned
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** f21_unicode_normalize — F21's driver-checked face. Like f1, the
+    * already-ASCII corpus gets deterministic noise injected first so the
+    * cross-engine gate exercises REAL behavior: a decomposed e+U+0301
+    * (composes to é under NFC), a zero-width space, a BOM, and a soft
+    * hyphen (all stripped). Emits the normalized text plus before/after
+    * char counts — norm_len < noisy_len proves the strip fired, and the
+    * composed é proves both engines implement identical UAX #15
+    * composition. Pure projection; zero shuffles before the output sort. */
+  def f21UnicodeNormalize(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val noisy = concat(col("text"),
+      lit(" cafe\u0301 \u200Bzero\uFEFFwidth so\u00ADft"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), noisy.as("noisy"))
+      .select(col("doc_id"),
+        TF.unicodeNormalize(col("noisy")).as("norm_text"),
+        length(col("noisy")).as("noisy_len"))
+      .withColumn("norm_len", length(col("norm_text")))
+      .orderBy("doc_id")
+  }
+
+  val f21UnicodeNormalizeSql: String = {
+    // chr() spells the injected code points: 769 = U+0301 combining acute,
+    // 8203 = U+200B ZWSP, 65279 = U+FEFF BOM, 173 = U+00AD soft hyphen
+    val noisyExpr = "text || ' cafe' || chr(769) || ' ' || chr(8203) || " +
+      "'zero' || chr(65279) || 'width so' || chr(173) || 'ft'"
+    s"""WITH noisy AS (SELECT doc_id, $noisyExpr AS noisy FROM documents)
+       |SELECT doc_id, ${TF.unicodeNormalizeSql("noisy")} AS norm_text,
+       |  len(noisy) AS noisy_len,
+       |  len(${TF.unicodeNormalizeSql("noisy")}) AS norm_len
+       |FROM noisy ORDER BY doc_id""".stripMargin
+  }
+
   /** f5_token_filter — tokenize (F16), drop short words (F5), remove
     * stopwords (F12), rejoin. */
   def f5TokenFilter(s: SparkSession, dir: String): DataFrame = {
@@ -1170,10 +1203,18 @@ object TextQueries {
     * from one `sequence` projection (no joins, no windows), clipping is a
     * hash agg on (pair_id, gram), the rollup is one map-side-combined agg.
     * The clip key is finer than doc_id, so skew is impossible by
-    * construction; floats enter only in the final metric projection. */
+    * construction; floats enter only in the final metric projection.
+    *
+    * Text passes through the F21 Unicode pre-clean first (r10 — the CCNet
+    * order: normalize, then measure): chrF works at the character level,
+    * exactly where a decomposed é vs its composed form or a stray
+    * zero-width would silently split every gram containing it. Identity on
+    * ASCII corpora; both engines share the normalization (oracle twin), so
+    * parity is unchanged. */
   def a23Chrf(s: SparkSession, dir: String): DataFrame = {
     val d = DoubleType
     val wide = t(s, dir, "documents")
+      .select(col("doc_id"), TF.unicodeNormalize(col("text")).as("text"))
       .filter(length(col("text")) >= 3)
       .select(expr("doc_id div 2").as("pair_id"), (col("doc_id") % 2).as("side"),
         explode(expr(
@@ -1196,9 +1237,11 @@ object TextQueries {
   }
 
   val a23ChrfSql: String =
-    """WITH d AS (
+    s"""WITH d0 AS (
+      |  SELECT doc_id, ${TF.unicodeNormalizeSql("text")} AS text FROM documents),
+      |d AS (
       |  SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side, text
-      |  FROM documents WHERE len(text) >= 3),
+      |  FROM d0 WHERE len(text) >= 3),
       |idx AS (
       |  SELECT pair_id, side, text,
       |    unnest(generate_series(1, len(text) - 2)) AS i FROM d),
@@ -1439,6 +1482,7 @@ object TextQueries {
     "p1_candidate_filter" -> (p1CandidateFilter _),
     "p5_short_filter" -> (p5ShortFilter _),
     "f1_clean_chain" -> (f1CleanChain _),
+    "f21_unicode_normalize" -> (f21UnicodeNormalize _),
     "f5_token_filter" -> (f5TokenFilter _),
     "f13_lemmatize" -> (f13Lemmatize _),
     "f14_porter_stem" -> (f14PorterStem _),
@@ -1471,6 +1515,7 @@ object TextQueries {
     "p1_candidate_filter" -> p1CandidateFilterSql,
     "p5_short_filter" -> p5ShortFilterSql,
     "f1_clean_chain" -> f1CleanChainSql,
+    "f21_unicode_normalize" -> f21UnicodeNormalizeSql,
     "f5_token_filter" -> f5TokenFilterSql,
     "f13_lemmatize" -> f13LemmatizeSql,
     "f14_porter_stem" -> f14PorterStemSql,

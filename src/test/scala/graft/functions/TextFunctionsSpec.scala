@@ -61,4 +61,31 @@ class TextFunctionsSpec extends SparkSpec {
   test("F19 plus join collapses runs of whitespace") {
     assert(one(plusJoined(col("s")), " deep  learning survey ") === "deep+learning+survey")
   }
+
+  test("F21 composes decomposed marks and strips invisibles") {
+    graft.plans.GraftFunctions.register(spark)
+    // e + U+0301 composes to single-codepoint \u00e9
+    assert(one(unicodeNormalize(col("s")), "cafe\u0301") === "caf\u00e9")
+    // ZWSP / BOM / soft hyphen / ZWJ vanish
+    assert(one(unicodeNormalize(col("s")),
+      "a\u200bb\ufeffc\u00add e\u200df") === "abcd ef")
+    // \t and \n are whitespace the F1 chain owns -- NOT stripped here
+    assert(one(unicodeNormalize(col("s")), "a\tb\nc") === "a\tb\nc")
+    // already-composed text is untouched (NFC quick-check pass-through)
+    assert(one(unicodeNormalize(col("s")), "caf\u00e9 plain") === "caf\u00e9 plain")
+  }
+
+  test("F21 is idempotent: normalize . normalize === normalize") {
+    graft.plans.GraftFunctions.register(spark)
+    val inputs = Seq(
+      "cafe\u0301 au\u200b lait\ufeff", "plain ascii", "",
+      "so\u00adft hy\u00adphen",
+      "A\u030angstro\u0308m", // A+ring, o+diaeresis -- both compose
+      "mixed caf\u00e9 cafe\u0301 \u200d zwj")
+    inputs.foreach { in =>
+      val once = one(unicodeNormalize(col("s")), in)
+      val twice = one(unicodeNormalize(unicodeNormalize(col("s"))), in)
+      assert(once === twice, s"idempotence broke on ${in.map(_.toInt)}")
+    }
+  }
 }

@@ -63,6 +63,17 @@ class R10QueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("rougel_f_e6") === 1000000L)
   }
 
+  test("a23 consumes F21: decomposed candidate == composed reference scores 1e6") {
+    // without the r10 normalization, "cafe"+U+0301 vs precomposed café
+    // shares almost no char trigram; after NFC both sides are identical
+    val dir = docsDir(Seq(
+      (0L, "le cafe\u0301 chaud du matin"),
+      (1L, "le caf\u00e9 chaud\u200b du matin")), "a23n")
+    val r = TextQueries.a23Chrf(spark, dir).collect().head
+    assert(r.getAs[Long]("chrf_e6") === 1000000L,
+      "chrF must see NFC-normalized, invisible-stripped text")
+  }
+
   test("a24: an unpaired trailing document drops out instead of scoring") {
     val dir = docsDir(Seq((0L, "a b"), (1L, "a b"), (2L, "orphan doc")), "a24u")
     val rows = TextQueries.a24RougeL(spark, dir).collect()
