@@ -187,8 +187,9 @@ object CurationQueries {
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Interpolation weight on the bigram ML estimate in ta14 (the remaining
-    * mass backs off to the add-one unigram). */
-  private val BigramLambda = 0.7
+    * mass backs off to the add-one unigram). Shared with the streaming face
+    * ([[graft.streaming.EventStreams.bigramPplStream]]). */
+  private[graft] val BigramLambda = 0.7
 
   /** ta14_bigram_ppl — per-document mean negative log-likelihood under a
     * Jelinek-Mercer-interpolated bigram LM fit on the deterministic 80%
