@@ -292,7 +292,16 @@ object SimilarityQueries {
     * BOTH the assign (N·#cells) and the within-cell pairing (N·cellsize)
     * scale N^1.5 — NOT a metadata label whose blocks grow linearly and
     * make within-block pairing quadratic, and NOT the r7 fixed stride
-    * whose centroid count grew linearly and made the assign quadratic. */
+    * whose centroid count grew linearly and made the assign quadratic.
+    *
+    * Trained-centroid face: measured r10 (graft.tools.Dd6Experiment,
+    * BASELINE.md) — k-means at the same k beats hash-stride by ≤6% warm
+    * but costs 3.5–5.9 s training and yields a WORSE Σcellsize² (uniform
+    * synthetic embeddings give k-means nothing to exploit, and its cells
+    * come out less balanced than the stride's). Negative result: dd6
+    * keeps hash-sampled centroids; on clustered real embeddings
+    * [[graft.operators.Similarity.trainedCentroids]] remains the drop-in
+    * (SimilaritySpec proves its recall edge exactly there). */
   def dd6EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(t(s, dir, "embeddings"))
     val cellified = withCell(emb, pairCentIndex(s, dir, emb))
