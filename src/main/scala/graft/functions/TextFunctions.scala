@@ -166,4 +166,11 @@ object TextFunctions {
     * literal), global flag explicit (Spark replaces all by default). */
   def unicodeNormalizeSql(c: String): String =
     s"regexp_replace(nfc_normalize($c), '$ControlZeroWidth', '', 'g')"
+
+  /** F22 — accent folding (é→e, Å→A, ñ→n; ø/ß pass through): the
+    * search/dedup key normalizer one notch stronger than F21. The codegen
+    * [[graft.plans.StripAccentsExpression]], semantics-matched to DuckDB's
+    * `strip_accents` builtin (NFD + drop Mn, no recompose). Requires the
+    * graft function registry (every `Tables` read registers it). */
+  def stripAccents(c: Column): Column = call_function("strip_accents", c)
 }

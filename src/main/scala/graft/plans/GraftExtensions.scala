@@ -85,6 +85,32 @@ object GraftFunctions {
       s"lcs_len expects 2 arguments, got ${other.length}")
   }
 
+  val stripAccentsIdent = new FunctionIdentifier("strip_accents")
+
+  val stripAccentsInfo = new ExpressionInfo(
+    classOf[StripAccentsExpression].getName, null, "strip_accents",
+    "strip_accents(s) - NFD + drop combining marks, same semantics as the DuckDB builtin (codegen).",
+    "")
+
+  val stripAccentsBuilder: Seq[Expression] => Expression = {
+    case Seq(s) => StripAccentsExpression(s)
+    case other => throw new IllegalArgumentException(
+      s"strip_accents expects 1 argument, got ${other.length}")
+  }
+
+  val editDistIdent = new FunctionIdentifier("tok_edit_dist")
+
+  val editDistInfo = new ExpressionInfo(
+    classOf[EditDistExpression].getName, null, "tok_edit_dist",
+    "tok_edit_dist(a, b) - token-level Levenshtein distance of two string arrays (codegen).",
+    "")
+
+  val editDistBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => EditDistExpression(a, b)
+    case other => throw new IllegalArgumentException(
+      s"tok_edit_dist expects 2 arguments, got ${other.length}")
+  }
+
   val nfcIdent = new FunctionIdentifier("nfc_normalize")
 
   val nfcInfo = new ExpressionInfo(
@@ -113,6 +139,10 @@ object GraftFunctions {
       .registerFunction(lcsLenIdent, lcsLenInfo, lcsLenBuilder)
     spark.sessionState.functionRegistry
       .registerFunction(nfcIdent, nfcInfo, nfcBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(editDistIdent, editDistInfo, editDistBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(stripAccentsIdent, stripAccentsInfo, stripAccentsBuilder)
   }
 }
 
@@ -130,5 +160,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.lcsLenBuilder))
     ext.injectFunction((GraftFunctions.nfcIdent, GraftFunctions.nfcInfo,
       GraftFunctions.nfcBuilder))
+    ext.injectFunction((GraftFunctions.editDistIdent, GraftFunctions.editDistInfo,
+      GraftFunctions.editDistBuilder))
+    ext.injectFunction((GraftFunctions.stripAccentsIdent, GraftFunctions.stripAccentsInfo,
+      GraftFunctions.stripAccentsBuilder))
   }
 }

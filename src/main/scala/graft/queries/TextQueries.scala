@@ -108,6 +108,39 @@ object TextQueries {
        |FROM noisy ORDER BY doc_id""".stripMargin
   }
 
+  /** f22_strip_accents — F22's driver-checked face, the f1/f21 convention:
+    * deterministic accented noise (precomposed é, DECOMPOSED e+U+0301, Å,
+    * ñ, ç, plus ø which must survive untouched) is appended to the ASCII
+    * corpus and folded away, proving both engines implement the same
+    * NFD+drop-Mn fold — including agreement on what does NOT fold. The
+    * folded-vs-F21-normalized length delta isolates exactly the accent
+    * marks. Pure projection, zero shuffles before the output sort. */
+  def f22StripAccents(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val noisy = concat(col("text"),
+      lit(" caf\u00e9 cafe\u0301 \u00c5ngstr\u00f6m se\u00f1or \u00e7a \u00f8re"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), noisy.as("noisy"))
+      .select(col("doc_id"),
+        TF.stripAccents(col("noisy")).as("folded_text"),
+        length(col("noisy")).as("noisy_len"))
+      .withColumn("folded_len", length(col("folded_text")))
+      .orderBy("doc_id")
+  }
+
+  val f22StripAccentsSql: String = {
+    // chr() spells the injected code points: 233 é, 769 combining acute,
+    // 197 Å, 246 ö, 241 ñ, 231 ç, 248 ø (the must-not-fold control)
+    val noisyExpr = "text || ' caf' || chr(233) || ' cafe' || chr(769) || ' ' || " +
+      "chr(197) || 'ngstr' || chr(246) || 'm se' || chr(241) || 'or ' || " +
+      "chr(231) || 'a ' || chr(248) || 're'"
+    s"""WITH noisy AS (SELECT doc_id, $noisyExpr AS noisy FROM documents)
+       |SELECT doc_id, strip_accents(noisy) AS folded_text,
+       |  len(noisy) AS noisy_len,
+       |  len(strip_accents(noisy)) AS folded_len
+       |FROM noisy ORDER BY doc_id""".stripMargin
+  }
+
   /** f5_token_filter — tokenize (F16), drop short words (F5), remove
     * stopwords (F12), rejoin. */
   def f5TokenFilter(s: SparkSession, dir: String): DataFrame = {
@@ -1357,6 +1390,76 @@ object TextQueries {
        |FROM met ORDER BY pair_id""".stripMargin
   }
 
+  /** a25_wer — word error rate: token-level Levenshtein distance over the
+    * same deterministic candidate/reference pairs and the same
+    * [[RougeTokenBudget]] truncation as a24. The fourth standard
+    * generation metric (BLEU: clipped precision; chrF: char-gram F;
+    * ROUGE-L: in-order overlap; WER: EDIT effort — the only one that
+    * prices substitutions and insertions separately, and the ASR/OCR
+    * pipeline standard). WER = dist/|ref| (may exceed 1 when the
+    * candidate is longer — reported raw, the convention); CER-style
+    * normalized match ratio = 1 − dist/max(m, n) rides along bounded to
+    * [0, 1].
+    *
+    * Scale shape: identical to a24 — bounded arrays into one pair-keyed
+    * hash agg, the DP as the native codegen
+    * [[graft.plans.EditDistExpression]] inside the projection; no
+    * explode, no joins, no windows. The oracle replays the DP as a
+    * recursive CTE: with t(k) = min(d(i−1)(k−1)+cost, d(i−1)(k)+1), row
+    * i is d(i)(j) = min(i+j, min_{k≤j} t(k)+(j−k)) — the insert chain
+    * folded into a prefix-min, the a24 convention. */
+  def a25Wer(s: SparkSession, dir: String): DataFrame = {
+    val d = DoubleType
+    graft.plans.GraftFunctions.register(s)
+    val paired = t(s, dir, "documents")
+      .select(expr("doc_id div 2").as("pair_id"), (col("doc_id") % 2).as("side"),
+        slice(tokens(col("text")), 1, RougeTokenBudget).as("tk"))
+      .groupBy("pair_id")
+      .agg(max(when(col("side") === 0, col("tk"))).as("c"),
+        max(when(col("side") === 1, col("tk"))).as("r"))
+      .filter(col("c").isNotNull && col("r").isNotNull)
+      .select(col("pair_id"),
+        call_function("tok_edit_dist", col("c"), col("r")).cast(LongType).as("edit_dist"),
+        size(col("c")).cast(LongType).as("c_len"),
+        size(col("r")).cast(LongType).as("r_len"))
+    paired.select(col("pair_id"), col("edit_dist"), col("c_len"), col("r_len"),
+      round(col("edit_dist").cast(d) / col("r_len").cast(d) * lit(1e6))
+        .cast(LongType).as("wer_e6"),
+      round((lit(1.0) - col("edit_dist").cast(d) /
+        greatest(col("c_len"), col("r_len")).cast(d)) * lit(1e6))
+        .cast(LongType).as("match_ratio_e6"))
+      .orderBy("pair_id")
+  }
+
+  val a25WerSql: String = {
+    val T = RougeTokenBudget
+    s"""WITH RECURSIVE pr0 AS (
+       |  SELECT doc_id // 2 AS pair_id,
+       |    MAX(CASE WHEN doc_id % 2 = 0 THEN string_split(text, ' ')[1:$T] END) AS c,
+       |    MAX(CASE WHEN doc_id % 2 = 1 THEN string_split(text, ' ')[1:$T] END) AS r
+       |  FROM documents GROUP BY 1),
+       |pr AS (SELECT * FROM pr0 WHERE c IS NOT NULL AND r IS NOT NULL),
+       |dp AS (
+       |  SELECT pair_id, c, r, 0 AS i,
+       |    list_transform(range(0, len(r) + 1), x -> x) AS row
+       |  FROM pr
+       |  UNION ALL
+       |  SELECT pair_id, c, r, i + 1,
+       |    list_prepend(i + 1, list_transform(range(1, len(r) + 1), j ->
+       |      least(i + 1 + j, list_min(list_transform(range(1, j + 1), k ->
+       |        least(row[k] + (CASE WHEN c[i + 1] = r[k] THEN 0 ELSE 1 END), row[k + 1] + 1)
+       |        + (j - k))))))
+       |  FROM dp WHERE i < len(c)),
+       |fin AS (
+       |  SELECT pair_id, CAST(row[len(r) + 1] AS BIGINT) AS edit_dist,
+       |    CAST(len(c) AS BIGINT) AS c_len, CAST(len(r) AS BIGINT) AS r_len
+       |  FROM dp WHERE i = len(c))
+       |SELECT pair_id, edit_dist, c_len, r_len,
+       |  CAST(ROUND(CAST(edit_dist AS DOUBLE) / CAST(r_len AS DOUBLE) * 1e6) AS BIGINT) AS wer_e6,
+       |  CAST(ROUND((1.0 - CAST(edit_dist AS DOUBLE) / CAST(GREATEST(c_len, r_len) AS DOUBLE)) * 1e6) AS BIGINT) AS match_ratio_e6
+       |FROM fin ORDER BY pair_id""".stripMargin
+  }
+
   /** ta3_token_count — whitespace tokens vs BPE-ish regex tokens
     * (letters-runs | digit-runs | single other char). */
   def ta3TokenCount(s: SparkSession, dir: String): DataFrame =
@@ -1391,18 +1494,23 @@ object TextQueries {
     * to broadcast by the a6 rule); the per-doc top-3 window is bounded by
     * each doc's distinct-term count. Scores e6-rounded BEFORE ranking per
     * the Q float rule. */
+  /** The (doc_id, word, tf) term-frequency table — the shared physical
+    * core of ta6 (tf·idf), ir5 (posting-list build) and ir6 (query from
+    * the index). One corpus explode + one (doc, word) hash agg, pinned per
+    * (session, dir): Catalyst does not dedupe the common subtree across
+    * consumers and (probed r8) neither ReuseExchange nor AQE stage reuse
+    * fires, so un-pinned each consumer re-ran the corpus shuffle. The
+    * eager localCheckpoint is the same evaluate-once trade as Rank.pinned
+    * — strictly cheaper than the re-scan+shuffle it replaces. */
+  private[queries] def tfTable(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionShare.materialized(s, dir, "tf_table")(
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+
   def ta6Tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // tf feeds BOTH the df aggregate and the scored join; Catalyst does
-    // not dedupe the common subtree and (probed r8) neither ReuseExchange
-    // nor AQE stage reuse fires across the two consumers, so un-pinned the
-    // corpus explode+shuffle ran twice per execution. One localCheckpoint
-    // pins the (doc, word, tf) intermediate — the same evaluate-once trade
-    // as Rank.pinned, and strictly cheaper than the second scan+shuffle it
-    // replaces (the shuffle already hits disk).
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = tfTable(s, dir)
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, Seq("word")).crossJoin(broadcast(n))
@@ -1431,6 +1539,130 @@ object TextQueries {
       |  FROM scored)
       |SELECT doc_id, rk, word, tfidf_e6 FROM ranked WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
+
+  /** Posting-list block width for ir5 (docs per block). Real engines store
+    * postings in fixed blocks precisely so no single row is ever
+    * corpus-sized; 1024 keeps every collect bounded at any corpus scale. */
+  private val PostingBlock = 1024L
+
+  /** ir5_inverted_index — the retrieval-index BUILD operator: materialize
+    * block-structured posting lists over the whole vocabulary and emit the
+    * audit face (top-20 terms by df with document frequency, total term
+    * frequency, block count, and an order-independent content
+    * fingerprint). This is THE operator a 100 TB BM25 stack runs offline —
+    * ta13/ir1–ir4 score from raw text per query; production scores from
+    * this index (ir6 proves the equivalence).
+    *
+    * Scale shape: one (word, doc) hash agg (the shared [[tfTable]] pin) →
+    * one (word, block) agg whose collect_list is BOUNDED by
+    * [[PostingBlock]] — a stopword's postings span many blocks, never one
+    * giant row (the dd15 skew lesson applied to index build) → a word-
+    * level rollup whose per-word state is CONSTANT (sums + bit_xor of
+    * block hashes — XOR is commutative, so no ordered collect of block
+    * hashes is needed either). No row anywhere grows with corpus size. */
+  def ir5InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val blocks = tfTable(s, dir)
+      .withColumn("blk", expr(s"doc_id div $PostingBlock"))
+      .groupBy("word", "blk")
+      .agg(count(lit(1)).as("bdf"), sum("tf").as("btf"),
+        detHash(concat_ws(",", array_sort(collect_list(
+          concat_ws(":", col("doc_id"), col("tf")))))).as("bhash"))
+    blocks.groupBy("word")
+      .agg(sum("bdf").as("df"), sum("btf").as("total_tf"),
+        count(lit(1)).as("n_blocks"), expr("bit_xor(bhash)").as("postings_fp"))
+      .orderBy(desc("df"), col("word")).limit(20)
+  }
+
+  val ir5InvertedIndexSql: String = {
+    val bcontent =
+      "array_to_string(list_sort(list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR))), ',')"
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+       |blocks AS (
+       |  SELECT word, doc_id // $PostingBlock AS blk, COUNT(*) AS bdf,
+       |    CAST(SUM(tf) AS BIGINT) AS btf,
+       |    ${detHashSql(bcontent)} AS bhash
+       |  FROM tf GROUP BY word, doc_id // $PostingBlock)
+       |SELECT word, CAST(SUM(bdf) AS BIGINT) AS df,
+       |  CAST(SUM(btf) AS BIGINT) AS total_tf,
+       |  COUNT(*) AS n_blocks, CAST(bit_xor(bhash) AS BIGINT) AS postings_fp
+       |FROM blocks GROUP BY word ORDER BY df DESC, word LIMIT 20""".stripMargin
+  }
+
+  /** ir6_postings_bm25 — BM25 answered FROM the index, not the text: the
+    * query-time face of ir5. ta13 recomputes token arrays per query — the
+    * correct oracle shape but an anti-pattern at 100 TB, where the corpus
+    * is tokenized ONCE into the [[tfTable]]/ir5 postings and every query
+    * touches only its own terms' postings. ir6 rebuilds ta13's exact
+    * top-20 from (postings of the 3 query terms) ⋈ (doc-length table) ⊗
+    * (one broadcast stats row): per-term tf/df/dl/avgdl feed byte-
+    * identical double arithmetic IN THE SAME TERM ORDER as ta13, so the
+    * e6-rounded scores are bit-equal — RetrievalSpec asserts ir6 ≡ ta13
+    * row-for-row (two physical plans, one logical result; the index-build
+    * correctness proof every search engine migration wants).
+    *
+    * Scale shape: the postings filter cuts the tfTable to the query terms
+    * BEFORE any further work (at production the index is word-partitioned,
+    * making this a pruned read); dl is one narrow agg off the same pin;
+    * the scored join keys on doc_id; top-20 is a bounded TakeOrdered. */
+  def ir6PostingsBm25(s: SparkSession, dir: String): DataFrame = {
+    val qterms = RetrievalQTerms
+    val (k1, b) = (1.2, 0.75)
+    val tf = tfTable(s, dir)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val tf3 = tf.filter(col("word").isInCollection(qterms))
+    val pivotCols = qterms.map(q => max(when(col("word") === q, col("tf"))).as(s"tf_$q"))
+    val pivoted = tf3.groupBy("doc_id").agg(pivotCols.head, pivotCols.tail: _*)
+    val dfCols = qterms.map(q => sum(when(col("word") === q, 1L).otherwise(0L)).as(s"df_$q"))
+    val dfRow = tf3.agg(dfCols.head, dfCols.tail: _*)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl")).crossJoin(dfRow)
+    val avgdl = col("total_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    def termScore(q: String) = {
+      val tfd = coalesce(col(s"tf_$q"), lit(0L)).cast(DoubleType)
+      val dfd = col(s"df_$q").cast(DoubleType)
+      val idf = log((col("n_docs").cast(DoubleType) - dfd + 0.5) / (dfd + 0.5) + 1.0)
+      idf * (tfd * (k1 + 1.0)) / (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
+    }
+    val score = qterms.map(termScore).reduceLeft(_ + _)
+    dl.join(pivoted, Seq("doc_id"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), round(score * 1e6).cast(LongType).as("bm25_e6"))
+      .orderBy(desc("bm25_e6"), col("doc_id")).limit(20)
+  }
+
+  val ir6PostingsBm25Sql: String = {
+    val qterms = RetrievalQTerms
+    val avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    def termScore(q: String) = {
+      val tf = s"CAST(COALESCE(p.tf_$q, 0) AS DOUBLE)"
+      val df = s"CAST(df_$q AS DOUBLE)"
+      val idf = s"ln((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5) + 1.0)"
+      s"$idf * ($tf * (1.2 + 1.0)) / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE) / $avgdl)))"
+    }
+    val score = qterms.map(termScore).mkString(" + ")
+    val pivCols = qterms.map(q =>
+      s"MAX(CASE WHEN word = '$q' THEN tf END) AS tf_$q").mkString(",\n  ")
+    val dfCols = qterms.map(q =>
+      s"CAST(SUM(CASE WHEN word = '$q' THEN 1 ELSE 0 END) AS BIGINT) AS df_$q").mkString(",\n  ")
+    val inList = qterms.map(q => s"'$q'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+       |dlt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |tf3 AS (SELECT * FROM tf WHERE word IN ($inList)),
+       |piv AS (SELECT doc_id,
+       |  $pivCols
+       |  FROM tf3 GROUP BY doc_id),
+       |st AS (SELECT
+       |  (SELECT COUNT(*) FROM dlt) AS n_docs,
+       |  (SELECT CAST(SUM(dl) AS BIGINT) FROM dlt) AS total_dl,
+       |  $dfCols
+       |  FROM tf3)
+       |SELECT d.doc_id, d.dl, CAST(ROUND(($score) * 1e6) AS BIGINT) AS bm25_e6
+       |FROM dlt d LEFT JOIN piv p USING (doc_id) CROSS JOIN st
+       |ORDER BY bm25_e6 DESC, doc_id LIMIT 20""".stripMargin
+  }
 
   /** ta5_winnow_fingerprint — winnowing document fingerprint (Schleimer,
     * Wilkerson, Aiken 2003 — the MOSS scheme): rolling token-4-gram hashes,
@@ -1483,6 +1715,7 @@ object TextQueries {
     "p5_short_filter" -> (p5ShortFilter _),
     "f1_clean_chain" -> (f1CleanChain _),
     "f21_unicode_normalize" -> (f21UnicodeNormalize _),
+    "f22_strip_accents" -> (f22StripAccents _),
     "f5_token_filter" -> (f5TokenFilter _),
     "f13_lemmatize" -> (f13Lemmatize _),
     "f14_porter_stem" -> (f14PorterStem _),
@@ -1503,9 +1736,12 @@ object TextQueries {
     "ir1_rrf_fusion" -> (ir1RrfFusion _),
     "ir2_prf_expansion" -> (ir2PrfExpansion _),
     "a21_ndcg" -> (a21Ndcg _),
+    "ir5_inverted_index" -> (ir5InvertedIndex _),
+    "ir6_postings_bm25" -> (ir6PostingsBm25 _),
     "a22_bleu" -> (a22Bleu _),
     "a23_chrf" -> (a23Chrf _),
     "a24_rouge_l" -> (a24RougeL _),
+    "a25_wer" -> (a25Wer _),
     "ta3_token_count" -> (ta3TokenCount _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
     "ta5_winnow_fingerprint" -> (ta5WinnowFingerprint _),
@@ -1516,6 +1752,7 @@ object TextQueries {
     "p5_short_filter" -> p5ShortFilterSql,
     "f1_clean_chain" -> f1CleanChainSql,
     "f21_unicode_normalize" -> f21UnicodeNormalizeSql,
+    "f22_strip_accents" -> f22StripAccentsSql,
     "f5_token_filter" -> f5TokenFilterSql,
     "f13_lemmatize" -> f13LemmatizeSql,
     "f14_porter_stem" -> f14PorterStemSql,
@@ -1536,9 +1773,12 @@ object TextQueries {
     "ir1_rrf_fusion" -> ir1RrfFusionSql,
     "ir2_prf_expansion" -> ir2PrfExpansionSql,
     "a21_ndcg" -> a21NdcgSql,
+    "ir5_inverted_index" -> ir5InvertedIndexSql,
+    "ir6_postings_bm25" -> ir6PostingsBm25Sql,
     "a22_bleu" -> a22BleuSql,
     "a23_chrf" -> a23ChrfSql,
     "a24_rouge_l" -> a24RougeLSql,
+    "a25_wer" -> a25WerSql,
     "ta3_token_count" -> ta3TokenCountSql,
     "ta4_fingerprint" -> ta4FingerprintSql,
     "ta5_winnow_fingerprint" -> ta5WinnowFingerprintSql,

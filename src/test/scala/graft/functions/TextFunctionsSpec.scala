@@ -88,4 +88,18 @@ class TextFunctionsSpec extends SparkSpec {
       assert(once === twice, s"idempotence broke on ${in.map(_.toInt)}")
     }
   }
+
+  test("F22 folds decomposable accents, keeps the rest, idempotent") {
+    graft.plans.GraftFunctions.register(spark)
+    assert(one(stripAccents(col("s")), "caf\u00e9 cafe\u0301") === "cafe cafe")
+    assert(one(stripAccents(col("s")), "\u00c5ngstr\u00f6m se\u00f1or \u00e7a") === "Angstrom senor ca")
+    // no canonical decomposition -> untouched (matches DuckDB strip_accents)
+    assert(one(stripAccents(col("s")), "\u00f8re stra\u00dfe") === "\u00f8re stra\u00dfe")
+    // pure ASCII short-circuits unchanged
+    assert(one(stripAccents(col("s")), "plain ascii!") === "plain ascii!")
+    // idempotence: folding folded text is a no-op
+    val in = "caf\u00e9 \u00c5 \u00f8"
+    assert(one(stripAccents(stripAccents(col("s"))), in) ===
+      one(stripAccents(col("s")), in))
+  }
 }

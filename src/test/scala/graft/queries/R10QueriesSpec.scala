@@ -79,4 +79,28 @@ class R10QueriesSpec extends SparkSpec {
     val rows = TextQueries.a24RougeL(spark, dir).collect()
     assert(rows.map(_.getAs[Long]("pair_id")).toSeq === Seq(0L))
   }
+
+  test("a25: identical pair has WER 0 and match ratio 1e6") {
+    val dir = docsDir(Seq((0L, "x y z w"), (1L, "x y z w")), "a25p")
+    val r = TextQueries.a25Wer(spark, dir).collect().head
+    assert(r.getAs[Long]("edit_dist") === 0L)
+    assert(r.getAs[Long]("wer_e6") === 0L)
+    assert(r.getAs[Long]("match_ratio_e6") === 1000000L)
+  }
+
+  test("a25: one substitution + one insertion price exactly 2 edits") {
+    // cand "a X c d EXTRA" vs ref "a b c d": X substitutes b, EXTRA inserts
+    val dir = docsDir(Seq((0L, "a X c d EXTRA"), (1L, "a b c d")), "a25e")
+    val r = TextQueries.a25Wer(spark, dir).collect().head
+    assert(r.getAs[Long]("edit_dist") === 2L)
+    assert(r.getAs[Long]("wer_e6") === 500000L) // 2/4
+  }
+
+  test("a25: WER exceeds 1e6 when the candidate is much longer (raw convention)") {
+    val dir = docsDir(Seq((0L, "p q r s t u"), (1L, "a b")), "a25l")
+    val r = TextQueries.a25Wer(spark, dir).collect().head
+    assert(r.getAs[Long]("edit_dist") === 6L) // 2 subs + 4 inserts
+    assert(r.getAs[Long]("wer_e6") === 3000000L) // 6/2
+    assert(r.getAs[Long]("match_ratio_e6") === 0L) // 1 - 6/6
+  }
 }

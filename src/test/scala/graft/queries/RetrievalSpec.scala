@@ -22,6 +22,28 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) > 0L), "no doc matched any expansion term")
   }
 
+  test("ir6 == ta13: BM25 answered from the posting-list index is bit-equal to raw-text BM25") {
+    // two physical plans, one logical result — the index-build correctness
+    // proof: per-term doubles must round to the SAME e6 integer per doc
+    val fromText = TextQueries.ta13Bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
+    val fromIndex = TextQueries.ir6PostingsBm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
+    assert(fromIndex === fromText)
+  }
+
+  test("ir5: index audit rows are internally consistent") {
+    val rows = TextQueries.ir5InvertedIndex(spark, dir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (df, totalTf, nBlocks) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(totalTf >= df, "every posting contributes at least one occurrence")
+      assert(nBlocks >= 1L && nBlocks <= df, "blocks partition the postings")
+    }
+    val dfs = rows.map(_.getLong(1)).toSeq
+    assert(dfs === dfs.sorted(Ordering[Long].reverse), "audit is ranked by df desc")
+  }
+
   test("ir3: every fused doc carries 1 or 2 arm contributions, ordered by fused score") {
     val rows = SimilarityQueries.ir3HybridDense(spark, dir).collect()
     assert(rows.length === 20)
