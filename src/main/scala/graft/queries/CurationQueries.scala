@@ -276,6 +276,101 @@ object CurationQueries {
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** ta16's absolute discount — the standard KN value (Chen & Goodman 1999
+    * recommend count-of-counts estimation; 0.75 is the convention when
+    * fixing it, and a constant keeps the oracle replay exact). */
+  private val KnDiscount = 0.75
+
+  /** ta16_kn_ppl — interpolated Kneser-Ney bigram perplexity (Kneser & Ney
+    * 1995; Chen & Goodman 1999 interpolated form), the smoothing KenLM
+    * actually ships — one rung above ta14's Jelinek-Mercer: instead of
+    * mixing in the word's RAW unigram frequency, KN backs off to the
+    * CONTINUATION probability p_cont(w) = N₁₊(·w)/N₁₊(··) — in how many
+    * distinct contexts does w appear? — which famously stops "Francisco"
+    * (frequent, but only after "San") from inflating unseen-context
+    * scores. p(w|v) = max(c(vw)−D, 0)/c(v) + D·N₁₊(v·)/c(v)·p_cont(w) for
+    * seen contexts, p_cont(w) outright for unseen; the continuation
+    * distribution carries add-one smoothing over (N₁₊(··)+V) so every
+    * token scores finite. Same 80/20 split, transition-only scoring, and
+    * per-term e6 rounding as ta14.
+    *
+    * Scale shape: everything derives from ONE bigram-count table (pinned —
+    * three consumers: counts, forward fan-out N₁₊(v·)/c(v), backward
+    * fan-in N₁₊(·w)): its two rollups are vocabulary-bounded hash aggs,
+    * the three probability joins key on tokens/pairs exactly like ta14,
+    * and the two scalars ride a 1-row broadcast. */
+  def ta16KnPpl(s: SparkSession, dir: String): DataFrame = {
+    def pairs(df: DataFrame): DataFrame = df
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val docsTok = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val trainTok = docsTok.filter(col("doc_id") % 5 < 4)
+    val big = pairs(trainTok).groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+      .localCheckpoint()
+    val ctx = big.groupBy("w1").agg(sum("bcnt").as("cv"), count(lit(1)).as("n1fwd"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("n1bwd"))
+    val stats = big.agg(count(lit(1)).as("n1dd")).crossJoin(
+      trainTok.select(explode(col("tk")).as("w")).agg(count_distinct(col("w")).as("vv")))
+    val d = DoubleType
+    val pc = (coalesce(col("n1bwd"), lit(0L)) + 1).cast(d) /
+      (col("n1dd") + col("vv")).cast(d)
+    val pKn = when(col("cv").isNotNull,
+      greatest(coalesce(col("bcnt"), lit(0L)).cast(d) - lit(KnDiscount), lit(0.0)) /
+        col("cv").cast(d) +
+        lit(KnDiscount) * col("n1fwd").cast(d) / col("cv").cast(d) * pc)
+      .otherwise(pc)
+    pairs(docsTok.filter(col("doc_id") % 5 === 4))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_e6", round(log(pKn) * lit(-1e6)).cast(LongType))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum("term_e6").as("nll_e6_sum"))
+      .withColumn("mean_nll_e6", round(col("nll_e6_sum") / col("n_trans")).cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  val ta16KnPplSql: String = {
+    val dsc = s"CAST($KnDiscount AS DOUBLE)"
+    s"""WITH tokpos AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |prs AS (
+       |  SELECT doc_id, w AS w1, LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM tokpos),
+       |big AS (
+       |  SELECT w1, w2, COUNT(*) AS bcnt FROM prs
+       |  WHERE w2 IS NOT NULL AND doc_id % 5 < 4 GROUP BY w1, w2),
+       |ctx AS (SELECT w1, CAST(SUM(bcnt) AS BIGINT) AS cv, COUNT(*) AS n1fwd FROM big GROUP BY w1),
+       |cont AS (SELECT w2, COUNT(*) AS n1bwd FROM big GROUP BY w2),
+       |st AS (SELECT (SELECT COUNT(*) FROM big) AS n1dd,
+       |  (SELECT COUNT(DISTINCT w) FROM tokpos WHERE doc_id % 5 < 4) AS vv),
+       |terms AS (
+       |  SELECT p.doc_id,
+       |    CAST(ROUND(ln(
+       |      CASE WHEN x.cv IS NOT NULL THEN
+       |        GREATEST(CAST(COALESCE(b.bcnt, 0) AS DOUBLE) - $dsc, CAST(0 AS DOUBLE)) / CAST(x.cv AS DOUBLE)
+       |        + $dsc * CAST(x.n1fwd AS DOUBLE) / CAST(x.cv AS DOUBLE)
+       |          * (CAST(COALESCE(n.n1bwd, 0) + 1 AS DOUBLE) / CAST(st.n1dd + st.vv AS DOUBLE))
+       |      ELSE (CAST(COALESCE(n.n1bwd, 0) + 1 AS DOUBLE) / CAST(st.n1dd + st.vv AS DOUBLE))
+       |      END) * -1e6) AS BIGINT) AS term_e6
+       |  FROM prs p
+       |  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+       |  LEFT JOIN ctx x ON x.w1 = p.w1
+       |  LEFT JOIN cont n ON n.w2 = p.w2
+       |  CROSS JOIN st
+       |  WHERE p.w2 IS NOT NULL AND p.doc_id % 5 = 4)
+       |SELECT doc_id, COUNT(*) AS n_trans, CAST(SUM(term_e6) AS BIGINT) AS nll_e6_sum,
+       |  CAST(ROUND(CAST(SUM(term_e6) AS BIGINT) / COUNT(*)) AS BIGINT) AS mean_nll_e6
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** ta15's CMS-LM geometry — the cms1 audit geometry: width 64 is
     * deliberately small so the synthetic vocabulary collides and the
     * sketch's overcounting (which can only LOWER a token's NLL — one-sided
@@ -856,6 +951,7 @@ object CurationQueries {
     "ta9_unigram_ppl" -> (ta9UnigramPpl _),
     "ta14_bigram_ppl" -> (ta14BigramPpl _),
     "ta15_cms_ppl" -> (ta15CmsPpl _),
+    "ta16_kn_ppl" -> (ta16KnPpl _),
     "ta11_entropy_gate" -> (ta11EntropyGate _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
     "pk2_chunk_overlap" -> (pk2ChunkOverlap _),
@@ -874,6 +970,7 @@ object CurationQueries {
     "ta9_unigram_ppl" -> ta9UnigramPplSql,
     "ta14_bigram_ppl" -> ta14BigramPplSql,
     "ta15_cms_ppl" -> ta15CmsPplSql,
+    "ta16_kn_ppl" -> ta16KnPplSql,
     "ta11_entropy_gate" -> ta11EntropyGateSql,
     "pk1_sequence_pack" -> pk1SequencePackSql,
     "pk2_chunk_overlap" -> pk2ChunkOverlapSql,

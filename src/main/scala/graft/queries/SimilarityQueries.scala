@@ -544,10 +544,16 @@ object SimilarityQueries {
     *
     * Scale shape: zero corpus-wide dense scan — the only corpus-touching
     * dense work is one projection (cell assign) and the probed-cell cosine;
-    * rank windows sit ABOVE limit(50); fusion is a ≤100-row hash agg. */
+    * rank windows sit ABOVE limit(50); fusion is a ≤100-row hash agg.
+    * Unlike ss2 (which keeps the FIXED-stride stand-in), the production
+    * face uses the √N stride ([[pairCentIndex]], the dd6 geometry): the
+    * fixed stride's centroid count grows linearly with the corpus, making
+    * the assign projection quadratic — measured r10 as ir4's 3.15× on the
+    * sf0.1→sf1 decade before this change; √N keeps assign at N^1.5. */
   def ir4HybridAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(t(s, dir, "embeddings"))
-    TextQueries.rrfContribs(ivfDenseScores(emb, centIndex(emb)), "cos_e6", "vec_id")
+    TextQueries.rrfContribs(
+      ivfDenseScores(emb, pairCentIndex(s, dir, emb)), "cos_e6", "vec_id")
       .unionByName(TextQueries.rrfContribs(
         TextQueries.bm25Scores(s, dir).select("doc_id", "bm25_e6"), "bm25_e6", "doc_id"))
       .groupBy("doc_id")
@@ -560,7 +566,9 @@ object SimilarityQueries {
     import TextQueries.{Bm25CtesSql, RrfK, RrfPoolK}
     s"""WITH $Bm25CtesSql,
        |emb AS ($withNormDuck),
-       |cent AS (SELECT vec_id AS cent_id, embedding AS cv, norm AS cn FROM emb WHERE vec_id % 97 = 0),
+       |cstride AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS stride FROM emb),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cv, norm AS cn FROM emb
+       |         WHERE vec_id % (SELECT stride FROM cstride) = 0),
        |assign AS (
        |  SELECT vec_id, embedding, norm, cell FROM (
        |    SELECT e.vec_id, e.embedding, e.norm, c.cent_id AS cell,

@@ -80,6 +80,40 @@ class R10QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("pair_id")).toSeq === Seq(0L))
   }
 
+  test("ta16: hand-computed interpolated Kneser-Ney NLL on a closed corpus") {
+    // train (ids 0..3): "a b a b" ×4 → bigrams (a,b):8, (b,a):4;
+    // contexts c(a)=8, c(b)=4; N1+(a·)=N1+(b·)=1; N1+(·a)=N1+(·b)=1;
+    // N1+(··)=2; V=2. test (id 4): "a b" → one transition (a,b):
+    // p_cont(b) = (1+1)/(2+2) = 0.5
+    // p = (8−0.75)/8 + 0.75·1/8·0.5 = 0.90625 + 0.046875 = 0.953125
+    val dir = docsDir((0L to 3L).map(i => (i, "a b a b")) :+ (4L, "a b"), "ta16g")
+    val rows = CurationQueries.ta16KnPpl(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 4L)
+    assert(r.getLong(1) === 1L)
+    val want = math.round(-math.log(0.953125) * 1e6)
+    assert(r.getLong(2) === want)
+    assert(r.getLong(3) === want)
+  }
+
+  test("ta16: the Francisco effect — high-frequency single-context words score low on new contexts") {
+    // 'x' is FREQUENT but only ever follows 'san'; 'y' is rarer but appears
+    // after many contexts. For the unseen transition (q, ·): JM (ta14)
+    // backs off to raw frequency and prefers x; KN backs off to
+    // continuation count and must prefer y.
+    val train = (0L to 3L).map(i => (i,
+      "san x san x san x san x a y b y c y d y q r"))
+    def meanFor(test: String): Long =
+      CurationQueries.ta16KnPpl(spark,
+        docsDir(train :+ (4L, test), s"ta16f${test.hashCode.abs}")).collect()
+        .head.getLong(3)
+    val viaX = meanFor("q x")
+    val viaY = meanFor("q y")
+    assert(viaY < viaX,
+      s"KN must score the many-context word cheaper after an unseen context: y=$viaY x=$viaX")
+  }
+
   test("a25: identical pair has WER 0 and match ratio 1e6") {
     val dir = docsDir(Seq((0L, "x y z w"), (1L, "x y z w")), "a25p")
     val r = TextQueries.a25Wer(spark, dir).collect().head

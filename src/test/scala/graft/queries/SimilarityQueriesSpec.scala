@@ -114,9 +114,11 @@ class SimilarityQueriesSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       (exact intersect got).size.toDouble / exact.size
     }
+    // the √N stride — ir4's query face geometry (r10)
+    val stride = math.max(2L, math.ceil(math.sqrt(emb.count().toDouble)).toLong)
     val hashIdx = graft.operators.Similarity.centroidIndex(
-      emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding")
-    val nCells = (emb.count() / 97L + 1L).toInt
+      emb.filter(col("vec_id") % stride === 0), "vec_id", "embedding")
+    val nCells = (emb.count() / stride + 1L).toInt
     val trainedIdx = graft.operators.Similarity.centroidIndex(
       graft.operators.Similarity.trainedCentroids(emb0, "vec_id", "embedding", nCells),
       "vec_id", "embedding")

@@ -70,6 +70,56 @@ class BigramPplStreamSpec extends SparkSpec {
       "stream-face scores must equal the batch ta14 face doc-for-doc")
   }
 
+  test("per-doc aggregation state survives a checkpointed restart") {
+    // The only stateful operator is the watermarked (window, doc) agg: docs
+    // scored BEFORE a restart whose window is still open must emit AFTER
+    // the restart, from recovered state, with scores equal to the batch
+    // face — the recovery half of the parity contract.
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+    val (uni, big, tt, vv) = trainedLm()
+    val expected = CurationQueries.ta14BigramPpl(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val base = Files.createTempDirectory("graft_bppl_restart").toString
+    val (landing, out, ckpt) = (s"$base/landing", s"$base/out", s"$base/ckpt")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", TimestampType), StructField("text", StringType)))
+
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(landing)
+      val q = EventStreams.bigramPplStream(stream, uni, big, tt, vv,
+          gateMeanNllE6 = 10_000_000L)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val spark0 = spark
+    import spark0.implicits._
+    val testDocs = graft.Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), lit(ts(0)).as("ts"), col("text"))
+    // run 1: all real docs land, window stays open — nothing may emit
+    testDocs.write.mode("append").parquet(landing)
+    drain()
+    assert(spark.read.schema(
+      "window_start timestamp, doc_id long, n_trans long, nll_e6_sum long, mean_nll_e6 long, flagged int")
+      .parquet(out).count() === 0L, "window must still be open before the restart")
+    // run 2 (fresh query, same checkpoint): the sentinel closes the window
+    Seq((-1L, ts(100_000), "sentinel doc body")).toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(landing)
+    drain()
+    val got = spark.read.parquet(out)
+      .filter(col("doc_id") >= 0)
+      .select("doc_id", "n_trans", "nll_e6_sum", "mean_nll_e6")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected,
+      "post-restart emission must equal the batch face from recovered state")
+  }
+
   test("the gate flags exactly the docs above threshold; LM misses stay finite") {
     val (uni, big, tt, vv) = trainedLm()
     // batch execution of the same plan (watermark is a no-op in batch)
