@@ -500,6 +500,68 @@ object CorpusQueries {
        |JOIN state3 st USING (word)
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** tok5's candidate vocabulary budgets and the rank cap (= the largest
+    * budget — words below it can never be covered, so they need no rank). */
+  private val OovBudgets = Seq(100, 1000, 5000)
+  private val OovMaxV = OovBudgets.max
+
+  /** tok5_oov_coverage — vocabulary coverage curve: for each candidate
+    * vocabulary budget V (top-V train-split words by frequency), the share
+    * of held-out token OCCURRENCES and token TYPES that budget covers —
+    * the table a team reads before fixing a tokenizer/embedding vocabulary
+    * size (the other half of tok4's fertility decision; word-frequency
+    * coverage curves go back to Zipf, and "what % of the corpus is OOV at
+    * |V|" is the classic NLP vocabulary-sizing question).
+    *
+    * Scale shape: both splits reduce to vocabulary-keyed hash aggs first;
+    * ranking never touches more than the top-`OovMaxV` rows (orderBy+limit
+    * = TakeOrdered, then a row_number over that bounded set — no
+    * corpus-global window); the budget explode runs over the test VOCAB
+    * (not the token stream) × 3 budgets. Everything after the two token
+    * aggs is vocabulary-bounded. */
+  def tok5OovCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val topRank = tok.filter(col("doc_id") % 5 < 4)
+      .groupBy("w").agg(count(lit(1)).as("tcnt"))
+      .orderBy(desc("tcnt"), col("w")).limit(OovMaxV)
+      .withColumn("rnk", row_number().over(Window.orderBy(desc("tcnt"), col("w"))))
+      .select("w", "rnk")
+    tok.filter(col("doc_id") % 5 === 4)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(topRank), Seq("w"), "left")
+      .select(col("cnt"), col("rnk"),
+        explode(lit(OovBudgets.toArray)).as("v"))
+      .groupBy("v")
+      .agg(sum("cnt").as("n_tokens"),
+        coalesce(sum(when(col("rnk") <= col("v"), col("cnt"))), lit(0L)).as("covered_tokens"),
+        count(lit(1)).as("n_types"),
+        coalesce(sum(when(col("rnk") <= col("v"), 1L)), lit(0L)).as("covered_types"))
+      .withColumn("coverage_e6",
+        round(lit(1e6) * col("covered_tokens") / col("n_tokens")).cast(LongType))
+      .withColumn("type_coverage_e6",
+        round(lit(1e6) * col("covered_types") / col("n_types")).cast(LongType))
+      .orderBy("v")
+  }
+
+  val tok5OovCoverageSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tr AS (SELECT w, COUNT(*) AS tcnt FROM tok WHERE doc_id % 5 < 4 GROUP BY w),
+       |trr AS (SELECT w, rnk FROM (
+       |  SELECT w, ROW_NUMBER() OVER (ORDER BY tcnt DESC, w) AS rnk FROM tr) t
+       |  WHERE rnk <= $OovMaxV),
+       |te AS (SELECT w, COUNT(*) AS cnt FROM tok WHERE doc_id % 5 = 4 GROUP BY w),
+       |ex AS (SELECT te.cnt, trr.rnk, vs.v
+       |  FROM te LEFT JOIN trr USING (w)
+       |  CROSS JOIN (SELECT unnest([${OovBudgets.mkString(", ")}]) AS v) vs)
+       |SELECT v, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(SUM(CASE WHEN rnk <= v THEN cnt END), 0) AS BIGINT) AS covered_tokens,
+       |  COUNT(*) AS n_types,
+       |  CAST(COALESCE(SUM(CASE WHEN rnk <= v THEN 1 END), 0) AS BIGINT) AS covered_types,
+       |  CAST(ROUND(1e6 * CAST(COALESCE(SUM(CASE WHEN rnk <= v THEN cnt END), 0) AS BIGINT) / CAST(SUM(cnt) AS BIGINT)) AS BIGINT) AS coverage_e6,
+       |  CAST(ROUND(1e6 * CAST(COALESCE(SUM(CASE WHEN rnk <= v THEN 1 END), 0) AS BIGINT) / COUNT(*)) AS BIGINT) AS type_coverage_e6
+       |FROM ex GROUP BY v ORDER BY v""".stripMargin
+
   /** Shared CTE chain (state0 → state3 + per-round st rows) for the tok1 /
     * tok2 / tok3 oracles — the DuckDB replay of [[bpeLearned]]. LAZY:
     * tok3's val sits above this definition in source order, and a strict
@@ -552,6 +614,7 @@ object CorpusQueries {
     "tok2_bpe_encode" -> (tok2BpeEncode _),
     "tok3_bpe_doc_tokens" -> (tok3BpeDocTokens _),
     "tok4_fertility" -> (tok4Fertility _),
+    "tok5_oov_coverage" -> (tok5OovCoverage _),
     "cms1_heavy_hitters" -> (cms1HeavyHitters _),
     "a16_textrank" -> (a16TextRank _),
     "a1_corpus_stats" -> (a1CorpusStats _),
@@ -567,6 +630,7 @@ object CorpusQueries {
     "tok2_bpe_encode" -> tok2BpeEncodeSql,
     "tok3_bpe_doc_tokens" -> tok3BpeDocTokensSql,
     "tok4_fertility" -> tok4FertilitySql,
+    "tok5_oov_coverage" -> tok5OovCoverageSql,
     "cms1_heavy_hitters" -> cms1HeavyHittersSql,
     "a16_textrank" -> a16TextRankSql,
     "a1_corpus_stats" -> a1CorpusStatsSql,

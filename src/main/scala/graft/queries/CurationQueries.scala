@@ -942,7 +942,108 @@ object CurationQueries {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  /** The n_chars threshold splitting ta17's weak "quality" classes — sits
+    * near the synthetic corpus's median doc length so both classes are
+    * populated at every SF (docs are 64..512 chars by construction). */
+  private[graft] val NbQualityChars = 256L
+
+  /** ta17_nb_quality — multinomial Naive Bayes quality-classifier gate, the
+    * oracle-checkable stand-in for the fastText linear classifier every
+    * production curation stack runs (CCNet, Wenzek et al. 2020 §4.3; LLaMA
+    * trains a Wikipedia-reference classifier the same way; fastText itself:
+    * Joulin et al. 2017). NB is chosen deliberately over logistic
+    * regression: its training IS aggregation — per-class word counts and
+    * doc priors — so the full train+score round trip replays exactly in
+    * DuckDB, where SGD weights never could.
+    *
+    * Weak labels come from a deterministic rule (n_chars ≥ 256 — the
+    * "document substance" proxy); the classifier is fit on the standard
+    * 80% split (doc_id % 5 < 4) and scores the held-out 20% with add-one
+    * class-conditional log-likelihoods plus add-one log-priors, every term
+    * e6-rounded BEFORE summing so per-doc totals are exact integer math.
+    * pred = argmin class NLL, ties to class 1.
+    *
+    * Scale shape: training is one vocabulary-keyed hash agg (conditional
+    * sums put both classes in ONE row per word — one join at score time,
+    * not two); totals and priors ride 1-row broadcasts; the score is a
+    * per-doc integer sum. Nothing shuffles on anything wider than a token.
+    * On the synthetic corpus the word distributions are label-independent
+    * by construction, so accuracy ≈ the majority prior — the honest
+    * measurement (the κ≈0 precedent, a15); the machinery is what's under
+    * test, and the spec drives it with a signal-bearing corpus. */
+  def ta17NbQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"),
+        (col("n_chars") >= NbQualityChars).cast(IntegerType).as("label"))
+    val train = docs.filter(col("doc_id") % 5 < 4)
+    val wc = train.select(col("label"), explode(col("tk")).as("w"))
+      .groupBy("w").agg(
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("c0"))
+    val tot = wc.agg(sum("c1").as("t1"), sum("c0").as("t0"), count(lit(1)).as("vv"))
+    val pri = train.agg(
+      sum(col("label").cast(LongType)).as("d1"),
+      sum(lit(1L) - col("label")).as("d0"))
+    def termE6(cnt: Column, t: Column): Column =
+      round(log((coalesce(cnt, lit(0L)) + 1).cast(DoubleType) /
+        (t + col("vv")).cast(DoubleType)) * lit(-1e6)).cast(LongType)
+    def priorE6(d: Column): Column =
+      round(log((d + 1).cast(DoubleType) /
+        (col("d1") + col("d0") + 2).cast(DoubleType)) * lit(-1e6)).cast(LongType)
+    docs.filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("label"), explode(col("tk")).as("w"))
+      .join(wc, Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("l1_e6", termE6(col("c1"), col("t1")))
+      .withColumn("l0_e6", termE6(col("c0"), col("t0")))
+      .groupBy("doc_id", "label")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("l1_e6").as("s1_e6"), sum("l0_e6").as("s0_e6"))
+      .crossJoin(broadcast(pri))
+      .withColumn("nll1_e6", col("s1_e6") + priorE6(col("d1")))
+      .withColumn("nll0_e6", col("s0_e6") + priorE6(col("d0")))
+      .select(col("doc_id"), col("label"), col("n_tokens"),
+        col("nll1_e6"), col("nll0_e6"),
+        when(col("nll1_e6") <= col("nll0_e6"), 1).otherwise(0).as("pred"))
+      .orderBy("doc_id")
+  }
+
+  val ta17NbQualitySql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    CASE WHEN n_chars >= $NbQualityChars THEN 1 ELSE 0 END AS label
+       |  FROM documents),
+       |toktr AS (
+       |  SELECT label, unnest(tk) AS w FROM docs WHERE doc_id % 5 < 4),
+       |wc AS (
+       |  SELECT w,
+       |    CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+       |  FROM toktr GROUP BY w),
+       |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c0) AS BIGINT) AS t0,
+       |  COUNT(*) AS vv FROM wc),
+       |pri AS (
+       |  SELECT CAST(SUM(label) AS BIGINT) AS d1, CAST(SUM(1 - label) AS BIGINT) AS d0
+       |  FROM docs WHERE doc_id % 5 < 4),
+       |terms AS (
+       |  SELECT t.doc_id, t.label,
+       |    CAST(ROUND(ln((COALESCE(w.c1, 0) + 1) / CAST(tt.t1 + tt.vv AS DOUBLE)) * -1e6) AS BIGINT) AS l1_e6,
+       |    CAST(ROUND(ln((COALESCE(w.c0, 0) + 1) / CAST(tt.t0 + tt.vv AS DOUBLE)) * -1e6) AS BIGINT) AS l0_e6
+       |  FROM (SELECT doc_id, label, unnest(tk) AS w FROM docs WHERE doc_id % 5 = 4) t
+       |  LEFT JOIN wc w USING (w) CROSS JOIN tot tt),
+       |scored AS (
+       |  SELECT t.doc_id, t.label, COUNT(*) AS n_tokens,
+       |    CAST(SUM(t.l1_e6) AS BIGINT) +
+       |      (SELECT CAST(ROUND(ln((d1 + 1) / CAST(d1 + d0 + 2 AS DOUBLE)) * -1e6) AS BIGINT) FROM pri) AS nll1_e6,
+       |    CAST(SUM(t.l0_e6) AS BIGINT) +
+       |      (SELECT CAST(ROUND(ln((d0 + 1) / CAST(d1 + d0 + 2 AS DOUBLE)) * -1e6) AS BIGINT) FROM pri) AS nll0_e6
+       |  FROM terms t GROUP BY t.doc_id, t.label)
+       |SELECT doc_id, label, n_tokens, nll1_e6, nll0_e6,
+       |  CASE WHEN nll1_e6 <= nll0_e6 THEN 1 ELSE 0 END AS pred
+       |FROM scored ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "ta17_nb_quality" -> (ta17NbQuality _),
     "e2e1_curation_pipeline" -> (e2e1CurationPipeline _),
     "ta7_repetition" -> (ta7Repetition _),
     "sm9_dsir_weights" -> (sm9DsirWeights _),
@@ -962,6 +1063,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ta17_nb_quality" -> ta17NbQualitySql,
     "e2e1_curation_pipeline" -> e2e1CurationPipelineSql,
     "ta7_repetition" -> ta7RepetitionSql,
     "sm9_dsir_weights" -> sm9DsirWeightsSql,

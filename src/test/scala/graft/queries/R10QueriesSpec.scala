@@ -137,4 +137,50 @@ class R10QueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("wer_e6") === 3000000L) // 6/2
     assert(r.getAs[Long]("match_ratio_e6") === 0L) // 1 - 6/6
   }
+
+  private def labeledDocsDir(rows: Seq[(Long, String, Long)], tag: String): String = {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory(tag).toString
+    rows.toDF("doc_id", "text", "n_chars").coalesce(1)
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("ta17: NB recovers a word-separable quality signal on held-out docs") {
+    // class 1 (n_chars >= 256) speaks alpha/beta/gamma, class 0 zeta/eta/theta;
+    // ids 0-3, 5-8 train, 4 and 9 are the held-out 20%
+    val good = "alpha beta gamma alpha beta"
+    val bad = "zeta eta theta zeta eta"
+    val dir = labeledDocsDir(Seq(
+      (0L, good, 300L), (1L, bad, 100L), (2L, good, 300L), (3L, bad, 100L),
+      (5L, good, 300L), (6L, bad, 100L), (7L, good, 300L), (8L, bad, 100L),
+      (4L, good, 300L), (9L, bad, 100L)), "ta17s")
+    val rows = CurationQueries.ta17NbQuality(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(4L, 9L))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(4L).getAs[Int]("label") === 1)
+    assert(byId(4L).getAs[Int]("pred") === 1, "good-vocabulary doc must score as class 1")
+    assert(byId(9L).getAs[Int]("label") === 0)
+    assert(byId(9L).getAs[Int]("pred") === 0, "bad-vocabulary doc must score as class 0")
+    // NLLs are sums of -ln p terms: strictly positive, and the chosen
+    // class is strictly cheaper on this cleanly separable corpus
+    assert(byId(4L).getAs[Long]("nll1_e6") > 0L)
+    assert(byId(4L).getAs[Long]("nll1_e6") < byId(4L).getAs[Long]("nll0_e6"))
+    assert(byId(9L).getAs[Long]("nll0_e6") < byId(9L).getAs[Long]("nll1_e6"))
+  }
+
+  test("ta17: unseen test-only words back off by add-one in both classes") {
+    // the single test doc is entirely OOV: both class scores reduce to
+    // prior + n·(-ln(1/(T_c+V))) — finite, and pred follows the prior side
+    // of the tie-break chain rather than faulting
+    val dir = labeledDocsDir(Seq(
+      (0L, "alpha beta", 300L), (1L, "zeta eta", 100L),
+      (2L, "alpha beta", 300L), (3L, "zeta eta", 100L),
+      (4L, "unseen words only", 300L)), "ta17o")
+    val r = CurationQueries.ta17NbQuality(spark, dir).collect().head
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Long]("nll1_e6") > 0L && r.getAs[Long]("nll0_e6") > 0L)
+    assert(Set(0, 1).contains(r.getAs[Int]("pred")))
+  }
 }
