@@ -1042,8 +1042,75 @@ object CurationQueries {
        |  CASE WHEN nll1_e6 <= nll0_e6 THEN 1 ELSE 0 END AS pred
        |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** pk3's geometry: token budget per bin, and the deterministic pack-group
+    * width. Groups are keyed on doc_id (grp = ⌊doc_id/64⌋, order within a
+    * group = doc_id) so the sequential next-fit walk is replayable without
+    * any global rank — and at 100 TB each group is an independent ≤64-doc
+    * unit of work, which is exactly how distributed packers ship
+    * (per-shard packing with deterministic shard assignment). */
+  private val PackBudget = 256L
+  private val PackGroup = 64L
+
+  /** pk3_nextfit_pack — boundary-respecting greedy packing: walk each pack
+    * group in doc_id order and append whole documents to the current bin
+    * while the token budget holds; on overflow, open a new bin. The
+    * complement of pk1's concat-then-chunk: pk1 maximizes density but
+    * SPLITS documents across sequence boundaries; pk3 never splits (the
+    * layout used when truncation/cross-doc attention is unacceptable —
+    * "example packing" in T5/LLM data loaders), paying padding waste
+    * instead. A doc longer than the budget gets a bin alone (oversize —
+    * the caller's chunking problem, flagged by its load).
+    *
+    * Scale shape: one projection computes (grp, n_tokens); one Exchange on
+    * grp; each group is a bounded ≤[[PackGroup]]-doc sequential fold
+    * inside `flatMapGroups` (genuine per-group imperative state — the
+    * documented Dataset escape hatch, like BatchScorer). No rank, no
+    * window, no driver state. The oracle replays the fold as a linear
+    * recursive CTE over in-group positions (the Viterbi convention). */
+  def pk3NextfitPack(s: SparkSession, dir: String): DataFrame = {
+    val spark0 = s
+    import spark0.implicits._
+    val base = t(s, dir, "documents").select(
+        col("doc_id").cast(LongType).as("doc_id"),
+        floor(col("doc_id") / lit(PackGroup)).cast(LongType).as("grp"),
+        size(tokens(col("text"))).cast(LongType).as("n"))
+      .as[(Long, Long, Long)]
+    base.groupByKey(_._2).flatMapGroups { (grp, it) =>
+      val docs = it.toArray.sortBy(_._1)
+      var bin = 0L
+      var load = 0L
+      var first = true
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)](docs.length)
+      for ((id, _, n) <- docs) {
+        if (first) { load = n; first = false }
+        else if (load + n <= PackBudget) load += n
+        else { bin += 1; load = n }
+        out += ((id, grp, bin, n))
+      }
+      out.iterator
+    }.toDF("doc_id", "grp", "bin", "n_tokens").orderBy("doc_id")
+  }
+
+  val pk3NextfitPackSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, CAST(floor(doc_id / $PackGroup.0) AS BIGINT) AS grp,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |g AS (SELECT doc_id, grp, n,
+       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY doc_id) AS pos FROM d),
+       |pack AS (
+       |  SELECT grp, pos, doc_id, n, n AS load, CAST(0 AS BIGINT) AS bin
+       |  FROM g WHERE pos = 1
+       |  UNION ALL
+       |  SELECT g.grp, g.pos, g.doc_id, g.n,
+       |    CASE WHEN p.load + g.n <= $PackBudget THEN p.load + g.n ELSE g.n END,
+       |    CASE WHEN p.load + g.n <= $PackBudget THEN p.bin ELSE p.bin + 1 END
+       |  FROM pack p JOIN g ON g.grp = p.grp AND g.pos = p.pos + 1)
+       |SELECT doc_id, grp, bin, n AS n_tokens FROM pack ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "ta17_nb_quality" -> (ta17NbQuality _),
+    "pk3_nextfit_pack" -> (pk3NextfitPack _),
     "e2e1_curation_pipeline" -> (e2e1CurationPipeline _),
     "ta7_repetition" -> (ta7Repetition _),
     "sm9_dsir_weights" -> (sm9DsirWeights _),
@@ -1064,6 +1131,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "ta17_nb_quality" -> ta17NbQualitySql,
+    "pk3_nextfit_pack" -> pk3NextfitPackSql,
     "e2e1_curation_pipeline" -> e2e1CurationPipelineSql,
     "ta7_repetition" -> ta7RepetitionSql,
     "sm9_dsir_weights" -> sm9DsirWeightsSql,

@@ -242,8 +242,11 @@ object DedupQueries {
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy("doc_id")
 
-  val dd8ClustersSql: String =
-    s"""WITH RECURSIVE sig AS ($minhashSigsDuck),
+  /** Shared CTE chain for the transitive-closure oracles (dd8, sm10): LSH
+    * candidates → Jaccard-verified edges → min-label reachability. Callers
+    * splice it after `WITH RECURSIVE` and read the `reach` relation. */
+  private def componentCtesDuck: String =
+    s"""sig AS ($minhashSigsDuck),
        |band AS ($bandedSigsDuck),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -266,8 +269,52 @@ object DedupQueries {
        |reach AS (
        |  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges) n
        |  UNION
-       |  SELECT e.u AS id, rr.r FROM edges e JOIN reach rr ON rr.id = e.v)
+       |  SELECT e.u AS id, rr.r FROM edges e JOIN reach rr ON rr.id = e.v)""".stripMargin
+
+  val dd8ClustersSql: String =
+    s"""WITH RECURSIVE $componentCtesDuck
        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** sm10's fold seed — distinct from every other detHash seed in the suite
+    * so the leakage-safe folds are independent of the dd7/sm2 splits. */
+  private val LeakFoldSeed = 73
+
+  /** sm10_leakage_safe_split — contamination-safe train/test split: the
+    * fold of every document is decided by the MIN-ID OF ITS NEAR-DUP
+    * CLUSTER (dd8's connected components over Jaccard-verified LSH pairs),
+    * not by the document itself, so near-duplicates can never straddle the
+    * boundary. This is the split discipline the dedup literature demands
+    * (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" §5 — eval contamination via near-dups; dd7/dd10 SCREEN for
+    * leaks, sm10 PREVENTS them by construction). Docs in no dup pair are
+    * their own singleton cluster.
+    *
+    * Scale shape: everything up to the component table is the shared
+    * dd2-dd4 signature/verify pipeline (banded LSH, O(n·collisions));
+    * components come from the same min-label propagation dd8 uses
+    * (iterations bounded by component diameter — near-dup clusters are
+    * tiny); the fold is then ONE hash projection + a doc_id-keyed left
+    * join. No new shuffle shape anywhere. */
+  def sm10LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.connectedComponents(dd4Verified(s, dir), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp"))
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+      .withColumn("fold",
+        when(detHash(col("cluster_id"), LeakFoldSeed) % 10 < 8, lit("train"))
+          .otherwise(lit("test")))
+      .select("doc_id", "cluster_id", "fold")
+      .orderBy("doc_id")
+  }
+
+  val sm10LeakageSafeSplitSql: String =
+    s"""WITH RECURSIVE $componentCtesDuck,
+       |comp AS (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id)
+       |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
+       |  CASE WHEN ${detHashSql("COALESCE(c.comp, d.doc_id)", LeakFoldSeed)} % 10 < 8
+       |    THEN 'train' ELSE 'test' END AS fold
+       |FROM documents d LEFT JOIN comp c USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
   /** dd7_contamination — train/test leak screen: fraction of each test doc's
     * 5-gram shingles that appear anywhere in the train split (deterministic
@@ -689,7 +736,8 @@ object DedupQueries {
     "dd4_ngram_jaccard" -> (dd4NgramJaccard _),
     "dd5_simhash" -> (dd5Simhash _),
     "dd8_clusters" -> (dd8Clusters _),
-    "dd9_simhash_pairs" -> (dd9SimhashPairs _))
+    "dd9_simhash_pairs" -> (dd9SimhashPairs _),
+    "sm10_leakage_safe_split" -> (sm10LeakageSafeSplit _))
 
   val oracles: Map[String, String] = Map(
     "dd14_line_dedup" -> dd14LineDedupSql,
@@ -705,5 +753,6 @@ object DedupQueries {
     "dd4_ngram_jaccard" -> dd4NgramJaccardSql,
     "dd5_simhash" -> dd5SimhashSql,
     "dd8_clusters" -> dd8ClustersSql,
-    "dd9_simhash_pairs" -> dd9SimhashPairsSql)
+    "dd9_simhash_pairs" -> dd9SimhashPairsSql,
+    "sm10_leakage_safe_split" -> sm10LeakageSafeSplitSql)
 }

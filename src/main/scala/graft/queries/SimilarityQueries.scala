@@ -597,7 +597,118 @@ object SimilarityQueries {
        |FROM contribs GROUP BY doc_id ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** ir7's rerank geometry: dense top-[[MmrPoolK]] candidate pool, greedy
+    * MMR selection of [[MmrSelectK]], λ = 3/4. The weighted terms use FLOOR
+    * (not round) on exact-in-double quotients — floor(3x/4) and floor(x/4)
+    * of an e6 integer are bit-identical on every engine (3x ≤ 3e6 is exact
+    * in double, /4 is a power-of-two scale), so the greedy argmax chain
+    * can never diverge on a half-ulp the way round(0.7·x) could. */
+  private[queries] val MmrPoolK = 20
+  private[queries] val MmrSelectK = 8
+
+  /** ir7_mmr_rerank — Maximal Marginal Relevance diversification (Carbonell
+    * & Goldstein 1998), the standard rerank stage between retrieval and a
+    * RAG context window: greedily pick the candidate maximizing
+    * λ·rel − (1−λ)·max_{s∈selected} sim(c, s), so near-duplicate hits
+    * don't crowd out coverage. Relevance = cosine to the fixed query
+    * embedding (vec_id 0, the ir3 contract); candidate-candidate
+    * similarity = pairwise cosine inside the pool.
+    *
+    * Scale shape: the ONLY corpus-touching work is the dense pool build —
+    * one scan with a 1-row broadcast query and a bounded TakeOrdered (at
+    * 100 TB this arm would be the ss2/ir4 IVF probe instead; the rerank
+    * itself is scale-invariant). The pool is then pinned (localCheckpoint,
+    * [[MmrPoolK]] rows), its pairwise cosines are a bounded
+    * broadcast-self-join ([[MmrPoolK]]² pairs), and the greedy chain runs
+    * driver-side over the COLLECTED pool — a bounded-by-contract collect
+    * (≤ [[MmrPoolK]] + [[MmrPoolK]]² integer rows, the ANN-codebook
+    * precedent): MMR selection is sequential by definition, and every
+    * number it touches was computed by the same Spark expressions the
+    * DuckDB oracle replays, so the driver does INTEGER comparisons only.
+    * The oracle unrolls the [[MmrSelectK]]-step greedy as chained CTEs
+    * (the Viterbi/BPE convention). */
+  def ir7MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(s, dir, "embeddings"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("norm").as("qn"))
+    val pool = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        cosE6(dot(col("qv"), col("embedding")), col("qn"), col("norm")).as("rel_e6"))
+      .orderBy(desc("rel_e6"), col("vec_id")).limit(MmrPoolK)
+      .localCheckpoint()
+    val a = pool.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("norm").as("na"))
+    val b = pool.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("norm").as("nb"))
+    val sims = a.join(broadcast(b), col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        floor(cosE6(dot(col("ea"), col("eb")), col("na"), col("nb")) / lit(4)).cast(LongType).as("pen_e6"))
+    // bounded-contract collects: MmrPoolK rows + MmrPoolK² pairs
+    val cands = pool
+      .select(col("vec_id"), col("rel_e6"),
+        floor(col("rel_e6") * 3 / lit(4)).cast(LongType).as("relw_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pen: Map[(Long, Long), Long] = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rel = cands.map(c => c._1 -> c._2).toMap
+    val relw = cands.map(c => c._1 -> c._3).toMap
+    var remaining = cands.map(_._1).toSet
+    var selectedIds = Vector.empty[Long]
+    val out = Vector.newBuilder[(Int, Long, Long, Long)]
+    for (step <- 1 to math.min(MmrSelectK, cands.length)) {
+      val scored = remaining.toSeq.map { id =>
+        val p = if (selectedIds.isEmpty) 0L
+          else selectedIds.map(sid => pen((id, sid))).max
+        (id, relw(id) - p)
+      }
+      val (bestId, bestSc) = scored.minBy { case (id, sc) => (-sc, id) }
+      out += ((step, bestId, rel(bestId), bestSc))
+      selectedIds :+= bestId
+      remaining -= bestId
+    }
+    val spark0 = s
+    import spark0.implicits._
+    out.result().toDF("step", "doc_id", "rel_e6", "mmr_e6")
+  }
+
+  val ir7MmrRerankSql: String = {
+    // every chained CTE is MATERIALIZED: sel_k is referenced twice by
+    // step k+1, so an inlining planner would re-expand the whole chain
+    // 2^k times (measured: >120 s at sf0.01); materialized, each link is
+    // a ≤MmrPoolK-row table and the chain is linear
+    val steps = (2 to MmrSelectK).map { k =>
+      s"""st$k AS MATERIALIZED (
+         |  SELECT c.vec_id, c.rel_e6, c.relw_e6 - MAX(p.pen_e6) AS sc
+         |  FROM pool c
+         |  JOIN sims p ON p.ia = c.vec_id AND p.ib IN (SELECT vec_id FROM sel${k - 1})
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+         |  GROUP BY c.vec_id, c.rel_e6, c.relw_e6),
+         |s$k AS MATERIALIZED (SELECT $k AS step, vec_id, rel_e6, sc AS mmr_e6 FROM st$k
+         |  ORDER BY sc DESC, vec_id LIMIT 1),
+         |sel$k AS MATERIALIZED (SELECT vec_id FROM sel${k - 1} UNION ALL SELECT vec_id FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS ($withNormDuck),
+       |qv AS (SELECT embedding AS qe, norm AS qn FROM emb WHERE vec_id = 0),
+       |pool0 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, e.norm,
+       |    ${cosE6Sql(dotSql("qv.qe", "e.embedding"), "qv.qn", "e.norm")} AS rel_e6
+       |  FROM emb e CROSS JOIN qv WHERE e.vec_id <> 0
+       |  ORDER BY rel_e6 DESC, e.vec_id LIMIT $MmrPoolK),
+       |pool AS MATERIALIZED (SELECT vec_id, embedding, norm, rel_e6,
+       |  CAST(floor(3.0 * rel_e6 / 4) AS BIGINT) AS relw_e6 FROM pool0),
+       |sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    CAST(floor(${cosE6Sql(dotSql("a.embedding", "b.embedding"), "a.norm", "b.norm")} / 4.0) AS BIGINT) AS pen_e6
+       |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+       |s1 AS MATERIALIZED (SELECT 1 AS step, vec_id, rel_e6, relw_e6 AS mmr_e6 FROM pool
+       |  ORDER BY relw_e6 DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+       |$steps
+       |SELECT step, vec_id AS doc_id, rel_e6, mmr_e6 FROM (
+       |  ${(1 to MmrSelectK).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")}) u
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "ir7_mmr_rerank" -> (ir7MmrRerank _),
     "ir3_hybrid_dense" -> (ir3HybridDense _),
     "ir4_hybrid_ann" -> (ir4HybridAnn _),
     "ss1_bruteforce_topk" -> (ss1BruteforceTopk _),
@@ -611,6 +722,7 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "ir3_hybrid_dense" -> ir3HybridDenseSql,
     "ir4_hybrid_ann" -> ir4HybridAnnSql,
+    "ir7_mmr_rerank" -> ir7MmrRerankSql,
     "ss5_recall_audit" -> ss5RecallAuditSql,
     "ss1_bruteforce_topk" -> ss1BruteforceTopkSql,
     "ss4_pq_topk" -> ss4PqTopkSql,

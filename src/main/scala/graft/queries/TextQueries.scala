@@ -1710,7 +1710,112 @@ object TextQueries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** a26_distinct_ngrams — generation diversity: distinct-1 / distinct-2
+    * (Li et al. 2016, "A Diversity-Promoting Objective Function for Neural
+    * Conversation Models") over the candidate side of the a22 pair
+    * convention (even doc_ids): unique n-grams ÷ total n-grams. The
+    * degenerate-decoding tripwire every generation eval reports next to
+    * BLEU/chrF/ROUGE — quality metrics reward copying the reference;
+    * distinct-n catches a model that copies ONE reference everywhere.
+    *
+    * Scale shape: both gram orders explode from one projection (the a22
+    * skeleton); the distinct count happens as a (n, gram)-keyed hash agg
+    * (map-side combined, key finer than doc_id — skew impossible), then a
+    * 2-group rollup. Zero joins, zero windows. */
+  def a26DistinctNgrams(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .select(tokens(col("text")).as("tk"))
+      .withColumn("g2", wordNgrams("tk", 2))
+      .select(explode(concat(
+        expr("transform(tk, x -> struct(1 AS n, x AS g))"),
+        expr("transform(g2, x -> struct(2 AS n, x AS g))"))).as("p"))
+      .select(col("p.n").as("n"), col("p.g").as("g"))
+      .groupBy("n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("n").agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"))
+      .withColumn("distinct_e6",
+        round(lit(1e6) * col("n_distinct") / col("n_grams")).cast(LongType))
+      .orderBy("n")
+  }
+
+  val a26DistinctNgramsSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |tokpos AS (SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS pos FROM d),
+      |big AS (SELECT doc_id, w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      |  FROM tokpos),
+      |grams AS (
+      |  SELECT 1 AS n, w AS g FROM tokpos
+      |  UNION ALL
+      |  SELECT 2 AS n, g FROM big WHERE g IS NOT NULL),
+      |pg AS (SELECT n, g, COUNT(*) AS c FROM grams GROUP BY n, g)
+      |SELECT n, CAST(SUM(c) AS BIGINT) AS n_grams, COUNT(*) AS n_distinct,
+      |  CAST(ROUND(1e6 * COUNT(*) / CAST(SUM(c) AS BIGINT)) AS BIGINT) AS distinct_e6
+      |FROM pg GROUP BY n ORDER BY n""".stripMargin
+
+  /** ir8's Dirichlet prior. Zhai & Lafferty 2001 find the optimum is
+    * corpus-dependent, growing with document length; the synthetic docs
+    * average ~50 tokens, so the classic 2000 would drown the document
+    * signal entirely — 100 keeps both terms live while staying the
+    * published method. */
+  private val QldMu = 100.0
+
+  /** ir8_qld — query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty 2001, the LM-retrieval classic and BM25's standard rival):
+    * score(d) = Σ_q ln((tf(q,d) + μ·cf(q)/T) / (dl + μ)) over
+    * [[RetrievalQTerms]], where cf is COLLECTION frequency (total
+    * occurrences, not document frequency — the defining difference from
+    * the BM25/tf-idf family). Top-20 face like ta13.
+    *
+    * Scale shape: identical to [[bm25Scores]] — one corpus pass computes
+    * per-doc tf and dl in a projection, the three collection frequencies
+    * and T reduce to ONE broadcast row, scoring is arithmetic in the same
+    * projection, TakeOrdered bounds the result. The corpus never
+    * shuffles. */
+  def ir8Qld(s: SparkSession, dir: String): DataFrame = {
+    val qterms = RetrievalQTerms
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")))
+    val statCols = sum("dl").as("total_t") +:
+      qterms.map(q => sum(size(filter(col("tk"), x => x === lit(q))).cast(LongType))
+        .as(s"cf_$q"))
+    val stats = docs.agg(statCols.head, statCols.tail: _*)
+    def termScore(q: String) = {
+      val tf = size(filter(col("tk"), x => x === lit(q))).cast(DoubleType)
+      val pc = col(s"cf_$q").cast(DoubleType) / col("total_t").cast(DoubleType)
+      log((tf + lit(QldMu) * pc) / (col("dl").cast(DoubleType) + lit(QldMu)))
+    }
+    val score = qterms.map(termScore).reduceLeft(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        round(score * 1e6).cast(LongType).as("qld_e6"))
+      .orderBy(desc("qld_e6"), col("doc_id"))
+      .limit(20)
+  }
+
+  val ir8QldSql: String = {
+    val qterms = RetrievalQTerms
+    val cfCols = qterms.map(q =>
+      s"CAST(SUM(len(list_filter(tk, x -> x = '$q'))) AS BIGINT) AS cf_$q").mkString(",\n  ")
+    def termScore(q: String) = {
+      val tf = s"CAST(len(list_filter(tk, x -> x = '$q')) AS DOUBLE)"
+      val pc = s"(CAST(cf_$q AS DOUBLE) / CAST(total_t AS DOUBLE))"
+      s"ln(($tf + $QldMu * $pc) / (CAST(dl AS DOUBLE) + $QldMu))"
+    }
+    val score = qterms.map(termScore).mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+       |  len(string_split(text, ' ')) AS dl FROM documents),
+       |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_t,
+       |  $cfCols
+       |  FROM d)
+       |SELECT doc_id, dl, CAST(ROUND(($score) * 1e6) AS BIGINT) AS qld_e6
+       |FROM d CROSS JOIN st ORDER BY qld_e6 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "a26_distinct_ngrams" -> (a26DistinctNgrams _),
+    "ir8_qld" -> (ir8Qld _),
     "p1_candidate_filter" -> (p1CandidateFilter _),
     "p5_short_filter" -> (p5ShortFilter _),
     "f1_clean_chain" -> (f1CleanChain _),
@@ -1748,6 +1853,8 @@ object TextQueries {
     "ta6_tfidf" -> (ta6Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "a26_distinct_ngrams" -> a26DistinctNgramsSql,
+    "ir8_qld" -> ir8QldSql,
     "p1_candidate_filter" -> p1CandidateFilterSql,
     "p5_short_filter" -> p5ShortFilterSql,
     "f1_clean_chain" -> f1CleanChainSql,

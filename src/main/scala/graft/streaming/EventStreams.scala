@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StatefulProcessor, TimeMode, TimerValues, Trigger}
@@ -224,6 +224,52 @@ object EventStreams {
       .withColumn("flagged", (col("mean_nll_e6") > gateMeanNllE6).cast("int"))
       .select(col("window.start").as("window_start"), col("doc_id"),
         col("n_trans"), col("nll_e6_sum"), col("mean_nll_e6"), col("flagged"))
+  }
+
+  /** Streaming Naive-Bayes quality gate — ta17's streaming face, the
+    * classifier rung of the gate ladder (ta9 unigram → pplGateStream,
+    * ta14 bigram → bigramPplStream, ta17 classifier → here): score each
+    * arriving document under a TRAINED class-count table and flag the ones
+    * the classifier calls low-quality. Same recipe as the bigram face: the
+    * vocabulary-keyed `wc` table (w, c1, c0) is a stateless stream-static
+    * LEFT join probed per micro-batch (class-conditional counts are
+    * vocabulary-bounded — too wide for the literal-array trick, exactly
+    * like the bigram LM); the scalar totals/priors ride as literals; the
+    * ONLY stateful operator is the watermarked per-(window, doc) integer
+    * sum — whose checkpoint-recovery behavior is pinned by
+    * BigramPplStreamSpec's restart proof of the identical aggregate shape.
+    * Every arithmetic step widens in the same order as
+    * [[graft.queries.CurationQueries.ta17NbQuality]], so scores match the
+    * batch face bit-for-bit (NbGateStreamSpec).
+    *
+    * `flagged` = classifier says class 0 (below the quality bar) — rows
+    * are marked, never dropped, per the quotaGate convention. */
+  def nbGateStream(docs: DataFrame, wc: DataFrame,
+      t1: Long, t0: Long, vocabSize: Long, d1: Long, d0: Long,
+      horizon: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    def termE6(cnt: Column, t: Long): Column =
+      round(log((coalesce(cnt, lit(0L)) + 1).cast(DoubleType) /
+        lit(t + vocabSize).cast(DoubleType)) * lit(-1e6)).cast(LongType)
+    def priorE6(d: Long): Column =
+      round(log(lit((d + 1).toDouble) / lit((d1 + d0 + 2).toDouble)) * lit(-1e6))
+        .cast(LongType)
+    docs
+      .withColumn("tk", graft.queries.Q.tokens(col("text")))
+      .withWatermark("ts", horizon)
+      .select(col("doc_id"), col("ts"), explode(col("tk")).as("w"))
+      .join(wc, Seq("w"), "left")
+      .withColumn("l1_e6", termE6(col("c1"), t1))
+      .withColumn("l0_e6", termE6(col("c0"), t0))
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("l1_e6").as("s1_e6"), sum("l0_e6").as("s0_e6"))
+      .withColumn("nll1_e6", col("s1_e6") + priorE6(d1))
+      .withColumn("nll0_e6", col("s0_e6") + priorE6(d0))
+      .withColumn("pred", when(col("nll1_e6") <= col("nll0_e6"), 1).otherwise(0))
+      .withColumn("flagged", (col("pred") === 0).cast("int"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("n_tokens"), col("nll1_e6"), col("nll0_e6"), col("pred"), col("flagged"))
   }
 
   /** Streaming exact dedup — the streaming twin of `Dedup.exact`/dd1 for a

@@ -141,4 +141,33 @@ class DedupQueriesSpec extends SparkSpec {
         col("kept_tokens") > col("orig_tokens")).count() === 0L)
     } finally joined.unpersist()
   }
+
+  test("sm10: no Jaccard-verified near-dup pair ever straddles the fold boundary") {
+    val folds = DedupQueries.sm10LeakageSafeSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // every doc gets exactly one fold, and both folds are populated
+    assert(folds.size === graft.Tables(spark, dir, "documents").count())
+    assert(folds.values.toSet === Set("train", "test"))
+    // the contract: members of one dd8 cluster share one fold, so the
+    // verified duplicate pairs (the edges) cannot cross it
+    val clusters = DedupQueries.dd8Clusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty, "fixture regression: corpus has no dup clusters")
+    clusters.groupBy(_._2).values.foreach { members =>
+      val fs = members.map(m => folds(m._1)).distinct
+      assert(fs.length === 1,
+        s"cluster ${members.head._2} straddles folds: ${members.mkString(",")}")
+    }
+    // and a naive per-doc hash split WOULD have disagreed with the
+    // cluster-keyed fold for some member — i.e. sm10 does real work here
+    val multi = clusters.groupBy(_._2).values.filter(_.length > 1).toSeq
+    assert(multi.nonEmpty, "fixture regression: no multi-doc clusters")
+    val spark0 = spark
+    import spark0.implicits._
+    val ownTrain = multi.flatten.map(_._1).toDF("id")
+      .select(col("id"), (Q.detHash(col("id"), 73) % 10 < 8).as("t")) // 73 = sm10's fold seed
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(multi.exists(_.exists(m => (folds(m._1) == "train") != ownTrain(m._1))),
+      "fixture too weak: per-doc folds happen to equal cluster folds everywhere")
+  }
 }

@@ -170,6 +170,37 @@ class R10QueriesSpec extends SparkSpec {
     assert(byId(9L).getAs[Long]("nll0_e6") < byId(9L).getAs[Long]("nll1_e6"))
   }
 
+  test("pk3: bins respect the budget, number contiguously, and are greedily maximal") {
+    val rows = CurationQueries.pk3NextfitPack(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((grp, bin), docs) =>
+      val load = docs.map(_._4).sum
+      // a bin holds the budget, or exactly one oversize doc
+      assert(load <= 256L || docs.length === 1,
+        s"multi-doc bin ($grp,$bin) over budget: $load")
+    }
+    rows.groupBy(_._2).foreach { case (grp, docs) =>
+      val bins = docs.map(_._3).distinct.sorted.toSeq
+      assert(bins === (0L until bins.length).toSeq,
+        s"group $grp bins not contiguous from 0: $bins")
+      // greedy maximality: the first doc of bin b+1 would not have fit in b
+      val byBin = docs.groupBy(_._3)
+      bins.sliding(2).foreach {
+        case Seq(b1, b2) =>
+          val load1 = byBin(b1).map(_._4).sum
+          val firstNext = byBin(b2).minBy(_._1)._4
+          assert(load1 + firstNext > 256L,
+            s"group $grp: bin $b2 opened while $b1 had room")
+        case _ =>
+      }
+    }
+    // the packing is non-trivial on this corpus: some bin holds >1 doc,
+    // and some group has >1 bin
+    assert(rows.groupBy(r => (r._2, r._3)).values.exists(_.length > 1))
+    assert(rows.groupBy(_._2).values.exists(_.map(_._3).distinct.length > 1))
+  }
+
   test("ta17: unseen test-only words back off by add-one in both classes") {
     // the single test doc is entirely OOV: both class scores reduce to
     // prior + n·(-ln(1/(T_c+V))) — finite, and pred follows the prior side

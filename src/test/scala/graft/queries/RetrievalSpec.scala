@@ -58,4 +58,43 @@ class RetrievalSpec extends SparkSpec {
     // both arms must be represented somewhere in the fused top-20
     assert(rows.exists(_.getLong(1) === 2L), "no doc was found by both arms")
   }
+
+  test("ir7: greedy MMR selects distinct docs with non-increasing scores, led by argmax relevance") {
+    val rows = SimilarityQueries.ir7MmrRerank(spark, dir).collect()
+    assert(rows.length === 8)
+    assert(rows.map(_.getAs[Int]("step")).toSeq === (1 to 8))
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids.distinct.length === 8, "a doc must never be selected twice")
+    // step 1 is pure relevance: mmr = floor(3·rel/4), and no later step beats it
+    val first = rows.head
+    assert(first.getAs[Long]("mmr_e6") ===
+      Math.floorDiv(3L * first.getAs[Long]("rel_e6"), 4L))
+    val scores = rows.map(_.getAs[Long]("mmr_e6")).toSeq
+    assert(scores === scores.sorted(Ordering[Long].reverse),
+      "greedy MMR scores must be non-increasing (shrinking pool, growing penalty set)")
+  }
+
+  test("ir7: a perfect near-duplicate of the first pick is deferred behind a diverse doc") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ir7d").toString
+    val r2 = (1.0 / math.sqrt(2.0)).toFloat
+    def pad(v: Seq[Float]): Array[Float] = (v ++ Seq.fill(64 - v.length)(0.0f)).toArray
+    // query spreads over dims 0+1; doc1 and doc2 are IDENTICAL (dim 0),
+    // doc3 is equally relevant but orthogonal to them (dim 1)
+    Seq(
+      (0L, pad(Seq(r2, r2)), 0),
+      (1L, pad(Seq(1.0f)), 0),
+      (2L, pad(Seq(1.0f)), 0),
+      (3L, pad(Seq(0.0f, 1.0f)), 0)
+    ).toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val rows = SimilarityQueries.ir7MmrRerank(spark, tmp).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 3L, 2L),
+      "plain top-k would rank 1,2,3 — MMR must defer the duplicate doc 2")
+    // the duplicate's final score bears the full max-similarity penalty
+    val dup = rows.last
+    assert(dup.getAs[Long]("mmr_e6") ===
+      Math.floorDiv(3L * dup.getAs[Long]("rel_e6"), 4L) - 250000L)
+  }
 }
