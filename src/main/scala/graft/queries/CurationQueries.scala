@@ -971,15 +971,25 @@ object CurationQueries {
     * by construction, so accuracy ≈ the majority prior — the honest
     * measurement (the κ≈0 precedent, a15); the machinery is what's under
     * test, and the spec drives it with a signal-bearing corpus. */
-  def ta17NbQuality(s: SparkSession, dir: String): DataFrame = {
+  def ta17NbQuality(s: SparkSession, dir: String): DataFrame =
+    nbScored(s, dir, col("doc_id") % 5 === 4).orderBy("doc_id")
+
+  /** The NB train+score core shared by ta17 (held-out face) and e2e4 (the
+    * corpus-wide gate): class counts fit on the 80% split, `which` selects
+    * the documents to score. The vocab-sized class-count table is pinned
+    * once per (session, dir) — both faces and any future consumer read one
+    * materialization. */
+  private def nbScored(s: SparkSession, dir: String, which: Column): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("tk"),
         (col("n_chars") >= NbQualityChars).cast(IntegerType).as("label"))
     val train = docs.filter(col("doc_id") % 5 < 4)
-    val wc = train.select(col("label"), explode(col("tk")).as("w"))
-      .groupBy("w").agg(
-        sum(when(col("label") === 1, 1L).otherwise(0L)).as("c1"),
-        sum(when(col("label") === 0, 1L).otherwise(0L)).as("c0"))
+    val wc = graft.operators.SessionShare.materialized(s, dir, "ta17_wc") {
+      train.select(col("label"), explode(col("tk")).as("w"))
+        .groupBy("w").agg(
+          sum(when(col("label") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("label") === 0, 1L).otherwise(0L)).as("c0"))
+    }
     val tot = wc.agg(sum("c1").as("t1"), sum("c0").as("t0"), count(lit(1)).as("vv"))
     val pri = train.agg(
       sum(col("label").cast(LongType)).as("d1"),
@@ -990,7 +1000,7 @@ object CurationQueries {
     def priorE6(d: Column): Column =
       round(log((d + 1).cast(DoubleType) /
         (col("d1") + col("d0") + 2).cast(DoubleType)) * lit(-1e6)).cast(LongType)
-    docs.filter(col("doc_id") % 5 === 4)
+    docs.filter(which)
       .select(col("doc_id"), col("label"), explode(col("tk")).as("w"))
       .join(wc, Seq("w"), "left")
       .crossJoin(broadcast(tot))
@@ -1005,7 +1015,6 @@ object CurationQueries {
       .select(col("doc_id"), col("label"), col("n_tokens"),
         col("nll1_e6"), col("nll0_e6"),
         when(col("nll1_e6") <= col("nll0_e6"), 1).otherwise(0).as("pred"))
-      .orderBy("doc_id")
   }
 
   val ta17NbQualitySql: String =
@@ -1108,9 +1117,194 @@ object CurationQueries {
        |  FROM pack p JOIN g ON g.grp = p.grp AND g.pos = p.pos + 1)
        |SELECT doc_id, grp, bin, n AS n_tokens FROM pack ORDER BY doc_id""".stripMargin
 
+  /** sm11's knobs: per-language repeat cap (UniMax's N) and the token
+    * budget as a rational fraction of the corpus — 16/10 = 1.6 average
+    * epochs, sized against the synthetic language inventory (en carries
+    * ~37% of tokens) so BOTH regimes are live: the low-resource languages
+    * saturate their 2-epoch cap and the top languages water-fill the
+    * remainder (at 1.2 the uniform-ish tail never saturates). Integer-
+    * exact: budget = (T·16) div 10. */
+  private val UnimaxEpochCap = 2L
+  private val UnimaxBudgetNum = 16L
+  private val UnimaxBudgetDen = 10L
+
+  /** sm11_unimax — the UniMax language-sampling allocation (Chung et al.
+    * 2023, ICLR: "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining"): distribute a token budget
+    * across languages as uniformly as possible subject to a per-language
+    * repeat cap (capacity = n_tokens × [[UnimaxEpochCap]]) — the
+    * principled successor to sm7's temperature flattening (which over- or
+    * under-samples at the tails; UniMax never exceeds the repeat cap and
+    * never wastes budget). Low-resource languages saturate their capacity;
+    * the rest split the remainder equally.
+    *
+    * The greedy loop in the paper has a CLOSED FORM once languages sort by
+    * capacity ascending: with prefix capacity P(r) and m(r) languages left
+    * at rank r, language r saturates iff cap·m(r) ≤ B − P(r) (capped-ness
+    * is provably monotone in r: if cap_r·m_r > B−P_r then cap_{r+1}·m_{r+1}
+    * ≥ cap_r·(m_r−1) > B−P_r−cap_r), and every unsaturated language gets
+    * ⌊(B − P(k))/m(k)⌋ at the first unsaturated rank k. So the whole
+    * allocation is one window pass over the LANGUAGE-BOUNDED table —
+    * integer-exact on both engines (the ⌊·⌋ remainder, < #langs tokens, is
+    * deliberately unallocated).
+    *
+    * Scale shape: the corpus reduces to one (lang → token count) hash agg;
+    * everything after runs on a table bounded by the language inventory
+    * (windows sit above that aggregate — bounded by construction). */
+  def sm11Unimax(s: SparkSession, dir: String): DataFrame = {
+    val langs = t(s, dir, "documents")
+      .select(col("lang"), size(tokens(col("text"))).cast(LongType).as("n"))
+      .groupBy("lang").agg(sum("n").as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * UnimaxEpochCap)
+    val tot = langs.agg(sum("n_tokens").as("tt"), count(lit(1)).as("nl"))
+    val w = Window.orderBy(col("cap").asc, col("lang"))
+    val ranked = langs.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"tt * $UnimaxBudgetNum div $UnimaxBudgetDen"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("pfx", coalesce(
+        sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("m", col("nl") - col("rnk") + 1)
+      .withColumn("capped", col("cap") * col("m") <= col("budget") - col("pfx"))
+    val share = ranked.filter(!col("capped"))
+      .orderBy("rnk").limit(1)
+      .select(expr("(budget - pfx) div m").as("share"))
+    ranked.join(broadcast(share), lit(true), "left")
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap")).otherwise(coalesce(col("share"), lit(0L))))
+      .withColumn("epochs_e6",
+        round(lit(1e6) * col("alloc_tokens") / col("n_tokens")).cast(LongType))
+      .select(col("lang"), col("n_tokens"), col("cap").as("capacity"),
+        col("capped").cast(IntegerType).as("capped"),
+        col("alloc_tokens"), col("epochs_e6"))
+      .orderBy("lang")
+  }
+
+  val sm11UnimaxSql: String =
+    s"""WITH l AS (
+       |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |c AS (SELECT lang, n_tokens, n_tokens * $UnimaxEpochCap AS cap FROM l),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt, COUNT(*) AS nl FROM c),
+       |r AS (
+       |  SELECT c.lang, c.n_tokens, c.cap, tot.nl,
+       |    (tot.tt * $UnimaxBudgetNum) // $UnimaxBudgetDen AS budget,
+       |    ROW_NUMBER() OVER (ORDER BY c.cap, c.lang) AS rnk,
+       |    COALESCE(SUM(c.cap) OVER (ORDER BY c.cap, c.lang
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+       |  FROM c CROSS JOIN tot),
+       |f AS (SELECT *, nl - rnk + 1 AS m,
+       |  (cap * (nl - rnk + 1) <= budget - pfx) AS capped FROM r),
+       |sh AS (SELECT (budget - pfx) // m AS share FROM f
+       |  WHERE NOT capped ORDER BY rnk LIMIT 1)
+       |SELECT lang, n_tokens, cap AS capacity, CAST(capped AS INTEGER) AS capped,
+       |  CAST(CASE WHEN capped THEN cap
+       |    ELSE COALESCE((SELECT share FROM sh), 0) END AS BIGINT) AS alloc_tokens,
+       |  CAST(ROUND(1e6 * (CASE WHEN capped THEN cap
+       |    ELSE COALESCE((SELECT share FROM sh), 0) END) / n_tokens) AS BIGINT) AS epochs_e6
+       |FROM f ORDER BY lang""".stripMargin
+
+  /** e2e4_prep_pipeline — the r10 composed training-data prep flow, chaining
+    * this round's three new operators in ONE lazy plan the way a production
+    * run would: (1) the NB quality classifier ([[nbScored]], corpus-wide —
+    * gate keeps pred = 1), (2) the leakage-safe fold assignment (dd8's
+    * near-dup components via the shared [[DedupQueries.cachedComponents]]
+    * pin, fold = cluster-min hash — near-dups never straddle), (3) whole-doc
+    * next-fit packing per (fold, group) so train and test sequences never
+    * share a bin. The e2e1 principle one generation later: each stage's
+    * scale shape is its standalone query's; composition adds ONE Exchange
+    * (the pack groupByKey now keys on (fold, grp)).
+    *
+    * Oracle: the ta17 scoring chain (unfiltered), the dd8 closure chain,
+    * and the pk3 recursion spliced into one WITH RECURSIVE — two recursive
+    * CTEs (reach, ppack), each linear. */
+  def e2e4PrepPipeline(s: SparkSession, dir: String): DataFrame = {
+    val spark0 = s
+    import spark0.implicits._
+    val kept = nbScored(s, dir, lit(true))
+      .filter(col("pred") === 1)
+      .select(col("doc_id"), col("n_tokens"))
+    val folds = kept
+      .join(DedupQueries.cachedComponents(s, dir)
+        .select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+      .withColumn("fold",
+        when(detHash(col("cluster_id"), DedupQueries.LeakFoldSeed) % 10 < 8,
+          lit("train")).otherwise(lit("test")))
+      .select(col("doc_id"), col("fold"), col("n_tokens"),
+        floor(col("doc_id") / lit(PackGroup)).cast(LongType).as("grp"))
+      .as[(Long, String, Long, Long)]
+    folds.groupByKey(r => (r._2, r._4)).flatMapGroups { (key, it) =>
+      val (fold, grp) = key
+      val docs = it.toArray.sortBy(_._1)
+      var bin = 0L
+      var load = 0L
+      var first = true
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Long)](docs.length)
+      for ((id, _, n, _) <- docs) {
+        if (first) { load = n; first = false }
+        else if (load + n <= PackBudget) load += n
+        else { bin += 1; load = n }
+        out += ((id, fold, grp, bin, n))
+      }
+      out.iterator
+    }.toDF("doc_id", "fold", "grp", "bin", "n_tokens").orderBy("doc_id")
+  }
+
+  val e2e4PrepPipelineSql: String =
+    s"""WITH RECURSIVE ${DedupQueries.componentCtesDuck},
+       |qdocs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    CASE WHEN n_chars >= $NbQualityChars THEN 1 ELSE 0 END AS label
+       |  FROM documents),
+       |qwc AS (
+       |  SELECT w,
+       |    CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+       |  FROM (SELECT label, unnest(tk) AS w FROM qdocs WHERE doc_id % 5 < 4) t
+       |  GROUP BY w),
+       |qtot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c0) AS BIGINT) AS t0,
+       |  COUNT(*) AS vv FROM qwc),
+       |qpri AS (
+       |  SELECT CAST(SUM(label) AS BIGINT) AS d1, CAST(SUM(1 - label) AS BIGINT) AS d0
+       |  FROM qdocs WHERE doc_id % 5 < 4),
+       |qterms AS (
+       |  SELECT t.doc_id,
+       |    CAST(ROUND(ln((COALESCE(w.c1, 0) + 1) / CAST(tt.t1 + tt.vv AS DOUBLE)) * -1e6) AS BIGINT) AS l1_e6,
+       |    CAST(ROUND(ln((COALESCE(w.c0, 0) + 1) / CAST(tt.t0 + tt.vv AS DOUBLE)) * -1e6) AS BIGINT) AS l0_e6
+       |  FROM (SELECT doc_id, unnest(tk) AS w FROM qdocs) t
+       |  LEFT JOIN qwc w USING (w) CROSS JOIN qtot tt),
+       |qscored AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(t.l1_e6) AS BIGINT) +
+       |      (SELECT CAST(ROUND(ln((d1 + 1) / CAST(d1 + d0 + 2 AS DOUBLE)) * -1e6) AS BIGINT) FROM qpri) AS nll1_e6,
+       |    CAST(SUM(t.l0_e6) AS BIGINT) +
+       |      (SELECT CAST(ROUND(ln((d0 + 1) / CAST(d1 + d0 + 2 AS DOUBLE)) * -1e6) AS BIGINT) FROM qpri) AS nll0_e6
+       |  FROM qterms t GROUP BY t.doc_id),
+       |qkept AS (SELECT doc_id, n_tokens FROM qscored WHERE nll1_e6 <= nll0_e6),
+       |fcomp AS (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id),
+       |ffold AS (
+       |  SELECT k.doc_id, k.n_tokens,
+       |    CASE WHEN ${detHashSql("COALESCE(c.comp, k.doc_id)", DedupQueries.LeakFoldSeed)} % 10 < 8
+       |      THEN 'train' ELSE 'test' END AS fold,
+       |    CAST(floor(k.doc_id / $PackGroup.0) AS BIGINT) AS grp
+       |  FROM qkept k LEFT JOIN fcomp c USING (doc_id)),
+       |pg AS (SELECT doc_id, fold, grp, n_tokens,
+       |  ROW_NUMBER() OVER (PARTITION BY fold, grp ORDER BY doc_id) AS pos FROM ffold),
+       |ppack AS (
+       |  SELECT fold, grp, pos, doc_id, n_tokens, n_tokens AS load, CAST(0 AS BIGINT) AS bin
+       |  FROM pg WHERE pos = 1
+       |  UNION ALL
+       |  SELECT g.fold, g.grp, g.pos, g.doc_id, g.n_tokens,
+       |    CASE WHEN p.load + g.n_tokens <= $PackBudget THEN p.load + g.n_tokens ELSE g.n_tokens END,
+       |    CASE WHEN p.load + g.n_tokens <= $PackBudget THEN p.bin ELSE p.bin + 1 END
+       |  FROM ppack p JOIN pg g ON g.fold = p.fold AND g.grp = p.grp AND g.pos = p.pos + 1)
+       |SELECT doc_id, fold, grp, bin, n_tokens FROM ppack ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "ta17_nb_quality" -> (ta17NbQuality _),
+    "sm11_unimax" -> (sm11Unimax _),
     "pk3_nextfit_pack" -> (pk3NextfitPack _),
+    "e2e4_prep_pipeline" -> (e2e4PrepPipeline _),
     "e2e1_curation_pipeline" -> (e2e1CurationPipeline _),
     "ta7_repetition" -> (ta7Repetition _),
     "sm9_dsir_weights" -> (sm9DsirWeights _),
@@ -1131,7 +1325,9 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "ta17_nb_quality" -> ta17NbQualitySql,
+    "sm11_unimax" -> sm11UnimaxSql,
     "pk3_nextfit_pack" -> pk3NextfitPackSql,
+    "e2e4_prep_pipeline" -> e2e4PrepPipelineSql,
     "e2e1_curation_pipeline" -> e2e1CurationPipelineSql,
     "ta7_repetition" -> ta7RepetitionSql,
     "sm9_dsir_weights" -> sm9DsirWeightsSql,

@@ -237,15 +237,25 @@ object DedupQueries {
     * dd4's Jaccard-verified pairs (min-label propagation,
     * [[Dedup.connectedComponents]]); cluster_id = min doc_id in the
     * component. This is the closure [[Dedup.dropDuplicates]] keys on. */
+  /** dd8's component table (id → min-id component), pinned once per
+    * (session, dir): the label-propagation loop is iterative work that
+    * both dd8 and sm10 consume — without the pin each pays the full
+    * iteration (measured 0.81 + 0.94 s at sf0.1; the second consumer
+    * should cost a join, not a graph algorithm). */
+  private[queries] def cachedComponents(s: SparkSession, dir: String): DataFrame =
+    SessionShare.materialized(s, dir, "dd8_comp") {
+      Dedup.connectedComponents(dd4Verified(s, dir), "doc_a", "doc_b")
+    }
+
   def dd8Clusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(dd4Verified(s, dir), "doc_a", "doc_b")
+    cachedComponents(s, dir)
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy("doc_id")
 
   /** Shared CTE chain for the transitive-closure oracles (dd8, sm10): LSH
     * candidates → Jaccard-verified edges → min-label reachability. Callers
     * splice it after `WITH RECURSIVE` and read the `reach` relation. */
-  private def componentCtesDuck: String =
+  private[queries] def componentCtesDuck: String =
     s"""sig AS ($minhashSigsDuck),
        |band AS ($bandedSigsDuck),
        |cand AS (
@@ -277,7 +287,7 @@ object DedupQueries {
 
   /** sm10's fold seed — distinct from every other detHash seed in the suite
     * so the leakage-safe folds are independent of the dd7/sm2 splits. */
-  private val LeakFoldSeed = 73
+  private[queries] val LeakFoldSeed = 73
 
   /** sm10_leakage_safe_split — contamination-safe train/test split: the
     * fold of every document is decided by the MIN-ID OF ITS NEAR-DUP
@@ -296,7 +306,7 @@ object DedupQueries {
     * tiny); the fold is then ONE hash projection + a doc_id-keyed left
     * join. No new shuffle shape anywhere. */
   def sm10LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
-    val comp = Dedup.connectedComponents(dd4Verified(s, dir), "doc_a", "doc_b")
+    val comp = cachedComponents(s, dir)
       .select(col("id").as("doc_id"), col("comp"))
     t(s, dir, "documents").select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")

@@ -201,6 +201,61 @@ class R10QueriesSpec extends SparkSpec {
     assert(rows.groupBy(_._2).values.exists(_.map(_._3).distinct.length > 1))
   }
 
+  test("e2e4: gate, leakage-safe folds, and packing compose consistently") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CurationQueries.e2e4PrepPipeline(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = graft.Tables(spark, dir, "documents").count()
+    assert(rows.nonEmpty && rows.length < total,
+      "the quality gate must fire somewhere without emptying the corpus")
+    assert(rows.map(_._1).distinct.length === rows.length, "one bin per doc")
+    // fold assignment must agree with the standalone sm10 face
+    val sm10 = DedupQueries.sm10LeakageSafeSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    rows.foreach { case (id, fold, _, _, _) =>
+      assert(fold === sm10(id), s"doc $id fold diverges from sm10")
+    }
+    // packing invariants within each (fold, grp): budget and contiguity
+    rows.groupBy(r => (r._2, r._3, r._4)).foreach { case ((f, g, b), docs) =>
+      assert(docs.map(_._5).sum <= 256L || docs.length === 1,
+        s"multi-doc bin ($f,$g,$b) over budget")
+    }
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((f, g), docs) =>
+      val bins = docs.map(_._4).distinct.sorted.toSeq
+      assert(bins === (0L until bins.length).toSeq,
+        s"($f,$g) bins not contiguous from 0: $bins")
+    }
+    // both folds survive the gate on this corpus
+    assert(rows.map(_._2).toSet === Set("train", "test"))
+  }
+
+  test("sm11: caps saturate, the remainder splits equally, and nothing overspends") {
+    val rows = CurationQueries.sm11Unimax(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val budget = rows.map(_._2).sum * 16L / 10L
+    rows.foreach { case (lang, n, capacity, capped, alloc, e6) =>
+      assert(capacity === n * 2L, s"$lang capacity")
+      assert(alloc <= capacity, s"$lang exceeds its repeat cap")
+      if (capped == 1) assert(alloc === capacity, s"$lang marked capped but unsaturated")
+      assert(e6 <= 2_000_000L, s"$lang exceeds 2 epochs")
+    }
+    val spent = rows.map(_._5).sum
+    assert(spent <= budget, "allocation overspends the budget")
+    // unallocated = only the floor-division remainder (< #langs tokens)
+    assert(budget - spent < rows.length.toLong, s"left $spent of $budget on the table")
+    val uncapped = rows.filter(_._4 == 0)
+    assert(uncapped.nonEmpty && rows.exists(_._4 == 1),
+      "the 1.6-epoch budget must exercise both regimes on this corpus")
+    assert(uncapped.map(_._5).distinct.length === 1,
+      "water-filled languages must share equally")
+    val share = uncapped.head._5
+    rows.filter(_._4 == 1).foreach { c =>
+      assert(c._3 <= share, "water level: every saturated cap sits at or below the share")
+    }
+  }
+
   test("ta17: unseen test-only words back off by add-one in both classes") {
     // the single test doc is entirely OOV: both class scores reduce to
     // prior + n·(-ln(1/(T_c+V))) — finite, and pred follows the prior side
