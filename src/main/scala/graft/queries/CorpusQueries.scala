@@ -414,7 +414,7 @@ object CorpusQueries {
   /** One BPE learning pass per (session, dir), shared by tok1 (merge table)
     * and tok2 (encoded state) — learn() checkpoints every round, so the
     * iteration runs once and both faces read materialized frames. */
-  private def bpeLearned(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private[queries] def bpeLearned(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     graft.operators.SessionShare.cached(s, dir, "bpe_learn3") {
       val words = t(s, dir, "documents")
         .select(explode(toks(col("text"))).as("word"))
@@ -562,6 +562,106 @@ object CorpusQueries {
        |  CAST(ROUND(1e6 * CAST(COALESCE(SUM(CASE WHEN rnk <= v THEN 1 END), 0) AS BIGINT) / COUNT(*)) AS BIGINT) AS type_coverage_e6
        |FROM ex GROUP BY v ORDER BY v""".stripMargin
 
+  /** tok6's word-length budget (words truncate here BEFORE the DP — the
+    * a24 convention, so per-word cost is constant) and the piece-length
+    * bound (3 BPE merges can build a piece of at most 4 characters:
+    * each merge concatenates two existing symbols, so max length doubles
+    * per merge only when both sides are maximal — 1→2→…≤4 with 3 rounds). */
+  private val SegWordCap = 20
+  private val SegPieceMax = 4
+
+  /** tok6_unigram_seg — unigram-LM (SentencePiece-style) segmentation:
+    * Viterbi-decode each vocabulary word into the piece sequence with
+    * minimal total negative log-likelihood under unigram piece
+    * probabilities (Kudo 2018, "Subword Regularization" — the OTHER major
+    * subword algorithm next to tok1-tok3's BPE; SentencePiece ships both).
+    * The piece inventory and probabilities come from the tok1 tokenizer's
+    * own state (piece frequency = corpus occurrences under the learned
+    * merges), so tok2 vs tok6 is a genuine algorithm comparison on one
+    * vocabulary: greedy merge order vs global-likelihood decoding. Unknown
+    * single characters back off to an add-one floor, so every word scores
+    * finite.
+    *
+    * The DP stays DECLARATIVE: with pieces capped at [[SegPieceMax]]
+    * chars, best(j) depends only on best(j−1..j−4), so the whole Viterbi
+    * is one `aggregate` fold over character positions carrying a 4-slot
+    * state — NULL marks an unreachable prefix (both engines' `least`
+    * skips NULLs, which is the trick that makes the fold and the oracle's
+    * unrolled-CTE replay bit-identical). Per-term e6 rounding BEFORE the
+    * fold keeps every comparison integer.
+    *
+    * Scale shape: the DP runs on the DISTINCT VOCABULARY (bounded at any
+    * corpus size), as a pure projection over a literal piece→cost map
+    * (vocabulary of pieces ≪ words); the document face would then be the
+    * tok3 broadcast join. Output = top-20 words by frequency, the tok2
+    * convention. */
+  def tok6UnigramSeg(s: SparkSession, dir: String): DataFrame = {
+    val words = bpeLearned(s, dir)._2
+    val pf = words.select(col("freq"), explode(col("syms")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("pf"))
+    val tot = pf.agg(sum("pf").as("tot"))
+    val lp = pf.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        round(log(col("pf").cast(DoubleType) / col("tot").cast(DoubleType)) * lit(-1e6))
+          .cast(LongType).as("lp_e6"))
+    val lpMap = lp
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("lp_e6")))).as("lpm"))
+      .crossJoin(broadcast(tot.select(
+        round(log((col("tot") + 1).cast(DoubleType)) * lit(1e6)).cast(LongType).as("unk_e6"))))
+    val dp =
+      s"""aggregate(
+         |  sequence(1, length(wt)),
+         |  named_struct('b1', CAST(0 AS BIGINT), 'b2', CAST(NULL AS BIGINT),
+         |               'b3', CAST(NULL AS BIGINT), 'b4', CAST(NULL AS BIGINT)),
+         |  (st, j) -> named_struct(
+         |    'b1', least(
+         |      st.b1 + coalesce(try_element_at(lpm, substring(wt, j, 1)), unk_e6),
+         |      st.b2 + try_element_at(lpm, substring(wt, j - 1, 2)),
+         |      st.b3 + try_element_at(lpm, substring(wt, j - 2, 3)),
+         |      st.b4 + try_element_at(lpm, substring(wt, j - 3, 4))),
+         |    'b2', st.b1, 'b3', st.b2, 'b4', st.b3),
+         |  st -> st.b1)""".stripMargin
+    words.select(col("word"), col("freq"))
+      .crossJoin(broadcast(lpMap))
+      .withColumn("wt", substring(col("word"), 1, SegWordCap))
+      .withColumn("wlen", length(col("wt")).cast(LongType))
+      .withColumn("unig_nll_e6", expr(dp))
+      .select("word", "freq", "wlen", "unig_nll_e6")
+      .orderBy(desc("freq"), col("word")).limit(20)
+  }
+
+  val tok6UnigramSegSql: String = {
+    def lpAt(start: String, k: Int): String =
+      s"(SELECT lp_e6 FROM seg_lp WHERE piece = substr(w.wt, $start, $k))"
+    val chain = (1 to SegWordCap).map { j =>
+      val cands = (1 to SegPieceMax).filter(_ <= j).map { k =>
+        val prev = if (j - k == 0) "CAST(0 AS BIGINT)" else s"b${j - k}"
+        val piece = lpAt((j - k + 1).toString, k)
+        if (k == 1) s"$prev + COALESCE($piece, (SELECT unk_e6 FROM seg_unk))"
+        else s"$prev + $piece"
+      }
+      val best = if (cands.length == 1) cands.head else s"least(${cands.mkString(",\n    ")})"
+      s"c$j AS (SELECT w.*, $best AS b$j FROM c${j - 1} w)"
+    }.mkString(",\n")
+    val finalCase = (1 to SegWordCap).map(j => s"WHEN $j THEN b$j").mkString(" ")
+    s"""WITH $bpeCoreSql,
+       |seg_pf AS (
+       |  SELECT sym AS piece, CAST(SUM(freq) AS BIGINT) AS pf
+       |  FROM (SELECT freq, unnest(syms) AS sym FROM state3) t GROUP BY sym),
+       |seg_tot AS (SELECT CAST(SUM(pf) AS BIGINT) AS tot FROM seg_pf),
+       |seg_lp AS (
+       |  SELECT piece,
+       |    CAST(ROUND(-1e6 * ln(CAST(pf AS DOUBLE) / CAST((SELECT tot FROM seg_tot) AS DOUBLE))) AS BIGINT) AS lp_e6
+       |  FROM seg_pf),
+       |seg_unk AS (SELECT CAST(ROUND(1e6 * ln(CAST(tot + 1 AS DOUBLE))) AS BIGINT) AS unk_e6 FROM seg_tot),
+       |c0 AS (SELECT word, freq, substr(word, 1, $SegWordCap) AS wt,
+       |  len(substr(word, 1, $SegWordCap)) AS wlen FROM state3),
+       |$chain
+       |SELECT word, freq, CAST(wlen AS BIGINT) AS wlen,
+       |  CASE wlen $finalCase END AS unig_nll_e6
+       |FROM c$SegWordCap ORDER BY freq DESC, word LIMIT 20""".stripMargin
+  }
+
   /** Shared CTE chain (state0 → state3 + per-round st rows) for the tok1 /
     * tok2 / tok3 oracles — the DuckDB replay of [[bpeLearned]]. LAZY:
     * tok3's val sits above this definition in source order, and a strict
@@ -615,6 +715,7 @@ object CorpusQueries {
     "tok3_bpe_doc_tokens" -> (tok3BpeDocTokens _),
     "tok4_fertility" -> (tok4Fertility _),
     "tok5_oov_coverage" -> (tok5OovCoverage _),
+    "tok6_unigram_seg" -> (tok6UnigramSeg _),
     "cms1_heavy_hitters" -> (cms1HeavyHitters _),
     "a16_textrank" -> (a16TextRank _),
     "a1_corpus_stats" -> (a1CorpusStats _),
@@ -631,6 +732,7 @@ object CorpusQueries {
     "tok3_bpe_doc_tokens" -> tok3BpeDocTokensSql,
     "tok4_fertility" -> tok4FertilitySql,
     "tok5_oov_coverage" -> tok5OovCoverageSql,
+    "tok6_unigram_seg" -> tok6UnigramSegSql,
     "cms1_heavy_hitters" -> cms1HeavyHittersSql,
     "a16_textrank" -> a16TextRankSql,
     "a1_corpus_stats" -> a1CorpusStatsSql,

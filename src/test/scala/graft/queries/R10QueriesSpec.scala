@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Golden/invariant checks for the r10 additions beyond the DuckDB oracle
   * replay: a24's ROUGE-L identities and its truncation contract. */
@@ -199,6 +200,41 @@ class R10QueriesSpec extends SparkSpec {
     // and some group has >1 bin
     assert(rows.groupBy(r => (r._2, r._3)).values.exists(_.length > 1))
     assert(rows.groupBy(_._2).values.exists(_.map(_._3).distinct.length > 1))
+  }
+
+  test("tok6: the declarative Viterbi equals exhaustive minimal segmentation") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CorpusQueries.tok6UnigramSeg(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 20)
+    // rebuild the piece cost table exactly like the query does
+    val pf = CorpusQueries.bpeLearned(spark, dir)._2
+      .select(col("freq"), explode(col("syms")).as("p"))
+      .groupBy("p").agg(sum("freq").as("pf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = pf.values.sum
+    val lp = pf.map { case (p, f) =>
+      p -> math.round(math.log(f.toDouble / tot.toDouble) * -1e6)
+    }
+    val unk = math.round(math.log((tot + 1).toDouble) * 1e6)
+    // exhaustive enumeration of every piece decomposition (parts <= 4);
+    // exponential, so only run it where it's cheap — which covers the
+    // whole synthetic vocabulary
+    def enum(w: String): Long =
+      if (w.isEmpty) 0L
+      else (1 to math.min(4, w.length)).flatMap { k =>
+        val c = lp.get(w.take(k)).orElse(if (k == 1) Some(unk) else None)
+        c.map(_ + enum(w.drop(k)))
+      }.min
+    rows.foreach { case (word, _, wlen, nll) =>
+      assert(wlen <= 20L)
+      if (wlen <= 14) {
+        assert(nll === enum(word.take(20)),
+          s"DP diverges from exhaustive enumeration on '$word'")
+      }
+      assert(nll > 0L, s"'$word' must have positive NLL")
+    }
+    assert(rows.exists(_._3 <= 14L), "fixture regression: no enumerable words")
   }
 
   test("e2e4: gate, leakage-safe folds, and packing compose consistently") {
