@@ -467,8 +467,97 @@ object ALQueries {
        |ORDER BY strategy, vec_id""".stripMargin
   }
 
+  /** al10's geometry: seed = vec_id 0 (the fixed-query convention), 8
+    * centers selected. */
+  private val KcK = 8
+
+  /** al10_kcenter — greedy k-center core-set selection (Sener & Savarese
+    * 2018, ICLR: the DIVERSITY acquisition family, vs al1–al9's
+    * uncertainty family): repeatedly pick the pool point FARTHEST from the
+    * already-selected centers (max-min squared distance), so the chosen
+    * batch covers the embedding space — the 2-approximation of the
+    * k-center cover the paper optimizes. `radius_e9` at each step is the
+    * max-min distance when that center was chosen; the last row's value is
+    * the covering radius of the selected set.
+    *
+    * Scale shape: the honest distributed greedy — each of the K−1 rounds
+    * is ONE corpus pass updating a running min-distance column against the
+    * single new broadcast center (pinned per round; at 100 TB this is K
+    * scans of a narrow (id, embedding, mind) frame, the textbook cluster
+    * implementation), plus a 1-row bounded TakeOrdered+collect for the
+    * argmax. Distances e9-round BEFORE every comparison (the ss4
+    * convention), ids break ties, so the greedy chain is engine-exact; the
+    * oracle unrolls it as MATERIALIZED CTEs (the ir7 lesson: an inlining
+    * planner would re-expand the chain exponentially). */
+  def al10Kcenter(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    def dE9(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(lit(1e9) * call_function("vec_sqdist", a, b)).cast("long")
+    val out = Vector.newBuilder[(Int, Long, Long)]
+    out += ((1, 0L, 0L))
+    var pool = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("ce"))))
+      .select(col("vec_id"), col("embedding"), dE9(col("embedding"), col("ce")).as("mind_e9"))
+      .localCheckpoint()
+    var exhausted = false
+    for (step <- 2 to KcK if !exhausted) {
+      // bounded collect: at most one row (the argmax) per round
+      val nextRows = pool.orderBy(desc("mind_e9"), col("vec_id")).limit(1)
+        .select("vec_id", "mind_e9").collect()
+      if (nextRows.isEmpty) exhausted = true
+      else {
+        val next = nextRows.head
+        val (nid, nd) = (next.getLong(0), next.getLong(1))
+        out += ((step, nid, nd))
+        if (step < KcK) {
+          val ce = emb.filter(col("vec_id") === nid).select(col("embedding").as("ce"))
+          pool = pool.filter(col("vec_id") =!= nid)
+            .crossJoin(broadcast(ce))
+            .select(col("vec_id"), col("embedding"),
+              least(col("mind_e9"), dE9(col("embedding"), col("ce"))).as("mind_e9"))
+            .localCheckpoint()
+        }
+      }
+    }
+    val spark0 = s
+    import spark0.implicits._
+    out.result().toDF("step", "vec_id", "radius_e9")
+  }
+
+  val al10KcenterSql: String = {
+    def sqd(a: String, b: String): String = {
+      val d = "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+      s"CAST(ROUND(1e9 * list_sum(list_transform(list_zip($a, $b), p -> $d * $d))) AS BIGINT)"
+    }
+    val steps = (2 to KcK).map { j =>
+      val prev = if (j == 2) "p1" else s"p${j - 1}"
+      val upd = if (j == KcK) "" else
+        s""",
+           |p$j AS MATERIALIZED (
+           |  SELECT p.vec_id, p.embedding,
+           |    least(p.mind_e9, ${sqd("p.embedding", "c.embedding")}) AS mind_e9
+           |  FROM $prev p JOIN emb c ON c.vec_id = (SELECT vec_id FROM s$j)
+           |  WHERE p.vec_id <> (SELECT vec_id FROM s$j))""".stripMargin
+      s"""s$j AS MATERIALIZED (
+         |  SELECT vec_id, mind_e9 FROM $prev ORDER BY mind_e9 DESC, vec_id LIMIT 1)$upd""".stripMargin
+    }.mkString(",\n")
+    val rows = (2 to KcK)
+      .map(j => s"SELECT $j AS step, vec_id, mind_e9 AS radius_e9 FROM s$j")
+      .mkString("\nUNION ALL ")
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+       |p1 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, ${sqd("e.embedding", "c.embedding")} AS mind_e9
+       |  FROM emb e JOIN emb c ON c.vec_id = 0 WHERE e.vec_id <> 0),
+       |$steps
+       |SELECT 1 AS step, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS radius_e9
+       |UNION ALL $rows
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] =
     Map(
+      "al10_kcenter" -> (al10Kcenter _),
       "al1_random" -> (al1Random _),
       "al2_long" -> (al2Long _),
       "e2e3_al_loop" -> (e2e3AlLoop _),
@@ -483,6 +572,7 @@ object ALQueries {
 
   val oracles: Map[String, String] =
     Map(
+      "al10_kcenter" -> al10KcenterSql,
       "al1_random" -> al1RandomSql,
       "al2_long" -> al2LongSql,
       "e2e3_al_loop" -> e2e3AlLoopSql,

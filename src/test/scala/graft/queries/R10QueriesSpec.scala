@@ -202,6 +202,39 @@ class R10QueriesSpec extends SparkSpec {
     assert(rows.groupBy(_._2).values.exists(_.map(_._3).distinct.length > 1))
   }
 
+  test("al10: radii shrink monotonically and every center is distinct") {
+    val rows = ALQueries.al10Kcenter(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[Long]("vec_id"), r.getAs[Long]("radius_e9")))
+    assert(rows.length === 8)
+    assert(rows.head === ((1, 0L, 0L)), "seed is vec 0 with radius 0")
+    assert(rows.map(_._2).distinct.length === 8)
+    val radii = rows.drop(1).map(_._3)
+    assert(radii === radii.sorted(Ordering[Long].reverse),
+      "max-min distance can only shrink as centers accumulate")
+    assert(radii.forall(_ > 0L))
+  }
+
+  test("al10: three separated clusters are each covered before any is revisited") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("al10c").toString
+    def pad(v: Seq[Float]): Array[Float] = (v ++ Seq.fill(64 - v.length)(0.0f)).toArray
+    // cluster A near the origin (seed lives here), B on axis 0, C on axis 1
+    Seq(
+      (0L, pad(Seq(0.0f, 0.0f)), 0), (1L, pad(Seq(0.2f, 0.0f)), 0),
+      (2L, pad(Seq(10.0f, 0.0f)), 0), (3L, pad(Seq(10.2f, 0.0f)), 0),
+      (4L, pad(Seq(0.0f, 10.0f)), 0), (5L, pad(Seq(0.0f, 10.2f)), 0)
+    ).toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val rows = ALQueries.al10Kcenter(spark, tmp).collect()
+      .map(r => r.getAs[Long]("vec_id"))
+    assert(rows.length === 6, "pool exhaustion must stop the greedy cleanly")
+    // the first three picks must hit all three clusters exactly once
+    val cluster = Map(0L -> "A", 1L -> "A", 2L -> "B", 3L -> "B", 4L -> "C", 5L -> "C")
+    assert(rows.take(3).map(cluster).toSet === Set("A", "B", "C"),
+      s"first three centers must cover all clusters, got ${rows.take(3)}")
+  }
+
   test("tok6: the declarative Viterbi equals exhaustive minimal segmentation") {
     val dir = "/root/testdata/sf0.001"
     val rows = CorpusQueries.tok6UnigramSeg(spark, dir).collect()
