@@ -1813,8 +1813,107 @@ object TextQueries {
        |FROM d CROSS JOIN st ORDER BY qld_e6 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** a27's sample width: Self-BLEU is O(sample²) by definition (Zhu et al.
+    * 2018 compute it on a sample, never the corpus), so the sample is a
+    * deterministic bounded slice and the pair matrix is 10×9. */
+  private val SelfBleuN = 10
+
+  /** a27_self_bleu — Self-BLEU diversity (Zhu et al. 2018, "Texygen": the
+    * standard ACROSS-set diversity metric — score each sampled generation
+    * as a candidate against every other as the reference and average; HIGH
+    * Self-BLEU = mode collapse). Complements a26: distinct-n sees
+    * degenerate decoding WITHIN the gram distribution, Self-BLEU sees
+    * copies ACROSS generations. Formulas are exactly a22's sentence BLEU-2
+    * (unsmoothed p1, add-one p2, brevity penalty) so the two metrics are
+    * comparable.
+    *
+    * Scale shape: the sample is a bounded TakeOrdered slice; gram counts
+    * for it are a tiny (doc, n, gram) table; the clip join is equi on
+    * (n, gram) and the full pair matrix is a broadcast non-equi join whose
+    * both sides carry their limit — everything after the sample selection
+    * is O(sample²), independent of corpus size. */
+  def a27SelfBleu(s: SparkSession, dir: String): DataFrame = {
+    val d = DoubleType
+    val sample = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      .orderBy("doc_id").limit(SelfBleuN)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val grams = sample
+      .withColumn("g2", wordNgrams("tk", 2))
+      .select(col("doc_id"), explode(concat(
+        expr("transform(tk, x -> struct(1 AS n, x AS g))"),
+        expr("transform(g2, x -> struct(2 AS n, x AS g))"))).as("p"))
+      .groupBy(col("doc_id"), col("p.n").as("n"), col("p.g").as("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val clips = grams.select(col("doc_id").as("da"), col("n"), col("g"), col("cnt").as("ca"))
+      .join(grams.select(col("doc_id").as("db"), col("n"), col("g"), col("cnt").as("cb")),
+        Seq("n", "g"))
+      .filter(col("da") =!= col("db"))
+      .groupBy("da", "db")
+      .agg(coalesce(sum(when(col("n") === 1, least(col("ca"), col("cb")))), lit(0L)).as("m1"),
+        coalesce(sum(when(col("n") === 2, least(col("ca"), col("cb")))), lit(0L)).as("m2"))
+    val lens = sample.select(col("doc_id"),
+      size(col("tk")).cast("long").as("len1"),
+      greatest(size(col("tk")) - 1, lit(0)).cast("long").as("len2"))
+    val p1 = col("m1").cast(d) / col("c_len").cast(d)
+    val p2 = (col("m2") + 1).cast(d) / (col("t2") + 1).cast(d)
+    val bp = exp(least(lit(0.0).cast(d),
+      lit(1.0).cast(d) - col("r_len").cast(d) / col("c_len").cast(d)))
+    lens.select(col("doc_id").as("da"), col("len1").as("c_len"), col("len2").as("t2"))
+      .join(broadcast(lens.select(col("doc_id").as("db"), col("len1").as("r_len"))),
+        col("da") =!= col("db"))
+      .join(clips, Seq("da", "db"), "left")
+      .withColumn("m1", coalesce(col("m1"), lit(0L)))
+      .withColumn("m2", coalesce(col("m2"), lit(0L)))
+      .withColumn("bleu_e6", round(bp * sqrt(p1 * p2) * lit(1e6)).cast("long"))
+      .groupBy("da")
+      .agg(count(lit(1)).as("n_refs"), sum("bleu_e6").as("sum_e6"))
+      .withColumn("self_bleu_e6",
+        round(col("sum_e6").cast(d) / col("n_refs").cast(d)).cast("long"))
+      .select(col("da").as("doc_id"), col("n_refs"), col("self_bleu_e6"))
+      .orderBy("doc_id")
+  }
+
+  val a27SelfBleuSql: String =
+    s"""WITH sample AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE doc_id % 2 = 0 ORDER BY doc_id LIMIT $SelfBleuN),
+       |tokpos AS (
+       |  SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS pos FROM sample),
+       |big AS (
+       |  SELECT doc_id, w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |  FROM tokpos),
+       |grams AS (
+       |  SELECT doc_id, n, g, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, 1 AS n, w AS g FROM tokpos
+       |    UNION ALL
+       |    SELECT doc_id, 2 AS n, g FROM big WHERE g IS NOT NULL) t
+       |  GROUP BY doc_id, n, g),
+       |clips AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |    CAST(COALESCE(SUM(CASE WHEN a.n = 1 THEN least(a.cnt, b.cnt) END), 0) AS BIGINT) AS m1,
+       |    CAST(COALESCE(SUM(CASE WHEN a.n = 2 THEN least(a.cnt, b.cnt) END), 0) AS BIGINT) AS m2
+       |  FROM grams a JOIN grams b ON a.n = b.n AND a.g = b.g AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2),
+       |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len1,
+       |  CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS len2 FROM sample),
+       |pairs AS (
+       |  SELECT la.doc_id AS da, lb.doc_id AS db, la.len1 AS c_len, la.len2 AS t2,
+       |    lb.len1 AS r_len, COALESCE(c.m1, 0) AS m1, COALESCE(c.m2, 0) AS m2
+       |  FROM lens la JOIN lens lb ON la.doc_id <> lb.doc_id
+       |  LEFT JOIN clips c ON c.da = la.doc_id AND c.db = lb.doc_id),
+       |scored AS (
+       |  SELECT da,
+       |    CAST(ROUND(exp(least(CAST(0 AS DOUBLE), 1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE))) *
+       |      sqrt((CAST(m1 AS DOUBLE) / CAST(c_len AS DOUBLE)) *
+       |           (CAST(m2 + 1 AS DOUBLE) / CAST(t2 + 1 AS DOUBLE))) * 1e6) AS BIGINT) AS bleu_e6
+       |  FROM pairs)
+       |SELECT da AS doc_id, COUNT(*) AS n_refs,
+       |  CAST(ROUND(CAST(SUM(bleu_e6) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS self_bleu_e6
+       |FROM scored GROUP BY da ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "a26_distinct_ngrams" -> (a26DistinctNgrams _),
+    "a27_self_bleu" -> (a27SelfBleu _),
     "ir8_qld" -> (ir8Qld _),
     "p1_candidate_filter" -> (p1CandidateFilter _),
     "p5_short_filter" -> (p5ShortFilter _),
@@ -1854,6 +1953,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "a26_distinct_ngrams" -> a26DistinctNgramsSql,
+    "a27_self_bleu" -> a27SelfBleuSql,
     "ir8_qld" -> ir8QldSql,
     "p1_candidate_filter" -> p1CandidateFilterSql,
     "p5_short_filter" -> p5ShortFilterSql,

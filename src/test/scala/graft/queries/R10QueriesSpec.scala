@@ -202,6 +202,21 @@ class R10QueriesSpec extends SparkSpec {
     assert(rows.groupBy(_._2).values.exists(_.map(_._3).distinct.length > 1))
   }
 
+  test("a27: identical generations score Self-BLEU 1e6; disjoint ones score 0") {
+    // mode collapse: two identical candidates (odd ids are references for
+    // a22 and invisible to a27's even-id sample)
+    val dup = docsDir(Seq((0L, "a b c d"), (2L, "a b c d")), "a27d")
+    TextQueries.a27SelfBleu(spark, dup).collect().foreach { r =>
+      assert(r.getAs[Long]("n_refs") === 1L)
+      assert(r.getAs[Long]("self_bleu_e6") === 1000000L)
+    }
+    // full diversity: zero shared unigrams drives p1 (and so BLEU) to 0
+    val div = docsDir(Seq((0L, "a b c d"), (2L, "w x y z")), "a27v")
+    TextQueries.a27SelfBleu(spark, div).collect().foreach { r =>
+      assert(r.getAs[Long]("self_bleu_e6") === 0L)
+    }
+  }
+
   test("al10: radii shrink monotonically and every center is distinct") {
     val rows = ALQueries.al10Kcenter(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getAs[Int]("step"), r.getAs[Long]("vec_id"), r.getAs[Long]("radius_e9")))
