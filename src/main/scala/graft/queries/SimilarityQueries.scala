@@ -707,7 +707,42 @@ object SimilarityQueries {
        |ORDER BY step""".stripMargin
   }
 
+  /** a28_embed_sim — semantic generation scoring: cosine between the
+    * CANDIDATE and REFERENCE document embeddings of each a22 eval pair
+    * (even/odd doc ids, the shared pairing convention). This is the
+    * embedding rung of the generation-eval ladder — a22/a23/a24/a25 score
+    * surface overlap (n-grams, chars, LCS, edits); a metric family à la
+    * BERTScore (Zhang et al. 2020) scores MEANING, and with the catalog's
+    * document-level embeddings the doc-cosine is its honest stand-in
+    * (token-level BERTScore needs per-token embeddings the schema doesn't
+    * carry — documented boundary, like M1's torch edge).
+    *
+    * Scale shape: two filtered projections of one embedding scan, one
+    * pair_id equi-join (AQE-planned), norms precomputed once per side,
+    * integer e6 output. */
+  def a28EmbedSim(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(s, dir, "embeddings"))
+    val c = emb.filter(col("vec_id") % 2 === 0)
+      .select(expr("vec_id div 2").as("pair_id"), col("embedding").as("ec"), col("norm").as("nc"))
+    val r = emb.filter(col("vec_id") % 2 === 1)
+      .select(expr("vec_id div 2").as("pair_id"), col("embedding").as("er"), col("norm").as("nr"))
+    c.join(r, Seq("pair_id"))
+      .select(col("pair_id"),
+        cosE6(dot(col("ec"), col("er")), col("nc"), col("nr")).as("cos_e6"))
+      .orderBy("pair_id")
+  }
+
+  val a28EmbedSimSql: String =
+    s"""WITH emb AS ($withNormDuck),
+       |c AS (SELECT vec_id // 2 AS pair_id, embedding AS ec, norm AS nc
+       |  FROM emb WHERE vec_id % 2 = 0),
+       |r AS (SELECT vec_id // 2 AS pair_id, embedding AS er, norm AS nr
+       |  FROM emb WHERE vec_id % 2 = 1)
+       |SELECT pair_id, ${cosE6Sql(dotSql("c.ec", "r.er"), "c.nc", "r.nr")} AS cos_e6
+       |FROM c JOIN r USING (pair_id) ORDER BY pair_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "a28_embed_sim" -> (a28EmbedSim _),
     "ir7_mmr_rerank" -> (ir7MmrRerank _),
     "ir3_hybrid_dense" -> (ir3HybridDense _),
     "ir4_hybrid_ann" -> (ir4HybridAnn _),
@@ -723,6 +758,7 @@ object SimilarityQueries {
     "ir3_hybrid_dense" -> ir3HybridDenseSql,
     "ir4_hybrid_ann" -> ir4HybridAnnSql,
     "ir7_mmr_rerank" -> ir7MmrRerankSql,
+    "a28_embed_sim" -> a28EmbedSimSql,
     "ss5_recall_audit" -> ss5RecallAuditSql,
     "ss1_bruteforce_topk" -> ss1BruteforceTopkSql,
     "ss4_pq_topk" -> ss4PqTopkSql,

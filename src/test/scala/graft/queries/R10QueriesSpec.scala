@@ -217,6 +217,21 @@ class R10QueriesSpec extends SparkSpec {
     }
   }
 
+  test("a28: identical pair embeddings score cosine 1e6; orthogonal score 0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("a28").toString
+    def pad(v: Seq[Float]): Array[Float] = (v ++ Seq.fill(64 - v.length)(0.0f)).toArray
+    Seq(
+      (0L, pad(Seq(1.0f, 2.0f)), 0), (1L, pad(Seq(1.0f, 2.0f)), 0), // pair 0: same
+      (2L, pad(Seq(1.0f, 0.0f)), 0), (3L, pad(Seq(0.0f, 1.0f)), 0)  // pair 1: orthogonal
+    ).toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val rows = SimilarityQueries.a28EmbedSim(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(0L -> 1000000L, 1L -> 0L))
+  }
+
   test("al10: radii shrink monotonically and every center is distinct") {
     val rows = ALQueries.al10Kcenter(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getAs[Int]("step"), r.getAs[Long]("vec_id"), r.getAs[Long]("radius_e9")))
