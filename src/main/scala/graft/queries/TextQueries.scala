@@ -762,6 +762,81 @@ object TextQueries {
       |    AS flesch_e6
       |FROM x ORDER BY doc_id""".stripMargin
 
+  /** ta18_c4_rules — the C4 cleaning battery (Raffel et al. 2020, §2.2 —
+    * the LINE-oriented companion to ta10's doc-level Gopher rules, and the
+    * other rule set every web-scale corpus pipeline since has copied):
+    * retain only lines that end in terminal punctuation, have ≥5 words, and
+    * don't mention "javascript"; then drop whole pages containing "lorem
+    * ipsum" or "{", or with fewer than 3 retained lines. The single-line
+    * synthetic corpus gets deterministic line noise injected first (the f21
+    * convention) so every rule fires non-degenerately: the real corpus text
+    * becomes a terminated line, four crafted lines exercise each line rule
+    * both ways, and two doc_id-keyed conditional lines trip the page-level
+    * kills on deterministic subsets. The retained page is re-assembled and
+    * reported as a detHash digest so the cross-engine gate proves identical
+    * line-level reconstruction, not just identical counts. Line split,
+    * per-line verdicts, and re-join are all array HOFs inside ONE
+    * whole-stage-codegen projection — zero shuffles at any scale. */
+  def ta18C4Rules(s: SparkSession, dir: String): DataFrame = {
+    val noisy = concat(col("text"), lit("." +
+      "\ntoo short." +
+      "\nthis line has no terminal punctuation at the end" +
+      "\nPlease enable javascript to view this content." +
+      "\nA second well formed sentence survives the filter battery!" +
+      "\nDoes a third question line also survive the battery?"),
+      when(col("doc_id") % 7 === 0,
+        lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 3,
+        lit("\nthis line contains a curly { brace marker."))
+        .otherwise(lit("")))
+    val lines = split(col("noisy"), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") && size(split(l, " ")) >= 5 && !l.contains("javascript"))
+    val rLorem = !col("noisy").contains("lorem ipsum")
+    val rBrace = !col("noisy").contains("{")
+    val rMinSent = col("n_kept") >= 3
+    t(s, dir, "documents")
+      .select(col("doc_id"), noisy.as("noisy"))
+      .select(col("doc_id"), size(lines).as("n_lines"),
+        size(kept).as("n_kept"), rLorem.as("rule_lorem"), rBrace.as("rule_brace"),
+        detHash(array_join(kept, "\n")).as("kept_hash"))
+      .withColumn("rule_min_sent", rMinSent)
+      .withColumn("pass", col("rule_lorem") && col("rule_brace") && col("rule_min_sent"))
+      .orderBy("doc_id")
+  }
+
+  val ta18C4RulesSql: String = {
+    val nl = "chr(10)"
+    val noisyExpr =
+      s"""text || '.'
+         | || $nl || 'too short.'
+         | || $nl || 'this line has no terminal punctuation at the end'
+         | || $nl || 'Please enable javascript to view this content.'
+         | || $nl || 'A second well formed sentence survives the filter battery!'
+         | || $nl || 'Does a third question line also survive the battery?'
+         | || CASE WHEN doc_id % 7 = 0
+         |      THEN $nl || 'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+         |      ELSE '' END
+         | || CASE WHEN doc_id % 11 = 3
+         |      THEN $nl || 'this line contains a curly { brace marker.'
+         |      ELSE '' END""".stripMargin.replace("\n", "")
+    s"""WITH noisy AS (SELECT doc_id, $noisyExpr AS noisy FROM documents),
+       |f AS (SELECT doc_id, noisy, string_split(noisy, chr(10)) AS ls,
+       |  list_filter(string_split(noisy, chr(10)), l ->
+       |    regexp_matches(l, '[.!?"]$$') AND len(string_split(l, ' ')) >= 5
+       |    AND NOT contains(l, 'javascript')) AS kept
+       | FROM noisy)
+       |SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept,
+       |  NOT contains(noisy, 'lorem ipsum') AS rule_lorem,
+       |  NOT contains(noisy, '{') AS rule_brace,
+       |  ${detHashSql("array_to_string(kept, chr(10))")} AS kept_hash,
+       |  (len(kept) >= 3) AS rule_min_sent,
+       |  (NOT contains(noisy, 'lorem ipsum') AND NOT contains(noisy, '{')
+       |    AND len(kept) >= 3) AS pass
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** ta13_bm25 — Okapi BM25 retrieval scoring (Robertson & Walker 1994;
     * k1 = 1.2, b = 0.75) for a pinned 3-term query, top-20 docs. The ta6
     * tf-idf's ranked-retrieval successor: corpus statistics (N, Σdl, per-term
@@ -1936,6 +2011,7 @@ object TextQueries {
     "ta2_quality_score" -> (ta2QualityScore _),
     "ta10_gopher_rules" -> (ta10GopherRules _),
     "ta12_readability" -> (ta12Readability _),
+    "ta18_c4_rules" -> (ta18C4Rules _),
     "ta13_bm25" -> (ta13Bm25 _),
     "ir1_rrf_fusion" -> (ir1RrfFusion _),
     "ir2_prf_expansion" -> (ir2PrfExpansion _),
@@ -1976,6 +2052,7 @@ object TextQueries {
     "ta2_quality_score" -> ta2QualityScoreSql,
     "ta10_gopher_rules" -> ta10GopherRulesSql,
     "ta12_readability" -> ta12ReadabilitySql,
+    "ta18_c4_rules" -> ta18C4RulesSql,
     "ta13_bm25" -> ta13Bm25Sql,
     "ir1_rrf_fusion" -> ir1RrfFusionSql,
     "ir2_prf_expansion" -> ir2PrfExpansionSql,

@@ -368,4 +368,35 @@ class R10QueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("nll1_e6") > 0L && r.getAs[Long]("nll0_e6") > 0L)
     assert(Set(0, 1).contains(r.getAs[Int]("pred")))
   }
+
+  test("ta18: a clean long doc keeps exactly the 3 surviving lines and passes") {
+    // doc_id 1 trips neither page-level injection (1 % 7 != 0, 1 % 11 != 3)
+    val dir = docsDir(Seq((1L, "alpha beta gamma delta epsilon")), "ta18c")
+    val r = TextQueries.ta18C4Rules(spark, dir).collect().head
+    assert(r.getAs[Int]("n_lines") === 6)
+    assert(r.getAs[Int]("n_kept") === 3, "real line + exclamation + question survive")
+    assert(r.getAs[Boolean]("rule_lorem") && r.getAs[Boolean]("rule_brace")
+      && r.getAs[Boolean]("rule_min_sent") && r.getAs[Boolean]("pass"))
+  }
+
+  test("ta18: a short doc loses its content line and fails min-sentences") {
+    // "tiny doc." is 2 words — dropped by the ≥5-word line rule → 2 kept < 3
+    val dir = docsDir(Seq((1L, "tiny doc")), "ta18s")
+    val r = TextQueries.ta18C4Rules(spark, dir).collect().head
+    assert(r.getAs[Int]("n_kept") === 2)
+    assert(!r.getAs[Boolean]("rule_min_sent") && !r.getAs[Boolean]("pass"))
+  }
+
+  test("ta18: the doc_id-keyed page-level kills fire on their subsets") {
+    val dir = docsDir(Seq(
+      (0L, "alpha beta gamma delta epsilon"),   // 0 % 7 == 0 → lorem ipsum
+      (3L, "alpha beta gamma delta epsilon"),   // 3 % 11 == 3 → curly brace
+      (1L, "alpha beta gamma delta epsilon")), "ta18k")
+    val rows = TextQueries.ta18C4Rules(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!rows(0L).getAs[Boolean]("rule_lorem") && !rows(0L).getAs[Boolean]("pass"))
+    assert(rows(0L).getAs[Int]("n_kept") === 4, "the lorem line itself survives line rules")
+    assert(!rows(3L).getAs[Boolean]("rule_brace") && !rows(3L).getAs[Boolean]("pass"))
+    assert(rows(1L).getAs[Boolean]("pass"))
+  }
 }
