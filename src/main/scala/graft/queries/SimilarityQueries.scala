@@ -453,6 +453,88 @@ object SimilarityQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** ss6_sq8_topk — scalar-quantization ANN (the FAISS `SQ8` production
+    * face, the third member of the compression family next to ss4's PQ and
+    * ss2's IVF): each dimension is affinely quantized to an 8-bit code
+    * against per-dimension [min, max] corpus statistics, and candidates
+    * rank by SYMMETRIC integer code distance Σ(q_j − c_j)² — after the
+    * stats pass the probe never touches a float, and storage is d bytes
+    * per vector (16 KB/vector of fp32 → 64 B at d=64).
+    *
+    * Cross-engine exactness: floats are e6-fixed to integers FIRST, so the
+    * per-dim min/max, the floor-divided code, and the code distance are
+    * all pure integer arithmetic — the DuckDB oracle replays stats,
+    * encode, and ranking bit-for-bit (no e6-rounding of derived floats
+    * anywhere, one step stronger than ss4's e9-rounded tables).
+    *
+    * Scale shape: the stats pass is one map-side-combined explode →
+    * d output rows (collected under the d-bounded index contract of
+    * ss2/ss4 and re-entering the plan as literal arrays); encode is a
+    * pure zip_with projection; scoring is ONE corpus scan crossed with
+    * the broadcast-sized query set (the ss1 probe contract) and a
+    * per-partition TakeOrdered top-k. No corpus shuffle anywhere. */
+  def ss6Sq8Topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val xi = emb.select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * 1e6) AS BIGINT))").as("xi"))
+    // per-dimension [lo, hi] over the e6-fixed ints: d rows by construction
+    // (the bounded-index collect contract — same class as ss2's centroids)
+    val stats = xi.select(posexplode(col("xi")).as(Seq("p", "x")))
+      .groupBy("p").agg(min("x").as("lo"), max("x").as("hi"))
+      .orderBy("p").collect()
+    val loA = stats.map(_.getAs[Long]("lo"))
+    val spanA = stats.map(r => r.getAs[Long]("hi") - r.getAs[Long]("lo"))
+    val codes = xi
+      .withColumn("loA", typedlit(loA.toSeq))
+      .withColumn("spanA", typedlit(spanA.toSeq))
+      .withColumn("code", expr(
+        """zip_with(zip_with(xi, loA, (x, l) -> x - l), spanA,
+          |  (n, sp) -> IF(sp = 0L, 0L, (n * 255L) div sp))""".stripMargin))
+      .select("vec_id", "code")
+    val q = codes.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qc"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sqdist", expr(
+        "aggregate(zip_with(code, qc, (c, v) -> (c - v) * (c - v)), 0L, (acc, x) -> acc + x)"))
+    val w = Window.partitionBy("query_id").orderBy(col("sqdist"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "vec_id", "sqdist")
+      .orderBy("query_id", "rank")
+  }
+
+  val ss6Sq8TopkSql: String =
+    s"""WITH xi AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS xi
+       |  FROM embeddings),
+       |dim AS (SELECT unnest(range(len(xi))) AS p FROM (SELECT xi FROM xi LIMIT 1)),
+       |stats AS (
+       |  SELECT p, MIN(xi[p + 1]) AS lo, MAX(xi[p + 1]) AS hi
+       |  FROM xi CROSS JOIN dim GROUP BY p),
+       |arrs AS (SELECT list(lo ORDER BY p) AS loA, list(hi - lo ORDER BY p) AS spanA FROM stats),
+       |codes AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, len(xi) + 1), i ->
+       |      CASE WHEN spanA[i] = 0 THEN 0
+       |           ELSE ((xi[i] - loA[i]) * 255) // spanA[i] END) AS code
+       |  FROM xi CROSS JOIN arrs),
+       |q AS (SELECT vec_id AS query_id, code AS qc FROM codes WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    CAST(list_sum(list_transform(list_zip(c.code, q.qc),
+       |      p -> (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT))
+       |         * (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)))) AS BIGINT) AS sqdist
+       |  FROM codes c CROSS JOIN q
+       |  WHERE c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sqdist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sqdist, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, sqdist FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** ir3_hybrid_dense — dense+sparse hybrid retrieval, the modern RAG
     * first-stage: arm 1 ranks by BM25 over the [[TextQueries.RetrievalQTerms]]
     * ad-hoc query (the ta13/ir1 shared core), arm 2 ranks by exact cosine
@@ -748,6 +830,7 @@ object SimilarityQueries {
     "ir4_hybrid_ann" -> (ir4HybridAnn _),
     "ss1_bruteforce_topk" -> (ss1BruteforceTopk _),
     "ss4_pq_topk" -> (ss4PqTopk _),
+    "ss6_sq8_topk" -> (ss6Sq8Topk _),
     "ss2_ivf_topk" -> (ss2IvfTopk _),
     "ss3_lsh_topk" -> (ss3LshTopk _),
     "ss5_recall_audit" -> (ss5RecallAudit _),
@@ -762,6 +845,7 @@ object SimilarityQueries {
     "ss5_recall_audit" -> ss5RecallAuditSql,
     "ss1_bruteforce_topk" -> ss1BruteforceTopkSql,
     "ss4_pq_topk" -> ss4PqTopkSql,
+    "ss6_sq8_topk" -> ss6Sq8TopkSql,
     "ss2_ivf_topk" -> ss2IvfTopkSql,
     "ss3_lsh_topk" -> ss3LshTopkSql,
     "dd6_embed_neardup" -> dd6EmbedNeardupSql,

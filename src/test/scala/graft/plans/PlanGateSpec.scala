@@ -65,6 +65,7 @@ class PlanGateSpec extends SparkSpec {
     "ss1_bruteforce_topk" -> "query set is broadcast-sized by contract (ANN probe side)",
     "ss4_pq_topk" -> "query set (with its nSub×ks distance tables) is broadcast-sized by contract",
     "ss5_recall_audit" -> "same query-side contract as ss1/ss4, joined for recall",
+    "ss6_sq8_topk" -> "query set (as d-byte code arrays) is broadcast-sized by contract — the ss1 probe-side shape",
     "ir3_hybrid_dense" -> "dense arm's broadcast side is ONE query vector by key contract (vec_id = 0) — the ss1 probe-side shape",
     "j8_conjunctive_keywords" -> "broadcast side is the fixed keyword list (17 SDGs × ≤55 keywords shape)")
 

@@ -93,6 +93,36 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(perQuery.values.forall(_ === 5))
   }
 
+  test("sq8 recall@5 vs exact L2 is near-perfect; codes bounded to a byte") {
+    import org.apache.spark.sql.expressions.Window
+    // exact squared-L2 top-5 — the metric SQ8 approximates (the pq-test shape)
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val sqd = aggregate(zip_with(col("qv"), col("embedding"),
+        (x, y) => { val d = x.cast("double") - y.cast("double"); d * d }),
+      lit(0.0), (a, v) => a + v)
+    val w = Window.partitionBy("query_id").orderBy(col("l2"), col("vec_id"))
+    val exact = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("l2", sqd).withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SimilarityQueries.ss6Sq8Topk(spark, dir).collect()
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 255 levels per dimension ≈ 0.4% amplitude error — unlike PQ's 16
+    // shared centroids per subspace, SQ8 should recover the exact top-5
+    // almost everywhere even on uniform data; the floor documents that
+    assert(recall >= 0.8, s"recall@5 = $recall (PQ floor is 0.03)")
+    assert(rows.length === 50)
+    assert(rows.forall(_.getLong(3) >= 0L), "squared code distances are non-negative")
+    // a code distance can never exceed d·255² — the byte-bound witness
+    assert(rows.forall(_.getLong(3) <= 64L * 255 * 255))
+    val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery.values.forall(_ === 5))
+  }
+
   test("ir4: dense-arm recall@20 vs ir3's exact arm, both centroid faces") {
     // the ss5-audits-ss2 convention applied to the hybrid: how much of the
     // exact dense top-20 does the IVF-probed arm recover?
