@@ -343,6 +343,71 @@ object ALQueries {
        |FROM b ORDER BY bin""".stripMargin
   }
 
+  /** a29_brier — Brier score with the Murphy (1973) decomposition, the
+    * proper-scoring-rule companion to a17's ECE (Guo et al. 2017 report
+    * both): the per-token forecast is p₁ (probability of class 0, the
+    * one-vs-all binary face of the same scorer a17 audits), the outcome is
+    * whether the synthetic tag IS class 0, and forecasts bin into the same
+    * 10 reliability-diagram bins. Per bin this emits every component the
+    * decomposition BS = REL − RES + UNC + within-bin-variance needs, all
+    * in integer arithmetic: forecasts are e6-fixed BEFORE binning and
+    * squaring (bin = fe6 div 100000 — no float binning edge), so squared
+    * errors are e12 integers, bin means are floor-divided e6 integers, and
+    * the REL/RES numerators are exact products. The global base rate
+    * enters as a broadcast 1-row aggregate (the scalar crossJoin
+    * convention). Scale shape: one pool scan → 10-group hash-agg; nothing
+    * else. */
+  def a29Brier(s: SparkSession, dir: String): DataFrame = {
+    val f = probs(sparkD)(0)
+    val perTok = pool(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        explode(expr("sequence(0, path_len - 1)")).as("t"))
+      .select(
+        expr(s"CAST(ROUND(($f) * 1e6) AS BIGINT)").as("fe6"),
+        when(expr(s"CAST((vec_id + t) % $C AS INT)") === 0, 1L).otherwise(0L).as("y"))
+      .withColumn("bin", least(expr("fe6 div 100000"), lit(9L)).cast("int"))
+    val bins = perTok.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("fe6").as("sum_f_e6"),
+        sum(expr("(fe6 - y * 1000000) * (fe6 - y * 1000000)")).as("sq_err_e12"))
+      .withColumn("mean_f_e6", expr("sum_f_e6 div n"))
+      .withColumn("obs_e6", expr("(1000000 * n_pos) div n"))
+      .withColumn("rel_num_e12", expr("n * (mean_f_e6 - obs_e6) * (mean_f_e6 - obs_e6)"))
+    val glob = perTok.agg(count(lit(1)).as("nn"), sum("y").as("npos"))
+      .select(expr("(1000000 * npos) div nn").as("obar_e6"))
+    bins.crossJoin(broadcast(glob))
+      .withColumn("res_num_e12", expr("n * (obs_e6 - obar_e6) * (obs_e6 - obar_e6)"))
+      .withColumn("unc_e12", expr("obar_e6 * (1000000 - obar_e6)"))
+      .select("bin", "n", "n_pos", "sum_f_e6", "mean_f_e6", "obs_e6",
+        "sq_err_e12", "rel_num_e12", "res_num_e12", "obar_e6", "unc_e12")
+      .orderBy("bin")
+  }
+
+  val a29BrierSql: String = {
+    val f = probs(duckD)(0)
+    s"""WITH tok AS (
+       |  SELECT vec_id, embedding, unnest(range(0, path_len)) AS t
+       |  FROM (SELECT vec_id, embedding, $pathLenDuck AS path_len FROM embeddings) pool),
+       |x AS (SELECT
+       |  CAST(ROUND(($f) * 1e6) AS BIGINT) AS fe6,
+       |  CASE WHEN CAST((vec_id + t) % $C AS INT) = 0 THEN 1 ELSE 0 END AS y
+       |  FROM tok),
+       |x2 AS (SELECT fe6, y,
+       |  CAST(LEAST(fe6 // 100000, 9) AS INT) AS bin FROM x),
+       |b AS (SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+       |  CAST(SUM(fe6) AS BIGINT) AS sum_f_e6,
+       |  CAST(SUM((fe6 - y * 1000000) * (fe6 - y * 1000000)) AS BIGINT) AS sq_err_e12
+       |  FROM x2 GROUP BY bin),
+       |b2 AS (SELECT bin, n, n_pos, sum_f_e6, sq_err_e12,
+       |  sum_f_e6 // n AS mean_f_e6, (1000000 * n_pos) // n AS obs_e6 FROM b),
+       |g AS (SELECT (1000000 * CAST(SUM(y) AS BIGINT)) // COUNT(*) AS obar_e6 FROM x2)
+       |SELECT bin, n, n_pos, sum_f_e6, mean_f_e6, obs_e6, sq_err_e12,
+       |  n * (mean_f_e6 - obs_e6) * (mean_f_e6 - obs_e6) AS rel_num_e12,
+       |  n * (obs_e6 - obar_e6) * (obs_e6 - obar_e6) AS res_num_e12,
+       |  obar_e6, obar_e6 * (1000000 - obar_e6) AS unc_e12
+       |FROM b2 CROSS JOIN g ORDER BY bin""".stripMargin
+  }
+
   /** sm8_curriculum — curriculum-learning bucket assignment (Bengio et al.
     * 2009): a composite difficulty score (length, mean word length,
     * rare-word ratio vs the broadcast top-8 frequent set) ranks the corpus
@@ -562,6 +627,7 @@ object ALQueries {
       "al2_long" -> (al2Long _),
       "e2e3_al_loop" -> (e2e3AlLoop _),
       "a17_ece_calibration" -> (a17EceCalibration _),
+      "a29_brier" -> (a29Brier _),
       "sm8_curriculum" -> (sm8Curriculum _),
       "sm1_stratified_split" -> (sm1StratifiedSplit _),
       "sm2_random_split" -> (sm2RandomSplit _),
@@ -577,6 +643,7 @@ object ALQueries {
       "al2_long" -> al2LongSql,
       "e2e3_al_loop" -> e2e3AlLoopSql,
       "a17_ece_calibration" -> a17EceCalibrationSql,
+      "a29_brier" -> a29BrierSql,
       "sm8_curriculum" -> sm8CurriculumSql,
       "sm1_stratified_split" -> sm1StratifiedSplitSql,
       "sm2_random_split" -> sm2RandomSplitSql,

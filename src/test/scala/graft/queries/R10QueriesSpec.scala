@@ -369,6 +369,36 @@ class R10QueriesSpec extends SparkSpec {
     assert(Set(0, 1).contains(r.getAs[Int]("pred")))
   }
 
+  test("a29: bin placement, Murphy inequality, and base rate hold on real data") {
+    val rows = ALQueries.a29Brier(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bin, n) = (r.getAs[Int]("bin"), r.getAs[Long]("n"))
+      val meanF = r.getAs[Long]("mean_f_e6")
+      val obs = r.getAs[Long]("obs_e6")
+      assert(n > 0 && obs >= 0 && obs <= 1000000)
+      // the floor-divided bin mean must live inside its own bin's range
+      // (bin 9 absorbs everything above 900k incl. fe6 = 1e6)
+      assert(meanF >= bin * 100000L && meanF < (if (bin == 9) 1000001L else (bin + 1) * 100000L),
+        s"bin $bin mean $meanF out of range")
+    }
+    // Murphy: BS = REL − RES + UNC + within-bin-variance, WBV ≥ 0 — so the
+    // summed integer components must satisfy the inequality up to the
+    // documented floor-division slack (each of ~3 divs loses < 1 e6-unit,
+    // amplified by the squared terms: ≤ ~2e6 per bin per term)
+    val sqErr = rows.map(_.getAs[Long]("sq_err_e12")).sum
+    val rel = rows.map(_.getAs[Long]("rel_num_e12")).sum
+    val res = rows.map(_.getAs[Long]("res_num_e12")).sum
+    val nTot = rows.map(_.getAs[Long]("n")).sum
+    val unc = rows.head.getAs[Long]("unc_e12")
+    val slack = rows.length * 4L * 2000000L
+    assert(sqErr >= rel - res + nTot * unc - slack,
+      s"Murphy inequality violated: BS·N=$sqErr vs REL−RES+N·UNC=${rel - res + nTot * unc}")
+    // synthetic tags are uniform over 4 classes → base rate near 250000 e6
+    val obar = rows.head.getAs[Long]("obar_e6")
+    assert(obar > 150000L && obar < 350000L, s"obar_e6 = $obar")
+  }
+
   test("ta18: a clean long doc keeps exactly the 3 surviving lines and passes") {
     // doc_id 1 trips neither page-level injection (1 % 7 != 0, 1 % 11 != 3)
     val dir = docsDir(Seq((1L, "alpha beta gamma delta epsilon")), "ta18c")
