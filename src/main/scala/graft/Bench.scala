@@ -104,6 +104,20 @@ object Bench {
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","n":${results.size},"errors":$errs,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
+    // every run ALSO lands in bench_runs/<epochSeconds>.json so
+    // BENCH_FULL.json is never the only copy: in r10 a second Bench
+    // invocation in the same CWD silently overwrote the round's driver map
+    // (Bench writes BENCH_FULL.json unconditionally) and the full 185-query
+    // record survived only as a truncated stdout tail. Timestamped copies
+    // make overwrites impossible by construction; the dir is append-only.
+    try {
+      val runsDir = java.nio.file.Paths.get("bench_runs")
+      java.nio.file.Files.createDirectories(runsDir)
+      java.nio.file.Files.write(
+        runsDir.resolve(s"${System.currentTimeMillis() / 1000}.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] bench_runs append FAILED: ${e.getMessage}") }
     // full map for log readers; the marker prefix keeps it from ever being
     // mistaken for (truncated, unparseable) machine output
     println("BENCH_FULL " + fullLine)

@@ -253,7 +253,11 @@ object Similarity {
     * lookups through its codes — integer adds, no float math per pair, no
     * full-vector access. The queries (with tables) broadcast; the corpus
     * streams its (id, codes) — at 100 TB that is the entire point: the
-    * probe never touches the original vectors. */
+    * probe never touches the original vectors. The final per-query top-k
+    * is [[TopK.smallestPerGroup]] — the k-bounded fold+merge aggregate
+    * (r11; previously a Window.partitionBy(query_id) over the
+    * corpus-proportional scored set, the bounded-parallelism corpus sort
+    * PlanGateSpec now rejects). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, codebook: Column,
       idCol: String, vecCol: String, k: Int, nSub: Int, subDim: Int): DataFrame = {
     val enc = pqEncode(
@@ -269,12 +273,11 @@ object Similarity {
     val approx = aggregate(sequence(lit(0), lit(nSub - 1)), lit(0L),
       (acc, s) => acc +
         element_at(element_at(col("dtab"), s + 1), element_at(col("codes"), s + 1) + 1))
-    val w = Window.partitionBy("query_id").orderBy(col("adist_e9"), col("id"))
-    enc.crossJoin(broadcast(q))
+    val scored = enc.crossJoin(broadcast(q))
       .filter(col("id") =!= col("query_id"))
       .withColumn("adist_e9", approx)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    TopK.smallestPerGroup(scored, Seq("query_id"), k,
+        col("adist_e9"), col("id"), keyName = "adist_e9", idName = "id")
       .select("query_id", "rank", "id", "adist_e9")
   }
 

@@ -459,7 +459,8 @@ object SimilarityQueries {
     * against per-dimension [min, max] corpus statistics, and candidates
     * rank by SYMMETRIC integer code distance Σ(q_j − c_j)² — after the
     * stats pass the probe never touches a float, and storage is d bytes
-    * per vector (16 KB/vector of fp32 → 64 B at d=64).
+    * per vector (256 B of fp32 → 64 B at d=64; production 4096-dim
+    * embeddings go 16 KB → 4 KB, the same 4×).
     *
     * Cross-engine exactness: floats are e6-fixed to integers FIRST, so the
     * per-dim min/max, the floor-divided code, and the code distance are
@@ -471,8 +472,14 @@ object SimilarityQueries {
     * d output rows (collected under the d-bounded index contract of
     * ss2/ss4 and re-entering the plan as literal arrays); encode is a
     * pure zip_with projection; scoring is ONE corpus scan crossed with
-    * the broadcast-sized query set (the ss1 probe contract) and a
-    * per-partition TakeOrdered top-k. No corpus shuffle anywhere. */
+    * the broadcast-sized query set (the ss1 probe contract); the top-k is
+    * [[graft.operators.TopK.smallestPerGroup]] — the k-bounded
+    * fold-and-merge aggregate, so the map side reduces each scan partition
+    * to ≤ NQueries×k entries and the shuffle moves only those buffers.
+    * No corpus shuffle anywhere (r11: previously a
+    * Window.partitionBy(query_id) — 10 partition keys over the
+    * corpus-proportional scored set, the shape VERDICT r10 flagged and
+    * PlanGateSpec now rejects). */
   def ss6Sq8Topk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val xi = emb.select(col("vec_id"),
@@ -497,9 +504,8 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sqdist", expr(
         "aggregate(zip_with(code, qc, (c, v) -> (c - v) * (c - v)), 0L, (acc, x) -> acc + x)"))
-    val w = Window.partitionBy("query_id").orderBy(col("sqdist"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+    graft.operators.TopK.smallestPerGroup(scored, Seq("query_id"), TopK,
+        col("sqdist"), col("vec_id"), keyName = "sqdist", idName = "vec_id")
       .select("query_id", "rank", "vec_id", "sqdist")
       .orderBy("query_id", "rank")
   }

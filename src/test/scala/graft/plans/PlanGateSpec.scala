@@ -57,6 +57,45 @@ class PlanGateSpec extends SparkSpec {
     case _ => false
   }
 
+  /** r11 (VERDICT r10 item 2): detects the ss6-class scale-killer — a
+    * PARTITIONED window whose partition keys come from a broadcast cross
+    * join, i.e. contract-bounded-small key cardinality over a
+    * corpus-proportional input. Such a window shuffles the whole scored set
+    * into #keys partitions and fully sorts each: 10 tasks each sorting N
+    * rows. Structurally: from the window's child, a
+    * BroadcastNestedLoopJoin with a MULTI-row broadcast side is reachable
+    * without passing a bounding node (aggregate/limit/TakeOrdered/local
+    * scan). A singleton broadcast side (the crossJoin(broadcast(1-row
+    * stats)) idiom) adds no low-cardinality key — its join is skipped but
+    * its streamed side is still searched. The fix for a flagged query is
+    * [[graft.operators.TopK.smallestPerGroup]] (k-bounded fold+merge) or a
+    * per-key TakeOrdered loop. */
+  private def hasWideBnlOnPath(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => false
+    case _: GlobalLimitExec | _: LocalLimitExec => false
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => false
+    case _: LocalTableScanExec | _: RangeExec => false
+    case j: BroadcastNestedLoopJoinExec =>
+      val bcast = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      if (!isSingletonish(bcast)) true
+      else j.children.exists(hasWideBnlOnPath)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      hasWideBnlOnPath(r.child)
+    case other => other.children.exists(hasWideBnlOnPath)
+  }
+
+  /** Queries allowed a small-key partitioned window over a
+    * corpus-proportional cross-join output — each entry must justify the
+    * corpus sort. Adding one is a design decision, not a fix. */
+  private val smallKeyWindowByContract: Map[String, String] = Map(
+    "ss1_bruteforce_topk" -> ("the brute-force EXACTNESS baseline (the FM1 " +
+      "Plan-B role): its whole point is scoring and ranking the full corpus; " +
+      "production paths are ss2/ss3/ss4/ss6"),
+    "ss5_recall_audit" -> "composes ss1 (the ground-truth arm) by definition")
+
   /** Queries whose broadcast-side cross join is bounded BY CONTRACT rather
     * than by plan structure — each entry must say why the broadcast side
     * cannot grow with the corpus. Adding a query here is a design decision,
@@ -97,6 +136,12 @@ class PlanGateSpec extends SparkSpec {
           case w: WindowExec if w.partitionSpec.isEmpty =>
             if (!isBoundedSource(w.child))
               failures += s"$name: un-partitioned WindowExec over non-bounded input"
+          case w: WindowExec =>
+            if (hasWideBnlOnPath(w.child) && !smallKeyWindowByContract.contains(name))
+              failures += (s"$name: partitioned WindowExec with broadcast-" +
+                "bounded (small-cardinality) keys over a corpus-proportional " +
+                "cross-join input — use operators.TopK.smallestPerGroup or " +
+                "per-key TakeOrdered")
           case _ =>
         }
       }
