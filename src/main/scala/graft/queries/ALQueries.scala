@@ -351,12 +351,19 @@ object ALQueries {
     * 10 reliability-diagram bins. Per bin this emits every component the
     * decomposition BS = REL − RES + UNC + within-bin-variance needs, all
     * in integer arithmetic: forecasts are e6-fixed BEFORE binning and
-    * squaring (bin = fe6 div 100000 — no float binning edge), so squared
-    * errors are e12 integers, bin means are floor-divided e6 integers, and
-    * the REL/RES numerators are exact products. The global base rate
-    * enters as a broadcast 1-row aggregate (the scalar crossJoin
-    * convention). Scale shape: one pool scan → 10-group hash-agg; nothing
-    * else. */
+    * squaring (bin = fe6 div 100000 — no float binning edge), bin means
+    * are floor-divided e6 integers, and the REL/RES numerators are exact
+    * products. The e12-magnitude squared-error terms accumulate in
+    * DECIMAL(38,0) on Spark and int128/HUGEINT → DECIMAL(38,0) on DuckDB
+    * (ADVICE r10: a BIGINT sum of ~1e12 terms wraps at ~10⁷ tokens per
+    * bin — and wraps SILENTLY on non-ANSI Spark while DuckDB promotes,
+    * so the engines would diverge exactly when it matters; decimal moves
+    * the horizon to ~10²⁶ tokens per bin, far past any corpus). The
+    * global base rate derives from the 10 bin rows themselves (Σn_pos,
+    * Σn — bit-identical to a second pool aggregate), entering as a
+    * broadcast 1-row aggregate over the PINNED bins frame. Scale shape:
+    * ONE pool scan → 10-group hash-agg → 10-row pinned frame; nothing
+    * else touches the corpus. */
   def a29Brier(s: SparkSession, dir: String): DataFrame = {
     val f = probs(sparkD)(0)
     val perTok = pool(s, dir)
@@ -366,17 +373,23 @@ object ALQueries {
         expr(s"CAST(ROUND(($f) * 1e6) AS BIGINT)").as("fe6"),
         when(expr(s"CAST((vec_id + t) % $C AS INT)") === 0, 1L).otherwise(0L).as("y"))
       .withColumn("bin", least(expr("fe6 div 100000"), lit(9L)).cast("int"))
+    // the 10-row bins frame is pinned so the base-rate aggregate and the
+    // final join read one materialization — the pool scans ONCE
     val bins = perTok.groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
         sum("fe6").as("sum_f_e6"),
-        sum(expr("(fe6 - y * 1000000) * (fe6 - y * 1000000)")).as("sq_err_e12"))
+        sum(expr("CAST(fe6 - y * 1000000 AS DECIMAL(19,0)) * CAST(fe6 - y * 1000000 AS DECIMAL(19,0))"))
+          .cast("decimal(38,0)").as("sq_err_e12"))
       .withColumn("mean_f_e6", expr("sum_f_e6 div n"))
       .withColumn("obs_e6", expr("(1000000 * n_pos) div n"))
-      .withColumn("rel_num_e12", expr("n * (mean_f_e6 - obs_e6) * (mean_f_e6 - obs_e6)"))
-    val glob = perTok.agg(count(lit(1)).as("nn"), sum("y").as("npos"))
+      .withColumn("rel_num_e12", expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * CAST(mean_f_e6 - obs_e6 AS DECIMAL(19,0)) * CAST(mean_f_e6 - obs_e6 AS DECIMAL(19,0)) AS DECIMAL(38,0))"))
+      .localCheckpoint()
+    val glob = bins.agg(sum("n_pos").as("npos"), sum("n").as("nn"))
       .select(expr("(1000000 * npos) div nn").as("obar_e6"))
     bins.crossJoin(broadcast(glob))
-      .withColumn("res_num_e12", expr("n * (obs_e6 - obar_e6) * (obs_e6 - obar_e6)"))
+      .withColumn("res_num_e12", expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * CAST(obs_e6 - obar_e6 AS DECIMAL(19,0)) * CAST(obs_e6 - obar_e6 AS DECIMAL(19,0)) AS DECIMAL(38,0))"))
       .withColumn("unc_e12", expr("obar_e6 * (1000000 - obar_e6)"))
       .select("bin", "n", "n_pos", "sum_f_e6", "mean_f_e6", "obs_e6",
         "sq_err_e12", "rel_num_e12", "res_num_e12", "obar_e6", "unc_e12")
@@ -396,14 +409,14 @@ object ALQueries {
        |  CAST(LEAST(fe6 // 100000, 9) AS INT) AS bin FROM x),
        |b AS (SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
        |  CAST(SUM(fe6) AS BIGINT) AS sum_f_e6,
-       |  CAST(SUM((fe6 - y * 1000000) * (fe6 - y * 1000000)) AS BIGINT) AS sq_err_e12
+       |  CAST(SUM(CAST(fe6 - y * 1000000 AS HUGEINT) * CAST(fe6 - y * 1000000 AS HUGEINT)) AS DECIMAL(38,0)) AS sq_err_e12
        |  FROM x2 GROUP BY bin),
        |b2 AS (SELECT bin, n, n_pos, sum_f_e6, sq_err_e12,
        |  sum_f_e6 // n AS mean_f_e6, (1000000 * n_pos) // n AS obs_e6 FROM b),
-       |g AS (SELECT (1000000 * CAST(SUM(y) AS BIGINT)) // COUNT(*) AS obar_e6 FROM x2)
+       |g AS (SELECT (1000000 * CAST(SUM(n_pos) AS BIGINT)) // CAST(SUM(n) AS BIGINT) AS obar_e6 FROM b)
        |SELECT bin, n, n_pos, sum_f_e6, mean_f_e6, obs_e6, sq_err_e12,
-       |  n * (mean_f_e6 - obs_e6) * (mean_f_e6 - obs_e6) AS rel_num_e12,
-       |  n * (obs_e6 - obar_e6) * (obs_e6 - obar_e6) AS res_num_e12,
+       |  CAST(CAST(n AS HUGEINT) * CAST(mean_f_e6 - obs_e6 AS HUGEINT) * CAST(mean_f_e6 - obs_e6 AS HUGEINT) AS DECIMAL(38,0)) AS rel_num_e12,
+       |  CAST(CAST(n AS HUGEINT) * CAST(obs_e6 - obar_e6 AS HUGEINT) * CAST(obs_e6 - obar_e6 AS HUGEINT) AS DECIMAL(38,0)) AS res_num_e12,
        |  obar_e6, obar_e6 * (1000000 - obar_e6) AS unc_e12
        |FROM b2 CROSS JOIN g ORDER BY bin""".stripMargin
   }

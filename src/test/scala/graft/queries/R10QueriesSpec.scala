@@ -386,14 +386,17 @@ class R10QueriesSpec extends SparkSpec {
     // summed integer components must satisfy the inequality up to the
     // documented floor-division slack (each of ~3 divs loses < 1 e6-unit,
     // amplified by the squared terms: ≤ ~2e6 per bin per term)
-    val sqErr = rows.map(_.getAs[Long]("sq_err_e12")).sum
-    val rel = rows.map(_.getAs[Long]("rel_num_e12")).sum
-    val res = rows.map(_.getAs[Long]("res_num_e12")).sum
+    // the e12 components are DECIMAL(38,0) since r11 (overflow-proof sums)
+    def dec(r: org.apache.spark.sql.Row, c: String): BigInt =
+      BigInt(r.getAs[java.math.BigDecimal](c).toBigIntegerExact)
+    val sqErr = rows.map(dec(_, "sq_err_e12")).sum
+    val rel = rows.map(dec(_, "rel_num_e12")).sum
+    val res = rows.map(dec(_, "res_num_e12")).sum
     val nTot = rows.map(_.getAs[Long]("n")).sum
     val unc = rows.head.getAs[Long]("unc_e12")
-    val slack = rows.length * 4L * 2000000L
-    assert(sqErr >= rel - res + nTot * unc - slack,
-      s"Murphy inequality violated: BS·N=$sqErr vs REL−RES+N·UNC=${rel - res + nTot * unc}")
+    val slack = BigInt(rows.length) * 4L * 2000000L
+    assert(sqErr >= rel - res + BigInt(nTot) * BigInt(unc) - slack,
+      s"Murphy inequality violated: BS·N=$sqErr vs REL−RES+N·UNC=${rel - res + BigInt(nTot) * BigInt(unc)}")
     // synthetic tags are uniform over 4 classes → base rate near 250000 e6
     val obar = rows.head.getAs[Long]("obar_e6")
     assert(obar > 150000L && obar < 350000L, s"obar_e6 = $obar")
