@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1298,6 +1298,181 @@ object TextQueries {
       |  CAST(ROUND(bp * sqrt(p1 * p2) * 1e6) AS BIGINT) AS bleu_e6
       |FROM met ORDER BY pair_id""".stripMargin
 
+  /** a30's bootstrap geometry: resample count (nearest-rank CI positions
+    * derive from it) and the degraded system-B candidate rule (every 4th
+    * token dropped) — a deterministic, replayable stand-in for a second
+    * generation system that is plausibly-but-not-always worse. */
+  private val BootR = 200
+
+  /** a30_bootstrap_ci — paired bootstrap significance for generation
+    * metrics (Koehn 2004, "Statistical Significance Tests for Machine
+    * Translation Evaluation"). The a22–a29 eval ladder reports point
+    * scores; this answers the question every model comparison actually
+    * asks: is system A better than B BEYOND resampling noise? (a20's
+    * McNemar covers paired classifiers; this is the generation-metric
+    * counterpart.) Protocol: per eval pair, BLEU-2 sufficient statistics
+    * (clipped matches / totals / ref length — the a22 skeleton) for both
+    * systems against the SHARED reference; then [[BootR]] seeded
+    * deterministic resamples of the pair set WITH replacement (draw i of
+    * resample r picks pair detHash(r·N + i) mod N — both engines replay
+    * the exact draw sequence), each resample summing the drawn pairs'
+    * statistics into CORPUS BLEU-2 per system (Koehn computes the corpus
+    * metric per resample, not a mean of sentence scores); the one-tailed
+    * p-value for "A beats B" is the fraction of resamples where A fails
+    * to win, and the 95% CI of the delta is nearest-rank over the
+    * resample deltas. Identical systems ⇒ every delta 0 ⇒ p = 1
+    * (spec-pinned).
+    *
+    * Scale shape: ONE corpus pass builds the six gram streams (both
+    * systems + reference, orders 1–2) from a single projection → (pair,
+    * n, gram) hash agg → per-pair statistics (9 ints/pair). The bootstrap
+    * never touches text again: draws are a Range scan of R·N 16-byte
+    * rows equi-joined to the narrow stats frame (AQE-planned), per-
+    * resample rollup is a map-side-combined hash agg on r, and the CI
+    * window orders R rows (bounded — aggregate below). Eval sets are
+    * slice-bounded by contract in production; R scales the narrow join
+    * only. Integer end to end except the final e6-rounded BLEU. */
+  def a30BootstrapCi(s: SparkSession, dir: String): DataFrame =
+    bootstrapCore(s, dir, "filter(tk, (x, i) -> (i + 1) % 4 != 0)")
+
+  /** The a30 engine with system B's candidate-derivation rule as a
+    * parameter — the spec runs it with the identity rule to pin the
+    * identical-systems invariant (every delta 0 ⇒ p = 1). */
+  private[queries] def bootstrapCore(s: SparkSession, dir: String,
+      tkbExpr: String): DataFrame = {
+    val dd = DoubleType
+    val d = t(s, dir, "documents")
+      .select(expr("doc_id div 2").as("pair_id"), (col("doc_id") % 2).as("side"),
+        tokens(col("text")).as("tk"))
+      .withColumn("tkb", expr(tkbExpr))
+      .withColumn("g2a", wordNgrams("tk", 2))
+      .withColumn("g2b", wordNgrams("tkb", 2))
+    val structs = when(col("side") === 0, concat(
+        expr("transform(tk, x -> struct('a' AS sys, 1 AS n, x AS g))"),
+        expr("transform(g2a, x -> struct('a' AS sys, 2 AS n, x AS g))"),
+        expr("transform(tkb, x -> struct('b' AS sys, 1 AS n, x AS g))"),
+        expr("transform(g2b, x -> struct('b' AS sys, 2 AS n, x AS g))")))
+      .otherwise(concat(
+        expr("transform(tk, x -> struct('r' AS sys, 1 AS n, x AS g))"),
+        expr("transform(g2a, x -> struct('r' AS sys, 2 AS n, x AS g))")))
+    val stats = d.select(col("pair_id"), explode(structs).as("p"))
+      .select(col("pair_id"), col("p.sys").as("sys"), col("p.n").as("n"), col("p.g").as("g"))
+      .groupBy("pair_id", "n", "g")
+      .agg(sum(when(col("sys") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("sys") === "b", 1L).otherwise(0L)).as("cb"),
+        sum(when(col("sys") === "r", 1L).otherwise(0L)).as("rc"))
+      .groupBy("pair_id")
+      .agg(sum(when(col("n") === 1, least(col("ca"), col("rc")))).as("m1a"),
+        sum(when(col("n") === 1, col("ca"))).as("c1a"),
+        coalesce(sum(when(col("n") === 2, least(col("ca"), col("rc")))), lit(0L)).as("m2a"),
+        coalesce(sum(when(col("n") === 2, col("ca"))), lit(0L)).as("t2a"),
+        sum(when(col("n") === 1, least(col("cb"), col("rc")))).as("m1b"),
+        sum(when(col("n") === 1, col("cb"))).as("c1b"),
+        coalesce(sum(when(col("n") === 2, least(col("cb"), col("rc")))), lit(0L)).as("m2b"),
+        coalesce(sum(when(col("n") === 2, col("cb"))), lit(0L)).as("t2b"),
+        sum(when(col("n") === 1, col("rc"))).as("rl"))
+    // N from a plan-time count (the pairStride convention); doc_ids are
+    // dense so pair ids are 0..N-1 and the modulo draw hits every pair
+    val nPairs = (t(s, dir, "documents").count() + 1L) / 2L
+    val draws = s.range(BootR.toLong * nPairs)
+      .select(expr(s"id div ${nPairs}L").as("r"),
+        (detHash(col("id"), 7) % nPairs).as("pair_id"))
+    def bleu(m1: String, c1: String, m2: String, t2: String): Column = {
+      val p1 = col(m1).cast(dd) / col(c1).cast(dd)
+      val p2 = (col(m2) + 1).cast(dd) / (col(t2) + 1).cast(dd)
+      val bp = exp(least(lit(0.0), lit(1.0) - col("rl").cast(dd) / col(c1).cast(dd)))
+      round(bp * sqrt(p1 * p2) * lit(1e6)).cast(LongType)
+    }
+    val deltas = draws.join(stats, Seq("pair_id"))
+      .groupBy("r")
+      .agg(sum("m1a").as("m1a"), sum("c1a").as("c1a"), sum("m2a").as("m2a"),
+        sum("t2a").as("t2a"), sum("m1b").as("m1b"), sum("c1b").as("c1b"),
+        sum("m2b").as("m2b"), sum("t2b").as("t2b"), sum("rl").as("rl"))
+      .select(col("r"),
+        (bleu("m1a", "c1a", "m2a", "t2a") - bleu("m1b", "c1b", "m2b", "t2b")).as("delta_e6"))
+    // nearest-rank 95% CI positions over the R-row delta set
+    val loRk = math.max(1, math.ceil(0.025 * BootR).toInt)
+    val hiRk = math.min(BootR, math.ceil(0.975 * BootR).toInt)
+    deltas
+      .withColumn("rk", row_number().over(Window.orderBy(col("delta_e6"), col("r"))))
+      .agg(count(lit(1)).as("n_resamples"),
+        sum(when(col("delta_e6") > 0, 1L).otherwise(0L)).as("wins_a"),
+        sum(when(col("delta_e6") < 0, 1L).otherwise(0L)).as("wins_b"),
+        sum("delta_e6").as("sum_delta_e6"),
+        min(when(col("rk") === loRk, col("delta_e6"))).as("ci_lo_e6"),
+        min(when(col("rk") === hiRk, col("delta_e6"))).as("ci_hi_e6"))
+      .withColumn("p_a_e6", expr("(1000000 * (n_resamples - wins_a)) div n_resamples"))
+  }
+
+  val a30BootstrapCiSql: String = {
+    def bleuSql(m1: String, c1: String, m2: String, t2: String): String =
+      s"""CAST(ROUND(exp(LEAST(CAST(0 AS DOUBLE), 1 - CAST(rl AS DOUBLE) / CAST($c1 AS DOUBLE)))
+         | * sqrt((CAST($m1 AS DOUBLE) / CAST($c1 AS DOUBLE))
+         |        * (CAST($m2 + 1 AS DOUBLE) / CAST($t2 + 1 AS DOUBLE))) * 1e6) AS BIGINT)""".stripMargin
+    val loRk = math.max(1, math.ceil(0.025 * BootR).toInt)
+    val hiRk = math.min(BootR, math.ceil(0.975 * BootR).toInt)
+    s"""WITH d AS (
+       |  SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+       |    string_split(text, ' ') AS tk FROM documents),
+       |tokpos AS (
+       |  SELECT pair_id, side, unnest(tk) AS w, generate_subscripts(tk, 1) AS pos FROM d),
+       |tokb AS (SELECT pair_id, w, pos FROM tokpos WHERE side = 0 AND pos % 4 <> 0),
+       |grams AS (
+       |  SELECT pair_id, CASE WHEN side = 0 THEN 'a' ELSE 'r' END AS sys, 1 AS n, w AS g FROM tokpos
+       |  UNION ALL
+       |  SELECT pair_id, CASE WHEN side = 0 THEN 'a' ELSE 'r' END AS sys, 2 AS n, g FROM (
+       |    SELECT pair_id, side,
+       |      w || ' ' || LEAD(w) OVER (PARTITION BY pair_id, side ORDER BY pos) AS g
+       |    FROM tokpos) WHERE g IS NOT NULL
+       |  UNION ALL
+       |  SELECT pair_id, 'b' AS sys, 1 AS n, w AS g FROM tokb
+       |  UNION ALL
+       |  SELECT pair_id, 'b' AS sys, 2 AS n, g FROM (
+       |    SELECT pair_id, w || ' ' || LEAD(w) OVER (PARTITION BY pair_id ORDER BY pos) AS g
+       |    FROM tokb) WHERE g IS NOT NULL),
+       |pg AS (
+       |  SELECT pair_id, n, g,
+       |    SUM(CASE WHEN sys = 'a' THEN 1 ELSE 0 END) AS ca,
+       |    SUM(CASE WHEN sys = 'b' THEN 1 ELSE 0 END) AS cb,
+       |    SUM(CASE WHEN sys = 'r' THEN 1 ELSE 0 END) AS rc
+       |  FROM grams GROUP BY pair_id, n, g),
+       |stats AS (
+       |  SELECT pair_id,
+       |    CAST(SUM(CASE WHEN n = 1 THEN LEAST(ca, rc) END) AS BIGINT) AS m1a,
+       |    CAST(SUM(CASE WHEN n = 1 THEN ca END) AS BIGINT) AS c1a,
+       |    CAST(COALESCE(SUM(CASE WHEN n = 2 THEN LEAST(ca, rc) END), 0) AS BIGINT) AS m2a,
+       |    CAST(COALESCE(SUM(CASE WHEN n = 2 THEN ca END), 0) AS BIGINT) AS t2a,
+       |    CAST(SUM(CASE WHEN n = 1 THEN LEAST(cb, rc) END) AS BIGINT) AS m1b,
+       |    CAST(SUM(CASE WHEN n = 1 THEN cb END) AS BIGINT) AS c1b,
+       |    CAST(COALESCE(SUM(CASE WHEN n = 2 THEN LEAST(cb, rc) END), 0) AS BIGINT) AS m2b,
+       |    CAST(COALESCE(SUM(CASE WHEN n = 2 THEN cb END), 0) AS BIGINT) AS t2b,
+       |    CAST(SUM(CASE WHEN n = 1 THEN rc END) AS BIGINT) AS rl
+       |  FROM pg GROUP BY pair_id),
+       |np AS (SELECT (COUNT(*) + 1) // 2 AS npairs FROM documents),
+       |draws AS (
+       |  SELECT id // np.npairs AS r, ${detHashSql("id", 7)} % np.npairs AS pair_id
+       |  FROM (SELECT unnest(range($BootR * (SELECT npairs FROM np))) AS id) ids CROSS JOIN np),
+       |res AS (
+       |  SELECT r, CAST(SUM(m1a) AS BIGINT) AS m1a, CAST(SUM(c1a) AS BIGINT) AS c1a,
+       |    CAST(SUM(m2a) AS BIGINT) AS m2a, CAST(SUM(t2a) AS BIGINT) AS t2a,
+       |    CAST(SUM(m1b) AS BIGINT) AS m1b, CAST(SUM(c1b) AS BIGINT) AS c1b,
+       |    CAST(SUM(m2b) AS BIGINT) AS m2b, CAST(SUM(t2b) AS BIGINT) AS t2b,
+       |    CAST(SUM(rl) AS BIGINT) AS rl
+       |  FROM draws JOIN stats USING (pair_id) GROUP BY r),
+       |del AS (
+       |  SELECT r, ${bleuSql("m1a", "c1a", "m2a", "t2a")} - ${bleuSql("m1b", "c1b", "m2b", "t2b")} AS delta_e6
+       |  FROM res),
+       |rk AS (SELECT r, delta_e6, ROW_NUMBER() OVER (ORDER BY delta_e6, r) AS rk FROM del)
+       |SELECT COUNT(*) AS n_resamples,
+       |  CAST(SUM(CASE WHEN delta_e6 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+       |  CAST(SUM(CASE WHEN delta_e6 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS wins_b,
+       |  CAST(SUM(delta_e6) AS BIGINT) AS sum_delta_e6,
+       |  MIN(CASE WHEN rk = $loRk THEN delta_e6 END) AS ci_lo_e6,
+       |  MIN(CASE WHEN rk = $hiRk THEN delta_e6 END) AS ci_hi_e6,
+       |  (1000000 * (COUNT(*) - CAST(SUM(CASE WHEN delta_e6 > 0 THEN 1 ELSE 0 END) AS BIGINT))) // COUNT(*) AS p_a_e6
+       |FROM rk""".stripMargin
+  }
+
   /** a23_chrf — chrF2 (Popović 2015, the WMT-standard companion to BLEU):
     * character-trigram precision/recall F-score with β = 2 (recall weighted
     * double) over the same deterministic candidate/reference pairs as a22.
@@ -2019,6 +2194,7 @@ object TextQueries {
     "ir5_inverted_index" -> (ir5InvertedIndex _),
     "ir6_postings_bm25" -> (ir6PostingsBm25 _),
     "a22_bleu" -> (a22Bleu _),
+    "a30_bootstrap_ci" -> (a30BootstrapCi _),
     "a23_chrf" -> (a23Chrf _),
     "a24_rouge_l" -> (a24RougeL _),
     "a25_wer" -> (a25Wer _),
@@ -2060,6 +2236,7 @@ object TextQueries {
     "ir5_inverted_index" -> ir5InvertedIndexSql,
     "ir6_postings_bm25" -> ir6PostingsBm25Sql,
     "a22_bleu" -> a22BleuSql,
+    "a30_bootstrap_ci" -> a30BootstrapCiSql,
     "a23_chrf" -> a23ChrfSql,
     "a24_rouge_l" -> a24RougeLSql,
     "a25_wer" -> a25WerSql,
