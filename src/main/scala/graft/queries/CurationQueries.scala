@@ -371,6 +371,122 @@ object CurationQueries {
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** ta19_kn3_ppl — order-3 interpolated Kneser-Ney perplexity with the
+    * FULL recursion (Kneser & Ney 1995; Chen & Goodman 1999 eq. 18–20),
+    * the defining structure ta16's bigram form hides: the highest order
+    * scores from raw trigram counts, but every lower order scores from
+    * CONTINUATION counts — "in how many distinct contexts was this
+    * event seen", not "how often":
+    *
+    *   p₃(w|uv) = max(c(uvw)−D,0)/c(uv·) + D·N₁₊(uv·)/c(uv·) · p₂(w|v)
+    *   p₂(w|v)  = max(N₁₊(·vw)−D,0)/N₁₊(·v·) + D·N₁₊(v·*)/N₁₊(·v·) · p₁(w)
+    *   p₁(w)    = (N₁₊(··w)+1) / (N₁₊(···)+V)      (add-one, ta16's rule)
+    *
+    * with unseen-context fallbacks p₃→p₂ when c(uv·)=0 and p₂→p₁ when
+    * N₁₊(·v·)=0 (N₁₊(v·*) counts distinct continuation types of v at the
+    * middle order). KenLM ships order 5 by default; order 3 is the
+    * smallest that exercises a continuation distribution BETWEEN two
+    * others. Same 80/20 doc split, transition-only scoring, and per-term
+    * e6 rounding as ta14/ta16.
+    *
+    * Scale shape: ONE pinned trigram-count table feeds every rollup —
+    * ctx3 (c(uv·), N₁₊(uv·)), mid (N₁₊(·vw)), ctx2 (N₁₊(·v·), N₁₊(v·*)
+    * from mid), low (N₁₊(··w)) — all vocabulary-bounded hash aggs; test
+    * trigrams join on their natural keys (AQE-planned equi-joins, the
+    * ta16 shape one key wider) and the two scalars ride a 1-row
+    * broadcast. */
+  def ta19Kn3Ppl(s: SparkSession, dir: String): DataFrame = {
+    def tris(df: DataFrame): DataFrame = df
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 3), i -> struct(tk[i] AS u, tk[i + 1] AS v, tk[i + 2] AS w))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"), col("p.w").as("w"))
+    val docsTok = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val trainTok = docsTok.filter(col("doc_id") % 5 < 4)
+    val tri = tris(trainTok).groupBy("u", "v", "w").agg(count(lit(1)).as("tcnt"))
+      .localCheckpoint()
+    val ctx3 = tri.groupBy("u", "v").agg(sum("tcnt").as("cuv"), count(lit(1)).as("n1fwd3"))
+    val mid = tri.groupBy("v", "w").agg(count(lit(1)).as("n1mid"))
+    val ctx2 = mid.groupBy("v").agg(sum("n1mid").as("n1ctx2"), count(lit(1)).as("n1fwd2"))
+    val low = tri.groupBy("w").agg(count(lit(1)).as("n1low"))
+    val stats = tri.agg(count(lit(1)).as("n1ddd")).crossJoin(
+      trainTok.select(explode(col("tk")).as("tt")).agg(count_distinct(col("tt")).as("vv")))
+    val d = DoubleType
+    val pc1 = (coalesce(col("n1low"), lit(0L)) + 1).cast(d) /
+      (col("n1ddd") + col("vv")).cast(d)
+    val pkn2 = when(col("n1ctx2").isNotNull,
+      greatest(coalesce(col("n1mid"), lit(0L)).cast(d) - lit(KnDiscount), lit(0.0)) /
+        col("n1ctx2").cast(d) +
+        lit(KnDiscount) * col("n1fwd2").cast(d) / col("n1ctx2").cast(d) * pc1)
+      .otherwise(pc1)
+    val pkn3 = when(col("cuv").isNotNull,
+      greatest(coalesce(col("tcnt"), lit(0L)).cast(d) - lit(KnDiscount), lit(0.0)) /
+        col("cuv").cast(d) +
+        lit(KnDiscount) * col("n1fwd3").cast(d) / col("cuv").cast(d) * pkn2)
+      .otherwise(pkn2)
+    tris(docsTok.filter(col("doc_id") % 5 === 4))
+      .join(tri, Seq("u", "v", "w"), "left")
+      .join(ctx3, Seq("u", "v"), "left")
+      .join(mid, Seq("v", "w"), "left")
+      .join(ctx2, Seq("v"), "left")
+      .join(low, Seq("w"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_e6", round(log(pkn3) * lit(-1e6)).cast(LongType))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum("term_e6").as("nll_e6_sum"))
+      .withColumn("mean_nll_e6", round(col("nll_e6_sum") / col("n_trans")).cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  val ta19Kn3PplSql: String = {
+    val dsc = s"CAST($KnDiscount AS DOUBLE)"
+    val pc1 = "(CAST(COALESCE(l.n1low, 0) + 1 AS DOUBLE) / CAST(st.n1ddd + st.vv AS DOUBLE))"
+    val pkn2 =
+      s"""CASE WHEN c2.n1ctx2 IS NOT NULL THEN
+         |        GREATEST(CAST(COALESCE(m.n1mid, 0) AS DOUBLE) - $dsc, CAST(0 AS DOUBLE)) / CAST(c2.n1ctx2 AS DOUBLE)
+         |        + $dsc * CAST(c2.n1fwd2 AS DOUBLE) / CAST(c2.n1ctx2 AS DOUBLE) * $pc1
+         |      ELSE $pc1 END""".stripMargin
+    s"""WITH tokpos AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |tr AS (
+       |  SELECT doc_id, w AS u,
+       |    LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS v,
+       |    LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+       |  FROM tokpos),
+       |tri AS (
+       |  SELECT u, v, w3 AS w, COUNT(*) AS tcnt FROM tr
+       |  WHERE v IS NOT NULL AND w3 IS NOT NULL AND doc_id % 5 < 4 GROUP BY u, v, w3),
+       |ctx3 AS (SELECT u, v, CAST(SUM(tcnt) AS BIGINT) AS cuv, COUNT(*) AS n1fwd3 FROM tri GROUP BY u, v),
+       |mid AS (SELECT v, w, COUNT(*) AS n1mid FROM tri GROUP BY v, w),
+       |ctx2 AS (SELECT v, CAST(SUM(n1mid) AS BIGINT) AS n1ctx2, COUNT(*) AS n1fwd2 FROM mid GROUP BY v),
+       |low AS (SELECT w, COUNT(*) AS n1low FROM tri GROUP BY w),
+       |st AS (SELECT (SELECT COUNT(*) FROM tri) AS n1ddd,
+       |  (SELECT COUNT(DISTINCT w) FROM tokpos WHERE doc_id % 5 < 4) AS vv),
+       |terms AS (
+       |  SELECT p.doc_id,
+       |    CAST(ROUND(ln(
+       |      CASE WHEN x.cuv IS NOT NULL THEN
+       |        GREATEST(CAST(COALESCE(b.tcnt, 0) AS DOUBLE) - $dsc, CAST(0 AS DOUBLE)) / CAST(x.cuv AS DOUBLE)
+       |        + $dsc * CAST(x.n1fwd3 AS DOUBLE) / CAST(x.cuv AS DOUBLE) * ($pkn2)
+       |      ELSE ($pkn2)
+       |      END) * -1e6) AS BIGINT) AS term_e6
+       |  FROM (SELECT doc_id, u, v, w3 AS w FROM tr
+       |        WHERE v IS NOT NULL AND w3 IS NOT NULL AND doc_id % 5 = 4) p
+       |  LEFT JOIN tri b ON b.u = p.u AND b.v = p.v AND b.w = p.w
+       |  LEFT JOIN ctx3 x ON x.u = p.u AND x.v = p.v
+       |  LEFT JOIN mid m ON m.v = p.v AND m.w = p.w
+       |  LEFT JOIN ctx2 c2 ON c2.v = p.v
+       |  LEFT JOIN low l ON l.w = p.w
+       |  CROSS JOIN st)
+       |SELECT doc_id, COUNT(*) AS n_trans, CAST(SUM(term_e6) AS BIGINT) AS nll_e6_sum,
+       |  CAST(ROUND(CAST(SUM(term_e6) AS BIGINT) / COUNT(*)) AS BIGINT) AS mean_nll_e6
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** ta15's CMS-LM geometry — the cms1 audit geometry: width 64 is
     * deliberately small so the synthetic vocabulary collides and the
     * sketch's overcounting (which can only LOWER a token's NLL — one-sided
@@ -1314,6 +1430,7 @@ object CurationQueries {
     "ta14_bigram_ppl" -> (ta14BigramPpl _),
     "ta15_cms_ppl" -> (ta15CmsPpl _),
     "ta16_kn_ppl" -> (ta16KnPpl _),
+    "ta19_kn3_ppl" -> (ta19Kn3Ppl _),
     "ta11_entropy_gate" -> (ta11EntropyGate _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
     "pk2_chunk_overlap" -> (pk2ChunkOverlap _),
@@ -1337,6 +1454,7 @@ object CurationQueries {
     "ta14_bigram_ppl" -> ta14BigramPplSql,
     "ta15_cms_ppl" -> ta15CmsPplSql,
     "ta16_kn_ppl" -> ta16KnPplSql,
+    "ta19_kn3_ppl" -> ta19Kn3PplSql,
     "ta11_entropy_gate" -> ta11EntropyGateSql,
     "pk1_sequence_pack" -> pk1SequencePackSql,
     "pk2_chunk_overlap" -> pk2ChunkOverlapSql,

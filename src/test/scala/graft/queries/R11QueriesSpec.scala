@@ -50,6 +50,50 @@ class R11QueriesSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("ta19: the KN continuation property discriminates Francisco-style words") {
+    // francisco occurs 4x but ALWAYS after the same (b, san) context —
+    // one continuation type; common occurs 4x after four DIFFERENT
+    // contexts. Equal raw frequency, so a raw-count back-off scores the
+    // two unseen-context test trigrams identically; Kneser-Ney must score
+    // francisco strictly worse (fewer distinct contexts => lower
+    // continuation probability). Seen-trigram doc 14 must beat both.
+    val dir = docsDir(Seq(
+      (0L, "b san francisco e1 f1 common g1"),
+      (1L, "b san francisco e2 f2 common g2"),
+      (2L, "b san francisco e3 f3 common g3"),
+      (3L, "b san francisco e4 f4 common g4"),
+      (4L, "zz qq francisco"),   // test: unseen ctx, low-continuation w
+      (9L, "zz qq common"),      // test: unseen ctx, high-continuation w
+      (14L, "b san francisco")), // test: fully seen trigram
+      "ta19f")
+    val rows = CurationQueries.ta19Kn3Ppl(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("mean_nll_e6")).toMap
+    assert(rows.keySet === Set(4L, 9L, 14L))
+    assert(rows(4L) > rows(9L),
+      s"francisco ${rows(4L)} must score worse than common ${rows(9L)}")
+    assert(rows(14L) < rows(9L),
+      s"seen trigram ${rows(14L)} must beat unseen-context ${rows(9L)}")
+  }
+
+  test("ta19: transition count and backoff-ladder monotonicity on real data") {
+    val rows = CurationQueries.ta19Kn3Ppl(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_trans") > 0)
+      assert(r.getAs[Long]("mean_nll_e6") > 0, "every KN3 probability is < 1")
+    }
+    // the order-3 model must not be WORSE on average than ta16's bigram
+    // KN on the same corpus by more than a smoothing margin — and on this
+    // synthetic corpus (heavy trigram reuse) it should genuinely win
+    val kn3 = rows.map(_.getAs[Long]("nll_e6_sum")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_trans")).sum
+    val kn2rows = CurationQueries.ta16KnPpl(spark, "/root/testdata/sf0.001").collect()
+    val kn2 = kn2rows.map(_.getAs[Long]("nll_e6_sum")).sum.toDouble /
+      kn2rows.map(_.getAs[Long]("n_trans")).sum
+    assert(kn3 < kn2 * 1.35,
+      s"order-3 KN corpus NLL $kn3 implausibly worse than bigram $kn2")
+  }
+
   test("a30: a two-pair micro corpus exercises the with-replacement draw") {
     // candidate 0 == reference 1 (perfect pair 0); candidate 2 disjoint
     // from reference 3 (zero pair 1): every resample's corpus BLEU is a
