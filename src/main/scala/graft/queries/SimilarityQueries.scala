@@ -541,6 +541,111 @@ object SimilarityQueries {
        |SELECT query_id, rank, vec_id, sqdist FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** The ss7 merged per-vector assignment — the refresh face split out so
+    * the spec can compare it row-for-row against a from-scratch rebuild
+    * ([[ss7FullRebuild]]). Fixture delta under the set2 namespace
+    * convention (vec_id < 1e6 at every SF): every 7th vector re-embedded
+    * (reversed — a genuinely different direction), every 11th≡3 a NEW
+    * vector at id+1e6. A real delta arrives with its own ids; the operator
+    * is the frozen-index assign + merge, not the demo delta. */
+  private[queries] def ss7Merged(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(s, dir, "embeddings"))
+    // the index is FROZEN at refresh time — delta vectors score against
+    // the existing centroids; retraining is a rebuild, not a refresh
+    val idx = centIndex(emb)
+    val base = withCell(emb, idx).select(col("vec_id"), col("cell"))
+    val raw = t(s, dir, "embeddings")
+    val updates = raw.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val adds = raw.filter(col("vec_id") % 11 === 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val deltaAssign = withCell(withNorm(updates.union(adds)), idx)
+      .select(col("vec_id"), col("cell").as("new_cell"))
+    base.as("o").join(deltaAssign.as("n"), Seq("vec_id"), "full_outer")
+      .select(col("vec_id"),
+        coalesce(col("n.new_cell"), col("o.cell")).as("cell"),
+        when(col("o.cell").isNull, "added")
+          .when(col("n.new_cell").isNull, "kept").otherwise("updated").as("status"),
+        (col("o.cell").isNotNull && col("n.new_cell").isNotNull &&
+          col("o.cell") =!= col("n.new_cell")).as("moved"))
+  }
+
+  /** From-scratch assignment of the POST-delta corpus under the same
+    * frozen index — the spec's equivalence oracle for [[ss7Merged]]:
+    * refresh(delta) must equal rebuild(corpus ⊕ delta) exactly. */
+  private[queries] def ss7FullRebuild(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "embeddings")
+    val post = raw.filter(col("vec_id") % 7 =!= 0).select("vec_id", "embedding")
+      .unionByName(raw.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+      .unionByName(raw.filter(col("vec_id") % 11 === 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+    val idx = centIndex(withNorm(raw))
+    withCell(withNorm(post), idx).select(col("vec_id"), col("cell"))
+  }
+
+  /** ss7_ivf_refresh — incremental ANN-index maintenance, the missing
+    * refresh face next to dd11's LSH signature refresh: a 100 TB vector
+    * platform does NOT re-assign its corpus when a delta lands — it scores
+    * ONLY the delta against the frozen centroid index and merges the new
+    * assignments into the persisted cell table (FAISS add/remove_ids; the
+    * Milvus/Vespa segment-merge shape). Here: delta assign is the ss2
+    * projection over the literal centroid index restricted to the delta
+    * rows; the merge is one full-outer equi-join on vec_id (the set2 CDC
+    * shape — zero shuffles if the cell table is bucketed by vec_id);
+    * output is the per-cell census after refresh with churn counters
+    * (kept/updated/added and how many updates MOVED cell — the number a
+    * production refresh alerts on, since mass movement means the frozen
+    * centroids have drifted from the data and a retrain is due).
+    * Refresh ≡ rebuild-restricted-to-delta is spec-proven
+    * ([[ss7FullRebuild]]). */
+  def ss7IvfRefresh(s: SparkSession, dir: String): DataFrame =
+    ss7Merged(s, dir).groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("status") === "updated", 1L).otherwise(0L)).as("n_updated"),
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "updated" && col("moved"), 1L).otherwise(0L)).as("n_moved"))
+      .orderBy("cell")
+
+  val ss7IvfRefreshSql: String =
+    s"""WITH emb AS ($withNormDuck),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cv, norm AS cn FROM emb WHERE vec_id % 97 = 0),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE6Sql(dotSql("c.cv", "e.embedding"), "c.cn", "e.norm")} DESC, c.cent_id) AS ark
+       |    FROM emb e CROSS JOIN cent c) t WHERE ark = 1),
+       |delta0 AS (
+       |  SELECT vec_id, list_reverse(embedding) AS embedding FROM embeddings WHERE vec_id % 7 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
+       |  FROM embeddings WHERE vec_id % 11 = 3),
+       |delta AS (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS norm FROM delta0),
+       |dassign AS (
+       |  SELECT vec_id, cell AS new_cell FROM (
+       |    SELECT d.vec_id, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |        ORDER BY ${cosE6Sql(dotSql("c.cv", "d.embedding"), "c.cn", "d.norm")} DESC, c.cent_id) AS ark
+       |    FROM delta d CROSS JOIN cent c) t WHERE ark = 1),
+       |merged AS (
+       |  SELECT COALESCE(o.vec_id, n.vec_id) AS vec_id,
+       |    COALESCE(n.new_cell, o.cell) AS cell,
+       |    CASE WHEN o.vec_id IS NULL THEN 'added'
+       |         WHEN n.vec_id IS NULL THEN 'kept' ELSE 'updated' END AS status,
+       |    (o.vec_id IS NOT NULL AND n.vec_id IS NOT NULL AND o.cell <> n.new_cell) AS moved
+       |  FROM assign o FULL OUTER JOIN dassign n ON o.vec_id = n.vec_id)
+       |SELECT cell, COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN status = 'updated' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |  CAST(SUM(CASE WHEN status = 'updated' AND moved THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       |FROM merged GROUP BY cell ORDER BY cell""".stripMargin
+
   /** ir3_hybrid_dense — dense+sparse hybrid retrieval, the modern RAG
     * first-stage: arm 1 ranks by BM25 over the [[TextQueries.RetrievalQTerms]]
     * ad-hoc query (the ta13/ir1 shared core), arm 2 ranks by exact cosine
@@ -838,6 +943,7 @@ object SimilarityQueries {
     "ss4_pq_topk" -> (ss4PqTopk _),
     "ss6_sq8_topk" -> (ss6Sq8Topk _),
     "ss2_ivf_topk" -> (ss2IvfTopk _),
+    "ss7_ivf_refresh" -> (ss7IvfRefresh _),
     "ss3_lsh_topk" -> (ss3LshTopk _),
     "ss5_recall_audit" -> (ss5RecallAudit _),
     "dd6_embed_neardup" -> (dd6EmbedNeardup _),
@@ -853,6 +959,7 @@ object SimilarityQueries {
     "ss4_pq_topk" -> ss4PqTopkSql,
     "ss6_sq8_topk" -> ss6Sq8TopkSql,
     "ss2_ivf_topk" -> ss2IvfTopkSql,
+    "ss7_ivf_refresh" -> ss7IvfRefreshSql,
     "ss3_lsh_topk" -> ss3LshTopkSql,
     "dd6_embed_neardup" -> dd6EmbedNeardupSql,
     "dd12_semantic_dedup" -> dd12SemanticDedupSql)

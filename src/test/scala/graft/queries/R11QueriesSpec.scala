@@ -94,6 +94,32 @@ class R11QueriesSpec extends SparkSpec {
       s"order-3 KN corpus NLL $kn3 implausibly worse than bigram $kn2")
   }
 
+  test("ss7: delta refresh is exactly a full rebuild restricted to the delta") {
+    // the correctness contract of incremental index maintenance: merging
+    // the delta's frozen-index assignments into the existing cell table
+    // must produce the identical (vec_id, cell) set as re-assigning the
+    // whole post-delta corpus from scratch under the same index
+    val dir = "/root/testdata/sf0.001"
+    val merged = SimilarityQueries.ss7Merged(spark, dir)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = SimilarityQueries.ss7FullRebuild(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged === rebuilt)
+    assert(merged.nonEmpty)
+  }
+
+  test("ss7: statuses partition the post-delta corpus and adds live above 1e6") {
+    val rows = SimilarityQueries.ss7Merged(spark, "/root/testdata/sf0.001").collect()
+    val byStatus = rows.groupBy(_.getAs[String]("status")).map { case (k, v) => k -> v.length }
+    assert(byStatus.keySet === Set("kept", "updated", "added"))
+    rows.filter(_.getAs[String]("status") == "added")
+      .foreach(r => assert(r.getAs[Long]("vec_id") >= 1000000L))
+    // kept rows never report a move; updated rows may
+    rows.filter(_.getAs[String]("status") != "updated")
+      .foreach(r => assert(!r.getAs[Boolean]("moved")))
+  }
+
   test("a30: a two-pair micro corpus exercises the with-replacement draw") {
     // candidate 0 == reference 1 (perfect pair 0); candidate 2 disjoint
     // from reference 3 (zero pair 1): every resample's corpus BLEU is a
