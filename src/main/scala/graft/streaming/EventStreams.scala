@@ -143,6 +143,28 @@ object EventStreams {
       width: Long = graft.operators.Sketch.DefaultWidth): DataFrame =
     graft.operators.Sketch.buildCms(items, col(itemCol), depth, width)
 
+  /** IVF delta-assign — the streaming face of `ss7_ivf_refresh`'s assign
+    * stage: each arriving vector scores against the FROZEN centroid index,
+    * which rides in the plan as a literal/broadcast array
+    * ([[graft.operators.Similarity.centroidIndex]] — the ss2 probe
+    * contract), so norm + nearest-cell argmax are ONE stateless projection:
+    * no join, no watermark, no state store; index maintenance keeps up
+    * with ingest at scan speed. The e6-rounded scorer is byte-identical to
+    * the batch face (IvfAssignStreamSpec pins row-for-row parity), so a
+    * vector lands in the same cell wherever it's assigned. The MERGE into
+    * the persisted cell table is the sink's job (foreachBatch keyed
+    * upsert — the set2 CDC shape ss7 proves in batch); a retrain swaps the
+    * index literal on restart, exactly like a sketch or Bloom refresh. */
+  def ivfAssignStream(vecs: DataFrame, index: Column,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftFunctions.register(vecs.sparkSession)
+    val normed = vecs.withColumn("__norm",
+      sqrt(call_function("vec_dot", col(vecCol), col(vecCol))))
+    graft.operators.Similarity.assignCells(normed, index, vecCol, "__norm",
+        (d, cn, n) => round(lit(1e6) * d / (cn * n)).cast("long"))
+      .select(col(idCol), col("cell"))
+  }
+
   /** CMS-LM perplexity gate — the streaming face of `ta15_cms_ppl`
     * (CurationQueries): score each arriving document's mean unigram NLL
     * under a TRAINED Count-Min-compressed LM and flag the high-perplexity
