@@ -111,6 +111,96 @@ object Sketch {
       .reduceLeft(least(_, _))
   }
 
+  // ---------------------------------------------------------------- HLL
+
+  /** HyperLogLog register precision: p=8 → m=256 registers, standard error
+    * 1.04/√m ≈ 6.5%. Small by design so the synthetic corpora exercise the
+    * estimator for real (n ≫ m); production cardinality work uses p=14+
+    * (16 KB of registers) — the math below is p-generic. */
+  val HllP: Int = 8
+  val HllM: Int = 1 << HllP
+
+  /** ρ cap: detHash yields 60 uniform bits, the bucket consumes [[HllP]],
+    * so the geometric observable has 60−p bits; an all-zero suffix caps at
+    * 60−p+1. */
+  val HllCap: Int = 60 - HllP + 1
+
+  /** Bit-position masks for the integer-only ρ: with lowbit = v & −v (an
+    * exact power of two), position t = Σᵢ 2ⁱ·[lowbit ∧ maskᵢ ≠ 0] — the
+    * classic branch-free bit-index, truncated to the 53 bits v can occupy.
+    * Integer end to end: no log2 whose correct rounding at 2ᵏ−1 would be
+    * engine-dependent. */
+  private[graft] val HllMasks: Seq[(Int, Long)] = Seq(
+    1 -> 3002399751580330L, 2 -> 3602879701896396L, 4 -> 4768517252509936L,
+    8 -> 280379743338240L, 16 -> 8725728572932096L, 32 -> 9007194959773696L)
+
+  /** α_m·m²·2⁶⁰ folded into ONE double literal (computed here, spliced
+    * verbatim into the DuckDB oracle): the raw estimate is this constant
+    * divided by the exactly-integer scaled register sum — a single float
+    * division, so both engines agree to the last ulp before the final
+    * round. */
+  val HllRawC: Double = {
+    val m = HllM.toDouble
+    val alpha = 0.7213 / (1 + 1.079 / m) // Flajolet et al. 2007, m ≥ 128
+    alpha * m * m * 1.152921504606846976e18
+  }
+
+  /** 2⁶⁰ — the scaling that turns Σ 2^(−ρⱼ) into an exact integer sum:
+    * each register contributes 2^(60−ρ) (a BIGINT), empties contribute
+    * 2⁶⁰, and the total (≤ m·2⁶⁰ ≈ 2.9e20) accumulates in DECIMAL(38,0)/
+    * HUGEINT — the a29 overflow convention. */
+  val HllScale: Long = 1152921504606846976L
+
+  /** The ρ projection as a SQL fragment over a BIGINT value expression
+    * (0 ≤ v < 2^(60−p)) — shared verbatim by the Spark face (via expr) and
+    * the DuckDB oracle: CASE v = 0 → cap, else 1 + branch-free bit index
+    * of the lowest set bit. */
+  def hllRhoSql(v: String): String = {
+    val terms = HllMasks.map { case (w, m) =>
+      s"(CASE WHEN (($v) & (-($v))) & $m != 0 THEN $w ELSE 0 END)" }
+    s"(CASE WHEN ($v) = 0 THEN $HllCap ELSE 1 + ${terms.mkString(" + ")} END)"
+  }
+
+  /** HLL register table: one row per (groupCols…, bucket) with the MAX ρ
+    * observed — the whole sketch build is a projection + a map-side-
+    * combined hash agg whose shuffle is capped at |groups|·m rows
+    * regardless of input size (the CMS contract for cardinality instead
+    * of counts). Registers MERGE by max — the distributed-union property
+    * the hll1 query proves in-plan. No distinct, no exact vocabulary,
+    * ever. */
+  def hllRegisters(items: DataFrame, item: Column,
+      groupCols: Seq[String]): DataFrame = {
+    val g = items
+      .withColumn("__h", detHash(item, seed = 11))
+      .withColumn("bucket", col("__h") % HllM)
+      .withColumn("rho", expr(hllRhoSql(s"__h div $HllM")))
+    g.groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rho").as("rho"))
+  }
+
+  /** Per-group HLL estimate from a register table: n_regs, v_zero, and
+    * hll_est (the bias-corrected Flajolet estimate with the linear-
+    * counting small-range branch). The only float ops are one division by
+    * the exact integer register sum and (on the small-range branch) one
+    * ln — everything else is integer/decimal. */
+  def hllEstimate(regs: DataFrame, groupCol: String): DataFrame = {
+    val sPresent = sum(expr(
+      s"CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - rho AS INT)) AS DECIMAL(38,0))"))
+    val agg = regs.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_regs"),
+        (sPresent + (lit(HllM) - count(lit(1))).cast("decimal(38,0)") *
+          lit(HllScale).cast("decimal(38,0)")).as("s_scaled"))
+    val eRaw = lit(HllRawC) / col("s_scaled").cast(DoubleType)
+    val vZero = (lit(HllM) - col("n_regs")).cast(LongType)
+    val lc = lit(HllM.toDouble) * log(lit(HllM.toDouble) / vZero.cast(DoubleType))
+    agg
+      .withColumn("v_zero", vZero)
+      .withColumn("hll_est",
+        round(when(eRaw <= lit(2.5 * HllM) && col("v_zero") > 0, lc).otherwise(eRaw))
+          .cast(LongType))
+      .drop("s_scaled")
+  }
+
   /** Point-query estimates for a (small, heavy-hitter-candidate) probe set:
     * returns `probes` plus an `est` column = min over the depth cells,
     * coalescing never-hit cells to 0. The sketch side broadcasts; the only

@@ -376,6 +376,78 @@ object CorpusQueries {
     * collides and the overcount column is non-trivially exercised — at
     * production width (8192+) the estimates are exact. est ≥ exact always
     * (cells only accumulate); the oracle replays build and probe. */
+  /** hll1_distinct — HyperLogLog cardinality (Flajolet et al. 2007), the
+    * missing member of the sketch family (dd10's Bloom answers "seen?",
+    * cms1 answers "how often?", this answers "how many DISTINCT?"): the
+    * per-language token-vocabulary estimate plus an ALL row obtained by
+    * MERGING the per-language registers in-plan (max per bucket) — the
+    * distributed-union property that makes HLL the 100 TB cardinality
+    * operator (per-partition sketches of 256 registers union losslessly;
+    * the exact `count_distinct` this replaces keys its shuffle on every
+    * distinct token). The exact counts ride along as the audit column —
+    * the dd13 sketch-accuracy convention; the production query drops them.
+    *
+    * Determinism: ρ is integer-only (branch-free lowest-set-bit index over
+    * detHash bits — no log2 whose rounding at 2ᵏ−1 is engine-dependent),
+    * the register sum Σ2^(60−ρ) accumulates exactly in DECIMAL/HUGEINT,
+    * and the raw estimate is ONE double division of two exact values by a
+    * shared literal constant ([[graft.operators.Sketch.HllRawC]]).
+    * Register build: projection + map-side-combined hash agg capped at
+    * |langs|·256 shuffle rows regardless of corpus size. */
+  def hll1Distinct(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("lang").as("scope"), explode(toks(col("text"))).as("w"))
+    // pinned: the per-lang registers feed both their own estimates and the
+    // merged ALL row — one build, two consumers
+    val regs = graft.operators.Sketch.hllRegisters(tok, col("w"), Seq("scope"))
+      .localCheckpoint()
+    val allRegs = regs.groupBy("bucket").agg(max("rho").as("rho"))
+      .select(lit("ALL").as("scope"), col("bucket"), col("rho"))
+    val est = graft.operators.Sketch.hllEstimate(
+      regs.unionByName(allRegs), "scope")
+    val exact = tok.groupBy("scope").agg(count_distinct(col("w")).as("exact_distinct"))
+      .unionByName(tok.agg(count_distinct(col("w")).as("exact_distinct"))
+        .select(lit("ALL").as("scope"), col("exact_distinct")))
+    est.join(exact, Seq("scope"))
+      .withColumn("err_e6", round(lit(1e6) *
+        (col("hll_est") - col("exact_distinct")).cast(DoubleType) /
+        col("exact_distinct").cast(DoubleType)).cast(LongType))
+      .select("scope", "n_regs", "v_zero", "hll_est", "exact_distinct", "err_e6")
+      .orderBy("scope")
+  }
+
+  val hll1DistinctSql: String = {
+    import graft.operators.Sketch.{HllM, HllRawC, HllScale, hllRhoSql}
+    val c = java.lang.Double.toString(HllRawC)
+    s"""WITH tok AS (SELECT lang AS scope, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hx AS (SELECT scope, w, ${Q.detHashSql("w", 11)} AS h FROM tok),
+       |rr AS (SELECT scope, h % $HllM AS bucket, ${hllRhoSql(s"h // $HllM")} AS rho FROM hx),
+       |regs AS (SELECT scope, bucket, MAX(rho) AS rho FROM rr GROUP BY scope, bucket),
+       |allregs AS (SELECT 'ALL' AS scope, bucket, MAX(rho) AS rho FROM regs GROUP BY bucket),
+       |u AS (SELECT * FROM regs UNION ALL SELECT * FROM allregs),
+       |agg AS (
+       |  SELECT scope, COUNT(*) AS n_regs,
+       |    SUM(CAST((CAST(1 AS BIGINT) << (60 - rho)) AS HUGEINT))
+       |      + CAST($HllM - COUNT(*) AS HUGEINT) * CAST($HllScale AS HUGEINT) AS s_scaled
+       |  FROM u GROUP BY scope),
+       |est AS (
+       |  SELECT scope, n_regs, CAST($HllM - n_regs AS BIGINT) AS v_zero,
+       |    CAST(ROUND(
+       |      CASE WHEN ($c / CAST(s_scaled AS DOUBLE)) <= ${2.5 * HllM}
+       |             AND $HllM - n_regs > 0
+       |        THEN ${HllM.toDouble} * ln(${HllM.toDouble} / CAST($HllM - n_regs AS DOUBLE))
+       |        ELSE $c / CAST(s_scaled AS DOUBLE) END) AS BIGINT) AS hll_est
+       |  FROM agg),
+       |exact AS (
+       |  SELECT scope, COUNT(DISTINCT w) AS exact_distinct FROM tok GROUP BY scope
+       |  UNION ALL
+       |  SELECT 'ALL' AS scope, COUNT(DISTINCT w) AS exact_distinct FROM tok)
+       |SELECT e.scope, e.n_regs, e.v_zero, e.hll_est, x.exact_distinct,
+       |  CAST(ROUND(1e6 * CAST(e.hll_est - x.exact_distinct AS DOUBLE)
+       |    / CAST(x.exact_distinct AS DOUBLE)) AS BIGINT) AS err_e6
+       |FROM est e JOIN exact x USING (scope) ORDER BY scope""".stripMargin
+  }
+
   def cms1HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val words = t(s, dir, "documents").select(explode(toks(col("text"))).as("word"))
     val sketch = graft.operators.Sketch.buildCms(words, col("word"), depth = 3, width = 64)
@@ -717,6 +789,7 @@ object CorpusQueries {
     "tok5_oov_coverage" -> (tok5OovCoverage _),
     "tok6_unigram_seg" -> (tok6UnigramSeg _),
     "cms1_heavy_hitters" -> (cms1HeavyHitters _),
+    "hll1_distinct" -> (hll1Distinct _),
     "a16_textrank" -> (a16TextRank _),
     "a1_corpus_stats" -> (a1CorpusStats _),
     "a3_word_freq" -> (a3WordFreq _),
@@ -734,6 +807,7 @@ object CorpusQueries {
     "tok5_oov_coverage" -> tok5OovCoverageSql,
     "tok6_unigram_seg" -> tok6UnigramSegSql,
     "cms1_heavy_hitters" -> cms1HeavyHittersSql,
+    "hll1_distinct" -> hll1DistinctSql,
     "a16_textrank" -> a16TextRankSql,
     "a1_corpus_stats" -> a1CorpusStatsSql,
     "a3_word_freq" -> a3WordFreqSql,

@@ -120,6 +120,58 @@ class R11QueriesSpec extends SparkSpec {
       .foreach(r => assert(!r.getAs[Boolean]("moved")))
   }
 
+  test("hll1: raw-path accuracy inside 3 sigma on a crafted large vocabulary") {
+    // the testdata vocabulary (31 tokens) only exercises linear counting;
+    // the raw Flajolet estimator needs n >> m = 256. 5000 distinct tokens
+    // across two langs: standard error is 1.04/sqrt(256) ~ 6.5%, assert 3x.
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hll1big").toString
+    (0 until 5000).map { i =>
+      (i.toLong, if (i % 2 == 0) "aa" else "bb", s"tok$i w${i % 911}")
+    }.toDF("doc_id", "lang", "text").coalesce(2)
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = CorpusQueries.hll1Distinct(spark, tmp).collect()
+      .map(r => r.getAs[String]("scope") ->
+        (r.getAs[Long]("hll_est"), r.getAs[Long]("exact_distinct"), r.getAs[Long]("v_zero"))).toMap
+    assert(rows.keySet === Set("aa", "bb", "ALL"))
+    rows.foreach { case (scope, (est, exact, vZero)) =>
+      assert(vZero === 0L, s"$scope: n >> m must fill every register")
+      val err = math.abs(est - exact).toDouble / exact
+      assert(err < 0.195, s"$scope: |err| ${err} vs 3-sigma 0.195 (est $est exact $exact)")
+    }
+    // merged ALL >= each part (union cardinality), and parts overlap in the
+    // w-suffix tokens so ALL < sum of parts
+    assert(rows("ALL")._2 >= rows("aa")._2 && rows("ALL")._2 >= rows("bb")._2)
+    assert(rows("ALL")._2 < rows("aa")._2 + rows("bb")._2)
+  }
+
+  test("hll1: the linear-counting branch matches on the tiny real vocabulary") {
+    val rows = CorpusQueries.hll1Distinct(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("v_zero") > 0L, "31-token vocab leaves empty registers")
+      val (est, exact) = (r.getAs[Long]("hll_est"), r.getAs[Long]("exact_distinct"))
+      // LC on v_zero > 0 is near-exact at n << m
+      assert(math.abs(est - exact) <= math.max(3L, exact / 5),
+        s"${r.getAs[String]("scope")}: LC estimate $est far from $exact")
+    }
+  }
+
+  test("hll1: registers merge losslessly - ALL equals a from-scratch build") {
+    // mergeability is THE property: max-merged per-lang registers must be
+    // byte-identical to registers built over the un-grouped stream
+    val tok = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("lang").as("scope"), explode(split(col("text"), " ")).as("w"))
+    val perLang = graft.operators.Sketch.hllRegisters(tok, col("w"), Seq("scope"))
+    val merged = perLang.groupBy("bucket").agg(max("rho").as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val direct = graft.operators.Sketch.hllRegisters(
+        tok.select(lit("g").as("g"), col("w")), col("w"), Seq("g"))
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(merged === direct)
+  }
+
   test("a30: a two-pair micro corpus exercises the with-replacement draw") {
     // candidate 0 == reference 1 (perfect pair 0); candidate 2 disjoint
     // from reference 3 (zero pair 1): every resample's corpus BLEU is a
