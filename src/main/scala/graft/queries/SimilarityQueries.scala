@@ -551,8 +551,14 @@ object SimilarityQueries {
   private[queries] def ss7Merged(s: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(t(s, dir, "embeddings"))
     // the index is FROZEN at refresh time — delta vectors score against
-    // the existing centroids; retraining is a rebuild, not a refresh
-    val idx = centIndex(emb)
+    // the existing centroids; retraining is a rebuild, not a refresh.
+    // √N stride (the ir4/dd6 geometry), NOT the fixed 97: the query face
+    // re-derives the base assignment in-plan (no persisted state in a
+    // query context), so a linearly-growing centroid count would make
+    // that corpus-side assign quadratic — measured r11 as a 4.0× decade
+    // before this change; √N keeps it N^1.5. Production reads the base
+    // from the PERSISTED cell table and assigns only the delta.
+    val idx = pairCentIndex(s, dir, emb)
     val base = withCell(emb, idx).select(col("vec_id"), col("cell"))
     val raw = t(s, dir, "embeddings")
     val updates = raw.filter(col("vec_id") % 7 === 0)
@@ -582,7 +588,7 @@ object SimilarityQueries {
       .unionByName(raw.filter(col("vec_id") % 11 === 3)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           reverse(col("embedding")).as("embedding")))
-    val idx = centIndex(withNorm(raw))
+    val idx = pairCentIndex(s, dir, withNorm(raw))
     withCell(withNorm(post), idx).select(col("vec_id"), col("cell"))
   }
 
@@ -612,7 +618,7 @@ object SimilarityQueries {
 
   val ss7IvfRefreshSql: String =
     s"""WITH emb AS ($withNormDuck),
-       |cent AS (SELECT vec_id AS cent_id, embedding AS cv, norm AS cn FROM emb WHERE vec_id % 97 = 0),
+       |$pairCentSql,
        |assign AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.cent_id AS cell,
