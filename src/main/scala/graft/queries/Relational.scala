@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import Q._
 
@@ -453,6 +454,81 @@ object Relational {
     * snapshots profile in ONE pass (groupBy snap), then the 10 metric rows
     * pivot a-vs-b; at 100 TB the only shuffle is the 2-group agg (distinct
     * counts expand to (snap, value) partials — still key-bounded). */
+  /** dq6_psi_drift — Population Stability Index between two crawl
+    * snapshots (the model-monitoring standard for distribution shift;
+    * Siddiqi 2006 credit-scoring convention: <0.1 stable, 0.1–0.25
+    * moderate, >0.25 shifted): dq3 watches SCALAR drift (means, counts);
+    * this watches the token DISTRIBUTION — the signal that catches a
+    * crawler suddenly pulling a different language mix or boilerplate
+    * flood even when row counts look healthy. PSI = Σ_bins
+    * (p_new − p_old)·ln(p_new/p_old), symmetric KL-ish and additive per
+    * bin, so the worst bin names the culprit.
+    *
+    * Scale honesty: tokens hash into a FIXED 64-bin feature space
+    * (detHash mod 64 — the v7 hashing-trick geometry), so the rollup is
+    * geometry-bounded at any vocabulary; all 64 bins materialize via a
+    * range frame (absent bins carry the add-one smoothing floor on both
+    * engines). Each bin's term e9-rounds BEFORE the sum (the ta14
+    * per-term convention — no cross-engine float-sum ordering), totals
+    * ride a 1-row broadcast, and the output is ONE row: psi_e9, the
+    * worst bin, and the triage band. */
+  def dq6PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = DoubleType
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("snap", when(col("doc_id") % 3 === 0, "new").otherwise("old"))
+      .withColumn("bin", detHash(col("w"), 29) % 64)
+    val hit = tok.groupBy("bin").agg(
+      sum(when(col("snap") === "old", 1L).otherwise(0L)).as("c_old"),
+      sum(when(col("snap") === "new", 1L).otherwise(0L)).as("c_new"))
+    val bins = s.range(64).select(col("id").as("bin"))
+      .join(hit, Seq("bin"), "left")
+      .withColumn("c_old", coalesce(col("c_old"), lit(0L)))
+      .withColumn("c_new", coalesce(col("c_new"), lit(0L)))
+    val tot = bins.agg(sum("c_old").as("t_old"), sum("c_new").as("t_new"))
+    val po = (col("c_old") + 1).cast(d) / (col("t_old") + 64).cast(d)
+    val pn = (col("c_new") + 1).cast(d) / (col("t_new") + 64).cast(d)
+    // 64 rows, two consumers (total + worst-bin argmin) — pinned
+    val terms = bins.crossJoin(broadcast(tot))
+      .withColumn("term_e9", round((pn - po) * log(pn / po) * lit(1e9)).cast(LongType))
+      .localCheckpoint()
+    val a = terms.agg(count(lit(1)).as("n_bins"),
+      max("t_old").as("n_old"), max("t_new").as("n_new"),
+      sum("term_e9").as("psi_e9"), max("term_e9").as("worst_term_e9"))
+    val wb = terms.crossJoin(broadcast(a.select("worst_term_e9")))
+      .filter(col("term_e9") === col("worst_term_e9"))
+      .agg(min("bin").as("worst_bin"))
+    a.crossJoin(broadcast(wb))
+      .withColumn("band",
+        when(col("psi_e9") < 100000000L, "stable")
+          .when(col("psi_e9") < 250000000L, "moderate").otherwise("shifted"))
+      .select("n_bins", "n_old", "n_new", "psi_e9", "worst_bin", "worst_term_e9", "band")
+  }
+
+  val dq6PsiDriftSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tagged AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 'new' ELSE 'old' END AS snap,
+       |  ${detHashSql("w", 29)} % 64 AS bin FROM tok),
+       |hit AS (SELECT bin, SUM(CASE WHEN snap = 'old' THEN 1 ELSE 0 END) AS c_old,
+       |  SUM(CASE WHEN snap = 'new' THEN 1 ELSE 0 END) AS c_new FROM tagged GROUP BY bin),
+       |bins AS (SELECT b.bin, COALESCE(h.c_old, 0) AS c_old, COALESCE(h.c_new, 0) AS c_new
+       |  FROM (SELECT unnest(range(64)) AS bin) b LEFT JOIN hit h USING (bin)),
+       |tot AS (SELECT CAST(SUM(c_old) AS BIGINT) AS t_old, CAST(SUM(c_new) AS BIGINT) AS t_new FROM bins),
+       |terms AS (SELECT bin, CAST(ROUND((pn - po) * ln(pn / po) * 1e9) AS BIGINT) AS term_e9 FROM (
+       |  SELECT bin,
+       |    CAST(c_old + 1 AS DOUBLE) / CAST(t_old + 64 AS DOUBLE) AS po,
+       |    CAST(c_new + 1 AS DOUBLE) / CAST(t_new + 64 AS DOUBLE) AS pn
+       |  FROM bins CROSS JOIN tot) x),
+       |a AS (SELECT COUNT(*) AS n_bins, (SELECT t_old FROM tot) AS n_old,
+       |  (SELECT t_new FROM tot) AS n_new,
+       |  CAST(SUM(term_e9) AS BIGINT) AS psi_e9,
+       |  CAST(MAX(term_e9) AS BIGINT) AS worst_term_e9 FROM terms),
+       |wb AS (SELECT MIN(t.bin) AS worst_bin FROM terms t CROSS JOIN a WHERE t.term_e9 = a.worst_term_e9)
+       |SELECT n_bins, n_old, n_new, psi_e9, worst_bin, worst_term_e9,
+       |  CASE WHEN psi_e9 < 100000000 THEN 'stable'
+       |       WHEN psi_e9 < 250000000 THEN 'moderate' ELSE 'shifted' END AS band
+       |FROM a CROSS JOIN wb""".stripMargin
+
   def dq3SnapshotDrift(s: SparkSession, dir: String): DataFrame = {
     val stats = t(s, dir, "orders")
       .withColumn("snap",
@@ -619,6 +695,7 @@ object Relational {
     "dq3_snapshot_drift" -> (dq3SnapshotDrift _),
     "dq4_k_anonymity" -> (dq4KAnonymity _),
     "dq5_referential_integrity" -> (dq5ReferentialIntegrity _),
+    "dq6_psi_drift" -> (dq6PsiDrift _),
     "w1_grouped_topk" -> (w1GroupedTopk _),
     "set1_pool_update" -> (set1PoolUpdate _))
 
@@ -643,6 +720,7 @@ object Relational {
     "dq3_snapshot_drift" -> dq3SnapshotDriftSql,
     "dq4_k_anonymity" -> dq4KAnonymitySql,
     "dq5_referential_integrity" -> dq5ReferentialIntegritySql,
+    "dq6_psi_drift" -> dq6PsiDriftSql,
     "w1_grouped_topk" -> w1GroupedTopkSql,
     "set1_pool_update" -> set1PoolUpdateSql)
 }

@@ -172,6 +172,29 @@ class R11QueriesSpec extends SparkSpec {
     assert(merged === direct)
   }
 
+  test("dq6: a genuinely shifted crawl trips the PSI band") {
+    // old snapshot (ids not divisible by 3) speaks one vocabulary, the
+    // new snapshot a disjoint one - the boilerplate-flood / language-flip
+    // case the drift gate exists to catch
+    val dir = docsDir(Seq(
+      (1L, "alpha beta gamma alpha beta"), (2L, "alpha beta gamma gamma"),
+      (4L, "alpha beta alpha gamma"), (5L, "beta gamma alpha beta"),
+      (0L, "zulu yankee xray zulu"), (3L, "zulu xray yankee yankee")), "dq6s")
+    val r = Relational.dq6PsiDrift(spark, dir).collect().head
+    assert(r.getAs[Long]("n_bins") === 64L)
+    assert(r.getAs[String]("band") === "shifted", s"psi = ${r.getAs[Long]("psi_e9")}")
+    assert(r.getAs[Long]("psi_e9") > 250000000L)
+    assert(r.getAs[Long]("worst_term_e9") > 0L)
+  }
+
+  test("dq6: the same generator distribution reads stable on real data") {
+    val r = Relational.dq6PsiDrift(spark, "/root/testdata/sf0.001").collect().head
+    assert(r.getAs[Long]("n_bins") === 64L)
+    assert(r.getAs[String]("band") === "stable")
+    assert(r.getAs[Long]("psi_e9") >= 0L && r.getAs[Long]("psi_e9") < 100000000L)
+    assert(r.getAs[Long]("n_old") > 0L && r.getAs[Long]("n_new") > 0L)
+  }
+
   test("a30: a two-pair micro corpus exercises the with-replacement draw") {
     // candidate 0 == reference 1 (perfect pair 0); candidate 2 disjoint
     // from reference 3 (zero pair 1): every resample's corpus BLEU is a
