@@ -143,6 +143,18 @@ object EventStreams {
       width: Long = graft.operators.Sketch.DefaultWidth): DataFrame =
     graft.operators.Sketch.buildCms(items, col(itemCol), depth, width)
 
+  /** HLL register maintenance — the streaming face of `hll1_distinct`'s
+    * build: the register table is a running `max(ρ)` per bucket, which is
+    * exactly a streaming aggregation with m-bounded state (256 rows at
+    * p=8, REGARDLESS of how many distinct items the stream has carried) —
+    * where the exact `count_distinct` this replaces grows state with
+    * every distinct key. Update/complete mode; the estimate is read off
+    * the registers by [[graft.operators.Sketch.hllEstimate]] at any
+    * point, and registers from independent streams/partitions union by
+    * max (spec-pinned against the batch build of the union). */
+  def hllRegisterStream(items: DataFrame, itemCol: String): DataFrame =
+    graft.operators.Sketch.hllRegisters(items, col(itemCol), Seq.empty)
+
   /** IVF delta-assign — the streaming face of `ss7_ivf_refresh`'s assign
     * stage: each arriving vector scores against the FROZEN centroid index,
     * which rides in the plan as a literal/broadcast array
