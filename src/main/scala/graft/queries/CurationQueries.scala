@@ -371,6 +371,63 @@ object CurationQueries {
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** a31_wilson_gate — Wilson score intervals for per-subgroup gate pass
+    * rates (Wilson 1927; Brown, Cai & DasGupta 2001 recommend it over the
+    * Wald interval outright): a curation run reports "X% of the corpus
+    * passes" — this attaches the honest 95% interval PER SUBGROUP, which
+    * is where the normal approximation actually breaks (a language with
+    * 40 documents and p̂ = 0.95 has a Wald interval poking past 1.0; the
+    * Wilson interval never leaves [0, 1] and stays calibrated at small n
+    * and extreme p — exactly the mixture-tail languages a 100 TB curation
+    * dashboard alerts on). Gate: the n_chars length floor (the P2 class);
+    * the interval math, not the gate, is the operator. Per-language rows
+    * + an ALL row.
+    *
+    * Scale shape: one projection → |langs|-bounded hash agg (+ the global
+    * 1-row twin), then pure per-row float math e6-rounded with identical
+    * operation order in both engines; the only sqrt is over quantities
+    * derived from exact integer (n, k). */
+  def a31WilsonGate(s: SparkSession, dir: String): DataFrame = {
+    val d = DoubleType
+    val base = t(s, dir, "documents").select(col("lang"),
+      when(col("n_chars") >= 300, 1L).otherwise(0L).as("pass"))
+    val g = base.groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("pass").as("n_pass"))
+      .unionByName(base.agg(count(lit(1)).as("n_docs"), sum("pass").as("n_pass"))
+        .select(lit("ALL").as("lang"), col("n_docs"), col("n_pass")))
+    val n = col("n_docs").cast(d)
+    val p = col("n_pass").cast(d) / n
+    val z2 = lit(3.8416)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n)) / denom
+    g.withColumn("rate_e6", round(lit(1e6) * col("n_pass") / col("n_docs")).cast(LongType))
+      .withColumn("wilson_lo_e6", round(lit(1e6) * (center - half)).cast(LongType))
+      .withColumn("wilson_hi_e6", round(lit(1e6) * (center + half)).cast(LongType))
+      .orderBy("lang")
+  }
+
+  val a31WilsonGateSql: String =
+    """WITH base AS (
+      |  SELECT lang, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pass FROM documents),
+      |g AS (
+      |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(pass) AS BIGINT) AS n_pass
+      |  FROM base GROUP BY lang
+      |  UNION ALL
+      |  SELECT 'ALL' AS lang, COUNT(*) AS n_docs, CAST(SUM(pass) AS BIGINT) AS n_pass
+      |  FROM base),
+      |w AS (
+      |  SELECT lang, n_docs, n_pass,
+      |    CAST(n_docs AS DOUBLE) AS n,
+      |    CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p
+      |  FROM g)
+      |SELECT lang, n_docs, n_pass,
+      |  CAST(ROUND(1e6 * n_pass / n_docs) AS BIGINT) AS rate_e6,
+      |  CAST(ROUND(1e6 * ((p + 3.8416 / (2.0 * n)) / (1.0 + 3.8416 / n)
+      |    - 1.96 * sqrt(p * (1.0 - p) / n + 3.8416 / (4.0 * n * n)) / (1.0 + 3.8416 / n))) AS BIGINT) AS wilson_lo_e6,
+      |  CAST(ROUND(1e6 * ((p + 3.8416 / (2.0 * n)) / (1.0 + 3.8416 / n)
+      |    + 1.96 * sqrt(p * (1.0 - p) / n + 3.8416 / (4.0 * n * n)) / (1.0 + 3.8416 / n))) AS BIGINT) AS wilson_hi_e6
+      |FROM w ORDER BY lang""".stripMargin
+
   /** ta19_kn3_ppl — order-3 interpolated Kneser-Ney perplexity with the
     * FULL recursion (Kneser & Ney 1995; Chen & Goodman 1999 eq. 18–20),
     * the defining structure ta16's bigram form hides: the highest order
@@ -1431,6 +1488,7 @@ object CurationQueries {
     "ta15_cms_ppl" -> (ta15CmsPpl _),
     "ta16_kn_ppl" -> (ta16KnPpl _),
     "ta19_kn3_ppl" -> (ta19Kn3Ppl _),
+    "a31_wilson_gate" -> (a31WilsonGate _),
     "ta11_entropy_gate" -> (ta11EntropyGate _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
     "pk2_chunk_overlap" -> (pk2ChunkOverlap _),
@@ -1455,6 +1513,7 @@ object CurationQueries {
     "ta15_cms_ppl" -> ta15CmsPplSql,
     "ta16_kn_ppl" -> ta16KnPplSql,
     "ta19_kn3_ppl" -> ta19Kn3PplSql,
+    "a31_wilson_gate" -> a31WilsonGateSql,
     "ta11_entropy_gate" -> ta11EntropyGateSql,
     "pk1_sequence_pack" -> pk1SequencePackSql,
     "pk2_chunk_overlap" -> pk2ChunkOverlapSql,

@@ -195,6 +195,37 @@ class R11QueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_old") > 0L && r.getAs[Long]("n_new") > 0L)
   }
 
+  test("a31: Wilson intervals contain the rate, stay in [0,1], and hit exact endpoints") {
+    val rows = CurationQueries.a31WilsonGate(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    var worstWidth = 0L
+    var allWidth = Long.MaxValue
+    rows.foreach { r =>
+      val (lo, hi, rate) = (r.getAs[Long]("wilson_lo_e6"),
+        r.getAs[Long]("wilson_hi_e6"), r.getAs[Long]("rate_e6"))
+      assert(lo >= 0L && hi <= 1000000L, "Wilson never leaves [0,1] - the Wald flaw it fixes")
+      assert(lo <= rate && rate <= hi, s"interval [$lo,$hi] must contain $rate")
+      if (r.getAs[String]("lang") == "ALL") allWidth = hi - lo else worstWidth = math.max(worstWidth, hi - lo)
+    }
+    assert(allWidth < worstWidth, "the pooled interval must be narrower than the worst subgroup")
+  }
+
+  test("a31: degenerate rates give exact interval endpoints") {
+    // Wilson with p-hat = 0 has lo exactly 0; with p-hat = 1, hi exactly 1
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("a31d").toString
+    (Seq((1L, "xx", 10L), (2L, "xx", 20L), (3L, "yy", 900L), (4L, "yy", 900L)))
+      .toDF("doc_id", "lang", "n_chars")
+      .withColumn("text", lit("t")).withColumn("source", lit("s"))
+      .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    val rows = CurationQueries.a31WilsonGate(spark, tmp).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("wilson_lo_e6"), r.getAs[Long]("wilson_hi_e6"))).toMap
+    assert(rows("xx")._1 === 0L, "all-fail group: lo must be exactly 0")
+    assert(rows("yy")._2 === 1000000L, "all-pass group: hi must be exactly 1e6")
+  }
+
   test("a30: a two-pair micro corpus exercises the with-replacement draw") {
     // candidate 0 == reference 1 (perfect pair 0); candidate 2 disjoint
     // from reference 3 (zero pair 1): every resample's corpus BLEU is a
