@@ -906,6 +906,107 @@ object SimilarityQueries {
        |ORDER BY step""".stripMargin
   }
 
+  /** e2e5_rag_pipeline — the composed RAG serving path, end to end in one
+    * oracle-checked query: ir4's production retrieval (BM25 ⊕ IVF-ANN
+    * fused by RRF, zero corpus-wide dense scan) feeds ir7's MMR
+    * diversification — the two stages every retrieval-augmented stack
+    * runs between a query and a context window. Composition is the point:
+    * the rerank pool is the FUSED top-20 (not ir7's dense-only pool), its
+    * relevance is the rank-normalized RRF score (integer: 1e6·rrf div
+    * max_rrf — RRF and cosine live on different scales; normalizing makes
+    * λ·rel − (1−λ)·sim meaningful), and dense coverage is PARTIAL by
+    * design — sparse-arm hits without an embedding carry zero similarity
+    * penalty (the honest production shape where the vector index trails
+    * the corpus; they can still be selected on relevance).
+    *
+    * Scale shape: everything corpus-touching is inside the proven ir4
+    * plan (bm25_core pin + √N-stride IVF probe); the rerank adds a
+    * 20-row pool pin, a 20²-pair broadcast self-join for penalties, and
+    * the ir7 bounded-contract driver greedy over collected integers.
+    * Oracle: ir4's SQL as a nested-WITH subquery + the ir7 chained
+    * MATERIALIZED-CTE greedy with the complete (zero-filled) penalty
+    * matrix. */
+  def e2e5RagPipeline(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(s, dir, "embeddings"))
+    val pool0 = ir4HybridAnn(s, dir).select("doc_id", "rrf_e6")
+    val mx = pool0.agg(max("rrf_e6").as("mx"))
+    val pool = pool0.crossJoin(broadcast(mx))
+      .withColumn("rel_e6", expr("(1000000 * rrf_e6) div mx"))
+      .withColumn("relw_e6", floor(col("rel_e6") * 3 / lit(4)).cast(LongType))
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding"), col("norm")),
+        Seq("doc_id"), "left")
+      .select("doc_id", "rel_e6", "relw_e6", "embedding", "norm")
+      .localCheckpoint()
+    val a = pool.select(col("doc_id").as("ia"), col("embedding").as("ea"), col("norm").as("na"))
+    val b = pool.select(col("doc_id").as("ib"), col("embedding").as("eb"), col("norm").as("nb"))
+    val sims = a.join(broadcast(b), col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        when(col("ea").isNotNull && col("eb").isNotNull,
+          floor(cosE6(dot(col("ea"), col("eb")), col("na"), col("nb")) / lit(4)).cast(LongType))
+          .otherwise(lit(0L)).as("pen_e6"))
+    // bounded-contract collects: ≤20 pool rows + ≤20² penalty pairs
+    val cands = pool.select("doc_id", "rel_e6", "relw_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pen: Map[(Long, Long), Long] = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rel = cands.map(c => c._1 -> c._2).toMap
+    val relw = cands.map(c => c._1 -> c._3).toMap
+    var remaining = cands.map(_._1).toSet
+    var selectedIds = Vector.empty[Long]
+    val out = Vector.newBuilder[(Int, Long, Long, Long)]
+    for (step <- 1 to math.min(MmrSelectK, cands.length)) {
+      val scored = remaining.toSeq.map { id =>
+        val p = if (selectedIds.isEmpty) 0L
+          else selectedIds.map(sid => pen((id, sid))).max
+        (id, relw(id) - p)
+      }
+      val (bestId, bestSc) = scored.minBy { case (id, sc) => (-sc, id) }
+      out += ((step, bestId, rel(bestId), bestSc))
+      selectedIds :+= bestId
+      remaining -= bestId
+    }
+    val spark0 = s
+    import spark0.implicits._
+    out.result().toDF("step", "doc_id", "rel_e6", "mmr_e6")
+  }
+
+  val e2e5RagPipelineSql: String = {
+    val steps = (2 to MmrSelectK).map { k =>
+      s"""st$k AS MATERIALIZED (
+         |  SELECT c.doc_id, c.rel_e6, c.relw_e6 - MAX(p.pen_e6) AS sc
+         |  FROM pool c
+         |  JOIN sims p ON p.ia = c.doc_id AND p.ib IN (SELECT doc_id FROM sel${k - 1})
+         |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${k - 1})
+         |  GROUP BY c.doc_id, c.rel_e6, c.relw_e6),
+         |s$k AS MATERIALIZED (SELECT $k AS step, doc_id, rel_e6, sc AS mmr_e6 FROM st$k
+         |  ORDER BY sc DESC, doc_id LIMIT 1),
+         |sel$k AS MATERIALIZED (SELECT doc_id FROM sel${k - 1} UNION ALL SELECT doc_id FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pool0 AS MATERIALIZED (
+       |  SELECT doc_id, rrf_e6 FROM ($ir4HybridAnnSql) ir4q),
+       |embn AS ($withNormDuck),
+       |mx AS (SELECT MAX(rrf_e6) AS mx FROM pool0),
+       |pool AS MATERIALIZED (
+       |  SELECT p.doc_id, (1000000 * p.rrf_e6) // mx.mx AS rel_e6,
+       |    CAST(floor(3.0 * ((1000000 * p.rrf_e6) // mx.mx) / 4) AS BIGINT) AS relw_e6,
+       |    e.embedding, e.norm
+       |  FROM pool0 p CROSS JOIN mx
+       |  LEFT JOIN embn e ON e.vec_id = p.doc_id),
+       |sims AS MATERIALIZED (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+       |    CASE WHEN a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+       |      THEN CAST(floor(${cosE6Sql(dotSql("a.embedding", "b.embedding"), "a.norm", "b.norm")} / 4.0) AS BIGINT)
+       |      ELSE 0 END AS pen_e6
+       |  FROM pool a JOIN pool b ON a.doc_id <> b.doc_id),
+       |s1 AS MATERIALIZED (SELECT 1 AS step, doc_id, rel_e6, relw_e6 AS mmr_e6 FROM pool
+       |  ORDER BY relw_e6 DESC, doc_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT doc_id FROM s1),
+       |$steps
+       |SELECT step, doc_id, rel_e6, mmr_e6 FROM (
+       |  ${(1 to MmrSelectK).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")}) u
+       |ORDER BY step""".stripMargin
+  }
+
   /** a28_embed_sim — semantic generation scoring: cosine between the
     * CANDIDATE and REFERENCE document embeddings of each a22 eval pair
     * (even/odd doc ids, the shared pairing convention). This is the
@@ -943,6 +1044,7 @@ object SimilarityQueries {
   val queries: Map[String, QueryFn] = Map(
     "a28_embed_sim" -> (a28EmbedSim _),
     "ir7_mmr_rerank" -> (ir7MmrRerank _),
+    "e2e5_rag_pipeline" -> (e2e5RagPipeline _),
     "ir3_hybrid_dense" -> (ir3HybridDense _),
     "ir4_hybrid_ann" -> (ir4HybridAnn _),
     "ss1_bruteforce_topk" -> (ss1BruteforceTopk _),
@@ -959,6 +1061,7 @@ object SimilarityQueries {
     "ir3_hybrid_dense" -> ir3HybridDenseSql,
     "ir4_hybrid_ann" -> ir4HybridAnnSql,
     "ir7_mmr_rerank" -> ir7MmrRerankSql,
+    "e2e5_rag_pipeline" -> e2e5RagPipelineSql,
     "a28_embed_sim" -> a28EmbedSimSql,
     "ss5_recall_audit" -> ss5RecallAuditSql,
     "ss1_bruteforce_topk" -> ss1BruteforceTopkSql,

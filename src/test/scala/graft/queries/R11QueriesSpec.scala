@@ -226,6 +226,30 @@ class R11QueriesSpec extends SparkSpec {
     assert(rows("yy")._2 === 1000000L, "all-pass group: hi must be exactly 1e6")
   }
 
+  test("e2e5: the composed RAG pipeline selects from ir4's pool, relevance-first") {
+    val dir = "/root/testdata/sf0.001"
+    val sel = SimilarityQueries.e2e5RagPipeline(spark, dir).collect()
+    assert(sel.length === 8)
+    val ids = sel.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length === 8, "greedy must never re-select")
+    val poolIds = SimilarityQueries.ir4HybridAnn(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    ids.foreach(id => assert(poolIds.contains(id), s"$id not in the ir4 pool"))
+    // step 1 is pure relevance: the rank-normalized top doc (rel_e6 = 1e6)
+    val first = sel.find(_.getAs[Int]("step") == 1).get
+    assert(first.getAs[Long]("rel_e6") === 1000000L)
+    assert(first.getAs[Long]("mmr_e6") === 750000L, "step 1 mmr = floor(3/4 * 1e6)")
+    // the penalty term is bounded by the cosine range: a pick similar to
+    // the selected set loses up to 250000 (floor(1e6/4)); an ANTI-similar
+    // pick (negative cosine) may gain up to the same — MMR by the formula
+    sel.foreach { r =>
+      val relw = (r.getAs[Long]("rel_e6") * 3) / 4
+      val mmr = r.getAs[Long]("mmr_e6")
+      assert(mmr <= relw + 250000L && mmr >= relw - 250000L,
+        s"step ${r.getAs[Int]("step")}: mmr $mmr outside [$relw ± 250000]")
+    }
+  }
+
   test("a30: a two-pair micro corpus exercises the with-replacement draw") {
     // candidate 0 == reference 1 (perfect pair 0); candidate 2 disjoint
     // from reference 3 (zero pair 1): every resample's corpus BLEU is a
