@@ -155,6 +155,48 @@ object EventStreams {
   def hllRegisterStream(items: DataFrame, itemCol: String): DataFrame =
     graft.operators.Sketch.hllRegisters(items, col(itemCol), Seq.empty)
 
+  /** Streaming PSI drift monitor — the streaming face of `dq6_psi_drift`:
+    * each watermarked window's token distribution (over the fixed 64-bin
+    * hashed feature space) scores a Population Stability Index against a
+    * REFERENCE distribution from the training snapshot, which rides in
+    * the plan as 64 precomputed double literals (the sketch-literal
+    * pattern) — so the only stateful operator is ONE windowed aggregate
+    * whose state is 64 counters per in-horizon window, and the PSI
+    * itself is a stateless projection (per-bin terms e9-rounded before an
+    * integer sum, the dq6 convention). This is the alerting shape: a
+    * crawler flipping language mix or flooding boilerplate trips the
+    * `shifted` band within one window, long before corpus-level batch
+    * audits run. Reference refresh = restart with new literals (the
+    * Bloom/sketch convention). */
+  def psiDriftStream(docs: DataFrame, refCounts: Seq[Long],
+      windowLen: String = "1 hour", horizon: String = "2 hours"): DataFrame = {
+    require(refCounts.length == 64, s"need 64 reference bins, got ${refCounts.length}")
+    val tRef = refCounts.sum
+    val po: IndexedSeq[Double] =
+      (0 until 64).map(i => (refCounts(i) + 1).toDouble / (tRef + 64).toDouble)
+    val counts = (0 until 64).map(i =>
+      sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val agg = docs
+      .select(col("ts"), explode(graft.queries.Q.tokens(col("text"))).as("w"))
+      .withColumn("bin", graft.queries.Q.detHash(col("w"), 29) % 64)
+      .withWatermark("ts", horizon)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(counts.head, counts.tail: _*)
+    val tNew = (0 until 64).map(i => col(s"c$i")).reduce(_ + _)
+    val terms = (0 until 64).map { i =>
+      val pn = (col(s"c$i") + 1).cast("double") / (col("__t_new") + 64).cast("double")
+      round((pn - lit(po(i))) * log(pn / lit(po(i))) * lit(1e9)).cast("long")
+    }
+    agg
+      .withColumn("__t_new", tNew)
+      .withColumn("psi_e9", terms.reduce(_ + _))
+      .withColumn("band",
+        when(col("psi_e9") < 100000000L, "stable")
+          .when(col("psi_e9") < 250000000L, "moderate").otherwise("shifted"))
+      .select(col("window.start").as("window_start"),
+        col("__t_new").as("n_tokens"), col("psi_e9"), col("band"))
+  }
+
   /** IVF delta-assign — the streaming face of `ss7_ivf_refresh`'s assign
     * stage: each arriving vector scores against the FROZEN centroid index,
     * which rides in the plan as a literal/broadcast array
