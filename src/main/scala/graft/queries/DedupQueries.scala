@@ -732,10 +732,66 @@ object DedupQueries {
        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** dd17_fuzzy_names — typo-tolerant entity-name matching via
+    * deletion-neighborhood blocking (the FastSS / SymSpell family,
+    * Bocek et al. 2007): two strings are within Levenshtein distance 1
+    * iff their deletion neighborhoods D(s) = {s} ∪ {s minus one char}
+    * intersect — so the candidate generation is an EQUI-join on exploded
+    * variants (each string yields len+1 variants, bounded by token
+    * length), never a quadratic similarity scan. Blocking admits false
+    * positives (D("ab") ∩ D("ba") ∋ "a" but dist = 2 — transposition is
+    * two substitutions), so the exact `levenshtein` verify filter is
+    * load-bearing, exactly like dd3→dd4's LSH→Jaccard ladder but for
+    * EDIT distance on entity names (supplier/brand/author dedup at
+    * catalog scale — F15's spellcheck as a JOIN). Pairs carry their
+    * shared-variant count and each side's corpus support.
+    *
+    * Scale shape: distinct-token dictionary (vocabulary-bounded) →
+    * variant explode (len+1 per token) → hash equi-join on variant →
+    * codegen levenshtein verify → pair rollup; support joins key on the
+    * token. No cross join, no window. */
+  def dd17FuzzyNames(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("w"))
+    val support = tok.groupBy("w").agg(count(lit(1)).as("n_parts"))
+    val variants = support.select(col("w"), explode(concat(array(col("w")),
+      expr("transform(sequence(1, length(w)), i -> concat(substring(w, 1, i - 1), substring(w, i + 1, length(w))))")))
+      .as("v"))
+    val pairs = variants.as("a")
+      .join(variants.as("b"), col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("tok_a"), col("b.w").as("tok_b"))
+      .agg(count(lit(1)).as("shared_variants"))
+      .filter(levenshtein(col("tok_a"), col("tok_b")) <= 1)
+    pairs
+      .join(support.select(col("w").as("tok_a"), col("n_parts").as("n_parts_a")), Seq("tok_a"))
+      .join(support.select(col("w").as("tok_b"), col("n_parts").as("n_parts_b")), Seq("tok_b"))
+      .select("tok_a", "tok_b", "shared_variants", "n_parts_a", "n_parts_b")
+      .orderBy("tok_a", "tok_b")
+  }
+
+  val dd17FuzzyNamesSql: String =
+    """WITH tok AS (SELECT unnest(string_split(p_name, ' ')) AS w FROM part),
+      |support AS (SELECT w, COUNT(*) AS n_parts FROM tok GROUP BY w),
+      |variants AS (
+      |  SELECT w, unnest(list_prepend(w,
+      |    list_transform(range(1, len(w) + 1), i -> substr(w, 1, i - 1) || substr(w, i + 1)))) AS v
+      |  FROM support),
+      |pairs AS (
+      |  SELECT a.w AS tok_a, b.w AS tok_b, COUNT(*) AS shared_variants
+      |  FROM variants a JOIN variants b ON a.v = b.v AND a.w < b.w
+      |  GROUP BY a.w, b.w),
+      |ver AS (SELECT * FROM pairs WHERE levenshtein(tok_a, tok_b) <= 1)
+      |SELECT p.tok_a, p.tok_b, p.shared_variants, sa.n_parts AS n_parts_a, sb.n_parts AS n_parts_b
+      |FROM ver p
+      |JOIN support sa ON sa.w = p.tok_a
+      |JOIN support sb ON sb.w = p.tok_b
+      |ORDER BY tok_a, tok_b""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "dd14_line_dedup" -> (dd14LineDedup _),
     "dd15_exact_substr" -> (dd15ExactSubstr _),
     "dd16_span_cut" -> (dd16SpanCut _),
+    "dd17_fuzzy_names" -> (dd17FuzzyNames _),
     "dd13_minhash_estimate" -> (dd13MinhashEstimate _),
     "dd7_contamination" -> (dd7Contamination _),
     "dd10_bloom_contamination" -> (dd10BloomContamination _),
@@ -752,6 +808,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dd14_line_dedup" -> dd14LineDedupSql,
     "dd15_exact_substr" -> dd15ExactSubstrSql,
+    "dd17_fuzzy_names" -> dd17FuzzyNamesSql,
     "dd16_span_cut" -> dd16SpanCutSql,
     "dd13_minhash_estimate" -> dd13MinhashEstimateSql,
     "dd7_contamination" -> dd7ContaminationSql,

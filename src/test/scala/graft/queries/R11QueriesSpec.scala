@@ -250,6 +250,37 @@ class R11QueriesSpec extends SparkSpec {
     }
   }
 
+  test("dd17: blocking finds substitutions/insertions, verify kills transpositions") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dd17f").toString
+    // cat~bat: substitution (dist 1). cat~cart: insertion (dist 1).
+    // ab~ba: transposition - shares deletion variants 'a'/'b' but dist 2:
+    // the blocking FALSE POSITIVE the levenshtein verify must remove.
+    // dog~fox: dist 3, never even blocked.
+    Seq("cat bat", "cart ab", "ba dog", "fox cat")
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p_partkey", "p_name").coalesce(1)
+      .write.parquet(s"$tmp/part.parquet")
+    val pairs = DedupQueries.dd17FuzzyNames(spark, tmp).collect()
+      .map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b"))).toSet
+    // ba~bat is also a genuine insertion pair the fixture happens to carry
+    assert(pairs === Set(("bat", "cat"), ("cart", "cat"), ("ba", "bat")),
+      s"got $pairs")
+    assert(!pairs.contains(("ab", "ba")),
+      "transposition ab~ba shares deletion variants but is distance 2 - verify must reject")
+  }
+
+  test("dd17: real part names yield verified distance-1 pairs with support") {
+    val rows = DedupQueries.dd17FuzzyNames(spark, "/root/testdata/sf0.001").collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("tok_a"), r.getAs[String]("tok_b"))
+      assert(a < b)
+      assert(r.getAs[Long]("n_parts_a") > 0 && r.getAs[Long]("n_parts_b") > 0)
+      assert(r.getAs[Long]("shared_variants") >= 1)
+    }
+  }
+
   test("a30: a two-pair micro corpus exercises the with-replacement draw") {
     // candidate 0 == reference 1 (perfect pair 0); candidate 2 disjoint
     // from reference 3 (zero pair 1): every resample's corpus BLEU is a
