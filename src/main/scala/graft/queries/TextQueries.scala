@@ -2022,7 +2022,9 @@ object TextQueries {
     * and T reduce to ONE broadcast row, scoring is arithmetic in the same
     * projection, TakeOrdered bounds the result. The corpus never
     * shuffles. */
-  def ir8Qld(s: SparkSession, dir: String): DataFrame = {
+  /** Full-corpus QLD scores — ir8's scoring stage without the top-20 cut,
+    * shared with a32's ranker-agreement measurement. */
+  private def qldScores(s: SparkSession, dir: String): DataFrame = {
     val qterms = RetrievalQTerms
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("tk"))
@@ -2040,9 +2042,87 @@ object TextQueries {
     docs.crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dl"),
         round(score * 1e6).cast(LongType).as("qld_e6"))
+  }
+
+  def ir8Qld(s: SparkSession, dir: String): DataFrame =
+    qldScores(s, dir)
       .orderBy(desc("qld_e6"), col("doc_id"))
       .limit(20)
+
+  /** DuckDB CTE bodies `qst`, `ql` — the full-corpus QLD oracle core
+    * (expects CTE `d` from [[Bm25CtesSql]] in scope). */
+  private def qldCtesSql: String = {
+    val qterms = RetrievalQTerms
+    val cfCols = qterms.map(q =>
+      s"CAST(SUM(len(list_filter(tk, x -> x = '$q'))) AS BIGINT) AS cf_$q").mkString(",\n  ")
+    def termScore(q: String) = {
+      val tf = s"CAST(len(list_filter(tk, x -> x = '$q')) AS DOUBLE)"
+      val pc = s"(CAST(cf_$q AS DOUBLE) / CAST(total_t AS DOUBLE))"
+      s"ln(($tf + $QldMu * $pc) / (CAST(dl AS DOUBLE) + $QldMu))"
+    }
+    val score = qterms.map(termScore).mkString(" + ")
+    s"""qst AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_t,
+       |  $cfCols
+       |  FROM d),
+       |ql AS (SELECT doc_id, CAST(ROUND(($score) * 1e6) AS BIGINT) AS qld_e6
+       |  FROM d CROSS JOIN qst)""".stripMargin
   }
+
+  /** a32_rank_corr — inter-ranker agreement between the suite's two
+    * lexical retrievers (BM25 and Dirichlet QLD) over the SAME query:
+    * tie-broken Spearman ρ over the full corpus ranking plus top-20 set
+    * overlap. The retrieval-stack diagnostic behind fusion: ρ ≈ 1 means a
+    * second ranker adds nothing; low ρ with shared top-set is exactly
+    * where RRF fusion (ir1/ir3/ir4) earns its keep. Ranks come from
+    * [[graft.operators.Rank.globalRowNumber]] — the two-phase
+    * range-partitioned rank, NOT an un-partitioned window — with the
+    * (score desc, doc_id) total order, so ties resolve identically on
+    * both engines (documented convention: tie-broken, not averaged-rank,
+    * Spearman — integer scores tie often and averaging would cost a
+    * second aggregate for a diagnostic). Σd² accumulates in
+    * DECIMAL(38,0)/HUGEINT (the a29 convention — Σd² ≤ n³ wraps int64 at
+    * ~2M docs); ρ itself is one double expression over exact integers.
+    * Scale shape: two score projections (one is the pinned bm25_core),
+    * two global ranks, one doc_id equi-join, 1-row aggregates. */
+  def a32RankCorr(s: SparkSession, dir: String): DataFrame = {
+    val bm = bm25Scores(s, dir).select("doc_id", "bm25_e6")
+    val ql = qldScores(s, dir).select("doc_id", "qld_e6")
+    val rb = graft.operators.Rank.globalRowNumber(bm, desc("bm25_e6"), col("doc_id"))
+      .select(col("doc_id"), col("rank").as("rank_b"))
+    val rq = graft.operators.Rank.globalRowNumber(ql, desc("qld_e6"), col("doc_id"))
+      .select(col("doc_id"), col("rank").as("rank_q"))
+    val agg = rb.join(rq, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(rank_b - rank_q AS DECIMAL(19,0)) * CAST(rank_b - rank_q AS DECIMAL(19,0))"))
+          .cast("decimal(38,0)").as("sum_d2"))
+    val tb = bm.orderBy(desc("bm25_e6"), col("doc_id")).limit(20).select("doc_id")
+    val tq = ql.orderBy(desc("qld_e6"), col("doc_id")).limit(20).select("doc_id")
+    val ov = tb.join(tq, Seq("doc_id")).agg(count(lit(1)).as("top20_overlap"))
+    val nD = col("n_docs").cast(DoubleType)
+    agg.crossJoin(broadcast(ov))
+      .withColumn("rho_e6", round(lit(1e6) * (lit(1.0) -
+        lit(6.0) * col("sum_d2").cast(DoubleType) / (nD * (nD * nD - lit(1.0)))))
+        .cast(LongType))
+      .select("n_docs", "sum_d2", "rho_e6", "top20_overlap")
+  }
+
+  val a32RankCorrSql: String =
+    s"""WITH $Bm25CtesSql,
+       |$qldCtesSql,
+       |rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id) AS rank_b FROM bm),
+       |rq AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY qld_e6 DESC, doc_id) AS rank_q FROM ql),
+       |ag AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(rank_b - rank_q AS HUGEINT) * CAST(rank_b - rank_q AS HUGEINT)) AS DECIMAL(38,0)) AS sum_d2
+       |  FROM rb JOIN rq USING (doc_id)),
+       |tb AS (SELECT doc_id FROM bm ORDER BY bm25_e6 DESC, doc_id LIMIT 20),
+       |tq AS (SELECT doc_id FROM ql ORDER BY qld_e6 DESC, doc_id LIMIT 20),
+       |ov AS (SELECT COUNT(*) AS top20_overlap FROM tb JOIN tq USING (doc_id))
+       |SELECT n_docs, sum_d2,
+       |  CAST(ROUND(1e6 * (1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+       |    / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - 1.0)))) AS BIGINT) AS rho_e6,
+       |  top20_overlap
+       |FROM ag CROSS JOIN ov""".stripMargin
 
   val ir8QldSql: String = {
     val qterms = RetrievalQTerms
@@ -2195,6 +2275,7 @@ object TextQueries {
     "ir6_postings_bm25" -> (ir6PostingsBm25 _),
     "a22_bleu" -> (a22Bleu _),
     "a30_bootstrap_ci" -> (a30BootstrapCi _),
+    "a32_rank_corr" -> (a32RankCorr _),
     "a23_chrf" -> (a23Chrf _),
     "a24_rouge_l" -> (a24RougeL _),
     "a25_wer" -> (a25Wer _),
@@ -2237,6 +2318,7 @@ object TextQueries {
     "ir6_postings_bm25" -> ir6PostingsBm25Sql,
     "a22_bleu" -> a22BleuSql,
     "a30_bootstrap_ci" -> a30BootstrapCiSql,
+    "a32_rank_corr" -> a32RankCorrSql,
     "a23_chrf" -> a23ChrfSql,
     "a24_rouge_l" -> a24RougeLSql,
     "a25_wer" -> a25WerSql,

@@ -281,6 +281,20 @@ class R11QueriesSpec extends SparkSpec {
     }
   }
 
+  test("a32: rho reconstructs from its own sufficient statistics and stays in range") {
+    val r = TextQueries.a32RankCorr(spark, "/root/testdata/sf0.001").collect().head
+    val n = r.getAs[Long]("n_docs").toDouble
+    val d2 = BigInt(r.getAs[java.math.BigDecimal]("sum_d2").toBigIntegerExact).toDouble
+    val rho = r.getAs[Long]("rho_e6")
+    assert(rho >= -1000000L && rho <= 1000000L)
+    val expect = math.round(1e6 * (1.0 - 6.0 * d2 / (n * (n * n - 1.0))))
+    assert(rho === expect, s"rho $rho != reconstructed $expect")
+    val ov = r.getAs[Long]("top20_overlap")
+    assert(ov >= 0L && ov <= 20L)
+    // two lexical rankers over the same query must agree far above chance
+    assert(rho > 0L && ov >= 10L)
+  }
+
   test("a30: a two-pair micro corpus exercises the with-replacement draw") {
     // candidate 0 == reference 1 (perfect pair 0); candidate 2 disjoint
     // from reference 3 (zero pair 1): every resample's corpus BLEU is a
