@@ -475,8 +475,102 @@ object EventQueries {
        |    THEN 1 ELSE 0 END AS INT) AS spike
        |FROM w WHERE d7 = 7 ORDER BY event_type, day""".stripMargin
 
+  /** ev14_hll_rolling — rolling 7-day distinct users from DAILY HLL
+    * registers (the register-algebra payoff no exact method has): exact
+    * rolling distinct counts cannot be composed from daily exact counts —
+    * every window needs a full re-deduplication over its span — but HLL
+    * registers UNION by per-bucket max, so the 7-day estimate is a window
+    * max over the (day × 256)-bounded register grid: day d's sketch costs
+    * one corpus pass EVER, and any window over any span reuses it. This
+    * is how every large-scale DAU/WAU/MAU pipeline works (the audit
+    * columns carry the exact counts, the dd13 convention; production
+    * drops them — at 100 TB the exact 7-day dedup is precisely the job
+    * nobody wants to run daily).
+    *
+    * Scale shape: one events pass → (days × 256)-bounded register table
+    * (pinned; three consumers); the rolling merge is a window over the
+    * DENSE bounded grid (absent buckets materialized so the range frame
+    * anchors every day), estimates are the hll1 integer-exact formula;
+    * the exact-7d audit explodes each (day, user) to its ≤7 target days
+    * — corpus×7 narrow rows, audit-only. */
+  def ev14HllRolling(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketch
+    val ev = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val dayRegs = Sketch.hllRegisters(ev, col("user_id"), Seq("day"))
+      .localCheckpoint()
+    val days = dayRegs.select("day").distinct()
+    val grid = days.crossJoin(broadcast(
+      s.range(Sketch.HllM.toLong).select(col("id").as("bucket"))))
+    val wRoll = Window.partitionBy("bucket")
+      .orderBy(datediff(col("day"), lit("2020-01-01").cast("date")))
+      .rangeBetween(-6, 0)
+    val rolled = grid
+      .join(dayRegs.withColumnRenamed("rho", "rho0"), Seq("day", "bucket"), "left")
+      .withColumn("rho", max("rho0").over(wRoll))
+      .filter(col("rho").isNotNull)
+      .select(col("day"), col("bucket"), col("rho").cast(IntegerType).as("rho"))
+    val est1 = Sketch.hllEstimate(dayRegs, "day")
+      .select(col("day"), col("hll_est").as("hll_1d"))
+    val est7 = Sketch.hllEstimate(rolled, "day")
+      .select(col("day"), col("hll_est").as("hll_7d"))
+    val du = ev.distinct()
+    val exact1 = du.groupBy("day").agg(count(lit(1)).as("exact_1d"))
+    val exact7 = du
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("tday"), col("user_id"))
+      .distinct()
+      .join(days.withColumnRenamed("day", "tday"), Seq("tday"))
+      .groupBy(col("tday").as("day")).agg(count(lit(1)).as("exact_7d"))
+    exact1.join(est1, Seq("day")).join(exact7, Seq("day")).join(est7, Seq("day"))
+      .select("day", "exact_1d", "hll_1d", "exact_7d", "hll_7d")
+      .orderBy("day")
+  }
+
+  val ev14HllRollingSql: String = {
+    import graft.operators.Sketch.{HllM, HllRawC, HllScale, hllRhoSql}
+    val c = java.lang.Double.toString(HllRawC)
+    def estSql(src: String): String =
+      s"""SELECT day, CAST(ROUND(
+         |    CASE WHEN ($c / CAST(s_scaled AS DOUBLE)) <= ${2.5 * HllM}
+         |           AND $HllM - n_regs > 0
+         |      THEN ${HllM.toDouble} * ln(${HllM.toDouble} / CAST($HllM - n_regs AS DOUBLE))
+         |      ELSE $c / CAST(s_scaled AS DOUBLE) END) AS BIGINT) AS hll_est
+         |  FROM (
+         |    SELECT day, COUNT(*) AS n_regs,
+         |      SUM(CAST((CAST(1 AS BIGINT) << (60 - rho)) AS HUGEINT))
+         |        + CAST($HllM - COUNT(*) AS HUGEINT) * CAST($HllScale AS HUGEINT) AS s_scaled
+         |    FROM $src GROUP BY day) agg_$src""".stripMargin
+    s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+       |hx AS (SELECT day, ${Q.detHashSql("user_id", 11)} AS h FROM ev),
+       |rr AS (SELECT day, h % $HllM AS bucket, ${hllRhoSql(s"h // $HllM")} AS rho FROM hx),
+       |dayregs AS (SELECT day, bucket, MAX(rho) AS rho FROM rr GROUP BY day, bucket),
+       |days AS (SELECT DISTINCT day FROM dayregs),
+       |grid AS (SELECT d.day, b.bucket FROM days d
+       |  CROSS JOIN (SELECT unnest(range($HllM)) AS bucket) b),
+       |rolled0 AS (
+       |  SELECT g.day, g.bucket,
+       |    MAX(r.rho) OVER (PARTITION BY g.bucket ORDER BY g.day
+       |      RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS rho
+       |  FROM grid g LEFT JOIN dayregs r ON r.day = g.day AND r.bucket = g.bucket),
+       |rolled AS (SELECT day, bucket, rho FROM rolled0 WHERE rho IS NOT NULL),
+       |e1 AS (${estSql("dayregs")}),
+       |e7 AS (${estSql("rolled")}),
+       |du AS (SELECT DISTINCT day, user_id FROM ev),
+       |x7 AS (
+       |  SELECT t.tday AS day, COUNT(*) AS exact_7d FROM (
+       |    SELECT DISTINCT CAST(unnest(generate_series(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)) AS DATE) AS tday,
+       |      user_id
+       |    FROM du) t
+       |  JOIN days d ON d.day = t.tday GROUP BY t.tday),
+       |x1 AS (SELECT day, COUNT(*) AS exact_1d FROM du GROUP BY day)
+       |SELECT x1.day, x1.exact_1d, e1.hll_est AS hll_1d, x7.exact_7d, e7.hll_est AS hll_7d
+       |FROM x1 JOIN e1 USING (day) JOIN x7 USING (day) JOIN e7 USING (day)
+       |ORDER BY day""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "ev13_anomaly" -> (ev13Anomaly _),
+    "ev14_hll_rolling" -> (ev14HllRolling _),
     "ev12_streaks" -> (ev12Streaks _),
     "set3_scd2" -> (set3Scd2 _),
     "ev1_sessionize" -> (ev1Sessionize _),
@@ -492,6 +586,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "ev13_anomaly" -> ev13AnomalySql,
+    "ev14_hll_rolling" -> ev14HllRollingSql,
     "set3_scd2" -> set3Scd2Sql,
     "ev12_streaks" -> ev12StreaksSql,
     "ev1_sessionize" -> ev1SessionizeSql,

@@ -295,6 +295,34 @@ class R11QueriesSpec extends SparkSpec {
     assert(rho > 0L && ov >= 10L)
   }
 
+  test("ev14: rolled registers equal a from-scratch build over the 7-day union") {
+    // the sketch-merge contract: max-merging daily registers must be
+    // BYTE-identical to building one register table over the span's events
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val lastDay = ev.agg(max("day")).collect().head.getDate(0)
+    val span = ev.filter(col("day") >= date_sub(lit(lastDay), 6))
+    val direct = graft.operators.Sketch.hllRegisters(
+        span.select(lit("s").as("g"), col("user_id")), col("user_id"), Seq("g"))
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val daily = graft.operators.Sketch.hllRegisters(span, col("user_id"), Seq("day"))
+    val merged = daily.groupBy("bucket").agg(max("rho").as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged === direct)
+  }
+
+  test("ev14: the rolling estimate dominates the daily and tracks the exact counts") {
+    val rows = EventQueries.ev14HllRolling(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hll_7d") >= r.getAs[Long]("hll_1d"),
+        "merged registers dominate daily registers pointwise")
+      assert(r.getAs[Long]("exact_7d") >= r.getAs[Long]("exact_1d"))
+      // 15-user corpus sits deep in the linear-counting regime: near-exact
+      assert(math.abs(r.getAs[Long]("hll_1d") - r.getAs[Long]("exact_1d")) <= 3L)
+    }
+  }
+
   test("a30: a two-pair micro corpus exercises the with-replacement draw") {
     // candidate 0 == reference 1 (perfect pair 0); candidate 2 disjoint
     // from reference 3 (zero pair 1): every resample's corpus BLEU is a
