@@ -453,6 +453,76 @@ object TextQueries {
     * scores exactly at chance), so no classifier can beat chance here. The
     * statistic's machinery is what's under test; a real corpus gives the
     * same plan a real κ. */
+  /** a33_fleiss_kappa — Fleiss' κ (Fleiss 1971): chance-corrected
+    * agreement for MORE than two raters — the annotation-ops number a15's
+    * two-rater Cohen cannot give, and the one an AL loop reports when a
+    * paragraph batch goes to three annotators (the reference's annotation
+    * CSV workflow at panel scale). Panel: three deterministic synthetic
+    * raters per document over four classes — rater r's label is the
+    * detHash-derived true class, flipped to the next class on a 20%
+    * detHash noise draw, so agreement is substantial-but-imperfect and
+    * both engines replay every label exactly.
+    *
+    * Arithmetic: per-unit Σⱼn_ij² and the category totals are exact
+    * integers (≤ 9 per unit), so P̄, P̄ₑ and κ are each ONE double
+    * expression over exact integer sums, e6-rounded — no float
+    * aggregation anywhere. Scale shape: a 3-row explode per doc (the
+    * panel), two hash aggs ((doc, label) then doc / label), 1-row
+    * broadcast scalars. */
+  def a33FleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = DoubleType
+    val labels = t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("r"))
+      .withColumn("true_c", detHash(col("doc_id"), 41) % 4)
+      .withColumn("label",
+        when(detHash(col("doc_id") * 3 + col("r"), 43) % 5 === 0,
+          (col("true_c") + 1) % 4).otherwise(col("true_c")))
+      .select("doc_id", "r", "label")
+    // per-unit category counts → Σ n_ij² (integer, ≤ 9)
+    val perUnit = labels.groupBy("doc_id", "label").agg(count(lit(1)).as("nij"))
+      .groupBy("doc_id").agg(sum(col("nij") * col("nij")).as("sq"))
+    val uAgg = perUnit.agg(count(lit(1)).as("n_units"), sum("sq").as("sum_sq"))
+    val cAgg = labels.groupBy("label").agg(count(lit(1)).as("nj"))
+      .agg(sum(col("nj") * col("nj")).as("sum_nj2"), sum("nj").as("n_total"))
+    val nUnits = col("n_units").cast(d)
+    // P̄ = Σ_i (Σ_j n_ij² − n) / (n(n−1)) / N  with n = 3 raters
+    val pbar = (col("sum_sq").cast(d) - lit(3.0) * nUnits) / (lit(6.0) * nUnits)
+    // P̄e = Σ_j (n_j / (3N))²
+    val pe = col("sum_nj2").cast(d) / (lit(3.0) * nUnits * lit(3.0) * nUnits)
+    uAgg.crossJoin(broadcast(cAgg))
+      .withColumn("n_raters", lit(3))
+      .withColumn("pbar_e6", round(pbar * lit(1e6)).cast(LongType))
+      .withColumn("pe_e6", round(pe * lit(1e6)).cast(LongType))
+      .withColumn("kappa_e6", round((pbar - pe) / (lit(1.0) - pe) * lit(1e6)).cast(LongType))
+      .select("n_units", "n_raters", "pbar_e6", "pe_e6", "kappa_e6")
+  }
+
+  val a33FleissKappaSql: String =
+    s"""WITH labels AS (
+       |  SELECT doc_id, r,
+       |    CASE WHEN ${detHashSql("doc_id * 3 + r", 43)} % 5 = 0
+       |      THEN (${detHashSql("doc_id", 41)} % 4 + 1) % 4
+       |      ELSE ${detHashSql("doc_id", 41)} % 4 END AS label
+       |  FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS r) rs),
+       |pu AS (
+       |  SELECT doc_id, CAST(SUM(nij * nij) AS BIGINT) AS sq FROM (
+       |    SELECT doc_id, label, COUNT(*) AS nij FROM labels GROUP BY doc_id, label) t
+       |  GROUP BY doc_id),
+       |ua AS (SELECT COUNT(*) AS n_units, CAST(SUM(sq) AS BIGINT) AS sum_sq FROM pu),
+       |ca AS (SELECT CAST(SUM(nj * nj) AS BIGINT) AS sum_nj2 FROM (
+       |  SELECT label, COUNT(*) AS nj FROM labels GROUP BY label) t)
+       |SELECT n_units, 3 AS n_raters,
+       |  CAST(ROUND((CAST(sum_sq AS DOUBLE) - 3.0 * CAST(n_units AS DOUBLE))
+       |    / (6.0 * CAST(n_units AS DOUBLE)) * 1e6) AS BIGINT) AS pbar_e6,
+       |  CAST(ROUND(CAST(sum_nj2 AS DOUBLE)
+       |    / (3.0 * CAST(n_units AS DOUBLE) * 3.0 * CAST(n_units AS DOUBLE)) * 1e6) AS BIGINT) AS pe_e6,
+       |  CAST(ROUND(((CAST(sum_sq AS DOUBLE) - 3.0 * CAST(n_units AS DOUBLE))
+       |      / (6.0 * CAST(n_units AS DOUBLE))
+       |    - CAST(sum_nj2 AS DOUBLE) / (3.0 * CAST(n_units AS DOUBLE) * 3.0 * CAST(n_units AS DOUBLE)))
+       |    / (1.0 - CAST(sum_nj2 AS DOUBLE) / (3.0 * CAST(n_units AS DOUBLE) * 3.0 * CAST(n_units AS DOUBLE)))
+       |    * 1e6) AS BIGINT) AS kappa_e6
+       |FROM ua CROSS JOIN ca""".stripMargin
+
   def a15CohensKappa(s: SparkSession, dir: String): DataFrame = {
     val cm = a14ConfusionMatrix(s, dir)
     val tot = cm.agg(sum("n").as("nn"),
@@ -2263,6 +2333,7 @@ object TextQueries {
     "a19_pr_auc" -> (a19PrAuc _),
     "a20_mcnemar" -> (a20Mcnemar _),
     "a15_cohens_kappa" -> (a15CohensKappa _),
+    "a33_fleiss_kappa" -> (a33FleissKappa _),
     "ta2_quality_score" -> (ta2QualityScore _),
     "ta10_gopher_rules" -> (ta10GopherRules _),
     "ta12_readability" -> (ta12Readability _),
@@ -2306,6 +2377,7 @@ object TextQueries {
     "a19_pr_auc" -> a19PrAucSql,
     "a20_mcnemar" -> a20McnemarSql,
     "a15_cohens_kappa" -> a15CohensKappaSql,
+    "a33_fleiss_kappa" -> a33FleissKappaSql,
     "ta2_quality_score" -> ta2QualityScoreSql,
     "ta10_gopher_rules" -> ta10GopherRulesSql,
     "ta12_readability" -> ta12ReadabilitySql,

@@ -323,6 +323,38 @@ class R11QueriesSpec extends SparkSpec {
     }
   }
 
+  test("a33: the aggregated kappa equals the textbook per-unit computation") {
+    val dir = "/root/testdata/sf0.001"
+    val r = TextQueries.a33FleissKappa(spark, dir).collect().head
+    // reimplement Fleiss 1971 the slow way from the same label model
+    val docs = graft.Tables(spark, dir, "documents").select("doc_id")
+      .withColumn("r", explode(expr("sequence(0, 2)")))
+      .withColumn("true_c", graft.queries.Q.detHash(col("doc_id"), 41) % 4)
+      .withColumn("label",
+        when(graft.queries.Q.detHash(col("doc_id") * 3 + col("r"), 43) % 5 === 0,
+          (col("true_c") + 1) % 4).otherwise(col("true_c")))
+      .select("doc_id", "label").collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    val byUnit = docs.groupBy(_._1).values.toSeq
+    val n = 3.0
+    val pis = byUnit.map { u =>
+      val counts = u.groupBy(_._2).values.map(_.size)
+      (counts.map(c => c * c).sum - n) / (n * (n - 1.0))
+    }
+    val pbar = pis.sum / pis.length
+    val total = docs.length.toDouble
+    val pjs = docs.groupBy(_._2).values.map(_.size / total)
+    val pe = pjs.map(p => p * p).sum
+    val kappa = (pbar - pe) / (1.0 - pe)
+    assert(r.getAs[Long]("n_units") === byUnit.length.toLong)
+    assert(math.abs(r.getAs[Long]("pbar_e6") - math.round(pbar * 1e6)) <= 1L)
+    assert(math.abs(r.getAs[Long]("pe_e6") - math.round(pe * 1e6)) <= 1L)
+    assert(math.abs(r.getAs[Long]("kappa_e6") - math.round(kappa * 1e6)) <= 1L,
+      s"query ${r.getAs[Long]("kappa_e6")} vs textbook ${math.round(kappa * 1e6)}")
+    // 20% per-rater flip noise puts agreement in the substantial band
+    assert(r.getAs[Long]("kappa_e6") > 300000L && r.getAs[Long]("kappa_e6") < 900000L)
+  }
+
   test("a30: a two-pair micro corpus exercises the with-replacement draw") {
     // candidate 0 == reference 1 (perfect pair 0); candidate 2 disjoint
     // from reference 3 (zero pair 1): every resample's corpus BLEU is a
