@@ -1290,6 +1290,106 @@ object CurationQueries {
        |  FROM pack p JOIN g ON g.grp = p.grp AND g.pos = p.pos + 1)
        |SELECT doc_id, grp, bin, n AS n_tokens FROM pack ORDER BY doc_id""".stripMargin
 
+  /** pk4_bfd_pack — offline best-fit-decreasing packing vs pk3's
+    * streaming next-fit, as a per-group efficiency report (the packing-
+    * strategy decision every pretraining data team makes once, with
+    * numbers: BFD is the classic 11/9·OPT+1 offline bound vs next-fit's
+    * 2·OPT, but next-fit is one sequential pass — this query prices the
+    * gap on real documents). Same deterministic ≤[[PackGroup]]-doc groups
+    * and [[PackBudget]] budget as pk3; BFD orders each group by (size
+    * desc, doc_id) and places each doc in the FULLEST bin that still fits
+    * (lowest index on ties — the exact rule the oracle's list-state
+    * recursion replays), next-fit replays pk3's doc_id-order fold.
+    *
+    * Scale shape: one projection → groupByKey over bounded 64-doc groups
+    * → per-group sequential folds (both algorithms are sequential BY
+    * DEFINITION; the group bound makes the fold O(1) per group) → a
+    * |groups|-row frame. Oracle: TWO linear recursive CTEs — pk3's
+    * scalar-state next-fit and a LIST-state best-fit (the bin-residual
+    * vector as a recursive list column, best bin via
+    * list_position/list_max over a masked copy). */
+  def pk4BfdPack(s: SparkSession, dir: String): DataFrame = {
+    val spark0 = s
+    import spark0.implicits._
+    val base = t(s, dir, "documents").select(
+        col("doc_id").cast(LongType).as("doc_id"),
+        floor(col("doc_id") / lit(PackGroup)).cast(LongType).as("grp"),
+        size(tokens(col("text"))).cast(LongType).as("n"))
+      .as[(Long, Long, Long)]
+    base.groupByKey(_._2).mapGroups { (grp, it) =>
+      val docs = it.toArray
+      // next-fit in doc_id order (the pk3 fold)
+      var nfBins = 1L
+      var load = 0L
+      var first = true
+      for ((_, _, n) <- docs.sortBy(_._1)) {
+        if (first) { load = n; first = false }
+        else if (load + n <= PackBudget) load += n
+        else { nfBins += 1; load = n }
+      }
+      // best-fit over (size desc, doc_id) order: fullest bin that fits,
+      // lowest index on ties
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for ((_, _, n) <- docs.sortBy(d => (-d._3, d._1))) {
+        var best = -1
+        var bestLoad = -1L
+        var i = 0
+        while (i < loads.length) {
+          if (loads(i) + n <= PackBudget && loads(i) > bestLoad) {
+            best = i; bestLoad = loads(i)
+          }
+          i += 1
+        }
+        if (best >= 0) loads(best) += n else loads += n
+      }
+      val tokens = docs.map(_._3).sum
+      (grp, docs.length.toLong, tokens, nfBins, loads.length.toLong,
+        nfBins - loads.length.toLong)
+    }.toDF("grp", "n_docs", "n_tokens", "bins_nf", "bins_bfd", "bins_saved")
+      .orderBy("grp")
+  }
+
+  val pk4BfdPackSql: String = {
+    val mask = s"list_transform(p.loads, y -> CASE WHEN y + g.n <= $PackBudget THEN y ELSE -1 END)"
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, CAST(floor(doc_id / $PackGroup.0) AS BIGINT) AS grp,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |g AS (SELECT doc_id, grp, n,
+       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY doc_id) AS pos FROM d),
+       |nf AS (
+       |  SELECT grp, pos, n AS load, CAST(1 AS BIGINT) AS bins
+       |  FROM g WHERE pos = 1
+       |  UNION ALL
+       |  SELECT g.grp, g.pos,
+       |    CASE WHEN p.load + g.n <= $PackBudget THEN p.load + g.n ELSE g.n END,
+       |    CASE WHEN p.load + g.n <= $PackBudget THEN p.bins ELSE p.bins + 1 END
+       |  FROM nf p JOIN g ON g.grp = p.grp AND g.pos = p.pos + 1),
+       |nff AS (SELECT grp, bins AS bins_nf FROM (
+       |  SELECT grp, bins, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY pos DESC) AS rk
+       |  FROM nf) t WHERE rk = 1),
+       |gb AS (SELECT doc_id, grp, n,
+       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n DESC, doc_id) AS pos FROM d),
+       |bfd AS (
+       |  SELECT grp, pos, [n] AS loads FROM gb WHERE pos = 1
+       |  UNION ALL
+       |  SELECT g.grp, g.pos,
+       |    CASE WHEN list_max($mask) >= 0
+       |      THEN list_transform(p.loads, (x, i) -> CASE
+       |        WHEN i = list_position($mask, list_max($mask)) THEN x + g.n ELSE x END)
+       |      ELSE list_append(p.loads, g.n) END
+       |  FROM bfd p JOIN gb g ON g.grp = p.grp AND g.pos = p.pos + 1),
+       |bff AS (SELECT grp, CAST(len(loads) AS BIGINT) AS bins_bfd FROM (
+       |  SELECT grp, loads, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY pos DESC) AS rk
+       |  FROM bfd) t WHERE rk = 1),
+       |st AS (SELECT grp, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY grp)
+       |SELECT st.grp, st.n_docs, st.n_tokens, nff.bins_nf, bff.bins_bfd,
+       |  nff.bins_nf - bff.bins_bfd AS bins_saved
+       |FROM st JOIN nff USING (grp) JOIN bff USING (grp)
+       |ORDER BY grp""".stripMargin
+  }
+
   /** sm11's knobs: per-language repeat cap (UniMax's N) and the token
     * budget as a rational fraction of the corpus — 16/10 = 1.6 average
     * epochs, sized against the synthetic language inventory (en carries
@@ -1489,6 +1589,7 @@ object CurationQueries {
     "ta16_kn_ppl" -> (ta16KnPpl _),
     "ta19_kn3_ppl" -> (ta19Kn3Ppl _),
     "a31_wilson_gate" -> (a31WilsonGate _),
+    "pk4_bfd_pack" -> (pk4BfdPack _),
     "ta11_entropy_gate" -> (ta11EntropyGate _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
     "pk2_chunk_overlap" -> (pk2ChunkOverlap _),
@@ -1514,6 +1615,7 @@ object CurationQueries {
     "ta16_kn_ppl" -> ta16KnPplSql,
     "ta19_kn3_ppl" -> ta19Kn3PplSql,
     "a31_wilson_gate" -> a31WilsonGateSql,
+    "pk4_bfd_pack" -> pk4BfdPackSql,
     "ta11_entropy_gate" -> ta11EntropyGateSql,
     "pk1_sequence_pack" -> pk1SequencePackSql,
     "pk2_chunk_overlap" -> pk2ChunkOverlapSql,

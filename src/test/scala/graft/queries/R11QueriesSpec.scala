@@ -355,6 +355,34 @@ class R11QueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("kappa_e6") > 300000L && r.getAs[Long]("kappa_e6") < 900000L)
   }
 
+  test("pk4: the crafted instance where best-fit-decreasing beats next-fit") {
+    // budget 256. NF in doc order: [150][130+100][76+50] = 3 bins.
+    // BFD desc: 150+100=250, 130+76+50=256 = 2 bins.
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, words(150)), (1L, words(130)), (2L, words(100)),
+      (3L, words(76)), (4L, words(50))), "pk4f")
+    val r = CurationQueries.pk4BfdPack(spark, dir).collect().head
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("n_tokens") === 506L)
+    assert(r.getAs[Long]("bins_nf") === 3L)
+    assert(r.getAs[Long]("bins_bfd") === 2L)
+    assert(r.getAs[Long]("bins_saved") === 1L)
+  }
+
+  test("pk4: both packings respect the capacity lower bound on real data") {
+    val rows = CurationQueries.pk4BfdPack(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lb = (r.getAs[Long]("n_tokens") + 255L) / 256L
+      assert(r.getAs[Long]("bins_bfd") >= lb, "no packing beats ceil(tokens/budget)")
+      assert(r.getAs[Long]("bins_nf") >= r.getAs[Long]("bins_bfd") - 1,
+        "NF catastrophically better than BFD would mean a fold bug")
+      assert(r.getAs[Long]("bins_saved") ===
+        r.getAs[Long]("bins_nf") - r.getAs[Long]("bins_bfd"))
+    }
+  }
+
   test("a30: a two-pair micro corpus exercises the with-replacement draw") {
     // candidate 0 == reference 1 (perfect pair 0); candidate 2 disjoint
     // from reference 3 (zero pair 1): every resample's corpus BLEU is a
