@@ -781,12 +781,69 @@ object CorpusQueries {
        |  array_to_string(syms, '|') AS pieces
        |FROM state3 ORDER BY freq DESC, word LIMIT 20""".stripMargin
 
+  /** tok7_char_coverage — the SentencePiece `character_coverage` curve
+    * (Kudo & Richardson 2018 ship 0.9995 as the default knob): how many
+    * distinct characters cover 90% / 99% / 99.95% of corpus character
+    * OCCURRENCES — the number that decides how much of the alphabet
+    * becomes single-character pieces vs UNK/byte-fallback, and the
+    * CJK-vs-Latin sizing question every tokenizer build answers first.
+    * Pure integer: the coverage test is cum·10⁴ ≥ thr_e4·total.
+    *
+    * Scale shape: one char explode (corpus-char-proportional — the
+    * metric's nature, same class as a23) → alphabet-bounded hash agg;
+    * the rank/cumulative windows run over the ALPHABET (bounded by
+    * construction — the gate's aggregate-below rule), thresholds enter
+    * as an exploded 3-element literal (no broadcast join). */
+  def tok7CharCoverage(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .groupBy("ch").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(desc("cnt"), col("ch"))
+    val ranked = freq
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum("cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = freq.agg(sum("cnt").as("total"), count(lit(1)).as("n_alphabet"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("thr_e4", explode(typedlit(Seq(9000L, 9900L, 9995L))))
+      .filter(col("cum") * 10000 >= col("thr_e4") * col("total"))
+      .groupBy("thr_e4")
+      .agg(min("rk").as("n_chars"),
+        min(struct(col("rk"), col("cum"))).getField("cum").as("cum_cnt"),
+        max("total").as("total_chars"), max("n_alphabet").as("n_alphabet"))
+      .orderBy("thr_e4")
+  }
+
+  val tok7CharCoverageSql: String =
+    """WITH ch AS (
+      |  SELECT unnest(string_split(text, '')) AS ch FROM documents),
+      |freq AS (SELECT ch, COUNT(*) AS cnt FROM ch GROUP BY ch),
+      |ranked AS (
+      |  SELECT ch, cnt,
+      |    ROW_NUMBER() OVER (ORDER BY cnt DESC, ch) AS rk,
+      |    SUM(cnt) OVER (ORDER BY cnt DESC, ch
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM freq),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_alphabet FROM freq),
+      |x AS (
+      |  SELECT t.thr_e4, r.rk, r.cum, tot.total, tot.n_alphabet
+      |  FROM ranked r CROSS JOIN tot
+      |  CROSS JOIN (SELECT unnest([9000, 9900, 9995]) AS thr_e4) t
+      |  WHERE r.cum * 10000 >= t.thr_e4 * tot.total)
+      |SELECT thr_e4, CAST(MIN(rk) AS BIGINT) AS n_chars,
+      |  CAST((MIN(struct_pack(rk := rk, cum := cum))).cum AS BIGINT) AS cum_cnt,
+      |  CAST(MAX(total) AS BIGINT) AS total_chars,
+      |  CAST(MAX(n_alphabet) AS BIGINT) AS n_alphabet
+      |FROM x GROUP BY thr_e4 ORDER BY thr_e4""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "tok1_bpe_merges" -> (tok1BpeMerges _),
     "tok2_bpe_encode" -> (tok2BpeEncode _),
     "tok3_bpe_doc_tokens" -> (tok3BpeDocTokens _),
     "tok4_fertility" -> (tok4Fertility _),
     "tok5_oov_coverage" -> (tok5OovCoverage _),
+    "tok7_char_coverage" -> (tok7CharCoverage _),
     "tok6_unigram_seg" -> (tok6UnigramSeg _),
     "cms1_heavy_hitters" -> (cms1HeavyHitters _),
     "hll1_distinct" -> (hll1Distinct _),
@@ -805,6 +862,7 @@ object CorpusQueries {
     "tok3_bpe_doc_tokens" -> tok3BpeDocTokensSql,
     "tok4_fertility" -> tok4FertilitySql,
     "tok5_oov_coverage" -> tok5OovCoverageSql,
+    "tok7_char_coverage" -> tok7CharCoverageSql,
     "tok6_unigram_seg" -> tok6UnigramSegSql,
     "cms1_heavy_hitters" -> cms1HeavyHittersSql,
     "hll1_distinct" -> hll1DistinctSql,

@@ -383,6 +383,28 @@ class R11QueriesSpec extends SparkSpec {
     }
   }
 
+  test("tok7: the coverage curve hits exact hand-computed thresholds") {
+    // chars: a x90, b x9, ' ' x1, c x1 (total 101, alphabet 4)
+    // 90%: a alone covers 90/101 < 0.90 -> need 2; 99%: need 3; 99.95%: all 4
+    val dir = docsDir(Seq((0L, "a" * 90), (1L, ("b" * 9) + " c")), "tok7f")
+    val rows = CorpusQueries.tok7CharCoverage(spark, dir).collect()
+      .map(r => r.getAs[Long]("thr_e4") ->
+        (r.getAs[Int]("n_chars"), r.getAs[Long]("cum_cnt"))).toMap
+    assert(rows(9000L) === ((2, 99L)))
+    assert(rows(9900L) === ((3, 100L)))
+    assert(rows(9995L) === ((4, 101L)))
+  }
+
+  test("tok7: monotone coverage on real data") {
+    val rows = CorpusQueries.tok7CharCoverage(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 3)
+    val byThr = rows.sortBy(_.getAs[Long]("thr_e4"))
+    assert(byThr.sliding(2).forall { case Array(a, b) =>
+      a.getAs[Int]("n_chars") <= b.getAs[Int]("n_chars") &&
+        a.getAs[Long]("cum_cnt") <= b.getAs[Long]("cum_cnt") })
+    rows.foreach(r => assert(r.getAs[Long]("cum_cnt") <= r.getAs[Long]("total_chars")))
+  }
+
   test("a30: a two-pair micro corpus exercises the with-replacement draw") {
     // candidate 0 == reference 1 (perfect pair 0); candidate 2 disjoint
     // from reference 3 (zero pair 1): every resample's corpus BLEU is a
