@@ -143,6 +143,28 @@ object EventStreams {
       width: Long = graft.operators.Sketch.DefaultWidth): DataFrame =
     graft.operators.Sketch.buildCms(items, col(itemCol), depth, width)
 
+  /** SQ8 encode — the streaming face of `ss6_sq8_topk`'s quantization
+    * stage: arriving vectors compress to 8-bit codes against the FROZEN
+    * per-dimension [lo, span] corpus statistics, which ride as two
+    * d-element literals (the d-bounded stats contract of the batch face).
+    * e6-fix → subtract lo → scale by 255/span, all integer — ONE
+    * stateless projection, byte-identical codes to the batch encode
+    * (Sq8StreamSpec), so the vector store ingests compressed at scan
+    * speed and a stats refresh is a restart with new literals. */
+  def sq8EncodeStream(vecs: DataFrame, lo: Seq[Long], span: Seq[Long],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(lo.length == span.length, "per-dimension stats must align")
+    vecs
+      .withColumn("__xi", expr(
+        s"transform($vecCol, v -> CAST(ROUND(CAST(v AS DOUBLE) * 1e6) AS BIGINT))"))
+      .withColumn("__lo", typedlit(lo))
+      .withColumn("__span", typedlit(span))
+      .withColumn("code", expr(
+        """zip_with(zip_with(__xi, __lo, (x, l) -> x - l), __span,
+          |  (n, sp) -> IF(sp = 0L, 0L, (n * 255L) div sp))""".stripMargin))
+      .select(col(idCol), col("code"))
+  }
+
   /** HLL register maintenance — the streaming face of `hll1_distinct`'s
     * build: the register table is a running `max(ρ)` per bucket, which is
     * exactly a streaming aggregation with m-bounded state (256 rows at
