@@ -124,6 +124,23 @@ object GraftFunctions {
       s"nfc_normalize expects 1 argument, got ${other.length}")
   }
 
+  val topKIdent = new FunctionIdentifier("top_k_smallest")
+
+  val topKInfo = new ExpressionInfo(
+    classOf[TopKSmallestAgg].getName, null, "top_k_smallest",
+    "top_k_smallest(key, id, k) - aggregate keeping the k smallest (key, id) BIGINT pairs " +
+      "(ascending, id tiebreak) as array<struct<k,id>>; k-bounded state, map-side partial - " +
+      "the grouped-top-k shape that replaces low-cardinality rank windows.",
+    "")
+
+  val topKBuilder: Seq[Expression] => Expression = {
+    case Seq(key, id, k) if k.foldable =>
+      TopKSmallestAgg(key, id, k.eval().asInstanceOf[Number].intValue())
+    case other => throw new IllegalArgumentException(
+      s"top_k_smallest expects (key, id, k-literal), got ${other.length} argument(s)" +
+        (if (other.length == 3) " with a non-literal k" else ""))
+  }
+
   /** Register on an already-running session (idempotent — re-registration
     * overwrites with an identical builder). */
   def register(spark: SparkSession): Unit = {
@@ -143,6 +160,8 @@ object GraftFunctions {
       .registerFunction(editDistIdent, editDistInfo, editDistBuilder)
     spark.sessionState.functionRegistry
       .registerFunction(stripAccentsIdent, stripAccentsInfo, stripAccentsBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(topKIdent, topKInfo, topKBuilder)
   }
 }
 
@@ -164,5 +183,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.editDistBuilder))
     ext.injectFunction((GraftFunctions.stripAccentsIdent, GraftFunctions.stripAccentsInfo,
       GraftFunctions.stripAccentsBuilder))
+    ext.injectFunction((GraftFunctions.topKIdent, GraftFunctions.topKInfo,
+      GraftFunctions.topKBuilder))
   }
 }
