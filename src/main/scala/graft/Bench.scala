@@ -108,14 +108,22 @@ object Bench {
     // BENCH_FULL.json is never the only copy: in r10 a second Bench
     // invocation in the same CWD silently overwrote the round's driver map
     // (Bench writes BENCH_FULL.json unconditionally) and the full 185-query
-    // record survived only as a truncated stdout tail. Timestamped copies
-    // make overwrites impossible by construction; the dir is append-only.
+    // record survived only as a truncated stdout tail. CREATE_NEW + a
+    // nanoTime suffix on collision (ADVICE r11: epoch-second names with
+    // default CREATE+TRUNCATE could still overwrite within one second)
+    // makes the dir genuinely append-only.
     try {
       val runsDir = java.nio.file.Paths.get("bench_runs")
       java.nio.file.Files.createDirectories(runsDir)
-      java.nio.file.Files.write(
-        runsDir.resolve(s"${System.currentTimeMillis() / 1000}.json"),
-        (fullLine + "\n").getBytes("UTF-8"))
+      val epoch = System.currentTimeMillis() / 1000
+      val bytes = (fullLine + "\n").getBytes("UTF-8")
+      try java.nio.file.Files.write(runsDir.resolve(s"$epoch.json"), bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.write(
+          runsDir.resolve(s"$epoch-${System.nanoTime()}.json"), bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+      }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] bench_runs append FAILED: ${e.getMessage}") }
     // full map for log readers; the marker prefix keeps it from ever being

@@ -35,9 +35,12 @@ object Verify {
     // GRAFT_DIFF: comma-separated query names whose Spark-side rows are ALSO
     // dumped as canonical sorted JSONL (<name>.rows.jsonl) — a human-diffable
     // artifact for hash mismatches the driver record can't localize. Default
-    // covers the one historically driver-divergent query.
+    // covers the historically driver-divergent queries (sm7 r6; a29/a32 r11
+    // decimal-hash divergence — fixed r12, kept here so any recurrence is
+    // row-localizable from the driver artifacts alone).
     val diffNames: Set[String] = sys.env.getOrElse("GRAFT_DIFF",
-      "sm7_temperature_sample").split(",").map(_.trim).filter(_.nonEmpty).toSet
+      "sm7_temperature_sample,a29_brier,a32_rank_corr")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)

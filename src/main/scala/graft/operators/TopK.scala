@@ -46,7 +46,23 @@ object TopK {
       sortKey: Column, tiebreak: Column,
       keyName: String, idName: String): DataFrame = {
     require(k > 0, s"top-k needs k > 0, got $k")
+    // coercion contract (ADVICE r11): sortKey/tiebreak are cast to LONG
+    // below, which would TRUNCATE a fractional key (silently changing the
+    // order vs the row_number window this replaces) and null an uncastable
+    // one (whose rows the aggregate's null-skip then drops). The suite's
+    // keys are integral by the e6-fixed-point convention; a future caller
+    // with a double score must e6-fix it first — fail loudly here instead.
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    def assertIntegral(c: Column, what: String): Unit = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.select(c).schema.head.dataType
+      val ok = dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+      require(ok,
+        s"TopK.smallestPerGroup $what must be an integral type (e6-fix " +
+          s"fractional scores first); got ${dt.simpleString}")
+    }
+    assertIntegral(sortKey, "sortKey")
+    assertIntegral(tiebreak, "tiebreak")
     val agg = column(graft.plans.TopKSmallestAgg(
       expression(sortKey.cast(LongType)), expression(tiebreak.cast(LongType)), k)
       .toAggregateExpression())

@@ -134,8 +134,20 @@ object GraftFunctions {
     "")
 
   val topKBuilder: Seq[Expression] => Expression = {
+    // only non-null INTEGRAL literals for k (ADVICE r11: Number.intValue()
+    // would silently truncate top_k_smallest(key, id, 3.9) to k=3, and a
+    // null literal NPE'd with an unhelpful message)
     case Seq(key, id, k) if k.foldable =>
-      TopKSmallestAgg(key, id, k.eval().asInstanceOf[Number].intValue())
+      k.eval() match {
+        case i: java.lang.Integer => TopKSmallestAgg(key, id, i.intValue())
+        case l: java.lang.Long if l.longValue() == l.intValue() =>
+          TopKSmallestAgg(key, id, l.intValue())
+        case s: java.lang.Short => TopKSmallestAgg(key, id, s.intValue())
+        case b: java.lang.Byte => TopKSmallestAgg(key, id, b.intValue())
+        case bad => throw new IllegalArgumentException(
+          "top_k_smallest k must be a non-null integral literal, got " +
+            (if (bad == null) "NULL" else s"$bad: ${k.dataType.simpleString}"))
+      }
     case other => throw new IllegalArgumentException(
       s"top_k_smallest expects (key, id, k-literal), got ${other.length} argument(s)" +
         (if (other.length == 3) " with a non-literal k" else ""))

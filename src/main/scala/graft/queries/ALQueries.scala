@@ -387,12 +387,22 @@ object ALQueries {
       .localCheckpoint()
     val glob = bins.agg(sum("n_pos").as("npos"), sum("n").as("nn"))
       .select(expr("(1000000 * npos) div nn").as("obar_e6"))
+    // r12 (VERDICT r11 #1): the DECIMAL(38,0) accumulation stays INTERNAL —
+    // the driver's hash canonicalization diverges on decimal-typed output
+    // columns even when values match bit-for-bit (r11: a29/a32 were the
+    // suite's only decimal emitters and its only hash fails). Emit the
+    // exact sums as canonical digit STRINGs on both engines instead:
+    // hash-stable, still exact, still overflow-proof.
     bins.crossJoin(broadcast(glob))
       .withColumn("res_num_e12", expr(
         "CAST(CAST(n AS DECIMAL(38,0)) * CAST(obs_e6 - obar_e6 AS DECIMAL(19,0)) * CAST(obs_e6 - obar_e6 AS DECIMAL(19,0)) AS DECIMAL(38,0))"))
       .withColumn("unc_e12", expr("obar_e6 * (1000000 - obar_e6)"))
-      .select("bin", "n", "n_pos", "sum_f_e6", "mean_f_e6", "obs_e6",
-        "sq_err_e12", "rel_num_e12", "res_num_e12", "obar_e6", "unc_e12")
+      .select(col("bin"), col("n"), col("n_pos"), col("sum_f_e6"),
+        col("mean_f_e6"), col("obs_e6"),
+        col("sq_err_e12").cast("string").as("sq_err_e12"),
+        col("rel_num_e12").cast("string").as("rel_num_e12"),
+        col("res_num_e12").cast("string").as("res_num_e12"),
+        col("obar_e6"), col("unc_e12"))
       .orderBy("bin")
   }
 
@@ -414,9 +424,10 @@ object ALQueries {
        |b2 AS (SELECT bin, n, n_pos, sum_f_e6, sq_err_e12,
        |  sum_f_e6 // n AS mean_f_e6, (1000000 * n_pos) // n AS obs_e6 FROM b),
        |g AS (SELECT (1000000 * CAST(SUM(n_pos) AS BIGINT)) // CAST(SUM(n) AS BIGINT) AS obar_e6 FROM b)
-       |SELECT bin, n, n_pos, sum_f_e6, mean_f_e6, obs_e6, sq_err_e12,
-       |  CAST(CAST(n AS HUGEINT) * CAST(mean_f_e6 - obs_e6 AS HUGEINT) * CAST(mean_f_e6 - obs_e6 AS HUGEINT) AS DECIMAL(38,0)) AS rel_num_e12,
-       |  CAST(CAST(n AS HUGEINT) * CAST(obs_e6 - obar_e6 AS HUGEINT) * CAST(obs_e6 - obar_e6 AS HUGEINT) AS DECIMAL(38,0)) AS res_num_e12,
+       |SELECT bin, n, n_pos, sum_f_e6, mean_f_e6, obs_e6,
+       |  CAST(sq_err_e12 AS VARCHAR) AS sq_err_e12,
+       |  CAST(CAST(CAST(n AS HUGEINT) * CAST(mean_f_e6 - obs_e6 AS HUGEINT) * CAST(mean_f_e6 - obs_e6 AS HUGEINT) AS DECIMAL(38,0)) AS VARCHAR) AS rel_num_e12,
+       |  CAST(CAST(CAST(n AS HUGEINT) * CAST(obs_e6 - obar_e6 AS HUGEINT) * CAST(obs_e6 - obar_e6 AS HUGEINT) AS DECIMAL(38,0)) AS VARCHAR) AS res_num_e12,
        |  obar_e6, obar_e6 * (1000000 - obar_e6) AS unc_e12
        |FROM b2 CROSS JOIN g ORDER BY bin""".stripMargin
   }

@@ -751,8 +751,14 @@ object DedupQueries {
     * codegen levenshtein verify → pair rollup; support joins key on the
     * token. No cross join, no window. */
   def dd17FuzzyNames(s: SparkSession, dir: String): DataFrame = {
+    // empty tokens (consecutive/leading spaces) are dropped on BOTH engines
+    // (ADVICE r11): for w = '' Spark's sequence(1, 0) yields a DESCENDING
+    // [1, 0] (two variant rows) while DuckDB's range(1, 1) is empty — a
+    // latent cross-engine divergence even though neither engine should be
+    // fuzzy-matching the empty string anyway
     val tok = t(s, dir, "part")
       .select(explode(split(col("p_name"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
     val support = tok.groupBy("w").agg(count(lit(1)).as("n_parts"))
     val variants = support.select(col("w"), explode(concat(array(col("w")),
       expr("transform(sequence(1, length(w)), i -> concat(substring(w, 1, i - 1), substring(w, i + 1, length(w))))")))
@@ -770,7 +776,8 @@ object DedupQueries {
   }
 
   val dd17FuzzyNamesSql: String =
-    """WITH tok AS (SELECT unnest(string_split(p_name, ' ')) AS w FROM part),
+    """WITH tok0 AS (SELECT unnest(string_split(p_name, ' ')) AS w FROM part),
+      |tok AS (SELECT w FROM tok0 WHERE len(w) > 0),
       |support AS (SELECT w, COUNT(*) AS n_parts FROM tok GROUP BY w),
       |variants AS (
       |  SELECT w, unnest(list_prepend(w,

@@ -2169,11 +2169,15 @@ object TextQueries {
     val tq = ql.orderBy(desc("qld_e6"), col("doc_id")).limit(20).select("doc_id")
     val ov = tb.join(tq, Seq("doc_id")).agg(count(lit(1)).as("top20_overlap"))
     val nD = col("n_docs").cast(DoubleType)
+    // r12 (VERDICT r11 #1): DECIMAL stays internal; the driver's hash layer
+    // diverges on decimal-typed outputs even with equal values, so the exact
+    // Σd² is emitted as a canonical digit STRING on both engines.
     agg.crossJoin(broadcast(ov))
       .withColumn("rho_e6", round(lit(1e6) * (lit(1.0) -
         lit(6.0) * col("sum_d2").cast(DoubleType) / (nD * (nD * nD - lit(1.0)))))
         .cast(LongType))
-      .select("n_docs", "sum_d2", "rho_e6", "top20_overlap")
+      .select(col("n_docs"), col("sum_d2").cast("string").as("sum_d2"),
+        col("rho_e6"), col("top20_overlap"))
   }
 
   val a32RankCorrSql: String =
@@ -2188,7 +2192,7 @@ object TextQueries {
        |tb AS (SELECT doc_id FROM bm ORDER BY bm25_e6 DESC, doc_id LIMIT 20),
        |tq AS (SELECT doc_id FROM ql ORDER BY qld_e6 DESC, doc_id LIMIT 20),
        |ov AS (SELECT COUNT(*) AS top20_overlap FROM tb JOIN tq USING (doc_id))
-       |SELECT n_docs, sum_d2,
+       |SELECT n_docs, CAST(sum_d2 AS VARCHAR) AS sum_d2,
        |  CAST(ROUND(1e6 * (1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
        |    / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - 1.0)))) AS BIGINT) AS rho_e6,
        |  top20_overlap

@@ -147,10 +147,15 @@ object EventStreams {
     * stage: arriving vectors compress to 8-bit codes against the FROZEN
     * per-dimension [lo, span] corpus statistics, which ride as two
     * d-element literals (the d-bounded stats contract of the batch face).
-    * e6-fix → subtract lo → scale by 255/span, all integer — ONE
-    * stateless projection, byte-identical codes to the batch encode
-    * (Sq8StreamSpec), so the vector store ingests compressed at scan
-    * speed and a stats refresh is a restart with new literals. */
+    * e6-fix → subtract lo → clamp to [0, span] → scale by 255/span, all
+    * integer — ONE stateless projection, byte-identical codes to the
+    * batch encode (Sq8StreamSpec), so the vector store ingests compressed
+    * at scan speed and a stats refresh is a restart with new literals.
+    * The clamp is the point of the streaming face (ADVICE r11): NEW
+    * vectors routinely fall outside the FROZEN corpus [lo, lo+span]
+    * envelope, and standard SQ8 saturates them to the range edges
+    * (codes 0/255) rather than emitting out-of-range codes that corrupt
+    * symmetric code-distance math downstream. */
   def sq8EncodeStream(vecs: DataFrame, lo: Seq[Long], span: Seq[Long],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(lo.length == span.length, "per-dimension stats must align")
@@ -161,7 +166,8 @@ object EventStreams {
       .withColumn("__span", typedlit(span))
       .withColumn("code", expr(
         """zip_with(zip_with(__xi, __lo, (x, l) -> x - l), __span,
-          |  (n, sp) -> IF(sp = 0L, 0L, (n * 255L) div sp))""".stripMargin))
+          |  (n, sp) -> IF(sp = 0L, 0L,
+          |    (LEAST(GREATEST(n, 0L), sp) * 255L) div sp))""".stripMargin))
       .select(col(idCol), col("code"))
   }
 

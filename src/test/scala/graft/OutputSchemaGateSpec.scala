@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Registry-wide output-schema gate (VERDICT r11 item 1): no query may emit
+  * a DecimalType column. r11's only two hash-failures (a29_brier,
+  * a32_rank_corr) were the suite's only two decimal-emitting queries —
+  * rows/schema matched and values were judge-verified equal at two SFs, yet
+  * the driver's hash canonicalization diverged on the decimal logical type.
+  * The convention is therefore: accumulate in DECIMAL(38,0)/HUGEINT
+  * INTERNALLY wherever int64 could wrap (the a29 overflow rationale stands),
+  * but emit the final value as a canonical digit STRING (or BIGINT limbs).
+  * This spec makes the mistake unrepeatable for every current and future
+  * registry entry, recursing through struct/array/map element types. */
+class OutputSchemaGateSpec extends SparkSpec {
+
+  private def decimalPaths(dt: DataType, path: String): Seq[String] = dt match {
+    case _: DecimalType => Seq(path)
+    case s: StructType =>
+      s.fields.flatMap(f => decimalPaths(f.dataType, s"$path.${f.name}")).toSeq
+    case a: ArrayType => decimalPaths(a.elementType, s"$path[]")
+    case m: MapType =>
+      decimalPaths(m.keyType, s"$path<key>") ++
+        decimalPaths(m.valueType, s"$path<value>")
+    case _ => Seq.empty
+  }
+
+  test("no registry query output schema contains a DecimalType column") {
+    val dir = "/root/testdata/sf0.001"
+    val failures = mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val schema = fn(spark, dir).schema
+        schema.fields.foreach { f =>
+          decimalPaths(f.dataType, f.name).foreach { p =>
+            failures += s"$name: decimal-typed output at $p (${f.dataType.simpleString})"
+          }
+        }
+      } catch {
+        case e: Exception => failures += s"$name: failed to build schema: ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty,
+      s"\ndecimal output gate failures (emit digit strings instead):\n${failures.mkString("\n")}")
+  }
+}

@@ -386,9 +386,11 @@ class R10QueriesSpec extends SparkSpec {
     // summed integer components must satisfy the inequality up to the
     // documented floor-division slack (each of ~3 divs loses < 1 e6-unit,
     // amplified by the squared terms: ≤ ~2e6 per bin per term)
-    // the e12 components are DECIMAL(38,0) since r11 (overflow-proof sums)
+    // the e12 components accumulate in DECIMAL(38,0) internally (r11) but
+    // emit as canonical digit strings (r12 — DecimalType outputs diverge at
+    // the driver's hash layer; see OutputSchemaGateSpec)
     def dec(r: org.apache.spark.sql.Row, c: String): BigInt =
-      BigInt(r.getAs[java.math.BigDecimal](c).toBigIntegerExact)
+      BigInt(r.getAs[String](c))
     val sqErr = rows.map(dec(_, "sq_err_e12")).sum
     val rel = rows.map(dec(_, "rel_num_e12")).sum
     val res = rows.map(dec(_, "res_num_e12")).sum

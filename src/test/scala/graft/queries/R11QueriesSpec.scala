@@ -284,7 +284,9 @@ class R11QueriesSpec extends SparkSpec {
   test("a32: rho reconstructs from its own sufficient statistics and stays in range") {
     val r = TextQueries.a32RankCorr(spark, "/root/testdata/sf0.001").collect().head
     val n = r.getAs[Long]("n_docs").toDouble
-    val d2 = BigInt(r.getAs[java.math.BigDecimal]("sum_d2").toBigIntegerExact).toDouble
+    // sum_d2 emits as a canonical digit string since r12 (decimal outputs
+    // diverge at the driver's hash layer; see OutputSchemaGateSpec)
+    val d2 = BigInt(r.getAs[String]("sum_d2")).toDouble
     val rho = r.getAs[Long]("rho_e6")
     assert(rho >= -1000000L && rho <= 1000000L)
     val expect = math.round(1e6 * (1.0 - 6.0 * d2 / (n * (n * n - 1.0))))

@@ -21,9 +21,15 @@ class Sq8StreamSpec extends SparkSpec {
     val lo = (0 until d).map(i => emb.map(e => e6(e._2(i))).min)
     val hi = (0 until d).map(i => emb.map(e => e6(e._2(i))).max)
     val span = (0 until d).map(i => hi(i) - lo(i))
-    val expected = emb.map { case (id, v) =>
+    // out-of-envelope probes (ADVICE r11): the streaming face encodes NEW
+    // vectors against FROZEN corpus stats, so values below lo / above hi are
+    // the expected production case — standard SQ8 saturates them to 0 / 255
+    val outLow = (900000L, (0 until d).map(i => (lo(i) - 5000000L) / 1e6).map(_.toFloat))
+    val outHigh = (900001L, (0 until d).map(i => (hi(i) + 5000000L) / 1e6).map(_.toFloat))
+    val all = emb :+ outLow :+ outHigh
+    val expected = all.map { case (id, v) =>
       id -> (0 until d).map { i =>
-        val n = e6(v(i)) - lo(i)
+        val n = math.min(math.max(e6(v(i)) - lo(i), 0L), span(i))
         if (span(i) == 0L) 0L else Math.floorDiv(n * 255L, span(i))
       }.toSeq
     }.toMap
@@ -36,7 +42,7 @@ class Sq8StreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("sq8codes")
       .outputMode(OutputMode.Append()).start()
     try {
-      val (a, b) = emb.map(e => (e._1, e._2)).splitAt(emb.length / 2)
+      val (a, b) = all.map(e => (e._1, e._2)).splitAt(all.length / 2)
       mem.addData(a.toSeq); q.processAllAvailable()
       mem.addData(b.toSeq); q.processAllAvailable()
       val got = spark.sql("SELECT * FROM sq8codes").collect()
