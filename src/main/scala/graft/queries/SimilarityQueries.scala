@@ -14,10 +14,12 @@ import Q._
   *    broadcast side; the corpus scan parallelizes per-split and each
   *    executor keeps a local top-k.
   *  - ss2: IVF-style two-level search — deterministic coarse "centroids"
-  *    (every 97th vector), invert the corpus by nearest centroid, probe the
-  *    2 nearest cells per query. The scale path: probes touch O(corpus /
-  *    n_cells · n_probe) instead of everything, and cell assignment is a
-  *    pure projection over a literal centroid index (no corpus shuffle).
+  *    (the √N stride, r12), invert the corpus by nearest centroid, probe
+  *    the 2 nearest cells per query. The scale path: probes touch
+  *    O(corpus / n_cells · n_probe) instead of everything, and cell
+  *    assignment is a pure projection over a literal centroid index (no
+  *    corpus shuffle). ss2b is the same search against a PERSISTED index:
+  *    the probe plan never touches the corpus at all.
   *  - dd6: embedding near-duplicate pairs, blocked by IVF cell — equi-join
   *    within √N-size blocks over √N cells (the balanced single-level IVF
   *    geometry, N^1.5 total), never O(n²) global.
@@ -183,6 +185,95 @@ object SimilarityQueries {
        |  FROM scored)
        |SELECT query_id, rank, vec_id, cos_e6 FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Deterministic on-disk home for ss2b's persisted index, keyed by the
+    * corpus identity (sanitized sf dir + row count) so a testdata refresh
+    * or SF switch rebuilds rather than reusing a stale index. */
+  private def indexHome(dir: String, n: Long): java.nio.file.Path =
+    java.nio.file.Paths.get("staging", "ivf_index",
+      dir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_") + s"_$n")
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val it = java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      try it.forEach(f => java.nio.file.Files.deleteIfExists(f)) finally it.close()
+    }
+
+  /** ss2b_persisted_probe — ss2's IVF search against a PERSISTED index:
+    * the production serving shape, where index build (assign every corpus
+    * vector to its cell) is an amortized MAINTENANCE job and the query
+    * path reads ONLY the index artifacts. Build-if-absent writes three
+    * artifacts under a corpus-fingerprinted staging dir (atomic
+    * rename-into-place, the PaperXmlGen convention): `cells` — the
+    * assigned corpus, hive-PARTITIONED by cell so a probe's `cell IN (…)`
+    * filter prunes directories at plan time (at production cell counts
+    * [fixed k or √N ≫ thousands] this becomes [[graft.sources.Layout
+    * .writeBucketed]] instead — same zero-assign probe, bucket pruning
+    * instead of directory pruning); `centroids` — the √N-stride list; and
+    * `queries` — the contract-bounded probe batch. The probe plan then
+    * scans NO corpus file: centroids re-enter as a plan literal (bounded
+    * by the index contract), the ≤2·NQueries probed-cell ids are computed
+    * driver-side from the bounded queries artifact (ir7-class bounded
+    * collect) and land as a partition-pruning IN filter, and scoring
+    * touches only the ~n_probe·√N rows inside probed cells — so query
+    * cost is independent of everything outside those cells, the decade
+    * ratio a cached index should give (~1× once build amortizes; the
+    * BUILD itself stays N^1.5 by the √N geometry and re-runs only when
+    * the corpus fingerprint changes). Results are bit-identical to ss2
+    * (same geometry, same e6 arithmetic) — the oracle is ss2's SQL; the
+    * persisted detour is invisible to the answer, which is the point. */
+  def ss2bPersistedProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(t(s, dir, "embeddings"))
+    val n = t(s, dir, "embeddings").count()
+    val home = indexHome(dir, n)
+    val done = home.resolve("_INDEX_COMPLETE")
+    if (!java.nio.file.Files.exists(done)) {
+      val tmp = home.getParent.resolve(
+        s".build_${home.getFileName}_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      java.nio.file.Files.createDirectories(tmp)
+      val idx = pairCentIndex(s, dir, emb)
+      graft.sources.Layout.writePartitioned(
+        withCell(emb, idx).select(col("vec_id"), col("embedding"), col("norm"), col("cell")),
+        tmp.resolve("cells").toString, "cell")
+      emb.filter(col("vec_id") % pairStride(s, dir) === 0)
+        .select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
+      emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
+        .write.mode("overwrite").parquet(tmp.resolve("queries").toString)
+      java.nio.file.Files.createFile(tmp.resolve("_INDEX_COMPLETE"))
+      try java.nio.file.Files.move(tmp, home,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        // lost the race to a COMPLETE winner — drop the staging copy
+        deleteTree(tmp)
+      }
+    }
+    // ---- probe path: persisted artifacts ONLY (no corpus scan below) ----
+    val idx = graft.operators.Similarity.centroidIndex(
+      s.read.parquet(home.resolve("centroids").toString), "vec_id", "embedding")
+    val q = s.read.parquet(home.resolve("queries").toString)
+    val probeArr = slice(array_sort(transform(idx, c => struct(
+        (-cosE6(dot(c.getField("cv"), col("qv")), c.getField("cn"), col("qn"))).as("neg_cos"),
+        c.getField("cent_id").as("cent_id")))), 1, 2)
+    val probes = q.withColumn("pc", explode(probeArr))
+      .select(col("query_id"), col("qv"), col("qn"), col("pc.cent_id").as("cell"))
+    // ≤ 2·NQueries cell ids, collected from the bounded queries artifact —
+    // literals make the partition pruning visible at plan time
+    val probedCells = q.select(explode(probeArr).as("pc"))
+      .select(col("pc.cent_id")).distinct().collect().map(_.getLong(0)).sorted
+    val cells = s.read.parquet(home.resolve("cells").toString)
+      .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
+    val wRank = Window.partitionBy("query_id").orderBy(desc("cos_e6"), col("vec_id"))
+    cells.withColumn("cell", col("cell").cast(LongType))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_e6", cosE6(dot(col("qv"), col("embedding")), col("qn"), col("norm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "vec_id", "cos_e6")
+      .orderBy("query_id", "rank")
+  }
 
   /** ss5_recall_audit — recall@k of the IVF index against the brute-force
     * ground truth, per query, as an oracle-checked query (the quality gate
@@ -1047,6 +1138,7 @@ object SimilarityQueries {
     "ss4_pq_topk" -> (ss4PqTopk _),
     "ss6_sq8_topk" -> (ss6Sq8Topk _),
     "ss2_ivf_topk" -> (ss2IvfTopk _),
+    "ss2b_persisted_probe" -> (ss2bPersistedProbe _),
     "ss7_ivf_refresh" -> (ss7IvfRefresh _),
     "ss3_lsh_topk" -> (ss3LshTopk _),
     "ss5_recall_audit" -> (ss5RecallAudit _),
@@ -1064,6 +1156,8 @@ object SimilarityQueries {
     "ss4_pq_topk" -> ss4PqTopkSql,
     "ss6_sq8_topk" -> ss6Sq8TopkSql,
     "ss2_ivf_topk" -> ss2IvfTopkSql,
+    // the persisted detour is invisible to the answer: ss2b ≡ ss2
+    "ss2b_persisted_probe" -> ss2IvfTopkSql,
     "ss7_ivf_refresh" -> ss7IvfRefreshSql,
     "ss3_lsh_topk" -> ss3LshTopkSql,
     "dd6_embed_neardup" -> dd6EmbedNeardupSql,

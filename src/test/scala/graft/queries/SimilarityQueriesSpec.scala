@@ -27,6 +27,25 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(plan.contains("vec_dot"), s"codegen dot product expected in plan:\n$plan")
   }
 
+  test("ss2b: probe plan scans no corpus file, prunes cell partitions, and equals ss2") {
+    val df = SimilarityQueries.ss2bPersistedProbe(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe path must read ONLY the persisted index artifacts — the
+    // corpus parquet appearing here would mean assign ran at query time
+    assert(!plan.contains("embeddings.parquet"),
+      s"probe plan must not scan the corpus:\n$plan")
+    assert(plan.contains("ivf_index"), s"probe plan must read the persisted index:\n$plan")
+    // the probed-cell IN list must land as a partition-pruning filter on
+    // the cells scan (directory pruning — the point of partitioning by cell)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"expected partition pruning on cell:\n$plan")
+    // the persisted detour is invisible to the answer
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val want = SimilarityQueries.ss2IvfTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("ivf recall@5 vs brute force is reasonable") {
     val exact = SimilarityQueries.ss1BruteforceTopk(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
