@@ -840,7 +840,109 @@ object CorpusQueries {
       |  CAST(MAX(n_alphabet) AS BIGINT) AS n_alphabet
       |FROM x GROUP BY thr_e4 ORDER BY thr_e4""".stripMargin
 
+  /** The encode face of byte fallback, exposed for spec fixtures: segment
+    * each (word, freq, syms) row of a BPE state against an explicit
+    * alphabet — learned merges survive only if every char of the merged
+    * piece is in-alphabet; otherwise the piece decomposes to chars, and
+    * out-of-alphabet chars decompose further to their UTF-8 bytes as
+    * `<0xXX>` pieces (SentencePiece `byte_fallback=true`; multi-byte chars
+    * yield one piece per BYTE, which is what makes the encoding lossless
+    * for ANY input — the GPT-2/Llama property). */
+  private[graft] def byteFallbackEncode(state: DataFrame, alphabet: Seq[String]): DataFrame =
+    state
+      .withColumn("__alph", typedlit(alphabet))
+      .withColumn("pieces", expr(
+        """flatten(transform(syms, s ->
+          |  IF(forall(filter(split(s, ''), c -> c <> ''), c -> array_contains(__alph, c)),
+          |     array(s),
+          |     flatten(transform(filter(split(s, ''), c -> c <> ''), c ->
+          |       IF(array_contains(__alph, c), array(c),
+          |          transform(sequence(0, CAST(octet_length(c) AS INT) - 1), b ->
+          |            concat('<0x', substring(hex(encode(c, 'UTF-8')), b * 2 + 1, 2), '>'))))))))""".stripMargin))
+      .withColumn("n_pieces", size(col("pieces")))
+      .withColumn("n_byte_pieces", expr("size(filter(pieces, p -> p LIKE '<0x%'))"))
+      .drop("__alph")
+
+  /** tok8_byte_fallback — the byte-fallback BPE ENCODE face (SentencePiece
+    * `byte_fallback=true`, the production GPT/Llama tokenizer shape): tok7
+    * measured WHY byte fallback exists (the coverage curve); this realizes
+    * it at the 99% knob. The alphabet = the smallest head of tok7's
+    * (cnt desc, ch) char ranking covering ≥99% of corpus char occurrences;
+    * every out-of-alphabet char encodes as its UTF-8 bytes (`<0xXX>`
+    * pieces — one per byte, so ANY input round-trips losslessly; the
+    * corpus stand-in is ASCII so each fallback char is one byte, the mm3
+    * convention), and a tok1-learned merge survives only if fully
+    * in-alphabet. Emits the top-20 affected words: piece counts + the
+    * rendered segmentation. Pure integer/string arithmetic.
+    *
+    * Scale shape: char ranking is alphabet-bounded (tok7's shape); the
+    * alphabet enters the encode as a bounded literal (j8's keyword-list
+    * contract — a driver collect of the ALPHABET, dozens of entries at any
+    * corpus scale); the encode itself is one projection over the
+    * vocabulary-bounded word table; top-20 = TakeOrdered. */
+  def tok8ByteFallback(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("ch").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(desc("cnt"), col("ch"))
+    val ranked = freq
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(freq.agg(sum("cnt").as("total"))))
+      .select(col("ch"), col("rk"), (col("cum") * 10000 >= lit(9900) * col("total")).as("covered"))
+      .collect() // alphabet-bounded by contract (tok7: dozens of rows)
+    val n99 = ranked.filter(_.getBoolean(2)).map(_.getInt(1)).min
+    val alphabet = ranked.filter(_.getInt(1) <= n99).map(_.getString(0)).toSeq.sorted
+    byteFallbackEncode(bpeLearned(s, dir)._2, alphabet)
+      .filter(col("n_byte_pieces") > 0)
+      .select(col("word"), col("freq"), col("n_pieces").cast(IntegerType).as("n_pieces"),
+        col("n_byte_pieces").cast(IntegerType).as("n_byte_pieces"),
+        concat_ws("|", col("pieces")).as("encoded"))
+      .orderBy(desc("freq"), col("word")).limit(20)
+  }
+
+  val tok8ByteFallbackSql: String =
+    s"""WITH $bpeCoreSql,
+       |chf AS (SELECT unnest(string_split(text, '')) AS ch FROM documents),
+       |cfreq AS (SELECT ch, COUNT(*) AS cnt FROM chf GROUP BY ch),
+       |ctot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cfreq),
+       |cranked AS (
+       |  SELECT ch, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, ch) AS rk,
+       |    SUM(cnt) OVER (ORDER BY cnt DESC, ch
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM cfreq),
+       |n99 AS (SELECT MIN(rk) AS n FROM cranked CROSS JOIN ctot
+       |  WHERE cum * 10000 >= 9900 * total),
+       |alph AS (SELECT ch FROM cranked CROSS JOIN n99 WHERE rk <= n),
+       |wsyms AS (SELECT word, freq, unnest(syms) AS sym,
+       |  generate_subscripts(syms, 1) AS i FROM state3),
+       |schars AS (SELECT word, freq, i, sym, unnest(string_split(sym, '')) AS c,
+       |  generate_subscripts(string_split(sym, ''), 1) AS j FROM wsyms),
+       |cflag AS (SELECT s.word, s.freq, s.i, s.j, s.c, (a.ch IS NOT NULL) AS ok
+       |  FROM schars s LEFT JOIN alph a ON s.c = a.ch),
+       |symflag AS (SELECT word, i, bool_and(ok) AS all_ok
+       |  FROM cflag GROUP BY word, i),
+       |pieces AS (
+       |  SELECT w.word, w.freq, w.i, 0 AS j, w.sym AS piece
+       |  FROM wsyms w JOIN symflag sf ON sf.word = w.word AND sf.i = w.i
+       |  WHERE sf.all_ok
+       |  UNION ALL
+       |  SELECT f.word, f.freq, f.i, f.j,
+       |    CASE WHEN f.ok THEN f.c
+       |         ELSE '<0x' || hex(encode(f.c)) || '>' END AS piece
+       |  FROM cflag f JOIN symflag sf ON sf.word = f.word AND sf.i = f.i
+       |  WHERE NOT sf.all_ok),
+       |enc AS (
+       |  SELECT word, freq, CAST(COUNT(*) AS INT) AS n_pieces,
+       |    CAST(SUM(CASE WHEN piece LIKE '<0x%' THEN 1 ELSE 0 END) AS INT) AS n_byte_pieces,
+       |    string_agg(piece, '|' ORDER BY i, j) AS encoded
+       |  FROM pieces GROUP BY word, freq)
+       |SELECT word, freq, n_pieces, n_byte_pieces, encoded FROM enc
+       |WHERE n_byte_pieces > 0 ORDER BY freq DESC, word LIMIT 20""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "tok8_byte_fallback" -> (tok8ByteFallback _),
     "tok1_bpe_merges" -> (tok1BpeMerges _),
     "tok2_bpe_encode" -> (tok2BpeEncode _),
     "tok3_bpe_doc_tokens" -> (tok3BpeDocTokens _),
@@ -866,6 +968,7 @@ object CorpusQueries {
     "tok4_fertility" -> tok4FertilitySql,
     "tok5_oov_coverage" -> tok5OovCoverageSql,
     "tok7_char_coverage" -> tok7CharCoverageSql,
+    "tok8_byte_fallback" -> tok8ByteFallbackSql,
     "tok6_unigram_seg" -> tok6UnigramSegSql,
     "cms1_heavy_hitters" -> cms1HeavyHittersSql,
     "hll1_distinct" -> hll1DistinctSql,

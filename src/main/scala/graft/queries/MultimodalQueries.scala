@@ -87,12 +87,146 @@ object MultimodalQueries {
       |  COUNT(*) - CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
       |FROM r GROUP BY asset_id ORDER BY asset_id""".stripMargin
 
+  /** e4-fixed DCT-II basis, Ce4(u)(r) = round(1e4·cos((2r+1)uπ/16)) — the
+    * 8×8 coefficient table of the pHash transform, computed ONCE here and
+    * embedded as integer literals in BOTH engines' expressions (single
+    * source of truth; the values are exact integers so the engines cannot
+    * diverge). */
+  private val Ce4: Array[Array[Long]] =
+    Array.tabulate(8, 8)((u, r) => math.round(1e4 * math.cos((2 * r + 1) * u * math.Pi / 16)))
+
+  private val MaxHamming = 3
+  private val BandBits = 16 // 4 bands × 16 bits — the dd9 pigeonhole split
+
+  // the DCT stages as explicit constant-folded sums (a lambda-indexed
+  // literal table re-materializes the table per element on both engines —
+  // measured 28 s → 1.7 s in the oracle for this spelling)
+  private def tvTerms(elem: (Int, Int) => String): String =
+    (0 until 64).map { j =>
+      (0 until 8).map(r => s"(${Ce4(j / 8)(r)}) * ${elem(8 * r + j % 8 + 1, j)}").mkString(" + ")
+    }.mkString(", ")
+
+  private def fvTerms(elem: Int => String): String =
+    (0 until 64).map { j =>
+      (0 until 8).map(c => s"${elem((j / 8) * 8 + c + 1)} * (${Ce4(j % 8)(c)})").mkString(" + ")
+    }.mkString(", ")
+
+  /** mm4_phash_neardup — perceptual-hash near-duplicate detection for the
+    * binary/image modality: mm1–mm3 stop at EXACT frame-hash dedup; real
+    * multimodal pipelines dedup perceptually. pHash (Zauner 2010): 8×8
+    * grayscale thumbnail (here: the payload's byte stream average-pooled
+    * into 64 equal blocks — STUB for a real image resample, same integer
+    * plumbing) → 2D DCT-II in e4 fixed point (separable: two 64×8-term
+    * constant-folded passes) → 64-bit sign-vs-median hash → dd9's banded
+    * Hamming pairing (4×16-bit bands, pigeonhole-exact at distance ≤ 3,
+    * equi-join on (band, key), NEVER all-pairs) → exact bit_count verify.
+    * Emits per-asset: the hash, banded candidate count, and verified
+    * near-dup count (per-asset rather than pair rows: the text-derived
+    * stand-in payloads are perceptually distinct — byte INSERTIONS shift
+    * block alignment, unlike the local perturbations pHash is built for —
+    * so the honest corpus answer is hashes + zero/low counts, and
+    * MultimodalSpec proves the perceptual property directly with a
+    * locally-perturbed copy). Fully integer end-to-end.
+    *
+    * Scale shape: hash = ONE projection pass over each payload (char
+    * explode is per-doc-local, no shuffle); banding explodes 4 rows per
+    * asset; candidates come from the (band, key) hash equi-join;
+    * per-asset rollup + one left join back. The corpus never pairs
+    * all-against-all. */
+  /** (asset_id, phash64) for any (doc_id, text) frame — the hash stage of
+    * mm4, exposed so MultimodalSpec can prove the perceptual property
+    * (locally perturbed copy → small Hamming distance) on fixture data. */
+  private[graft] def phashSigs(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id").cast(LongType).as("asset_id"),
+        col("text"), length(col("text")).cast(LongType).as("n"))
+      .withColumn("codes", expr(
+        "transform(filter(split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))"))
+      .withColumn("gv", expr(
+        """transform(sequence(0, 63), k ->
+          |  aggregate(slice(codes, CAST(k * n div 64 AS INT) + 1,
+          |      CAST((k + 1) * n div 64 - k * n div 64 AS INT)),
+          |    0L, (acc, x) -> acc + x)
+          |  div ((k + 1) * n div 64 - k * n div 64))""".stripMargin))
+      .withColumn("tv", expr(s"array(${tvTerms((i, _) => s"element_at(gv, $i)")})"))
+      .withColumn("fv", expr(s"array(${fvTerms(i => s"element_at(tv, $i)")})"))
+      .withColumn("med", expr("element_at(array_sort(fv), 32)"))
+      .withColumn("phash64", expr((0 until 64).map { j =>
+        val bit = if (j == 63) "(-9223372036854775807L - 1L)" else s"shiftleft(1L, $j)"
+        s"IF(element_at(fv, ${j + 1}) > med, $bit, 0L)"
+      }.mkString(" + ")))
+      .select("asset_id", "phash64")
+
+  def mm4PhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val sig = phashSigs(t(s, dir, "documents"))
+    val bandStructs = (0 until 64 / BandBits).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("phash64"), b * BandBits)
+          .bitwiseAND(lit((1L << BandBits) - 1)).as("key"))
+    }
+    val banded = sig
+      .select(col("asset_id"), col("phash64"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("asset_id"), col("phash64"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.select(col("asset_id").as("id_a"), col("phash64").as("sa"),
+        col("band"), col("key"))
+      .join(banded.select(col("asset_id").as("id_b"), col("phash64").as("sb"),
+        col("band"), col("key")), Seq("band", "key"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b", "sa", "sb").distinct()
+    val cnt = cand.groupBy(col("id_a").as("asset_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(expr(s"bit_count(sa ^ sb)") <= MaxHamming, 1L).otherwise(0L)).as("n_near"))
+    sig.join(cnt, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("phash64"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("asset_id")
+  }
+
+  val mm4PhashNeardupSql: String = {
+    val bits = (0 until 64).map { j =>
+      val bit = if (j == 63) "(-9223372036854775807 - 1)" else s"(CAST(1 AS BIGINT) << $j)"
+      s"CASE WHEN fv[${j + 1}] > med THEN $bit ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""WITH a AS (
+       |  SELECT doc_id AS asset_id, text, CAST(len(text) AS BIGINT) AS n
+       |  FROM documents WHERE len(text) >= 64),
+       |codes AS (
+       |  SELECT asset_id, n,
+       |    list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs FROM a),
+       |g AS (
+       |  SELECT asset_id,
+       |    list_transform(range(0, 64), k ->
+       |      list_sum(cs[CAST(k * n // 64 + 1 AS INT) : CAST((k + 1) * n // 64 AS INT)])
+       |      // ((k + 1) * n // 64 - k * n // 64)) AS gv
+       |  FROM codes),
+       |t AS (SELECT asset_id, [${tvTerms((i, _) => s"gv[$i]")}] AS tv FROM g),
+       |f AS (SELECT asset_id, [${fvTerms(i => s"tv[$i]")}] AS fv FROM t),
+       |m AS (SELECT asset_id, fv, list_sort(fv)[32] AS med FROM f),
+       |sig AS (SELECT asset_id, CAST($bits AS BIGINT) AS phash64 FROM m),
+       |banded AS (
+       |  SELECT asset_id, phash64, band, (phash64 >> (band * $BandBits)) & ${(1L << BandBits) - 1} AS key
+       |  FROM sig, (SELECT unnest(range(0, ${64 / BandBits})) AS band)),
+       |cand AS (
+       |  SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b, a.phash64 AS sa, b.phash64 AS sb
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.asset_id <> b.asset_id),
+       |cnt AS (
+       |  SELECT id_a AS asset_id, COUNT(*) AS n_cand,
+       |    CAST(SUM(CASE WHEN bit_count(xor(sa, sb)) <= $MaxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_near
+       |  FROM cand GROUP BY id_a)
+       |SELECT s.asset_id, s.phash64, COALESCE(c.n_cand, 0) AS n_cand, COALESCE(c.n_near, 0) AS n_near
+       |FROM sig s LEFT JOIN cnt c USING (asset_id) ORDER BY asset_id""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "mm4_phash_neardup" -> (mm4PhashNeardup _),
     "mm3_frame_dedup" -> (mm3FrameDedup _),
     "mm1_asset_bytes" -> (mm1AssetBytes _),
     "mm2_frame_sample" -> (mm2FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "mm4_phash_neardup" -> mm4PhashNeardupSql,
     "mm3_frame_dedup" -> mm3FrameDedupSql,
     "mm1_asset_bytes" -> mm1AssetBytesSql,
     "mm2_frame_sample" -> mm2FrameSampleSql)

@@ -31,6 +31,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm4 pHash: locally perturbed copy is near, unrelated asset is not") {
+    import spark.implicits._
+    // deterministic 512-char "image" with real contrast (checkerboard ×
+    // gradient cell pattern, 8 chars per thumbnail cell): pHash stability
+    // needs DCT coefficients well-separated from the median, which
+    // low-contrast or pure-noise payloads don't give — the perceptual
+    // contract is small-amplitude local change on a STRUCTURED image, not
+    // full-dynamic-range overwrites
+    def mk(cells: Seq[Int]): String =
+      cells.flatMap(v => Seq.fill(8)(('a' + v).toChar)).mkString
+    val baseCells = for (r <- 0 until 8; c <- 0 until 8)
+      yield ((r * 3 + c * 5) % 2) * 20 + (r + c) % 5
+    val base = mk(baseCells)
+    // local perturbation: ONE thumbnail cell one step brighter (a small
+    // local edit on the image — off-plan replication: Hamming 2)
+    val perturbed = mk(baseCells.updated(1, baseCells(1) + 1))
+    val unrelated = mk(for (r <- 0 until 8; c <- 0 until 8)
+      yield ((r * 5 + c * 7) % 3) * 10 + (r * c) % 7)
+    val sigs = graft.queries.MultimodalQueries.phashSigs(
+        Seq((0L, base), (1L, perturbed), (2L, unrelated)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val near = hamming(sigs(0L), sigs(1L))
+    val far = hamming(sigs(0L), sigs(2L))
+    assert(near <= 3, s"perturbed copy should be within the pairing threshold, hamming=$near")
+    assert(far > 3, s"unrelated asset must not pair, hamming=$far")
+    // the banded pigeonhole then guarantees the near pair IS a candidate:
+    // at hamming <= 3, at least one of the 4 16-bit bands is untouched
+    val bandsEqual = (0 until 4).count(b =>
+      ((sigs(0L) >> (b * 16)) & 0xffffL) == ((sigs(1L) >> (b * 16)) & 0xffffL))
+    assert(bandsEqual >= 1)
+  }
+
   test("frame sampling: every k-th frame, empty payload safe") {
     import spark.implicits._
     val df = Seq("0123456789abcdef0123456789abcdef0123", "01", "")
