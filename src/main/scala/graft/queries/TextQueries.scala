@@ -523,6 +523,96 @@ object TextQueries {
        |    * 1e6) AS BIGINT) AS kappa_e6
        |FROM ua CROSS JOIN ca""".stripMargin
 
+  /** The α computation over any (doc_id, label) rating frame with possibly
+    * missing ratings, exposed for spec fixtures. Contract: 2..3 ratings per
+    * pairable unit (the ×2 scaling makes every coincidence contribution an
+    * EXACT integer because (m_u − 1) ∈ {1, 2} divides 2); units with fewer
+    * than 2 ratings drop, per Krippendorff. */
+  private[graft] def krippendorffCore(labels: DataFrame): DataFrame = {
+    val d = DoubleType
+    // per-(unit, class) counts, per-unit size m_u; only pairable units
+    val perUc = labels.groupBy("doc_id", "label").agg(count(lit(1)).as("nuc"))
+    val perUnit = perUc.groupBy("doc_id")
+      .agg(sum("nuc").as("m"), sum(col("nuc") * col("nuc")).as("sum_nuc2"))
+      .filter(col("m") >= 2)
+    // Σ_{c≠k} n_uc·n_uk = m² − Σ n_uc²; the ×2-scaled per-unit coincidence
+    // mass 2·(m² − Σn_uc²)/(m−1) is exact under integer div for m ∈ {2,3}
+    val uAgg = perUnit.agg(count(lit(1)).as("n_units"),
+      sum(expr("(2 * (m * m - sum_nuc2)) div (m - 1)")).as("d_o2"),
+      sum("m").as("n_values"))
+    // margins n_c over PAIRABLE units only (the coincidence-matrix margin
+    // reduces to the plain rating count: Σ_k n_uc(n_uk − δ)/(m_u−1) = n_uc)
+    val cAgg = perUc.join(perUnit.select("doc_id"), Seq("doc_id"))
+      .groupBy("label").agg(sum("nuc").as("nc"))
+      .agg(sum(col("nc") * col("nc")).as("sum_nc2"))
+    uAgg.crossJoin(broadcast(cAgg))
+      .withColumn("sum_e", col("n_values") * col("n_values") - col("sum_nc2"))
+      .withColumn("alpha_e6", round(lit(1e6) * (lit(1.0) -
+        (col("n_values") - lit(1)).cast(d) * col("d_o2").cast(d) / lit(2.0)
+          / col("sum_e").cast(d))).cast(LongType))
+      .select("n_units", "n_values", "d_o2", "sum_e", "alpha_e6")
+  }
+
+  /** a34_krippendorff — Krippendorff's α (nominal; Krippendorff 2011) over
+    * a panel WITH MISSING RATINGS — the agreement number a33's Fleiss κ
+    * cannot give (Fleiss needs a constant rater count per unit; real
+    * annotation queues never have one: annotators skip, time out, get
+    * reassigned — the reference's annotation CSV has exactly this shape).
+    * Panel: a33's three detHash raters over four classes with the same 20%
+    * flip noise, PLUS a 1-in-5 detHash skip per (unit, rater); units left
+    * with < 2 ratings drop (unpairable, per the method). α = 1 −
+    * (n−1)·ΣO/ΣE over the coincidence matrix, computed WITHOUT building
+    * the C×C matrix: per-unit pair mass is m² − Σ_c n_uc² and the margin
+    * n_c is the plain class count over pairable units, so the whole
+    * statistic is two hash aggs — the ×2 scaling keeps every contribution
+    * an exact integer (m−1 ∈ {1,2} divides 2), and α is ONE e6-rounded
+    * double expression over exact integers (the a33 convention).
+    *
+    * Scale shape: ≤3-row explode per doc → (doc, label) hash agg → doc
+    * rollup + class rollup, 1-row broadcast join. Product terms n², Σn_c²
+    * wrap int64 only past ~3e9 ratings; at that scale move them to the
+    * internal-DECIMAL convention (a29) — outputs here are BIGINT + e6. */
+  def a34Krippendorff(s: SparkSession, dir: String): DataFrame = {
+    val labels = t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("r"))
+      .withColumn("true_c", detHash(col("doc_id"), 41) % 4)
+      .withColumn("label",
+        when(detHash(col("doc_id") * 3 + col("r"), 43) % 5 === 0,
+          (col("true_c") + 1) % 4).otherwise(col("true_c")))
+      // missingness: rater r skips this unit on a 1-in-5 draw (fresh salt)
+      .filter(detHash(col("doc_id") * 3 + col("r"), 47) % 5 =!= 0)
+      .select("doc_id", "r", "label")
+    krippendorffCore(labels)
+  }
+
+  val a34KrippendorffSql: String =
+    s"""WITH labels AS (
+       |  SELECT doc_id, r,
+       |    CASE WHEN ${detHashSql("doc_id * 3 + r", 43)} % 5 = 0
+       |      THEN (${detHashSql("doc_id", 41)} % 4 + 1) % 4
+       |      ELSE ${detHashSql("doc_id", 41)} % 4 END AS label
+       |  FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS r) rs
+       |  WHERE ${detHashSql("doc_id * 3 + r", 47)} % 5 <> 0),
+       |puc AS (SELECT doc_id, label, COUNT(*) AS nuc FROM labels GROUP BY doc_id, label),
+       |pu AS (
+       |  SELECT doc_id, CAST(SUM(nuc) AS BIGINT) AS m,
+       |    CAST(SUM(nuc * nuc) AS BIGINT) AS sum_nuc2
+       |  FROM puc GROUP BY doc_id HAVING SUM(nuc) >= 2),
+       |ua AS (
+       |  SELECT COUNT(*) AS n_units,
+       |    CAST(SUM((2 * (m * m - sum_nuc2)) // (m - 1)) AS BIGINT) AS d_o2,
+       |    CAST(SUM(m) AS BIGINT) AS n_values
+       |  FROM pu),
+       |ca AS (
+       |  SELECT CAST(SUM(nc * nc) AS BIGINT) AS sum_nc2 FROM (
+       |    SELECT p.label, CAST(SUM(p.nuc) AS BIGINT) AS nc
+       |    FROM puc p JOIN pu USING (doc_id) GROUP BY p.label) t)
+       |SELECT n_units, n_values, d_o2,
+       |  n_values * n_values - sum_nc2 AS sum_e,
+       |  CAST(ROUND(1e6 * (1.0 - CAST(n_values - 1 AS DOUBLE) * CAST(d_o2 AS DOUBLE) / 2.0
+       |    / CAST(n_values * n_values - sum_nc2 AS DOUBLE))) AS BIGINT) AS alpha_e6
+       |FROM ua CROSS JOIN ca""".stripMargin
+
   def a15CohensKappa(s: SparkSession, dir: String): DataFrame = {
     val cm = a14ConfusionMatrix(s, dir)
     val tot = cm.agg(sum("n").as("nn"),
@@ -2338,6 +2428,7 @@ object TextQueries {
     "a20_mcnemar" -> (a20Mcnemar _),
     "a15_cohens_kappa" -> (a15CohensKappa _),
     "a33_fleiss_kappa" -> (a33FleissKappa _),
+    "a34_krippendorff" -> (a34Krippendorff _),
     "ta2_quality_score" -> (ta2QualityScore _),
     "ta10_gopher_rules" -> (ta10GopherRules _),
     "ta12_readability" -> (ta12Readability _),
@@ -2382,6 +2473,7 @@ object TextQueries {
     "a20_mcnemar" -> a20McnemarSql,
     "a15_cohens_kappa" -> a15CohensKappaSql,
     "a33_fleiss_kappa" -> a33FleissKappaSql,
+    "a34_krippendorff" -> a34KrippendorffSql,
     "ta2_quality_score" -> ta2QualityScoreSql,
     "ta10_gopher_rules" -> ta10GopherRulesSql,
     "ta12_readability" -> ta12ReadabilitySql,
