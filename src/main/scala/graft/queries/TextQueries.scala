@@ -349,8 +349,18 @@ object TextQueries {
   private def langIdScored(s: SparkSession, dir: String): DataFrame =
     graft.operators.SessionShare.materialized(s, dir, "langid_scored") {
       val docs = t(s, dir, "documents")
-      val bigrams = docs.select(col("doc_id"), col("lang"),
-          explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+      // r12: bigrams via ONE split pass + O(1) array indexing — the tok7
+      // fix applied to n-grams: substring(text, i, 2) seeks the char offset
+      // byte-by-byte from the string start per position (O(len²) per doc);
+      // `cs` binds in its own projection so the lambda's element_at hits a
+      // materialized array (CollapseProject keeps multi-use non-cheap
+      // expressions un-inlined). Same grams, incl. multi-byte chars.
+      val bigrams = docs
+        .withColumn("cs", expr("filter(split(text, ''), c -> c <> '')"))
+        .select(col("doc_id"), col("lang"),
+          explode(expr("IF(size(cs) >= 2, transform(sequence(1, size(cs) - 1)," +
+            " i -> concat(element_at(cs, i), element_at(cs, i + 1)))," +
+            " CAST(array() AS ARRAY<STRING>))")).as("bg"))
       val profile = bigrams.filter(col("doc_id") % 5 < 4)
         .groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
         .withColumnRenamed("lang", "cand_lang")
@@ -1656,12 +1666,15 @@ object TextQueries {
     * parity is unchanged. */
   def a23Chrf(s: SparkSession, dir: String): DataFrame = {
     val d = DoubleType
+    // r12: trigrams via one split pass + O(1) indexing (the ta1/tok7 fix —
+    // per-position substring made this the suite's most expensive query)
     val wide = t(s, dir, "documents")
       .select(col("doc_id"), TF.unicodeNormalize(col("text")).as("text"))
       .filter(length(col("text")) >= 3)
+      .withColumn("cs", expr("filter(split(text, ''), c -> c <> '')"))
       .select(expr("doc_id div 2").as("pair_id"), (col("doc_id") % 2).as("side"),
-        explode(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+        explode(expr("transform(sequence(1, size(cs) - 2)," +
+          " i -> concat(element_at(cs, i), element_at(cs, i + 1), element_at(cs, i + 2)))")).as("g"))
       .groupBy("pair_id", "g")
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cc"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("rc"))

@@ -247,6 +247,17 @@ object EventStreams {
       .select(col(idCol), col("cell"))
   }
 
+  /** Perceptual-hash ingest — the streaming face of `mm4_phash_neardup`'s
+    * hash stage: every arriving asset (doc_id + payload text stand-in)
+    * gets its 64-bit pHash in ONE stateless projection (thumbnail pooling
+    * → fixed-point DCT → sign-vs-median — no join, no state), so the
+    * perceptual near-dup check against the persisted hash store is a
+    * foreachBatch banded lookup (the dd9 band equi-join on 16-bit keys),
+    * exactly how a crawler dedups images at ingest instead of in nightly
+    * batch. Bit-identical hashes to the batch face (PhashStreamSpec). */
+  def phashStream(assets: DataFrame): DataFrame =
+    graft.queries.MultimodalQueries.phashSigs(assets)
+
   /** CMS-LM perplexity gate — the streaming face of `ta15_cms_ppl`
     * (CurationQueries): score each arriving document's mean unigram NLL
     * under a TRAINED Count-Min-compressed LM and flag the high-perplexity
