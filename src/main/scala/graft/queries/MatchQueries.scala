@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.operators.FastMatch
 import Q._
@@ -77,11 +78,149 @@ object MatchQueries {
        |ORDER BY doc_id, start, matched""".stripMargin
   }
 
+  /** Shared oracle CTE: distinct (doc_id, entity) presence via the fm1
+    * regex arms — the relation both kg oracles build their graph from. */
+  private val entityDocsSql: String = {
+    val arms = gazetteer.map { cand =>
+      val esc = cand.replace("'", "''")
+      s"""SELECT doc_id, '$esc' AS entity FROM documents WHERE len(regexp_extract_all(lower(text), '\\b${esc}\\b')) > 0"""
+    }
+    s"""ed AS (${arms.mkString("\nUNION ALL\n")})"""
+  }
+
+  /** Distinct (doc_id, entity) presence table, pinned once per (session,
+    * dir) — kg1's edge build and kg2's rank both read it, so the
+    * corpus-proportional Aho-Corasick scan runs ONCE; everything above it
+    * is gazetteer-bounded. */
+  private def entityDocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionShare.materialized(s, dir, "kg_entity_docs") {
+      val fm = FastMatch.matcher(gazetteer)
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(fm(col("text"))).as("m"))
+        .select(col("doc_id"), col("m.matched").as("entity")).distinct()
+    }
+
+  /** kg1_entity_graph — the knowledge-graph EDGE BUILD the reference
+    * declares but stubs (`knowledge_graph/__init__.py` is zero bytes;
+    * `README.md:8-9` promises the capability): entities (gazetteer
+    * matches) that co-occur in a document get an edge weighted by
+    * co-document count and scored with document-level NPMI (a6's
+    * collocation convention lifted from token adjacency to entity
+    * co-occurrence — the standard first pass of KG construction from
+    * corpus text). Scale shape: ONE corpus match scan (the pinned
+    * [[entityDocs]]); the per-doc self-join fans out only within a doc's
+    * matched-entity set (gazetteer-bounded, ≤|G| per doc) and every frame
+    * above it is ≤|G|² rows. */
+  def kg1EntityGraph(s: SparkSession, dir: String): DataFrame = {
+    val ed = entityDocs(s, dir)
+    val nd = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
+    val ent = ed.groupBy("entity").agg(count(lit(1)).as("n_docs"))
+    val co = ed.as("a")
+      .join(ed.as("b"), Seq("doc_id"))
+      .filter(col("a.entity") < col("b.entity"))
+      .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
+      .agg(count(lit(1)).as("n_co"))
+    val d = DoubleType
+    val (pxy, px, py) = (
+      col("n_co").cast(d) / col("nd").cast(d),
+      col("n_e1").cast(d) / col("nd").cast(d),
+      col("n_e2").cast(d) / col("nd").cast(d))
+    co.crossJoin(broadcast(nd))
+      .join(ent.select(col("entity").as("e1"), col("n_docs").as("n_e1")), Seq("e1"))
+      .join(ent.select(col("entity").as("e2"), col("n_docs").as("n_e2")), Seq("e2"))
+      .withColumn("npmi_e6",
+        round(lit(1e6) * (log(pxy / (px * py)) / -log(pxy))).cast(LongType))
+      .select("e1", "e2", "n_co", "n_e1", "n_e2", "npmi_e6")
+      .orderBy(desc("npmi_e6"), col("e1"), col("e2"))
+  }
+
+  val kg1EntityGraphSql: String =
+    s"""WITH $entityDocsSql,
+       |nd AS (SELECT COUNT(*) AS nd FROM documents),
+       |ent AS (SELECT entity, COUNT(*) AS n_docs FROM ed GROUP BY entity),
+       |co AS (
+       |  SELECT a.entity AS e1, b.entity AS e2, COUNT(*) AS n_co
+       |  FROM ed a JOIN ed b ON a.doc_id = b.doc_id AND a.entity < b.entity
+       |  GROUP BY a.entity, b.entity)
+       |SELECT e1, e2, CAST(n_co AS BIGINT) AS n_co,
+       |  CAST(ea.n_docs AS BIGINT) AS n_e1, CAST(eb.n_docs AS BIGINT) AS n_e2,
+       |  CAST(ROUND(1e6 * (ln((CAST(n_co AS DOUBLE) / nd) /
+       |    ((CAST(ea.n_docs AS DOUBLE) / nd) * (CAST(eb.n_docs AS DOUBLE) / nd)))
+       |    / -ln(CAST(n_co AS DOUBLE) / nd))) AS BIGINT) AS npmi_e6
+       |FROM co JOIN ent ea ON ea.entity = co.e1 JOIN ent eb ON eb.entity = co.e2
+       |CROSS JOIN nd ORDER BY npmi_e6 DESC, e1, e2""".stripMargin
+
+  private val KgIters = 10
+
+  /** kg2_entity_pagerank — weighted PageRank over kg1's co-occurrence
+    * graph: the centrality pass of the stubbed knowledge-graph stage
+    * (which entities anchor the corpus). a16's integer power-iteration
+    * recipe with EDGE WEIGHTS: per-iteration contribution is
+    * (r·w) div Σw(src), teleport 0.15, damping 0.85, ranks e6 integers —
+    * both engines fold identically, and the graph frames are
+    * gazetteer-bounded (the corpus appears only through the pinned
+    * [[entityDocs]] scan). Isolated entities (no co-occurrence edge)
+    * drop, the a16 node convention. */
+  def kg2EntityPagerank(s: SparkSession, dir: String): DataFrame = {
+    val ed = entityDocs(s, dir)
+    val co = ed.as("a")
+      .join(ed.as("b"), Seq("doc_id"))
+      .filter(col("a.entity") < col("b.entity"))
+      .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
+      .agg(count(lit(1)).as("w"))
+    val edges = co.select(col("e1").as("src"), col("e2").as("dst"), col("w"))
+      .union(co.select(col("e2").as("src"), col("e1").as("dst"), col("w")))
+      .localCheckpoint()
+    val wsum = edges.groupBy("src").agg(sum("w").as("wsum"))
+    val edgesW = edges.join(wsum, Seq("src"))
+    val nodes = edges.select(col("src").as("entity")).distinct()
+    val n = nodes.count()
+    val teleport = 150000L / n
+    var ranks = nodes.withColumn("r", lit(1000000L / n))
+    for (_ <- 1 to KgIters) {
+      ranks = edgesW.join(broadcast(ranks), edgesW("src") === ranks("entity"))
+        .select(col("dst"), expr("(r * w) div wsum").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+        .select(col("dst").as("entity"),
+          (lit(teleport) + expr("(85 * sc) div 100")).cast(LongType).as("r"))
+    }
+    ranks.orderBy(desc("r"), col("entity"))
+      .select(col("entity"), col("r").as("rank_e6"))
+  }
+
+  val kg2EntityPagerankSql: String = {
+    val iters = (1 to KgIters).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.dst AS entity,
+         |    (SELECT 150000 // n FROM nn) + (85 * CAST(SUM((p.r * e.w) // e.wsum) AS BIGINT)) // 100 AS r
+         |  FROM ew e JOIN pr${i - 1} p ON p.entity = e.src GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $entityDocsSql,
+       |co AS (
+       |  SELECT a.entity AS e1, b.entity AS e2, COUNT(*) AS w
+       |  FROM ed a JOIN ed b ON a.doc_id = b.doc_id AND a.entity < b.entity
+       |  GROUP BY a.entity, b.entity),
+       |edges AS (SELECT e1 AS src, e2 AS dst, w FROM co
+       |  UNION ALL SELECT e2, e1, w FROM co),
+       |ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM edges GROUP BY src),
+       |ew AS (SELECT e.src, e.dst, e.w, s.wsum FROM edges e JOIN ws s USING (src)),
+       |nodes AS (SELECT DISTINCT src AS entity FROM edges),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |pr0 AS (SELECT entity, 1000000 // n AS r FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT entity, r AS rank_e6 FROM pr$KgIters
+       |ORDER BY rank_e6 DESC, entity""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "fm1_gazetteer_counts" -> (fm1GazetteerCounts _),
-    "fm1_match_spans" -> (fm1MatchSpans _))
+    "fm1_match_spans" -> (fm1MatchSpans _),
+    "kg1_entity_graph" -> (kg1EntityGraph _),
+    "kg2_entity_pagerank" -> (kg2EntityPagerank _))
 
   val oracles: Map[String, String] = Map(
     "fm1_gazetteer_counts" -> fm1GazetteerCountsSql,
-    "fm1_match_spans" -> fm1MatchSpansSql)
+    "fm1_match_spans" -> fm1MatchSpansSql,
+    "kg1_entity_graph" -> kg1EntityGraphSql,
+    "kg2_entity_pagerank" -> kg2EntityPagerankSql)
 }

@@ -86,6 +86,44 @@ class R12QueriesSpec extends SparkSpec {
     assert(corpus.getAs[Long]("alpha_e6") < 1000000L)
   }
 
+  test("kg1: edge invariants hold (support bounds, NPMI range, unique ordered pairs)") {
+    val rows = MatchQueries.kg1EntityGraph(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val seen = scala.collection.mutable.Set.empty[(String, String)]
+    rows.foreach { r =>
+      val (e1, e2) = (r.getAs[String]("e1"), r.getAs[String]("e2"))
+      assert(e1 < e2)
+      assert(seen.add((e1, e2)), s"duplicate edge $e1-$e2")
+      val (nCo, n1, n2) = (r.getAs[Long]("n_co"), r.getAs[Long]("n_e1"), r.getAs[Long]("n_e2"))
+      assert(nCo >= 1 && nCo <= math.min(n1, n2),
+        s"co-support $nCo outside [1, min($n1, $n2)]")
+      assert(r.getAs[Long]("npmi_e6") <= 1000000L)
+    }
+  }
+
+  test("kg2: ranks match an off-plan integer power-iteration re-derivation") {
+    val edges = MatchQueries.kg1EntityGraph(spark, dir).collect()
+      .flatMap(r => Seq(
+        (r.getAs[String]("e1"), r.getAs[String]("e2"), r.getAs[Long]("n_co")),
+        (r.getAs[String]("e2"), r.getAs[String]("e1"), r.getAs[Long]("n_co"))))
+    val wsum = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._3).sum }
+    val nodes = edges.map(_._1).distinct.sorted
+    val n = nodes.length
+    var r = nodes.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to 10) {
+      val in = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst, w) =>
+        in(dst) += Math.floorDiv(r(src) * w, wsum(src)) // nonneg: div == floorDiv
+      }
+      r = nodes.map(e => e -> (150000L / n + Math.floorDiv(85L * in(e), 100L))).toMap
+    }
+    val got = MatchQueries.kg2EntityPagerank(spark, dir).collect()
+      .map(x => x.getAs[String]("entity") -> x.getAs[Long]("rank_e6")).toMap
+    assert(got === r, s"query ranks $got != off-plan $r")
+    // teleport floor: every kept node gets at least the teleport mass
+    got.values.foreach(v => assert(v >= 150000L / n))
+  }
+
   test("tok8: corpus face emits only byte-affected words and replays tok2 merges") {
     val rows = CorpusQueries.tok8ByteFallback(spark, dir).collect()
     assert(rows.nonEmpty)
