@@ -212,15 +212,86 @@ object MatchQueries {
        |ORDER BY rank_e6 DESC, entity""".stripMargin
   }
 
+  /** el1_mention_link — the entity-linking stage the reference declares
+    * but stubs (`entity_linking/__init__.py` is zero bytes; `README.md:8-9`
+    * promises it): every corpus surface form within Levenshtein distance 1
+    * of a single-word gazetteer entity links to its canonical entity —
+    * typo/variant alias resolution, the first pass of every EL system.
+    * Candidate generation is dd17's FastSS deletion-neighborhood EQUI-join
+    * (never a vocabulary×gazetteer scan), verification is exact
+    * `levenshtein`, and DISAMBIGUATION — a form within distance 1 of two
+    * entities — picks the better-supported candidate: (distance asc,
+    * corpus document-prior desc, entity) via a row_number over the
+    * vocabulary-bounded candidate set. Emits (surface form, entity,
+    * distance, form occurrences, entity prior).
+    *
+    * Scale shape: distinct-word dictionary (vocabulary-bounded) + the
+    * |G|-bounded entity side explode into len+1 variants each; the join
+    * keys on the variant hash; everything downstream is candidate-bounded.
+    * The prior reads the pinned [[entityDocs]] scan (shared with kg1/kg2). */
+  /** The linking core over any (w, n_occ) form table and (entity, prior)
+    * catalog — exposed for spec fixtures that exercise the fuzzy and
+    * disambiguation paths the clean synthetic corpus never hits. */
+  private[graft] def mentionLinkCore(words: DataFrame, ents: DataFrame): DataFrame = {
+    def variants(df: DataFrame, c: String): DataFrame =
+      df.select(col("*"), explode(concat(array(col(c)), expr(
+        s"transform(sequence(1, length($c)), i -> concat(substring($c, 1, i - 1), substring($c, i + 1, length($c))))")))
+        .as("v"))
+    val cand = variants(words, "w")
+      .join(variants(ents, "entity"), Seq("v"))
+      .select("w", "n_occ", "entity", "prior").distinct()
+      .withColumn("dist", levenshtein(col("w"), col("entity")))
+      .filter(col("dist") <= 1)
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy(col("dist"), desc("prior"), col("entity"))
+    cand.withColumn("rn", row_number().over(rk))
+      .filter(col("rn") === 1)
+      .select("w", "entity", "dist", "n_occ", "prior")
+      .orderBy("w")
+  }
+
+  def el1MentionLink(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n_occ"))
+    val prior = entityDocs(s, dir).groupBy("entity").agg(count(lit(1)).as("prior"))
+    mentionLinkCore(words, prior.filter(!col("entity").contains(" ")))
+  }
+
+  val el1MentionLinkSql: String =
+    s"""WITH $entityDocsSql,
+       |words AS (
+       |  SELECT w, COUNT(*) AS n_occ FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE len(w) > 0 GROUP BY w),
+       |prior AS (SELECT entity, COUNT(*) AS prior FROM ed GROUP BY entity),
+       |ents AS (SELECT * FROM prior WHERE entity NOT LIKE '% %'),
+       |wv AS (SELECT w, n_occ, unnest(list_prepend(w,
+       |  list_transform(range(1, len(w) + 1), i -> substr(w, 1, i - 1) || substr(w, i + 1)))) AS v FROM words),
+       |ev AS (SELECT entity, prior, unnest(list_prepend(entity,
+       |  list_transform(range(1, len(entity) + 1), i -> substr(entity, 1, i - 1) || substr(entity, i + 1)))) AS v FROM ents),
+       |cand AS (
+       |  SELECT DISTINCT w, n_occ, entity, prior FROM wv JOIN ev USING (v)),
+       |ver AS (SELECT w, n_occ, entity, prior, levenshtein(w, entity) AS dist
+       |  FROM cand WHERE levenshtein(w, entity) <= 1),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY w
+       |  ORDER BY dist, prior DESC, entity) AS rn FROM ver)
+       |SELECT w, entity, CAST(dist AS INT) AS dist, CAST(n_occ AS BIGINT) AS n_occ,
+       |  CAST(prior AS BIGINT) AS prior
+       |FROM rk WHERE rn = 1 ORDER BY w""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "fm1_gazetteer_counts" -> (fm1GazetteerCounts _),
     "fm1_match_spans" -> (fm1MatchSpans _),
     "kg1_entity_graph" -> (kg1EntityGraph _),
-    "kg2_entity_pagerank" -> (kg2EntityPagerank _))
+    "kg2_entity_pagerank" -> (kg2EntityPagerank _),
+    "el1_mention_link" -> (el1MentionLink _))
 
   val oracles: Map[String, String] = Map(
     "fm1_gazetteer_counts" -> fm1GazetteerCountsSql,
     "fm1_match_spans" -> fm1MatchSpansSql,
     "kg1_entity_graph" -> kg1EntityGraphSql,
-    "kg2_entity_pagerank" -> kg2EntityPagerankSql)
+    "kg2_entity_pagerank" -> kg2EntityPagerankSql,
+    "el1_mention_link" -> el1MentionLinkSql)
 }

@@ -124,6 +124,23 @@ class R12QueriesSpec extends SparkSpec {
     got.values.foreach(v => assert(v >= 150000L / n))
   }
 
+  test("el1: typo links to its entity, ambiguity resolves by prior, far forms drop") {
+    import spark.implicits._
+    val words = Seq(
+      ("stream", 10L),  // exact
+      ("stram", 3L),    // deletion typo -> stream
+      ("strum", 2L),    // dist 2 from stream -> must NOT link
+      ("dota", 1L))     // dist 1 of BOTH data (prior 9) and dots (prior 4)
+      .toDF("w", "n_occ")
+    val ents = Seq(("stream", 7L), ("data", 9L), ("dots", 4L)).toDF("entity", "prior")
+    val got = MatchQueries.mentionLinkCore(words, ents).collect()
+      .map(r => r.getAs[String]("w") -> (r.getAs[String]("entity"), r.getAs[Int]("dist"))).toMap
+    assert(got("stream") === ("stream", 0))
+    assert(got("stram") === ("stream", 1), "deletion typo must link at distance 1")
+    assert(got("dota") === ("data", 1), "ambiguous form must resolve to the higher-prior entity")
+    assert(!got.contains("strum"), "distance-2 form must not link")
+  }
+
   test("tok8: corpus face emits only byte-affected words and replays tok2 merges") {
     val rows = CorpusQueries.tok8ByteFallback(spark, dir).collect()
     assert(rows.nonEmpty)
