@@ -168,24 +168,33 @@ object MatchQueries {
       .filter(col("a.entity") < col("b.entity"))
       .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
       .agg(count(lit(1)).as("w"))
-    val edges = co.select(col("e1").as("src"), col("e2").as("dst"), col("w"))
-      .union(co.select(col("e2").as("src"), col("e1").as("dst"), col("w")))
-      .localCheckpoint()
-    val wsum = edges.groupBy("src").agg(sum("w").as("wsum"))
-    val edgesW = edges.join(wsum, Seq("src"))
-    val nodes = edges.select(col("src").as("entity")).distinct()
-    val n = nodes.count()
+    // the edge list is ≤|G|² rows BY CONTRACT (the gazetteer is
+    // broadcast-sized — the same bounded-collect contract as ir7's MMR
+    // greedy and e2e5's fused pool), so the power iteration runs on the
+    // driver over the collected graph: 10 chained Spark joins over an
+    // ≤|G|-node graph cost ~1.6 s of pure plan-depth constant and nothing
+    // else (measured; the distributed iteration is a16's shape, kept THERE
+    // because a16's word graph is vocabulary-sized and genuinely must not
+    // be collected). Arithmetic is unchanged integer math — the oracle's
+    // unrolled CTEs replay it exactly.
+    val collected = co.collect().map(r =>
+      (r.getAs[String]("e1"), r.getAs[String]("e2"), r.getAs[Long]("w")))
+    val edges = collected.flatMap(e => Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+    val wsum = edges.groupBy(_._1).map { case (src, es) => src -> es.map(_._3).sum }
+    val nodes = edges.map(_._1).distinct.sorted
+    val n = nodes.length.toLong
     val teleport = 150000L / n
-    var ranks = nodes.withColumn("r", lit(1000000L / n))
+    var ranks = nodes.map(_ -> 1000000L / n).toMap
     for (_ <- 1 to KgIters) {
-      ranks = edgesW.join(broadcast(ranks), edgesW("src") === ranks("entity"))
-        .select(col("dst"), expr("(r * w) div wsum").as("c"))
-        .groupBy("dst").agg(sum("c").as("sc"))
-        .select(col("dst").as("entity"),
-          (lit(teleport) + expr("(85 * sc) div 100")).cast(LongType).as("r"))
+      val in = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst, w) =>
+        in(dst) += ranks(src) * w / wsum(src) // nonneg: / == div on both engines
+      }
+      ranks = nodes.map(e => e -> (teleport + 85L * in(e) / 100L)).toMap
     }
-    ranks.orderBy(desc("r"), col("entity"))
-      .select(col("entity"), col("r").as("rank_e6"))
+    import s.implicits._
+    ranks.toSeq.sortBy { case (e, r) => (-r, e) }
+      .toDF("entity", "rank_e6")
   }
 
   val kg2EntityPagerankSql: String = {
