@@ -290,17 +290,94 @@ object MatchQueries {
        |  CAST(prior AS BIGINT) AS prior
        |FROM rk WHERE rn = 1 ORDER BY w""".stripMargin
 
+  /** Context-scored candidate choice over explicit frames — exposed for the
+    * spec fixture that proves context OVERRIDES prior (the el2 payoff the
+    * unambiguous synthetic corpus cannot exhibit). Per (doc, surface form):
+    * candidates rank by (distance asc, context-coherence desc, prior desc,
+    * entity); context-coherence = Σ NPMI to the doc's OTHER entities. */
+  private[graft] def contextLinkCore(mentions: DataFrame, cands: DataFrame,
+      edges: DataFrame, context: DataFrame): DataFrame = {
+    val undirected = edges.select(col("e1").as("ea"), col("e2").as("eb"), col("npmi_e6"))
+      .union(edges.select(col("e2").as("ea"), col("e1").as("eb"), col("npmi_e6")))
+    val ctx = mentions.join(cands, Seq("w"))
+      .join(context.select(col("doc_id"), col("entity").as("other")), Seq("doc_id"))
+      .filter(col("other") =!= col("entity"))
+      .join(undirected, col("entity") === col("ea") && col("other") === col("eb"), "left")
+      .groupBy("doc_id", "w", "entity", "dist", "prior")
+      .agg(coalesce(sum("npmi_e6"), lit(0L)).as("ctx_e6"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "w")
+      .orderBy(col("dist"), desc("ctx_e6"), desc("prior"), col("entity"))
+    ctx.withColumn("rn", row_number().over(rk)).filter(col("rn") === 1)
+      .select("doc_id", "w", "entity", "dist", "ctx_e6", "prior")
+      .orderBy("doc_id", "w")
+  }
+
+  /** el2_context_score — entity-coherence scoring, the CONTEXT signal of
+    * entity disambiguation (Milne & Witten 2008 relatedness, the standard
+    * second feature after prior in every EL system): for each document and
+    * each entity matched in it, the sum of kg1 NPMI edge scores to the
+    * document's OTHER matched entities, plus the count of co-present
+    * entities. High coherence = the entity fits its company; an EL system
+    * ranks ambiguous candidates by exactly this number (the decision rule
+    * itself is [[contextLinkCore]], fixture-proven in R12QueriesSpec since
+    * the clean corpus has no ambiguous surface forms).
+    *
+    * Scale shape: the pinned [[entityDocs]] scan; the per-doc entity
+    * self-join fans out ≤|G| per doc; the NPMI lookup joins the
+    * |G|²-bounded kg1 edge frame; rollup keys are (doc, entity). */
+  def el2ContextScore(s: SparkSession, dir: String): DataFrame = {
+    val ed = entityDocs(s, dir)
+    val edges = kg1EntityGraph(s, dir).select("e1", "e2", "npmi_e6")
+    val undirected = edges.select(col("e1").as("entity"), col("e2").as("other"), col("npmi_e6"))
+      .union(edges.select(col("e2").as("entity"), col("e1").as("other"), col("npmi_e6")))
+    ed.join(ed.select(col("doc_id"), col("entity").as("other")), Seq("doc_id"))
+      .filter(col("entity") =!= col("other"))
+      .join(undirected, Seq("entity", "other"), "left")
+      .groupBy("doc_id", "entity")
+      .agg(count(lit(1)).as("n_ctx"),
+        coalesce(sum("npmi_e6"), lit(0L)).as("ctx_npmi_e6"))
+      .orderBy("doc_id", "entity")
+  }
+
+  val el2ContextScoreSql: String =
+    s"""WITH $entityDocsSql,
+       |nd AS (SELECT COUNT(*) AS nd FROM documents),
+       |ent AS (SELECT entity, COUNT(*) AS n_docs FROM ed GROUP BY entity),
+       |co AS (
+       |  SELECT a.entity AS e1, b.entity AS e2, COUNT(*) AS n_co
+       |  FROM ed a JOIN ed b ON a.doc_id = b.doc_id AND a.entity < b.entity
+       |  GROUP BY a.entity, b.entity),
+       |npmi AS (
+       |  SELECT e1, e2,
+       |    CAST(ROUND(1e6 * (ln((CAST(n_co AS DOUBLE) / nd) /
+       |      ((CAST(ea.n_docs AS DOUBLE) / nd) * (CAST(eb.n_docs AS DOUBLE) / nd)))
+       |      / -ln(CAST(n_co AS DOUBLE) / nd))) AS BIGINT) AS npmi_e6
+       |  FROM co JOIN ent ea ON ea.entity = co.e1 JOIN ent eb ON eb.entity = co.e2
+       |  CROSS JOIN nd),
+       |und AS (SELECT e1 AS entity, e2 AS other, npmi_e6 FROM npmi
+       |  UNION ALL SELECT e2, e1, npmi_e6 FROM npmi),
+       |pairs AS (
+       |  SELECT a.doc_id, a.entity, b.entity AS other
+       |  FROM ed a JOIN ed b ON a.doc_id = b.doc_id AND a.entity <> b.entity)
+       |SELECT p.doc_id, p.entity, COUNT(*) AS n_ctx,
+       |  CAST(COALESCE(SUM(u.npmi_e6), 0) AS BIGINT) AS ctx_npmi_e6
+       |FROM pairs p LEFT JOIN und u ON u.entity = p.entity AND u.other = p.other
+       |GROUP BY p.doc_id, p.entity ORDER BY p.doc_id, p.entity""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "fm1_gazetteer_counts" -> (fm1GazetteerCounts _),
     "fm1_match_spans" -> (fm1MatchSpans _),
     "kg1_entity_graph" -> (kg1EntityGraph _),
     "kg2_entity_pagerank" -> (kg2EntityPagerank _),
-    "el1_mention_link" -> (el1MentionLink _))
+    "el1_mention_link" -> (el1MentionLink _),
+    "el2_context_score" -> (el2ContextScore _))
 
   val oracles: Map[String, String] = Map(
     "fm1_gazetteer_counts" -> fm1GazetteerCountsSql,
     "fm1_match_spans" -> fm1MatchSpansSql,
     "kg1_entity_graph" -> kg1EntityGraphSql,
     "kg2_entity_pagerank" -> kg2EntityPagerankSql,
-    "el1_mention_link" -> el1MentionLinkSql)
+    "el1_mention_link" -> el1MentionLinkSql,
+    "el2_context_score" -> el2ContextScoreSql)
 }

@@ -141,6 +141,41 @@ class R12QueriesSpec extends SparkSpec {
     assert(!got.contains("strum"), "distance-2 form must not link")
   }
 
+  test("el2: context coherence overrides prior in disambiguation") {
+    import spark.implicits._
+    // "dota" is distance 1 from BOTH "data" (prior 9) and "dots" (prior 4);
+    // the document's other entity "grid" co-occurs strongly with "dots" —
+    // context must flip the choice el1's prior-only rule would make
+    val mentions = Seq((1L, "dota")).toDF("doc_id", "w")
+    val cands = Seq(("dota", "data", 1, 9L), ("dota", "dots", 1, 4L))
+      .toDF("w", "entity", "dist", "prior")
+    val edges = Seq(("dots", "grid", 800000L), ("data", "grid", 10000L))
+      .toDF("e1", "e2", "npmi_e6")
+    val context = Seq((1L, "grid")).toDF("doc_id", "entity")
+    val r = MatchQueries.contextLinkCore(mentions, cands, edges, context).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[String]("entity") === "dots",
+      "coherence with the doc's entities must beat raw prior")
+    assert(r.head.getAs[Long]("ctx_e6") === 800000L)
+  }
+
+  test("el2: corpus scores are symmetric-consistent with kg1 edges") {
+    val rows = MatchQueries.el2ContextScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every (doc, entity) with co-present company has n_ctx >= 1, and a
+    // doc's total context mass is symmetric: sum over its entities of
+    // ctx equals 2x the sum of its internal edge scores
+    val edges = MatchQueries.kg1EntityGraph(spark, dir).collect()
+      .map(r => (r.getAs[String]("e1"), r.getAs[String]("e2")) -> r.getAs[Long]("npmi_e6")).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val ents = rs.map(_.getAs[String]("entity")).sorted
+      val internal = (for (i <- ents.indices; j <- ents.indices if i < j)
+        yield edges.getOrElse((ents(i), ents(j)), 0L)).sum
+      val total = rs.map(_.getAs[Long]("ctx_npmi_e6")).sum
+      assert(total === 2 * internal, s"doc context mass $total != 2x internal $internal")
+    }
+  }
+
   test("tok8: corpus face emits only byte-affected words and replays tok2 merges") {
     val rows = CorpusQueries.tok8ByteFallback(spark, dir).collect()
     assert(rows.nonEmpty)
