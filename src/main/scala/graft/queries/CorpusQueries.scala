@@ -734,6 +734,119 @@ object CorpusQueries {
        |FROM c$SegWordCap ORDER BY freq DESC, word LIMIT 20""".stripMargin
   }
 
+  /** tok9_vocab_prune — likelihood-based vocabulary pruning, the
+    * SentencePiece TRAINING step tok6 stops short of (Kudo 2018 §3.2: the
+    * unigram trainer repeatedly drops the pieces whose removal costs the
+    * corpus likelihood least; single characters are never candidates —
+    * they guarantee coverage). For each multi-char piece in the tok1
+    * inventory: re-run tok6's declarative Viterbi with THAT piece's
+    * lookups suppressed (its substring match returns NULL, so `least`
+    * skips every path through it) and price the removal as
+    * Σ freq·(nll_without − nll_with) over the vocabulary, plus how many
+    * words had to re-segment. loss ≥ 0 always (removing an option cannot
+    * improve a minimum — spec-asserted), and the trainer's decision is
+    * argmin loss.
+    *
+    * Scale shape: the DP runs on DISTINCT-VOCABULARY × |multi-char
+    * pieces| rows (both bounded at any corpus size; the merged-piece
+    * count is the merge-round count) as a pure projection over the same
+    * broadcast literal piece-cost map as tok6; per-word cost is capped by
+    * [[SegWordCap]]. Nothing corpus-proportional beyond the shared
+    * [[bpeLearned]] pass. */
+  def tok9VocabPrune(s: SparkSession, dir: String): DataFrame = {
+    val words = bpeLearned(s, dir)._2
+    val pf = words.select(col("freq"), explode(col("syms")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("pf"))
+    val tot = pf.agg(sum("pf").as("tot"))
+    val lp = pf.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        round(log(col("pf").cast(DoubleType) / col("tot").cast(DoubleType)) * lit(-1e6))
+          .cast(LongType).as("lp_e6"))
+    val lpMap = lp
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("lp_e6")))).as("lpm"))
+      .crossJoin(broadcast(tot.select(
+        round(log((col("tot") + 1).cast(DoubleType)) * lit(1e6)).cast(LongType).as("unk_e6"))))
+    val cands = lp.filter(length(col("piece")) >= 2)
+      .select(col("piece").as("cand"), col("lp_e6").as("cand_lp_e6"))
+    def dp(skipCand: Boolean): String = {
+      def at(off: Int, k: Int): String = {
+        val sub = s"substring(wt, j - ${k - 1}, $k)"
+        val look = s"try_element_at(lpm, $sub)"
+        if (k == 1) s"coalesce($look, unk_e6)"
+        else if (skipCand) s"IF($sub = cand, CAST(NULL AS BIGINT), $look)"
+        else look
+      }
+      s"""aggregate(
+         |  sequence(1, length(wt)),
+         |  named_struct('b1', CAST(0 AS BIGINT), 'b2', CAST(NULL AS BIGINT),
+         |               'b3', CAST(NULL AS BIGINT), 'b4', CAST(NULL AS BIGINT)),
+         |  (st, j) -> named_struct(
+         |    'b1', least(
+         |      st.b1 + ${at(0, 1)},
+         |      st.b2 + ${at(1, 2)},
+         |      st.b3 + ${at(2, 3)},
+         |      st.b4 + ${at(3, 4)}),
+         |    'b2', st.b1, 'b3', st.b2, 'b4', st.b3),
+         |  st -> st.b1)""".stripMargin
+    }
+    words.select(col("word"), col("freq"))
+      .crossJoin(broadcast(lpMap))
+      .crossJoin(broadcast(cands))
+      .withColumn("wt", substring(col("word"), 1, SegWordCap))
+      .withColumn("nll_with", expr(dp(skipCand = false)))
+      .withColumn("nll_without", expr(dp(skipCand = true)))
+      .groupBy("cand", "cand_lp_e6")
+      .agg(sum(col("freq") * (col("nll_without") - col("nll_with"))).as("loss_e6"),
+        sum(when(col("nll_without") > col("nll_with"), 1L).otherwise(0L)).as("n_resegmented"),
+        sum(col("freq") * col("nll_with")).as("base_nll_e6"))
+      .orderBy("loss_e6", "cand")
+  }
+
+  val tok9VocabPruneSql: String = {
+    def lpAt(start: String, k: Int, pruned: Boolean): String = {
+      val sub = s"substr(w.wt, $start, $k)"
+      val look = s"(SELECT lp_e6 FROM seg_lp WHERE piece = $sub)"
+      if (k == 1) s"COALESCE($look, (SELECT unk_e6 FROM seg_unk))"
+      else if (pruned) s"CASE WHEN $sub = w.cand THEN NULL ELSE $look END"
+      else look
+    }
+    val chain = (1 to SegWordCap).map { j =>
+      def arms(pruned: Boolean, pfx: String): String = {
+        val cs = (1 to SegPieceMax).filter(_ <= j).map { k =>
+          val prev = if (j - k == 0) "CAST(0 AS BIGINT)" else s"$pfx${j - k}"
+          s"$prev + ${lpAt((j - k + 1).toString, k, pruned)}"
+        }
+        if (cs.length == 1) cs.head else s"least(${cs.mkString(",\n    ")})"
+      }
+      s"""c$j AS (SELECT w.*, ${arms(pruned = false, "b")} AS b$j, ${arms(pruned = true, "p")} AS p$j FROM c${j - 1} w)"""
+    }.mkString(",\n")
+    val bCase = (1 to SegWordCap).map(j => s"WHEN $j THEN b$j").mkString(" ")
+    val pCase = (1 to SegWordCap).map(j => s"WHEN $j THEN p$j").mkString(" ")
+    s"""WITH $bpeCoreSql,
+       |seg_pf AS (
+       |  SELECT sym AS piece, CAST(SUM(freq) AS BIGINT) AS pf
+       |  FROM (SELECT freq, unnest(syms) AS sym FROM state3) t GROUP BY sym),
+       |seg_tot AS (SELECT CAST(SUM(pf) AS BIGINT) AS tot FROM seg_pf),
+       |seg_lp AS (
+       |  SELECT piece,
+       |    CAST(ROUND(-1e6 * ln(CAST(pf AS DOUBLE) / CAST((SELECT tot FROM seg_tot) AS DOUBLE))) AS BIGINT) AS lp_e6
+       |  FROM seg_pf),
+       |seg_unk AS (SELECT CAST(ROUND(1e6 * ln(CAST(tot + 1 AS DOUBLE))) AS BIGINT) AS unk_e6 FROM seg_tot),
+       |cands AS (SELECT piece AS cand, lp_e6 AS cand_lp_e6 FROM seg_lp WHERE len(piece) >= 2),
+       |c0 AS (SELECT word, freq, substr(word, 1, $SegWordCap) AS wt,
+       |  len(substr(word, 1, $SegWordCap)) AS wlen, cand, cand_lp_e6
+       |  FROM state3 CROSS JOIN cands),
+       |$chain,
+       |fin AS (SELECT word, freq, cand, cand_lp_e6,
+       |  CASE wlen $bCase END AS nll_with,
+       |  CASE wlen $pCase END AS nll_without FROM c$SegWordCap)
+       |SELECT cand, cand_lp_e6,
+       |  CAST(SUM(freq * (nll_without - nll_with)) AS BIGINT) AS loss_e6,
+       |  CAST(SUM(CASE WHEN nll_without > nll_with THEN 1 ELSE 0 END) AS BIGINT) AS n_resegmented,
+       |  CAST(SUM(freq * nll_with) AS BIGINT) AS base_nll_e6
+       |FROM fin GROUP BY cand, cand_lp_e6 ORDER BY loss_e6, cand""".stripMargin
+  }
+
   /** Shared CTE chain (state0 → state3 + per-round st rows) for the tok1 /
     * tok2 / tok3 oracles — the DuckDB replay of [[bpeLearned]]. LAZY:
     * tok3's val sits above this definition in source order, and a strict
@@ -949,6 +1062,7 @@ object CorpusQueries {
     "tok4_fertility" -> (tok4Fertility _),
     "tok5_oov_coverage" -> (tok5OovCoverage _),
     "tok7_char_coverage" -> (tok7CharCoverage _),
+    "tok9_vocab_prune" -> (tok9VocabPrune _),
     "tok6_unigram_seg" -> (tok6UnigramSeg _),
     "cms1_heavy_hitters" -> (cms1HeavyHitters _),
     "hll1_distinct" -> (hll1Distinct _),
@@ -969,6 +1083,7 @@ object CorpusQueries {
     "tok5_oov_coverage" -> tok5OovCoverageSql,
     "tok7_char_coverage" -> tok7CharCoverageSql,
     "tok8_byte_fallback" -> tok8ByteFallbackSql,
+    "tok9_vocab_prune" -> tok9VocabPruneSql,
     "tok6_unigram_seg" -> tok6UnigramSegSql,
     "cms1_heavy_hitters" -> cms1HeavyHittersSql,
     "hll1_distinct" -> hll1DistinctSql,

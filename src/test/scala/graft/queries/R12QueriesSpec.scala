@@ -176,6 +176,24 @@ class R12QueriesSpec extends SparkSpec {
     }
   }
 
+  test("tok9: pruning losses are non-negative and share one corpus baseline") {
+    val rows = CorpusQueries.tok9VocabPrune(spark, dir).collect()
+    assert(rows.nonEmpty, "the 3-merge inventory must yield multi-char candidates")
+    val bases = rows.map(_.getAs[Long]("base_nll_e6")).distinct
+    assert(bases.length === 1, "every candidate prices against the same baseline")
+    rows.foreach { r =>
+      // removing an option can never improve a minimum
+      assert(r.getAs[Long]("loss_e6") >= 0L,
+        s"negative pruning loss for ${r.getAs[String]("cand")}")
+      assert(r.getAs[String]("cand").length >= 2, "single chars are never candidates")
+      // a piece whose removal costs likelihood must have forced re-segmentation
+      if (r.getAs[Long]("loss_e6") > 0L) assert(r.getAs[Long]("n_resegmented") > 0L)
+    }
+    // the output is sorted by the trainer's decision key: cheapest first
+    val losses = rows.map(_.getAs[Long]("loss_e6"))
+    assert(losses.sameElements(losses.sorted))
+  }
+
   test("tok8: corpus face emits only byte-affected words and replays tok2 merges") {
     val rows = CorpusQueries.tok8ByteFallback(spark, dir).collect()
     assert(rows.nonEmpty)
