@@ -219,13 +219,91 @@ object MultimodalQueries {
        |FROM sig s LEFT JOIN cnt c USING (asset_id) ORDER BY asset_id""".stripMargin
   }
 
+  /** mm5's silence rule on the stand-in payload: a 32-byte frame is
+    * "silent" when ≥ 7 of its bytes are spaces (the text corpus's pause
+    * tokens — ~12% of frames at the corpus space density; a real PCM
+    * payload would swap in an RMS-energy threshold, same integer
+    * plumbing). */
+  private val SilenceFrameBytes = 32
+  private val SilenceMinSpaces = 7
+
+  /** mm5_silence_trim — voice-activity trimming for the AUDIO modality
+    * (the standard first pass of every speech-data pipeline: drop
+    * low-energy frames, keep speech segments): the first query to USE
+    * mm1's modality routing — only audio-routed assets are scanned. Each
+    * payload splits into fixed 32-byte frames; frames below the activity
+    * threshold mark silent; consecutive active frames group into speech
+    * SEGMENTS via the gaps-and-islands rank trick (ev12's shape:
+    * grp = frame_idx − row_number within asset). Emits per asset: frame
+    * count, silent count, segment count, longest segment. Fully integer.
+    *
+    * Scale shape: ONE char pass per payload (posexplode + (asset, frame)
+    * hash agg — the per-frame `substring(text, wi·32+1, 32)` spelling
+    * would re-seek from the string start per frame, the r12 O(len²)
+    * class); the islands window partitions by asset_id (corpus-grained
+    * keys, never small-cardinality). */
+  def mm5SilenceTrim(s: SparkSession, dir: String): DataFrame = {
+    val frames = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 1 && length(col("text")) >= SilenceFrameBytes)
+      .withColumn("nf", (length(col("text")) / SilenceFrameBytes).cast(IntegerType))
+      .select(col("doc_id").as("asset_id"), col("nf"),
+        posexplode(split(col("text"), "")).as(Seq("i", "c")))
+      .filter(col("c") =!= "" && col("i") < col("nf") * SilenceFrameBytes)
+      .groupBy(col("asset_id"), expr(s"i div $SilenceFrameBytes").cast(IntegerType).as("wi"))
+      .agg(sum(when(col("c") === " ", 1L).otherwise(0L)).as("n_spaces"))
+      .withColumn("silent", col("n_spaces") >= SilenceMinSpaces)
+    val wNS = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("wi")
+    val segs = frames.filter(!col("silent"))
+      .withColumn("grp", col("wi") - row_number().over(wNS))
+      .groupBy("asset_id", "grp").agg(count(lit(1)).as("seg_len"))
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_segments"), max("seg_len").as("longest_seg"))
+    frames.groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"))
+      .join(segs, Seq("asset_id"), "left")
+      .select(col("asset_id"),
+        col("n_frames"), col("n_silent"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_seg"), lit(0L)).as("longest_seg"))
+      .orderBy("asset_id")
+  }
+
+  val mm5SilenceTrimSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id AS asset_id, text, CAST(len(text) // $SilenceFrameBytes AS INT) AS nf
+       |  FROM documents WHERE doc_id % 3 = 1 AND len(text) >= $SilenceFrameBytes),
+       |ch AS (
+       |  SELECT asset_id, nf, unnest(string_split(text, '')) AS c,
+       |    generate_subscripts(string_split(text, ''), 1) - 1 AS i FROM a),
+       |w AS (
+       |  SELECT asset_id, CAST(i // $SilenceFrameBytes AS INT) AS wi,
+       |    SUM(CASE WHEN c = ' ' THEN 1 ELSE 0 END) AS n_spaces
+       |  FROM ch WHERE i < nf * $SilenceFrameBytes GROUP BY 1, 2),
+       |st AS (SELECT asset_id, wi, (n_spaces >= $SilenceMinSpaces) AS silent FROM w),
+       |ns AS (SELECT asset_id, wi,
+       |  wi - ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY wi) AS grp
+       |  FROM st WHERE NOT silent),
+       |seg AS (SELECT asset_id, grp, COUNT(*) AS seg_len FROM ns GROUP BY 1, 2),
+       |pseg AS (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |  CAST(MAX(seg_len) AS BIGINT) AS longest_seg FROM seg GROUP BY asset_id),
+       |pa AS (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |  CAST(SUM(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+       |  FROM st GROUP BY asset_id)
+       |SELECT pa.asset_id, n_frames, n_silent,
+       |  COALESCE(n_segments, 0) AS n_segments, COALESCE(longest_seg, 0) AS longest_seg
+       |FROM pa LEFT JOIN pseg USING (asset_id) ORDER BY asset_id""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "mm5_silence_trim" -> (mm5SilenceTrim _),
     "mm4_phash_neardup" -> (mm4PhashNeardup _),
     "mm3_frame_dedup" -> (mm3FrameDedup _),
     "mm1_asset_bytes" -> (mm1AssetBytes _),
     "mm2_frame_sample" -> (mm2FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "mm5_silence_trim" -> mm5SilenceTrimSql,
     "mm4_phash_neardup" -> mm4PhashNeardupSql,
     "mm3_frame_dedup" -> mm3FrameDedupSql,
     "mm1_asset_bytes" -> mm1AssetBytesSql,

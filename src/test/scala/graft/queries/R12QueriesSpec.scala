@@ -194,6 +194,25 @@ class R12QueriesSpec extends SparkSpec {
     assert(losses.sameElements(losses.sorted))
   }
 
+  test("mm5: islands invariants hold on every audio asset") {
+    val rows = graft.queries.MultimodalQueries.mm5SilenceTrim(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var anySilent = false
+    rows.foreach { r =>
+      val (nf, ns) = (r.getAs[Long]("n_frames"), r.getAs[Long]("n_silent"))
+      val (segs, longest) = (r.getAs[Long]("n_segments"), r.getAs[Long]("longest_seg"))
+      assert(r.getAs[Long]("asset_id") % 3 === 1, "only audio-routed assets")
+      assert(ns <= nf)
+      // k silent frames split the timeline into at most k+1 speech islands
+      assert(segs <= ns + 1, s"segments $segs > silent+1 ${ns + 1}")
+      assert(longest <= nf - ns, s"longest $longest > active frames ${nf - ns}")
+      // a fully-silent asset has zero segments; anything else at least one
+      assert((segs == 0) === (ns == nf))
+      anySilent ||= ns > 0
+    }
+    assert(anySilent, "threshold must mark some frames silent on real data")
+  }
+
   test("tok8: corpus face emits only byte-affected words and replays tok2 merges") {
     val rows = CorpusQueries.tok8ByteFallback(spark, dir).collect()
     assert(rows.nonEmpty)
