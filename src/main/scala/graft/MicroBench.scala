@@ -119,7 +119,26 @@ object MicroBench {
     spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
     spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
-    println(s"""{"fm_expr_sec":$tExpr,"fm_udf_sec":$tUdf,"fm_regex_sec":$tRegex,"matches":[$nExpr,$nUdf,$nRegex],"dot_hof_sec":$tHof,"dot_native_sec":$tNative,"dot_sums":[$nHof,$nNative],"semi_sec":$tSemi,"bloom_sec":$tBloom,"flagged":[$nSemi,$nBloom],"hash_md5_sec":$tHashMd5,"hash_native_sec":$tHashNat,"hash_sums":[$nHashMd5,$nHashNat],"skew_smj_noaqe_sec":$tSkewOff,"skew_smj_aqe_sec":$tSkewAqe,"skew_salted_sec":$tSalted,"skew_sums":[$nSkewOff,$nSkewAqe,$nSalted],"sf":"$sfDir"}""")
+    // n-gram derivation: per-position substring (UTF8String re-seeks the
+    // char offset from the string start each call — O(len²) per doc) vs
+    // ONE split('') pass + O(1) element_at over the materialized char
+    // array (the r12 kernel rule; ta1/a23/tok7 all hit this class). Same
+    // trigram multiset — the checksum proves it.
+    def triSum(gramsExpr: String): Long =
+      docsAll.filter(length(col("text")) >= 3)
+        .select(explode(expr(gramsExpr)).as("g"))
+        .agg(sum(crc32(col("g")) % 1000)).collect()(0).getLong(0)
+    val (tSubstr, nSubstr) = time { triSum(
+      "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))") }
+    val (tSplit, nSplit) = time {
+      docsAll.filter(length(col("text")) >= 3)
+        .withColumn("cs", expr("filter(split(text, ''), c -> c <> '')"))
+        .select(explode(expr(
+          "transform(sequence(1, size(cs) - 2), i -> concat(element_at(cs, i), element_at(cs, i + 1), element_at(cs, i + 2)))")).as("g"))
+        .agg(sum(crc32(col("g")) % 1000)).collect()(0).getLong(0)
+    }
+    require(nSubstr == nSplit, s"trigram checksum mismatch: $nSubstr vs $nSplit")
+    println(s"""{"fm_expr_sec":$tExpr,"ngram_substr_sec":$tSubstr,"ngram_split_sec":$tSplit,"ngram_sums":[$nSubstr,$nSplit],"fm_udf_sec":$tUdf,"fm_regex_sec":$tRegex,"matches":[$nExpr,$nUdf,$nRegex],"dot_hof_sec":$tHof,"dot_native_sec":$tNative,"dot_sums":[$nHof,$nNative],"semi_sec":$tSemi,"bloom_sec":$tBloom,"flagged":[$nSemi,$nBloom],"hash_md5_sec":$tHashMd5,"hash_native_sec":$tHashNat,"hash_sums":[$nHashMd5,$nHashNat],"skew_smj_noaqe_sec":$tSkewOff,"skew_smj_aqe_sec":$tSkewAqe,"skew_salted_sec":$tSalted,"skew_sums":[$nSkewOff,$nSkewAqe,$nSalted],"sf":"$sfDir"}""")
     spark.stop()
   }
 }
