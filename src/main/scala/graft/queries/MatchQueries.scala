@@ -241,13 +241,17 @@ object MatchQueries {
   /** The linking core over any (w, n_occ) form table and (entity, prior)
     * catalog — exposed for spec fixtures that exercise the fuzzy and
     * disambiguation paths the clean synthetic corpus never hits. */
+  /** Deletion-neighborhood explode (FastSS depth 1): each row fans out to
+    * len+1 variant rows under column `v`. Shared by el1's batch core and
+    * the streaming candidate-generation face. */
+  private[graft] def variantExplode(df: DataFrame, c: String): DataFrame =
+    df.select(col("*"), explode(concat(array(col(c)), expr(
+      s"transform(sequence(1, length($c)), i -> concat(substring($c, 1, i - 1), substring($c, i + 1, length($c))))")))
+      .as("v"))
+
   private[graft] def mentionLinkCore(words: DataFrame, ents: DataFrame): DataFrame = {
-    def variants(df: DataFrame, c: String): DataFrame =
-      df.select(col("*"), explode(concat(array(col(c)), expr(
-        s"transform(sequence(1, length($c)), i -> concat(substring($c, 1, i - 1), substring($c, i + 1, length($c))))")))
-        .as("v"))
-    val cand = variants(words, "w")
-      .join(variants(ents, "entity"), Seq("v"))
+    val cand = variantExplode(words, "w")
+      .join(variantExplode(ents, "entity"), Seq("v"))
       .select("w", "n_occ", "entity", "prior").distinct()
       .withColumn("dist", levenshtein(col("w"), col("entity")))
       .filter(col("dist") <= 1)

@@ -258,6 +258,31 @@ object EventStreams {
   def phashStream(assets: DataFrame): DataFrame =
     graft.queries.MultimodalQueries.phashSigs(assets)
 
+  /** Fuzzy alias-candidate generation — the streaming face of
+    * `el1_mention_link`'s candidate stage: every arriving document's words
+    * fan out into their deletion-neighborhood variants IN-PLAN (stateless),
+    * equi-join the FROZEN alias catalog's (bounded, precomputed) variant
+    * table as a stream-static join, and the exact levenshtein verify emits
+    * (doc_id, w, entity, dist) candidate links at scan speed. The
+    * lambda-architecture split is deliberate: candidate GENERATION is
+    * stateless and runs at ingest; prior/context DISAMBIGUATION (el1/el2's
+    * window) is a batch resolution over the accumulated candidates —
+    * putting the argmin in the stream would demand per-(doc, word)
+    * aggregation state for no freshness gain. Parity vs the batch
+    * candidate set is spec-pinned (AliasLinkStreamSpec). */
+  def aliasLinkStream(docs: DataFrame, aliases: DataFrame): DataFrame = {
+    val av = graft.queries.MatchQueries.variantExplode(aliases, "entity")
+      .select(col("v"), col("entity"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .transform(graft.queries.MatchQueries.variantExplode(_, "w"))
+      .join(av, Seq("v"))
+      .withColumn("dist", levenshtein(col("w"), col("entity")))
+      .filter(col("dist") <= 1)
+      .select("doc_id", "w", "entity", "dist")
+  }
+
   /** CMS-LM perplexity gate — the streaming face of `ta15_cms_ppl`
     * (CurationQueries): score each arriving document's mean unigram NLL
     * under a TRAINED Count-Min-compressed LM and flag the high-perplexity
