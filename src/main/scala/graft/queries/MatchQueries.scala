@@ -128,8 +128,12 @@ object MatchQueries {
     co.crossJoin(broadcast(nd))
       .join(ent.select(col("entity").as("e1"), col("n_docs").as("n_e1")), Seq("e1"))
       .join(ent.select(col("entity").as("e2"), col("n_docs").as("n_e2")), Seq("e2"))
+      // p_xy = 1 (the pair co-occurs in EVERY document) makes −ln(p_xy) = 0:
+      // NPMI's limit there is 1 by convention. Left unguarded, Spark casts
+      // the NaN/Inf to 0 while DuckDB errors — the a15 zero-denominator rule
       .withColumn("npmi_e6",
-        round(lit(1e6) * (log(pxy / (px * py)) / -log(pxy))).cast(LongType))
+        when(col("n_co") === col("nd"), lit(1000000L)).otherwise(
+          round(lit(1e6) * (log(pxy / (px * py)) / -log(pxy))).cast(LongType)))
       .select("e1", "e2", "n_co", "n_e1", "n_e2", "npmi_e6")
       .orderBy(desc("npmi_e6"), col("e1"), col("e2"))
   }
@@ -144,9 +148,10 @@ object MatchQueries {
        |  GROUP BY a.entity, b.entity)
        |SELECT e1, e2, CAST(n_co AS BIGINT) AS n_co,
        |  CAST(ea.n_docs AS BIGINT) AS n_e1, CAST(eb.n_docs AS BIGINT) AS n_e2,
-       |  CAST(ROUND(1e6 * (ln((CAST(n_co AS DOUBLE) / nd) /
+       |  CASE WHEN n_co = nd THEN 1000000
+       |  ELSE CAST(ROUND(1e6 * (ln((CAST(n_co AS DOUBLE) / nd) /
        |    ((CAST(ea.n_docs AS DOUBLE) / nd) * (CAST(eb.n_docs AS DOUBLE) / nd)))
-       |    / -ln(CAST(n_co AS DOUBLE) / nd))) AS BIGINT) AS npmi_e6
+       |    / -ln(CAST(n_co AS DOUBLE) / nd))) AS BIGINT) END AS npmi_e6
        |FROM co JOIN ent ea ON ea.entity = co.e1 JOIN ent eb ON eb.entity = co.e2
        |CROSS JOIN nd ORDER BY npmi_e6 DESC, e1, e2""".stripMargin
 
@@ -354,9 +359,10 @@ object MatchQueries {
        |  GROUP BY a.entity, b.entity),
        |npmi AS (
        |  SELECT e1, e2,
-       |    CAST(ROUND(1e6 * (ln((CAST(n_co AS DOUBLE) / nd) /
+       |    CASE WHEN n_co = nd THEN 1000000
+       |    ELSE CAST(ROUND(1e6 * (ln((CAST(n_co AS DOUBLE) / nd) /
        |      ((CAST(ea.n_docs AS DOUBLE) / nd) * (CAST(eb.n_docs AS DOUBLE) / nd)))
-       |      / -ln(CAST(n_co AS DOUBLE) / nd))) AS BIGINT) AS npmi_e6
+       |      / -ln(CAST(n_co AS DOUBLE) / nd))) AS BIGINT) END AS npmi_e6
        |  FROM co JOIN ent ea ON ea.entity = co.e1 JOIN ent eb ON eb.entity = co.e2
        |  CROSS JOIN nd),
        |und AS (SELECT e1 AS entity, e2 AS other, npmi_e6 FROM npmi
