@@ -187,17 +187,14 @@ object SimilarityQueries {
        |ORDER BY query_id, rank""".stripMargin
 
   /** Deterministic on-disk home for ss2b's persisted index, keyed by the
-    * corpus identity (sanitized sf dir + row count) so a testdata refresh
-    * or SF switch rebuilds rather than reusing a stale index. */
+    * corpus identity: sanitized sf dir + row count + the
+    * [[graft.operators.PersistedIndex.tableFingerprint]] content component
+    * (bytes + mtime), so BOTH an SF switch and an in-place testdata
+    * regeneration rebuild rather than reusing a stale index (ADVICE r12:
+    * (dir, rowcount) alone survived an in-place refresh). */
   private def indexHome(dir: String, n: Long): java.nio.file.Path =
-    java.nio.file.Paths.get("staging", "ivf_index",
-      dir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_") + s"_$n")
-
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      val it = java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-      try it.forEach(f => java.nio.file.Files.deleteIfExists(f)) finally it.close()
-    }
+    graft.operators.PersistedIndex.home("ivf_index", dir,
+      s"${n}_${graft.operators.PersistedIndex.tableFingerprint(dir, "embeddings")}")
 
   /** ss2b_persisted_probe — ss2's IVF search against a PERSISTED index:
     * the production serving shape, where index build (assign every corpus
@@ -226,11 +223,7 @@ object SimilarityQueries {
     val emb = withNorm(t(s, dir, "embeddings"))
     val n = t(s, dir, "embeddings").count()
     val home = indexHome(dir, n)
-    val done = home.resolve("_INDEX_COMPLETE")
-    if (!java.nio.file.Files.exists(done)) {
-      val tmp = home.getParent.resolve(
-        s".build_${home.getFileName}_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-      java.nio.file.Files.createDirectories(tmp)
+    graft.operators.PersistedIndex.buildIfAbsent(home) { tmp =>
       val idx = pairCentIndex(s, dir, emb)
       graft.sources.Layout.writePartitioned(
         withCell(emb, idx).select(col("vec_id"), col("embedding"), col("norm"), col("cell")),
@@ -241,13 +234,6 @@ object SimilarityQueries {
       emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
         .write.mode("overwrite").parquet(tmp.resolve("queries").toString)
-      java.nio.file.Files.createFile(tmp.resolve("_INDEX_COMPLETE"))
-      try java.nio.file.Files.move(tmp, home,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileSystemException =>
-        // lost the race to a COMPLETE winner — drop the staging copy
-        deleteTree(tmp)
-      }
     }
     // ---- probe path: persisted artifacts ONLY (no corpus scan below) ----
     val idx = graft.operators.Similarity.centroidIndex(

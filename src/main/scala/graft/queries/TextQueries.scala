@@ -2087,6 +2087,90 @@ object TextQueries {
        |ORDER BY bm25_e6 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Hash-bucket count for ir6b's persisted postings layout. At test scale
+    * 64 directories; a production index raises this (or switches to
+    * [[graft.sources.Layout.writeBucketed]] — same pruned probe, bucket
+    * pruning instead of directory pruning) to keep each bucket ~128 MB. */
+  private val PostingsBuckets = 64
+
+  /** Driver-side twin of [[Q.detHash]] (seed 0) for PLAN-TIME bucket
+    * pruning: the query terms are literals, so their bucket ids can be
+    * computed without touching any data and land in the probe plan as a
+    * partition-pruning IN filter. Equality with the Spark expression is
+    * pinned in RetrievalSpec (the DetHashSpec convention). */
+  private[queries] def detHash60Local(v: String, seed: Int = 0): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((seed.toString + v).getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** ir6b_persisted_postings — ir6 served from a PERSISTED index: the
+    * ss2b pattern applied to the BM25/postings family. ir5/ir6 prove the
+    * index-build and index-query operators but rebuild the posting lists
+    * per run; every production BM25 stack builds ONCE (offline) and serves
+    * every query from the persisted artifacts. Build-if-absent (under a
+    * corpus-fingerprinted staging dir, [[graft.operators.PersistedIndex]])
+    * writes three artifacts: `postings` — the (word, doc_id, tf) table
+    * hive-partitioned by a [[PostingsBuckets]]-way word-hash bucket, so a
+    * query's `bucket IN (…)` prunes directories at plan time (the
+    * word-partitioned pruned read ir6's scaladoc promises); `doclen` — the
+    * narrow (doc_id, dl) table BM25's length normalization needs; and
+    * `stats` — the one-row (n_docs, total_dl) corpus statistics.
+    *
+    * The probe plan scans ZERO corpus files: bucket ids for the literal
+    * query terms are computed driver-side ([[detHash60Local]] — no data
+    * touched, plan-time constants), the postings read prunes to ≤|terms|
+    * buckets, per-term df comes from the pruned postings, and the scoring
+    * replays ir6's double arithmetic over identical inputs in identical
+    * term order — so the e6 scores are bit-equal to ir6 (asserted in
+    * RetrievalSpec along with the no-corpus-scan plan shape; the oracle is
+    * ir6's SQL — the persisted detour is invisible to the answer). Probe
+    * cost is (pruned postings + doclen + one stats row), independent of
+    * vocabulary size and of any text column — the ~1× decade a served
+    * index should give. */
+  def ir6bPersistedPostings(s: SparkSession, dir: String): DataFrame = {
+    val qterms = RetrievalQTerms
+    val (k1, b) = (1.2, 0.75)
+    import graft.operators.PersistedIndex
+    val home = PersistedIndex.home("postings_index", dir,
+      PersistedIndex.tableFingerprint(dir, "documents"))
+    PersistedIndex.buildIfAbsent(home) { tmp =>
+      val tf = tfTable(s, dir)
+      graft.sources.Layout.writePartitioned(
+        tf.withColumn("bucket", pmod(detHash(col("word")), lit(PostingsBuckets.toLong))),
+        tmp.resolve("postings").toString, "bucket")
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      dl.write.mode("overwrite").parquet(tmp.resolve("doclen").toString)
+      dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+    // ---- probe path: persisted artifacts ONLY (no corpus scan below) ----
+    val qbuckets = qterms.map(q => detHash60Local(q) % PostingsBuckets).distinct.sorted
+    val tf3 = s.read.parquet(home.resolve("postings").toString)
+      .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
+        col("word").isInCollection(qterms))
+      .select("doc_id", "word", "tf")
+    val dl = s.read.parquet(home.resolve("doclen").toString)
+    val pivotCols = qterms.map(q => max(when(col("word") === q, col("tf"))).as(s"tf_$q"))
+    val pivoted = tf3.groupBy("doc_id").agg(pivotCols.head, pivotCols.tail: _*)
+    val dfCols = qterms.map(q => sum(when(col("word") === q, 1L).otherwise(0L)).as(s"df_$q"))
+    val stats = s.read.parquet(home.resolve("stats").toString)
+      .crossJoin(tf3.agg(dfCols.head, dfCols.tail: _*))
+    val avgdl = col("total_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    def termScore(q: String) = {
+      val tfd = coalesce(col(s"tf_$q"), lit(0L)).cast(DoubleType)
+      val dfd = col(s"df_$q").cast(DoubleType)
+      val idf = log((col("n_docs").cast(DoubleType) - dfd + 0.5) / (dfd + 0.5) + 1.0)
+      idf * (tfd * (k1 + 1.0)) / (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
+    }
+    val score = qterms.map(termScore).reduceLeft(_ + _)
+    dl.join(pivoted, Seq("doc_id"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), round(score * 1e6).cast(LongType).as("bm25_e6"))
+      .orderBy(desc("bm25_e6"), col("doc_id")).limit(20)
+  }
+
   /** ta5_winnow_fingerprint — winnowing document fingerprint (Schleimer,
     * Wilkerson, Aiken 2003 — the MOSS scheme): rolling token-4-gram hashes,
     * minimum per sliding window of 4, fingerprint = md5 over the sorted
@@ -2452,6 +2536,7 @@ object TextQueries {
     "a21_ndcg" -> (a21Ndcg _),
     "ir5_inverted_index" -> (ir5InvertedIndex _),
     "ir6_postings_bm25" -> (ir6PostingsBm25 _),
+    "ir6b_persisted_postings" -> (ir6bPersistedPostings _),
     "a22_bleu" -> (a22Bleu _),
     "a30_bootstrap_ci" -> (a30BootstrapCi _),
     "a32_rank_corr" -> (a32RankCorr _),
@@ -2497,6 +2582,8 @@ object TextQueries {
     "a21_ndcg" -> a21NdcgSql,
     "ir5_inverted_index" -> ir5InvertedIndexSql,
     "ir6_postings_bm25" -> ir6PostingsBm25Sql,
+    // the persisted detour is invisible to the answer: ir6b ≡ ir6
+    "ir6b_persisted_postings" -> ir6PostingsBm25Sql,
     "a22_bleu" -> a22BleuSql,
     "a30_bootstrap_ci" -> a30BootstrapCiSql,
     "a32_rank_corr" -> a32RankCorrSql,

@@ -13,7 +13,18 @@ import scala.collection.mutable
   * INTERNALLY wherever int64 could wrap (the a29 overflow rationale stands),
   * but emit the final value as a canonical digit STRING (or BIGINT limbs).
   * This spec makes the mistake unrepeatable for every current and future
-  * registry entry, recursing through struct/array/map element types. */
+  * registry entry, recursing through struct/array/map element types.
+  *
+  * Intentionally NOT a metadata-only check (ADVICE r12): several registry
+  * fns are eager at build time — ss2b/ir6b persist their serving indexes
+  * under staging/, kg2 collects its contract-bounded graph and iterates,
+  * tok8 collects its alphabet — so reading `.schema` here runs real jobs
+  * at sf0.001 and writes (gitignored) staging artifacts. That is accepted
+  * by design: the gate doubles as the registry-wide "every query
+  * CONSTRUCTS against live data" smoke, which a lazy schema-only face
+  * would silently lose, and the eager builds it triggers are exactly the
+  * ones their own specs exercise anyway (same fingerprinted index homes,
+  * so the work amortizes across the suite). */
 class OutputSchemaGateSpec extends SparkSpec {
 
   private def decimalPaths(dt: DataType, path: String): Seq[String] = dt match {

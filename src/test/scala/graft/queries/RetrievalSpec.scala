@@ -32,6 +32,37 @@ class RetrievalSpec extends SparkSpec {
     assert(fromIndex === fromText)
   }
 
+  test("ir6b: probe plan scans no corpus file, prunes postings buckets, and equals ir6") {
+    val df = TextQueries.ir6bPersistedPostings(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe path must read ONLY the persisted index artifacts — the
+    // corpus parquet appearing here would mean tokenization ran at query time
+    assert(!plan.contains("documents.parquet"),
+      s"probe plan must not scan the corpus:\n$plan")
+    assert(plan.contains("postings_index"),
+      s"probe plan must read the persisted index:\n$plan")
+    // the query-term bucket IN list must land as a partition-pruning filter
+    // on the postings scan (directory pruning — the point of bucketing)
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"expected partition pruning on bucket:\n$plan")
+    // the persisted detour is invisible to the answer
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = TextQueries.ir6PostingsBm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
+  test("ir6b: driver-side detHash60 twin matches the Spark expression on the query terms") {
+    import org.apache.spark.sql.functions._
+    val terms = TextQueries.RetrievalQTerms
+    val sparkSide = graft.Tables(spark, dir, "region").sparkSession
+      .createDataFrame(terms.map(Tuple1.apply)).toDF("w")
+      .select(Q.detHash(col("w")).as("h")).collect().map(_.getLong(0)).toSeq
+    val local = terms.map(w => TextQueries.detHash60Local(w))
+    assert(local === sparkSide,
+      "plan-time bucket pruning depends on the local md5 twin being bit-equal")
+  }
+
   test("ir5: index audit rows are internally consistent") {
     val rows = TextQueries.ir5InvertedIndex(spark, dir).collect()
     assert(rows.length === 20)
