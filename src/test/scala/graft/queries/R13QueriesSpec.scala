@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-13 query specs: kg2's bounded-collect guard and empty-graph
+  * handling, kg3's community detection on a crafted clique/bridge graph. */
+class R13QueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("kg2 guard: an over-contract edge list fails loud, not a silent driver melt") {
+    import spark.implicits._
+    // 10 synthetic edges against a maxEdges of 5 — the pagerank core must
+    // refuse to collect rather than iterate an unbounded graph
+    val co = (1 to 10).map(i => (s"e$i", s"f$i", 1L)).toDF("e1", "e2", "w")
+    val ex = intercept[IllegalStateException] {
+      MatchQueries.pagerankCore(spark, co, maxEdges = 5)
+    }
+    assert(ex.getMessage.contains("bounded-graph contract"))
+  }
+
+  test("kg2 empty graph: no co-occurring pair yields an empty rank table, no division by zero") {
+    import spark.implicits._
+    val co = Seq.empty[(String, String, Long)].toDF("e1", "e2", "w")
+    val out = MatchQueries.pagerankCore(spark, co)
+    assert(out.columns.toSeq === Seq("entity", "rank_e6"))
+    assert(out.count() === 0L, "empty edges must mean empty ranks (the oracle's empty result)")
+  }
+
+  test("kg3 fixture: two cliques joined by a weak bridge split at the threshold") {
+    import spark.implicits._
+    val nodes = Seq("a1", "a2", "a3", "b1", "b2", "b3").toDF("entity")
+    // clique A and clique B are strongly associated internally; the single
+    // a3–b1 bridge sits below KgCommunityThrE6 and must be cut
+    val scored = Seq(
+      ("a1", "a2", 500000L), ("a1", "a3", 450000L), ("a2", "a3", 480000L),
+      ("b1", "b2", 400000L), ("b1", "b3", 420000L), ("b2", "b3", 410000L),
+      ("a3", "b1", 50000L)).toDF("e1", "e2", "npmi_e6")
+    val edges = scored.filter(col("npmi_e6") >= MatchQueries.KgCommunityThrE6)
+      .select("e1", "e2")
+    val got = MatchQueries.communitiesCore(spark, nodes, edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      ("a1", "a1", 3L), ("a2", "a1", 3L), ("a3", "a1", 3L),
+      ("b1", "b1", 3L), ("b2", "b1", 3L), ("b3", "b1", 3L)))
+    // and WITHOUT the threshold the bridge fuses everything into one
+    val fused = MatchQueries.communitiesCore(spark, nodes, scored.select("e1", "e2"))
+      .collect().map(_.getString(1)).distinct.toSeq
+    assert(fused === Seq("a1"), "unthresholded bridge must fuse both cliques")
+  }
+
+  test("kg3 singletons: an entity with no strong edge is its own community") {
+    val rows = MatchQueries.kg3EntityCommunities(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every matched entity appears exactly once
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // community ids are members of their own community
+    val byComm = rows.groupBy(_._2)
+    byComm.foreach { case (c, ms) =>
+      assert(ms.map(_._1).contains(c), s"community id $c must be a member")
+      assert(ms.forall(_._3 === ms.length.toLong), "n_members must equal the census")
+    }
+    // the threshold must actually split the graph at this SF (non-trivial:
+    // more than one community, at least one of size >= 2)
+    assert(byComm.size > 1, "expected more than one community")
+    assert(byComm.values.exists(_.length >= 2), "expected at least one non-singleton")
+  }
+}
