@@ -497,6 +497,109 @@ object MatchQueries {
        |FROM pairs p LEFT JOIN und u ON u.entity = p.entity AND u.other = p.other
        |GROUP BY p.doc_id, p.entity ORDER BY p.doc_id, p.entity""".stripMargin
 
+  /** e2e6_entity_pipeline — the composed entity-linking serving face, end
+    * to end in ONE lazy plan (the e2e1–e2e5 convention applied to the
+    * kg/el family): fm1's gazetteer match (the pinned [[entityDocs]]
+    * scan) → el1's FastSS candidate generation + exact-levenshtein verify
+    * over the corpus vocabulary → el2's context disambiguation, where each
+    * per-document mention's candidates rank by (distance, Σ kg1-NPMI
+    * coherence to the doc's OTHER matched entities, corpus prior, entity).
+    * Emits one linked row per (doc, mention): the annotation table an EL
+    * stack serves.
+    *
+    * Composition discipline (the e2e3 lesson): the corpus TEXT is read
+    * ZERO times in this plan — tokenization reuses the session-pinned
+    * [[TextQueries.tfTable]] core (shared with ta6/ir5/ir6; its one
+    * corpus explode was paid at pin time), entity presence reuses the
+    * pinned match scan, and the only direct documents access is kg1's
+    * zero-column count(*) footer read. Asserted in R13QueriesSpec (no
+    * text-bearing documents scan in the composed plan). Unlike
+    * [[contextLinkCore]] (the fixture-facing decision rule, inner-joined
+    * to context by construction), mentions in docs with NO other matched
+    * entity survive here with ctx_e6 = 0 — the production fallback where
+    * prior decides when context is silent.
+    *
+    * Scale shape: vocabulary-bounded candidate generation (variant-hash
+    * EQUI-join, never vocabulary×|G|), |G|²-bounded NPMI edges, and the
+    * context rollup keys on (doc, mention, candidate) with ≤|G| fan-out
+    * per doc — every frame is corpus-linear with bounded multipliers. */
+  def e2e6EntityPipeline(s: SparkSession, dir: String): DataFrame = {
+    val ed = entityDocs(s, dir)
+    val prior = ed.groupBy("entity").agg(count(lit(1)).as("prior"))
+    val ents = prior.filter(!col("entity").contains(" "))
+    // the tokenized corpus rides the pinned tf_table core — no text scan
+    val words = TextQueries.tfTable(s, dir)
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), col("word").as("w"))
+    val cand = variantExplode(words.select("w").distinct(), "w")
+      .join(variantExplode(ents, "entity"), Seq("v"))
+      .select("w", "entity", "prior").distinct()
+      .withColumn("dist", levenshtein(col("w"), col("entity")))
+      .filter(col("dist") <= 1)
+    val mentions = words.join(cand.select("w").distinct(), Seq("w"), "left_semi")
+    val edges = kg1EntityGraph(s, dir).select("e1", "e2", "npmi_e6")
+    val undirected = edges.select(col("e1").as("ea"), col("e2").as("eb"), col("npmi_e6"))
+      .union(edges.select(col("e2").as("ea"), col("e1").as("eb"), col("npmi_e6")))
+    val ctx = mentions.join(cand, Seq("w"))
+      .join(ed.select(col("doc_id"), col("entity").as("other")), Seq("doc_id"), "left")
+      .join(undirected, col("entity") === col("ea") && col("other") === col("eb"), "left")
+      .groupBy("doc_id", "w", "entity", "dist", "prior")
+      .agg(coalesce(sum(when(col("other") =!= col("entity"), col("npmi_e6"))), lit(0L))
+        .as("ctx_e6"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "w")
+      .orderBy(col("dist"), desc("ctx_e6"), desc("prior"), col("entity"))
+    ctx.withColumn("rn", row_number().over(rk)).filter(col("rn") === 1)
+      .select("doc_id", "w", "entity", "dist", "ctx_e6", "prior")
+      .orderBy("doc_id", "w")
+  }
+
+  val e2e6EntityPipelineSql: String =
+    s"""WITH $entityDocsSql,
+       |prior AS (SELECT entity, COUNT(*) AS prior FROM ed GROUP BY entity),
+       |ents AS (SELECT * FROM prior WHERE entity NOT LIKE '% %'),
+       |words AS (
+       |  SELECT DISTINCT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE len(w) > 0),
+       |vocab AS (SELECT DISTINCT w FROM words),
+       |wv AS (SELECT w, unnest(list_prepend(w,
+       |  list_transform(range(1, len(w) + 1), i -> substr(w, 1, i - 1) || substr(w, i + 1)))) AS v FROM vocab),
+       |ev AS (SELECT entity, prior, unnest(list_prepend(entity,
+       |  list_transform(range(1, len(entity) + 1), i -> substr(entity, 1, i - 1) || substr(entity, i + 1)))) AS v FROM ents),
+       |cand AS (SELECT DISTINCT w, entity, prior FROM wv JOIN ev USING (v)),
+       |ver AS (SELECT w, entity, prior, levenshtein(w, entity) AS dist
+       |  FROM cand WHERE levenshtein(w, entity) <= 1),
+       |mentions AS (SELECT doc_id, w FROM words WHERE w IN (SELECT w FROM ver)),
+       |nd AS (SELECT COUNT(*) AS nd FROM documents),
+       |ent AS (SELECT entity, COUNT(*) AS n_docs FROM ed GROUP BY entity),
+       |co AS (
+       |  SELECT a.entity AS e1, b.entity AS e2, COUNT(*) AS n_co
+       |  FROM ed a JOIN ed b ON a.doc_id = b.doc_id AND a.entity < b.entity
+       |  GROUP BY a.entity, b.entity),
+       |npmi AS (
+       |  SELECT e1, e2,
+       |    CASE WHEN n_co = nd THEN 1000000
+       |    ELSE CAST(ROUND(1e6 * (ln((CAST(n_co AS DOUBLE) / nd) /
+       |      ((CAST(ea.n_docs AS DOUBLE) / nd) * (CAST(eb.n_docs AS DOUBLE) / nd)))
+       |      / -ln(CAST(n_co AS DOUBLE) / nd))) AS BIGINT) END AS npmi_e6
+       |  FROM co JOIN ent ea ON ea.entity = co.e1 JOIN ent eb ON eb.entity = co.e2
+       |  CROSS JOIN nd),
+       |und AS (SELECT e1 AS ea, e2 AS eb, npmi_e6 FROM npmi
+       |  UNION ALL SELECT e2, e1, npmi_e6 FROM npmi),
+       |ctx AS (
+       |  SELECT m.doc_id, m.w, v.entity, v.dist, v.prior,
+       |    CAST(COALESCE(SUM(CASE WHEN o.other <> v.entity THEN u.npmi_e6 END), 0) AS BIGINT) AS ctx_e6
+       |  FROM mentions m JOIN ver v USING (w)
+       |  LEFT JOIN (SELECT doc_id, entity AS other FROM ed) o ON o.doc_id = m.doc_id
+       |  LEFT JOIN und u ON u.ea = v.entity AND u.eb = o.other
+       |  GROUP BY m.doc_id, m.w, v.entity, v.dist, v.prior),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, w
+       |  ORDER BY dist, ctx_e6 DESC, prior DESC, entity) AS rn FROM ctx)
+       |SELECT doc_id, w, entity, CAST(dist AS INT) AS dist, ctx_e6,
+       |  CAST(prior AS BIGINT) AS prior
+       |FROM rk WHERE rn = 1 ORDER BY doc_id, w""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "fm1_gazetteer_counts" -> (fm1GazetteerCounts _),
     "fm1_match_spans" -> (fm1MatchSpans _),
@@ -504,7 +607,8 @@ object MatchQueries {
     "kg2_entity_pagerank" -> (kg2EntityPagerank _),
     "kg3_entity_communities" -> (kg3EntityCommunities _),
     "el1_mention_link" -> (el1MentionLink _),
-    "el2_context_score" -> (el2ContextScore _))
+    "el2_context_score" -> (el2ContextScore _),
+    "e2e6_entity_pipeline" -> (e2e6EntityPipeline _))
 
   val oracles: Map[String, String] = Map(
     "fm1_gazetteer_counts" -> fm1GazetteerCountsSql,
@@ -513,5 +617,6 @@ object MatchQueries {
     "kg2_entity_pagerank" -> kg2EntityPagerankSql,
     "kg3_entity_communities" -> kg3EntityCommunitiesSql,
     "el1_mention_link" -> el1MentionLinkSql,
-    "el2_context_score" -> el2ContextScoreSql)
+    "el2_context_score" -> el2ContextScoreSql,
+    "e2e6_entity_pipeline" -> e2e6EntityPipelineSql)
 }

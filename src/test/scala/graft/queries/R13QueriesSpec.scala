@@ -50,6 +50,41 @@ class R13QueriesSpec extends SparkSpec {
     assert(fused === Seq("a1"), "unthresholded bridge must fuse both cliques")
   }
 
+  test("e2e6: no text-bearing documents scan in the composed plan (the e2e3 no-rescan lesson)") {
+    val df = MatchQueries.e2e6EntityPipeline(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // tokenization rides the pinned tf_table core and entity presence the
+    // pinned match scan (both paid at pin time); the composed plan may touch
+    // documents.parquet only for kg1's zero-column count(*) footer read
+    val textScans = "FileScan parquet [^\\n]*documents\\.parquet[^\\n]*ReadSchema: [^\\n]*text"
+      .r.findAllIn(plan).length
+    assert(textScans === 0, s"expected no text-bearing corpus scan, got $textScans:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // one linked row per (doc, mention)
+    val keys = rows.map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.distinct.length === keys.length)
+    // on the typo-free corpus every exact-match mention links to itself
+    rows.filter(_.getInt(3) == 0).foreach(r => assert(r.getString(1) === r.getString(2)))
+  }
+
+  test("e2e6 composition: context must override prior where they disagree (fixture via cores)") {
+    import spark.implicits._
+    // ambiguous mention "dat0" is distance 1 from both "data" (huge prior)
+    // and "dato" (small prior); doc 1 also contains "dato"-coherent company
+    // so the context signal must beat the prior
+    val mentions = Seq((1L, "dat0")).toDF("doc_id", "w")
+    val cands = Seq(("dat0", "data", 1, 1000L), ("dat0", "dato", 1, 3L))
+      .toDF("w", "entity", "dist", "prior")
+    val edges = Seq(("dato", "graph", 900000L), ("data", "graph", -10000L))
+      .toDF("e1", "e2", "npmi_e6")
+    val context = Seq((1L, "graph")).toDF("doc_id", "entity")
+    val got = MatchQueries.contextLinkCore(mentions, cands, edges, context).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(2) === "dato",
+      "coherence with the doc's other entities must override the corpus prior")
+  }
+
   test("kg3 singletons: an entity with no strong edge is its own community") {
     val rows = MatchQueries.kg3EntityCommunities(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
