@@ -295,7 +295,100 @@ object MultimodalQueries {
        |  COALESCE(n_segments, 0) AS n_segments, COALESCE(longest_seg, 0) AS longest_seg
        |FROM pa LEFT JOIN pseg USING (asset_id) ORDER BY asset_id""".stripMargin
 
+  private val Mm6TopK = 5
+  private val Mm6MaxAsset = 30L
+
+  /** mm6_crossmodal_link — text→asset retrieval joining the modality
+    * families to the ANN stack (the CLIP-retrieval shape with the schema's
+    * own vectors): each IMAGE asset associates to an embedding
+    * deterministically — payload fingerprint mod index size, the stand-in
+    * for a stored CLIP embedding id (a real pipeline persists the real
+    * vector; the association mechanics, not the encoder, are the operator)
+    * — and probes ss2's IVF geometry for its nearest text chunks. The
+    * probe RIDES THE PERSISTED ss2b INDEX ([[SimilarityQueries
+    * .ensureIvfIndex]]): centroids re-enter as a plan literal, probed-cell
+    * ids land as a partition-pruning IN filter on the persisted `cells`
+    * artifact, and the only raw-embeddings access is the ≤10-row
+    * pushdown-filtered query-vector join. mm1–mm5 never touched
+    * `embeddings`; this is the bridge.
+    *
+    * Scale shape: query side is asset-bounded (10 fingerprint rows + a
+    * broadcast probe join); corpus side scans only ~n_probe·√N rows inside
+    * probed cells of the persisted index — same serving cost as ss2b,
+    * independent of everything outside the probed cells. Recall vs brute
+    * force is audited in R13QueriesSpec (the ss5-audits-ss2 convention). */
+  def mm6CrossmodalLink(s: SparkSession, dir: String): DataFrame = {
+    val home = SimilarityQueries.ensureIvfIndex(s, dir)
+    val nEmb = t(s, dir, "embeddings").count()
+    val qa = Multimodal.documentsAsAssets(t(s, dir, "documents"))
+      .filter(col("modality") === "image" && col("asset_id").cast(LongType) < Mm6MaxAsset)
+      .select(col("asset_id").cast(LongType).as("asset_id"),
+        pmod(detHash(col("content").cast(StringType)), lit(nEmb)).as("assoc_id"))
+    val emb = SimilarityQueries.withNorm(t(s, dir, "embeddings"))
+    val q = qa.join(emb.select(col("vec_id").as("assoc_id"),
+        col("embedding").as("qv"), col("norm").as("qn")), Seq("assoc_id"))
+    val idx = graft.operators.Similarity.centroidIndex(
+      s.read.parquet(home.resolve("centroids").toString), "vec_id", "embedding")
+    import SimilarityQueries.{cosE6, dot}
+    val probeArr = slice(array_sort(transform(idx, c => struct(
+        (-cosE6(dot(c.getField("cv"), col("qv")), c.getField("cn"), col("qn"))).as("neg_cos"),
+        c.getField("cent_id").as("cent_id")))), 1, 2)
+    val probes = q.withColumn("pc", explode(probeArr))
+      .select(col("asset_id"), col("assoc_id"), col("qv"), col("qn"),
+        col("pc.cent_id").as("cell"))
+    // ≤ 2·n_assets cell ids (bounded collect) → plan-time partition pruning
+    val probedCells = q.select(explode(probeArr).as("pc"))
+      .select(col("pc.cent_id")).distinct().collect().map(_.getLong(0)).sorted
+    val cells = s.read.parquet(home.resolve("cells").toString)
+      .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy(desc("cos_e6"), col("vec_id"))
+    cells.withColumn("cell", col("cell").cast(LongType))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("assoc_id"))
+      .withColumn("cos_e6", cosE6(dot(col("qv"), col("embedding")), col("qn"), col("norm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= Mm6TopK)
+      .select("asset_id", "rank", "vec_id", "cos_e6")
+      .orderBy("asset_id", "rank")
+  }
+
+  val mm6CrossmodalLinkSql: String = {
+    import SimilarityQueries.{cosE6Sql, dotSql, pairCentSql, withNormDuck}
+    s"""WITH emb AS ($withNormDuck),
+       |$pairCentSql,
+       |assign AS (
+       |  SELECT vec_id, embedding, norm, cell FROM (
+       |    SELECT e.vec_id, e.embedding, e.norm, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE6Sql(dotSql("c.cv", "e.embedding"), "c.cn", "e.norm")} DESC, c.cent_id) AS ark
+       |    FROM emb e CROSS JOIN cent c) t WHERE ark = 1),
+       |nq AS (SELECT COUNT(*) AS n FROM embeddings),
+       |qa AS (
+       |  SELECT doc_id AS asset_id, ${detHashSql("text")} % (SELECT n FROM nq) AS assoc_id
+       |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < $Mm6MaxAsset),
+       |q AS (SELECT qa.asset_id, qa.assoc_id, e.embedding AS qv, e.norm AS qn
+       |  FROM qa JOIN emb e ON e.vec_id = qa.assoc_id),
+       |probes AS (
+       |  SELECT asset_id, assoc_id, qv, qn, cell FROM (
+       |    SELECT q.asset_id, q.assoc_id, q.qv, q.qn, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.asset_id
+       |        ORDER BY ${cosE6Sql(dotSql("c.cv", "q.qv"), "c.cn", "q.qn")} DESC, c.cent_id) AS prk
+       |    FROM q CROSS JOIN cent c) t WHERE prk <= 2),
+       |scored AS (
+       |  SELECT p.asset_id, a.vec_id,
+       |    ${cosE6Sql(dotSql("p.qv", "a.embedding"), "p.qn", "a.norm")} AS cos_e6
+       |  FROM assign a JOIN probes p USING (cell) WHERE a.vec_id <> p.assoc_id),
+       |ranked AS (
+       |  SELECT asset_id, vec_id, cos_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY cos_e6 DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT asset_id, rank, vec_id, cos_e6 FROM ranked WHERE rank <= $Mm6TopK
+       |ORDER BY asset_id, rank""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "mm6_crossmodal_link" -> (mm6CrossmodalLink _),
     "mm5_silence_trim" -> (mm5SilenceTrim _),
     "mm4_phash_neardup" -> (mm4PhashNeardup _),
     "mm3_frame_dedup" -> (mm3FrameDedup _),
@@ -303,6 +396,7 @@ object MultimodalQueries {
     "mm2_frame_sample" -> (mm2FrameSample _))
 
   val oracles: Map[String, String] = Map(
+    "mm6_crossmodal_link" -> mm6CrossmodalLinkSql,
     "mm5_silence_trim" -> mm5SilenceTrimSql,
     "mm4_phash_neardup" -> mm4PhashNeardupSql,
     "mm3_frame_dedup" -> mm3FrameDedupSql,

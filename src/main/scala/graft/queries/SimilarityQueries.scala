@@ -35,26 +35,26 @@ object SimilarityQueries {
   /** Σ aᵢ·bᵢ folded left-to-right in index order — the codegen'd
     * [[graft.plans.VecDotExpression]] (bit-identical to the HOF spelling,
     * ~30× faster per pair). */
-  private def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  private[queries] def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  private def dotSql(x: String, y: String): String =
+  private[queries] def dotSql(x: String, y: String): String =
     s"list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
   /** cos ×1e6 as BIGINT from a dot product and two precomputed norms. */
-  private def cosE6(d: Column, na: Column, nb: Column): Column =
+  private[queries] def cosE6(d: Column, na: Column, nb: Column): Column =
     round(lit(1e6) * d / (na * nb)).cast(LongType)
 
-  private def cosE6Sql(d: String, na: String, nb: String): String =
+  private[queries] def cosE6Sql(d: String, na: String, nb: String): String =
     s"CAST(ROUND(1e6 * $d / ($na * $nb)) AS BIGINT)"
 
   /** embeddings + per-vector L2 norm (one dot per vector, joined through).
     * Registers the native vec_dot on the session (idempotent). */
-  private def withNorm(emb: DataFrame): DataFrame = {
+  private[queries] def withNorm(emb: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     emb.withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
   }
 
-  private val withNormDuck: String =
+  private[queries] val withNormDuck: String =
     s"SELECT vec_id, label, embedding, sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings"
 
   private val NQueries = 10
@@ -115,7 +115,7 @@ object SimilarityQueries {
       emb.filter(col("vec_id") % pairStride(s, dir) === 0), "vec_id", "embedding")
 
   /** The shared CTE prefix replaying [[pairStride]]/[[pairCentIndex]]. */
-  private def pairCentSql: String =
+  private[queries] def pairCentSql: String =
     """st AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS stride FROM emb),
       |cent AS (SELECT vec_id AS cent_id, embedding AS cv, norm AS cn FROM emb
       |         WHERE vec_id % (SELECT stride FROM st) = 0)""".stripMargin
@@ -218,8 +218,11 @@ object SimilarityQueries {
     * BUILD itself stays N^1.5 by the √N geometry and re-runs only when
     * the corpus fingerprint changes). Results are bit-identical to ss2
     * (same geometry, same e6 arithmetic) — the oracle is ss2's SQL; the
-    * persisted detour is invisible to the answer, which is the point. */
-  def ss2bPersistedProbe(s: SparkSession, dir: String): DataFrame = {
+    * persisted detour is invisible to the answer, which is the point.
+    *
+    * Split r13: [[ensureIvfIndex]] is the build-if-absent half (returning
+    * the index home), shared with mm6's cross-modal probe. */
+  private[queries] def ensureIvfIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     val emb = withNorm(t(s, dir, "embeddings"))
     val n = t(s, dir, "embeddings").count()
     val home = indexHome(dir, n)
@@ -235,6 +238,11 @@ object SimilarityQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
         .write.mode("overwrite").parquet(tmp.resolve("queries").toString)
     }
+    home
+  }
+
+  def ss2bPersistedProbe(s: SparkSession, dir: String): DataFrame = {
+    val home = ensureIvfIndex(s, dir)
     // ---- probe path: persisted artifacts ONLY (no corpus scan below) ----
     val idx = graft.operators.Similarity.centroidIndex(
       s.read.parquet(home.resolve("centroids").toString), "vec_id", "embedding")

@@ -85,6 +85,45 @@ class R13QueriesSpec extends SparkSpec {
       "coherence with the doc's other entities must override the corpus prior")
   }
 
+  test("mm6: probe rides the persisted IVF index with pruned cells; recall vs brute force holds") {
+    val df = MultimodalQueries.mm6CrossmodalLink(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus side must be the persisted, partition-pruned cells artifact
+    assert(plan.contains("ivf_index"), s"probe must read the persisted index:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"expected partition pruning on cell:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val perAsset = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perAsset.size === 10, "10 image assets under the id bound")
+    assert(perAsset.values.forall(_ <= 5))
+    // recall audit vs exact brute force over the same association
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables(spark, dir, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    val nEmb = emb.size.toLong
+    val assoc = graft.operators.Multimodal.documentsAsAssets(
+        graft.Tables(spark, dir, "documents"))
+      .filter(col("modality") === "image" && col("asset_id").cast("long") < 30)
+      .select(col("asset_id").cast("long"),
+        pmod(Q.detHash(col("content").cast("string")), lit(nEmb)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exact = assoc.flatMap { case (aid, vid) =>
+      emb.toSeq.filter(_._1 != vid)
+        .map { case (id, v) => (id, cos(emb(vid), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(p => (aid, p._1))
+    }.toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@5 = $recall")
+  }
+
   test("kg3 singletons: an entity with no strong edge is its own community") {
     val rows = MatchQueries.kg3EntityCommunities(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
