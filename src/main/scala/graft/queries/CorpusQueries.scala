@@ -667,8 +667,10 @@ object CorpusQueries {
     * (vocabulary of pieces ≪ words); the document face would then be the
     * tok3 broadcast join. Output = top-20 words by frequency, the tok2
     * convention. */
-  def tok6UnigramSeg(s: SparkSession, dir: String): DataFrame = {
-    val words = bpeLearned(s, dir)._2
+  /** Shared unigram piece statistics over a (word, freq, syms) state:
+    * per-piece −ln p as e6 BIGINT, and the add-one unknown floor — the
+    * common prefix of every unigram-LM face (tok6/tok9/tok10). */
+  private[queries] def segLp(words: DataFrame): (DataFrame, DataFrame) = {
     val pf = words.select(col("freq"), explode(col("syms")).as("piece"))
       .groupBy("piece").agg(sum("freq").as("pf"))
     val tot = pf.agg(sum("pf").as("tot"))
@@ -676,10 +678,21 @@ object CorpusQueries {
       .select(col("piece"),
         round(log(col("pf").cast(DoubleType) / col("tot").cast(DoubleType)) * lit(-1e6))
           .cast(LongType).as("lp_e6"))
-    val lpMap = lp
-      .agg(map_from_entries(collect_list(struct(col("piece"), col("lp_e6")))).as("lpm"))
-      .crossJoin(broadcast(tot.select(
-        round(log((col("tot") + 1).cast(DoubleType)) * lit(1e6)).cast(LongType).as("unk_e6"))))
+    val unk = tot.select(
+      round(log((col("tot") + 1).cast(DoubleType)) * lit(1e6)).cast(LongType).as("unk_e6"))
+    (lp, unk)
+  }
+
+  /** The broadcast literal carrier the DP folds against: one row holding
+    * the piece→cost map plus the unknown floor. */
+  private[queries] def lpCarrier(lp: DataFrame, unk: DataFrame): DataFrame =
+    lp.agg(map_from_entries(collect_list(struct(col("piece"), col("lp_e6")))).as("lpm"))
+      .crossJoin(broadcast(unk))
+
+  def tok6UnigramSeg(s: SparkSession, dir: String): DataFrame = {
+    val words = bpeLearned(s, dir)._2
+    val (lp, unk) = segLp(words)
+    val lpMap = lpCarrier(lp, unk)
     val dp =
       s"""aggregate(
          |  sequence(1, length(wt)),
@@ -717,16 +730,16 @@ object CorpusQueries {
     }.mkString(",\n")
     val finalCase = (1 to SegWordCap).map(j => s"WHEN $j THEN b$j").mkString(" ")
     s"""WITH $bpeCoreSql,
-       |seg_pf AS (
+       |seg_pf AS MATERIALIZED (
        |  SELECT sym AS piece, CAST(SUM(freq) AS BIGINT) AS pf
        |  FROM (SELECT freq, unnest(syms) AS sym FROM state3) t GROUP BY sym),
-       |seg_tot AS (SELECT CAST(SUM(pf) AS BIGINT) AS tot FROM seg_pf),
-       |seg_lp AS (
+       |seg_tot AS MATERIALIZED (SELECT CAST(SUM(pf) AS BIGINT) AS tot FROM seg_pf),
+       |seg_lp AS MATERIALIZED (
        |  SELECT piece,
        |    CAST(ROUND(-1e6 * ln(CAST(pf AS DOUBLE) / CAST((SELECT tot FROM seg_tot) AS DOUBLE))) AS BIGINT) AS lp_e6
        |  FROM seg_pf),
-       |seg_unk AS (SELECT CAST(ROUND(1e6 * ln(CAST(tot + 1 AS DOUBLE))) AS BIGINT) AS unk_e6 FROM seg_tot),
-       |c0 AS (SELECT word, freq, substr(word, 1, $SegWordCap) AS wt,
+       |seg_unk AS MATERIALIZED (SELECT CAST(ROUND(1e6 * ln(CAST(tot + 1 AS DOUBLE))) AS BIGINT) AS unk_e6 FROM seg_tot),
+       |c0 AS MATERIALIZED (SELECT word, freq, substr(word, 1, $SegWordCap) AS wt,
        |  len(substr(word, 1, $SegWordCap)) AS wlen FROM state3),
        |$chain
        |SELECT word, freq, CAST(wlen AS BIGINT) AS wlen,
@@ -755,17 +768,8 @@ object CorpusQueries {
     * [[bpeLearned]] pass. */
   def tok9VocabPrune(s: SparkSession, dir: String): DataFrame = {
     val words = bpeLearned(s, dir)._2
-    val pf = words.select(col("freq"), explode(col("syms")).as("piece"))
-      .groupBy("piece").agg(sum("freq").as("pf"))
-    val tot = pf.agg(sum("pf").as("tot"))
-    val lp = pf.crossJoin(broadcast(tot))
-      .select(col("piece"),
-        round(log(col("pf").cast(DoubleType) / col("tot").cast(DoubleType)) * lit(-1e6))
-          .cast(LongType).as("lp_e6"))
-    val lpMap = lp
-      .agg(map_from_entries(collect_list(struct(col("piece"), col("lp_e6")))).as("lpm"))
-      .crossJoin(broadcast(tot.select(
-        round(log((col("tot") + 1).cast(DoubleType)) * lit(1e6)).cast(LongType).as("unk_e6"))))
+    val (lp, unk) = segLp(words)
+    val lpMap = lpCarrier(lp, unk)
     val cands = lp.filter(length(col("piece")) >= 2)
       .select(col("piece").as("cand"), col("lp_e6").as("cand_lp_e6"))
     def dp(skipCand: Boolean): String = {
@@ -823,17 +827,17 @@ object CorpusQueries {
     val bCase = (1 to SegWordCap).map(j => s"WHEN $j THEN b$j").mkString(" ")
     val pCase = (1 to SegWordCap).map(j => s"WHEN $j THEN p$j").mkString(" ")
     s"""WITH $bpeCoreSql,
-       |seg_pf AS (
+       |seg_pf AS MATERIALIZED (
        |  SELECT sym AS piece, CAST(SUM(freq) AS BIGINT) AS pf
        |  FROM (SELECT freq, unnest(syms) AS sym FROM state3) t GROUP BY sym),
-       |seg_tot AS (SELECT CAST(SUM(pf) AS BIGINT) AS tot FROM seg_pf),
-       |seg_lp AS (
+       |seg_tot AS MATERIALIZED (SELECT CAST(SUM(pf) AS BIGINT) AS tot FROM seg_pf),
+       |seg_lp AS MATERIALIZED (
        |  SELECT piece,
        |    CAST(ROUND(-1e6 * ln(CAST(pf AS DOUBLE) / CAST((SELECT tot FROM seg_tot) AS DOUBLE))) AS BIGINT) AS lp_e6
        |  FROM seg_pf),
-       |seg_unk AS (SELECT CAST(ROUND(1e6 * ln(CAST(tot + 1 AS DOUBLE))) AS BIGINT) AS unk_e6 FROM seg_tot),
-       |cands AS (SELECT piece AS cand, lp_e6 AS cand_lp_e6 FROM seg_lp WHERE len(piece) >= 2),
-       |c0 AS (SELECT word, freq, substr(word, 1, $SegWordCap) AS wt,
+       |seg_unk AS MATERIALIZED (SELECT CAST(ROUND(1e6 * ln(CAST(tot + 1 AS DOUBLE))) AS BIGINT) AS unk_e6 FROM seg_tot),
+       |cands AS MATERIALIZED (SELECT piece AS cand, lp_e6 AS cand_lp_e6 FROM seg_lp WHERE len(piece) >= 2),
+       |c0 AS MATERIALIZED (SELECT word, freq, substr(word, 1, $SegWordCap) AS wt,
        |  len(substr(word, 1, $SegWordCap)) AS wlen, cand, cand_lp_e6
        |  FROM state3 CROSS JOIN cands),
        |$chain,
@@ -845,6 +849,159 @@ object CorpusQueries {
        |  CAST(SUM(CASE WHEN nll_without > nll_with THEN 1 ELSE 0 END) AS BIGINT) AS n_resegmented,
        |  CAST(SUM(freq * nll_with) AS BIGINT) AS base_nll_e6
        |FROM fin GROUP BY cand, cand_lp_e6 ORDER BY loss_e6, cand""".stripMargin
+  }
+
+  /** Path-carrying Viterbi fold: tok6's 4-slot DP with each slot ALSO
+    * carrying its argmin piece sequence, so the decode emits the
+    * segmentation itself, not just its cost. Tie-break is deterministic
+    * and engine-shared: the least is compared against candidates in piece-
+    * length order 1..4 and the FIRST equal wins (the oracle's CASE replays
+    * the identical order); NULL slots/lookups drop out of both `least`
+    * and the CASE the same way on both engines. */
+  private val dpPathExpr: String = {
+    def t(k: Int): String =
+      if (k == 1) "st.c1 + coalesce(try_element_at(lpm, substring(wt, j, 1)), unk_e6)"
+      else s"st.c$k + try_element_at(lpm, substring(wt, j - ${k - 1}, $k))"
+    val m = s"least(${(1 to SegPieceMax).map(t).mkString(", ")})"
+    val cases = (1 to SegPieceMax).map { k =>
+      s"WHEN ${t(k)} = $m THEN array_append(st.p$k, substring(wt, j - ${k - 1}, $k))"
+    }.mkString(" ")
+    s"""aggregate(
+       |  sequence(1, length(wt)),
+       |  named_struct(
+       |    'c1', CAST(0 AS BIGINT), 'c2', CAST(NULL AS BIGINT),
+       |    'c3', CAST(NULL AS BIGINT), 'c4', CAST(NULL AS BIGINT),
+       |    'p1', CAST(array() AS ARRAY<STRING>), 'p2', CAST(NULL AS ARRAY<STRING>),
+       |    'p3', CAST(NULL AS ARRAY<STRING>), 'p4', CAST(NULL AS ARRAY<STRING>)),
+       |  (st, j) -> named_struct(
+       |    'c1', $m,
+       |    'c2', st.c1, 'c3', st.c2, 'c4', st.c3,
+       |    'p1', CASE $cases END,
+       |    'p2', st.p1, 'p3', st.p2, 'p4', st.p3),
+       |  st -> named_struct('nll_e6', st.c1, 'pcs', st.p1))""".stripMargin
+  }
+
+  /** Viterbi-decode every word under an explicit (piece, lp_e6) model —
+    * the reusable decode step of the EM loop, exposed for the spec's
+    * round-2 re-segmentation check. Emits (word, freq, nll_e6, pcs). */
+  private[queries] def viterbiSegmentWithLp(words: DataFrame, lp: DataFrame,
+      unk: DataFrame): DataFrame =
+    words.select(col("word"), col("freq"))
+      .crossJoin(broadcast(lpCarrier(lp, unk)))
+      .withColumn("wt", substring(col("word"), 1, SegWordCap))
+      .withColumn("res", expr(dpPathExpr))
+      .select(col("word"), col("freq"),
+        col("res.nll_e6").as("nll_e6"), col("res.pcs").as("pcs"))
+
+  /** tok10_unigram_em — one EM re-estimation round for the unigram-LM
+    * tokenizer, the TRAIN-side step tok6 (decode) and tok9 (prune) sit
+    * between (Kudo 2018 §3.2: the trainer alternates E — expected piece
+    * counts under the current model — and M — re-normalize): here the
+    * Viterbi (hard-EM) variant, where the E-step counts pieces along each
+    * word's SINGLE best segmentation (freq-weighted; the path-carrying DP
+    * above makes the argmin path itself declarative) and the M-step
+    * re-normalizes counts into new piece probabilities. Emits per observed
+    * piece: its freq-weighted count in the decoded corpus, the old cost,
+    * and the re-estimated cost — the model delta one EM round produces.
+    * R13QueriesSpec asserts the M-step optimality inequality (total NLL
+    * of the decoded segmentation cannot increase), that THIS corpus's BPE
+    * state is already a fixpoint (counts reproduce the old frequencies),
+    * and — on a crafted state where greedy BPE and global likelihood
+    * disagree — that the round shifts probability toward the pieces the
+    * decode actually uses and re-segments a word ([[unigramEmRound]]).
+    *
+    * Scale shape: the DP runs once over the DISTINCT VOCABULARY against
+    * the broadcast literal piece-cost map (tok6's contract); the E-step
+    * is one explode + hash-agg over (vocabulary × pieces-per-word ≤ cap)
+    * rows; the M-step is one broadcast total. Nothing corpus-proportional
+    * beyond the shared [[bpeLearned]] pass. */
+  def tok10UnigramEm(s: SparkSession, dir: String): DataFrame =
+    unigramEmRound(bpeLearned(s, dir)._2)
+
+  /** One hard-EM round over an explicit (word, freq, syms) state —
+    * exposed for the fixture spec that exhibits a genuine model shift and
+    * re-segmentation (this corpus's BPE state is already a Viterbi
+    * fixpoint, so tok10's face documents CONVERGENCE there: counts equal
+    * the old piece frequencies and the model reproduces itself). */
+  private[queries] def unigramEmRound(words: DataFrame): DataFrame = {
+    val (lp, unk) = segLp(words)
+    val seg = viterbiSegmentWithLp(words, lp, unk)
+    val cnts = seg.select(col("freq"), explode(col("pcs")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+    val tot2 = cnts.agg(sum("cnt").as("tot2"))
+    cnts.join(lp.withColumnRenamed("lp_e6", "lp_old_e6"), Seq("piece"), "left")
+      .crossJoin(broadcast(tot2))
+      .withColumn("lp_new_e6",
+        round(log(col("cnt").cast(DoubleType) / col("tot2").cast(DoubleType)) * lit(-1e6))
+          .cast(LongType))
+      .select("piece", "cnt", "lp_old_e6", "lp_new_e6")
+      .orderBy(desc("cnt"), col("piece"))
+  }
+
+  val tok10UnigramEmSql: String = {
+    def lpAt(j: Int, k: Int): String = {
+      val sub = s"substr(w.wt, ${j - k + 1}, $k)"
+      val look = s"(SELECT lp_e6 FROM seg_lp WHERE piece = $sub)"
+      if (k == 1) s"COALESCE($look, (SELECT unk_e6 FROM seg_unk))" else look
+    }
+    def arm(j: Int, k: Int): String = {
+      val prev = if (j - k == 0) "CAST(0 AS BIGINT)" else s"b${j - k}"
+      s"$prev + ${lpAt(j, k)}"
+    }
+    // two CTEs per step so every correlated piece lookup runs ONCE (t$j
+    // materializes the candidate costs as plain columns; c$j takes the
+    // least and the first-equal path in k=1..4 order — the engine-shared
+    // tie-break), and each step carries ONLY the sliding 4-slot window
+    // plus the finished-word accumulator `res` (set when j hits the
+    // word's length) — the chain-wide column set stays constant, exactly
+    // like the Spark fold's state (the naive carry-everything spelling
+    // dragged 20 growing list columns through 20 CTEs: 175 s at sf0.001)
+    val chain = (1 to SegWordCap).map { j =>
+      val ks = (1 to SegPieceMax).filter(_ <= j)
+      val armCols = ks.map(k => s"${arm(j, k)} AS t${k}_$j").mkString(", ")
+      val tRefs = ks.map(k => s"t${k}_$j")
+      val m = if (tRefs.length == 1) tRefs.head else s"least(${tRefs.mkString(", ")})"
+      val pathCase = "CASE " + ks.map { k =>
+        val prevL = if (j - k == 0) "CAST([] AS VARCHAR[])" else s"l${j - k}"
+        s"WHEN t${k}_$j = $m THEN list_append($prevL, substr(w.wt, ${j - k + 1}, $k))"
+      }.mkString(" ") + " END"
+      val tCarry = ((j - SegPieceMax) until j).filter(_ >= 1)
+        .flatMap(i => Seq(s"b$i", s"l$i"))
+      val cCarry = ((j - SegPieceMax + 1) until j).filter(_ >= 1)
+        .flatMap(i => Seq(s"b$i", s"l$i"))
+      val tCols = (Seq("word", "freq", "wt", "wlen", "res") ++ tCarry).mkString(", ")
+      val cCols = (Seq("word", "freq", "wt", "wlen") ++ cCarry).mkString(", ")
+      s"""t$j AS (SELECT $tCols, $armCols FROM c${j - 1} w),
+         |c$j AS (SELECT $cCols, $m AS b$j, $pathCase AS l$j,
+         |  CASE WHEN wlen = $j THEN $pathCase ELSE res END AS res FROM t$j w)""".stripMargin
+    }.mkString(",\n")
+    // every shared CTE the per-step lookups touch is MATERIALIZED — the
+    // ir7 lesson: ~8 scalar-subquery references per step × 20 steps would
+    // otherwise re-inline seg_lp's whole upstream (the BPE learn chain)
+    // 160 times (measured 158 s at sf0.001 on a 31-word vocabulary;
+    // materialized: sub-second)
+    s"""WITH $bpeCoreSql,
+       |seg_pf AS MATERIALIZED (
+       |  SELECT sym AS piece, CAST(SUM(freq) AS BIGINT) AS pf
+       |  FROM (SELECT freq, unnest(syms) AS sym FROM state3) t GROUP BY sym),
+       |seg_tot AS MATERIALIZED (SELECT CAST(SUM(pf) AS BIGINT) AS tot FROM seg_pf),
+       |seg_lp AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(ROUND(-1e6 * ln(CAST(pf AS DOUBLE) / CAST((SELECT tot FROM seg_tot) AS DOUBLE))) AS BIGINT) AS lp_e6
+       |  FROM seg_pf),
+       |seg_unk AS MATERIALIZED (SELECT CAST(ROUND(1e6 * ln(CAST(tot + 1 AS DOUBLE))) AS BIGINT) AS unk_e6 FROM seg_tot),
+       |c0 AS MATERIALIZED (SELECT word, freq, substr(word, 1, $SegWordCap) AS wt,
+       |  len(substr(word, 1, $SegWordCap)) AS wlen,
+       |  CAST(NULL AS VARCHAR[]) AS res FROM state3),
+       |$chain,
+       |seg AS (SELECT word, freq, res AS pcs FROM c$SegWordCap),
+       |cnts AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, unnest(pcs) AS piece FROM seg) t GROUP BY piece),
+       |tot2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM cnts)
+       |SELECT c.piece, c.cnt, o.lp_e6 AS lp_old_e6,
+       |  CAST(ROUND(-1e6 * ln(CAST(c.cnt AS DOUBLE) / CAST((SELECT tot FROM tot2) AS DOUBLE))) AS BIGINT) AS lp_new_e6
+       |FROM cnts c LEFT JOIN seg_lp o ON o.piece = c.piece
+       |ORDER BY c.cnt DESC, c.piece""".stripMargin
   }
 
   /** Shared CTE chain (state0 → state3 + per-round st rows) for the tok1 /
@@ -1063,6 +1220,7 @@ object CorpusQueries {
     "tok5_oov_coverage" -> (tok5OovCoverage _),
     "tok7_char_coverage" -> (tok7CharCoverage _),
     "tok9_vocab_prune" -> (tok9VocabPrune _),
+    "tok10_unigram_em" -> (tok10UnigramEm _),
     "tok6_unigram_seg" -> (tok6UnigramSeg _),
     "cms1_heavy_hitters" -> (cms1HeavyHitters _),
     "hll1_distinct" -> (hll1Distinct _),
@@ -1084,6 +1242,7 @@ object CorpusQueries {
     "tok7_char_coverage" -> tok7CharCoverageSql,
     "tok8_byte_fallback" -> tok8ByteFallbackSql,
     "tok9_vocab_prune" -> tok9VocabPruneSql,
+    "tok10_unigram_em" -> tok10UnigramEmSql,
     "tok6_unigram_seg" -> tok6UnigramSegSql,
     "cms1_heavy_hitters" -> cms1HeavyHittersSql,
     "hll1_distinct" -> hll1DistinctSql,

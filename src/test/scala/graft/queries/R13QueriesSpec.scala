@@ -124,6 +124,80 @@ class R13QueriesSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@5 = $recall")
   }
 
+  test("tok10: decoded paths are valid segmentations and the Viterbi cost matches tok6") {
+    import org.apache.spark.sql.functions._
+    val words = CorpusQueries.bpeLearned(spark, dir)._2
+    val (lp, unk) = CorpusQueries.segLp(words)
+    val seg = CorpusQueries.viterbiSegmentWithLp(words, lp, unk).collect()
+    assert(seg.nonEmpty)
+    seg.foreach { r =>
+      val w = r.getAs[String]("word").take(20)
+      val pcs = r.getAs[scala.collection.Seq[String]]("pcs")
+      assert(pcs.mkString === w, s"pieces must concatenate to the (capped) word: $w vs $pcs")
+      assert(pcs.forall(p => p.length >= 1 && p.length <= 4))
+    }
+    // the path-carrying fold must agree with tok6's cost-only fold
+    val tok6 = CorpusQueries.tok6UnigramSeg(spark, dir).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("unig_nll_e6")).toMap
+    val mine = seg.map(r => r.getAs[String]("word") -> r.getAs[Long]("nll_e6")).toMap
+    tok6.foreach { case (w, c) => assert(mine(w) === c, s"cost mismatch for $w") }
+  }
+
+  test("tok10: M-step optimality holds, and this corpus's BPE state is an EM fixpoint") {
+    val out = CorpusQueries.tok10UnigramEm(spark, dir).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getAs[Long]("lp_new_e6")))
+    assert(out.nonEmpty)
+    // M-step optimality: the re-normalized model is the MLE of the decoded
+    // piece distribution, so Σ cnt·lp_new ≤ Σ cnt·lp_old over counted pieces
+    val withOld = out.filter(_._3.isDefined)
+    assert(withOld.nonEmpty)
+    val oldNll = withOld.map(t => BigInt(t._2) * BigInt(t._3.get)).sum
+    val newNll = withOld.map(t => BigInt(t._2) * BigInt(t._4)).sum
+    assert(newNll <= oldNll, s"M-step must not worsen the decoded NLL: $newNll > $oldNll")
+    // the greedy BPE state on this corpus already IS the Viterbi optimum
+    // (probed r13), so one EM round must reproduce the model exactly —
+    // every piece keeps its cost and none falls out of the inventory
+    assert(out.forall(_._3.isDefined), "fixpoint: no new piece may appear")
+    out.foreach { t => assert(t._4 === t._3.get, s"fixpoint: ${t._1} must keep its cost") }
+  }
+
+  test("tok10 fixture: EM shifts probability toward decode-used pieces and re-segments a word") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a state where greedy BPE segmentation and global likelihood DISAGREE:
+    // "zab"'s syms miss the cheap z+ab split, so round-1 decode reassigns
+    // 50 units of a/b mass into ab; the re-estimated model then flips
+    // "abc" from a+bc to ab+c — the EM payoff the converged corpus can't show
+    val words = Seq(
+      ("abc", 1L, Seq("a", "bc")),
+      ("zab", 50L, Seq("z", "a", "b")),
+      ("dab", 30L, Seq("d", "ab")),
+      ("bc", 20L, Seq("bc")),
+      ("c", 10L, Seq("c"))).toDF("word", "freq", "syms")
+    val (lp0, unk0) = CorpusQueries.segLp(words)
+    val seg0 = CorpusQueries.viterbiSegmentWithLp(words, lp0, unk0).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[scala.collection.Seq[String]]("pcs").toSeq).toMap
+    assert(seg0("zab") === Seq("z", "ab"), "round-1 decode must diverge from the greedy syms")
+    assert(seg0("abc") === Seq("a", "bc"))
+    val out = CorpusQueries.unigramEmRound(words).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getAs[Long]("lp_new_e6"))).toSeq
+    // probability shifts toward the pieces the decode actually uses
+    val ab = out.find(_._1 == "ab").get
+    assert(ab._4 < ab._3.get, "ab's decoded share rose, so its cost must drop")
+    // ... and away from the ones it abandons ('b' vanishes from the counts)
+    assert(!out.exists(_._1 == "b"), "b is never decoded, so it leaves the model")
+    // re-decode under the re-estimated model: "abc" flips to ab+c
+    val lp1 = CorpusQueries.unigramEmRound(words)
+      .select(col("piece"), col("lp_new_e6").as("lp_e6"))
+    val seg1 = CorpusQueries.viterbiSegmentWithLp(words, lp1, unk0).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[scala.collection.Seq[String]]("pcs").toSeq).toMap
+    assert(seg1("abc") === Seq("ab", "c"),
+      "one EM round must re-segment the ambiguous word toward the shifted model")
+    assert(seg1("zab") === Seq("z", "ab"))
+  }
+
   test("kg3 singletons: an entity with no strong edge is its own community") {
     val rows = MatchQueries.kg3EntityCommunities(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
