@@ -1194,19 +1194,27 @@ object CorpusQueries {
        |symflag AS (SELECT word, i, bool_and(ok) AS all_ok
        |  FROM cflag GROUP BY word, i),
        |pieces AS (
-       |  SELECT w.word, w.freq, w.i, 0 AS j, w.sym AS piece
+       |  SELECT w.word, w.freq, w.i, 0 AS j, 0 AS b, w.sym AS piece
        |  FROM wsyms w JOIN symflag sf ON sf.word = w.word AND sf.i = w.i
        |  WHERE sf.all_ok
        |  UNION ALL
-       |  SELECT f.word, f.freq, f.i, f.j,
-       |    CASE WHEN f.ok THEN f.c
-       |         ELSE '<0x' || hex(encode(f.c)) || '>' END AS piece
-       |  FROM cflag f JOIN symflag sf ON sf.word = f.word AND sf.i = f.i
-       |  WHERE NOT sf.all_ok),
+       |  -- fallback arm unnests PER BYTE (ADVICE r12): a multi-byte
+       |  -- out-of-alphabet char must become one <0xXX> piece per UTF-8
+       |  -- byte, matching the Spark face — not one piece with all bytes'
+       |  -- hex concatenated (invisible on the ASCII corpus, wrong exactly
+       |  -- where byte fallback exists to be right)
+       |  SELECT word, freq, i, j, b,
+       |    CASE WHEN ok THEN c
+       |         ELSE '<0x' || substr(hex(encode(c)), CAST(b * 2 + 1 AS INT), 2) || '>' END AS piece
+       |  FROM (
+       |    SELECT f.word, f.freq, f.i, f.j, f.ok, f.c,
+       |      unnest(range(CASE WHEN f.ok THEN 1 ELSE octet_length(encode(f.c)) END)) AS b
+       |    FROM cflag f JOIN symflag sf ON sf.word = f.word AND sf.i = f.i
+       |    WHERE NOT sf.all_ok) t),
        |enc AS (
        |  SELECT word, freq, CAST(COUNT(*) AS INT) AS n_pieces,
        |    CAST(SUM(CASE WHEN piece LIKE '<0x%' THEN 1 ELSE 0 END) AS INT) AS n_byte_pieces,
-       |    string_agg(piece, '|' ORDER BY i, j) AS encoded
+       |    string_agg(piece, '|' ORDER BY i, j, b) AS encoded
        |  FROM pieces GROUP BY word, freq)
        |SELECT word, freq, n_pieces, n_byte_pieces, encoded FROM enc
        |WHERE n_byte_pieces > 0 ORDER BY freq DESC, word LIMIT 20""".stripMargin
