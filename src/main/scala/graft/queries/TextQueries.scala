@@ -2093,6 +2093,12 @@ object TextQueries {
     * pruning instead of directory pruning) to keep each bucket ~128 MB. */
   private val PostingsBuckets = 64
 
+  /** ir9's skip-list block width in DOCS — 64, the Block-Max WAND
+    * literature's granularity (Ding & Suel 2011 use 64–128), finer than
+    * ir5's 1024-doc storage blocks: skip decisions need tight per-block
+    * bounds, storage rows only need to stay bounded. */
+  private val Ir9Block = 64L
+
   /** Driver-side twin of [[Q.detHash]] (seed 0) for PLAN-TIME bucket
     * pruning: the query terms are literals, so their bucket ids can be
     * computed without touching any data and land in the probe plan as a
@@ -2129,22 +2135,53 @@ object TextQueries {
     * cost is (pruned postings + doclen + one stats row), independent of
     * vocabulary size and of any text column — the ~1× decade a served
     * index should give. */
-  def ir6bPersistedPostings(s: SparkSession, dir: String): DataFrame = {
-    val qterms = RetrievalQTerms
+  /** Build-if-absent the persisted postings index and return its home —
+    * shared by ir6b (serve) and ir9 (block-max pruned serve). Artifacts:
+    * `postings` (word, doc_id, tf — hive-partitioned by word-hash
+    * bucket), `doclen`, one-row `stats`, and `blockmax` — the per
+    * (word, [[PostingBlock]]-doc block) ceil-e6 upper bound of the TRUE
+    * per-doc BM25 term score (query-INDEPENDENT: df/avgdl are corpus
+    * statistics), the skip list Block-Max WAND serves from. The `v2`
+    * fingerprint prefix versions the artifact layout (v1 had no
+    * blockmax). */
+  private[queries] def ensurePostingsIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     val (k1, b) = (1.2, 0.75)
     import graft.operators.PersistedIndex
     val home = PersistedIndex.home("postings_index", dir,
-      PersistedIndex.tableFingerprint(dir, "documents"))
+      "v3_" + PersistedIndex.tableFingerprint(dir, "documents"))
     PersistedIndex.buildIfAbsent(home) { tmp =>
       val tf = tfTable(s, dir)
+        .withColumn("bucket", pmod(detHash(col("word")), lit(PostingsBuckets.toLong)))
       graft.sources.Layout.writePartitioned(
-        tf.withColumn("bucket", pmod(detHash(col("word")), lit(PostingsBuckets.toLong))),
-        tmp.resolve("postings").toString, "bucket")
+        tf, tmp.resolve("postings").toString, "bucket")
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       dl.write.mode("overwrite").parquet(tmp.resolve("doclen").toString)
       dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
         .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+      // block-max skip list: ceil keeps the bound SOUND against the
+      // round()ed final scores (Σ_t ceil(1e6·ts_t) ≥ round(1e6·Σ_t ts_t))
+      val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+      val avgdl = col("total_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+      val idf = log((col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + 0.5) /
+        (col("df").cast(DoubleType) + 0.5) + 1.0)
+      val ts = idf * (col("tf").cast(DoubleType) * (k1 + 1.0)) /
+        (col("tf").cast(DoubleType) + lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl").cast(DoubleType) / avgdl)))
+      graft.sources.Layout.writePartitioned(
+        tf.join(dl, Seq("doc_id")).join(dfT, Seq("word")).crossJoin(broadcast(st))
+          .withColumn("ts_ub_e6", ceil(lit(1e6) * ts).cast(LongType))
+          .withColumn("blk", expr(s"doc_id div $Ir9Block"))
+          .groupBy("bucket", "word", "blk").agg(max("ts_ub_e6").as("ub_e6")),
+        tmp.resolve("blockmax").toString, "bucket")
     }
+    home
+  }
+
+  def ir6bPersistedPostings(s: SparkSession, dir: String): DataFrame = {
+    val qterms = RetrievalQTerms
+    val (k1, b) = (1.2, 0.75)
+    val home = ensurePostingsIndex(s, dir)
     // ---- probe path: persisted artifacts ONLY (no corpus scan below) ----
     val qbuckets = qterms.map(q => detHash60Local(q) % PostingsBuckets).distinct.sorted
     val tf3 = s.read.parquet(home.resolve("postings").toString)
@@ -2169,6 +2206,90 @@ object TextQueries {
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dl"), round(score * 1e6).cast(LongType).as("bm25_e6"))
       .orderBy(desc("bm25_e6"), col("doc_id")).limit(20)
+  }
+
+  /** ir9_blockmax_bm25 — Block-Max pruned BM25 (the Ding & Suel 2011
+    * Block-Max WAND recipe reshaped declaratively): top-k retrieval that
+    * SKIPS whole posting blocks whose score upper bound cannot beat the
+    * running threshold — the third serving rung after ir6 (score from the
+    * index) and ir6b (score from the PERSISTED index). The persisted
+    * `blockmax` artifact stores, per (term, [[Ir9Block]]-doc block), the ceil-e6
+    * upper bound of the true per-doc term score (query-independent).
+    * Probe: (1) per-block bound = Σ over query terms of the block's ub
+    * (pruned read — bucket partition filter + term filter); (2) seed =
+    * the highest-bound block, scored EXACTLY (ir6's arithmetic), whose
+    * k-th score becomes the threshold θ; (3) only blocks with bound ≥ θ
+    * are scored at all — every skipped block is sound because
+    * Σ_t ceil(1e6·ts_t) ≥ round(1e6·Σ_t ts_t) ≥ any member doc's final
+    * score. Results are bit-equal to ir6 (identical double arithmetic on
+    * identical inputs over a provably sufficient candidate set; the
+    * oracle is ir6's SQL — pruning is invisible to the answer, which is
+    * the point). Precondition (holds at every SF here): ≥ k docs carry a
+    * query-term posting, so zero-score docs can never enter the top-k.
+    *
+    * Scale shape: bounds/seed/θ are block-count- and k-bounded (seed top
+    * is a ≤k-row collect, the ir7 class); the kept-block filter is a
+    * broadcast semi-join (block ids, never doc rows); scoring touches
+    * only docs inside surviving blocks. The pruning DECISION uses only
+    * engine-internal bounds — cross-engine equality rests on the sound
+    * inequality, not on double ulps. */
+  def ir9BlockmaxBm25(s: SparkSession, dir: String): DataFrame =
+    ir9Internals(s, dir, RetrievalQTerms)._1
+
+  /** (result, kept-block frame, all-bounds frame) — split out so the spec
+    * can measure real pruning and swap in selective query terms. */
+  private[queries] def ir9Internals(s: SparkSession, dir: String,
+      qterms: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
+    val (k1, b) = (1.2, 0.75)
+    val topK = 20
+    val home = ensurePostingsIndex(s, dir)
+    val qbuckets = qterms.map(q => detHash60Local(q) % PostingsBuckets).distinct.sorted
+    def prunedRead(path: String): DataFrame =
+      s.read.parquet(home.resolve(path).toString)
+        .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
+          col("word").isInCollection(qterms))
+    val tf3 = prunedRead("postings").select("doc_id", "word", "tf")
+    val dl = s.read.parquet(home.resolve("doclen").toString)
+    val bounds = prunedRead("blockmax").groupBy("blk").agg(sum("ub_e6").as("bound_e6"))
+    val dfCols = qterms.map(q => sum(when(col("word") === q, 1L).otherwise(0L)).as(s"df_$q"))
+    val stats = s.read.parquet(home.resolve("stats").toString)
+      .crossJoin(tf3.agg(dfCols.head, dfCols.tail: _*))
+    val avgdl = col("total_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    def termScore(q: String) = {
+      val tfd = coalesce(col(s"tf_$q"), lit(0L)).cast(DoubleType)
+      val dfd = col(s"df_$q").cast(DoubleType)
+      val idf = log((col("n_docs").cast(DoubleType) - dfd + 0.5) / (dfd + 0.5) + 1.0)
+      idf * (tfd * (k1 + 1.0)) / (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
+    }
+    val score = qterms.map(termScore).reduceLeft(_ + _)
+    def scored(cands: DataFrame): DataFrame = {
+      val pivotCols = qterms.map(q => max(when(col("word") === q, col("tf"))).as(s"tf_$q"))
+      val pivoted = tf3.join(cands, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(pivotCols.head, pivotCols.tail: _*)
+      dl.join(cands, Seq("doc_id"), "left_semi")
+        .join(pivoted, Seq("doc_id"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("dl"), round(score * 1e6).cast(LongType).as("bm25_e6"))
+    }
+    val seedRow = bounds.orderBy(desc("bound_e6"), col("blk")).limit(1).collect()
+    if (seedRow.isEmpty) {
+      import s.implicits._
+      val empty = Seq.empty[(Long, Long, Long)].toDF("doc_id", "dl", "bm25_e6")
+      return (empty, bounds, bounds)
+    }
+    val seed = seedRow.head.getAs[Long]("blk")
+    val seedDocs = tf3.filter(expr(s"doc_id div $Ir9Block") === seed)
+      .select("doc_id").distinct()
+    // θ = the k-th exact score inside the seed block (≤k-row collect)
+    val seedTop = scored(seedDocs).orderBy(desc("bm25_e6"), col("doc_id")).limit(topK).collect()
+    val theta = if (seedTop.length < topK) Long.MinValue
+      else seedTop.last.getAs[Long]("bm25_e6")
+    val kept = bounds.filter(col("bound_e6") >= theta)
+    val candDocs = tf3.withColumn("blk", expr(s"doc_id div $Ir9Block"))
+      .join(broadcast(kept.select("blk")), Seq("blk"), "left_semi")
+      .select("doc_id").distinct()
+    val res = scored(candDocs).orderBy(desc("bm25_e6"), col("doc_id")).limit(topK)
+    (res, kept, bounds)
   }
 
   /** ta5_winnow_fingerprint — winnowing document fingerprint (Schleimer,
@@ -2537,6 +2658,7 @@ object TextQueries {
     "ir5_inverted_index" -> (ir5InvertedIndex _),
     "ir6_postings_bm25" -> (ir6PostingsBm25 _),
     "ir6b_persisted_postings" -> (ir6bPersistedPostings _),
+    "ir9_blockmax_bm25" -> (ir9BlockmaxBm25 _),
     "a22_bleu" -> (a22Bleu _),
     "a30_bootstrap_ci" -> (a30BootstrapCi _),
     "a32_rank_corr" -> (a32RankCorr _),
@@ -2582,8 +2704,10 @@ object TextQueries {
     "a21_ndcg" -> a21NdcgSql,
     "ir5_inverted_index" -> ir5InvertedIndexSql,
     "ir6_postings_bm25" -> ir6PostingsBm25Sql,
-    // the persisted detour is invisible to the answer: ir6b ≡ ir6
+    // the persisted detour is invisible to the answer: ir6b ≡ ir6;
+    // ir9's block-max pruning likewise prunes only provably-beaten blocks
     "ir6b_persisted_postings" -> ir6PostingsBm25Sql,
+    "ir9_blockmax_bm25" -> ir6PostingsBm25Sql,
     "a22_bleu" -> a22BleuSql,
     "a30_bootstrap_ci" -> a30BootstrapCiSql,
     "a32_rank_corr" -> a32RankCorrSql,

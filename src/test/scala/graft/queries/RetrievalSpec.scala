@@ -63,6 +63,45 @@ class RetrievalSpec extends SparkSpec {
       "plan-time bucket pruning depends on the local md5 twin being bit-equal")
   }
 
+  test("ir9: pruned plan reads only the persisted index and equals ir6 row-for-row") {
+    val df = TextQueries.ir9BlockmaxBm25(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"pruned probe must not scan the corpus:\n$plan")
+    assert(plan.contains("postings_index"),
+      s"pruned probe must read the persisted index:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = TextQueries.ir6PostingsBm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
+  test("ir9 fixture: block-max bounds genuinely skip beaten blocks, answer stays exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 640 docs / 10 blocks of 64: block 0 is saturated with tf-4 needles,
+    // block 1 carries tf-1 needles, blocks 2-9 have none — the seed θ
+    // (a tf-4 score) must prune block 1, and blocks without postings never
+    // even enter the bound frame
+    val tmp = java.nio.file.Files.createTempDirectory("ir9fix").toString
+    val docs = (0L until 640L).map { i =>
+      val text =
+        if (i < 64) "needle needle needle needle pad"
+        else if (i < 128) "needle pad pad"
+        else "pad pad pad"
+      (i, text, text.length.toLong)
+    }.toDF("doc_id", "text", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val (res, kept, bounds) = TextQueries.ir9Internals(spark, tmp, Seq("needle"))
+    assert(bounds.count() === 2L, "only blocks with a needle posting carry a bound")
+    assert(kept.count() === 1L, "the tf-1 block's bound cannot beat the tf-4 θ — pruned")
+    val rows = res.collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.length === 20)
+    // all tf-4 docs score identically; the tie breaks by doc_id
+    assert(rows.map(_._1).toSeq === (0L until 20L).toSeq)
+    assert(rows.map(_._2).distinct.length === 1)
+  }
+
   test("ir5: index audit rows are internally consistent") {
     val rows = TextQueries.ir5InvertedIndex(spark, dir).collect()
     assert(rows.length === 20)
