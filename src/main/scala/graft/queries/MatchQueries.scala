@@ -497,6 +497,101 @@ object MatchQueries {
        |FROM pairs p LEFT JOIN und u ON u.entity = p.entity AND u.other = p.other
        |GROUP BY p.doc_id, p.entity ORDER BY p.doc_id, p.entity""".stripMargin
 
+  /** el3's minimum corpus support for a FUZZY (distance-1) link: below
+    * this document prior, a typo match is more likely noise than alias. */
+  private[graft] val NilMinPrior = 5L
+
+  /** The NIL decision rule over explicit (w, n_occ) and (entity, prior)
+    * frames — exposed for the fixture spec (the clean corpus never
+    * exercises the ambiguous/weak arms, the el1/el2 situation). Rule, in
+    * order: no candidate → nil/no_candidate; two candidates at the SAME
+    * distance whose priors are within 2× → nil/ambiguous (no clear
+    * winner); exact match → link/exact; distance-1 with prior ≥
+    * [[NilMinPrior]] → link/fuzzy; else nil/weak_prior. All comparisons
+    * integer. The best candidate's fields are kept on NIL rows too — a
+    * production NIL gate logs WHAT it rejected. */
+  private[graft] def nilGateCore(words: DataFrame, ents: DataFrame): DataFrame = {
+    val cand = variantExplode(words.select("w"), "w")
+      .join(variantExplode(ents, "entity"), Seq("v"))
+      .select("w", "entity", "prior").distinct()
+      .withColumn("dist", levenshtein(col("w"), col("entity")))
+      .filter(col("dist") <= 1)
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy(col("dist"), desc("prior"), col("entity"))
+    val ranked = cand.withColumn("rn", row_number().over(rk)).filter(col("rn") <= 2)
+    val c1 = ranked.filter(col("rn") === 1).select(col("w"), col("entity"),
+      col("dist"), col("prior"))
+    val c2 = ranked.filter(col("rn") === 2).select(col("w"),
+      col("dist").as("dist2"), col("prior").as("prior2"))
+    val reason = when(col("entity").isNull, "no_candidate")
+      .when(col("dist2").isNotNull && col("dist2") === col("dist") &&
+        col("prior2") * 2 >= col("prior"), "ambiguous")
+      .when(col("dist") === 0, "exact")
+      .when(col("prior") >= NilMinPrior, "fuzzy")
+      .otherwise("weak_prior")
+    words.join(c1, Seq("w"), "left").join(c2, Seq("w"), "left")
+      .withColumn("reason", reason)
+      .withColumn("decision",
+        when(col("reason").isin("exact", "fuzzy"), "link").otherwise("nil"))
+      .select("w", "n_occ", "entity", "dist", "prior", "decision", "reason")
+      .orderBy("w")
+  }
+
+  /** el3_nil_gate — NIL detection, the third standard EL component after
+    * candidate generation (el1) and context disambiguation (el2): a real
+    * linker must also decide WHEN NOT TO LINK (mentions of entities
+    * outside the KB link to NIL rather than to the nearest string). Runs
+    * the [[nilGateCore]] decision rule over EVERY corpus surface form —
+    * the production shape, where the gate classifies all mentions, not
+    * just the linkable ones — emitting the per-form verdict with the best
+    * candidate's evidence attached.
+    *
+    * Scale shape: identical to el1 (vocabulary-bounded FastSS equi-join,
+    * |G|-bounded entity side, pinned match scan for priors) plus one
+    * 2-row-per-form window over the candidate-bounded ranked set. */
+  def el3NilGate(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n_occ"))
+    val prior = entityDocs(s, dir).groupBy("entity").agg(count(lit(1)).as("prior"))
+    nilGateCore(words, prior.filter(!col("entity").contains(" ")))
+  }
+
+  val el3NilGateSql: String =
+    s"""WITH $entityDocsSql,
+       |words AS (
+       |  SELECT w, COUNT(*) AS n_occ FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE len(w) > 0 GROUP BY w),
+       |prior AS (SELECT entity, COUNT(*) AS prior FROM ed GROUP BY entity),
+       |ents AS (SELECT * FROM prior WHERE entity NOT LIKE '% %'),
+       |wv AS (SELECT w, unnest(list_prepend(w,
+       |  list_transform(range(1, len(w) + 1), i -> substr(w, 1, i - 1) || substr(w, i + 1)))) AS v FROM words),
+       |ev AS (SELECT entity, prior, unnest(list_prepend(entity,
+       |  list_transform(range(1, len(entity) + 1), i -> substr(entity, 1, i - 1) || substr(entity, i + 1)))) AS v FROM ents),
+       |cand AS (SELECT DISTINCT w, entity, prior FROM wv JOIN ev USING (v)),
+       |ver AS (SELECT w, entity, prior, levenshtein(w, entity) AS dist
+       |  FROM cand WHERE levenshtein(w, entity) <= 1),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY w
+       |  ORDER BY dist, prior DESC, entity) AS rn FROM ver),
+       |c1 AS (SELECT w, entity, dist, prior FROM rk WHERE rn = 1),
+       |c2 AS (SELECT w, dist AS dist2, prior AS prior2 FROM rk WHERE rn = 2),
+       |dec AS (
+       |  SELECT wo.w, wo.n_occ, c1.entity, c1.dist, c1.prior,
+       |    CASE WHEN c1.entity IS NULL THEN 'no_candidate'
+       |         WHEN c2.dist2 IS NOT NULL AND c2.dist2 = c1.dist
+       |              AND c2.prior2 * 2 >= c1.prior THEN 'ambiguous'
+       |         WHEN c1.dist = 0 THEN 'exact'
+       |         WHEN c1.prior >= $NilMinPrior THEN 'fuzzy'
+       |         ELSE 'weak_prior' END AS reason
+       |  FROM words wo LEFT JOIN c1 ON c1.w = wo.w LEFT JOIN c2 ON c2.w = wo.w)
+       |SELECT w, CAST(n_occ AS BIGINT) AS n_occ, entity, CAST(dist AS INT) AS dist,
+       |  CAST(prior AS BIGINT) AS prior,
+       |  CASE WHEN reason IN ('exact', 'fuzzy') THEN 'link' ELSE 'nil' END AS decision,
+       |  reason
+       |FROM dec ORDER BY w""".stripMargin
+
   /** e2e6_entity_pipeline — the composed entity-linking serving face, end
     * to end in ONE lazy plan (the e2e1–e2e5 convention applied to the
     * kg/el family): fm1's gazetteer match (the pinned [[entityDocs]]
@@ -608,6 +703,7 @@ object MatchQueries {
     "kg3_entity_communities" -> (kg3EntityCommunities _),
     "el1_mention_link" -> (el1MentionLink _),
     "el2_context_score" -> (el2ContextScore _),
+    "el3_nil_gate" -> (el3NilGate _),
     "e2e6_entity_pipeline" -> (e2e6EntityPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -618,5 +714,6 @@ object MatchQueries {
     "kg3_entity_communities" -> kg3EntityCommunitiesSql,
     "el1_mention_link" -> el1MentionLinkSql,
     "el2_context_score" -> el2ContextScoreSql,
+    "el3_nil_gate" -> el3NilGateSql,
     "e2e6_entity_pipeline" -> e2e6EntityPipelineSql)
 }

@@ -270,6 +270,27 @@ object EventStreams {
     * putting the argmin in the stream would demand per-(doc, word)
     * aggregation state for no freshness gain. Parity vs the batch
     * candidate set is spec-pinned (AliasLinkStreamSpec). */
+  /** Entity co-occurrence edge contributions — kg1's EDGE EMISSION as a
+    * stateless stream: each arriving document runs the broadcast
+    * Aho-Corasick matcher in-plan, its distinct matched entities pair up
+    * (e1 < e2) WITHIN the row (array_distinct + an indexed-transform
+    * pair expansion — a streaming `distinct()` would be a stateful agg),
+    * and the (doc_id, e1, e2) contributions stream out. The graph
+    * AGGREGATION (co-document weights, NPMI, rank) deliberately stays
+    * batch — the aliasLinkStream lambda split: edge weights need
+    * all-time counts, per-doc emission needs none. One matcher pass per
+    * doc; pair fan-out ≤ |G|² within a single document. */
+  def entityEdgeStream(docs: DataFrame, gazetteer: Seq[String]): DataFrame = {
+    val fm = graft.operators.FastMatch.matcher(gazetteer)
+    docs
+      .withColumn("ents", array_sort(array_distinct(
+        transform(fm(col("text")), m => m.getField("matched")))))
+      .withColumn("pair", explode(expr(
+        "flatten(transform(ents, (x, i) -> " +
+          "transform(slice(ents, i + 2, size(ents)), y -> struct(x AS e1, y AS e2))))")))
+      .select(col("doc_id"), col("pair.e1").as("e1"), col("pair.e2").as("e2"))
+  }
+
   def aliasLinkStream(docs: DataFrame, aliases: DataFrame): DataFrame = {
     val av = graft.queries.MatchQueries.variantExplode(aliases, "entity")
       .select(col("v"), col("entity"))

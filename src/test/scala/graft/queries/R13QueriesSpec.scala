@@ -198,6 +198,40 @@ class R13QueriesSpec extends SparkSpec {
     assert(seg1("zab") === Seq("z", "ab"))
   }
 
+  test("el3 fixture: every NIL-gate arm fires on a crafted KB — ambiguous, weak, fuzzy, exact") {
+    import spark.implicits._
+    val words = Seq(
+      ("data", 100L),   // exact match
+      ("dat0", 10L),    // dist 1 of BOTH data (100) and dat1 (60): 2*60 >= 100 -> ambiguous
+      ("strea", 8L),    // dist 1 of stream (prior 50), sole candidate -> fuzzy link
+      ("xyzq", 3L),     // dist 1 of xyzw (prior 2 < NilMinPrior) -> weak_prior
+      ("unrelated", 9L) // no candidate at all
+    ).toDF("w", "n_occ")
+    val ents = Seq(("data", 100L), ("dat1", 60L), ("stream", 50L), ("xyzw", 2L))
+      .toDF("entity", "prior")
+    val got = MatchQueries.nilGateCore(words, ents).collect()
+      .map(r => r.getString(0) -> (r.getString(5), r.getString(6))).toMap
+    assert(got("data") === (("link", "exact")))
+    assert(got("dat0") === (("nil", "ambiguous")))
+    assert(got("strea") === (("link", "fuzzy")))
+    assert(got("xyzq") === (("nil", "weak_prior")))
+    assert(got("unrelated") === (("nil", "no_candidate")))
+  }
+
+  test("el3 corpus face: gate covers every surface form; links agree with el1") {
+    val rows = MatchQueries.el3NilGate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byDecision = rows.groupBy(_.getString(5)).view.mapValues(_.length).toMap
+    assert(byDecision.contains("link") && byDecision.contains("nil"),
+      s"both verdicts must occur on the corpus: $byDecision")
+    // the linked forms are exactly el1's link table on the typo-free corpus
+    val linked = rows.filter(_.getString(5) == "link")
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    val el1 = MatchQueries.el1MentionLink(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(linked === el1)
+  }
+
   test("kg3 singletons: an entity with no strong edge is its own community") {
     val rows = MatchQueries.kg3EntityCommunities(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
