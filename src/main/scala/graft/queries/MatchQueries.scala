@@ -497,6 +497,47 @@ object MatchQueries {
        |FROM pairs p LEFT JOIN und u ON u.entity = p.entity AND u.other = p.other
        |GROUP BY p.doc_id, p.entity ORDER BY p.doc_id, p.entity""".stripMargin
 
+  /** kg4_entity_neighbors — the "related entities" serving query every KG
+    * product ships: per entity, its top-3 neighbors by NPMI association
+    * (ties → neighbor name). Reads kg1's edge frame undirected, so the
+    * relation is symmetric-by-construction; the rank window partitions the
+    * |G|²-bounded edge set (never corpus-proportional — the PlanGateSpec
+    * small-key-window rule is satisfied by the graph contract). */
+  def kg4EntityNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val edges = kg1EntityGraph(s, dir).select("e1", "e2", "npmi_e6")
+    val und = edges.select(col("e1").as("entity"), col("e2").as("neighbor"), col("npmi_e6"))
+      .union(edges.select(col("e2").as("entity"), col("e1").as("neighbor"), col("npmi_e6")))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("entity").orderBy(desc("npmi_e6"), col("neighbor"))
+    und.withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= 3)
+      .select("entity", "rank", "neighbor", "npmi_e6")
+      .orderBy("entity", "rank")
+  }
+
+  val kg4EntityNeighborsSql: String =
+    s"""WITH $entityDocsSql,
+       |nd AS (SELECT COUNT(*) AS nd FROM documents),
+       |ent AS (SELECT entity, COUNT(*) AS n_docs FROM ed GROUP BY entity),
+       |co AS (
+       |  SELECT a.entity AS e1, b.entity AS e2, COUNT(*) AS n_co
+       |  FROM ed a JOIN ed b ON a.doc_id = b.doc_id AND a.entity < b.entity
+       |  GROUP BY a.entity, b.entity),
+       |npmi AS (
+       |  SELECT e1, e2,
+       |    CASE WHEN n_co = nd THEN 1000000
+       |    ELSE CAST(ROUND(1e6 * (ln((CAST(n_co AS DOUBLE) / nd) /
+       |      ((CAST(ea.n_docs AS DOUBLE) / nd) * (CAST(eb.n_docs AS DOUBLE) / nd)))
+       |      / -ln(CAST(n_co AS DOUBLE) / nd))) AS BIGINT) END AS npmi_e6
+       |  FROM co JOIN ent ea ON ea.entity = co.e1 JOIN ent eb ON eb.entity = co.e2
+       |  CROSS JOIN nd),
+       |und AS (SELECT e1 AS entity, e2 AS neighbor, npmi_e6 FROM npmi
+       |  UNION ALL SELECT e2, e1, npmi_e6 FROM npmi),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY entity
+       |  ORDER BY npmi_e6 DESC, neighbor) AS rank FROM und)
+       |SELECT entity, CAST(rank AS INT) AS rank, neighbor, npmi_e6
+       |FROM rk WHERE rank <= 3 ORDER BY entity, rank""".stripMargin
+
   /** el3's minimum corpus support for a FUZZY (distance-1) link: below
     * this document prior, a typo match is more likely noise than alias. */
   private[graft] val NilMinPrior = 5L
@@ -701,6 +742,7 @@ object MatchQueries {
     "kg1_entity_graph" -> (kg1EntityGraph _),
     "kg2_entity_pagerank" -> (kg2EntityPagerank _),
     "kg3_entity_communities" -> (kg3EntityCommunities _),
+    "kg4_entity_neighbors" -> (kg4EntityNeighbors _),
     "el1_mention_link" -> (el1MentionLink _),
     "el2_context_score" -> (el2ContextScore _),
     "el3_nil_gate" -> (el3NilGate _),
@@ -712,6 +754,7 @@ object MatchQueries {
     "kg1_entity_graph" -> kg1EntityGraphSql,
     "kg2_entity_pagerank" -> kg2EntityPagerankSql,
     "kg3_entity_communities" -> kg3EntityCommunitiesSql,
+    "kg4_entity_neighbors" -> kg4EntityNeighborsSql,
     "el1_mention_link" -> el1MentionLinkSql,
     "el2_context_score" -> el2ContextScoreSql,
     "el3_nil_gate" -> el3NilGateSql,

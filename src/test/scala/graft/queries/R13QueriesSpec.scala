@@ -232,6 +232,24 @@ class R13QueriesSpec extends SparkSpec {
     assert(linked === el1)
   }
 
+  test("kg4: per-entity neighbor lists are dense ranks over real kg1 edges, npmi non-increasing") {
+    val rows = MatchQueries.kg4EntityNeighbors(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val edges = MatchQueries.kg1EntityGraph(spark, dir).collect()
+      .flatMap(r => Seq((r.getString(0), r.getString(1)), (r.getString(1), r.getString(0)))).toSet
+    rows.groupBy(_._1).foreach { case (e, ns) =>
+      val sorted = ns.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to ns.length).toSeq, s"dense ranks for $e")
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sortBy(-_).toSeq,
+        s"npmi must be non-increasing for $e")
+      assert(ns.length <= 3)
+    }
+    rows.foreach { case (e, _, n, _) =>
+      assert(edges.contains((e, n)), s"($e, $n) must be a kg1 edge")
+    }
+  }
+
   test("kg3 singletons: an entity with no strong edge is its own community") {
     val rows = MatchQueries.kg3EntityCommunities(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
