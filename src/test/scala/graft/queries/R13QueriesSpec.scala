@@ -250,6 +250,18 @@ class R13QueriesSpec extends SparkSpec {
     }
   }
 
+  test("kg4b: persisted-graph probe scans no corpus file and equals kg4") {
+    val df = MatchQueries.kg4bPersistedNeighbors(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"persisted-graph probe must not scan the corpus:\n$plan")
+    assert(plan.contains("kg_index"), s"probe must read the persisted graph:\n$plan")
+    val got = df.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    val want = MatchQueries.kg4EntityNeighbors(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === want)
+  }
+
   test("kg3 singletons: an entity with no strong edge is its own community") {
     val rows = MatchQueries.kg3EntityCommunities(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
