@@ -102,6 +102,51 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.length === 1)
   }
 
+  test("ir10: base served from the snapshot, only the delta reaches the corpus, equals ir6") {
+    val (df, split) = TextQueries.ir10Internals(spark, dir, TextQueries.RetrievalQTerms)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("postings_base"),
+      s"probe must serve the base from the persisted snapshot:\n$plan")
+    // every corpus access must carry the pushed delta range predicate —
+    // a documents scan without it would mean the base was re-tokenized
+    val corpusScans = plan.sliding("documents.parquet".length).count(_ == "documents.parquet")
+    val pushedRange = plan.sliding("GreaterThan(doc_id".length).count(_ == "GreaterThan(doc_id")
+    assert(corpusScans > 0, "the delta segment must be tokenized from the corpus")
+    assert(pushedRange >= corpusScans,
+      s"every corpus scan needs the pushed doc_id > $split range filter:\n$plan")
+    // segment merge is invisible to the answer
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = TextQueries.ir6PostingsBm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
+  test("ir10 fixture: a post-snapshot doc is absent from the base index yet wins the query") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ids 0..99 → watermark at 90: docs 91..99 are the delta. The best
+    // match for the needle arrives AFTER the snapshot — incremental
+    // serving must surface it without rebuilding the base.
+    val tmp = java.nio.file.Files.createTempDirectory("ir10fix").toString
+    val docs = (0L until 100L).map { i =>
+      val text =
+        if (i == 95L) "needle needle needle"
+        else if (i == 40L) "needle pad pad"
+        else "pad pad pad"
+      (i, text, text.length.toLong)
+    }.toDF("doc_id", "text", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val (res, split) = TextQueries.ir10Internals(spark, tmp, Seq("needle"))
+    assert(split === 90L)
+    val home = TextQueries.ensureBasePostingsIndex(spark, tmp)
+    val maxIndexed = spark.read.parquet(home.resolve("postings").toString)
+      .agg(max("doc_id")).collect()(0).getLong(0)
+    assert(maxIndexed <= 90L, "the persisted snapshot must not contain delta docs")
+    val top = res.collect()
+    assert(top.head.getLong(0) === 95L, "the delta doc must win from the in-flight segment")
+    assert(top.map(_.getLong(0)).contains(40L), "base hits must still be served")
+  }
+
   test("ir5: index audit rows are internally consistent") {
     val rows = TextQueries.ir5InvertedIndex(spark, dir).collect()
     assert(rows.length === 20)
