@@ -575,6 +575,78 @@ object MatchQueries {
       .orderBy("entity", "rank")
   }
 
+  /** kg5_twohop_discovery — 2-hop LINK DISCOVERY over the persisted graph,
+    * the standard KG inference query (literature-based discovery, the
+    * Swanson ABC shape): entity pairs with NO positive direct association
+    * that are nonetheless connected through a shared strong neighbor are
+    * the graph's candidate MISSING LINKS. Edges are kg1's NPMI scores cut
+    * at > 0 (associated more than chance — below that an edge is noise);
+    * a 2-hop path e—m—t scores as the BOTTLENECK `least(npmi(e,m),
+    * npmi(m,t))` (a chain is only as strong as its weaker link), a pair
+    * aggregates as the best path with the supporting-path count, and pairs
+    * holding a positive DIRECT edge are anti-joined out — what remains is
+    * ranked top-3 per entity. Serving shape (the kg4b convention): the
+    * probe reads ONLY the persisted edge artifact, zero corpus scan
+    * (spec-asserted). Scale shape: the middle-node equi-join fans out as
+    * Σ_m deg(m)² ≤ |E|·max-deg — gazetteer-bounded like every kg frame,
+    * never corpus-proportional, and fully distributed (no collect). */
+  def kg5TwohopDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val home = ensureKgIndex(s, dir)
+    val pos = s.read.parquet(home.resolve("edges").toString)
+      .filter(col("npmi_e6") > 0).select("e1", "e2", "npmi_e6")
+    val und = pos.select(col("e1").as("ea"), col("e2").as("eb"), col("npmi_e6"))
+      .union(pos.select(col("e2").as("ea"), col("e1").as("eb"), col("npmi_e6")))
+    val hop1 = und.select(col("ea").as("entity"), col("eb").as("mid"), col("npmi_e6").as("w1"))
+    val hop2 = und.select(col("ea").as("mid"), col("eb").as("target"), col("npmi_e6").as("w2"))
+    val two = hop1.join(hop2, Seq("mid"))
+      .filter(col("target") =!= col("entity"))
+      .select(col("entity"), col("target"), least(col("w1"), col("w2")).as("path_e6"))
+    val agg = two.groupBy("entity", "target")
+      .agg(max("path_e6").as("score_e6"), count(lit(1)).as("n_paths"))
+    val disc = agg.join(
+      und.select(col("ea").as("entity"), col("eb").as("target")),
+      Seq("entity", "target"), "left_anti")
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("entity").orderBy(desc("score_e6"), desc("n_paths"), col("target"))
+    disc.withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= 3)
+      .select("entity", "rank", "target", "n_paths", "score_e6")
+      .orderBy("entity", "rank")
+  }
+
+  val kg5TwohopDiscoverySql: String =
+    s"""WITH $entityDocsSql,
+       |nd AS (SELECT COUNT(*) AS nd FROM documents),
+       |ent AS (SELECT entity, COUNT(*) AS n_docs FROM ed GROUP BY entity),
+       |co AS (
+       |  SELECT a.entity AS e1, b.entity AS e2, COUNT(*) AS n_co
+       |  FROM ed a JOIN ed b ON a.doc_id = b.doc_id AND a.entity < b.entity
+       |  GROUP BY a.entity, b.entity),
+       |npmi AS (
+       |  SELECT e1, e2,
+       |    CASE WHEN n_co = nd THEN 1000000
+       |    ELSE CAST(ROUND(1e6 * (ln((CAST(n_co AS DOUBLE) / nd) /
+       |      ((CAST(ea.n_docs AS DOUBLE) / nd) * (CAST(eb.n_docs AS DOUBLE) / nd)))
+       |      / -ln(CAST(n_co AS DOUBLE) / nd))) AS BIGINT) END AS npmi_e6
+       |  FROM co JOIN ent ea ON ea.entity = co.e1 JOIN ent eb ON eb.entity = co.e2
+       |  CROSS JOIN nd),
+       |pos AS (SELECT * FROM npmi WHERE npmi_e6 > 0),
+       |und AS (SELECT e1 AS ea, e2 AS eb, npmi_e6 FROM pos
+       |  UNION ALL SELECT e2, e1, npmi_e6 FROM pos),
+       |two AS (
+       |  SELECT x.ea AS entity, y.eb AS target, LEAST(x.npmi_e6, y.npmi_e6) AS path_e6
+       |  FROM und x JOIN und y ON x.eb = y.ea AND y.eb <> x.ea),
+       |agg AS (SELECT entity, target, MAX(path_e6) AS score_e6,
+       |    CAST(COUNT(*) AS BIGINT) AS n_paths
+       |  FROM two GROUP BY entity, target),
+       |disc AS (SELECT a.entity, a.target, a.n_paths, a.score_e6 FROM agg a
+       |  WHERE NOT EXISTS (SELECT 1 FROM und u
+       |    WHERE u.ea = a.entity AND u.eb = a.target)),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY entity
+       |  ORDER BY score_e6 DESC, n_paths DESC, target) AS rank FROM disc)
+       |SELECT entity, CAST(rank AS INT) AS rank, target, n_paths, score_e6
+       |FROM rk WHERE rank <= 3 ORDER BY entity, rank""".stripMargin
+
   /** el3's minimum corpus support for a FUZZY (distance-1) link: below
     * this document prior, a typo match is more likely noise than alias. */
   private[graft] val NilMinPrior = 5L
@@ -781,6 +853,7 @@ object MatchQueries {
     "kg3_entity_communities" -> (kg3EntityCommunities _),
     "kg4_entity_neighbors" -> (kg4EntityNeighbors _),
     "kg4b_persisted_neighbors" -> (kg4bPersistedNeighbors _),
+    "kg5_twohop_discovery" -> (kg5TwohopDiscovery _),
     "el1_mention_link" -> (el1MentionLink _),
     "el2_context_score" -> (el2ContextScore _),
     "el3_nil_gate" -> (el3NilGate _),
@@ -795,6 +868,7 @@ object MatchQueries {
     "kg4_entity_neighbors" -> kg4EntityNeighborsSql,
     // the persisted detour is invisible to the answer: kg4b ≡ kg4
     "kg4b_persisted_neighbors" -> kg4EntityNeighborsSql,
+    "kg5_twohop_discovery" -> kg5TwohopDiscoverySql,
     "el1_mention_link" -> el1MentionLinkSql,
     "el2_context_score" -> el2ContextScoreSql,
     "el3_nil_gate" -> el3NilGateSql,

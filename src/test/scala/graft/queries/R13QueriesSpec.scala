@@ -262,6 +262,70 @@ class R13QueriesSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("kg5: persisted probe scans no corpus file; discoveries are symmetric, never direct edges") {
+    val df = MatchQueries.kg5TwohopDiscovery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"persisted-graph probe must not scan the corpus:\n$plan")
+    assert(plan.contains("kg_index"), s"probe must read the persisted graph:\n$plan")
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "this SF's graph has missing positive pairs — discovery must find them")
+    val pos = MatchQueries.kg1EntityGraph(spark, dir).collect()
+      .filter(_.getLong(5) > 0)
+      .flatMap(r => Seq((r.getString(0), r.getString(1)), (r.getString(1), r.getString(0)))).toSet
+    rows.foreach { case (e, _, t, _, _) =>
+      assert(!pos.contains((e, t)), s"($e, $t) is a positive direct edge — not a discovery")
+    }
+    // the bottleneck relation is symmetric: (a,b) discovered ⇒ (b,a) too,
+    // with identical best-path score and path count (und is symmetric) —
+    // unless one side's row fell off its entity's top-3
+    val byPair = rows.map { case (e, _, t, np, sc) => ((e, t), (np, sc)) }.toMap
+    rows.foreach { case (e, _, t, np, sc) =>
+      byPair.get((t, e)).foreach { case (np2, sc2) =>
+        assert((np2, sc2) === ((np, sc)), s"asymmetric discovery ($e, $t)")
+      }
+    }
+    rows.groupBy(_._1).foreach { case (e, ns) =>
+      assert(ns.map(_._2).sorted.toSeq === (1 to ns.length).toSeq, s"dense ranks for $e")
+      assert(ns.length <= 3)
+    }
+  }
+
+  test("kg5 fixture: the Swanson ABC shape — a missing link surfaces, a direct edge never does") {
+    import spark.implicits._
+    // 4 entities on a path-plus-chord: data—stream, stream—window,
+    // window—'hash join', data—window (the chord). 2-hop discoveries must
+    // be exactly {data,'hash join'} (via window) and {stream,'hash join'}
+    // (via window); data—window is 2-hop reachable via stream but DIRECT,
+    // so it must be excluded.
+    val tmp = java.nio.file.Files.createTempDirectory("kg5fix").toString
+    val docs = Seq(
+      (0L, "data stream"), (1L, "stream window"), (2L, "window hash join"),
+      (3L, "data window")) ++ (4L until 12L).map(i => (i, "pad pad pad"))
+    docs.map { case (i, t) => (i, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val npmi = MatchQueries.kg1EntityGraph(spark, tmp).collect()
+      .map(r => (Set(r.getString(0), r.getString(1)), r.getLong(5))).toMap
+    val rows = MatchQueries.kg5TwohopDiscovery(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val ac = npmi(Set("data", "window"))
+    val bc = npmi(Set("stream", "window"))
+    val cd = npmi(Set("window", "hash join"))
+    assert(Seq(ac, bc, cd).forall(_ > 0))
+    val expect = Set(
+      ("data", 1, "hash join", 1L, math.min(ac, cd)),
+      ("stream", 1, "hash join", 1L, math.min(bc, cd)),
+      // ac and bc tie exactly (both ratio-2 ⇒ ln2/ln12), so the target-name
+      // tiebreak orders hash join's list alphabetically
+      ("hash join", 1, "data", 1L, math.min(ac, cd)),
+      ("hash join", 2, "stream", 1L, math.min(bc, cd)))
+    assert(rows.toSet === expect)
+    assert(!rows.exists(r => Set(r._1, r._3) === Set("data", "window")),
+      "the direct data—window chord must be excluded despite its 2-hop path")
+  }
+
   test("kg3 singletons: an entity with no strong edge is its own community") {
     val rows = MatchQueries.kg3EntityCommunities(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
