@@ -794,7 +794,66 @@ object DedupQueries {
       |JOIN support sb ON sb.w = p.tok_b
       |ORDER BY tok_a, tok_b""".stripMargin
 
+  /** Build-if-absent the persisted LSH dedup index: the dd2 signature
+    * checkpoint and the already-adjudicated base-base candidate pairs for
+    * documents at-or-below a recorded watermark (last decile of the id
+    * range = "the docs that arrived after the snapshot", the ir10
+    * convention), plus a one-row stats artifact carrying the watermark.
+    * This is what a production dedup pipeline actually checkpoints between
+    * crawls — signatures to probe against and pairs already found. */
+  private[queries] def ensureLshIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.operators.PersistedIndex
+    val home = PersistedIndex.home("lsh_index", dir,
+      "v1_" + PersistedIndex.tableFingerprint(dir, "documents"))
+    PersistedIndex.buildIfAbsent(home) { tmp =>
+      val ids = t(s, dir, "documents").agg(min("doc_id"), max("doc_id")).collect()(0)
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val split = hi - (hi - lo) / 10L
+      val baseSigs = Dedup.minhashSignatures(
+        t(s, dir, "documents").filter(col("doc_id") <= split), "doc_id", "text")
+      baseSigs.write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
+      Dedup.lshCandidatePairs(
+          s.read.parquet(tmp.resolve("sigs").toString), "doc_id")
+        .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
+      s.range(1).select(lit(split).as("split_id"))
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+    home
+  }
+
+  /** dd18_delta_neardup — the ingest-time NEAR-DUP GATE served from the
+    * persisted LSH index: base-base candidate pairs are read back from the
+    * snapshot artifact (already adjudicated at the last crawl — never
+    * re-paired), and only the DELTA (doc_id past the persisted watermark,
+    * a pushed range predicate like ir10's) is shingled and minhashed, then
+    * probed against the persisted signature store via
+    * [[Dedup.incrementalCandidatePairs]] (delta×base + delta×delta).
+    * Segmentation is invisible to the answer: persisted pairs ∪
+    * delta-touching pairs is bit-equal to dd3's full re-pair, so the
+    * oracle IS dd3's SQL — which is the invariant that makes the refresh
+    * loop safe (folding the delta into the next snapshot can only move
+    * pairs between the two terms of the union, never change them). At
+    * 100 TB the per-crawl cost is O(|delta|·collisions) + an artifact
+    * read, vs dd3's O(|corpus|·collisions) re-pair. */
+  def dd18DeltaNeardup(s: SparkSession, dir: String): DataFrame = {
+    val home = ensureLshIndex(s, dir)
+    val split = s.read.parquet(home.resolve("stats").toString)
+      .collect()(0).getAs[Long]("split_id")
+    val baseSigs = s.read.parquet(home.resolve("sigs").toString)
+    val basePairs = s.read.parquet(home.resolve("pairs").toString)
+    val deltaSigs = Dedup.minhashSignatures(
+      t(s, dir, "documents").filter(col("doc_id") > split), "doc_id", "text")
+    val deltaPairs = Dedup.incrementalCandidatePairs(baseSigs, deltaSigs, "doc_id")
+    basePairs.unionByName(deltaPairs)
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // segmentation is invisible to the answer: dd18 ≡ dd3
+  val dd18DeltaNeardupSql: String = dd3LshPairsSql
+
   val queries: Map[String, QueryFn] = Map(
+    "dd18_delta_neardup" -> (dd18DeltaNeardup _),
     "dd14_line_dedup" -> (dd14LineDedup _),
     "dd15_exact_substr" -> (dd15ExactSubstr _),
     "dd16_span_cut" -> (dd16SpanCut _),
@@ -813,6 +872,7 @@ object DedupQueries {
     "sm10_leakage_safe_split" -> (sm10LeakageSafeSplit _))
 
   val oracles: Map[String, String] = Map(
+    "dd18_delta_neardup" -> dd18DeltaNeardupSql,
     "dd14_line_dedup" -> dd14LineDedupSql,
     "dd15_exact_substr" -> dd15ExactSubstrSql,
     "dd17_fuzzy_names" -> dd17FuzzyNamesSql,

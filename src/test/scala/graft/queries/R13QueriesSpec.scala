@@ -326,6 +326,53 @@ class R13QueriesSpec extends SparkSpec {
       "the direct data—window chord must be excluded despite its 2-hop path")
   }
 
+  test("dd18: base pairs come from the artifact, only the delta is shingled, equals dd3") {
+    val df = DedupQueries.dd18DeltaNeardup(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("lsh_index"), s"probe must read the persisted LSH index:\n$plan")
+    val corpusScans = plan.sliding("documents.parquet".length).count(_ == "documents.parquet")
+    val pushedRange = plan.sliding("GreaterThan(doc_id".length).count(_ == "GreaterThan(doc_id")
+    assert(corpusScans > 0, "the delta segment must be shingled from the corpus")
+    assert(pushedRange >= corpusScans,
+      s"every corpus scan needs the pushed delta range filter:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = DedupQueries.dd3LshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
+  test("dd18 fixture: a near-dup straddling the watermark is caught without re-pairing the base") {
+    import spark.implicits._
+    // ids 0..99 → watermark 90. One dup pair inside the base (10,20), one
+    // straddling it (40,95), one inside the delta (96,97); everything else
+    // shares no shingle. The straddler is the case the gate exists for.
+    val tmp = java.nio.file.Files.createTempDirectory("dd18fix").toString
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val docs = (0L until 100L).map { i =>
+      val text =
+        if (Set(10L, 20L, 40L, 95L).contains(i)) dup
+        else if (Set(96L, 97L).contains(i)) "entirely different delta text here"
+        else s"u${i}a u${i}b u${i}c u${i}d"
+      (i, text, text.length.toLong)
+    }.toDF("doc_id", "text", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val home = DedupQueries.ensureLshIndex(spark, tmp)
+    val maxIndexed = spark.read.parquet(home.resolve("sigs").toString)
+      .agg(max("doc_id")).collect()(0).getLong(0)
+    assert(maxIndexed <= 90L, "the persisted snapshot must not contain delta docs")
+    val persisted = spark.read.parquet(home.resolve("pairs").toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(persisted === Set((10L, 20L), (20L, 40L), (10L, 40L)),
+      "base-base pairs (incl. the straddler's base twins) live in the artifact")
+    val got = DedupQueries.dd18DeltaNeardup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // identical texts share all 4 bands; the probe adds the three pairs
+    // touching delta doc 95 plus the delta-internal (96,97)
+    val expect = Set((10L, 20L), (10L, 40L), (20L, 40L), (10L, 95L),
+      (20L, 95L), (40L, 95L), (96L, 97L)).map { case (a, b) => (a, b, 4L) }
+    assert(got === expect)
+  }
+
   test("kg3 singletons: an entity with no strong edge is its own community") {
     val rows = MatchQueries.kg3EntityCommunities(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
