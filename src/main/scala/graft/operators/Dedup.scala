@@ -78,6 +78,24 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[minhashSignatures]] computed per ROW, no shuffle: a document's
+    * shingles all live in its own row, so each s_i is an array fold inside
+    * one stateless projection — the form a streaming ingest gate needs
+    * (no groupBy, no state store). Bit-identical to the grouped form
+    * (DedupQueriesSpec pins parity); rows with fewer than 3 tokens have no
+    * shingles and are dropped, as in [[shingles]]. */
+  def minhashSignaturesPerRow(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigCols = (0 until NumHashes).map { i =>
+      array_min(transform(col("__hb"),
+        h => (lit(hashA(i)) * h + lit(hashB(i))) % P)).as(s"s$i")
+    }
+    df.withColumn("__tok", split(col(textCol), " "))
+      .filter(size(col("__tok")) >= 3)
+      .withColumn("__sh", array_distinct(graft.queries.Q.wordNgrams("__tok", 3)))
+      .withColumn("__hb", transform(col("__sh"), sh => graft.queries.Q.detHash(sh, 0) % P))
+      .select(col(idCol) +: sigCols: _*)
+  }
+
   /** Banded rows (id, band, key) from a signature table. */
   def bandedSignatures(sigs: DataFrame, idCol: String): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>

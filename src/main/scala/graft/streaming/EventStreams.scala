@@ -291,6 +291,27 @@ object EventStreams {
       .select(col("doc_id"), col("pair.e1").as("e1"), col("pair.e2").as("e2"))
   }
 
+  /** neardupGateStream — dd18's ingest near-dup gate as a STREAM: each
+    * arriving document is minhashed per row (no shuffle —
+    * [[graft.operators.Dedup.minhashSignaturesPerRow]]), banded in the same
+    * projection, and its band keys stream-static-joined against the
+    * persisted base signature store (dd18's `sigs` artifact): one collision
+    * row (new_id, base_id, band) per shared band. Stateless end to end — no
+    * state store, no watermark; rolling collisions up to shared_bands
+    * counts is the consumer's choice (a stateful agg, or dd18's batch
+    * compactor at the next snapshot). The static side is banded once per
+    * (micro-)batch from the broadcast-friendly signature frame. */
+  def neardupGateStream(docs: DataFrame, baseSigs: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val d = Dedup.bandedSignatures(
+        Dedup.minhashSignaturesPerRow(docs, "doc_id", "text"), "doc_id")
+      .withColumnRenamed("doc_id", "new_id")
+    val base = Dedup.bandedSignatures(baseSigs, "doc_id")
+      .select(col("doc_id").as("base_id"), col("band"), col("key"))
+    d.join(base, Seq("band", "key"))
+      .select(col("new_id"), col("base_id"), col("band"))
+  }
+
   def aliasLinkStream(docs: DataFrame, aliases: DataFrame): DataFrame = {
     val av = graft.queries.MatchQueries.variantExplode(aliases, "entity")
       .select(col("v"), col("entity"))

@@ -10,6 +10,17 @@ class DedupQueriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("per-row MinHash signatures are bit-identical to the grouped form") {
+    import graft.operators.Dedup
+    val docs = graft.Tables(spark, dir, "documents").select("doc_id", "text")
+    val grouped = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val perRow = Dedup.minhashSignaturesPerRow(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(perRow.nonEmpty)
+    assert(perRow === grouped)
+  }
+
   test("dd15: spans are disjoint, at least window-wide, and inside their document") {
     val w = DedupQueries.SubstrW.toLong
     val spans = DedupQueries.dd15ExactSubstr(spark, dir).collect()
