@@ -647,6 +647,94 @@ object MatchQueries {
        |SELECT entity, CAST(rank AS INT) AS rank, target, n_paths, score_e6
        |FROM rk WHERE rank <= 3 ORDER BY entity, rank""".stripMargin
 
+  /** Build-if-absent the INCREMENTAL KG base artifact: the sufficient
+    * statistics of kg1's graph for documents at-or-below a recorded
+    * watermark (last id-range decile = "arrived after the snapshot", the
+    * ir10/dd18 convention) — per-pair co-document counts, per-entity
+    * document counts, and the base document census. Counts, not scores:
+    * NPMI is a function of counts, and counts over disjoint document
+    * segments merge by exact Long addition — which is what makes the
+    * incremental face below bit-exact. */
+  private[queries] def ensureKgDeltaIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.operators.PersistedIndex
+    val home = PersistedIndex.home("kg_delta_index", dir,
+      PersistedIndex.tableFingerprint(dir, "documents"))
+    PersistedIndex.buildIfAbsent(home) { tmp =>
+      val ids = t(s, dir, "documents").agg(min("doc_id"), max("doc_id")).collect()(0)
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val split = hi - (hi - lo) / 10L
+      val fm = FastMatch.matcher(gazetteer)
+      val ed = t(s, dir, "documents").filter(col("doc_id") <= split)
+        .select(col("doc_id"), explode(fm(col("text"))).as("m"))
+        .select(col("doc_id"), col("m.matched").as("entity")).distinct()
+        .localCheckpoint(true)
+      ed.as("a").join(ed.as("b"), Seq("doc_id"))
+        .filter(col("a.entity") < col("b.entity"))
+        .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
+        .agg(count(lit(1)).as("n_co"))
+        .write.mode("overwrite").parquet(tmp.resolve("co").toString)
+      ed.groupBy("entity").agg(count(lit(1)).as("n_docs"))
+        .write.mode("overwrite").parquet(tmp.resolve("ent").toString)
+      t(s, dir, "documents").filter(col("doc_id") <= split)
+        .agg(count(lit(1)).as("nd"))
+        .withColumn("split_id", lit(split))
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+    home
+  }
+
+  /** kg6_delta_graph — INCREMENTAL graph maintenance: kg1 computed from the
+    * persisted base sufficient statistics plus a delta-only match scan.
+    * The probe never re-matches the base corpus — the only documents access
+    * carries a pushed `doc_id > split` range predicate (the ir10/dd18
+    * shape), and the per-segment counts merge by exact Long sums (document
+    * segments are disjoint, so co-occurrence is additive). NPMI is then
+    * evaluated over the merged counts with kg1's own arithmetic, making the
+    * answer bit-equal to a full rebuild — the oracle IS kg1's SQL, and
+    * background compaction (folding the delta's counts into the next
+    * snapshot) can never change results. This closes the incremental face
+    * for the third persisted family: postings (ir10), LSH (dd18), KG here. */
+  def kg6DeltaGraph(s: SparkSession, dir: String): DataFrame = {
+    val home = ensureKgDeltaIndex(s, dir)
+    val st = s.read.parquet(home.resolve("stats").toString).collect()(0)
+    val (ndB, split) = (st.getAs[Long]("nd"), st.getAs[Long]("split_id"))
+    val fm = FastMatch.matcher(gazetteer)
+    val edD = t(s, dir, "documents").filter(col("doc_id") > split)
+      .select(col("doc_id"), explode(fm(col("text"))).as("m"))
+      .select(col("doc_id"), col("m.matched").as("entity")).distinct()
+      .localCheckpoint(true)
+    val coD = edD.as("a").join(edD.as("b"), Seq("doc_id"))
+      .filter(col("a.entity") < col("b.entity"))
+      .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
+      .agg(count(lit(1)).as("n_co_d"))
+    val entD = edD.groupBy("entity").agg(count(lit(1)).as("n_docs_d"))
+    val ndD = t(s, dir, "documents").filter(col("doc_id") > split)
+      .agg(count(lit(1)).as("nd_d"))
+    // exact segment merge: disjoint doc sets ⇒ counts are Long sums
+    val co = s.read.parquet(home.resolve("co").toString)
+      .join(coD, Seq("e1", "e2"), "full_outer")
+      .select(col("e1"), col("e2"),
+        (coalesce(col("n_co"), lit(0L)) + coalesce(col("n_co_d"), lit(0L))).as("n_co"))
+    val ent = s.read.parquet(home.resolve("ent").toString)
+      .join(entD, Seq("entity"), "full_outer")
+      .select(col("entity"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("n_docs_d"), lit(0L))).as("n_docs"))
+    val nd = ndD.select((col("nd_d") + lit(ndB)).as("nd"))
+    val d = DoubleType
+    val (pxy, px, py) = (
+      col("n_co").cast(d) / col("nd").cast(d),
+      col("n_e1").cast(d) / col("nd").cast(d),
+      col("n_e2").cast(d) / col("nd").cast(d))
+    co.crossJoin(broadcast(nd))
+      .join(ent.select(col("entity").as("e1"), col("n_docs").as("n_e1")), Seq("e1"))
+      .join(ent.select(col("entity").as("e2"), col("n_docs").as("n_e2")), Seq("e2"))
+      .withColumn("npmi_e6",
+        when(col("n_co") === col("nd"), lit(1000000L)).otherwise(
+          round(lit(1e6) * (log(pxy / (px * py)) / -log(pxy))).cast(LongType)))
+      .select("e1", "e2", "n_co", "n_e1", "n_e2", "npmi_e6")
+      .orderBy(desc("npmi_e6"), col("e1"), col("e2"))
+  }
+
   /** el3's minimum corpus support for a FUZZY (distance-1) link: below
     * this document prior, a typo match is more likely noise than alias. */
   private[graft] val NilMinPrior = 5L
@@ -854,6 +942,7 @@ object MatchQueries {
     "kg4_entity_neighbors" -> (kg4EntityNeighbors _),
     "kg4b_persisted_neighbors" -> (kg4bPersistedNeighbors _),
     "kg5_twohop_discovery" -> (kg5TwohopDiscovery _),
+    "kg6_delta_graph" -> (kg6DeltaGraph _),
     "el1_mention_link" -> (el1MentionLink _),
     "el2_context_score" -> (el2ContextScore _),
     "el3_nil_gate" -> (el3NilGate _),
@@ -869,6 +958,8 @@ object MatchQueries {
     // the persisted detour is invisible to the answer: kg4b ≡ kg4
     "kg4b_persisted_neighbors" -> kg4EntityNeighborsSql,
     "kg5_twohop_discovery" -> kg5TwohopDiscoverySql,
+    // segment merge is invisible to the answer: kg6 ≡ kg1
+    "kg6_delta_graph" -> kg1EntityGraphSql,
     "el1_mention_link" -> el1MentionLinkSql,
     "el2_context_score" -> el2ContextScoreSql,
     "el3_nil_gate" -> el3NilGateSql,

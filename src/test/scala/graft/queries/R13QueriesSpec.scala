@@ -373,6 +373,36 @@ class R13QueriesSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("kg6: merged counts equal a full rebuild; base is never re-matched") {
+    val df = MatchQueries.kg6DeltaGraph(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("kg_delta_index"),
+      s"probe must read the persisted base statistics:\n$plan")
+    // the delta match scan is localCheckpointed (shared by the co/ent
+    // consumers); the remaining documents access (the delta census) must
+    // carry the pushed range predicate
+    val corpusScans = plan.sliding("documents.parquet".length).count(_ == "documents.parquet")
+    val pushedRange = plan.sliding("GreaterThan(doc_id".length).count(_ == "GreaterThan(doc_id")
+    assert(pushedRange >= corpusScans,
+      s"every corpus scan needs the pushed delta range filter:\n$plan")
+    val got = df.collect().map(_.toSeq).toSeq
+    val want = MatchQueries.kg1EntityGraph(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+    // the merge must actually be exercised at this SF: both segments
+    // contribute entity documents
+    val home = MatchQueries.ensureKgDeltaIndex(spark, dir)
+    val baseEnts = spark.read.parquet(home.resolve("ent").toString).count()
+    assert(baseEnts > 0, "base segment must hold entity statistics")
+    val split = spark.read.parquet(home.resolve("stats").toString)
+      .collect()(0).getAs[Long]("split_id")
+    val fm = graft.operators.FastMatch.matcher(MatchQueries.gazetteer)
+    val deltaEnts = graft.Tables(spark, dir, "documents")
+      .filter(col("doc_id") > split)
+      .select(explode(fm(col("text")))).count()
+    assert(deltaEnts > 0, "delta segment must contribute matches")
+  }
+
   test("kg3 singletons: an entity with no strong edge is its own community") {
     val rows = MatchQueries.kg3EntityCommunities(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
