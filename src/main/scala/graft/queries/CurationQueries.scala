@@ -1573,7 +1573,83 @@ object CurationQueries {
        |  FROM ppack p JOIN pg g ON g.fold = p.fold AND g.grp = p.grp AND g.pos = p.pos + 1)
        |SELECT doc_id, fold, grp, bin, n_tokens FROM ppack ORDER BY doc_id""".stripMargin
 
+  /** dq7_filter_funnel — curation-pipeline OBSERVABILITY: the per-stage
+    * attrition funnel every production corpus refresh publishes next to its
+    * output (which gate dropped how much — the number that catches a
+    * mis-tuned threshold silently deleting a corpus before the training run
+    * does). Stages are the suite's own quality batteries in a realistic
+    * order — Gopher doc-level rules (ta10) → C4 line battery (ta18) →
+    * character-entropy gate (ta11) → bigram-repetition gate (ta7) — each
+    * stage's input being the previous stage's survivors. One row per stage
+    * with (n_in, n_kept, n_dropped), plus a stage-0 ingest census.
+    *
+    * Shape: the four verdict frames join on doc_id (each battery is its
+    * own single corpus scan, as when run standalone) and ONE aggregation
+    * computes all prefix-conjunction counts map-side; the funnel rows then
+    * explode from that single aggregate row — no driver loop, no second
+    * pass, counts only (never corpus-width rows) cross the final exchange.
+    * ta7 emits no verdict for sub-2-token docs (it cannot assess
+    * repetition); the funnel counts a missing verdict as a drop. */
+  def dq7FilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val g = TextQueries.ta10GopherRules(s, dir).select(col("doc_id"), col("pass").as("gp"))
+    val c = TextQueries.ta18C4Rules(s, dir).select(col("doc_id"), col("pass").as("cp"))
+    val e = ta11EntropyGate(s, dir).select(col("doc_id"), (col("keep") === 1).as("ep"))
+    val r = ta7Repetition(s, dir).select(col("doc_id"), (col("keep") === 1).as("rp"))
+    val flags = g.join(c, Seq("doc_id")).join(e, Seq("doc_id"))
+      .join(r, Seq("doc_id"), "left")
+      .select(col("gp"), col("cp"), col("ep"), coalesce(col("rp"), lit(false)).as("rp"))
+    val agg = flags.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("gp"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("gp") && col("cp"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("gp") && col("cp") && col("ep"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("gp") && col("cp") && col("ep") && col("rp"), 1L).otherwise(0L)).as("n4"))
+    def row(k: Int, rule: String, nIn: Column, nKept: Column) =
+      struct(lit(k).as("stage"), lit(rule).as("rule"),
+        nIn.as("n_in"), nKept.as("n_kept"))
+    agg.select(explode(array(
+        row(0, "ingest", col("n0"), col("n0")),
+        row(1, "gopher", col("n0"), col("n1")),
+        row(2, "c4", col("n1"), col("n2")),
+        row(3, "entropy", col("n2"), col("n3")),
+        row(4, "repetition", col("n3"), col("n4")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.rule").as("rule"),
+        col("r.n_in").as("n_in"), col("r.n_kept").as("n_kept"))
+      .withColumn("n_dropped", col("n_in") - col("n_kept"))
+      .orderBy("stage")
+  }
+
+  // outer CTE names are dq7-prefixed: the embedded battery SQLs define
+  // their own inner CTEs (ta7 uses d/g/c/a), and DuckDB's materialized-CTE
+  // scoping binds an inner reference to a same-named OUTER cte — observed
+  // as ta7's `FROM c` resolving to the funnel's c4 frame
+  val dq7FilterFunnelSql: String =
+    s"""WITH dq7g AS MATERIALIZED (${TextQueries.ta10GopherRulesSql}),
+       |dq7c AS MATERIALIZED (${TextQueries.ta18C4RulesSql}),
+       |dq7e AS MATERIALIZED ($ta11EntropyGateSql),
+       |dq7r AS MATERIALIZED ($ta7RepetitionSql),
+       |dq7flags AS (
+       |  SELECT dq7g.pass AS gp, dq7c.pass AS cp, dq7e.keep = 1 AS ep,
+       |    COALESCE(dq7r.keep = 1, FALSE) AS rp
+       |  FROM dq7g JOIN dq7c USING (doc_id) JOIN dq7e USING (doc_id)
+       |  LEFT JOIN dq7r USING (doc_id)),
+       |dq7a AS (
+       |  SELECT COUNT(*) AS n0,
+       |    CAST(SUM(CASE WHEN gp THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN gp AND cp THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(SUM(CASE WHEN gp AND cp AND ep THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(SUM(CASE WHEN gp AND cp AND ep AND rp THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM dq7flags)
+       |SELECT * FROM (
+       |  SELECT 0 AS stage, 'ingest' AS rule, n0 AS n_in, n0 AS n_kept, 0 AS n_dropped FROM dq7a
+       |  UNION ALL SELECT 1, 'gopher', n0, n1, n0 - n1 FROM dq7a
+       |  UNION ALL SELECT 2, 'c4', n1, n2, n1 - n2 FROM dq7a
+       |  UNION ALL SELECT 3, 'entropy', n2, n3, n2 - n3 FROM dq7a
+       |  UNION ALL SELECT 4, 'repetition', n3, n4, n3 - n4 FROM dq7a)
+       |ORDER BY stage""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "dq7_filter_funnel" -> (dq7FilterFunnel _),
     "ta17_nb_quality" -> (ta17NbQuality _),
     "sm11_unimax" -> (sm11Unimax _),
     "pk3_nextfit_pack" -> (pk3NextfitPack _),
@@ -1600,6 +1676,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq7_filter_funnel" -> dq7FilterFunnelSql,
     "ta17_nb_quality" -> ta17NbQualitySql,
     "sm11_unimax" -> sm11UnimaxSql,
     "pk3_nextfit_pack" -> pk3NextfitPackSql,

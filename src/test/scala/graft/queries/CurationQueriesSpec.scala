@@ -9,6 +9,30 @@ class CurationQueriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("dq7: funnel chains exactly, starts at the corpus census, and matches the standalone gates") {
+    val rows = CurationQueries.dq7FilterFunnel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (0 to 4))
+    rows.foreach { case (_, _, nIn, nKept, nDropped) =>
+      assert(nIn === nKept + nDropped)
+      assert(nKept >= 0 && nKept <= nIn)
+    }
+    // each stage's input is the previous stage's survivors
+    rows.sliding(2).foreach { case Array((_, _, _, kept0, _), (_, _, in1, _, _)) =>
+      assert(in1 === kept0)
+    }
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    assert(rows.head === ((0, "ingest", nDocs, nDocs, 0L)))
+    // stage 1 must agree with the standalone gopher battery
+    val gopherKept = TextQueries.ta10GopherRules(spark, dir)
+      .filter(col("pass")).count()
+    assert(rows(1)._4 === gopherKept)
+    // the funnel must be non-degenerate at this SF: something gets dropped,
+    // something survives to the end
+    assert(rows.last._4 > 0, "survivors must remain after the whole battery")
+    assert(rows.map(_._5).sum > 0, "at least one stage must drop documents")
+  }
+
   test("pk1: packing is an exact partition of the concatenated token stream") {
     val rows = CurationQueries.pk1SequencePack(spark, dir)
       .select("n_tokens", "start_tok")
