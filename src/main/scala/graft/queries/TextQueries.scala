@@ -2394,6 +2394,60 @@ object TextQueries {
     (res, split)
   }
 
+  /** ir11's phrase — adjacent terms, present in ~7% of documents at every
+    * SF (the corpus is generated from a vocabulary of query-engine words). */
+  private[queries] val PhraseTerms: (String, String) = ("table", "scan")
+
+  /** One POSITIONAL postings table per (session, dir) — the tfTable's
+    * richer sibling: per (doc, word), the sorted 1-based token positions.
+    * This is the index layout phrase and proximity queries are served
+    * from (Lucene's positions stream); building it is one corpus scan +
+    * one doc-keyed shuffle, and every phrase query thereafter touches only
+    * its own terms' position lists. */
+  private[queries] def posTable(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionShare.materialized(s, dir, "pos_table")(
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+        .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"), col("word"))
+        .groupBy("doc_id", "word")
+        .agg(sort_array(collect_list("pos")).as("positions")))
+
+  /** ir11_phrase_query — exact PHRASE search from positional postings, the
+    * classic next face of the ir5/ir6 index family (tf-only postings can
+    * rank "table ... scan" but cannot assert ADJACENCY): a two-term phrase
+    * matches where some position p of the first term has p+1 among the
+    * second term's positions. The join touches only the two terms'
+    * position lists (never the corpus — the posTable is the session pin
+    * standing in for the persisted positions stream); the adjacency test
+    * is an array intersect over per-doc position lists, bounded by doc
+    * length. Output: matching docs with occurrence counts and the first
+    * match position (1-based). */
+  def ir11PhraseQuery(s: SparkSession, dir: String): DataFrame = {
+    val (w1, w2) = PhraseTerms
+    val pt = posTable(s, dir)
+    val p1 = pt.filter(col("word") === w1).select(col("doc_id"), col("positions").as("pos1"))
+    val p2 = pt.filter(col("word") === w2).select(col("doc_id"), col("positions").as("pos2"))
+    p1.join(p2, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(array_intersect(transform(col("pos1"), p => p + 1), col("pos2")))
+          .cast(LongType).as("n_matches"),
+        array_min(filter(col("pos1"),
+          p => array_contains(col("pos2"), p + 1))).as("first_pos"))
+      .filter(col("n_matches") > 0)
+      .orderBy("doc_id")
+  }
+
+  val ir11PhraseQuerySql: String = {
+    val (w1, w2) = PhraseTerms
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |    list_filter(range(1, len(toks)), i -> toks[i] = '$w1' AND toks[i + 1] = '$w2') AS hits
+       |  FROM tok)
+       |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+       |  CAST(hits[1] AS BIGINT) AS first_pos
+       |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin
+  }
+
   /** ta5_winnow_fingerprint — winnowing document fingerprint (Schleimer,
     * Wilkerson, Aiken 2003 — the MOSS scheme): rolling token-4-gram hashes,
     * minimum per sliding window of 4, fingerprint = md5 over the sorted
@@ -2762,6 +2816,7 @@ object TextQueries {
     "ir6b_persisted_postings" -> (ir6bPersistedPostings _),
     "ir9_blockmax_bm25" -> (ir9BlockmaxBm25 _),
     "ir10_delta_index" -> (ir10DeltaIndex _),
+    "ir11_phrase_query" -> (ir11PhraseQuery _),
     "a22_bleu" -> (a22Bleu _),
     "a30_bootstrap_ci" -> (a30BootstrapCi _),
     "a32_rank_corr" -> (a32RankCorr _),
@@ -2813,6 +2868,7 @@ object TextQueries {
     "ir9_blockmax_bm25" -> ir6PostingsBm25Sql,
     // segment merge is invisible to the answer: ir10 ≡ ir6
     "ir10_delta_index" -> ir6PostingsBm25Sql,
+    "ir11_phrase_query" -> ir11PhraseQuerySql,
     "a22_bleu" -> a22BleuSql,
     "a30_bootstrap_ci" -> a30BootstrapCiSql,
     "a32_rank_corr" -> a32RankCorrSql,

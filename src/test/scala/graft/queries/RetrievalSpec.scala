@@ -147,6 +147,34 @@ class RetrievalSpec extends SparkSpec {
     assert(top.map(_.getLong(0)).contains(40L), "base hits must still be served")
   }
 
+  test("ir11: phrase matches from positional postings equal a brute-force text scan") {
+    val (w1, w2) = TextQueries.PhraseTerms
+    val got = TextQueries.ir11PhraseQuery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ")
+        val hits = (0 until toks.length - 1)
+          .filter(i => toks(i) == w1 && toks(i + 1) == w2)
+        if (hits.isEmpty) None
+        else Some((r.getLong(0), hits.length.toLong, hits.head.toLong + 1))
+      }.sortBy(_._1).toSeq
+    assert(want.nonEmpty, "the phrase must occur at this SF")
+    assert(got === want)
+    // adjacency, not co-occurrence: docs holding both words in the wrong
+    // order/distance only must NOT match
+    val cooc = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .filter { r =>
+        val toks = r.getString(1).split(" ")
+        toks.contains(w1) && toks.contains(w2)
+      }.map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet.subsetOf(cooc))
+    assert(got.length < cooc.size,
+      "some doc must hold both terms without the phrase, or the test is vacuous")
+  }
+
   test("ir5: index audit rows are internally consistent") {
     val rows = TextQueries.ir5InvertedIndex(spark, dir).collect()
     assert(rows.length === 20)
