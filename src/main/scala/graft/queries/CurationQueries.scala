@@ -59,6 +59,39 @@ object CurationQueries {
         (col("top_frac_e6") < keepTopE6 && col("dup_frac_e6") < keepDupE6).cast(IntegerType))
   }
 
+  /** ta7's repetition verdict as ONE stateless column expression over a
+    * bound token-array column — the per-row form the streaming ingest gate
+    * needs (ta7Core's doc-keyed shuffle is unavailable in a stateless
+    * stream, but a document's bigrams all live in its own row): sort the
+    * bigram array, run-length fold it once (`aggregate` with a
+    * (prev, run, top, dup) struct state — O(len·log len) per doc, never
+    * the per-distinct-bigram rescans that would be O(len²)), then apply
+    * ta7Core's exact fraction arithmetic. Bit-equal to ta7Core's keep for
+    * every doc it emits (CurationQueriesSpec pins corpus-wide parity);
+    * docs under 2 tokens — which ta7Core drops from its frame — gate to
+    * false, matching dq7's missing-verdict-is-a-drop rule. */
+  private[graft] def ta7KeepCol(toksName: String): Column = {
+    val bgs = sort_array(wordNgrams(toksName, 2))
+    val init = struct(lit(null).cast(StringType).as("prev"),
+      lit(0L).as("run"), lit(0L).as("top"), lit(0L).as("dup"))
+    def flushTop(acc: Column) = greatest(acc.getField("top"), acc.getField("run"))
+    def flushDup(acc: Column) = acc.getField("dup") +
+      when(acc.getField("run") > 1L, acc.getField("run")).otherwise(0L)
+    val folded = aggregate(bgs, init,
+      (acc, x) => {
+        val same = acc.getField("prev") === x
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("top")).otherwise(flushTop(acc)).as("top"),
+          when(same, acc.getField("dup")).otherwise(flushDup(acc)).as("dup"))
+      },
+      acc => struct(flushTop(acc).as("top"), flushDup(acc).as("dup")))
+    val n = size(col(toksName)) - 1
+    val topFrac = round(lit(1e6) * folded.getField("top") / n).cast(LongType)
+    val dupFrac = round(lit(1e6) * folded.getField("dup") / n).cast(LongType)
+    size(col(toksName)) >= 2 && topFrac < KeepTopE6 && dupFrac < KeepDupE6
+  }
+
   /** ta7_repetition — per-document repetition fractions over token 2-grams:
     * the modal-bigram share and the share of bigram instances whose bigram
     * occurs more than once. Heavy repetition (boilerplate, keyword stuffing,
@@ -666,16 +699,24 @@ object CurationQueries {
     * over a literal alphabet — no explode — and each −p·ln(p) term is
     * e6-rounded BEFORE the fixed-alphabet-order sum, so the integer total
     * is engine-exact. */
-  def ta11EntropyGate(s: SparkSession, dir: String): DataFrame = {
-    val L = length(col("text"))
+  /** ta11's e6 character entropy as one column expression over a text
+    * column — shared by the batch gate and the streaming ingest gate. */
+  private[graft] def ta11EntropyE6(text: Column): Column = {
+    val L = length(text)
     def termE6(ch: String): Column = {
-      val cnt = L - length(call_function("replace", col("text"), lit(ch)))
+      val cnt = L - length(call_function("replace", text, lit(ch)))
       val p = cnt.cast(DoubleType) / L.cast(DoubleType)
       when(cnt > 0, round(lit(-1e6) * p * log(p)).cast(LongType)).otherwise(lit(0L))
     }
+    EntropyAlphabet.map(termE6).reduce(_ + _)
+  }
+
+  /** ta11's keep threshold, exposed for the streaming gate. */
+  private[graft] val Ta11KeepE6: Long = EntropyKeepE6
+
+  def ta11EntropyGate(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents")
-      .select(col("doc_id"),
-        EntropyAlphabet.map(termE6).reduce(_ + _).as("entropy_e6"))
+      .select(col("doc_id"), ta11EntropyE6(col("text")).as("entropy_e6"))
       .withColumn("keep", (col("entropy_e6") >= EntropyKeepE6).cast(IntegerType))
       .orderBy("doc_id")
   }

@@ -850,19 +850,31 @@ object TextQueries {
     * rule's verdict plus the conjunction — the shape a curation pipeline
     * wants for per-rule rejection stats. Pure codegen projection, no
     * shuffle at any scale. */
-  def ta10GopherRules(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+  /** ta10's five Gopher rules as pure column expressions over a text
+    * column — one source of truth shared by the batch face and the
+    * streaming ingest gate ([[graft.streaming.EventStreams.qualityGateStream]]),
+    * so the two can never diverge. Returns (n_words, word-count rule,
+    * mean-word-length rule, symbol-ratio rule, alpha-words rule,
+    * stop-words rule). */
+  private[graft] def ta10Rules(text: Column):
+      (Column, Column, Column, Column, Column, Column) = {
+    val toks = tokens(text)
     val n = size(toks)
     val sumLen = aggregate(toks, lit(0), (acc, w) => acc + length(w))
     val nAlpha = size(filter(toks, w => w.rlike("[a-z]")))
     val nSym = size(filter(toks, w => w.isin("#", "...")))
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val nStop = size(filter(toks, w => w.isin(stops.map(x => x: Any): _*)))
-    val rWc = n >= 50 && n <= 100000
-    val rMwl = sumLen >= n * 3 && sumLen <= n * 10
-    val rSym = nSym * 10 <= n
-    val rAlpha = nAlpha * 5 >= n * 4
-    val rStop = nStop >= 2
+    (n,
+      n >= 50 && n <= 100000,
+      sumLen >= n * 3 && sumLen <= n * 10,
+      nSym * 10 <= n,
+      nAlpha * 5 >= n * 4,
+      nStop >= 2)
+  }
+
+  def ta10GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val (n, rWc, rMwl, rSym, rAlpha, rStop) = ta10Rules(col("text"))
     t(s, dir, "documents")
       .select(col("doc_id"), n.as("n_words"),
         rWc.as("rule_word_count"), rMwl.as("rule_mean_word_len"),
@@ -947,31 +959,46 @@ object TextQueries {
     * line-level reconstruction, not just identical counts. Line split,
     * per-line verdicts, and re-join are all array HOFs inside ONE
     * whole-stage-codegen projection — zero shuffles at any scale. */
-  def ta18C4Rules(s: SparkSession, dir: String): DataFrame = {
-    val noisy = concat(col("text"), lit("." +
+  /** ta18's deterministic line-noise injection as a column expression over
+    * (doc_id, text) — shared with the streaming gate so both faces battery
+    * the identical noisy page. */
+  private[graft] def ta18Noisy(docId: Column, text: Column): Column =
+    concat(text, lit("." +
       "\ntoo short." +
       "\nthis line has no terminal punctuation at the end" +
       "\nPlease enable javascript to view this content." +
       "\nA second well formed sentence survives the filter battery!" +
       "\nDoes a third question line also survive the battery?"),
-      when(col("doc_id") % 7 === 0,
+      when(docId % 7 === 0,
         lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit."))
         .otherwise(lit("")),
-      when(col("doc_id") % 11 === 3,
+      when(docId % 11 === 3,
         lit("\nthis line contains a curly { brace marker."))
         .otherwise(lit("")))
-    val lines = split(col("noisy"), "\n")
+
+  /** ta18's C4 battery over a (bound) noisy column: (n_lines, n_kept,
+    * rule_lorem, rule_brace, kept_hash, pass) — pass folds in the
+    * min-retained-lines rule. Single source for batch and stream. */
+  private[graft] def ta18FromNoisy(noisy: Column):
+      (Column, Column, Column, Column, Column, Column) = {
+    val lines = split(noisy, "\n")
     val kept = filter(lines, l =>
       l.rlike("[.!?\"]$") && size(split(l, " ")) >= 5 && !l.contains("javascript"))
-    val rLorem = !col("noisy").contains("lorem ipsum")
-    val rBrace = !col("noisy").contains("{")
-    val rMinSent = col("n_kept") >= 3
+    val rLorem = !noisy.contains("lorem ipsum")
+    val rBrace = !noisy.contains("{")
+    (size(lines), size(kept), rLorem, rBrace,
+      detHash(array_join(kept, "\n")),
+      rLorem && rBrace && size(kept) >= 3)
+  }
+
+  def ta18C4Rules(s: SparkSession, dir: String): DataFrame = {
+    val (nLines, nKept, rLorem, rBrace, keptHash, _) = ta18FromNoisy(col("noisy"))
     t(s, dir, "documents")
-      .select(col("doc_id"), noisy.as("noisy"))
-      .select(col("doc_id"), size(lines).as("n_lines"),
-        size(kept).as("n_kept"), rLorem.as("rule_lorem"), rBrace.as("rule_brace"),
-        detHash(array_join(kept, "\n")).as("kept_hash"))
-      .withColumn("rule_min_sent", rMinSent)
+      .select(col("doc_id"), ta18Noisy(col("doc_id"), col("text")).as("noisy"))
+      .select(col("doc_id"), nLines.as("n_lines"),
+        nKept.as("n_kept"), rLorem.as("rule_lorem"), rBrace.as("rule_brace"),
+        keptHash.as("kept_hash"))
+      .withColumn("rule_min_sent", col("n_kept") >= 3)
       .withColumn("pass", col("rule_lorem") && col("rule_brace") && col("rule_min_sent"))
       .orderBy("doc_id")
   }

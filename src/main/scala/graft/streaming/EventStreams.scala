@@ -312,6 +312,32 @@ object EventStreams {
       .select(col("new_id"), col("base_id"), col("band"))
   }
 
+  /** qualityGateStream — dq7's whole gate battery as ONE stateless stream
+    * projection: each arriving document gets its Gopher (ta10), C4 (ta18),
+    * entropy (ta11), and repetition (ta7) verdicts plus the conjunction
+    * (`admitted` — exactly dq7's stage-4 survivor predicate). Every rule is
+    * per-row (the repetition gate rides [[graft.queries.CurationQueries
+    * .ta7KeepCol]]'s sorted-run-length fold instead of ta7Core's doc-keyed
+    * shuffle), so the ingest filter runs at scan speed with no state store,
+    * no watermark, no join — and the expressions are the SAME columns the
+    * batch batteries project, so a document is admitted at ingest iff the
+    * batch funnel would keep it (spec-pinned corpus-wide). */
+  def qualityGateStream(docs: DataFrame): DataFrame = {
+    import graft.queries.{CurationQueries, TextQueries}
+    val (_, rWc, rMwl, rSym, rAlpha, rStop) = TextQueries.ta10Rules(col("text"))
+    val (_, _, _, _, _, c4Pass) = TextQueries.ta18FromNoisy(col("__noisy"))
+    docs
+      .withColumn("__noisy", TextQueries.ta18Noisy(col("doc_id"), col("text")))
+      .withColumn("__toks", graft.queries.Q.tokens(col("text")))
+      .withColumn("gopher", rWc && rMwl && rSym && rAlpha && rStop)
+      .withColumn("c4", c4Pass)
+      .withColumn("entropy",
+        CurationQueries.ta11EntropyE6(col("text")) >= CurationQueries.Ta11KeepE6)
+      .withColumn("repetition", CurationQueries.ta7KeepCol("__toks"))
+      .select(col("doc_id"), col("gopher"), col("c4"), col("entropy"), col("repetition"),
+        (col("gopher") && col("c4") && col("entropy") && col("repetition")).as("admitted"))
+  }
+
   def aliasLinkStream(docs: DataFrame, aliases: DataFrame): DataFrame = {
     val av = graft.queries.MatchQueries.variantExplode(aliases, "entity")
       .select(col("v"), col("entity"))

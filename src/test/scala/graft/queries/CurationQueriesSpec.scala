@@ -33,6 +33,35 @@ class CurationQueriesSpec extends SparkSpec {
     assert(rows.map(_._5).sum > 0, "at least one stage must drop documents")
   }
 
+  test("ta7KeepCol: the per-row repetition verdict equals ta7Core's keep corpus-wide") {
+    import spark.implicits._
+    val batch = CurationQueries.ta7Repetition(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(4) == 1)).toMap
+    val perRow = graft.Tables(spark, dir, "documents")
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"), CurationQueries.ta7KeepCol("__toks").as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(perRow.nonEmpty)
+    batch.foreach { case (id, k) =>
+      assert(perRow(id) === k, s"per-row verdict diverges from ta7Core for doc $id")
+    }
+    // both branches must fire on crafted rows: heavy repetition fails, a
+    // sub-2-token doc (outside ta7Core's frame) gates to false
+    val crafted = Seq(
+      (1L, ("spam ham " * 40).trim),
+      // 30 distinct words → 29 distinct bigrams: top_frac 1/29 ≈ 3.4% sits
+      // under the 6% keep threshold (a 10-word doc would fail on 1/9)
+      (2L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"), CurationQueries.ta7KeepCol("__toks").as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(crafted(1L) === false, "a doc of one repeated bigram must fail the gate")
+    assert(crafted(2L) === true, "an all-distinct doc must pass")
+    assert(crafted(3L) === false, "sub-2-token docs gate to false")
+  }
+
   test("pk1: packing is an exact partition of the concatenated token stream") {
     val rows = CurationQueries.pk1SequencePack(spark, dir)
       .select("n_tokens", "start_tok")
