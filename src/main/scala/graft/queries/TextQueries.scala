@@ -1057,8 +1057,8 @@ object TextQueries {
   private[queries] def bm25Scores(s: SparkSession, dir: String): DataFrame =
     graft.operators.SessionShare.materialized(s, dir, "bm25_core")(bm25ScoresPlan(s, dir))
 
-  private def bm25ScoresPlan(s: SparkSession, dir: String): DataFrame = {
-    val qterms = RetrievalQTerms
+  private def bm25ScoresPlan(s: SparkSession, dir: String,
+      qterms: Seq[String] = RetrievalQTerms): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("tk"))
@@ -2475,6 +2475,72 @@ object TextQueries {
        |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-doc BM25 of the PHRASE terms (ta13's exact arithmetic over
+    * [[PhraseTerms]]), pinned once — the scoring side of the
+    * retriever-training faces. */
+  private[queries] def phraseBm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionShare.materialized(s, dir, "phrase_bm25")(
+      bm25ScoresPlan(s, dir, Seq(PhraseTerms._1, PhraseTerms._2)))
+
+  /** ir12_training_pairs — retriever TRAINING-DATA generation with BM25
+    * hard negatives (the DPR recipe, Karpukhin et al. 2020 §3.2): for the
+    * phrase query, positives are documents where the phrase actually
+    * occurs (ir11's adjacency evidence), hard negatives are the
+    * highest-BM25 documents that contain the terms WITHOUT the phrase —
+    * lexically confusable, semantically wrong, exactly the pairs a dual
+    * encoder needs to learn ordering from. Top-10 of each, ranked by
+    * (bm25 desc, doc_id) through the k-bounded native TopK aggregate (no
+    * un-partitioned window; the label-keyed groupBy carries ≤ 2k rows out
+    * of the aggregate). Scoring rides the pinned [[phraseBm25]] core and
+    * labels ride the pinned positional postings — one tokenization each,
+    * session-wide. */
+  def ir12TrainingPairs(s: SparkSession, dir: String): DataFrame = {
+    val scored = phraseBm25(s, dir)
+    val hits = ir11PhraseQuery(s, dir).select(col("doc_id"), lit(1).as("__m"))
+    val labeled = scored.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bm25_e6"),
+        when(col("__m").isNotNull, 1).otherwise(0).as("label"))
+      // negatives must be HARD: zero-score docs hold neither term and
+      // teach nothing
+      .filter(col("label") === 1 || col("bm25_e6") > 0)
+    graft.operators.TopK.smallestPerGroup(labeled, Seq("label"), 10,
+        -col("bm25_e6"), col("doc_id"), "negScore", "doc_id")
+      .select(col("label"), col("rank"), col("doc_id"),
+        (-col("negScore")).as("bm25_e6"))
+      .orderBy(desc("label"), col("rank"))
+  }
+
+  val ir12TrainingPairsSql: String = {
+    val qterms = Seq(PhraseTerms._1, PhraseTerms._2)
+    val dfCols = qterms.map(q =>
+      s"CAST(SUM(CASE WHEN list_contains(tk, '$q') THEN 1 ELSE 0 END) AS BIGINT) AS df_$q").mkString(",\n  ")
+    val avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    def termScore(q: String) = {
+      val tf = s"CAST(len(list_filter(tk, x -> x = '$q')) AS DOUBLE)"
+      val df = s"CAST(df_$q AS DOUBLE)"
+      val idf = s"ln((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5) + 1.0)"
+      s"$idf * ($tf * (1.2 + 1.0)) / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / $avgdl)))"
+    }
+    val score = qterms.map(termScore).mkString(" + ")
+    val (w1, w2) = PhraseTerms
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+       |  len(string_split(text, ' ')) AS dl FROM documents),
+       |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl,
+       |  $dfCols
+       |  FROM d),
+       |sc AS (SELECT doc_id, CAST(ROUND(($score) * 1e6) AS BIGINT) AS bm25_e6,
+       |  len(list_filter(range(1, len(tk)), i -> tk[i] = '$w1' AND tk[i + 1] = '$w2')) > 0 AS m
+       |  FROM d CROSS JOIN st),
+       |pos AS (SELECT 1 AS label, ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id) AS rk,
+       |    doc_id, bm25_e6 FROM sc WHERE m),
+       |neg AS (SELECT 0 AS label, ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id) AS rk,
+       |    doc_id, bm25_e6 FROM sc WHERE NOT m AND bm25_e6 > 0)
+       |SELECT label, CAST(rk AS INT) AS rank, doc_id, bm25_e6 FROM (
+       |  SELECT * FROM pos WHERE rk <= 10
+       |  UNION ALL SELECT * FROM neg WHERE rk <= 10)
+       |ORDER BY label DESC, rank""".stripMargin
+  }
+
   /** ta5_winnow_fingerprint — winnowing document fingerprint (Schleimer,
     * Wilkerson, Aiken 2003 — the MOSS scheme): rolling token-4-gram hashes,
     * minimum per sliding window of 4, fingerprint = md5 over the sorted
@@ -2844,6 +2910,7 @@ object TextQueries {
     "ir9_blockmax_bm25" -> (ir9BlockmaxBm25 _),
     "ir10_delta_index" -> (ir10DeltaIndex _),
     "ir11_phrase_query" -> (ir11PhraseQuery _),
+    "ir12_training_pairs" -> (ir12TrainingPairs _),
     "a22_bleu" -> (a22Bleu _),
     "a30_bootstrap_ci" -> (a30BootstrapCi _),
     "a32_rank_corr" -> (a32RankCorr _),
@@ -2896,6 +2963,7 @@ object TextQueries {
     // segment merge is invisible to the answer: ir10 ≡ ir6
     "ir10_delta_index" -> ir6PostingsBm25Sql,
     "ir11_phrase_query" -> ir11PhraseQuerySql,
+    "ir12_training_pairs" -> ir12TrainingPairsSql,
     "a22_bleu" -> a22BleuSql,
     "a30_bootstrap_ci" -> a30BootstrapCiSql,
     "a32_rank_corr" -> a32RankCorrSql,

@@ -175,6 +175,30 @@ class RetrievalSpec extends SparkSpec {
       "some doc must hold both terms without the phrase, or the test is vacuous")
   }
 
+  test("ir12: positives hold the phrase, negatives are hard (terms without adjacency)") {
+    val (w1, w2) = TextQueries.PhraseTerms
+    val rows = TextQueries.ir12TrainingPairs(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byLabel = rows.groupBy(_._1)
+    assert(byLabel.keySet === Set(0, 1))
+    byLabel.foreach { case (lbl, g) =>
+      assert(g.length <= 10)
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to g.length).toSeq, s"dense ranks for label $lbl")
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sortBy(-_).toSeq,
+        s"bm25 non-increasing for label $lbl")
+    }
+    val texts = graft.Tables(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    def hasPhrase(id: Long) = texts(id).sliding(2).exists(p => p == Seq(w1, w2))
+    byLabel(1).foreach { case (_, _, id, _) => assert(hasPhrase(id), s"positive $id lacks the phrase") }
+    byLabel(0).foreach { case (_, _, id, score) =>
+      assert(!hasPhrase(id), s"negative $id holds the phrase")
+      assert(score > 0L, "negatives must be lexically confusable, not random")
+      assert(texts(id).contains(w1) || texts(id).contains(w2))
+    }
+  }
+
   test("ir5: index audit rows are internally consistent") {
     val rows = TextQueries.ir5InvertedIndex(spark, dir).collect()
     assert(rows.length === 20)
