@@ -312,6 +312,37 @@ object EventStreams {
       .select(col("new_id"), col("base_id"), col("band"))
   }
 
+  /** postingsStream — the streaming ingest arm of ir10's delta segment:
+    * per-document (word, tf) postings rows emitted STATELESSLY (a
+    * document's tokens all live in its own row, so term frequencies are a
+    * run-length fold over the SORTED token array — no groupBy, no state
+    * store; the explode afterwards is stateless). Output rows are exactly
+    * the tfTable's rows for the same documents (spec-pinned), so a sink
+    * appending them to the in-flight segment feeds ir10's merge unchanged.
+    * Fold is O(len·log len) per doc; the accumulator array is
+    * distinct-word-bounded. */
+  def postingsStream(docs: DataFrame): DataFrame = {
+    val sorted = sort_array(graft.queries.Q.tokens(col("text")))
+    val accType = "array<struct<word:string,tf:bigint>>"
+    val init = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), expr("array()").cast(accType).as("acc"))
+    val folded = aggregate(sorted, init,
+      (acc, x) => {
+        val same = acc.getField("prev") === x
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same || acc.getField("prev").isNull, acc.getField("acc"))
+            .otherwise(array_append(acc.getField("acc"),
+              struct(acc.getField("prev").as("word"), acc.getField("run").as("tf"))))
+            .as("acc"))
+      },
+      acc => when(acc.getField("prev").isNull, acc.getField("acc"))
+        .otherwise(array_append(acc.getField("acc"),
+          struct(acc.getField("prev").as("word"), acc.getField("run").as("tf")))))
+    docs.select(col("doc_id"), explode(folded).as("wt"))
+      .select(col("doc_id"), col("wt.word").as("word"), col("wt.tf").as("tf"))
+  }
+
   /** qualityGateStream — dq7's whole gate battery as ONE stateless stream
     * projection: each arriving document gets its Gopher (ta10), C4 (ta18),
     * entropy (ta11), and repetition (ta7) verdicts plus the conjunction
