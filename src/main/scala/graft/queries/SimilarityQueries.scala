@@ -269,6 +269,122 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Build-if-absent the DELTA-serving IVF index: centroids trained on the
+    * BASE segment only (vec_id at-or-below the last-decile watermark, the
+    * ir10/dd18/kg6 convention — the FAISS "train once, add forever"
+    * contract ss7 freezes its refresh against), the base vectors' cell
+    * assignments hive-partitioned by cell, and a one-row stats artifact
+    * carrying the watermark. */
+  private[queries] def ensureIvfDeltaIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    val home = graft.operators.PersistedIndex.home("ivf_delta_index", dir,
+      graft.operators.PersistedIndex.tableFingerprint(dir, "embeddings"))
+    graft.operators.PersistedIndex.buildIfAbsent(home) { tmp =>
+      val ids = t(s, dir, "embeddings").agg(min("vec_id"), max("vec_id")).collect()(0)
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val split = hi - (hi - lo) / 10L
+      val base = withNorm(t(s, dir, "embeddings").filter(col("vec_id") <= split))
+      val stride = math.max(2L, math.ceil(math.sqrt(
+        t(s, dir, "embeddings").filter(col("vec_id") <= split).count().toDouble)).toLong)
+      val idx = graft.operators.Similarity.centroidIndex(
+        base.filter(col("vec_id") % stride === 0), "vec_id", "embedding")
+      graft.sources.Layout.writePartitioned(
+        withCell(base, idx).select(col("vec_id"), col("embedding"), col("norm"), col("cell")),
+        tmp.resolve("cells").toString, "cell")
+      base.filter(col("vec_id") % stride === 0).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
+      s.range(1).select(lit(split).as("split_id"))
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+    home
+  }
+
+  /** ss9_delta_probe — ANN search over the SEGMENTED index: newly-arrived
+    * vectors are searchable immediately, without retraining or re-assigning
+    * the base (the FAISS add-after-train serving shape; ss7 audits the
+    * refresh census, this is the query face that actually SEARCHES the
+    * merged index). Base candidates come from the persisted, cell-pruned
+    * artifact; ONLY the delta (pushed `vec_id > split` range predicate) is
+    * assigned in-plan against the frozen centroids read back from the
+    * artifact; queries are the standard NQueries slice (pushed `<` range).
+    * Every embeddings access therefore carries a pushed vec_id range — the
+    * base corpus is never rescanned. The oracle replays the frozen-centroid
+    * geometry (base-only stride and centroid set, both segments assigned
+    * against it), so results are exact under the same geometry — and a
+    * compaction that re-assigns the delta into the artifact under the SAME
+    * frozen centroids cannot change answers (ss7's refresh ≡ rebuild
+    * equivalence, applied to search results). */
+  def ss9DeltaProbe(s: SparkSession, dir: String): DataFrame = {
+    val home = ensureIvfDeltaIndex(s, dir)
+    val split = s.read.parquet(home.resolve("stats").toString)
+      .collect()(0).getAs[Long]("split_id")
+    val idx = graft.operators.Similarity.centroidIndex(
+      s.read.parquet(home.resolve("centroids").toString), "vec_id", "embedding")
+    val q = withNorm(t(s, dir, "embeddings")).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
+    val probeArr = slice(array_sort(transform(idx, c => struct(
+        (-cosE6(dot(c.getField("cv"), col("qv")), c.getField("cn"), col("qn"))).as("neg_cos"),
+        c.getField("cent_id").as("cent_id")))), 1, 2)
+    val probes = q.withColumn("pc", explode(probeArr))
+      .select(col("query_id"), col("qv"), col("qn"), col("pc.cent_id").as("cell"))
+    val probedCells = q.select(explode(probeArr).as("pc"))
+      .select(col("pc.cent_id")).distinct().collect().map(_.getLong(0)).sorted
+    val baseCells = s.read.parquet(home.resolve("cells").toString)
+      .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
+      .withColumn("cell", col("cell").cast(LongType))
+    val deltaCells = withCell(
+        withNorm(t(s, dir, "embeddings").filter(col("vec_id") > split)), idx)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+      .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
+    // score each segment SEPARATELY and union the scored rows: putting the
+    // hive-partitioned base scan inside a union BEFORE the broadcast join
+    // trips dynamic partition pruning's subquery reuse (InSubqueryExec
+    // "requirement failed" at codegen); joined standalone, the base side is
+    // exactly ss2b's proven partitioned-scan ⋈ broadcast shape
+    def scoreSegment(cand: DataFrame): DataFrame = cand
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_e6", cosE6(dot(col("qv"), col("embedding")), col("qn"), col("norm")))
+      .select("query_id", "vec_id", "cos_e6")
+    val wRank = Window.partitionBy("query_id").orderBy(desc("cos_e6"), col("vec_id"))
+    scoreSegment(baseCells).unionByName(scoreSegment(deltaCells))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "vec_id", "cos_e6")
+      .orderBy("query_id", "rank")
+  }
+
+  val ss9DeltaProbeSql: String =
+    s"""WITH emb AS ($withNormDuck),
+       |ids AS (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM emb),
+       |spl AS (SELECT hi - (hi - lo) // 10 AS split FROM ids),
+       |base AS (SELECT * FROM emb WHERE vec_id <= (SELECT split FROM spl)),
+       |st AS (SELECT GREATEST(2, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS stride FROM base),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cv, norm AS cn FROM base
+       |         WHERE vec_id % (SELECT stride FROM st) = 0),
+       |assign AS (
+       |  SELECT vec_id, embedding, norm, cell FROM (
+       |    SELECT e.vec_id, e.embedding, e.norm, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE6Sql(dotSql("c.cv", "e.embedding"), "c.cn", "e.norm")} DESC, c.cent_id) AS ark
+       |    FROM emb e CROSS JOIN cent c) t WHERE ark = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, norm AS qn FROM emb WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT query_id, qv, qn, cell FROM (
+       |    SELECT q.query_id, q.qv, q.qn, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosE6Sql(dotSql("c.cv", "q.qv"), "c.cn", "q.qn")} DESC, c.cent_id) AS prk
+       |    FROM q CROSS JOIN cent c) t WHERE prk <= 2),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    ${cosE6Sql(dotSql("p.qv", "a.embedding"), "p.qn", "a.norm")} AS cos_e6
+       |  FROM assign a JOIN probes p USING (cell) WHERE a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cos_e6 FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** ss5_recall_audit — recall@k of the IVF index against the brute-force
     * ground truth, per query, as an oracle-checked query (the quality gate
     * every ANN deployment runs after an index rebuild; the spec-level
@@ -1133,6 +1249,7 @@ object SimilarityQueries {
     "ss6_sq8_topk" -> (ss6Sq8Topk _),
     "ss2_ivf_topk" -> (ss2IvfTopk _),
     "ss2b_persisted_probe" -> (ss2bPersistedProbe _),
+    "ss9_delta_probe" -> (ss9DeltaProbe _),
     "ss7_ivf_refresh" -> (ss7IvfRefresh _),
     "ss3_lsh_topk" -> (ss3LshTopk _),
     "ss5_recall_audit" -> (ss5RecallAudit _),
@@ -1140,6 +1257,7 @@ object SimilarityQueries {
     "dd12_semantic_dedup" -> (dd12SemanticDedup _))
 
   val oracles: Map[String, String] = Map(
+    "ss9_delta_probe" -> ss9DeltaProbeSql,
     "ir3_hybrid_dense" -> ir3HybridDenseSql,
     "ir4_hybrid_ann" -> ir4HybridAnnSql,
     "ir7_mmr_rerank" -> ir7MmrRerankSql,

@@ -9,6 +9,49 @@ class SimilarityQueriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("ss9: base served from the persisted cells; every embeddings scan is range-pruned") {
+    val df = SimilarityQueries.ss9DeltaProbe(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ivf_delta_index"),
+      s"probe must read the persisted delta index:\n$plan")
+    // embeddings reaches the plan only as the query slice (vec_id < 10,
+    // pushed) and the delta segment (vec_id > split, pushed) — the base
+    // corpus is never rescanned
+    val scans = plan.sliding("embeddings.parquet".length).count(_ == "embeddings.parquet")
+    val pushed = plan.sliding("GreaterThan(vec_id".length).count(_ == "GreaterThan(vec_id") +
+      plan.sliding("LessThan(vec_id".length).count(_ == "LessThan(vec_id")
+    assert(scans > 0, "queries and the delta must come from the corpus")
+    assert(pushed >= scans,
+      s"every embeddings scan needs a pushed vec_id range filter:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+  }
+
+  test("ss9 fixture: a post-snapshot vector wins its query from the in-flight segment") {
+    import spark.implicits._
+    // ids 0..99 → watermark 90; vector 95 is an exact copy of query 0's
+    // vector, arriving AFTER the snapshot — incremental serving must
+    // surface it at rank 1 without touching the base artifact
+    val tmp = java.nio.file.Files.createTempDirectory("ss9fix").toString
+    val vecs = (0L until 100L).map { i =>
+      val v: Seq[Float] =
+        if (i == 95L) Seq(1f, 0f, 0f, 0f)
+        else Seq(1f, (i % 7).toFloat, (i * 3 % 11).toFloat, (i * 5 % 13).toFloat)
+      (i, v, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    vecs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val home = SimilarityQueries.ensureIvfDeltaIndex(spark, tmp)
+    val maxIndexed = spark.read.parquet(home.resolve("cells").toString)
+      .agg(max("vec_id")).collect()(0).getLong(0)
+    assert(maxIndexed <= 90L, "the persisted snapshot must not contain delta vectors")
+    val top = SimilarityQueries.ss9DeltaProbe(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val q0 = top.filter(_._1 == 0L).sortBy(_._2)
+    assert(q0.nonEmpty)
+    assert(q0.head._3 === 95L, "the delta copy must win query 0 from the in-flight segment")
+    assert(q0.head._4 === 1000000L, "an exact copy scores cos exactly 1e6")
+  }
+
   test("plan shape: ss2 corpus side reaches the probe join with no Exchange") {
     val plan = SimilarityQueries.ss2IvfTopk(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
