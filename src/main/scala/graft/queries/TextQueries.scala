@@ -2510,6 +2510,48 @@ object TextQueries {
       .orderBy(desc("label"), col("rank"))
   }
 
+  /** Build-if-absent the PERSISTED positional index: ir11's posTable rows
+    * hive-partitioned by the [[PostingsBuckets]]-way word-hash bucket (the
+    * ir6b layout lifted to the positions stream — Lucene persists exactly
+    * this, term-partitioned position lists). */
+  private[queries] def ensurePosIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.operators.PersistedIndex
+    val home = PersistedIndex.home("positions_index", dir,
+      "v1_" + PersistedIndex.tableFingerprint(dir, "documents"))
+    PersistedIndex.buildIfAbsent(home) { tmp =>
+      graft.sources.Layout.writePartitioned(
+        posTable(s, dir)
+          .withColumn("bucket", pmod(detHash(col("word")), lit(PostingsBuckets.toLong))),
+        tmp.resolve("positions").toString, "bucket")
+    }
+    home
+  }
+
+  /** ir11b_persisted_positions — phrase search served from the PERSISTED
+    * positional index: the probe reads ONLY the two query terms' buckets
+    * (driver-computed bucket ids land as a partition-pruning IN filter,
+    * the ir6b trick) — zero corpus scan, zero tokenization at query time,
+    * results bit-equal to ir11 (the persisted detour is invisible to the
+    * answer, so the oracle is shared). */
+  def ir11bPersistedPositions(s: SparkSession, dir: String): DataFrame = {
+    val (w1, w2) = PhraseTerms
+    val home = ensurePosIndex(s, dir)
+    val qbuckets = Seq(w1, w2).map(q => detHash60Local(q) % PostingsBuckets).distinct.sorted
+    val pt = s.read.parquet(home.resolve("positions").toString)
+      .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
+        col("word").isInCollection(Seq(w1, w2)))
+    val p1 = pt.filter(col("word") === w1).select(col("doc_id"), col("positions").as("pos1"))
+    val p2 = pt.filter(col("word") === w2).select(col("doc_id"), col("positions").as("pos2"))
+    p1.join(p2, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(array_intersect(transform(col("pos1"), p => p + 1), col("pos2")))
+          .cast(LongType).as("n_matches"),
+        array_min(filter(col("pos1"),
+          p => array_contains(col("pos2"), p + 1))).as("first_pos"))
+      .filter(col("n_matches") > 0)
+      .orderBy("doc_id")
+  }
+
   val ir12TrainingPairsSql: String = {
     val qterms = Seq(PhraseTerms._1, PhraseTerms._2)
     val dfCols = qterms.map(q =>
@@ -2911,6 +2953,7 @@ object TextQueries {
     "ir10_delta_index" -> (ir10DeltaIndex _),
     "ir11_phrase_query" -> (ir11PhraseQuery _),
     "ir12_training_pairs" -> (ir12TrainingPairs _),
+    "ir11b_persisted_positions" -> (ir11bPersistedPositions _),
     "a22_bleu" -> (a22Bleu _),
     "a30_bootstrap_ci" -> (a30BootstrapCi _),
     "a32_rank_corr" -> (a32RankCorr _),
@@ -2964,6 +3007,8 @@ object TextQueries {
     "ir10_delta_index" -> ir6PostingsBm25Sql,
     "ir11_phrase_query" -> ir11PhraseQuerySql,
     "ir12_training_pairs" -> ir12TrainingPairsSql,
+    // the persisted detour is invisible to the answer: ir11b ≡ ir11
+    "ir11b_persisted_positions" -> ir11PhraseQuerySql,
     "a22_bleu" -> a22BleuSql,
     "a30_bootstrap_ci" -> a30BootstrapCiSql,
     "a32_rank_corr" -> a32RankCorrSql,

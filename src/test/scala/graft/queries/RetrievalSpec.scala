@@ -199,6 +199,20 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("ir11b: persisted-positions probe scans no corpus file, prunes buckets, equals ir11") {
+    val df = TextQueries.ir11bPersistedPositions(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"persisted-positions probe must not scan the corpus:\n$plan")
+    assert(plan.contains("positions_index"), s"probe must read the persisted index:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket pruning must reach the scan:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = TextQueries.ir11PhraseQuery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
   test("ir5: index audit rows are internally consistent") {
     val rows = TextQueries.ir5InvertedIndex(spark, dir).collect()
     assert(rows.length === 20)
