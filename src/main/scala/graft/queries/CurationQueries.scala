@@ -1689,7 +1689,81 @@ object CurationQueries {
        |  UNION ALL SELECT 4, 'repetition', n3, n4, n3 - n4 FROM dq7a)
        |ORDER BY stage""".stripMargin
 
+  /** e2e7_refresh_audit — the composed OPS face of the incremental quartet:
+    * after a refresh, one audit frame reporting per family (ivf, kg, lsh,
+    * postings) the persisted-base census, the in-flight delta census, and
+    * the merged total — the dashboard row a nightly refresh publishes. The
+    * four families share the same watermark convention (last id-range
+    * decile), so the audit also PROVES the convention is uniform: every
+    * base count comes from the family's persisted artifact (doclen rows,
+    * signature rows, Σ per-entity doc counts, assigned cells) and every
+    * delta count from a pushed-range corpus scan — base corpora are never
+    * rescanned, and n_merged = n_base + n_delta is exact because the
+    * segments are disjoint. */
+  def e2e7RefreshAudit(s: SparkSession, dir: String): DataFrame = {
+    val pHome = TextQueries.ensureBasePostingsIndex(s, dir)
+    val lHome = DedupQueries.ensureLshIndex(s, dir)
+    val kHome = MatchQueries.ensureKgDeltaIndex(s, dir)
+    val vHome = SimilarityQueries.ensureIvfDeltaIndex(s, dir)
+    def splitOf(home: java.nio.file.Path): Long =
+      s.read.parquet(home.resolve("stats").toString).collect()(0).getAs[Long]("split_id")
+    val (pSp, lSp, kSp, vSp) = (splitOf(pHome), splitOf(lHome), splitOf(kHome), splitOf(vHome))
+    def row(name: String, split: Long, base: DataFrame, delta: DataFrame): DataFrame =
+      base.crossJoin(delta).select(
+        lit(name).as("family"), lit(split).as("split_id"),
+        col("n_base"), col("n_delta"),
+        (col("n_base") + col("n_delta")).as("n_merged"))
+    val fm = graft.operators.FastMatch.matcher(MatchQueries.gazetteer)
+    val docs = t(s, dir, "documents")
+    val rows = Seq(
+      row("ivf", vSp,
+        s.read.parquet(vHome.resolve("cells").toString).agg(count(lit(1)).as("n_base")),
+        t(s, dir, "embeddings").filter(col("vec_id") > vSp)
+          .agg(count(lit(1)).as("n_delta"))),
+      row("kg", kSp,
+        s.read.parquet(kHome.resolve("ent").toString)
+          .agg(coalesce(sum("n_docs"), lit(0L)).as("n_base")),
+        docs.filter(col("doc_id") > kSp)
+          .select(col("doc_id"), explode(fm(col("text"))).as("m"))
+          .select(col("doc_id"), col("m.matched").as("entity")).distinct()
+          .agg(count(lit(1)).as("n_delta"))),
+      row("lsh", lSp,
+        s.read.parquet(lHome.resolve("sigs").toString).agg(count(lit(1)).as("n_base")),
+        docs.filter(col("doc_id") > lSp && size(split(col("text"), " ")) >= 3)
+          .agg(count(lit(1)).as("n_delta"))),
+      row("postings", pSp,
+        s.read.parquet(pHome.resolve("doclen").toString).agg(count(lit(1)).as("n_base")),
+        docs.filter(col("doc_id") > pSp).agg(count(lit(1)).as("n_delta"))))
+    rows.reduce(_ unionByName _).orderBy("family")
+  }
+
+  val e2e7RefreshAuditSql: String =
+    s"""WITH dspl AS (SELECT MAX(doc_id) - (MAX(doc_id) - MIN(doc_id)) // 10 AS sp FROM documents),
+       |vspl AS (SELECT MAX(vec_id) - (MAX(vec_id) - MIN(vec_id)) // 10 AS sp FROM embeddings),
+       |${MatchQueries.entityDocsSql},
+       |rws AS (
+       |  SELECT 'ivf' AS family, (SELECT sp FROM vspl) AS split_id,
+       |    (SELECT COUNT(*) FROM embeddings WHERE vec_id <= (SELECT sp FROM vspl)) AS n_base,
+       |    (SELECT COUNT(*) FROM embeddings WHERE vec_id > (SELECT sp FROM vspl)) AS n_delta
+       |  UNION ALL
+       |  SELECT 'kg', (SELECT sp FROM dspl),
+       |    (SELECT COUNT(*) FROM ed WHERE doc_id <= (SELECT sp FROM dspl)),
+       |    (SELECT COUNT(*) FROM ed WHERE doc_id > (SELECT sp FROM dspl))
+       |  UNION ALL
+       |  SELECT 'lsh', (SELECT sp FROM dspl),
+       |    (SELECT COUNT(*) FROM documents
+       |     WHERE doc_id <= (SELECT sp FROM dspl) AND len(string_split(text, ' ')) >= 3),
+       |    (SELECT COUNT(*) FROM documents
+       |     WHERE doc_id > (SELECT sp FROM dspl) AND len(string_split(text, ' ')) >= 3)
+       |  UNION ALL
+       |  SELECT 'postings', (SELECT sp FROM dspl),
+       |    (SELECT COUNT(*) FROM documents WHERE doc_id <= (SELECT sp FROM dspl)),
+       |    (SELECT COUNT(*) FROM documents WHERE doc_id > (SELECT sp FROM dspl)))
+       |SELECT family, split_id, n_base, n_delta, n_base + n_delta AS n_merged
+       |FROM rws ORDER BY family""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "e2e7_refresh_audit" -> (e2e7RefreshAudit _),
     "dq7_filter_funnel" -> (dq7FilterFunnel _),
     "ta17_nb_quality" -> (ta17NbQuality _),
     "sm11_unimax" -> (sm11Unimax _),
@@ -1718,6 +1792,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "dq7_filter_funnel" -> dq7FilterFunnelSql,
+    "e2e7_refresh_audit" -> e2e7RefreshAuditSql,
     "ta17_nb_quality" -> ta17NbQualitySql,
     "sm11_unimax" -> sm11UnimaxSql,
     "pk3_nextfit_pack" -> pk3NextfitPackSql,

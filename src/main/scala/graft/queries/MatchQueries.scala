@@ -80,7 +80,7 @@ object MatchQueries {
 
   /** Shared oracle CTE: distinct (doc_id, entity) presence via the fm1
     * regex arms — the relation both kg oracles build their graph from. */
-  private val entityDocsSql: String = {
+  private[queries] val entityDocsSql: String = {
     val arms = gazetteer.map { cand =>
       val esc = cand.replace("'", "''")
       s"""SELECT doc_id, '$esc' AS entity FROM documents WHERE len(regexp_extract_all(lower(text), '\\b${esc}\\b')) > 0"""

@@ -403,6 +403,24 @@ class R13QueriesSpec extends SparkSpec {
     assert(deltaEnts > 0, "delta segment must contribute matches")
   }
 
+  test("e2e7: audit rows reconcile with each family's own full-corpus census") {
+    val rows = CurationQueries.e2e7RefreshAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set("ivf", "kg", "lsh", "postings"))
+    rows.values.foreach { case (_, b, d, m) => assert(m === b + d); assert(d > 0) }
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    val nVecs = graft.Tables(spark, dir, "embeddings").count()
+    assert(rows("postings")._4 === nDocs)
+    assert(rows("ivf")._4 === nVecs)
+    val nSigs = DedupQueries.dd2MinhashSigs(spark, dir).count()
+    assert(rows("lsh")._4 === nSigs, "lsh merged census must equal the dd2 signature count")
+    val fm = graft.operators.FastMatch.matcher(MatchQueries.gazetteer)
+    val nEd = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(fm(col("text"))).as("m"))
+      .select(col("doc_id"), col("m.matched")).distinct().count()
+    assert(rows("kg")._4 === nEd, "kg merged census must equal the entity-doc relation size")
+  }
+
   test("kg3 singletons: an entity with no strong edge is its own community") {
     val rows = MatchQueries.kg3EntityCommunities(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
