@@ -421,6 +421,41 @@ class R13QueriesSpec extends SparkSpec {
     assert(rows("kg")._4 === nEd, "kg merged census must equal the entity-doc relation size")
   }
 
+  test("mm7: base hashes come from the artifact, only the delta is hashed, equals mm4") {
+    val df = MultimodalQueries.mm7PhashDelta(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("phash_index"), s"probe must read the persisted pHash index:\n$plan")
+    val corpusScans = plan.sliding("documents.parquet".length).count(_ == "documents.parquet")
+    val pushedRange = plan.sliding("GreaterThan(doc_id".length).count(_ == "GreaterThan(doc_id")
+    assert(pushedRange >= corpusScans,
+      s"every corpus scan needs the pushed delta range filter:\n$plan")
+    val got = df.collect().map(_.toSeq).toSeq
+    val want = MultimodalQueries.mm4PhashNeardup(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
+  test("mm7 fixture: an asset copied after the snapshot is flagged near its base twin") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mm7fix").toString
+    val payload = ("the quick brown fox jumps over the lazy dog " * 3).trim // ≥ 64 chars
+    val docs = (0L until 100L).map { i =>
+      val text =
+        if (i == 40L || i == 95L) payload
+        else s"asset $i " + (s"u${i}x" * 20) + " trailing content to clear the 64-char floor"
+      (i, text, text.length.toLong)
+    }.toDF("doc_id", "text", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val home = MultimodalQueries.ensurePhashIndex(spark, tmp)
+    val maxIndexed = spark.read.parquet(home.resolve("sigs").toString)
+      .agg(max("asset_id")).collect()(0).getLong(0)
+    assert(maxIndexed <= 90L, "the persisted snapshot must not contain delta assets")
+    val rows = MultimodalQueries.mm7PhashDelta(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows(95L)._2 >= 1L, "the post-snapshot copy must be flagged near its base twin")
+    assert(rows(40L)._2 >= 1L, "the base twin's count must gain the delta partner")
+  }
+
   test("kg3 singletons: an entity with no strong edge is its own community") {
     val rows = MatchQueries.kg3EntityCommunities(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
