@@ -2583,6 +2583,51 @@ object TextQueries {
        |ORDER BY label DESC, rank""".stripMargin
   }
 
+  /** a35_pass_at_k — the pass@k unbiased estimator (Chen et al. 2021,
+    * Codex §2.1): with n samples per task of which c pass, pass@k =
+    * 1 − C(n−c, k)/C(n, k), computed in the numerically-stable product
+    * form 1 − Π_{i<k} (n−c−i)/(n−i) — THE metric for code-generation
+    * evals, and the one generation-eval the a22–a34 battery lacked. Tasks
+    * are deterministic 10-doc buckets (doc_id div 10 — the "10 samples per
+    * problem" protocol), a sample "passes" if it contains the token
+    * `join` (the deterministic unit-test proxy). n−c < k makes some
+    * factor non-positive — the estimator is exactly 1 there (both engines
+    * take the same branch). The 5-factor product evaluates in one fixed
+    * left-to-right IEEE tree on both engines, then e6-rounds (the Q
+    * convention). One scan, one task-keyed shuffle of counts. */
+  def a35PassAtK(s: SparkSession, dir: String): DataFrame = {
+    val hit = array_contains(tokens(col("text")), "join")
+    val g = t(s, dir, "documents")
+      .select(expr("doc_id div 10").as("task_id"), hit.as("hit"))
+      .groupBy("task_id")
+      .agg(count(lit(1)).as("n"), sum(when(col("hit"), 1L).otherwise(0L)).as("c"))
+    val (nd, cd) = (col("n").cast(DoubleType), col("c").cast(DoubleType))
+    val prod5 = (0 until 5)
+      .map(i => (nd - cd - i) / (nd - i))
+      .reduceLeft(_ * _)
+    g.select(col("task_id"), col("n"), col("c"),
+        round(lit(1e6) * cd / nd).cast(LongType).as("pass1_e6"),
+        when(col("n") - col("c") < 5, lit(1000000L))
+          .otherwise(round(lit(1e6) * (lit(1.0) - prod5)).cast(LongType)).as("pass5_e6"))
+      .orderBy("task_id")
+  }
+
+  val a35PassAtKSql: String = {
+    val prod5 = (0 until 5)
+      .map(i => s"((CAST(n AS DOUBLE) - CAST(c AS DOUBLE) - $i) / (CAST(n AS DOUBLE) - $i))")
+      .mkString(" * ")
+    s"""WITH g AS (
+       |  SELECT doc_id // 10 AS task_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN list_contains(string_split(text, ' '), 'join')
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM documents GROUP BY doc_id // 10)
+       |SELECT task_id, n, c,
+       |  CAST(ROUND(1e6 * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS pass1_e6,
+       |  CASE WHEN n - c < 5 THEN 1000000
+       |    ELSE CAST(ROUND(1e6 * (1.0 - $prod5)) AS BIGINT) END AS pass5_e6
+       |FROM g ORDER BY task_id""".stripMargin
+  }
+
   /** ta5_winnow_fingerprint — winnowing document fingerprint (Schleimer,
     * Wilkerson, Aiken 2003 — the MOSS scheme): rolling token-4-gram hashes,
     * minimum per sliding window of 4, fingerprint = md5 over the sorted
@@ -2954,6 +2999,7 @@ object TextQueries {
     "ir11_phrase_query" -> (ir11PhraseQuery _),
     "ir12_training_pairs" -> (ir12TrainingPairs _),
     "ir11b_persisted_positions" -> (ir11bPersistedPositions _),
+    "a35_pass_at_k" -> (a35PassAtK _),
     "a22_bleu" -> (a22Bleu _),
     "a30_bootstrap_ci" -> (a30BootstrapCi _),
     "a32_rank_corr" -> (a32RankCorr _),
@@ -3009,6 +3055,7 @@ object TextQueries {
     "ir12_training_pairs" -> ir12TrainingPairsSql,
     // the persisted detour is invisible to the answer: ir11b ≡ ir11
     "ir11b_persisted_positions" -> ir11PhraseQuerySql,
+    "a35_pass_at_k" -> a35PassAtKSql,
     "a22_bleu" -> a22BleuSql,
     "a30_bootstrap_ci" -> a30BootstrapCiSql,
     "a32_rank_corr" -> a32RankCorrSql,

@@ -10,6 +10,30 @@ class TextQueriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("a35: the product form equals the exact binomial estimator per task") {
+    def choose(n: Long, k: Long): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (0L until k).map(i => BigInt(n - i)).product / (1L to k).map(BigInt(_)).product
+    val rows = TextQueries.a35PassAtK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tid, n, c, p1, p5) =>
+      assert(n === 10L, s"the 10-samples-per-task protocol must hold for task $tid")
+      assert(p1 === math.round(1e6 * c.toDouble / n))
+      val exact = if (n - c < 5) BigInt(0)
+        else choose(n - c, 5) * 1000000 / choose(n, 5)
+      val want = 1000000L - exact.toLong
+      // the double product and the exact rational agree to the e6 grid
+      assert(math.abs(p5 - want) <= 1L, s"task $tid: pass@5 $p5 vs exact $want")
+      if (c === 0L) assert(p5 === 0L, s"no passing sample ⇒ pass@5 = 0 for $tid")
+      if (n - c < 5) assert(p5 === 1000000L)
+    }
+    // the predicate must split: some task fully fails k=5 and some doesn't
+    assert(rows.exists(_._5 === 1000000L) || rows.exists(r => r._2 - r._3 < 5) ||
+      rows.exists(_._5 > 0L))
+    assert(rows.exists(_._5 < 1000000L))
+  }
+
   test("f14 oracle stem table agrees with the Scala stemmer word-for-word") {
     TextQueries.F14StemTable.foreach { case (w, want) =>
       assert(PorterStemmer.stem(w) === want, s"stem($w)")
