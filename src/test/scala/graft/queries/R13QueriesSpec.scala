@@ -456,6 +456,29 @@ class R13QueriesSpec extends SparkSpec {
     assert(rows(40L)._2 >= 1L, "the base twin's count must gain the delta partner")
   }
 
+  test("dd19: probe reads the persisted filter, scans only the test side, equals dd10") {
+    val df = DedupQueries.dd19PersistedBloom(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the persisted blocks ride the plan as the zero-shuffle literal probe
+    // (collected once at construction), so the artifact appears as no scan
+    // node at all — assert it exists and is non-trivial instead
+    val home = DedupQueries.ensureBloomIndex(spark, dir)
+    assert(spark.read.parquet(home.resolve("blocks").toString).count() > 0)
+    val corpusScans = plan.sliding("documents.parquet".length).count(_ == "documents.parquet")
+    assert(corpusScans === 1,
+      s"only the test side may touch the corpus (train is the artifact):\n$plan")
+    val got = df.collect().map(_.toSeq).toSeq
+    val want = DedupQueries.dd10BloomContamination(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+    // geometry mismatch must fail loudly, not yield silent false negatives
+    val meta = spark.read.parquet(home.resolve("meta").toString)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Bloom.requireMeta(meta, 12345L, 2)
+    }
+    assert(e.getMessage.contains("geometry mismatch"))
+  }
+
   test("kg3 singletons: an entity with no strong edge is its own community") {
     val rows = MatchQueries.kg3EntityCommunities(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
