@@ -2,6 +2,9 @@ package graft.operators
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max, min}
+
 /** Shared machinery for PERSISTED serving indexes (ss2b's IVF cells, ir6b's
   * posting lists): a build-if-absent protocol under a corpus-fingerprinted
   * staging directory with crash-safe atomic publication.
@@ -28,26 +31,62 @@ object PersistedIndex {
   private def sanitize(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_")
 
-  /** Content fingerprint of `dir/table.parquet` without scanning data: file
-    * count + total bytes + newest mtime (hex-packed). Any in-place rewrite
-    * bumps the mtime; appends and row-count-preserving regens change bytes
-    * or mtime. Cheap (pure filesystem metadata), stable across processes. */
+  /** Content fingerprint of `dir/table.parquet` without scanning data: a
+    * per-file (relative name, size) vector hash + total bytes + newest
+    * mtime + a 4 KiB content sample of the lexicographically-first file
+    * (hex-packed). Any in-place rewrite bumps the mtime; appends and
+    * row-count-preserving regens change the size vector or mtime; a
+    * same-millisecond regen that preserves every file size still flips the
+    * content sample unless the bytes are genuinely identical — in which
+    * case reusing the index is CORRECT, not stale (ADVICE r13). Residual
+    * blind spot: a same-millisecond size-preserving rewrite of only a
+    * NON-sampled file; closing it would mean checksumming every file on
+    * every probe. Cheap (one stat per file + one bounded read), stable
+    * across processes.
+    *
+    * Single-host assumption (ADVICE r13): [[sweepStale]]'s liveness check
+    * sees only LOCAL pids, so the `staging/` tree must not be shared
+    * between hosts — on a cluster, each node keeps its own staging dir (or
+    * the build moves to a real job scheduler with distributed locks). */
   def tableFingerprint(dir: String, table: String): String = {
     val p = Paths.get(dir, s"$table.parquet")
     if (!Files.exists(p)) "absent"
     else {
-      var files = 0L; var bytes = 0L; var mtime = 0L
+      var vec = 0L; var bytes = 0L; var mtime = 0L
+      var first: Path = null
       val it = Files.walk(p)
       try it.forEach { f =>
         if (Files.isRegularFile(f)) {
-          files += 1
-          bytes += Files.size(f)
+          val sz = Files.size(f)
+          bytes += sz
           mtime = math.max(mtime, Files.getLastModifiedTime(f).toMillis)
+          // FNV-1a-style fold of (relative name, size) — order-independent
+          // via commutative addition so walk order can't change the key
+          var h = 0xcbf29ce484222325L
+          val name = p.relativize(f).toString
+          var i = 0
+          while (i < name.length) { h ^= name.charAt(i); h *= 0x100000001b3L; i += 1 }
+          h ^= sz; h *= 0x100000001b3L
+          vec += h
+          if (first == null || f.toString < first.toString) first = f
         }
       } finally it.close()
-      java.lang.Long.toHexString(files) + "x" +
+      var sample = 0L
+      if (first != null) {
+        val in = Files.newInputStream(first)
+        try {
+          val buf = new Array[Byte](4096)
+          var read = 0; var off = 0
+          while (off < buf.length && { read = in.read(buf, off, buf.length - off); read > 0 })
+            off += read
+          var i = 0
+          while (i < off) { sample ^= (buf(i) & 0xffL) << ((i % 8) * 8); i += 1 }
+        } finally in.close()
+      }
+      java.lang.Long.toHexString(vec) + "x" +
         java.lang.Long.toHexString(bytes) + "x" +
-        java.lang.Long.toHexString(mtime)
+        java.lang.Long.toHexString(mtime) + "x" +
+        java.lang.Long.toHexString(sample)
     }
   }
 
@@ -71,9 +110,17 @@ object PersistedIndex {
     build(tmp)
     Files.createFile(tmp.resolve("_INDEX_COMPLETE"))
     try Files.move(tmp, home, StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.FileSystemException =>
-      // lost the publish race to a COMPLETE winner — drop the staging copy
+    catch { case e: java.nio.file.FileSystemException =>
+      // lost the publish race to a COMPLETE winner — drop the staging copy.
+      // Any OTHER publish failure (permissions, staging on a mount where
+      // ATOMIC_MOVE is unsupported) must surface HERE, not as an opaque
+      // missing-artifact read downstream (ADVICE r13): assert the winner
+      // actually exists before discarding a perfectly good build.
       deleteTree(tmp)
+      if (!isBuilt(home)) throw new IllegalStateException(
+        s"index publish to $home failed and no complete winner exists — " +
+          "not a lost race; staging and home must live on one mount with " +
+          "atomic-rename support", e)
     }
   }
 
@@ -104,4 +151,32 @@ object PersistedIndex {
       val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
       try it.forEach(f => Files.deleteIfExists(f)) finally it.close()
     }
+
+  // ---- the incremental family's shared watermark convention ----------
+  // (VERDICT r13 #4: five ensure*Index builders hand-rolled the same
+  // min/max → last-decile split → stats-row dance; a sixth family would
+  // drift. One helper each, zero behavior change.)
+
+  /** Snapshot watermark over an id column: the base segment is ids
+    * at-or-below the last decile of the id range — modeling "the rows
+    * that arrived after the snapshot" (ir10/dd18/kg6/ss9/mm7). One
+    * bounded two-value driver read; the probe side then pushes
+    * `id > split` as a range predicate so delta work is
+    * delta-proportional. */
+  def idWatermark(df: DataFrame, idCol: String): Long = {
+    val r = df.agg(min(col(idCol)), max(col(idCol))).collect()(0)
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    hi - (hi - lo) / 10L
+  }
+
+  /** The minimal one-row stats frame carrying the watermark — families
+    * with richer sufficient statistics (postings' n_docs/total_dl, kg's
+    * document census) widen their own stats row with `split_id` instead. */
+  def splitStats(s: SparkSession, split: Long): DataFrame =
+    s.range(1).select(lit(split).as("split_id"))
+
+  /** Read the persisted watermark back (one-row bounded artifact read). */
+  def readSplit(s: SparkSession, home: Path): Long =
+    s.read.parquet(home.resolve("stats").toString)
+      .collect()(0).getAs[Long]("split_id")
 }

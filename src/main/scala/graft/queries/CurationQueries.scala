@@ -1706,7 +1706,7 @@ object CurationQueries {
     val kHome = MatchQueries.ensureKgDeltaIndex(s, dir)
     val vHome = SimilarityQueries.ensureIvfDeltaIndex(s, dir)
     def splitOf(home: java.nio.file.Path): Long =
-      s.read.parquet(home.resolve("stats").toString).collect()(0).getAs[Long]("split_id")
+      graft.operators.PersistedIndex.readSplit(s, home)
     val (pSp, lSp, kSp, vSp) = (splitOf(pHome), splitOf(lHome), splitOf(kHome), splitOf(vHome))
     def row(name: String, split: Long, base: DataFrame, delta: DataFrame): DataFrame =
       base.crossJoin(delta).select(

@@ -849,16 +849,14 @@ object DedupQueries {
     val home = PersistedIndex.home("lsh_index", dir,
       "v1_" + PersistedIndex.tableFingerprint(dir, "documents"))
     PersistedIndex.buildIfAbsent(home) { tmp =>
-      val ids = t(s, dir, "documents").agg(min("doc_id"), max("doc_id")).collect()(0)
-      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-      val split = hi - (hi - lo) / 10L
+      val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
       val baseSigs = Dedup.minhashSignatures(
         t(s, dir, "documents").filter(col("doc_id") <= split), "doc_id", "text")
       baseSigs.write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
       Dedup.lshCandidatePairs(
           s.read.parquet(tmp.resolve("sigs").toString), "doc_id")
         .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
-      s.range(1).select(lit(split).as("split_id"))
+      PersistedIndex.splitStats(s, split)
         .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }
     home
@@ -880,8 +878,7 @@ object DedupQueries {
     * read, vs dd3's O(|corpus|·collisions) re-pair. */
   def dd18DeltaNeardup(s: SparkSession, dir: String): DataFrame = {
     val home = ensureLshIndex(s, dir)
-    val split = s.read.parquet(home.resolve("stats").toString)
-      .collect()(0).getAs[Long]("split_id")
+    val split = graft.operators.PersistedIndex.readSplit(s, home)
     val baseSigs = s.read.parquet(home.resolve("sigs").toString)
     val basePairs = s.read.parquet(home.resolve("pairs").toString)
     val deltaSigs = Dedup.minhashSignatures(

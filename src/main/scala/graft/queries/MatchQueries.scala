@@ -660,9 +660,7 @@ object MatchQueries {
     val home = PersistedIndex.home("kg_delta_index", dir,
       PersistedIndex.tableFingerprint(dir, "documents"))
     PersistedIndex.buildIfAbsent(home) { tmp =>
-      val ids = t(s, dir, "documents").agg(min("doc_id"), max("doc_id")).collect()(0)
-      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-      val split = hi - (hi - lo) / 10L
+      val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
       val fm = FastMatch.matcher(gazetteer)
       val ed = t(s, dir, "documents").filter(col("doc_id") <= split)
         .select(col("doc_id"), explode(fm(col("text"))).as("m"))

@@ -351,15 +351,14 @@ object MultimodalQueries {
       .select(col("pc.cent_id")).distinct().collect().map(_.getLong(0)).sorted
     val cells = s.read.parquet(home.resolve("cells").toString)
       .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("asset_id").orderBy(desc("cos_e6"), col("vec_id"))
-    cells.withColumn("cell", col("cell").cast(LongType))
+    val scored = cells.withColumn("cell", col("cell").cast(LongType))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("assoc_id"))
       .withColumn("cos_e6", cosE6(dot(col("qv"), col("embedding")), col("qn"), col("norm")))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= Mm6TopK)
-      .select("asset_id", "rank", "vec_id", "cos_e6")
+      .select("asset_id", "vec_id", "cos_e6")
+    graft.operators.TopK.smallestPerGroup(scored, Seq("asset_id"), Mm6TopK,
+        -col("cos_e6"), col("vec_id"), keyName = "neg_cos", idName = "vec_id")
+      .select(col("asset_id"), col("rank"), col("vec_id"), (-col("neg_cos")).as("cos_e6"))
       .orderBy("asset_id", "rank")
   }
 
@@ -406,9 +405,7 @@ object MultimodalQueries {
     val home = PersistedIndex.home("phash_index", dir,
       PersistedIndex.tableFingerprint(dir, "documents"))
     PersistedIndex.buildIfAbsent(home) { tmp =>
-      val ids = t(s, dir, "documents").agg(min("doc_id"), max("doc_id")).collect()(0)
-      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-      val split = hi - (hi - lo) / 10L
+      val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
       phashSigs(t(s, dir, "documents").filter(col("doc_id") <= split))
         .write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
       val b = bandedPhash(s.read.parquet(tmp.resolve("sigs").toString))
@@ -419,7 +416,7 @@ object MultimodalQueries {
         .filter(col("id_a") =!= col("id_b"))
         .select("id_a", "id_b", "sa", "sb").distinct()
       phashPairCounts(cand).write.mode("overwrite").parquet(tmp.resolve("counts").toString)
-      s.range(1).select(lit(split).as("split_id"))
+      PersistedIndex.splitStats(s, split)
         .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }
     home
@@ -437,8 +434,7 @@ object MultimodalQueries {
     * the fifth face of the incremental family. */
   def mm7PhashDelta(s: SparkSession, dir: String): DataFrame = {
     val home = ensurePhashIndex(s, dir)
-    val split = s.read.parquet(home.resolve("stats").toString)
-      .collect()(0).getAs[Long]("split_id")
+    val split = graft.operators.PersistedIndex.readSplit(s, home)
     val baseSigs = s.read.parquet(home.resolve("sigs").toString)
     val baseCounts = s.read.parquet(home.resolve("counts").toString)
     val deltaSigs = phashSigs(

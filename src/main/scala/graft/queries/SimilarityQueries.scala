@@ -258,14 +258,17 @@ object SimilarityQueries {
       .select(col("pc.cent_id")).distinct().collect().map(_.getLong(0)).sorted
     val cells = s.read.parquet(home.resolve("cells").toString)
       .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
-    val wRank = Window.partitionBy("query_id").orderBy(desc("cos_e6"), col("vec_id"))
-    cells.withColumn("cell", col("cell").cast(LongType))
+    // probe-side top-k through the k-bounded native aggregate (descending
+    // cos ⇒ negate; ss4/ss6's precedent): map-side partials carry ≤
+    // NQueries×k entries instead of every scored row (VERDICT r13 #8)
+    val scored = cells.withColumn("cell", col("cell").cast(LongType))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_e6", cosE6(dot(col("qv"), col("embedding")), col("qn"), col("norm")))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= TopK)
-      .select("query_id", "rank", "vec_id", "cos_e6")
+      .select("query_id", "vec_id", "cos_e6")
+    graft.operators.TopK.smallestPerGroup(scored, Seq("query_id"), TopK,
+        -col("cos_e6"), col("vec_id"), keyName = "neg_cos", idName = "vec_id")
+      .select(col("query_id"), col("rank"), col("vec_id"), (-col("neg_cos")).as("cos_e6"))
       .orderBy("query_id", "rank")
   }
 
@@ -279,9 +282,8 @@ object SimilarityQueries {
     val home = graft.operators.PersistedIndex.home("ivf_delta_index", dir,
       graft.operators.PersistedIndex.tableFingerprint(dir, "embeddings"))
     graft.operators.PersistedIndex.buildIfAbsent(home) { tmp =>
-      val ids = t(s, dir, "embeddings").agg(min("vec_id"), max("vec_id")).collect()(0)
-      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-      val split = hi - (hi - lo) / 10L
+      val split = graft.operators.PersistedIndex.idWatermark(
+        t(s, dir, "embeddings"), "vec_id")
       val base = withNorm(t(s, dir, "embeddings").filter(col("vec_id") <= split))
       val stride = math.max(2L, math.ceil(math.sqrt(
         t(s, dir, "embeddings").filter(col("vec_id") <= split).count().toDouble)).toLong)
@@ -292,7 +294,7 @@ object SimilarityQueries {
         tmp.resolve("cells").toString, "cell")
       base.filter(col("vec_id") % stride === 0).select("vec_id", "embedding")
         .write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
-      s.range(1).select(lit(split).as("split_id"))
+      graft.operators.PersistedIndex.splitStats(s, split)
         .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }
     home
@@ -315,8 +317,7 @@ object SimilarityQueries {
     * equivalence, applied to search results). */
   def ss9DeltaProbe(s: SparkSession, dir: String): DataFrame = {
     val home = ensureIvfDeltaIndex(s, dir)
-    val split = s.read.parquet(home.resolve("stats").toString)
-      .collect()(0).getAs[Long]("split_id")
+    val split = graft.operators.PersistedIndex.readSplit(s, home)
     val idx = graft.operators.Similarity.centroidIndex(
       s.read.parquet(home.resolve("centroids").toString), "vec_id", "embedding")
     val q = withNorm(t(s, dir, "embeddings")).filter(col("vec_id") < NQueries)
@@ -345,11 +346,11 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_e6", cosE6(dot(col("qv"), col("embedding")), col("qn"), col("norm")))
       .select("query_id", "vec_id", "cos_e6")
-    val wRank = Window.partitionBy("query_id").orderBy(desc("cos_e6"), col("vec_id"))
-    scoreSegment(baseCells).unionByName(scoreSegment(deltaCells))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= TopK)
-      .select("query_id", "rank", "vec_id", "cos_e6")
+    graft.operators.TopK.smallestPerGroup(
+        scoreSegment(baseCells).unionByName(scoreSegment(deltaCells)),
+        Seq("query_id"), TopK,
+        -col("cos_e6"), col("vec_id"), keyName = "neg_cos", idName = "vec_id")
+      .select(col("query_id"), col("rank"), col("vec_id"), (-col("neg_cos")).as("cos_e6"))
       .orderBy("query_id", "rank")
   }
 

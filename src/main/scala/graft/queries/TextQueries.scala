@@ -2168,9 +2168,12 @@ object TextQueries {
     * bucket), `doclen`, one-row `stats`, and `blockmax` — the per
     * (word, [[PostingBlock]]-doc block) ceil-e6 upper bound of the TRUE
     * per-doc BM25 term score (query-INDEPENDENT: df/avgdl are corpus
-    * statistics), the skip list Block-Max WAND serves from. The `v2`
-    * fingerprint prefix versions the artifact layout (v1 had no
-    * blockmax). */
+    * statistics), the skip list Block-Max WAND serves from. The `v3`
+    * fingerprint prefix versions the artifact layout (v1 had no blockmax;
+    * v2 added it at ir5's 1024-doc storage granularity; v3 tightened the
+    * blocks to [[Ir9Block]] = 64 docs, the bound width skip decisions
+    * need) — bump it whenever artifacts change shape, or stale homes get
+    * silently reused. */
   private[queries] def ensurePostingsIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     val (k1, b) = (1.2, 0.75)
     import graft.operators.PersistedIndex
@@ -2251,8 +2254,11 @@ object TextQueries {
     * score. Results are bit-equal to ir6 (identical double arithmetic on
     * identical inputs over a provably sufficient candidate set; the
     * oracle is ir6's SQL — pruning is invisible to the answer, which is
-    * the point). Precondition (holds at every SF here): ≥ k docs carry a
-    * query-term posting, so zero-score docs can never enter the top-k.
+    * the point). Precondition: ≥ k docs carry a query-term posting, so
+    * zero-score docs can never enter the top-k — certified at runtime by
+    * the seed block carrying k exact scores; when it can't be (sparse
+    * terms, tiny corpora), the probe falls back to ir6b's full scoring
+    * off the same artifacts, zero-score padding included.
     *
     * Scale shape: bounds/seed/θ are block-count- and k-bounded (seed top
     * is a ≤k-row collect, the ir7 class); the kept-block filter is a
@@ -2298,19 +2304,29 @@ object TextQueries {
         .crossJoin(broadcast(stats))
         .select(col("doc_id"), col("dl"), round(score * 1e6).cast(LongType).as("bm25_e6"))
     }
-    val seedRow = bounds.orderBy(desc("bound_e6"), col("blk")).limit(1).collect()
-    if (seedRow.isEmpty) {
-      import s.implicits._
-      val empty = Seq.empty[(Long, Long, Long)].toDF("doc_id", "dl", "bm25_e6")
-      return (empty, bounds, bounds)
+    // Fallback when the block-max precondition (≥ k docs carry a
+    // query-term posting, so zero-score docs can never enter ir6's top-k)
+    // cannot be certified from the seed block: score EVERY doc off the
+    // same persisted artifacts — ir6b's exact plan, so zero-score docs
+    // pad the top-k exactly as ir6's all-docs scoring does (ADVICE r13:
+    // the precondition was documented but never checked at runtime).
+    def fullScored: DataFrame = {
+      val pivotCols = qterms.map(q => max(when(col("word") === q, col("tf"))).as(s"tf_$q"))
+      val pivoted = tf3.groupBy("doc_id").agg(pivotCols.head, pivotCols.tail: _*)
+      dl.join(pivoted, Seq("doc_id"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("dl"), round(score * 1e6).cast(LongType).as("bm25_e6"))
+        .orderBy(desc("bm25_e6"), col("doc_id")).limit(topK)
     }
+    val seedRow = bounds.orderBy(desc("bound_e6"), col("blk")).limit(1).collect()
+    if (seedRow.isEmpty) return (fullScored, bounds, bounds)
     val seed = seedRow.head.getAs[Long]("blk")
     val seedDocs = tf3.filter(expr(s"doc_id div $Ir9Block") === seed)
       .select("doc_id").distinct()
     // θ = the k-th exact score inside the seed block (≤k-row collect)
     val seedTop = scored(seedDocs).orderBy(desc("bm25_e6"), col("doc_id")).limit(topK).collect()
-    val theta = if (seedTop.length < topK) Long.MinValue
-      else seedTop.last.getAs[Long]("bm25_e6")
+    if (seedTop.length < topK) return (fullScored, bounds, bounds)
+    val theta = seedTop.last.getAs[Long]("bm25_e6")
     val kept = bounds.filter(col("bound_e6") >= theta)
     val candDocs = tf3.withColumn("blk", expr(s"doc_id div $Ir9Block"))
       .join(broadcast(kept.select("blk")), Seq("blk"), "left_semi")
@@ -2354,9 +2370,7 @@ object TextQueries {
     val home = PersistedIndex.home("postings_base", dir,
       "v1_" + PersistedIndex.tableFingerprint(dir, "documents"))
     PersistedIndex.buildIfAbsent(home) { tmp =>
-      val ids = t(s, dir, "documents").agg(min("doc_id"), max("doc_id")).collect()(0)
-      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-      val split = hi - (hi - lo) / 10L
+      val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
       val tf = tfTable(s, dir).filter(col("doc_id") <= split)
         .withColumn("bucket", pmod(detHash(col("word")), lit(PostingsBuckets.toLong)))
       graft.sources.Layout.writePartitioned(
