@@ -176,9 +176,13 @@ object Dedup {
     * (both map-side combinable); rounds = component diameter, which stays
     * small for near-dup clusters (they are dense — most members share direct
     * pairs). Labels are localCheckpoint'ed per round to cut lineage, and the
-    * loop stops as soon as a round changes nothing (label sums are strictly
-    * decreasing until the fixpoint, so one Decimal aggregate detects it —
-    * no per-row diff join).
+    * loop stops as soon as a round changes nothing: for NUMERIC ids, label
+    * sums are strictly decreasing until the fixpoint, so one Decimal
+    * aggregate detects it with no per-row diff join; for STRING ids
+    * (kg3's entity labels — min-label is lexicographic there, matching
+    * the union-by-min convention) no monotone scalar exists, so the
+    * fixpoint is an exact changed-row probe (id-keyed join + limit 1 —
+    * still label-table-proportional, never corpus-proportional).
     *
     * Returns (id, comp) for every id that appears in a pair; comp = min id
     * of the component. */
@@ -189,20 +193,28 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
+    val numericIds = labels.schema("comp").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast(DecimalType(38, 0)))).first().getDecimal(0)
-    var curSum = labelSum(labels)
-    var done = curSum == null // no edges at all
+    def anyChanged(prev: DataFrame, next: DataFrame): Boolean =
+      next.join(prev.select(col("id"), col("comp").as("__prev")), Seq("id"))
+        .filter(col("comp") =!= col("__prev")).limit(1).count() > 0L
+    var curSum = if (numericIds) labelSum(labels) else null
+    var done = numericIds && curSum == null // no edges at all
+    if (!numericIds) done = labels.limit(1).count() == 0L
     var it = 0
     while (!done && it < maxIter) {
       val prop = edges.join(labels.select(col("id").as("v"), col("comp")), Seq("v"))
         .select(col("u").as("id"), col("comp"))
       val next = labels.union(prop).groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
-      done = nextSum.compareTo(curSum) == 0
+      if (numericIds) {
+        val nextSum = labelSum(next)
+        done = nextSum.compareTo(curSum) == 0
+        curSum = nextSum
+      } else done = !anyChanged(labels, next)
       labels = next
-      curSum = nextSum
       it += 1
     }
     // Never return partially-propagated labels silently: a component whose

@@ -36,13 +36,14 @@ object PersistedIndex {
     * mtime + a 4 KiB content sample of the lexicographically-first file
     * (hex-packed). Any in-place rewrite bumps the mtime; appends and
     * row-count-preserving regens change the size vector or mtime; a
-    * same-millisecond regen that preserves every file size still flips the
-    * content sample unless the bytes are genuinely identical — in which
-    * case reusing the index is CORRECT, not stale (ADVICE r13). Residual
-    * blind spot: a same-millisecond size-preserving rewrite of only a
-    * NON-sampled file; closing it would mean checksumming every file on
-    * every probe. Cheap (one stat per file + one bounded read), stable
-    * across processes.
+    * same-millisecond regen that preserves every file size flips the
+    * content sample when the sampled prefix changes (ADVICE r13). Residual
+    * blind spot (ADVICE r14): the sample covers only the FIRST 4 KiB of
+    * the lexicographically-first file — a same-millisecond size-preserving
+    * rewrite that changes only bytes past that prefix, or only a
+    * non-sampled file, still reuses the old index; closing that would mean
+    * checksumming every byte on every probe. Cheap (one stat per file +
+    * one bounded read), stable across processes.
     *
     * Single-host assumption (ADVICE r13): [[sweepStale]]'s liveness check
     * sees only LOCAL pids, so the `staging/` tree must not be shared
@@ -71,7 +72,7 @@ object PersistedIndex {
           if (first == null || f.toString < first.toString) first = f
         }
       } finally it.close()
-      var sample = 0L
+      var sample = 0xcbf29ce484222325L
       if (first != null) {
         val in = Files.newInputStream(first)
         try {
@@ -79,8 +80,12 @@ object PersistedIndex {
           var read = 0; var off = 0
           while (off < buf.length && { read = in.read(buf, off, buf.length - off); read > 0 })
             off += read
+          // FNV-1a over the sampled prefix — NOT a lane-XOR fold, which
+          // cancels whenever a byte value repeats an even number of times
+          // at the same lane (a constant-fill 256-byte file XORed to 0
+          // regardless of the fill value — caught by PersistedIndexSpec)
           var i = 0
-          while (i < off) { sample ^= (buf(i) & 0xffL) << ((i % 8) * 8); i += 1 }
+          while (i < off) { sample ^= (buf(i) & 0xffL); sample *= 0x100000001b3L; i += 1 }
         } finally in.close()
       }
       java.lang.Long.toHexString(vec) + "x" +
@@ -97,18 +102,97 @@ object PersistedIndex {
   def isBuilt(home: Path): Boolean =
     Files.exists(home.resolve("_INDEX_COMPLETE"))
 
+  /** Generation-aware home resolution: a COMPACTION (see the postings
+    * family) publishes the same logical index under `<fp>_c<gen>` where
+    * `gen` is the folded-in watermark; the current home is the highest
+    * COMPLETE generation, falling back to the plain fingerprint home.
+    * Probes that resolve through here pick up a compacted snapshot
+    * transparently — answer-invariant by the segment-merge contract, the
+    * in-flight delta just shrinks to the rows above `gen`. */
+  def currentHome(kind: String, dir: String, fingerprint: String): Path = {
+    val base = home(kind, dir, fingerprint)
+    val parent = base.getParent
+    if (!Files.exists(parent)) return base
+    val prefix = base.getFileName.toString + "_c"
+    var best: Path = null
+    var bestGen = -1L
+    val it = Files.list(parent)
+    try it.forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith(prefix) && isBuilt(p)) {
+        val gen =
+          try n.substring(prefix.length).toLong
+          catch { case _: NumberFormatException => -1L }
+        if (gen > bestGen) { bestGen = gen; best = p }
+      }
+    } finally it.close()
+    if (best != null) best else base
+  }
+
+  /** The full lifecycle for a source-backed index family: resolve the
+    * current (possibly compacted) home, build it if absent, and after a
+    * fresh publish sweep SUPERSEDED complete homes of the same
+    * (kind, source dir) — prior fingerprints left behind by in-place
+    * source regens, prior generations after a compaction (VERDICT r14 #3:
+    * published homes orphaned by a fingerprint change accumulated
+    * forever). The already-built fast path does no directory listing. */
+  def ensure(kind: String, dir: String, fingerprint: String)(build: Path => Unit): Path = {
+    val h = currentHome(kind, dir, fingerprint)
+    if (!isBuilt(h)) {
+      buildIfAbsent(h, dir)(build)
+      sweepSuperseded(h, dir)
+    }
+    h
+  }
+
+  /** Remove COMPLETE homes under `current`'s parent that serve the same
+    * source as `current` but are not it: every home published through
+    * [[buildIfAbsent]] with a source dir records it in a `_SOURCE` file;
+    * legacy marker-less homes are matched by sanitized-dir prefix (a
+    * false positive there costs one rebuild, never a wrong answer —
+    * probes key on content fingerprints, not on what happens to be on
+    * disk). Safe against live builders: only COMPLETE homes are swept,
+    * and the `.build_*` staging dirs have their own pid-liveness sweep. */
+  def sweepSuperseded(current: Path, sourceDir: String): Unit = {
+    val parent = current.getParent
+    if (parent == null || !Files.exists(parent)) return
+    val legacyPrefix = sanitize(sourceDir) + "_"
+    val it = Files.list(parent)
+    try it.forEach { p =>
+      val n = p.getFileName.toString
+      if (n != current.getFileName.toString && !n.startsWith(".") && isBuilt(p)) {
+        val src = p.resolve("_SOURCE")
+        val sameSource =
+          if (Files.exists(src)) Files.readString(src) == sourceDir
+          else n.startsWith(legacyPrefix)
+        if (sameSource) deleteTree(p)
+      }
+    } finally it.close()
+  }
+
   /** Run `build` against a staging dir and atomically publish it as `home`,
     * unless a COMPLETE index is already published. The builder must treat
-    * its argument as the future `home` (same relative artifact layout). */
-  def buildIfAbsent(home: Path)(build: Path => Unit): Unit = {
+    * its argument as the future `home` (same relative artifact layout).
+    * When `sourceDir` is non-null it is recorded in the home's `_SOURCE`
+    * file so [[sweepSuperseded]] can later identify same-source homes. */
+  def buildIfAbsent(home: Path)(build: Path => Unit): Unit =
+    buildIfAbsent(home, null)(build)
+
+  def buildIfAbsent(home: Path, sourceDir: String)(build: Path => Unit): Unit = {
     if (isBuilt(home)) return
     Files.createDirectories(home.getParent)
     sweepStale(home.getParent)
     val tmp = home.getParent.resolve(
       s".build_${home.getFileName}_${ProcessHandle.current().pid()}_${System.nanoTime()}")
     Files.createDirectories(tmp)
-    build(tmp)
-    Files.createFile(tmp.resolve("_INDEX_COMPLETE"))
+    // a build that THROWS must not leak its staging dir until this
+    // process dies (VERDICT r14 #4: sweepStale spares live-pid dirs, so a
+    // long-lived driver that retries failed builds would accumulate them)
+    try {
+      build(tmp)
+      if (sourceDir != null) Files.writeString(tmp.resolve("_SOURCE"), sourceDir)
+      Files.createFile(tmp.resolve("_INDEX_COMPLETE"))
+    } catch { case e: Throwable => deleteTree(tmp); throw e }
     try Files.move(tmp, home, StandardCopyOption.ATOMIC_MOVE)
     catch { case e: java.nio.file.FileSystemException =>
       // lost the publish race to a COMPLETE winner — drop the staging copy.
@@ -128,7 +212,11 @@ object PersistedIndex {
     * (crashed mid-build — ADVICE r12: these were never cleaned). A live
     * pid's staging dir is left alone; name format is
     * `.build_<home>_<pid>_<nanos>`, parsed from the tail so underscores in
-    * the home segment never confuse the split. */
+    * the home segment never confuse the split. Also removes COMPLETE
+    * homes whose recorded `_SOURCE` directory no longer exists — such a
+    * home can never be probed again (its fingerprint was derived from a
+    * source that is gone; spec fixtures under java.io.tmpdir used to
+    * accumulate one forever per test run). */
   private[operators] def sweepStale(parent: Path): Unit = {
     if (!Files.exists(parent)) return
     val it = Files.list(parent)
@@ -142,7 +230,9 @@ object PersistedIndex {
           catch { case _: NumberFormatException => false }
         }
         if (!alive) deleteTree(p)
-      }
+      } else if (isBuilt(p) && Files.exists(p.resolve("_SOURCE")) &&
+          !Files.isDirectory(Paths.get(Files.readString(p.resolve("_SOURCE")))))
+        deleteTree(p)
     } finally it.close()
   }
 
@@ -165,6 +255,12 @@ object PersistedIndex {
     * delta-proportional. */
   def idWatermark(df: DataFrame, idCol: String): Long = {
     val r = df.agg(min(col(idCol)), max(col(idCol))).collect()(0)
+    // fail loudly on an empty source (null min/max), not with an NPE from
+    // getLong — this is the SHARED helper and the kg2 convention applies
+    // (VERDICT r14 #2): a snapshot over zero rows is a caller bug
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"idWatermark: source table is empty — cannot snapshot '$idCol' " +
+        "(an incremental index over zero rows indicates a misconfigured source dir)")
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     hi - (hi - lo) / 10L
   }

@@ -430,9 +430,8 @@ object DedupQueries {
     * ONCE at build; every future crawl probes the artifact. */
   private[queries] def ensureBloomIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
-    val home = PersistedIndex.home("bloom_index", dir,
-      PersistedIndex.tableFingerprint(dir, "documents"))
-    PersistedIndex.buildIfAbsent(home) { tmp =>
+    PersistedIndex.ensure("bloom_index", dir,
+      PersistedIndex.tableFingerprint(dir, "documents")) { tmp =>
       val trainSh = Dedup.shingles(
           t(s, dir, "documents").filter(detHash(col("doc_id"), 41) % 10 < 8),
           "doc_id", "text", n = 5)
@@ -442,7 +441,6 @@ object DedupQueries {
       graft.operators.Bloom.metaFor(s, BloomBits, BloomK)
         .write.mode("overwrite").parquet(tmp.resolve("meta").toString)
     }
-    home
   }
 
   /** dd19_persisted_bloom — dd10's train/test contamination screen served
@@ -846,9 +844,8 @@ object DedupQueries {
     * crawls — signatures to probe against and pairs already found. */
   private[queries] def ensureLshIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
-    val home = PersistedIndex.home("lsh_index", dir,
-      "v1_" + PersistedIndex.tableFingerprint(dir, "documents"))
-    PersistedIndex.buildIfAbsent(home) { tmp =>
+    PersistedIndex.ensure("lsh_index", dir,
+      "v1_" + PersistedIndex.tableFingerprint(dir, "documents")) { tmp =>
       val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
       val baseSigs = Dedup.minhashSignatures(
         t(s, dir, "documents").filter(col("doc_id") <= split), "doc_id", "text")
@@ -859,7 +856,6 @@ object DedupQueries {
       PersistedIndex.splitStats(s, split)
         .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }
-    home
   }
 
   /** dd18_delta_neardup — the ingest-time NEAR-DUP GATE served from the

@@ -276,8 +276,15 @@ object MatchQueries {
   private[graft] def communitiesCore(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, maxEdges: Int = KgMaxEdges): DataFrame = {
     import s.implicits._
-    val ns = collectBoundedEdges(nodes, maxEdges).map(_.getAs[String]("entity"))
-    val es = collectBoundedEdges(edges, maxEdges)
+    // over-contract graphs no longer THROW (VERDICT r13 #7): components
+    // are components — fall back to dd8's distributed min-label
+    // propagation over the same thresholded edges, same oracle
+    val boundedE = edges.limit(maxEdges + 1).collect()
+    val boundedN = nodes.limit(maxEdges + 1).collect()
+    if (boundedE.length > maxEdges || boundedN.length > maxEdges)
+      return communitiesDistributed(s, nodes, edges)
+    val ns = boundedN.map(_.getAs[String]("entity"))
+    val es = boundedE
       .map(r => (r.getAs[String]("e1"), r.getAs[String]("e2")))
     val parent = scala.collection.mutable.Map(ns.map(n => n -> n): _*)
     def find(x: String): String = {
@@ -298,6 +305,28 @@ object MatchQueries {
       .toDF("entity", "community", "n_members")
   }
 
+  /** The DISTRIBUTED escape hatch for [[communitiesCore]] (VERDICT r13 #7):
+    * dd8's min-label propagation ([[graft.operators.Dedup
+    * .connectedComponents]] — per round one equi-join + one map-side-
+    * combinable min aggregate, fixpoint-detected) over the same
+    * thresholded edge frame. min-label on STRINGS is lexicographic, which
+    * is exactly the driver path's union-by-min convention, so the two
+    * paths are answer-identical (spec-asserted on a shared fixture);
+    * edge-less nodes re-enter as singletons via the left join (the sm10
+    * convention the driver path also follows). Nothing corpus-sized ever
+    * reaches the driver. */
+  private[graft] def communitiesDistributed(s: SparkSession, nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val comp = graft.operators.Dedup.connectedComponents(edges, "e1", "e2")
+      .select(col("id").as("entity"), col("comp"))
+    val labeled = nodes.join(comp, Seq("entity"), "left")
+      .select(col("entity"), coalesce(col("comp"), col("entity")).as("community"))
+    val sizes = labeled.groupBy("community").agg(count(lit(1)).as("n_members"))
+    labeled.join(sizes, Seq("community"))
+      .select("entity", "community", "n_members")
+      .orderBy("community", "entity")
+  }
+
   /** kg3_entity_communities — community detection over kg1's graph, the
     * standard second KG analysis pass (which entity clusters co-travel):
     * connected components over the NPMI-THRESHOLDED edge set
@@ -308,11 +337,12 @@ object MatchQueries {
     * `knowledge_graph/` stage after kg1 (edges) and kg2 (centrality).
     *
     * Scale shape: ONE pinned corpus match scan ([[entityDocs]], shared
-    * with kg1/kg2/el2); the edge frame is |G|²-bounded and the component
-    * pass runs driver-side under the guarded [[collectBoundedEdges]]
-    * contract — a vocabulary-sized graph fails loud toward dd8's
-    * distributed min-label propagation. Oracle: the kg1 NPMI chain + the
-    * dd8 recursive-CTE reachability, min(label) per node. */
+    * with kg1/kg2/el2); the edge frame is |G|²-bounded so the component
+    * pass runs driver-side — and an over-contract graph now FALLS BACK to
+    * [[communitiesDistributed]] (dd8's min-label propagation) instead of
+    * throwing (VERDICT r13 #7): components are components, the oracle is
+    * unchanged. Oracle: the kg1 NPMI chain + the dd8 recursive-CTE
+    * reachability, min(label) per node. */
   def kg3EntityCommunities(s: SparkSession, dir: String): DataFrame = {
     val nodes = entityDocs(s, dir).select("entity").distinct()
     val edges = kg1EntityGraph(s, dir)
@@ -548,13 +578,11 @@ object MatchQueries {
     * it by entity). */
   private[queries] def ensureKgIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
-    val home = PersistedIndex.home("kg_index", dir,
-      PersistedIndex.tableFingerprint(dir, "documents"))
-    PersistedIndex.buildIfAbsent(home) { tmp =>
+    PersistedIndex.ensure("kg_index", dir,
+      PersistedIndex.tableFingerprint(dir, "documents")) { tmp =>
       kg1EntityGraph(s, dir)
         .write.mode("overwrite").parquet(tmp.resolve("edges").toString)
     }
-    home
   }
 
   /** kg4b_persisted_neighbors — kg4 served from the PERSISTED graph: the
@@ -657,9 +685,8 @@ object MatchQueries {
     * incremental face below bit-exact. */
   private[queries] def ensureKgDeltaIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
-    val home = PersistedIndex.home("kg_delta_index", dir,
-      PersistedIndex.tableFingerprint(dir, "documents"))
-    PersistedIndex.buildIfAbsent(home) { tmp =>
+    PersistedIndex.ensure("kg_delta_index", dir,
+      PersistedIndex.tableFingerprint(dir, "documents")) { tmp =>
       val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
       val fm = FastMatch.matcher(gazetteer)
       val ed = t(s, dir, "documents").filter(col("doc_id") <= split)
@@ -678,7 +705,6 @@ object MatchQueries {
         .withColumn("split_id", lit(split))
         .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }
-    home
   }
 
   /** kg6_delta_graph — INCREMENTAL graph maintenance: kg1 computed from the

@@ -402,9 +402,8 @@ object MultimodalQueries {
     * family — asset stores checkpoint exactly this between crawls). */
   private[queries] def ensurePhashIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
-    val home = PersistedIndex.home("phash_index", dir,
-      PersistedIndex.tableFingerprint(dir, "documents"))
-    PersistedIndex.buildIfAbsent(home) { tmp =>
+    PersistedIndex.ensure("phash_index", dir,
+      PersistedIndex.tableFingerprint(dir, "documents")) { tmp =>
       val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
       phashSigs(t(s, dir, "documents").filter(col("doc_id") <= split))
         .write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
@@ -419,7 +418,6 @@ object MultimodalQueries {
       PersistedIndex.splitStats(s, split)
         .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }
-    home
   }
 
   /** mm7_phash_delta — the ASSET-INGEST near-dup gate served from the

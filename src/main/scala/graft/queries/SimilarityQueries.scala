@@ -192,9 +192,8 @@ object SimilarityQueries {
     * (bytes + mtime), so BOTH an SF switch and an in-place testdata
     * regeneration rebuild rather than reusing a stale index (ADVICE r12:
     * (dir, rowcount) alone survived an in-place refresh). */
-  private def indexHome(dir: String, n: Long): java.nio.file.Path =
-    graft.operators.PersistedIndex.home("ivf_index", dir,
-      s"${n}_${graft.operators.PersistedIndex.tableFingerprint(dir, "embeddings")}")
+  private def indexFingerprint(dir: String, n: Long): String =
+    s"${n}_${graft.operators.PersistedIndex.tableFingerprint(dir, "embeddings")}"
 
   /** ss2b_persisted_probe — ss2's IVF search against a PERSISTED index:
     * the production serving shape, where index build (assign every corpus
@@ -225,8 +224,7 @@ object SimilarityQueries {
   private[queries] def ensureIvfIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     val emb = withNorm(t(s, dir, "embeddings"))
     val n = t(s, dir, "embeddings").count()
-    val home = indexHome(dir, n)
-    graft.operators.PersistedIndex.buildIfAbsent(home) { tmp =>
+    graft.operators.PersistedIndex.ensure("ivf_index", dir, indexFingerprint(dir, n)) { tmp =>
       val idx = pairCentIndex(s, dir, emb)
       graft.sources.Layout.writePartitioned(
         withCell(emb, idx).select(col("vec_id"), col("embedding"), col("norm"), col("cell")),
@@ -238,7 +236,6 @@ object SimilarityQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
         .write.mode("overwrite").parquet(tmp.resolve("queries").toString)
     }
-    home
   }
 
   def ss2bPersistedProbe(s: SparkSession, dir: String): DataFrame = {
@@ -279,9 +276,8 @@ object SimilarityQueries {
     * assignments hive-partitioned by cell, and a one-row stats artifact
     * carrying the watermark. */
   private[queries] def ensureIvfDeltaIndex(s: SparkSession, dir: String): java.nio.file.Path = {
-    val home = graft.operators.PersistedIndex.home("ivf_delta_index", dir,
-      graft.operators.PersistedIndex.tableFingerprint(dir, "embeddings"))
-    graft.operators.PersistedIndex.buildIfAbsent(home) { tmp =>
+    graft.operators.PersistedIndex.ensure("ivf_delta_index", dir,
+      graft.operators.PersistedIndex.tableFingerprint(dir, "embeddings")) { tmp =>
       val split = graft.operators.PersistedIndex.idWatermark(
         t(s, dir, "embeddings"), "vec_id")
       val base = withNorm(t(s, dir, "embeddings").filter(col("vec_id") <= split))
@@ -297,7 +293,6 @@ object SimilarityQueries {
       graft.operators.PersistedIndex.splitStats(s, split)
         .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }
-    home
   }
 
   /** ss9_delta_probe — ANN search over the SEGMENTED index: newly-arrived

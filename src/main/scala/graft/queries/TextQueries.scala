@@ -2177,9 +2177,8 @@ object TextQueries {
   private[queries] def ensurePostingsIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     val (k1, b) = (1.2, 0.75)
     import graft.operators.PersistedIndex
-    val home = PersistedIndex.home("postings_index", dir,
-      "v3_" + PersistedIndex.tableFingerprint(dir, "documents"))
-    PersistedIndex.buildIfAbsent(home) { tmp =>
+    PersistedIndex.ensure("postings_index", dir,
+      "v3_" + PersistedIndex.tableFingerprint(dir, "documents")) { tmp =>
       val tf = tfTable(s, dir)
         .withColumn("bucket", pmod(detHash(col("word")), lit(PostingsBuckets.toLong)))
       graft.sources.Layout.writePartitioned(
@@ -2205,7 +2204,6 @@ object TextQueries {
           .groupBy("bucket", "word", "blk").agg(max("ts_ub_e6").as("ub_e6")),
         tmp.resolve("blockmax").toString, "bucket")
     }
-    home
   }
 
   def ir6bPersistedPostings(s: SparkSession, dir: String): DataFrame = {
@@ -2256,9 +2254,11 @@ object TextQueries {
     * oracle is ir6's SQL — pruning is invisible to the answer, which is
     * the point). Precondition: ≥ k docs carry a query-term posting, so
     * zero-score docs can never enter the top-k — certified at runtime by
-    * the seed block carrying k exact scores; when it can't be (sparse
-    * terms, tiny corpora), the probe falls back to ir6b's full scoring
-    * off the same artifacts, zero-score padding included.
+    * the seed block carrying k exact STRICTLY-POSITIVE scores
+    * ([[blockmaxCertified]]); when it can't be (sparse terms, tiny
+    * corpora, idf≈0 rounding the k-th score to 0), the probe falls back
+    * to ir6b's full scoring off the same artifacts, zero-score padding
+    * included.
     *
     * Scale shape: bounds/seed/θ are block-count- and k-bounded (seed top
     * is a ≤k-row collect, the ir7 class); the kept-block filter is a
@@ -2268,6 +2268,19 @@ object TextQueries {
     * inequality, not on double ulps. */
   def ir9BlockmaxBm25(s: SparkSession, dir: String): DataFrame =
     ir9Internals(s, dir, RetrievalQTerms)._1
+
+  /** The block-max PRUNING CERTIFICATE (extracted so the decision is unit-
+    * testable without a multi-million-doc corpus): pruning is sound only
+    * when (1) the seed block yielded k exact scores — certifying ≥ k docs
+    * corpus-wide carry a query-term posting — AND (2) the k-th score is
+    * strictly positive (ADVICE r14: with web-scale df, idf≈0 can e6-round
+    * the k-th seed score to 0; zero-score docs then tie at θ=0 and can
+    * enter ir6's top-k via the doc_id tiebreak while being absent from
+    * every posting-carrying block — the kept-block candidate set would
+    * silently drop them). Either failure → fall back to full scoring off
+    * the same persisted artifacts. */
+  private[queries] def blockmaxCertified(seedCount: Int, k: Int, kthScoreE6: Long): Boolean =
+    seedCount == k && kthScoreE6 > 0L
 
   /** (result, kept-block frame, all-bounds frame) — split out so the spec
     * can measure real pruning and swap in selective query terms. */
@@ -2325,8 +2338,8 @@ object TextQueries {
       .select("doc_id").distinct()
     // θ = the k-th exact score inside the seed block (≤k-row collect)
     val seedTop = scored(seedDocs).orderBy(desc("bm25_e6"), col("doc_id")).limit(topK).collect()
-    if (seedTop.length < topK) return (fullScored, bounds, bounds)
-    val theta = seedTop.last.getAs[Long]("bm25_e6")
+    val theta = if (seedTop.isEmpty) 0L else seedTop.last.getAs[Long]("bm25_e6")
+    if (!blockmaxCertified(seedTop.length, topK, theta)) return (fullScored, bounds, bounds)
     val kept = bounds.filter(col("bound_e6") >= theta)
     val candDocs = tf3.withColumn("blk", expr(s"doc_id div $Ir9Block"))
       .join(broadcast(kept.select("blk")), Seq("blk"), "left_semi")
@@ -2367,9 +2380,10 @@ object TextQueries {
     * `split_id` in the stats row). */
   private[queries] def ensureBasePostingsIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
-    val home = PersistedIndex.home("postings_base", dir,
-      "v1_" + PersistedIndex.tableFingerprint(dir, "documents"))
-    PersistedIndex.buildIfAbsent(home) { tmp =>
+    // generation-aware: resolves a compacted snapshot when one exists
+    // ([[compactBasePostingsIndex]]); answer-invariant either way
+    PersistedIndex.ensure("postings_base", dir,
+      "v1_" + PersistedIndex.tableFingerprint(dir, "documents")) { tmp =>
       val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
       val tf = tfTable(s, dir).filter(col("doc_id") <= split)
         .withColumn("bucket", pmod(detHash(col("word")), lit(PostingsBuckets.toLong)))
@@ -2381,7 +2395,58 @@ object TextQueries {
         .withColumn("split_id", lit(split))
         .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }
-    home
+  }
+
+  /** COMPACTION as an operation (VERDICT r13 #3 / r14 next-round #3): fold
+    * the in-flight delta segment into a NEW snapshot generation — the
+    * Lucene segment-merge step that keeps incremental serving's delta
+    * work bounded between rebuilds. The new generation is published under
+    * `<fp>_c<hi>` (hi = the folded-in watermark) with one atomic rename;
+    * [[ensureBasePostingsIndex]] resolves it transparently, so every probe
+    * (ir10's segment merge, ir14's tombstone subtract, e2e7's audit row)
+    * re-points at the post-compaction watermark with zero code change —
+    * and because segment merge is answer-invariant, probe results are
+    * byte-identical before/after while the delta census drops to 0. The
+    * superseded generation is swept after publish. Fold cost: one
+    * delta-only tokenization (pushed range predicate) + a rewrite of the
+    * persisted artifacts — base postings are COPIED from parquet, never
+    * re-derived from text. Returns the current home (the new generation,
+    * or the existing one when no rows are in flight). */
+  private[queries] def compactBasePostingsIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.operators.PersistedIndex
+    val cur = ensureBasePostingsIndex(s, dir)
+    val st = s.read.parquet(cur.resolve("stats").toString).collect()(0)
+    val (nB, dlB, w0) =
+      (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"), st.getAs[Long]("split_id"))
+    val docs = t(s, dir, "documents")
+    val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    if (hi <= w0) return cur // nothing in flight — compaction is a no-op
+    val fp = "v1_" + PersistedIndex.tableFingerprint(dir, "documents")
+    val target = PersistedIndex.home("postings_base", dir, fp + "_c" + hi)
+    PersistedIndex.buildIfAbsent(target, dir) { tmp =>
+      // the ONLY corpus access: the delta rows being folded in
+      val deltaTf = docs.filter(col("doc_id") > w0)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val basePost = s.read.parquet(cur.resolve("postings").toString)
+        .select("doc_id", "word", "tf")
+      graft.sources.Layout.writePartitioned(
+        basePost.unionByName(deltaTf)
+          .withColumn("bucket", pmod(detHash(col("word")), lit(PostingsBuckets.toLong))),
+        tmp.resolve("postings").toString, "bucket")
+      val deltaDl = deltaTf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      s.read.parquet(cur.resolve("doclen").toString).unionByName(deltaDl)
+        .write.mode("overwrite").parquet(tmp.resolve("doclen").toString)
+      // exact Long merge of the sufficient statistics — no re-count of
+      // the base segment
+      deltaDl.agg(
+          (coalesce(count(lit(1)), lit(0L)) + lit(nB)).as("n_docs"),
+          (coalesce(sum("dl"), lit(0L)) + lit(dlB)).as("total_dl"))
+        .withColumn("split_id", lit(hi))
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+    PersistedIndex.sweepSuperseded(target, dir)
+    target
   }
 
   /** (result, snapshot watermark) — split out so the spec can swap in a
@@ -2433,6 +2498,146 @@ object TextQueries {
       .select(col("doc_id"), col("dl"), round(score * 1e6).cast(LongType).as("bm25_e6"))
       .orderBy(desc("bm25_e6"), col("doc_id")).limit(20)
     (res, split)
+  }
+
+  /** ir14_tombstone_index — tombstone/UPDATE-aware incremental serving, the
+    * production-semantics face ir10 stops short of (VERDICT r13 #2 / r14
+    * next-round #2): real crawls RE-crawl, so the in-flight change set is
+    * not append-only — documents get deleted and updated between snapshot
+    * rebuilds, and the served answer must reflect the post-change corpus
+    * without rebuilding the base. Reference anchor: the skip-marker
+    * idempotency convention in `scrapping/papers_download.py:49-61` (a
+    * re-crawled paper replaces its prior artifact); set2_upsert carries the
+    * same row-level CDC semantics on the relational side.
+    *
+    * CDC model (a deterministic stand-in for a real change feed, so the
+    * DuckDB oracle can replay it): against [[ensureBasePostingsIndex]]'s
+    * snapshot watermark `split`,
+    *   - DELETES:  base docs with doc_id % 13 == 7 are tombstoned;
+    *   - UPDATES:  base docs with doc_id % 13 == 2 are re-crawled to the
+    *               text 'redacted' (old tokens must stop matching);
+    *   - APPENDS:  docs above the watermark (ir10's delta segment).
+    * Serving folds all three against the PERSISTED snapshot:
+    *   postings' = (pruned base postings ⟕̸ tombstones) ∪ fresh postings
+    *   doclen'   = (base doclen ⟕̸ tombstones) ∪ fresh doclen
+    *   stats'    = base stats − tombstoned (count, Σdl) + fresh (count, Σdl)
+    * where tombstones = deletes ∪ updates (an update is delete + re-add)
+    * and fresh = updated texts ∪ delta appends — the only rows tokenized
+    * at serve time. Per-term df and the corpus stats are exact Long sums,
+    * so a tombstoned doc SUBTRACTS exactly and the merged answer is
+    * bit-equal to a full rebuild over the post-change corpus (the oracle:
+    * ir6's SQL over the post-change corpus CTE). Scale shape: the base is
+    * served from bucket-pruned persisted postings; the tombstone subtract
+    * is an anti-join on doc ids (the id-only corpus scan below stands in
+    * for the CDC feed's key set — column-pruned, no text bytes move);
+    * tokenization touches only updated + delta rows. */
+  def ir14TombstoneIndex(s: SparkSession, dir: String): DataFrame =
+    ir14Internals(s, dir, RetrievalQTerms)._1
+
+  /** (result, watermark) — split out so the spec can replay a crafted
+    * corpus where the pre-update winner must vanish. */
+  private[queries] def ir14Internals(s: SparkSession, dir: String,
+      qterms: Seq[String]): (DataFrame, Long) = {
+    val (k1, b) = (1.2, 0.75)
+    val home = ensureBasePostingsIndex(s, dir)
+    val st = s.read.parquet(home.resolve("stats").toString).collect()(0)
+    val (nB, dlB, split) =
+      (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"), st.getAs[Long]("split_id"))
+    val docs = t(s, dir, "documents")
+    // tombstones: deletes ∪ updates' old versions (id-only projection)
+    val dead = docs.filter(col("doc_id") <= split &&
+        (col("doc_id") % 13 === 7 || col("doc_id") % 13 === 2))
+      .select("doc_id")
+    // fresh rows — the ONLY text tokenized at serve time: updated docs
+    // with their re-crawled text, plus the append segment
+    val fresh = docs.filter(col("doc_id") <= split && col("doc_id") % 13 === 2)
+      .select(col("doc_id"), lit("redacted").as("text"))
+      .unionByName(docs.filter(col("doc_id") > split).select("doc_id", "text"))
+    val freshTf = fresh
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val freshDl = freshTf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // base side, tombstone-subtracted (postings pruned to q-term buckets)
+    val qbuckets = qterms.map(q => detHash60Local(q) % PostingsBuckets).distinct.sorted
+    val baseTf3 = s.read.parquet(home.resolve("postings").toString)
+      .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
+        col("word").isInCollection(qterms))
+      .select("doc_id", "word", "tf")
+      .join(dead, Seq("doc_id"), "left_anti")
+    val baseDl = s.read.parquet(home.resolve("doclen").toString)
+    val dl = baseDl.join(dead, Seq("doc_id"), "left_anti").unionByName(freshDl)
+    val tf3 = baseTf3.unionByName(freshTf.filter(col("word").isInCollection(qterms)))
+    val pivotCols = qterms.map(q => max(when(col("word") === q, col("tf"))).as(s"tf_$q"))
+    val pivoted = tf3.groupBy("doc_id").agg(pivotCols.head, pivotCols.tail: _*)
+    val dfCols = qterms.map(q => sum(when(col("word") === q, 1L).otherwise(0L)).as(s"df_$q"))
+    // exact Long deltas to the persisted corpus stats: what leaves via the
+    // tombstone set, what enters via the fresh segment
+    val deadStats = baseDl.join(dead, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_dead"), coalesce(sum("dl"), lit(0L)).as("dl_dead"))
+    val freshStats = freshDl
+      .agg(count(lit(1)).as("n_fresh"), coalesce(sum("dl"), lit(0L)).as("dl_fresh"))
+    val stats = deadStats.crossJoin(freshStats)
+      .select((lit(nB) - col("n_dead") + col("n_fresh")).as("n_docs"),
+        (lit(dlB) - col("dl_dead") + col("dl_fresh")).as("total_dl"))
+      .crossJoin(tf3.agg(dfCols.head, dfCols.tail: _*))
+    val avgdl = col("total_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    def termScore(q: String) = {
+      val tfd = coalesce(col(s"tf_$q"), lit(0L)).cast(DoubleType)
+      val dfd = col(s"df_$q").cast(DoubleType)
+      val idf = log((col("n_docs").cast(DoubleType) - dfd + 0.5) / (dfd + 0.5) + 1.0)
+      idf * (tfd * (k1 + 1.0)) / (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
+    }
+    val score = qterms.map(termScore).reduceLeft(_ + _)
+    val res = dl.join(pivoted, Seq("doc_id"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), round(score * 1e6).cast(LongType).as("bm25_e6"))
+      .orderBy(desc("bm25_e6"), col("doc_id")).limit(20)
+    (res, split)
+  }
+
+  /** ir6's BM25 SQL replayed over the POST-CHANGE corpus: the watermark is
+    * recomputed in SQL (MAX − (MAX−MIN)//10 — DuckDB's `//` floors, Spark's
+    * Long `/` truncates; doc ids are non-negative so both agree), deletes
+    * drop out of the corpus CTE, updates swap in the re-crawled text. */
+  val ir14TombstoneIndexSql: String = {
+    val qterms = RetrievalQTerms
+    val avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    def termScore(q: String) = {
+      val tf = s"CAST(COALESCE(p.tf_$q, 0) AS DOUBLE)"
+      val df = s"CAST(df_$q AS DOUBLE)"
+      val idf = s"ln((CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5) + 1.0)"
+      s"$idf * ($tf * (1.2 + 1.0)) / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE) / $avgdl)))"
+    }
+    val score = qterms.map(termScore).mkString(" + ")
+    val pivCols = qterms.map(q =>
+      s"MAX(CASE WHEN word = '$q' THEN tf END) AS tf_$q").mkString(",\n  ")
+    val dfCols = qterms.map(q =>
+      s"CAST(SUM(CASE WHEN word = '$q' THEN 1 ELSE 0 END) AS BIGINT) AS df_$q").mkString(",\n  ")
+    val inList = qterms.map(q => s"'$q'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT MAX(doc_id) - (MAX(doc_id) - MIN(doc_id)) // 10 AS split FROM documents),
+       |corpus AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id <= w.split AND d.doc_id % 13 = 2
+       |         THEN 'redacted' ELSE d.text END AS text
+       |  FROM documents d CROSS JOIN w
+       |  WHERE NOT (d.doc_id <= w.split AND d.doc_id % 13 = 7)),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+       |dlt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |tf3 AS (SELECT * FROM tf WHERE word IN ($inList)),
+       |piv AS (SELECT doc_id,
+       |  $pivCols
+       |  FROM tf3 GROUP BY doc_id),
+       |st AS (SELECT
+       |  (SELECT COUNT(*) FROM dlt) AS n_docs,
+       |  (SELECT CAST(SUM(dl) AS BIGINT) FROM dlt) AS total_dl,
+       |  $dfCols
+       |  FROM tf3)
+       |SELECT d.doc_id, d.dl, CAST(ROUND(($score) * 1e6) AS BIGINT) AS bm25_e6
+       |FROM dlt d LEFT JOIN piv p USING (doc_id) CROSS JOIN st
+       |ORDER BY bm25_e6 DESC, doc_id LIMIT 20""".stripMargin
   }
 
   /** ir11's phrase — adjacent terms, present in ~7% of documents at every
@@ -2530,15 +2735,13 @@ object TextQueries {
     * this, term-partitioned position lists). */
   private[queries] def ensurePosIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
-    val home = PersistedIndex.home("positions_index", dir,
-      "v1_" + PersistedIndex.tableFingerprint(dir, "documents"))
-    PersistedIndex.buildIfAbsent(home) { tmp =>
+    PersistedIndex.ensure("positions_index", dir,
+      "v1_" + PersistedIndex.tableFingerprint(dir, "documents")) { tmp =>
       graft.sources.Layout.writePartitioned(
         posTable(s, dir)
           .withColumn("bucket", pmod(detHash(col("word")), lit(PostingsBuckets.toLong))),
         tmp.resolve("positions").toString, "bucket")
     }
-    home
   }
 
   /** ir11b_persisted_positions — phrase search served from the PERSISTED
@@ -2564,6 +2767,75 @@ object TextQueries {
           p => array_contains(col("pos2"), p + 1))).as("first_pos"))
       .filter(col("n_matches") > 0)
       .orderBy("doc_id")
+  }
+
+  /** ir13's proximity query: three terms, ordered, within a window of
+    * (k−1)+slop tokens — present at every SF; slop 2 admits docs the
+    * exact-adjacency face (ir11) rejects. */
+  private[queries] val ProximityTerms: (String, String, String) = ("table", "scan", "data")
+  private[queries] val ProximitySlop: Int = 2
+
+  /** ir13_proximity_query — ORDERED PROXIMITY search (Lucene's
+    * `PhraseQuery~slop` shape generalized to ≥3 terms) from the PERSISTED
+    * positional index: a doc matches where some position a of term 1 is
+    * followed by a position b>a of term 2 and c>b of term 3 with total
+    * span c−a ≤ (k−1)+slop. At slop 0 this degenerates to exact k-term
+    * adjacency; ir11 asserts only two-term adjacency, so this is the face
+    * real query languages actually expose ("table scan data"~2). The
+    * probe touches ONLY the three terms' position lists (bucket partition
+    * pruning + term filter, the ir11b path — zero corpus scan, zero
+    * tokenization at query time); the window test is a nested
+    * higher-order predicate over per-doc position arrays, bounded by doc
+    * length, evaluated inside codegen. Output: matching docs with the
+    * count of valid window STARTS and the first start position —
+    * integer-exact on both engines, so the DuckDB twin replays the same
+    * nested lambda arithmetic. */
+  def ir13ProximityQuery(s: SparkSession, dir: String): DataFrame = {
+    val (w1, w2, w3) = ProximityTerms
+    ir13Internals(s, dir, w1, w2, w3, ProximitySlop)
+  }
+
+  private[queries] def ir13Internals(s: SparkSession, dir: String,
+      w1: String, w2: String, w3: String, slop: Int): DataFrame = {
+    val home = ensurePosIndex(s, dir)
+    val terms = Seq(w1, w2, w3)
+    val qbuckets = terms.map(q => detHash60Local(q) % PostingsBuckets).distinct.sorted
+    val pt = s.read.parquet(home.resolve("positions").toString)
+      .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
+        col("word").isInCollection(terms))
+    def posOf(w: String, as: String) =
+      pt.filter(col("word") === w).select(col("doc_id"), col("positions").as(as))
+    val win = lit(slop + 2L)
+    // a valid window START: term-2 after it, term-3 after that, span ≤ win
+    val isStart = (a: Column) =>
+      exists(col("pos2"), b => b > a &&
+        exists(col("pos3"), c => c > b && c - a <= win))
+    posOf(w1, "pos1").join(posOf(w2, "pos2"), Seq("doc_id"))
+      .join(posOf(w3, "pos3"), Seq("doc_id"))
+      .select(col("doc_id"), filter(col("pos1"), isStart).as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        size(col("hits")).cast(LongType).as("n_matches"),
+        array_min(col("hits")).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  val ir13ProximityQuerySql: String = {
+    val (w1, w2, w3) = ProximityTerms
+    val win = ProximitySlop + 2
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |p AS (SELECT doc_id,
+       |    list_filter(range(1, len(tk) + 1), i -> tk[i] = '$w1') AS p1,
+       |    list_filter(range(1, len(tk) + 1), i -> tk[i] = '$w2') AS p2,
+       |    list_filter(range(1, len(tk) + 1), i -> tk[i] = '$w3') AS p3
+       |  FROM tok),
+       |m AS (SELECT doc_id,
+       |    list_filter(p1, a -> len(list_filter(p2, b -> b > a AND
+       |      len(list_filter(p3, c -> c > b AND c - a <= $win)) > 0)) > 0) AS hits
+       |  FROM p)
+       |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+       |  CAST(hits[1] AS BIGINT) AS first_pos
+       |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin
   }
 
   val ir12TrainingPairsSql: String = {
@@ -2640,6 +2912,142 @@ object TextQueries {
        |  CASE WHEN n - c < 5 THEN 1000000
        |    ELSE CAST(ROUND(1e6 * (1.0 - $prod5)) AS BIGINT) END AS pass5_e6
        |FROM g ORDER BY task_id""".stripMargin
+  }
+
+  /** a36's comparison universe: [[BtItems]] "systems" matched up
+    * deterministically from the a22 eval-pair frame, [[BtIters]]
+    * minorization steps. */
+  private[queries] val BtItems = 8
+  private[queries] val BtIters = 20
+
+  /** Core of a36: the Bradley–Terry MM iteration (Hunter 2004, "MM
+    * algorithms for generalized Bradley–Terry models", Ann. Statist. §1:
+    * p_i ← W_i / Σ_{j≠i} n_ij/(p_i+p_j), renormalized each step) run in
+    * e6-scaled INTEGER arithmetic — the kg2 convention that makes both
+    * engines replay bit-identical trajectories (floor division at every
+    * step, no doubles anywhere). Inputs: symmetric games n_ij and total
+    * wins W_i over an item universe that is STRUCTURALLY bounded
+    * ([[BtItems]] systems — a constant, not corpus-proportional), so the
+    * M×M iteration is a driver-side loop over a ≤M²-row bounded collect
+    * (the kg3/communitiesCore class) while the heavy outcome aggregation
+    * stays distributed. Guards: an item whose denominator floors to 0
+    * (all opponents vastly stronger at this scale) keeps its strength;
+    * a never-winning item converges to the 0 boundary. */
+  private[queries] def bradleyTerryCore(items: Seq[Int],
+      games: Map[(Int, Int), Long], wins: Map[Int, Long], iters: Int): Map[Int, Long] = {
+    val m = items.length.toLong // ACTIVE items only — the oracle normalizes
+    var p = items.map(_ -> 1000000L).toMap //  by COUNT(bp0), not the constant
+    var t = 0
+    while (t < iters) {
+      val praw = items.map { i =>
+        var denom = 0L
+        items.foreach { j =>
+          val n = games.getOrElse((i, j), 0L)
+          if (n > 0L) denom += n * 1000000L / (p(i) + p(j))
+        }
+        i -> (if (denom == 0L) p(i) else wins.getOrElse(i, 0L) * 1000000L / denom)
+      }.toMap
+      val psum = praw.values.sum
+      p = if (psum == 0L) praw
+          else praw.map { case (i, x) => i -> x * m * 1000000L / psum }
+      t += 1
+    }
+    p
+  }
+
+  /** a36_bradley_terry — pairwise-preference STRENGTH estimation (the
+    * Chatbot-Arena/RLHF ranking model): each a22 eval pair is a "game"
+    * between two of [[BtItems]] systems (i = pair_id % M, j =
+    * (pair_id div M) % M, self-matches dropped), decided by a
+    * deterministic judge stand-in — the side with the longer output wins
+    * (candidate on ties), making the fitted strengths a VERBOSITY-BIAS
+    * audit of length-preferring judges. The MM iteration
+    * ([[bradleyTerryCore]]) is exact integer replay on both engines;
+    * output strengths are normalized to Σ = M·1e6. Scale shape: one
+    * corpus pass → (pair_id, side, dl) → a ≤M²-key aggregate; the
+    * iteration itself is O(M²·iters) driver arithmetic, independent of
+    * corpus size. */
+  def a36BradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = BtItems
+    val pairs = t(s, dir, "documents")
+      .select(expr("doc_id div 2").as("pair_id"), (col("doc_id") % 2).as("side"),
+        size(tokens(col("text"))).cast(LongType).as("dl"))
+      .groupBy("pair_id")
+      .agg(max(when(col("side") === 0, col("dl"))).as("dl_c"),
+        max(when(col("side") === 1, col("dl"))).as("dl_r"))
+      .filter(col("dl_c").isNotNull && col("dl_r").isNotNull)
+      .select((col("pair_id") % m).cast(IntegerType).as("i"),
+        expr(s"cast(pair_id div $m % $m as int)").as("j"),
+        when(col("dl_c") >= col("dl_r"), 1L).otherwise(0L).as("wi"))
+      .filter(col("i") =!= col("j"))
+    val g0 = pairs.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum("wi").as("w"))
+      .collect() // ≤ M·(M−1) rows by construction — bounded, not corpus-sized
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val games = scala.collection.mutable.Map.empty[(Int, Int), Long].withDefaultValue(0L)
+    val wins = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    g0.foreach { case (i, j, n, w) =>
+      games((i, j)) += n; games((j, i)) += n
+      wins(i) += w; wins(j) += n - w
+    }
+    val active = (0 until m).filter(i => games.keys.exists(_._1 == i))
+    val p = bradleyTerryCore(active, games.toMap, wins.toMap, BtIters)
+    active
+      .map { i =>
+        val nGames = (0 until m).map(j => games((i, j))).sum
+        (i, p(i), nGames, wins(i))
+      }
+      .toDF("item", "strength_e6", "n_games", "n_wins")
+      .orderBy(desc("strength_e6"), col("item"))
+  }
+
+  val a36BradleyTerrySql: String = {
+    val m = BtItems
+    val iters = (1 to BtIters).map { t =>
+      s"""braw$t AS MATERIALIZED (
+         |  SELECT g.i,
+         |    CASE WHEN CAST(SUM(g.n * 1000000 // (pi.p + pj.p)) AS BIGINT) = 0 THEN pi.p
+         |      ELSE w.wins * 1000000 // CAST(SUM(g.n * 1000000 // (pi.p + pj.p)) AS BIGINT)
+         |    END AS praw
+         |  FROM bg g JOIN bp${t - 1} pi ON g.i = pi.i JOIN bp${t - 1} pj ON g.j = pj.i
+         |    JOIN bw w ON w.i = g.i
+         |  GROUP BY g.i, w.wins, pi.p),
+         |bp$t AS MATERIALIZED (
+         |  SELECT i, praw * (SELECT COUNT(*) FROM bp0) * 1000000
+         |    // (SELECT CAST(SUM(praw) AS BIGINT) FROM braw$t) AS p
+         |  FROM braw$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bd AS (
+       |  SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+       |    len(string_split(text, ' ')) AS dl FROM documents),
+       |bpr AS (
+       |  SELECT pair_id, MAX(CASE WHEN side = 0 THEN dl END) AS dl_c,
+       |    MAX(CASE WHEN side = 1 THEN dl END) AS dl_r
+       |  FROM bd GROUP BY pair_id),
+       |bcmp AS (
+       |  SELECT CAST(pair_id % $m AS INT) AS i, CAST(pair_id // $m % $m AS INT) AS j,
+       |    CASE WHEN dl_c >= dl_r THEN 1 ELSE 0 END AS wi
+       |  FROM bpr
+       |  WHERE dl_c IS NOT NULL AND dl_r IS NOT NULL AND pair_id % $m != pair_id // $m % $m),
+       |bg0 AS (
+       |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(wi) AS BIGINT) AS w
+       |  FROM bcmp GROUP BY i, j),
+       |bg AS MATERIALIZED (
+       |  SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
+       |    SELECT i, j, n FROM bg0 UNION ALL SELECT j AS i, i AS j, n FROM bg0)
+       |  GROUP BY i, j),
+       |bw AS MATERIALIZED (
+       |  SELECT i, CAST(SUM(w) AS BIGINT) AS wins FROM (
+       |    SELECT i, w FROM bg0 UNION ALL SELECT j AS i, n - w AS w FROM bg0)
+       |  GROUP BY i),
+       |bp0 AS MATERIALIZED (SELECT DISTINCT i, 1000000 AS p FROM bg),
+       |$iters
+       |SELECT g.i AS item, p.p AS strength_e6,
+       |  CAST(SUM(g.n) AS BIGINT) AS n_games, w.wins AS n_wins
+       |FROM bg g JOIN bp$BtIters p ON g.i = p.i JOIN bw w ON w.i = g.i
+       |GROUP BY g.i, p.p, w.wins
+       |ORDER BY strength_e6 DESC, item""".stripMargin
   }
 
   /** ta5_winnow_fingerprint — winnowing document fingerprint (Schleimer,
@@ -3010,10 +3418,13 @@ object TextQueries {
     "ir6b_persisted_postings" -> (ir6bPersistedPostings _),
     "ir9_blockmax_bm25" -> (ir9BlockmaxBm25 _),
     "ir10_delta_index" -> (ir10DeltaIndex _),
+    "ir14_tombstone_index" -> (ir14TombstoneIndex _),
     "ir11_phrase_query" -> (ir11PhraseQuery _),
+    "ir13_proximity_query" -> (ir13ProximityQuery _),
     "ir12_training_pairs" -> (ir12TrainingPairs _),
     "ir11b_persisted_positions" -> (ir11bPersistedPositions _),
     "a35_pass_at_k" -> (a35PassAtK _),
+    "a36_bradley_terry" -> (a36BradleyTerry _),
     "a22_bleu" -> (a22Bleu _),
     "a30_bootstrap_ci" -> (a30BootstrapCi _),
     "a32_rank_corr" -> (a32RankCorr _),
@@ -3065,11 +3476,15 @@ object TextQueries {
     "ir9_blockmax_bm25" -> ir6PostingsBm25Sql,
     // segment merge is invisible to the answer: ir10 ≡ ir6
     "ir10_delta_index" -> ir6PostingsBm25Sql,
+    // tombstone subtraction is exact: ir14 ≡ ir6 over the post-change corpus
+    "ir14_tombstone_index" -> ir14TombstoneIndexSql,
     "ir11_phrase_query" -> ir11PhraseQuerySql,
+    "ir13_proximity_query" -> ir13ProximityQuerySql,
     "ir12_training_pairs" -> ir12TrainingPairsSql,
     // the persisted detour is invisible to the answer: ir11b ≡ ir11
     "ir11b_persisted_positions" -> ir11PhraseQuerySql,
     "a35_pass_at_k" -> a35PassAtKSql,
+    "a36_bradley_terry" -> a36BradleyTerrySql,
     "a22_bleu" -> a22BleuSql,
     "a30_bootstrap_ci" -> a30BootstrapCiSql,
     "a32_rank_corr" -> a32RankCorrSql,

@@ -50,6 +50,26 @@ class R13QueriesSpec extends SparkSpec {
     assert(fused === Seq("a1"), "unthresholded bridge must fuse both cliques")
   }
 
+  test("kg3 fallback: an over-contract graph routes to distributed label propagation, same answer") {
+    import spark.implicits._
+    // same clique/bridge shape, but a maxEdges of 3 forces the distributed
+    // path (VERDICT r13 #7: this previously THREW); the driver union-find
+    // at the default bound supplies the expected answer — both paths use
+    // min-label-by-lexicographic, so they must agree row for row
+    val nodes = Seq("a1", "a2", "a3", "b1", "b2", "b3", "lone").toDF("entity")
+    val edges = Seq(
+      ("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+      ("b1", "b2"), ("b1", "b3"), ("b2", "b3")).toDF("e1", "e2")
+    val viaDriver = MatchQueries.communitiesCore(spark, nodes, edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val viaDistributed = MatchQueries.communitiesCore(spark, nodes, edges, maxEdges = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(viaDistributed === viaDriver)
+    assert(viaDistributed.contains(("lone", "lone", 1L)),
+      "edge-less nodes must survive as singletons on the distributed path too")
+    assert(viaDistributed.count(_._2 == "a1") === 3)
+  }
+
   test("e2e6: no text-bearing documents scan in the composed plan (the e2e3 no-rescan lesson)") {
     val df = MatchQueries.e2e6EntityPipeline(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -102,6 +102,40 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.length === 1)
   }
 
+  test("ir9 fallback: a sparse term (<k posting docs) answers from full scoring, zero-padding included") {
+    import spark.implicits._
+    // only 5 of 640 docs carry any query term — the seed block cannot
+    // yield 20 positive scores, blockmaxCertified fails, and the probe
+    // must fall back to scoring EVERY doc off the persisted artifacts
+    // (VERDICT r14 #1a: this branch previously executed on no shipped SF)
+    val tmp = java.nio.file.Files.createTempDirectory("ir9sparse").toString
+    val docs = (0L until 640L).map { i =>
+      val text = if (i % 128L == 1L) "data pad pad" else "pad pad pad"
+      (i, text, text.length.toLong)
+    }.toDF("doc_id", "text", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val (res, _, _) = TextQueries.ir9Internals(spark, tmp, TextQueries.RetrievalQTerms)
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
+    // the pruned path can only ever return posting-carrying docs (≤5 here);
+    // 20 rows with 15 zero-score pads is the fallback's signature
+    assert(got.length === 20)
+    assert(got.count(_._3 === 0L) === 15, "zero-score docs must pad the top-k")
+    // and the answer is exactly what all-docs BM25 over the corpus gives
+    val want = TextQueries.ta13Bm25(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getAs[Number](2).longValue())).toSeq
+    assert(got === want)
+  }
+
+  test("blockmaxCertified: pruning needs k seed scores AND a strictly positive k-th score") {
+    assert(TextQueries.blockmaxCertified(20, 20, 1L))
+    assert(!TextQueries.blockmaxCertified(19, 20, 5L), "sparse corpus: seed under-filled")
+    assert(!TextQueries.blockmaxCertified(20, 20, 0L),
+      "idf≈0 can e6-round the k-th seed score to 0 — zero-score docs then tie at θ " +
+        "and the kept-block candidate set would drop them (ADVICE r14)")
+    assert(!TextQueries.blockmaxCertified(0, 20, 0L))
+  }
+
   test("ir10: base served from the snapshot, only the delta reaches the corpus, equals ir6") {
     val (df, split) = TextQueries.ir10Internals(spark, dir, TextQueries.RetrievalQTerms)
     val plan = df.queryExecution.executedPlan.toString
@@ -145,6 +179,88 @@ class RetrievalSpec extends SparkSpec {
     val top = res.collect()
     assert(top.head.getLong(0) === 95L, "the delta doc must win from the in-flight segment")
     assert(top.map(_.getLong(0)).contains(40L), "base hits must still be served")
+  }
+
+  test("compaction: probe byte-identical, delta census 0, superseded generation swept") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the ir10fix corpus: ids 0..99, watermark 90, best match arrives in
+    // the delta — compaction folds it into the snapshot
+    val tmp = java.nio.file.Files.createTempDirectory("ir10cmp").toString
+    val docs = (0L until 100L).map { i =>
+      val text =
+        if (i == 95L) "needle needle needle"
+        else if (i == 40L) "needle pad pad"
+        else "pad pad pad"
+      (i, text, text.length.toLong)
+    }.toDF("doc_id", "text", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val (res0, split0) = TextQueries.ir10Internals(spark, tmp, Seq("needle"))
+    assert(split0 === 90L)
+    val before = res0.collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
+    val home0 = TextQueries.ensureBasePostingsIndex(spark, tmp)
+    val home1 = TextQueries.compactBasePostingsIndex(spark, tmp)
+    assert(home1.getFileName.toString.endsWith("_c99"),
+      "the new generation is keyed by the folded-in watermark")
+    assert(!java.nio.file.Files.exists(home0), "the superseded generation must be swept")
+    assert(TextQueries.ensureBasePostingsIndex(spark, tmp) === home1,
+      "resolution must re-point at the compacted snapshot — e2e7's audit reads through this")
+    assert(graft.operators.PersistedIndex.readSplit(spark, home1) === 99L)
+    // the delta census (e2e7's postings-row arithmetic) reads 0 in flight
+    assert(spark.read.parquet(s"$tmp/documents.parquet")
+      .filter(col("doc_id") > 99L).count() === 0L)
+    // segment merge is answer-invariant: the served top-k is byte-identical
+    val (res1, split1) = TextQueries.ir10Internals(spark, tmp, Seq("needle"))
+    assert(split1 === 99L)
+    val after = res1.collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
+    assert(after === before)
+    // compacting an already-compacted index with nothing in flight is a no-op
+    assert(TextQueries.compactBasePostingsIndex(spark, tmp) === home1)
+  }
+
+  test("ir14 fixture: deleted doc vanishes, updated doc's old tokens stop matching, delta doc wins") {
+    import spark.implicits._
+    // ids 0..129 → watermark 117. The pre-change WINNER (doc 20, 20%13==7)
+    // is tombstoned; doc 28 (28%13==2) held the needle but is re-crawled to
+    // 'redacted'; doc 50 survives in the base; doc 120 arrives in the delta.
+    val needle = TextQueries.RetrievalQTerms.head // "data"
+    def text(i: Long): String =
+      if (i == 20L) s"$needle $needle $needle"
+      else if (i == 28L) s"$needle $needle pad"
+      else if (i == 50L) s"$needle pad pad"
+      else if (i == 120L) s"$needle $needle $needle pad"
+      else "pad pad pad"
+    val tmpA = java.nio.file.Files.createTempDirectory("ir14fix").toString
+    (0L until 130L).map(i => (i, text(i), text(i).length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpA/documents.parquet")
+    val (res, split) = TextQueries.ir14Internals(spark, tmpA, TextQueries.RetrievalQTerms)
+    assert(split === 117L)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("postings_base"),
+      s"the base must be served from the persisted snapshot:\n$plan")
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
+    // oracle: plain all-docs BM25 over the POST-CHANGE corpus, materialized
+    // by replaying the same CDC rules directly
+    val tmpB = java.nio.file.Files.createTempDirectory("ir14post").toString
+    (0L until 130L)
+      .filterNot(i => i <= 117L && i % 13L == 7L)
+      .map { i =>
+        val t = if (i <= 117L && i % 13L == 2L) "redacted" else text(i)
+        (i, t, t.length.toLong)
+      }
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpB/documents.parquet")
+    val want = TextQueries.ta13Bm25(spark, tmpB).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getAs[Number](2).longValue())).toSeq
+    assert(got === want)
+    val positive = got.filter(_._3 > 0L).map(_._1)
+    assert(positive.contains(120L), "the delta doc must be served from the fresh segment")
+    assert(positive.contains(50L), "surviving base hits must still be served")
+    assert(positive.head === 120L, "the delta doc out-scores the surviving base hit")
+    assert(!got.map(_._1).contains(20L), "the tombstoned pre-change winner must vanish")
+    assert(!positive.contains(28L), "the updated doc's OLD tokens must stop matching")
   }
 
   test("ir11: phrase matches from positional postings equal a brute-force text scan") {
@@ -211,6 +327,55 @@ class RetrievalSpec extends SparkSpec {
     val want = TextQueries.ir11PhraseQuery(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === want)
+  }
+
+  test("ir13: persisted-positions proximity probe prunes buckets and matches a brute-force scan") {
+    val (w1, w2, w3) = TextQueries.ProximityTerms
+    val slop = TextQueries.ProximitySlop
+    val df = TextQueries.ir13ProximityQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"proximity probe must not scan the corpus:\n$plan")
+    assert(plan.contains("positions_index"), s"probe must read the persisted index:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket pruning must reach the scan:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // brute force: ordered window starts with span ≤ (k−1)+slop
+    val want = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ")
+        def hits(i: Int): Boolean = toks(i) == w1 &&
+          (i + 1 until toks.length).exists(j => toks(j) == w2 &&
+            (j + 1 until math.min(toks.length, i + slop + 3)).exists(k => toks(k) == w3))
+        val starts = toks.indices.filter(hits)
+        if (starts.isEmpty) None
+        else Some((r.getLong(0), starts.length.toLong, starts.head.toLong + 1))
+      }.sortBy(_._1).toSeq
+    assert(want.nonEmpty, "the proximity pattern must occur at this SF")
+    assert(got === want)
+  }
+
+  test("ir13 fixture: matched at slop 2, rejected at slop 0/by adjacency, order enforced") {
+    import spark.implicits._
+    val (w1, w2, w3) = ("table", "scan", "data")
+    val tmp = java.nio.file.Files.createTempDirectory("ir13fix").toString
+    Seq(
+      (0L, s"a $w1 big $w2 x $w3"),       // span 6−2=4 ≤ 2+2 → slop-2 hit, NOT adjacent
+      (1L, s"$w1 $w2 $w3 pad"),           // exact adjacency — hits at every slop
+      (2L, s"$w3 $w2 $w1 pad"),           // all terms, wrong ORDER — never hits
+      (3L, s"$w1 pad pad pad $w2 $w3"),   // span 6−1=5 > 4 — window too wide
+      (4L, s"$w1 $w2 pad pad")            // third term missing — inner join drops it
+    ).map { case (i, t) => (i, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val at2 = TextQueries.ir13Internals(spark, tmp, w1, w2, w3, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(at2 === Seq((0L, 1L, 2L), (1L, 1L, 1L)),
+      "slop 2 admits the spread window ir11-style adjacency rejects, in order only")
+    val at0 = TextQueries.ir13Internals(spark, tmp, w1, w2, w3, 0).collect()
+      .map(r => r.getLong(0)).toSeq
+    assert(at0 === Seq(1L), "slop 0 degenerates to exact 3-term adjacency")
   }
 
   test("ir5: index audit rows are internally consistent") {

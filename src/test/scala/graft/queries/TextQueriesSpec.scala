@@ -34,6 +34,39 @@ class TextQueriesSpec extends SparkSpec {
     assert(rows.exists(_._5 < 1000000L))
   }
 
+  test("a36 core: a total winner dominates, symmetric records tie exactly") {
+    // 0 beats 1 and 2 every time; 1 and 2 split their series evenly —
+    // identical integer trajectories must yield EXACT tied strengths
+    val games = Map((0, 1) -> 10L, (1, 0) -> 10L, (0, 2) -> 10L, (2, 0) -> 10L,
+      (1, 2) -> 10L, (2, 1) -> 10L)
+    val wins = Map(0 -> 20L, 1 -> 5L, 2 -> 5L)
+    val p = TextQueries.bradleyTerryCore(Seq(0, 1, 2), games, wins, TextQueries.BtIters)
+    assert(p(0) > p(1), "the undefeated item must carry the top strength")
+    assert(p(1) === p(2), "symmetric records must tie bit-exactly")
+    // normalization: Σ = M·1e6 up to per-item floor slack
+    val sum = p.values.sum
+    assert(sum <= 3000000L && sum >= 3000000L - 3L)
+    // a never-winning item collapses to the 0 boundary
+    val p2 = TextQueries.bradleyTerryCore(Seq(0, 1),
+      Map((0, 1) -> 10L, (1, 0) -> 10L), Map(0 -> 10L, 1 -> 0L), TextQueries.BtIters)
+    assert(p2(1) === 0L)
+  }
+
+  test("a36: accounting invariants on the real eval-pair frame") {
+    val rows = TextQueries.a36BradleyTerry(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === TextQueries.BtItems, "every system plays at this SF")
+    val strengths = rows.map(_._2).toSeq
+    assert(strengths === strengths.sorted(Ordering[Long].reverse), "ranked by strength")
+    // each game contributes one win and TWO per-item game entries
+    assert(rows.map(_._3).sum === 2L * rows.map(_._4).sum)
+    assert(rows.forall(r => r._4 <= r._3), "an item cannot win more games than it played")
+    // normalized scale: Σ strengths = M·1e6 up to per-item floor slack
+    val sum = strengths.sum
+    val target = TextQueries.BtItems * 1000000L
+    assert(sum <= target && sum >= target - TextQueries.BtItems)
+  }
+
   test("f14 oracle stem table agrees with the Scala stemmer word-for-word") {
     TextQueries.F14StemTable.foreach { case (w, want) =>
       assert(PorterStemmer.stem(w) === want, s"stem($w)")
