@@ -858,6 +858,41 @@ object DedupQueries {
     }
   }
 
+  /** Compaction for the LSH family — [[TextQueries.compactBasePostingsIndex]]'s
+    * recipe applied to dd18's artifacts: fold the delta's signatures into
+    * the persisted store and the delta-touching candidate pairs into the
+    * already-adjudicated pair set, publish as a new generation
+    * (`<fp>_c<watermark>`, atomic rename), sweep the superseded one. Only
+    * the delta is shingled/minhashed; base signatures and pairs are COPIED
+    * from parquet. Answer-invariant by dd18's own union contract —
+    * compaction just moves the delta-touching pairs from the probe-time
+    * term into the persisted term — so probe results are byte-identical
+    * while the per-crawl delta work drops to zero until new rows arrive. */
+  private[queries] def compactLshIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.operators.PersistedIndex
+    val cur = ensureLshIndex(s, dir)
+    val w0 = PersistedIndex.readSplit(s, cur)
+    val docs = t(s, dir, "documents")
+    val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    if (hi <= w0) return cur // nothing in flight — compaction is a no-op
+    val fp = "v1_" + PersistedIndex.tableFingerprint(dir, "documents")
+    val target = PersistedIndex.home("lsh_index", dir, fp + "_c" + hi)
+    PersistedIndex.buildIfAbsent(target, dir) { tmp =>
+      val baseSigs = s.read.parquet(cur.resolve("sigs").toString)
+      val deltaSigs = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") > w0), "doc_id", "text")
+      baseSigs.unionByName(deltaSigs)
+        .write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
+      s.read.parquet(cur.resolve("pairs").toString)
+        .unionByName(Dedup.incrementalCandidatePairs(baseSigs, deltaSigs, "doc_id"))
+        .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
+      PersistedIndex.splitStats(s, hi)
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+    PersistedIndex.sweepSuperseded(target, dir)
+    target
+  }
+
   /** dd18_delta_neardup — the ingest-time NEAR-DUP GATE served from the
     * persisted LSH index: base-base candidate pairs are read back from the
     * snapshot artifact (already adjudicated at the last crawl — never

@@ -707,6 +707,52 @@ object MatchQueries {
     }
   }
 
+  /** Compaction for the KG family — fold the delta's sufficient statistics
+    * (per-pair co-doc counts, per-entity doc counts, document census) into
+    * the persisted base by the same exact Long sums kg6's probe merges
+    * with, publish as a new generation, sweep the superseded one. Only
+    * the delta is entity-matched; the base statistics are copied from
+    * parquet. Answer-invariant by kg6's own additive-counts contract. */
+  private[queries] def compactKgDeltaIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.operators.PersistedIndex
+    val cur = ensureKgDeltaIndex(s, dir)
+    val st0 = s.read.parquet(cur.resolve("stats").toString).collect()(0)
+    val (ndB, w0) = (st0.getAs[Long]("nd"), st0.getAs[Long]("split_id"))
+    val docs = t(s, dir, "documents")
+    val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    if (hi <= w0) return cur // nothing in flight — compaction is a no-op
+    val fp = PersistedIndex.tableFingerprint(dir, "documents")
+    val target = PersistedIndex.home("kg_delta_index", dir, fp + "_c" + hi)
+    PersistedIndex.buildIfAbsent(target, dir) { tmp =>
+      val fm = FastMatch.matcher(gazetteer)
+      val edD = docs.filter(col("doc_id") > w0)
+        .select(col("doc_id"), explode(fm(col("text"))).as("m"))
+        .select(col("doc_id"), col("m.matched").as("entity")).distinct()
+        .localCheckpoint(true)
+      val coD = edD.as("a").join(edD.as("b"), Seq("doc_id"))
+        .filter(col("a.entity") < col("b.entity"))
+        .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
+        .agg(count(lit(1)).as("n_co_d"))
+      s.read.parquet(cur.resolve("co").toString)
+        .join(coD, Seq("e1", "e2"), "full_outer")
+        .select(col("e1"), col("e2"),
+          (coalesce(col("n_co"), lit(0L)) + coalesce(col("n_co_d"), lit(0L))).as("n_co"))
+        .write.mode("overwrite").parquet(tmp.resolve("co").toString)
+      val entD = edD.groupBy("entity").agg(count(lit(1)).as("n_docs_d"))
+      s.read.parquet(cur.resolve("ent").toString)
+        .join(entD, Seq("entity"), "full_outer")
+        .select(col("entity"),
+          (coalesce(col("n_docs"), lit(0L)) + coalesce(col("n_docs_d"), lit(0L))).as("n_docs"))
+        .write.mode("overwrite").parquet(tmp.resolve("ent").toString)
+      docs.filter(col("doc_id") > w0)
+        .agg((count(lit(1)) + lit(ndB)).as("nd"))
+        .withColumn("split_id", lit(hi))
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+    PersistedIndex.sweepSuperseded(target, dir)
+    target
+  }
+
   /** kg6_delta_graph — INCREMENTAL graph maintenance: kg1 computed from the
     * persisted base sufficient statistics plus a delta-only match scan.
     * The probe never re-matches the base corpus — the only documents access

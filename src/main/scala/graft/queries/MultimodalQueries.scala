@@ -430,6 +430,52 @@ object MultimodalQueries {
     * Segmentation is invisible: the result is bit-equal to mm4's full
     * re-pair, so the oracle IS mm4's SQL and compaction is answer-safe —
     * the fifth face of the incremental family. */
+  /** Compaction for the pHash family — fold the delta assets' signatures
+    * into the persisted store and the delta-touching pair counts (mm7's
+    * three disjoint classes) into the adjudicated counts, publish as a new
+    * generation, sweep the superseded one. Only the delta is DCT-hashed;
+    * base signatures and counts are copied from parquet. Answer-invariant
+    * by mm7's own additive pair-class contract. */
+  private[queries] def compactPhashIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.operators.PersistedIndex
+    val cur = ensurePhashIndex(s, dir)
+    val w0 = PersistedIndex.readSplit(s, cur)
+    val docs = t(s, dir, "documents")
+    val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    if (hi <= w0) return cur // nothing in flight — compaction is a no-op
+    val fp = PersistedIndex.tableFingerprint(dir, "documents")
+    val target = PersistedIndex.home("phash_index", dir, fp + "_c" + hi)
+    PersistedIndex.buildIfAbsent(target, dir) { tmp =>
+      val baseSigs = s.read.parquet(cur.resolve("sigs").toString)
+      val deltaSigs = phashSigs(docs.filter(col("doc_id") > w0)).localCheckpoint(true)
+      baseSigs.unionByName(deltaSigs)
+        .write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
+      // the delta-touching pair classes, exactly mm7's probe derivation
+      val (bB, bD) = (bandedPhash(baseSigs), bandedPhash(deltaSigs))
+      def a(b: DataFrame) = b.select(col("asset_id").as("id_a"), col("phash64").as("sa"),
+        col("band"), col("key"))
+      def bb(b: DataFrame) = b.select(col("asset_id").as("id_b"), col("phash64").as("sb"),
+        col("band"), col("key"))
+      val touch = a(bB).join(bb(bD), Seq("band", "key"))
+        .unionByName(a(bD).join(bb(bB), Seq("band", "key")))
+        .unionByName(a(bD).join(bb(bD), Seq("band", "key")).filter(col("id_a") =!= col("id_b")))
+        .select("id_a", "id_b", "sa", "sb").distinct()
+      val add = phashPairCounts(touch)
+      s.read.parquet(cur.resolve("counts").toString)
+        .select(col("asset_id"), col("n_cand").as("nc0"), col("n_near").as("nn0"))
+        .join(add.select(col("asset_id"), col("n_cand").as("nc1"), col("n_near").as("nn1")),
+          Seq("asset_id"), "full_outer")
+        .select(col("asset_id"),
+          (coalesce(col("nc0"), lit(0L)) + coalesce(col("nc1"), lit(0L))).as("n_cand"),
+          (coalesce(col("nn0"), lit(0L)) + coalesce(col("nn1"), lit(0L))).as("n_near"))
+        .write.mode("overwrite").parquet(tmp.resolve("counts").toString)
+      PersistedIndex.splitStats(s, hi)
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+    PersistedIndex.sweepSuperseded(target, dir)
+    target
+  }
+
   def mm7PhashDelta(s: SparkSession, dir: String): DataFrame = {
     val home = ensurePhashIndex(s, dir)
     val split = graft.operators.PersistedIndex.readSplit(s, home)

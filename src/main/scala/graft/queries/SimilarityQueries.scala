@@ -295,6 +295,43 @@ object SimilarityQueries {
     }
   }
 
+  /** Compaction for the IVF family — fold the in-flight delta vectors into
+    * the persisted cell table under the FROZEN centroids (the FAISS
+    * add-after-train contract ss7/ss9 already freeze against): the delta
+    * is assigned with the SAME centroid index the probe used in-plan, so
+    * the move from probe-time assignment to persisted rows is bit-exact
+    * and ss9's answers are byte-identical before/after; the centroids
+    * artifact is copied, never retrained. Published as a new generation,
+    * superseded one swept — the [[graft.queries.TextQueries
+    * .compactBasePostingsIndex]] lifecycle on the vector family. */
+  private[queries] def compactIvfDeltaIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.operators.PersistedIndex
+    val cur = ensureIvfDeltaIndex(s, dir)
+    val w0 = PersistedIndex.readSplit(s, cur)
+    val emb = t(s, dir, "embeddings")
+    val hi = emb.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    if (hi <= w0) return cur // nothing in flight — compaction is a no-op
+    val fp = PersistedIndex.tableFingerprint(dir, "embeddings")
+    val target = PersistedIndex.home("ivf_delta_index", dir, fp + "_c" + hi)
+    PersistedIndex.buildIfAbsent(target, dir) { tmp =>
+      val centroids = s.read.parquet(cur.resolve("centroids").toString)
+      val idx = graft.operators.Similarity.centroidIndex(centroids, "vec_id", "embedding")
+      val deltaCells = withCell(withNorm(emb.filter(col("vec_id") > w0)), idx)
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          col("cell").cast(LongType).as("cell"))
+      val baseCells = s.read.parquet(cur.resolve("cells").toString)
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          col("cell").cast(LongType).as("cell"))
+      graft.sources.Layout.writePartitioned(
+        baseCells.unionByName(deltaCells), tmp.resolve("cells").toString, "cell")
+      centroids.write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
+      PersistedIndex.splitStats(s, hi)
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+    PersistedIndex.sweepSuperseded(target, dir)
+    target
+  }
+
   /** ss9_delta_probe — ANN search over the SEGMENTED index: newly-arrived
     * vectors are searchable immediately, without retraining or re-assigning
     * the base (the FAISS add-after-train serving shape; ss7 audits the
