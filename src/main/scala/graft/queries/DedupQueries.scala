@@ -858,6 +858,66 @@ object DedupQueries {
     }
   }
 
+  /** dd20_tombstone_neardup — tombstone/UPDATE-aware near-dup gating, ir14's
+    * CDC semantics applied to the LSH family (VERDICT r13 #2 generalized
+    * the way compaction was): deletes (doc_id % 13 == 7) drop their
+    * signatures AND every persisted pair touching them; updates
+    * (doc_id % 13 == 2, re-crawled with the token order REVERSED — old
+    * shingles stop matching, the doc itself stays shingl-able) are
+    * tombstone + re-sign; appends are dd18's delta. Serving:
+    *   sigs'  = (persisted sigs ⟕̸ tombstones) — the survivors
+    *   pairs' = (persisted pairs ⟕̸ tombstones on EITHER side)
+    *            ∪ incremental pairs of (updated ∪ delta) vs sigs'
+    * Candidate sets are exact, not approximate: a pair's shared-band
+    * count depends only on the two docs' own signatures, so dropping
+    * dead-touching rows and pairing the fresh segment reproduces dd3's
+    * full re-pair over the post-change corpus bit-for-bit (the oracle:
+    * dd3's SQL chain over the post-change corpus CTE). Only updated +
+    * delta rows are ever shingled at serve time. */
+  def dd20TombstoneNeardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PersistedIndex
+    val home = ensureLshIndex(s, dir)
+    val split = PersistedIndex.readSplit(s, home)
+    val docs = t(s, dir, "documents")
+    val dead = docs.filter(col("doc_id") <= split &&
+        (col("doc_id") % 13 === 7 || col("doc_id") % 13 === 2))
+      .select("doc_id")
+    val baseSigs = s.read.parquet(home.resolve("sigs").toString)
+      .join(dead, Seq("doc_id"), "left_anti")
+    val basePairs = s.read.parquet(home.resolve("pairs").toString)
+      .join(dead.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(dead.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
+      // equi-joins move their key to the front — restore the pair layout
+      .select("id_a", "id_b", "shared_bands")
+    val fresh = docs.filter(col("doc_id") <= split && col("doc_id") % 13 === 2)
+      .select(col("doc_id"), concat_ws(" ", reverse(tokens(col("text")))).as("text"))
+      .unionByName(docs.filter(col("doc_id") > split).select("doc_id", "text"))
+    val freshSigs = Dedup.minhashSignatures(fresh, "doc_id", "text")
+    val freshPairs = Dedup.incrementalCandidatePairs(baseSigs, freshSigs, "doc_id")
+    basePairs.unionByName(freshPairs)
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** dd3's SQL chain replayed over the POST-CHANGE corpus (the ir14
+    * oracle convention: watermark recomputed in SQL, deletes out of the
+    * corpus CTE, updates re-crawled with reversed token order). */
+  val dd20TombstoneNeardupSql: String =
+    s"""WITH w AS (
+       |  SELECT MAX(doc_id) - (MAX(doc_id) - MIN(doc_id)) // 10 AS split FROM documents),
+       |dd20corpus AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id <= w.split AND d.doc_id % 13 = 2
+       |         THEN array_to_string(list_reverse(string_split(d.text, ' ')), ' ')
+       |         ELSE d.text END AS text
+       |  FROM documents d CROSS JOIN w
+       |  WHERE NOT (d.doc_id <= w.split AND d.doc_id % 13 = 7)),
+       |sig AS (${minhashSigsDuck.replace("FROM documents", "FROM dd20corpus")}),
+       |band AS ($bandedSigsDuck)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+       |FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+
   /** Compaction for the LSH family — [[TextQueries.compactBasePostingsIndex]]'s
     * recipe applied to dd18's artifacts: fold the delta's signatures into
     * the persisted store and the delta-touching candidate pairs into the
@@ -925,6 +985,7 @@ object DedupQueries {
 
   val queries: Map[String, QueryFn] = Map(
     "dd18_delta_neardup" -> (dd18DeltaNeardup _),
+    "dd20_tombstone_neardup" -> (dd20TombstoneNeardup _),
     "dd19_persisted_bloom" -> (dd19PersistedBloom _),
     "dd14_line_dedup" -> (dd14LineDedup _),
     "dd15_exact_substr" -> (dd15ExactSubstr _),
@@ -945,6 +1006,8 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dd18_delta_neardup" -> dd18DeltaNeardupSql,
+    // tombstone subtraction is exact: dd20 ≡ dd3 over the post-change corpus
+    "dd20_tombstone_neardup" -> dd20TombstoneNeardupSql,
     // the persisted detour is invisible to the answer: dd19 ≡ dd10
     "dd19_persisted_bloom" -> dd10BloomContaminationSql,
     "dd14_line_dedup" -> dd14LineDedupSql,

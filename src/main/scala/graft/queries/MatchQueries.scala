@@ -685,14 +685,17 @@ object MatchQueries {
     * incremental face below bit-exact. */
   private[queries] def ensureKgDeltaIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
+    // v2: adds the per-doc `ed` entity table — the artifact kg7's
+    // tombstone subtraction reads so dead docs are never re-matched
     PersistedIndex.ensure("kg_delta_index", dir,
-      PersistedIndex.tableFingerprint(dir, "documents")) { tmp =>
+      "v2_" + PersistedIndex.tableFingerprint(dir, "documents")) { tmp =>
       val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
       val fm = FastMatch.matcher(gazetteer)
       val ed = t(s, dir, "documents").filter(col("doc_id") <= split)
         .select(col("doc_id"), explode(fm(col("text"))).as("m"))
         .select(col("doc_id"), col("m.matched").as("entity")).distinct()
         .localCheckpoint(true)
+      ed.write.mode("overwrite").parquet(tmp.resolve("ed").toString)
       ed.as("a").join(ed.as("b"), Seq("doc_id"))
         .filter(col("a.entity") < col("b.entity"))
         .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
@@ -721,7 +724,7 @@ object MatchQueries {
     val docs = t(s, dir, "documents")
     val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
     if (hi <= w0) return cur // nothing in flight — compaction is a no-op
-    val fp = PersistedIndex.tableFingerprint(dir, "documents")
+    val fp = "v2_" + PersistedIndex.tableFingerprint(dir, "documents")
     val target = PersistedIndex.home("kg_delta_index", dir, fp + "_c" + hi)
     PersistedIndex.buildIfAbsent(target, dir) { tmp =>
       val fm = FastMatch.matcher(gazetteer)
@@ -729,6 +732,8 @@ object MatchQueries {
         .select(col("doc_id"), explode(fm(col("text"))).as("m"))
         .select(col("doc_id"), col("m.matched").as("entity")).distinct()
         .localCheckpoint(true)
+      s.read.parquet(cur.resolve("ed").toString).unionByName(edD)
+        .write.mode("overwrite").parquet(tmp.resolve("ed").toString)
       val coD = edD.as("a").join(edD.as("b"), Seq("doc_id"))
         .filter(col("a.entity") < col("b.entity"))
         .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
@@ -803,6 +808,105 @@ object MatchQueries {
           round(lit(1e6) * (log(pxy / (px * py)) / -log(pxy))).cast(LongType)))
       .select("e1", "e2", "n_co", "n_e1", "n_e2", "npmi_e6")
       .orderBy(desc("npmi_e6"), col("e1"), col("e2"))
+  }
+
+  /** kg7_tombstone_graph — tombstone/UPDATE-aware KG maintenance, ir14's
+    * CDC semantics on the graph family: deletes (doc_id % 13 == 7)
+    * subtract their entity contributions, updates (doc_id % 13 == 2,
+    * re-crawled with token order REVERSED — multi-word entities break,
+    * single-word entities survive) are tombstone + re-match, appends are
+    * kg6's delta. The subtraction reads the persisted per-doc `ed` table
+    * (the v2 artifact) — dead docs are NEVER re-matched; only updated +
+    * delta text meets the Aho-Corasick matcher at serve time. All three
+    * statistic families (per-pair co counts, per-entity doc counts, the
+    * census) merge by exact Long sums over disjoint doc sets, so the
+    * answer is bit-equal to kg1 over the post-change corpus (the oracle);
+    * pairs whose merged count reaches 0 drop out exactly as kg1 never
+    * would have emitted them. */
+  def kg7TombstoneGraph(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PersistedIndex
+    val home = ensureKgDeltaIndex(s, dir)
+    val st = s.read.parquet(home.resolve("stats").toString).collect()(0)
+    val (ndB, split) = (st.getAs[Long]("nd"), st.getAs[Long]("split_id"))
+    val docs = t(s, dir, "documents")
+    val dead = docs.filter(col("doc_id") <= split &&
+        (col("doc_id") % 13 === 7 || col("doc_id") % 13 === 2))
+      .select("doc_id")
+    val edDead = s.read.parquet(home.resolve("ed").toString)
+      .join(dead, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    val fresh = docs.filter(col("doc_id") <= split && col("doc_id") % 13 === 2)
+      .select(col("doc_id"), concat_ws(" ", reverse(Q.tokens(col("text")))).as("text"))
+      .unionByName(docs.filter(col("doc_id") > split).select("doc_id", "text"))
+    val fm = FastMatch.matcher(gazetteer)
+    val edF = fresh.select(col("doc_id"), explode(fm(col("text"))).as("m"))
+      .select(col("doc_id"), col("m.matched").as("entity")).distinct()
+      .localCheckpoint(true)
+    def coOf(ed: DataFrame, as: String) = ed.as("a").join(ed.as("b"), Seq("doc_id"))
+      .filter(col("a.entity") < col("b.entity"))
+      .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
+      .agg(count(lit(1)).as(as))
+    val co = s.read.parquet(home.resolve("co").toString)
+      .join(coOf(edDead, "n_co_x"), Seq("e1", "e2"), "full_outer")
+      .join(coOf(edF, "n_co_f"), Seq("e1", "e2"), "full_outer")
+      .select(col("e1"), col("e2"),
+        (coalesce(col("n_co"), lit(0L)) - coalesce(col("n_co_x"), lit(0L)) +
+          coalesce(col("n_co_f"), lit(0L))).as("n_co"))
+      .filter(col("n_co") > 0)
+    val ent = s.read.parquet(home.resolve("ent").toString)
+      .join(edDead.groupBy("entity").agg(count(lit(1)).as("n_docs_x")),
+        Seq("entity"), "full_outer")
+      .join(edF.groupBy("entity").agg(count(lit(1)).as("n_docs_f")),
+        Seq("entity"), "full_outer")
+      .select(col("entity"),
+        (coalesce(col("n_docs"), lit(0L)) - coalesce(col("n_docs_x"), lit(0L)) +
+          coalesce(col("n_docs_f"), lit(0L))).as("n_docs"))
+      .filter(col("n_docs") > 0)
+    val nd = dead.agg(count(lit(1)).as("n_x"))
+      .crossJoin(fresh.agg(count(lit(1)).as("n_f")))
+      .select((lit(ndB) - col("n_x") + col("n_f")).as("nd"))
+    val d = DoubleType
+    val (pxy, px, py) = (
+      col("n_co").cast(d) / col("nd").cast(d),
+      col("n_e1").cast(d) / col("nd").cast(d),
+      col("n_e2").cast(d) / col("nd").cast(d))
+    co.crossJoin(broadcast(nd))
+      .join(ent.select(col("entity").as("e1"), col("n_docs").as("n_e1")), Seq("e1"))
+      .join(ent.select(col("entity").as("e2"), col("n_docs").as("n_e2")), Seq("e2"))
+      .withColumn("npmi_e6",
+        when(col("n_co") === col("nd"), lit(1000000L)).otherwise(
+          round(lit(1e6) * (log(pxy / (px * py)) / -log(pxy))).cast(LongType)))
+      .select("e1", "e2", "n_co", "n_e1", "n_e2", "npmi_e6")
+      .orderBy(desc("npmi_e6"), col("e1"), col("e2"))
+  }
+
+  /** kg1's SQL replayed over the POST-CHANGE corpus (the ir14/dd20 oracle
+    * convention). */
+  val kg7TombstoneGraphSql: String = {
+    val edChanged = entityDocsSql.replace("FROM documents", "FROM kg7corpus")
+    s"""WITH w AS (
+       |  SELECT MAX(doc_id) - (MAX(doc_id) - MIN(doc_id)) // 10 AS split FROM documents),
+       |kg7corpus AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id <= w.split AND d.doc_id % 13 = 2
+       |         THEN array_to_string(list_reverse(string_split(d.text, ' ')), ' ')
+       |         ELSE d.text END AS text
+       |  FROM documents d CROSS JOIN w
+       |  WHERE NOT (d.doc_id <= w.split AND d.doc_id % 13 = 7)),
+       |$edChanged,
+       |nd AS (SELECT COUNT(*) AS nd FROM kg7corpus),
+       |ent AS (SELECT entity, COUNT(*) AS n_docs FROM ed GROUP BY entity),
+       |co AS (
+       |  SELECT a.entity AS e1, b.entity AS e2, COUNT(*) AS n_co
+       |  FROM ed a JOIN ed b ON a.doc_id = b.doc_id AND a.entity < b.entity
+       |  GROUP BY a.entity, b.entity)
+       |SELECT e1, e2, CAST(n_co AS BIGINT) AS n_co,
+       |  CAST(ea.n_docs AS BIGINT) AS n_e1, CAST(eb.n_docs AS BIGINT) AS n_e2,
+       |  CASE WHEN n_co = nd THEN 1000000
+       |  ELSE CAST(ROUND(1e6 * (ln((CAST(n_co AS DOUBLE) / nd) /
+       |    ((CAST(ea.n_docs AS DOUBLE) / nd) * (CAST(eb.n_docs AS DOUBLE) / nd)))
+       |    / -ln(CAST(n_co AS DOUBLE) / nd))) AS BIGINT) END AS npmi_e6
+       |FROM co JOIN ent ea ON ea.entity = co.e1 JOIN ent eb ON eb.entity = co.e2
+       |CROSS JOIN nd ORDER BY npmi_e6 DESC, e1, e2""".stripMargin
   }
 
   /** el3's minimum corpus support for a FUZZY (distance-1) link: below
@@ -1013,6 +1117,7 @@ object MatchQueries {
     "kg4b_persisted_neighbors" -> (kg4bPersistedNeighbors _),
     "kg5_twohop_discovery" -> (kg5TwohopDiscovery _),
     "kg6_delta_graph" -> (kg6DeltaGraph _),
+    "kg7_tombstone_graph" -> (kg7TombstoneGraph _),
     "el1_mention_link" -> (el1MentionLink _),
     "el2_context_score" -> (el2ContextScore _),
     "el3_nil_gate" -> (el3NilGate _),
@@ -1030,6 +1135,8 @@ object MatchQueries {
     "kg5_twohop_discovery" -> kg5TwohopDiscoverySql,
     // segment merge is invisible to the answer: kg6 ≡ kg1
     "kg6_delta_graph" -> kg1EntityGraphSql,
+    // tombstone subtraction is exact: kg7 ≡ kg1 over the post-change corpus
+    "kg7_tombstone_graph" -> kg7TombstoneGraphSql,
     "el1_mention_link" -> el1MentionLinkSql,
     "el2_context_score" -> el2ContextScoreSql,
     "el3_nil_gate" -> el3NilGateSql,

@@ -430,6 +430,86 @@ object MultimodalQueries {
     * Segmentation is invisible: the result is bit-equal to mm4's full
     * re-pair, so the oracle IS mm4's SQL and compaction is answer-safe —
     * the fifth face of the incremental family. */
+  /** mm8_tombstone_phash — tombstone/UPDATE-aware asset dedup, ir14's CDC
+    * semantics on the perceptual-hash family: deleted assets
+    * (doc_id % 13 == 7) leave the signature store via an id anti-join and
+    * their pair contributions are SUBTRACTED (their signatures are in the
+    * artifact, so the dead-touching pair set re-derives from persisted
+    * sigs alone — no payload is re-hashed); updated assets
+    * (doc_id % 13 == 2, payload re-crawled with token order reversed) are
+    * tombstone + re-hash; appends are mm7's delta. Pair classes are
+    * disjoint ordered sets, so per-asset candidate/near counts merge by
+    * exact Long sums: base − dead-touching + fresh-touching ≡ mm4's full
+    * re-pair over the post-change corpus (the oracle). Only updated +
+    * appended payloads meet the DCT at serve time. */
+  def mm8TombstonePhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PersistedIndex
+    val home = ensurePhashIndex(s, dir)
+    val split = PersistedIndex.readSplit(s, home)
+    val docs = t(s, dir, "documents")
+    val deadIds = docs.filter(col("doc_id") <= split &&
+        (col("doc_id") % 13 === 7 || col("doc_id") % 13 === 2))
+      .select(col("doc_id").cast(LongType).as("asset_id"))
+    val baseSigs = s.read.parquet(home.resolve("sigs").toString)
+    val liveSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_anti")
+    val deadSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_semi")
+    val fresh = docs.filter(col("doc_id") <= split && col("doc_id") % 13 === 2)
+      .select(col("doc_id"), concat_ws(" ", reverse(Q.tokens(col("text")))).as("text"))
+      .unionByName(docs.filter(col("doc_id") > split).select("doc_id", "text"))
+    val freshSigs = phashSigs(fresh).localCheckpoint(true)
+    def a(b: DataFrame) = b.select(col("asset_id").as("id_a"), col("phash64").as("sa"),
+      col("band"), col("key"))
+    def bb(b: DataFrame) = b.select(col("asset_id").as("id_b"), col("phash64").as("sb"),
+      col("band"), col("key"))
+    def pairsOf(left: DataFrame, right: DataFrame, both: Boolean): DataFrame = {
+      val fwd = a(left).join(bb(right), Seq("band", "key"))
+      val base = if (both) fwd.unionByName(a(right).join(bb(left), Seq("band", "key"))) else fwd
+      base.filter(col("id_a") =!= col("id_b")).select("id_a", "id_b", "sa", "sb").distinct()
+    }
+    val (bAll, bDead) = (bandedPhash(baseSigs), bandedPhash(deadSigs))
+    val (bLive, bF) = (bandedPhash(liveSigs), bandedPhash(freshSigs))
+    // ordered pairs of the ORIGINAL base universe touching a dead asset —
+    // the exact subset of the persisted counts' pair set
+    val sub = phashPairCounts(pairsOf(bDead, bAll, both = true))
+    val add = phashPairCounts(
+      pairsOf(bLive, bF, both = true).unionByName(pairsOf(bF, bF, both = false)))
+    val counts = s.read.parquet(home.resolve("counts").toString)
+      .select(col("asset_id"), col("n_cand").as("nc0"), col("n_near").as("nn0"))
+      .join(sub.select(col("asset_id"), col("n_cand").as("ncx"), col("n_near").as("nnx")),
+        Seq("asset_id"), "full_outer")
+      .join(add.select(col("asset_id"), col("n_cand").as("ncf"), col("n_near").as("nnf")),
+        Seq("asset_id"), "full_outer")
+      .select(col("asset_id"),
+        (coalesce(col("nc0"), lit(0L)) - coalesce(col("ncx"), lit(0L)) +
+          coalesce(col("ncf"), lit(0L))).as("n_cand"),
+        (coalesce(col("nn0"), lit(0L)) - coalesce(col("nnx"), lit(0L)) +
+          coalesce(col("nnf"), lit(0L))).as("n_near"))
+    liveSigs.unionByName(freshSigs).join(counts, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("phash64"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("asset_id")
+  }
+
+  /** mm4's SQL replayed over the POST-CHANGE corpus (the ir14/dd20/kg7
+    * oracle convention). */
+  val mm8TombstonePhashSql: String = {
+    val corpus =
+      """WITH w AS (
+        |  SELECT MAX(doc_id) - (MAX(doc_id) - MIN(doc_id)) // 10 AS split FROM documents),
+        |mm8corpus AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id <= w.split AND d.doc_id % 13 = 2
+        |         THEN array_to_string(list_reverse(string_split(d.text, ' ')), ' ')
+        |         ELSE d.text END AS text
+        |  FROM documents d CROSS JOIN w
+        |  WHERE NOT (d.doc_id <= w.split AND d.doc_id % 13 = 7)),
+        |""".stripMargin
+    corpus + mm4PhashNeardupSql
+      .replaceFirst("^WITH ", "")
+      .replace("FROM documents WHERE", "FROM mm8corpus WHERE")
+  }
+
   /** Compaction for the pHash family — fold the delta assets' signatures
     * into the persisted store and the delta-touching pair counts (mm7's
     * three disjoint classes) into the adjudicated counts, publish as a new
@@ -509,6 +589,7 @@ object MultimodalQueries {
 
   val queries: Map[String, QueryFn] = Map(
     "mm7_phash_delta" -> (mm7PhashDelta _),
+    "mm8_tombstone_phash" -> (mm8TombstonePhash _),
     "mm6_crossmodal_link" -> (mm6CrossmodalLink _),
     "mm5_silence_trim" -> (mm5SilenceTrim _),
     "mm4_phash_neardup" -> (mm4PhashNeardup _),
@@ -519,6 +600,8 @@ object MultimodalQueries {
   val oracles: Map[String, String] = Map(
     // segment merge is invisible to the answer: mm7 ≡ mm4
     "mm7_phash_delta" -> mm4PhashNeardupSql,
+    // tombstone subtraction is exact: mm8 ≡ mm4 over the post-change corpus
+    "mm8_tombstone_phash" -> mm8TombstonePhashSql,
     "mm6_crossmodal_link" -> mm6CrossmodalLinkSql,
     "mm5_silence_trim" -> mm5SilenceTrimSql,
     "mm4_phash_neardup" -> mm4PhashNeardupSql,

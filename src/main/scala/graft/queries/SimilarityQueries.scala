@@ -418,6 +418,111 @@ object SimilarityQueries {
        |SELECT query_id, rank, vec_id, cos_e6 FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** ss10_tombstone_probe — tombstone/UPDATE-aware ANN search, ir14's CDC
+    * semantics on the IVF family: deleted vectors (vec_id % 13 == 7)
+    * leave the candidate set via an id anti-join on the persisted cells;
+    * updated vectors (vec_id % 13 == 2, re-embedded as the NEGATION — the
+    * norm is bit-identical, the direction flips) are tombstone + re-add,
+    * assigned in-plan against the FROZEN centroids exactly like ss9's
+    * delta; appends are ss9's delta. The query slice is the POST-CHANGE
+    * corpus below NQueries — a deleted query stops querying, an updated
+    * query probes with its new vector. Centroids stay the artifact's
+    * (trained on the original base, the FAISS immutable-training
+    * contract), so the oracle replays the same frozen geometry over the
+    * post-change corpus. Only updated + appended vectors are ever
+    * normed/assigned at serve time; the base never rescans. */
+  def ss10TombstoneProbe(s: SparkSession, dir: String): DataFrame = {
+    val home = ensureIvfDeltaIndex(s, dir)
+    val split = graft.operators.PersistedIndex.readSplit(s, home)
+    val idx = graft.operators.Similarity.centroidIndex(
+      s.read.parquet(home.resolve("centroids").toString), "vec_id", "embedding")
+    val embAll = t(s, dir, "embeddings")
+    val dead = embAll.filter(col("vec_id") <= split &&
+        (col("vec_id") % 13 === 7 || col("vec_id") % 13 === 2))
+      .select("vec_id")
+    val fresh = embAll.filter(col("vec_id") <= split && col("vec_id") % 13 === 2)
+      .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
+      .unionByName(embAll.filter(col("vec_id") > split).select("vec_id", "embedding"))
+    val q = withNorm(
+        embAll.filter(col("vec_id") < NQueries &&
+          !(col("vec_id") <= split && col("vec_id") % 13 === 7))
+        .select(col("vec_id"),
+          when(col("vec_id") <= split && col("vec_id") % 13 === 2,
+            transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")).as("embedding")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
+    val probeArr = slice(array_sort(transform(idx, c => struct(
+        (-cosE6(dot(c.getField("cv"), col("qv")), c.getField("cn"), col("qn"))).as("neg_cos"),
+        c.getField("cent_id").as("cent_id")))), 1, 2)
+    val probes = q.withColumn("pc", explode(probeArr))
+      .select(col("query_id"), col("qv"), col("qn"), col("pc.cent_id").as("cell"))
+    val probedCells = q.select(explode(probeArr).as("pc"))
+      .select(col("pc.cent_id")).distinct().collect().map(_.getLong(0)).sorted
+    val baseCells = s.read.parquet(home.resolve("cells").toString)
+      .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
+      .withColumn("cell", col("cell").cast(LongType))
+      .join(dead, Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding", "norm", "cell")
+    val freshCells = withCell(withNorm(fresh), idx)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+      .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
+    def scoreSegment(cand: DataFrame): DataFrame = cand
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_e6", cosE6(dot(col("qv"), col("embedding")), col("qn"), col("norm")))
+      .select("query_id", "vec_id", "cos_e6")
+    graft.operators.TopK.smallestPerGroup(
+        scoreSegment(baseCells).unionByName(scoreSegment(freshCells)),
+        Seq("query_id"), TopK,
+        -col("cos_e6"), col("vec_id"), keyName = "neg_cos", idName = "vec_id")
+      .select(col("query_id"), col("rank"), col("vec_id"), (-col("neg_cos")).as("cos_e6"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** ss9's SQL replayed over the POST-CHANGE corpus under the FROZEN
+    * geometry: centroids (and the √N stride) come from the ORIGINAL base
+    * segment — exactly what the immutable artifact serves — while
+    * assignment, queries and scoring run over the post-change vectors
+    * (negation preserves the norm, so norms carry over). */
+  val ss10TombstoneProbeSql: String =
+    s"""WITH emb AS ($withNormDuck),
+       |ids AS (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM emb),
+       |spl AS (SELECT hi - (hi - lo) // 10 AS split FROM ids),
+       |base AS (SELECT * FROM emb WHERE vec_id <= (SELECT split FROM spl)),
+       |st AS (SELECT GREATEST(2, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS stride FROM base),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cv, norm AS cn FROM base
+       |         WHERE vec_id % (SELECT stride FROM st) = 0),
+       |chg AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id <= (SELECT split FROM spl) AND vec_id % 13 = 2
+       |         THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding,
+       |    norm
+       |  FROM emb
+       |  WHERE NOT (vec_id <= (SELECT split FROM spl) AND vec_id % 13 = 7)),
+       |assign AS (
+       |  SELECT vec_id, embedding, norm, cell FROM (
+       |    SELECT e.vec_id, e.embedding, e.norm, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE6Sql(dotSql("c.cv", "e.embedding"), "c.cn", "e.norm")} DESC, c.cent_id) AS ark
+       |    FROM chg e CROSS JOIN cent c) t WHERE ark = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, norm AS qn FROM chg WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT query_id, qv, qn, cell FROM (
+       |    SELECT q.query_id, q.qv, q.qn, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosE6Sql(dotSql("c.cv", "q.qv"), "c.cn", "q.qn")} DESC, c.cent_id) AS prk
+       |    FROM q CROSS JOIN cent c) t WHERE prk <= 2),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    ${cosE6Sql(dotSql("p.qv", "a.embedding"), "p.qn", "a.norm")} AS cos_e6
+       |  FROM assign a JOIN probes p USING (cell) WHERE a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cos_e6 FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** ss5_recall_audit — recall@k of the IVF index against the brute-force
     * ground truth, per query, as an oracle-checked query (the quality gate
     * every ANN deployment runs after an index rebuild; the spec-level
@@ -1283,6 +1388,7 @@ object SimilarityQueries {
     "ss2_ivf_topk" -> (ss2IvfTopk _),
     "ss2b_persisted_probe" -> (ss2bPersistedProbe _),
     "ss9_delta_probe" -> (ss9DeltaProbe _),
+    "ss10_tombstone_probe" -> (ss10TombstoneProbe _),
     "ss7_ivf_refresh" -> (ss7IvfRefresh _),
     "ss3_lsh_topk" -> (ss3LshTopk _),
     "ss5_recall_audit" -> (ss5RecallAudit _),
@@ -1291,6 +1397,9 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "ss9_delta_probe" -> ss9DeltaProbeSql,
+    // tombstone subtraction under frozen geometry: ss10 ≡ ss9's recipe
+    // over the post-change corpus
+    "ss10_tombstone_probe" -> ss10TombstoneProbeSql,
     "ir3_hybrid_dense" -> ir3HybridDenseSql,
     "ir4_hybrid_ann" -> ir4HybridAnnSql,
     "ir7_mmr_rerank" -> ir7MmrRerankSql,

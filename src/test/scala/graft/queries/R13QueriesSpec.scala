@@ -393,6 +393,37 @@ class R13QueriesSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("dd20 fixture: deleted doc's pairs vanish, updated doc's old shingles stop matching") {
+    import spark.implicits._
+    // ids 0..129 → watermark 117. dup-cluster {10, 33, 28, 50}: 33 is
+    // DELETED (33%13==7) — its pairs must vanish; 28 is UPDATED
+    // (28%13==2, token order reversed) — its old shingles stop matching
+    // 10/50 but it keeps its signature universe membership; 120 arrives
+    // in the delta as a copy of the surviving text.
+    val tmp = java.nio.file.Files.createTempDirectory("dd20fix").toString
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val docs = (0L until 130L).map { i =>
+      val text =
+        if (Set(10L, 33L, 28L, 50L, 120L).contains(i)) dup
+        else s"u${i}a u${i}b u${i}c u${i}d"
+      (i, text, text.length.toLong)
+    }.toDF("doc_id", "text", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupQueries.dd20TombstoneNeardup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // survivors of the dup text: 10, 50 (base), 120 (delta) — all pairs;
+    // 33's pairs are gone; 28's reversed text shares no 3-shingle with
+    // the original so it pairs with nothing
+    assert(got === Set((10L, 50L), (10L, 120L), (50L, 120L)))
+    // the persisted artifact genuinely held the now-dead pairs (the
+    // subtraction did real work — guards against a vacuous fixture)
+    val home = DedupQueries.ensureLshIndex(spark, tmp)
+    val persisted = spark.read.parquet(home.resolve("pairs").toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(persisted.contains((10L, 33L)) && persisted.contains((10L, 28L)),
+      "the base artifact must contain the deleted and updated docs' pairs")
+  }
+
   test("lsh compaction: probe byte-identical, delta work gone, superseded generation swept") {
     import spark.implicits._
     // the dd18 fixture corpus: compaction must fold the straddler and the
@@ -425,6 +456,39 @@ class R13QueriesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(after === before, "compaction must be invisible to the served answer")
     assert(DedupQueries.compactLshIndex(spark, tmp) === home1, "compact again is a no-op")
+  }
+
+  test("ss10 fixture: deleted vector leaves the cells, updated query probes with its new vector") {
+    import spark.implicits._
+    // ids 0..99 → watermark 90. Vec 33 (33%13==7, deleted) and vec 28
+    // (28%13==2, updated → negated) are exact copies of query 0's vector;
+    // vec 95 arrives in the delta as another copy. Vec 15 (15%13==2)
+    // copies query 2's vector — BOTH get negated, so they stay identical.
+    // Query 7 (7%13==7) is deleted and must stop querying.
+    val tmp = java.nio.file.Files.createTempDirectory("ss10fix").toString
+    def v(i: Long): Seq[Float] = Seq(1f, (i % 7).toFloat, (i * 3 % 11).toFloat, (i * 5 % 13).toFloat)
+    val vecs = (0L until 100L).map { i =>
+      val vec = if (i == 33L || i == 28L || i == 95L) v(0L)
+        else if (i == 15L) v(2L)
+        else v(i)
+      (i, vec, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    vecs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = SimilarityQueries.ss10TombstoneProbe(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val queryIds = rows.map(_._1).distinct.sorted.toSeq
+    assert(!queryIds.contains(7L), "a deleted query must stop querying")
+    assert(queryIds.contains(2L), "an updated query keeps querying with its new vector")
+    val all = rows.map(_._3).toSet
+    assert(!all.contains(33L), "a deleted vector must never be served")
+    val q0 = rows.filter(_._1 == 0L).sortBy(_._2)
+    assert(q0.head._3 === 95L && q0.head._4 === 1000000L,
+      "the delta copy wins query 0 at cos 1e6")
+    assert(!q0.map(_._3).contains(28L),
+      "the updated copy's NEGATED vector must leave query 0's top-k")
+    val q2 = rows.filter(_._1 == 2L).sortBy(_._2)
+    assert(q2.head._3 === 15L && q2.head._4 === 1000000L,
+      "two identically-updated vectors stay mutual neighbors (both negated)")
   }
 
   test("ivf compaction: probe byte-identical under frozen centroids, superseded generation swept") {
@@ -462,6 +526,45 @@ class R13QueriesSpec extends SparkSpec {
     assert(SimilarityQueries.compactIvfDeltaIndex(spark, tmp) === home1, "no-op when drained")
   }
 
+  test("kg7 fixture: deleted doc's pair vanishes, updated doc's phrase entity breaks") {
+    import spark.implicits._
+    // ids 0..129 → watermark 117. Doc 7 (7%13==7, deleted) holds the ONLY
+    // data+stream co-occurrence; doc 28 (28%13==2, updated) holds "table
+    // scan" — reversal breaks the phrase but keeps "data"; docs 1..5 pair
+    // data+window (survivors); delta doc 120 adds data+hash join.
+    def text(i: Long): String =
+      if (i == 7L) "data stream together"
+      else if (i == 28L) "data table scan"
+      else if (i >= 1L && i <= 5L) "data window mix"
+      else if (i == 120L) "hash join data"
+      else s"plain u${i} filler"
+    val tmpA = java.nio.file.Files.createTempDirectory("kg7fix").toString
+    (0L until 130L).map(i => (i, text(i), text(i).length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpA/documents.parquet")
+    val got = MatchQueries.kg7TombstoneGraph(spark, tmpA).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // oracle: kg1 over the materialized post-change corpus
+    val tmpB = java.nio.file.Files.createTempDirectory("kg7post").toString
+    (0L until 130L)
+      .filterNot(i => i <= 117L && i % 13L == 7L)
+      .map { i =>
+        val t0 = if (i <= 117L && i % 13L == 2L) text(i).split(" ").reverse.mkString(" ") else text(i)
+        (i, t0, t0.length.toLong)
+      }
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpB/documents.parquet")
+    val want = MatchQueries.kg1EntityGraph(spark, tmpB).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want)
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(!pairs.contains(("data", "stream")), "the deleted doc's only pair must vanish")
+    assert(!pairs.contains(("data", "table scan")),
+      "reversal breaks the updated doc's phrase entity")
+    assert(pairs.contains(("data", "window")), "surviving base pairs still served")
+    assert(pairs.contains(("data", "hash join")), "the delta doc's pair must appear")
+  }
+
   test("kg compaction: merged statistics byte-identical, superseded generation swept") {
     import spark.implicits._
     // gazetteer entities straddling the watermark: base docs pair
@@ -493,6 +596,41 @@ class R13QueriesSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(after === before, "compaction must be invisible to the served graph")
     assert(MatchQueries.compactKgDeltaIndex(spark, tmp) === home1, "no-op when drained")
+  }
+
+  test("mm8 fixture: tombstone-served counts equal mm4 over the post-change corpus") {
+    import spark.implicits._
+    // ids 0..129 → watermark 117. The dup payload lives at 10, 33
+    // (deleted), 28 (updated → reversed payload), 50 and 120 (delta):
+    // after the change 10/50/120 stay mutual near-dups, 33 vanishes,
+    // 28 re-hashes under its re-crawled payload.
+    val payload = ("the quick brown fox jumps over the lazy dog " * 3).trim
+    def text(i: Long): String =
+      if (Set(10L, 33L, 28L, 50L, 120L).contains(i)) payload
+      else s"asset $i " + (s"u${i}x" * 20) + " trailing content to clear the 64-char floor"
+    val tmpA = java.nio.file.Files.createTempDirectory("mm8fix").toString
+    (0L until 130L).map(i => (i, text(i), text(i).length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpA/documents.parquet")
+    val got = MultimodalQueries.mm8TombstonePhash(spark, tmpA).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // oracle: mm4's full re-pair over the materialized post-change corpus
+    val tmpB = java.nio.file.Files.createTempDirectory("mm8post").toString
+    (0L until 130L)
+      .filterNot(i => i <= 117L && i % 13L == 7L)
+      .map { i =>
+        val t0 = if (i <= 117L && i % 13L == 2L) text(i).split(" ").reverse.mkString(" ") else text(i)
+        (i, t0, t0.length.toLong)
+      }
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpB/documents.parquet")
+    val want = MultimodalQueries.mm4PhashNeardup(spark, tmpB).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    val byId = got.map(r => r._1 -> r._4).toMap
+    assert(!byId.contains(33L), "the deleted asset must leave the store")
+    assert(byId(10L) >= 2L && byId(50L) >= 2L && byId(120L) >= 2L,
+      "the surviving copies (base, base, delta) must stay mutual near-dups")
   }
 
   test("phash compaction: probe byte-identical, superseded generation swept") {
