@@ -1737,6 +1737,112 @@ object CurationQueries {
     rows.reduce(_ unionByName _).orderBy("family")
   }
 
+  /** e2e8_cdc_audit — the tombstone-aware sibling of [[e2e7RefreshAudit]]:
+    * after a CDC batch (the ir14/dd20/kg7/ss10/mm8 rules — deletes
+    * id % 13 == 7, updates id % 13 == 2, appends past the watermark), one
+    * audit frame per family reporting the persisted-base census, how many
+    * base members the tombstone set retires, how many rows the fresh
+    * segment serves (updated re-adds + eligible appends), and the
+    * effective serving census n_base − n_tombstoned + n_fresh — the
+    * dashboard row a CDC-aware refresh publishes. Base censuses and
+    * tombstone memberships come from the persisted artifacts (semi-joins
+    * against id-only change sets — base corpora are never rescanned);
+    * only the fresh segment's eligibility predicates touch the corpus,
+    * behind pushed range/length filters. The update transforms preserve
+    * each family's eligibility (reversal keeps token and char counts;
+    * postings/kg/ivf have none), so updated members re-enter 1:1 — which
+    * is exactly what makes n_serving an exact Long identity, oracle-
+    * replayable from the corpus alone. */
+  def e2e8CdcAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PersistedIndex
+    val pHome = TextQueries.ensureBasePostingsIndex(s, dir)
+    val lHome = DedupQueries.ensureLshIndex(s, dir)
+    val kHome = MatchQueries.ensureKgDeltaIndex(s, dir)
+    val vHome = SimilarityQueries.ensureIvfDeltaIndex(s, dir)
+    val mHome = MultimodalQueries.ensurePhashIndex(s, dir)
+    val docs = t(s, dir, "documents")
+    val embs = t(s, dir, "embeddings")
+    def changeIds(table: DataFrame, idCol: String, split: Long): (DataFrame, DataFrame) = {
+      val base = table.filter(col(idCol) <= split)
+      (base.filter(col(idCol) % 13 === 7 || col(idCol) % 13 === 2)
+         .select(col(idCol).as("__id")),
+       base.filter(col(idCol) % 13 === 2).select(col(idCol).as("__id")))
+    }
+    def row(family: String, split: Long, store: DataFrame, idCol: String,
+        tomb: DataFrame, upd: DataFrame, appended: DataFrame): DataFrame = {
+      val nBase = store.agg(count(lit(1)).as("n_base"))
+      val nTomb = store.join(tomb, store(idCol) === tomb("__id"), "left_semi")
+        .agg(count(lit(1)).as("n_tombstoned"))
+      val nUpd = store.join(upd, store(idCol) === upd("__id"), "left_semi")
+        .agg(count(lit(1)).as("n_upd"))
+      val nApp = appended.agg(count(lit(1)).as("n_app"))
+      nBase.crossJoin(nTomb).crossJoin(nUpd).crossJoin(nApp)
+        .select(lit(family).as("family"), lit(split).as("split_id"),
+          col("n_base"), col("n_tombstoned"),
+          (col("n_upd") + col("n_app")).as("n_fresh"),
+          (col("n_base") - col("n_tombstoned") + col("n_upd") + col("n_app")).as("n_serving"))
+    }
+    val (pSp, lSp, kSp, vSp, mSp) = (
+      PersistedIndex.readSplit(s, pHome), PersistedIndex.readSplit(s, lHome),
+      PersistedIndex.readSplit(s, kHome), PersistedIndex.readSplit(s, vHome),
+      PersistedIndex.readSplit(s, mHome))
+    val (dTombP, dUpdP) = changeIds(docs, "doc_id", pSp)
+    val (dTombL, dUpdL) = changeIds(docs, "doc_id", lSp)
+    val (dTombK, dUpdK) = changeIds(docs, "doc_id", kSp)
+    val (dTombM, dUpdM) = changeIds(docs, "doc_id", mSp)
+    val (vTomb, vUpd) = changeIds(embs, "vec_id", vSp)
+    // kg's census covers every base doc, so its store stand-in is the
+    // id-only corpus slice (the stats row holds only the count)
+    val kgStore = docs.filter(col("doc_id") <= kSp).select("doc_id")
+    val rows = Seq(
+      row("ivf", vSp, s.read.parquet(vHome.resolve("cells").toString), "vec_id",
+        vTomb, vUpd, embs.filter(col("vec_id") > vSp)),
+      row("kg", kSp, kgStore, "doc_id", dTombK, dUpdK,
+        docs.filter(col("doc_id") > kSp)),
+      row("lsh", lSp, s.read.parquet(lHome.resolve("sigs").toString), "doc_id",
+        dTombL, dUpdL,
+        docs.filter(col("doc_id") > lSp && size(split(col("text"), " ")) >= 3)),
+      row("phash", mSp, s.read.parquet(mHome.resolve("sigs").toString)
+          .withColumnRenamed("asset_id", "doc_id"), "doc_id",
+        dTombM, dUpdM,
+        docs.filter(col("doc_id") > mSp && length(col("text")) >= 64)),
+      row("postings", pSp, s.read.parquet(pHome.resolve("doclen").toString), "doc_id",
+        dTombP, dUpdP, docs.filter(col("doc_id") > pSp)))
+    rows.reduce(_ unionByName _).orderBy("family")
+  }
+
+  val e2e8CdcAuditSql: String = {
+    def docArm(family: String, filt: String): String = {
+      val f = if (filt.isEmpty) "" else s" AND $filt"
+      s"""SELECT '$family' AS family, (SELECT sp FROM dspl) AS split_id,
+         |  (SELECT COUNT(*) FROM documents WHERE doc_id <= (SELECT sp FROM dspl)$f) AS n_base,
+         |  (SELECT COUNT(*) FROM documents WHERE doc_id <= (SELECT sp FROM dspl)
+         |    AND doc_id % 13 IN (7, 2)$f) AS n_tombstoned,
+         |  (SELECT COUNT(*) FROM documents WHERE ((doc_id <= (SELECT sp FROM dspl)
+         |    AND doc_id % 13 = 2) OR doc_id > (SELECT sp FROM dspl))$f) AS n_fresh""".stripMargin
+    }
+    s"""WITH dspl AS (SELECT MAX(doc_id) - (MAX(doc_id) - MIN(doc_id)) // 10 AS sp FROM documents),
+       |vspl AS (SELECT MAX(vec_id) - (MAX(vec_id) - MIN(vec_id)) // 10 AS sp FROM embeddings),
+       |rws AS (
+       |  SELECT 'ivf' AS family, (SELECT sp FROM vspl) AS split_id,
+       |    (SELECT COUNT(*) FROM embeddings WHERE vec_id <= (SELECT sp FROM vspl)) AS n_base,
+       |    (SELECT COUNT(*) FROM embeddings WHERE vec_id <= (SELECT sp FROM vspl)
+       |      AND vec_id % 13 IN (7, 2)) AS n_tombstoned,
+       |    (SELECT COUNT(*) FROM embeddings WHERE (vec_id <= (SELECT sp FROM vspl)
+       |      AND vec_id % 13 = 2) OR vec_id > (SELECT sp FROM vspl)) AS n_fresh
+       |  UNION ALL
+       |  ${docArm("kg", "")}
+       |  UNION ALL
+       |  ${docArm("lsh", "len(string_split(text, ' ')) >= 3")}
+       |  UNION ALL
+       |  ${docArm("phash", "len(text) >= 64")}
+       |  UNION ALL
+       |  ${docArm("postings", "")})
+       |SELECT family, split_id, n_base, n_tombstoned, n_fresh,
+       |  n_base - n_tombstoned + n_fresh AS n_serving
+       |FROM rws ORDER BY family""".stripMargin
+  }
+
   val e2e7RefreshAuditSql: String =
     s"""WITH dspl AS (SELECT MAX(doc_id) - (MAX(doc_id) - MIN(doc_id)) // 10 AS sp FROM documents),
        |vspl AS (SELECT MAX(vec_id) - (MAX(vec_id) - MIN(vec_id)) // 10 AS sp FROM embeddings),
@@ -1764,6 +1870,7 @@ object CurationQueries {
 
   val queries: Map[String, QueryFn] = Map(
     "e2e7_refresh_audit" -> (e2e7RefreshAudit _),
+    "e2e8_cdc_audit" -> (e2e8CdcAudit _),
     "dq7_filter_funnel" -> (dq7FilterFunnel _),
     "ta17_nb_quality" -> (ta17NbQuality _),
     "sm11_unimax" -> (sm11Unimax _),
@@ -1793,6 +1900,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "dq7_filter_funnel" -> dq7FilterFunnelSql,
     "e2e7_refresh_audit" -> e2e7RefreshAuditSql,
+    "e2e8_cdc_audit" -> e2e8CdcAuditSql,
     "ta17_nb_quality" -> ta17NbQualitySql,
     "sm11_unimax" -> sm11UnimaxSql,
     "pk3_nextfit_pack" -> pk3NextfitPackSql,

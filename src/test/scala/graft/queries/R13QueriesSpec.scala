@@ -709,6 +709,33 @@ class R13QueriesSpec extends SparkSpec {
     assert(rows("kg")._4 === nEd, "kg merged census must equal the entity-doc relation size")
   }
 
+  test("e2e8: per-family CDC serving census reconciles with the corpus-side identity") {
+    val rows = CurationQueries.e2e8CdcAudit(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet === Set("ivf", "kg", "lsh", "phash", "postings"))
+    // the serving identity: n_serving = n_base − n_tombstoned + n_fresh,
+    // and because updates re-enter 1:1, it also equals eligible − deleted
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("tk"), length(col("text")).as("nc"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val vecs = graft.Tables(spark, dir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    def servingDocs(split: Long, elig: ((Long, Int, Int)) => Boolean): Long =
+      docs.count(d => elig(d) && !(d._1 <= split && d._1 % 13 == 7)).toLong
+    rows.foreach { case (fam, (_, b, t0, f, sv)) =>
+      assert(sv === b - t0 + f, s"$fam: the audit row must satisfy its own identity")
+      assert(t0 > 0L && f > 0L, s"$fam: the CDC rules must bite at this SF")
+    }
+    assert(rows("postings")._5 === servingDocs(rows("postings")._1, _ => true))
+    assert(rows("kg")._5 === servingDocs(rows("kg")._1, _ => true))
+    assert(rows("lsh")._5 === servingDocs(rows("lsh")._1, _._2 >= 3))
+    assert(rows("phash")._5 === servingDocs(rows("phash")._1, _._3 >= 64))
+    val vSp = rows("ivf")._1
+    assert(rows("ivf")._5 ===
+      vecs.count(v => !(v <= vSp && v % 13 == 7)).toLong)
+  }
+
   test("mm7: base hashes come from the artifact, only the delta is hashed, equals mm4") {
     val df = MultimodalQueries.mm7PhashDelta(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
