@@ -239,6 +239,13 @@ class RetrievalSpec extends SparkSpec {
     val plan = res.queryExecution.executedPlan.toString
     assert(plan.contains("postings_base"),
       s"the base must be served from the persisted snapshot:\n$plan")
+    // the tombstone set moves as ids only: at least one documents scan must
+    // be column-pruned to doc_id (no text bytes feed the anti-joins), and
+    // only the fresh segment's scans may read text
+    val docScans = "FileScan parquet [^\\n]*documents\\.parquet[^\\n]*".r
+      .findAllIn(plan).toList
+    assert(docScans.exists(s => s.contains("ReadSchema") && !s.contains("text")),
+      s"the tombstone id scan must not read text:\n${docScans.mkString("\n")}")
     val got = res.collect()
       .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
     // oracle: plain all-docs BM25 over the POST-CHANGE corpus, materialized
