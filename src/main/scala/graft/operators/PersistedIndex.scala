@@ -48,7 +48,19 @@ object PersistedIndex {
     * Single-host assumption (ADVICE r13): [[sweepStale]]'s liveness check
     * sees only LOCAL pids, so the `staging/` tree must not be shared
     * between hosts — on a cluster, each node keeps its own staging dir (or
-    * the build moves to a real job scheduler with distributed locks). */
+    * the build moves to a real job scheduler with distributed locks).
+    *
+    * Scope note: this fingerprint is a SNAPSHOT identity — any change to
+    * the source dir (including a pure file append) re-keys every home
+    * over it, forcing a full rebuild. That is correct for the shipped
+    * corpora (immutable snapshot dirs; the incremental faces' "delta" is
+    * the id range above the recorded watermark WITHIN one snapshot, and
+    * real change feeds arrive through the CDC faces, not through file
+    * mutation). A deployment whose base parquet genuinely grows in place
+    * would fingerprint the per-file manifest instead — immutable base
+    * files keep their identity, and only the new files join the delta —
+    * which is a manifest-layout change, not a protocol change: build,
+    * publish, resolution and sweeping all key on the string. */
   def tableFingerprint(dir: String, table: String): String = {
     val p = Paths.get(dir, s"$table.parquet")
     if (!Files.exists(p)) "absent"
