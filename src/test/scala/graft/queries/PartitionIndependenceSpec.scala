@@ -19,7 +19,11 @@ class PartitionIndependenceSpec extends SparkSpec {
 
   private val names = Seq(
     "sm7_temperature_sample", "sm4_batch_shuffle", "pk1_sequence_pack",
-    "a18_roc_auc", "a19_pr_auc", "v8_negative_sampling", "w1_grouped_topk")
+    "a18_roc_auc", "a19_pr_auc", "v8_negative_sampling", "w1_grouped_topk",
+    // the r15 tombstone faces: full-outer statistic merges + anti-joins +
+    // the k-bounded TopK aggregate — every piece must be partition-blind
+    "ir14_tombstone_index", "dd20_tombstone_neardup", "kg7_tombstone_graph",
+    "ss10_tombstone_probe", "mm8_tombstone_phash", "e2e8_cdc_audit")
 
   test("rank-consumer query results are identical at 3 and 12 shuffle partitions") {
     val key = "spark.sql.shuffle.partitions"
