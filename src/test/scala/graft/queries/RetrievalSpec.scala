@@ -270,6 +270,49 @@ class RetrievalSpec extends SparkSpec {
     assert(!positive.contains(28L), "the updated doc's OLD tokens must stop matching")
   }
 
+  test("ir14 ∘ compaction: tombstone serving re-derives against the folded watermark, stays exact") {
+    import spark.implicits._
+    // after compaction the watermark moves to the max id, so the
+    // rule-derived CDC set CHANGES (ids in the old delta now fall under
+    // the delete/update rules) — the serve must stay bit-equal to
+    // all-docs BM25 over the post-change corpus AT THE NEW WATERMARK,
+    // exactly as the SQL oracle (which recomputes the watermark) would
+    val needle = TextQueries.RetrievalQTerms.head
+    def text(i: Long): String =
+      if (i == 20L) s"$needle $needle $needle"
+      else if (i == 50L) s"$needle pad pad"
+      else if (i == 124L) s"$needle $needle pad" // 124 % 13 == 7: deleted only AFTER the fold
+      else "pad pad pad"
+    val tmpA = java.nio.file.Files.createTempDirectory("ir14cmp").toString
+    (0L until 130L).map(i => (i, text(i), text(i).length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpA/documents.parquet")
+    val before = TextQueries.ir14Internals(spark, tmpA, TextQueries.RetrievalQTerms)
+    assert(before._2 === 117L)
+    val beforeIds = before._1.collect().filter(_.getLong(2) > 0L).map(_.getLong(0)).toSeq
+    assert(beforeIds.contains(124L), "pre-fold, doc 124 is an ordinary delta doc and serves")
+    TextQueries.compactBasePostingsIndex(spark, tmpA)
+    val (res, split) = TextQueries.ir14Internals(spark, tmpA, TextQueries.RetrievalQTerms)
+    assert(split === 129L, "the serve must re-derive against the folded watermark")
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
+    val tmpB = java.nio.file.Files.createTempDirectory("ir14cmpPost").toString
+    (0L until 130L)
+      .filterNot(i => i % 13L == 7L) // split = 129 covers every id now
+      .map { i =>
+        val t = if (i % 13L == 2L) "redacted" else text(i)
+        (i, t, t.length.toLong)
+      }
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpB/documents.parquet")
+    val want = TextQueries.ta13Bm25(spark, tmpB).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getAs[Number](2).longValue())).toSeq
+    assert(got === want)
+    assert(!got.map(_._1).contains(124L),
+      "post-fold, doc 124 falls under the delete rule and must vanish — the rule set is " +
+        "watermark-relative on BOTH engines, which is what keeps the oracle in sync")
+  }
+
   test("ir11: phrase matches from positional postings equal a brute-force text scan") {
     val (w1, w2) = TextQueries.PhraseTerms
     val got = TextQueries.ir11PhraseQuery(spark, dir).collect()
