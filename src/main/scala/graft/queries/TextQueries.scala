@@ -2820,6 +2820,62 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** ir13b_unordered_near — the UNORDERED window variant (Lucene's
+    * `SpanNearQuery(inOrder=false)` to ir13's ordered mode): a doc matches
+    * where some triple (a,b,c) of the three terms' positions spans
+    * greatest−least ≤ (k−1)+slop in ANY order. Output convention mirrors
+    * ir13's term-1 anchoring: n_matches counts term-1 positions that
+    * participate in a valid window, first_pos is the smallest such.
+    * Same bucket-pruned persisted-positions probe, zero corpus scan;
+    * ordered matches are a strict subset (an ordered chain's span is its
+    * c−a), so ir13b ⊇ ir13 docwise — fixture-pinned. */
+  def ir13bUnorderedNear(s: SparkSession, dir: String): DataFrame = {
+    val (w1, w2, w3) = ProximityTerms
+    ir13bInternals(s, dir, w1, w2, w3, ProximitySlop)
+  }
+
+  private[queries] def ir13bInternals(s: SparkSession, dir: String,
+      w1: String, w2: String, w3: String, slop: Int): DataFrame = {
+    val home = ensurePosIndex(s, dir)
+    val terms = Seq(w1, w2, w3)
+    val qbuckets = terms.map(q => detHash60Local(q) % PostingsBuckets).distinct.sorted
+    val pt = s.read.parquet(home.resolve("positions").toString)
+      .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
+        col("word").isInCollection(terms))
+    def posOf(w: String, as: String) =
+      pt.filter(col("word") === w).select(col("doc_id"), col("positions").as(as))
+    val win = lit(slop + 2L)
+    val inWindow = (a: Column) =>
+      exists(col("pos2"), b => exists(col("pos3"), c =>
+        greatest(a, b, c) - least(a, b, c) <= win))
+    posOf(w1, "pos1").join(posOf(w2, "pos2"), Seq("doc_id"))
+      .join(posOf(w3, "pos3"), Seq("doc_id"))
+      .select(col("doc_id"), filter(col("pos1"), inWindow).as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        size(col("hits")).cast(LongType).as("n_matches"),
+        array_min(col("hits")).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  val ir13bUnorderedNearSql: String = {
+    val (w1, w2, w3) = ProximityTerms
+    val win = ProximitySlop + 2
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |p AS (SELECT doc_id,
+       |    list_filter(range(1, len(tk) + 1), i -> tk[i] = '$w1') AS p1,
+       |    list_filter(range(1, len(tk) + 1), i -> tk[i] = '$w2') AS p2,
+       |    list_filter(range(1, len(tk) + 1), i -> tk[i] = '$w3') AS p3
+       |  FROM tok),
+       |m AS (SELECT doc_id,
+       |    list_filter(p1, a -> len(list_filter(p2, b -> len(list_filter(p3, c ->
+       |      greatest(a, b, c) - least(a, b, c) <= $win)) > 0)) > 0) AS hits
+       |  FROM p)
+       |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+       |  CAST(hits[1] AS BIGINT) AS first_pos
+       |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin
+  }
+
   val ir13ProximityQuerySql: String = {
     val (w1, w2, w3) = ProximityTerms
     val win = ProximitySlop + 2
@@ -3421,6 +3477,7 @@ object TextQueries {
     "ir14_tombstone_index" -> (ir14TombstoneIndex _),
     "ir11_phrase_query" -> (ir11PhraseQuery _),
     "ir13_proximity_query" -> (ir13ProximityQuery _),
+    "ir13b_unordered_near" -> (ir13bUnorderedNear _),
     "ir12_training_pairs" -> (ir12TrainingPairs _),
     "ir11b_persisted_positions" -> (ir11bPersistedPositions _),
     "a35_pass_at_k" -> (a35PassAtK _),
@@ -3480,6 +3537,7 @@ object TextQueries {
     "ir14_tombstone_index" -> ir14TombstoneIndexSql,
     "ir11_phrase_query" -> ir11PhraseQuerySql,
     "ir13_proximity_query" -> ir13ProximityQuerySql,
+    "ir13b_unordered_near" -> ir13bUnorderedNearSql,
     "ir12_training_pairs" -> ir12TrainingPairsSql,
     // the persisted detour is invisible to the answer: ir11b ≡ ir11
     "ir11b_persisted_positions" -> ir11PhraseQuerySql,

@@ -406,6 +406,52 @@ class RetrievalSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("ir13b: unordered windows are a docwise superset of ordered, equal where both match") {
+    val ordered = TextQueries.ir13ProximityQuery(spark, dir).collect()
+      .map(r => r.getLong(0)).toSet
+    val rows = TextQueries.ir13bUnorderedNear(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val unordered = rows.map(_._1).toSet
+    assert(ordered.subsetOf(unordered),
+      "an ordered chain's span is its c−a, so every ordered match is an unordered one")
+    // brute force over the corpus pins the exact counts/anchors
+    val (w1, w2, w3) = TextQueries.ProximityTerms
+    val slop = TextQueries.ProximitySlop
+    val want = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ")
+        def ps(w: String) = toks.indices.filter(toks(_) == w).map(_ + 1)
+        val (p1, p2, p3) = (ps(w1), ps(w2), ps(w3))
+        val hits = p1.filter(a => p2.exists(b => p3.exists(c =>
+          Seq(a, b, c).max - Seq(a, b, c).min <= slop + 2)))
+        if (hits.isEmpty) None else Some((r.getLong(0), hits.length.toLong, hits.head.toLong))
+      }.sortBy(_._1).toSeq
+    assert(rows.toSeq === want)
+    assert(unordered.size > ordered.size,
+      "some doc must match only unordered at this SF, or the variant is vacuous")
+  }
+
+  test("ir13b fixture: order-free window admits the reversed triple the ordered face rejects") {
+    import spark.implicits._
+    val (w1, w2, w3) = ("table", "scan", "data")
+    val tmp = java.nio.file.Files.createTempDirectory("ir13bfix").toString
+    Seq(
+      (0L, s"$w3 x $w1 $w2"),            // data(1) table(3) scan(4): span 3 ≤ 4, WRONG order
+      (1L, s"$w1 $w2 $w3 pad"),          // ordered adjacency — matches both faces
+      (2L, s"$w3 x x x x $w1 $w2")       // span 7−1=6 > 4 — too wide for either
+    ).map { case (i, t) => (i, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val un = TextQueries.ir13bInternals(spark, tmp, w1, w2, w3, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(un === Seq((0L, 1L, 3L), (1L, 1L, 1L)),
+      "unordered admits the reversed triple, anchored at the term-1 position")
+    val ord = TextQueries.ir13Internals(spark, tmp, w1, w2, w3, 2).collect()
+      .map(r => r.getLong(0)).toSeq
+    assert(ord === Seq(1L), "the ordered face must still reject the reversed triple")
+  }
+
   test("ir13 fixture: matched at slop 2, rejected at slop 0/by adjacency, order enforced") {
     import spark.implicits._
     val (w1, w2, w3) = ("table", "scan", "data")
