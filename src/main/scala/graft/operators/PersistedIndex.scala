@@ -159,25 +159,31 @@ object PersistedIndex {
 
   /** Remove COMPLETE homes under `current`'s parent that serve the same
     * source as `current` but are not it: every home published through
-    * [[buildIfAbsent]] with a source dir records it in a `_SOURCE` file;
-    * legacy marker-less homes are matched by sanitized-dir prefix (a
-    * false positive there costs one rebuild, never a wrong answer —
-    * probes key on content fingerprints, not on what happens to be on
-    * disk). Safe against live builders: only COMPLETE homes are swept,
-    * and the `.build_*` staging dirs have their own pid-liveness sweep. */
+    * [[buildIfAbsent]] with a source dir records it in a `_SOURCE` file,
+    * and ONLY marker-bearing homes are matched — a sanitized-name prefix
+    * fallback for marker-less homes was dropped (ADVICE r15: a sibling
+    * source dir whose sanitized name extends the prefix, e.g.
+    * `/data/corpus` vs `/data/corpus_v2`, was wrongly swept, and the
+    * ambiguity is unresolvable because sanitized names and versioned
+    * fingerprints share the `_` separator). Marker-less homes can only
+    * predate the `_SOURCE` convention; they are finite and inert.
+    *
+    * Single-writer assumption (ADVICE r15): superseded homes are deleted
+    * IMMEDIATELY after the new publish — the pid-liveness sweep protects
+    * only `.build_*` staging, so a concurrent process mid-read of a
+    * superseded home would lose its files under it. Like the staging
+    * tree, `staging/` therefore assumes one serving process per host; a
+    * multi-process deployment would add a grace period or reader
+    * refcount before the delete. */
   def sweepSuperseded(current: Path, sourceDir: String): Unit = {
     val parent = current.getParent
     if (parent == null || !Files.exists(parent)) return
-    val legacyPrefix = sanitize(sourceDir) + "_"
     val it = Files.list(parent)
     try it.forEach { p =>
       val n = p.getFileName.toString
       if (n != current.getFileName.toString && !n.startsWith(".") && isBuilt(p)) {
         val src = p.resolve("_SOURCE")
-        val sameSource =
-          if (Files.exists(src)) Files.readString(src) == sourceDir
-          else n.startsWith(legacyPrefix)
-        if (sameSource) deleteTree(p)
+        if (Files.exists(src) && Files.readString(src) == sourceDir) deleteTree(p)
       }
     } finally it.close()
   }

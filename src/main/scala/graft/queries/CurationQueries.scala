@@ -1738,8 +1738,8 @@ object CurationQueries {
   }
 
   /** e2e8_cdc_audit — the tombstone-aware sibling of [[e2e7RefreshAudit]]:
-    * after a CDC batch (the ir14/dd20/kg7/ss10/mm8 rules — deletes
-    * id % 13 == 7, updates id % 13 == 2, appends past the watermark), one
+    * after a CDC batch (the shared [[graft.operators.CdcRules]] feed —
+    * deletes, updates, appends past the watermark), one
     * audit frame per family reporting the persisted-base census, how many
     * base members the tombstone set retires, how many rows the fresh
     * segment serves (updated re-adds + eligible appends), and the
@@ -1760,14 +1760,15 @@ object CurationQueries {
     val kHome = MatchQueries.ensureKgDeltaIndex(s, dir)
     val vHome = SimilarityQueries.ensureIvfDeltaIndex(s, dir)
     val mHome = MultimodalQueries.ensurePhashIndex(s, dir)
+    import graft.operators.CdcRules
     val docs = t(s, dir, "documents")
     val embs = t(s, dir, "embeddings")
-    def changeIds(table: DataFrame, idCol: String, split: Long): (DataFrame, DataFrame) = {
-      val base = table.filter(col(idCol) <= split)
-      (base.filter(col(idCol) % 13 === 7 || col(idCol) % 13 === 2)
-         .select(col(idCol).as("__id")),
-       base.filter(col(idCol) % 13 === 2).select(col(idCol).as("__id")))
-    }
+    // change rules derive at the CORPUS feed watermark (the CdcRules
+    // contract — what the oracle recomputes), equal to each family's
+    // snapshot watermark for uncompacted stores
+    def changeIds(table: DataFrame, idCol: String, split: Long): (DataFrame, DataFrame) =
+      (CdcRules.tombstoneIds(table, idCol, split).select(col(idCol).as("__id")),
+       table.filter(CdcRules.isUpdate(col(idCol), split)).select(col(idCol).as("__id")))
     def row(family: String, split: Long, store: DataFrame, idCol: String,
         tomb: DataFrame, upd: DataFrame, appended: DataFrame): DataFrame = {
       val nBase = store.agg(count(lit(1)).as("n_base"))
@@ -1786,50 +1787,52 @@ object CurationQueries {
       PersistedIndex.readSplit(s, pHome), PersistedIndex.readSplit(s, lHome),
       PersistedIndex.readSplit(s, kHome), PersistedIndex.readSplit(s, vHome),
       PersistedIndex.readSplit(s, mHome))
-    val (dTombP, dUpdP) = changeIds(docs, "doc_id", pSp)
-    val (dTombL, dUpdL) = changeIds(docs, "doc_id", lSp)
-    val (dTombK, dUpdK) = changeIds(docs, "doc_id", kSp)
-    val (dTombM, dUpdM) = changeIds(docs, "doc_id", mSp)
-    val (vTomb, vUpd) = changeIds(embs, "vec_id", vSp)
+    val dFeed = CdcRules.feedSplit(docs, "doc_id")
+    val vFeed = CdcRules.feedSplit(embs, "vec_id")
+    val (dTomb, dUpd) = changeIds(docs, "doc_id", dFeed)
+    val (vTomb, vUpd) = changeIds(embs, "vec_id", vFeed)
     // kg's census covers every base doc, so its store stand-in is the
     // id-only corpus slice (the stats row holds only the count)
     val kgStore = docs.filter(col("doc_id") <= kSp).select("doc_id")
     val rows = Seq(
-      row("ivf", vSp, s.read.parquet(vHome.resolve("cells").toString), "vec_id",
+      row("ivf", vFeed, s.read.parquet(vHome.resolve("cells").toString), "vec_id",
         vTomb, vUpd, embs.filter(col("vec_id") > vSp)),
-      row("kg", kSp, kgStore, "doc_id", dTombK, dUpdK,
+      row("kg", dFeed, kgStore, "doc_id", dTomb, dUpd,
         docs.filter(col("doc_id") > kSp)),
-      row("lsh", lSp, s.read.parquet(lHome.resolve("sigs").toString), "doc_id",
-        dTombL, dUpdL,
+      row("lsh", dFeed, s.read.parquet(lHome.resolve("sigs").toString), "doc_id",
+        dTomb, dUpd,
         docs.filter(col("doc_id") > lSp && size(split(col("text"), " ")) >= 3)),
-      row("phash", mSp, s.read.parquet(mHome.resolve("sigs").toString)
+      row("phash", dFeed, s.read.parquet(mHome.resolve("sigs").toString)
           .withColumnRenamed("asset_id", "doc_id"), "doc_id",
-        dTombM, dUpdM,
+        dTomb, dUpd,
         docs.filter(col("doc_id") > mSp && length(col("text")) >= 64)),
-      row("postings", pSp, s.read.parquet(pHome.resolve("doclen").toString), "doc_id",
-        dTombP, dUpdP, docs.filter(col("doc_id") > pSp)))
+      row("postings", dFeed, s.read.parquet(pHome.resolve("doclen").toString), "doc_id",
+        dTomb, dUpd, docs.filter(col("doc_id") > pSp)))
     rows.reduce(_ unionByName _).orderBy("family")
   }
 
   val e2e8CdcAuditSql: String = {
+    import graft.operators.CdcRules.{sqlIsTombstone, sqlIsUpdate}
+    val dsp = "(SELECT sp FROM dspl)"
+    val vsp = "(SELECT sp FROM vspl)"
     def docArm(family: String, filt: String): String = {
       val f = if (filt.isEmpty) "" else s" AND $filt"
-      s"""SELECT '$family' AS family, (SELECT sp FROM dspl) AS split_id,
-         |  (SELECT COUNT(*) FROM documents WHERE doc_id <= (SELECT sp FROM dspl)$f) AS n_base,
-         |  (SELECT COUNT(*) FROM documents WHERE doc_id <= (SELECT sp FROM dspl)
-         |    AND doc_id % 13 IN (7, 2)$f) AS n_tombstoned,
-         |  (SELECT COUNT(*) FROM documents WHERE ((doc_id <= (SELECT sp FROM dspl)
-         |    AND doc_id % 13 = 2) OR doc_id > (SELECT sp FROM dspl))$f) AS n_fresh""".stripMargin
+      s"""SELECT '$family' AS family, $dsp AS split_id,
+         |  (SELECT COUNT(*) FROM documents WHERE doc_id <= $dsp$f) AS n_base,
+         |  (SELECT COUNT(*) FROM documents
+         |   WHERE ${sqlIsTombstone("doc_id", dsp)}$f) AS n_tombstoned,
+         |  (SELECT COUNT(*) FROM documents WHERE (${sqlIsUpdate("doc_id", dsp)}
+         |    OR doc_id > $dsp)$f) AS n_fresh""".stripMargin
     }
     s"""WITH dspl AS (SELECT MAX(doc_id) - (MAX(doc_id) - MIN(doc_id)) // 10 AS sp FROM documents),
        |vspl AS (SELECT MAX(vec_id) - (MAX(vec_id) - MIN(vec_id)) // 10 AS sp FROM embeddings),
        |rws AS (
-       |  SELECT 'ivf' AS family, (SELECT sp FROM vspl) AS split_id,
-       |    (SELECT COUNT(*) FROM embeddings WHERE vec_id <= (SELECT sp FROM vspl)) AS n_base,
-       |    (SELECT COUNT(*) FROM embeddings WHERE vec_id <= (SELECT sp FROM vspl)
-       |      AND vec_id % 13 IN (7, 2)) AS n_tombstoned,
-       |    (SELECT COUNT(*) FROM embeddings WHERE (vec_id <= (SELECT sp FROM vspl)
-       |      AND vec_id % 13 = 2) OR vec_id > (SELECT sp FROM vspl)) AS n_fresh
+       |  SELECT 'ivf' AS family, $vsp AS split_id,
+       |    (SELECT COUNT(*) FROM embeddings WHERE vec_id <= $vsp) AS n_base,
+       |    (SELECT COUNT(*) FROM embeddings
+       |     WHERE ${sqlIsTombstone("vec_id", vsp)}) AS n_tombstoned,
+       |    (SELECT COUNT(*) FROM embeddings WHERE ${sqlIsUpdate("vec_id", vsp)}
+       |      OR vec_id > $vsp) AS n_fresh
        |  UNION ALL
        |  ${docArm("kg", "")}
        |  UNION ALL

@@ -842,10 +842,12 @@ object DedupQueries {
     * convention), plus a one-row stats artifact carrying the watermark.
     * This is what a production dedup pipeline actually checkpoints between
     * crawls — signatures to probe against and pairs already found. */
+  private def lshFp(dir: String): String =
+    "v1_" + graft.operators.PersistedIndex.tableFingerprint(dir, "documents")
+
   private[queries] def ensureLshIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
-    PersistedIndex.ensure("lsh_index", dir,
-      "v1_" + PersistedIndex.tableFingerprint(dir, "documents")) { tmp =>
+    PersistedIndex.ensure("lsh_index", dir, lshFp(dir)) { tmp =>
       val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
       val baseSigs = Dedup.minhashSignatures(
         t(s, dir, "documents").filter(col("doc_id") <= split), "doc_id", "text")
@@ -860,9 +862,9 @@ object DedupQueries {
 
   /** dd20_tombstone_neardup — tombstone/UPDATE-aware near-dup gating, ir14's
     * CDC semantics applied to the LSH family (VERDICT r13 #2 generalized
-    * the way compaction was): deletes (doc_id % 13 == 7) drop their
-    * signatures AND every persisted pair touching them; updates
-    * (doc_id % 13 == 2, re-crawled with the token order REVERSED — old
+    * the way compaction was): the [[graft.operators.CdcRules]] feed —
+    * deletes drop their signatures AND every persisted pair touching
+    * them; updates (re-crawled with the token order REVERSED — old
     * shingles stop matching, the doc itself stays shingl-able) are
     * tombstone + re-sign; appends are dd18's delta. Serving:
     *   sigs'  = (persisted sigs ⟕̸ tombstones) — the survivors
@@ -874,14 +876,15 @@ object DedupQueries {
     * full re-pair over the post-change corpus bit-for-bit (the oracle:
     * dd3's SQL chain over the post-change corpus CTE). Only updated +
     * delta rows are ever shingled at serve time. */
-  def dd20TombstoneNeardup(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PersistedIndex
-    val home = ensureLshIndex(s, dir)
-    val split = PersistedIndex.readSplit(s, home)
-    val docs = t(s, dir, "documents")
-    val dead = docs.filter(col("doc_id") <= split &&
-        (col("doc_id") % 13 === 7 || col("doc_id") % 13 === 2))
-      .select("doc_id")
+  /** The shared LSH SERVING KERNEL over a persisted signature/pair
+    * snapshot: the `dead` id frame drops signatures AND every persisted
+    * pair touching them (id-only anti-joins), the `fresh` (doc_id, text)
+    * frame is the ONLY text shingled, and its pairs probe the surviving
+    * signature store. dd18 passes (∅, appends); dd20 the
+    * [[graft.operators.CdcRules]] change set; the expunged serve (∅, ∅)
+    * against a CDC-folded generation. */
+  private def lshServe(s: SparkSession, home: java.nio.file.Path,
+      dead: DataFrame, fresh: DataFrame): DataFrame = {
     val baseSigs = s.read.parquet(home.resolve("sigs").toString)
       .join(dead, Seq("doc_id"), "left_anti")
     val basePairs = s.read.parquet(home.resolve("pairs").toString)
@@ -889,9 +892,6 @@ object DedupQueries {
       .join(dead.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
       // equi-joins move their key to the front — restore the pair layout
       .select("id_a", "id_b", "shared_bands")
-    val fresh = docs.filter(col("doc_id") <= split && col("doc_id") % 13 === 2)
-      .select(col("doc_id"), concat_ws(" ", reverse(tokens(col("text")))).as("text"))
-      .unionByName(docs.filter(col("doc_id") > split).select("doc_id", "text"))
     val freshSigs = Dedup.minhashSignatures(fresh, "doc_id", "text")
     val freshPairs = Dedup.incrementalCandidatePairs(baseSigs, freshSigs, "doc_id")
     basePairs.unionByName(freshPairs)
@@ -899,19 +899,72 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  def dd20TombstoneNeardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val cdc = PersistedIndex.home("lsh_index", dir, lshFp(dir) + "_cdc" + wStar)
+    if (PersistedIndex.isBuilt(cdc))
+      return lshServe(s, cdc, CdcRules.emptyIds(s, "doc_id"),
+        CdcRules.emptyRows(s, "doc_id", "text", org.apache.spark.sql.types.StringType))
+    val home = ensureLshIndex(s, dir)
+    val snap = PersistedIndex.readSplit(s, home)
+    lshServe(s, home,
+      CdcRules.tombstoneIds(docs, "doc_id", wStar),
+      CdcRules.freshRows(docs, "doc_id", "text", wStar, snap, CdcRules.reversedTokens))
+  }
+
+  /** EXPUNGE-DELETES COMPACTION for the LSH family (the postings recipe,
+    * [[graft.queries.TextQueries.compactCdcPostingsIndex]]): dead and
+    * updated-old signatures AND every persisted pair touching them
+    * physically leave, the re-shingled updates + appends enter with their
+    * probe pairs, published under `<fp>_cdc<feedSplit>` (invisible to
+    * currentHome — dd18's raw-corpus lineage keeps its base). */
+  private[queries] def compactCdcLshIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val target = PersistedIndex.home("lsh_index", dir, lshFp(dir) + "_cdc" + wStar)
+    if (PersistedIndex.isBuilt(target)) return target
+    val cur = ensureLshIndex(s, dir)
+    val snap = PersistedIndex.readSplit(s, cur)
+    val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    PersistedIndex.buildIfAbsent(target, dir) { tmp =>
+      val dead = CdcRules.tombstoneIds(docs, "doc_id", wStar)
+      val fresh = CdcRules.freshRows(docs, "doc_id", "text", wStar, snap,
+        CdcRules.reversedTokens)
+      val liveSigs = s.read.parquet(cur.resolve("sigs").toString)
+        .join(dead, Seq("doc_id"), "left_anti")
+      val freshSigs = Dedup.minhashSignatures(fresh, "doc_id", "text")
+      liveSigs.unionByName(freshSigs)
+        .write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
+      s.read.parquet(cur.resolve("pairs").toString)
+        .join(dead.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+        .join(dead.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
+        .select("id_a", "id_b", "shared_bands")
+        .unionByName(Dedup.incrementalCandidatePairs(liveSigs, freshSigs, "doc_id"))
+        .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
+      PersistedIndex.splitStats(s, math.max(snap, hi))
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+    target
+  }
+
+  /** dd21_expunged_neardup — the post-compaction face of dd20: fold the
+    * change set, then serve pairs straight from the expunged artifacts
+    * (empty tombstone/fresh frames; shares dd20's oracle — the identity
+    * IS the expunge contract). */
+  def dd21ExpungedNeardup(s: SparkSession, dir: String): DataFrame = {
+    compactCdcLshIndex(s, dir)
+    dd20TombstoneNeardup(s, dir)
+  }
+
   /** dd3's SQL chain replayed over the POST-CHANGE corpus (the ir14
     * oracle convention: watermark recomputed in SQL, deletes out of the
     * corpus CTE, updates re-crawled with reversed token order). */
   val dd20TombstoneNeardupSql: String =
-    s"""WITH w AS (
-       |  SELECT MAX(doc_id) - (MAX(doc_id) - MIN(doc_id)) // 10 AS split FROM documents),
-       |dd20corpus AS (
-       |  SELECT d.doc_id,
-       |    CASE WHEN d.doc_id <= w.split AND d.doc_id % 13 = 2
-       |         THEN array_to_string(list_reverse(string_split(d.text, ' ')), ' ')
-       |         ELSE d.text END AS text
-       |  FROM documents d CROSS JOIN w
-       |  WHERE NOT (d.doc_id <= w.split AND d.doc_id % 13 = 7)),
+    s"""WITH ${graft.operators.CdcRules.sqlCorpusCtes("dd20corpus",
+          graft.operators.CdcRules.sqlReversedTokens("d.text"))},
        |sig AS (${minhashSigsDuck.replace("FROM documents", "FROM dd20corpus")}),
        |band AS ($bandedSigsDuck)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
@@ -970,14 +1023,8 @@ object DedupQueries {
   def dd18DeltaNeardup(s: SparkSession, dir: String): DataFrame = {
     val home = ensureLshIndex(s, dir)
     val split = graft.operators.PersistedIndex.readSplit(s, home)
-    val baseSigs = s.read.parquet(home.resolve("sigs").toString)
-    val basePairs = s.read.parquet(home.resolve("pairs").toString)
-    val deltaSigs = Dedup.minhashSignatures(
-      t(s, dir, "documents").filter(col("doc_id") > split), "doc_id", "text")
-    val deltaPairs = Dedup.incrementalCandidatePairs(baseSigs, deltaSigs, "doc_id")
-    basePairs.unionByName(deltaPairs)
-      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
-      .orderBy("doc_a", "doc_b")
+    lshServe(s, home, graft.operators.CdcRules.emptyIds(s, "doc_id"),
+      t(s, dir, "documents").filter(col("doc_id") > split).select("doc_id", "text"))
   }
 
   // segmentation is invisible to the answer: dd18 ≡ dd3
@@ -986,6 +1033,7 @@ object DedupQueries {
   val queries: Map[String, QueryFn] = Map(
     "dd18_delta_neardup" -> (dd18DeltaNeardup _),
     "dd20_tombstone_neardup" -> (dd20TombstoneNeardup _),
+    "dd21_expunged_neardup" -> (dd21ExpungedNeardup _),
     "dd19_persisted_bloom" -> (dd19PersistedBloom _),
     "dd14_line_dedup" -> (dd14LineDedup _),
     "dd15_exact_substr" -> (dd15ExactSubstr _),
@@ -1008,6 +1056,8 @@ object DedupQueries {
     "dd18_delta_neardup" -> dd18DeltaNeardupSql,
     // tombstone subtraction is exact: dd20 ≡ dd3 over the post-change corpus
     "dd20_tombstone_neardup" -> dd20TombstoneNeardupSql,
+    // expunge-fold is answer-invariant by construction: dd21 ≡ dd20
+    "dd21_expunged_neardup" -> dd20TombstoneNeardupSql,
     // the persisted detour is invisible to the answer: dd19 ≡ dd10
     "dd19_persisted_bloom" -> dd10BloomContaminationSql,
     "dd14_line_dedup" -> dd14LineDedupSql,

@@ -683,12 +683,14 @@ object MatchQueries {
     * NPMI is a function of counts, and counts over disjoint document
     * segments merge by exact Long addition — which is what makes the
     * incremental face below bit-exact. */
+  private def kgFp(dir: String): String =
+    "v2_" + graft.operators.PersistedIndex.tableFingerprint(dir, "documents")
+
   private[queries] def ensureKgDeltaIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
     // v2: adds the per-doc `ed` entity table — the artifact kg7's
     // tombstone subtraction reads so dead docs are never re-matched
-    PersistedIndex.ensure("kg_delta_index", dir,
-      "v2_" + PersistedIndex.tableFingerprint(dir, "documents")) { tmp =>
+    PersistedIndex.ensure("kg_delta_index", dir, kgFp(dir)) { tmp =>
       val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
       val fm = FastMatch.matcher(gazetteer)
       val ed = t(s, dir, "documents").filter(col("doc_id") <= split)
@@ -724,8 +726,7 @@ object MatchQueries {
     val docs = t(s, dir, "documents")
     val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
     if (hi <= w0) return cur // nothing in flight — compaction is a no-op
-    val fp = "v2_" + PersistedIndex.tableFingerprint(dir, "documents")
-    val target = PersistedIndex.home("kg_delta_index", dir, fp + "_c" + hi)
+    val target = PersistedIndex.home("kg_delta_index", dir, kgFp(dir) + "_c" + hi)
     PersistedIndex.buildIfAbsent(target, dir) { tmp =>
       val fm = FastMatch.matcher(gazetteer)
       val edD = docs.filter(col("doc_id") > w0)
@@ -771,72 +772,26 @@ object MatchQueries {
     * for the third persisted family: postings (ir10), LSH (dd18), KG here. */
   def kg6DeltaGraph(s: SparkSession, dir: String): DataFrame = {
     val home = ensureKgDeltaIndex(s, dir)
-    val st = s.read.parquet(home.resolve("stats").toString).collect()(0)
-    val (ndB, split) = (st.getAs[Long]("nd"), st.getAs[Long]("split_id"))
-    val fm = FastMatch.matcher(gazetteer)
-    val edD = t(s, dir, "documents").filter(col("doc_id") > split)
-      .select(col("doc_id"), explode(fm(col("text"))).as("m"))
-      .select(col("doc_id"), col("m.matched").as("entity")).distinct()
-      .localCheckpoint(true)
-    val coD = edD.as("a").join(edD.as("b"), Seq("doc_id"))
-      .filter(col("a.entity") < col("b.entity"))
-      .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
-      .agg(count(lit(1)).as("n_co_d"))
-    val entD = edD.groupBy("entity").agg(count(lit(1)).as("n_docs_d"))
-    val ndD = t(s, dir, "documents").filter(col("doc_id") > split)
-      .agg(count(lit(1)).as("nd_d"))
-    // exact segment merge: disjoint doc sets ⇒ counts are Long sums
-    val co = s.read.parquet(home.resolve("co").toString)
-      .join(coD, Seq("e1", "e2"), "full_outer")
-      .select(col("e1"), col("e2"),
-        (coalesce(col("n_co"), lit(0L)) + coalesce(col("n_co_d"), lit(0L))).as("n_co"))
-    val ent = s.read.parquet(home.resolve("ent").toString)
-      .join(entD, Seq("entity"), "full_outer")
-      .select(col("entity"),
-        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("n_docs_d"), lit(0L))).as("n_docs"))
-    val nd = ndD.select((col("nd_d") + lit(ndB)).as("nd"))
-    val d = DoubleType
-    val (pxy, px, py) = (
-      col("n_co").cast(d) / col("nd").cast(d),
-      col("n_e1").cast(d) / col("nd").cast(d),
-      col("n_e2").cast(d) / col("nd").cast(d))
-    co.crossJoin(broadcast(nd))
-      .join(ent.select(col("entity").as("e1"), col("n_docs").as("n_e1")), Seq("e1"))
-      .join(ent.select(col("entity").as("e2"), col("n_docs").as("n_e2")), Seq("e2"))
-      .withColumn("npmi_e6",
-        when(col("n_co") === col("nd"), lit(1000000L)).otherwise(
-          round(lit(1e6) * (log(pxy / (px * py)) / -log(pxy))).cast(LongType)))
-      .select("e1", "e2", "n_co", "n_e1", "n_e2", "npmi_e6")
-      .orderBy(desc("npmi_e6"), col("e1"), col("e2"))
+    val split = graft.operators.PersistedIndex.readSplit(s, home)
+    kgServe(s, home, graft.operators.CdcRules.emptyIds(s, "doc_id"),
+      t(s, dir, "documents").filter(col("doc_id") > split).select("doc_id", "text"))
   }
 
-  /** kg7_tombstone_graph — tombstone/UPDATE-aware KG maintenance, ir14's
-    * CDC semantics on the graph family: deletes (doc_id % 13 == 7)
-    * subtract their entity contributions, updates (doc_id % 13 == 2,
-    * re-crawled with token order REVERSED — multi-word entities break,
-    * single-word entities survive) are tombstone + re-match, appends are
-    * kg6's delta. The subtraction reads the persisted per-doc `ed` table
-    * (the v2 artifact) — dead docs are NEVER re-matched; only updated +
-    * delta text meets the Aho-Corasick matcher at serve time. All three
-    * statistic families (per-pair co counts, per-entity doc counts, the
-    * census) merge by exact Long sums over disjoint doc sets, so the
-    * answer is bit-equal to kg1 over the post-change corpus (the oracle);
-    * pairs whose merged count reaches 0 drop out exactly as kg1 never
-    * would have emitted them. */
-  def kg7TombstoneGraph(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PersistedIndex
-    val home = ensureKgDeltaIndex(s, dir)
+  /** The shared KG SERVING KERNEL over the persisted sufficient-statistic
+    * snapshot: the `dead` id frame subtracts its entity contributions via
+    * the persisted per-doc `ed` table (dead docs are NEVER re-matched),
+    * the `fresh` (doc_id, text) frame is the ONLY text that meets the
+    * Aho-Corasick matcher, and all three statistic families (per-pair co
+    * counts, per-entity doc counts, the census) merge by exact Long sums
+    * over disjoint doc sets. kg6 passes (∅, appends); kg7 the
+    * [[graft.operators.CdcRules]] change set; the expunged serve (∅, ∅)
+    * against a CDC-folded generation. */
+  private def kgServe(s: SparkSession, home: java.nio.file.Path,
+      dead: DataFrame, fresh: DataFrame): DataFrame = {
     val st = s.read.parquet(home.resolve("stats").toString).collect()(0)
-    val (ndB, split) = (st.getAs[Long]("nd"), st.getAs[Long]("split_id"))
-    val docs = t(s, dir, "documents")
-    val dead = docs.filter(col("doc_id") <= split &&
-        (col("doc_id") % 13 === 7 || col("doc_id") % 13 === 2))
-      .select("doc_id")
+    val ndB = st.getAs[Long]("nd")
     val edDead = s.read.parquet(home.resolve("ed").toString)
       .join(dead, Seq("doc_id"), "left_semi").localCheckpoint(true)
-    val fresh = docs.filter(col("doc_id") <= split && col("doc_id") % 13 === 2)
-      .select(col("doc_id"), concat_ws(" ", reverse(Q.tokens(col("text")))).as("text"))
-      .unionByName(docs.filter(col("doc_id") > split).select("doc_id", "text"))
     val fm = FastMatch.matcher(gazetteer)
     val edF = fresh.select(col("doc_id"), explode(fm(col("text"))).as("m"))
       .select(col("doc_id"), col("m.matched").as("entity")).distinct()
@@ -879,19 +834,108 @@ object MatchQueries {
       .orderBy(desc("npmi_e6"), col("e1"), col("e2"))
   }
 
+  /** kg7_tombstone_graph — tombstone/UPDATE-aware KG maintenance, ir14's
+    * CDC semantics on the graph family ([[graft.operators.CdcRules]]):
+    * deletes subtract their entity contributions, updates (re-crawled
+    * with token order REVERSED — multi-word entities break, single-word
+    * entities survive) are tombstone + re-match, appends are
+    * kg6's delta. The subtraction reads the persisted per-doc `ed` table
+    * (the v2 artifact) — dead docs are NEVER re-matched; only updated +
+    * delta text meets the Aho-Corasick matcher at serve time. All three
+    * statistic families (per-pair co counts, per-entity doc counts, the
+    * census) merge by exact Long sums over disjoint doc sets, so the
+    * answer is bit-equal to kg1 over the post-change corpus (the oracle);
+    * pairs whose merged count reaches 0 drop out exactly as kg1 never
+    * would have emitted them. */
+  def kg7TombstoneGraph(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val cdc = PersistedIndex.home("kg_delta_index", dir, kgFp(dir) + "_cdc" + wStar)
+    if (PersistedIndex.isBuilt(cdc))
+      return kgServe(s, cdc, CdcRules.emptyIds(s, "doc_id"),
+        CdcRules.emptyRows(s, "doc_id", "text", org.apache.spark.sql.types.StringType))
+    val home = ensureKgDeltaIndex(s, dir)
+    val snap = PersistedIndex.readSplit(s, home)
+    kgServe(s, home,
+      CdcRules.tombstoneIds(docs, "doc_id", wStar),
+      CdcRules.freshRows(docs, "doc_id", "text", wStar, snap, CdcRules.reversedTokens))
+  }
+
+  /** EXPUNGE-DELETES COMPACTION for the KG family: dead and updated-old
+    * docs' rows physically leave the per-doc `ed` artifact and their
+    * count contributions are subtracted out of `co`/`ent`/`nd` by the
+    * same exact Long sums the serve uses (pairs/entities whose merged
+    * count reaches 0 drop out of the artifacts entirely); re-matched
+    * updates + appends fold in. Published under `<fp>_cdc<feedSplit>`,
+    * invisible to currentHome — kg6's raw-corpus lineage keeps its base. */
+  private[queries] def compactCdcKgIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val target = PersistedIndex.home("kg_delta_index", dir, kgFp(dir) + "_cdc" + wStar)
+    if (PersistedIndex.isBuilt(target)) return target
+    val cur = ensureKgDeltaIndex(s, dir)
+    val st = s.read.parquet(cur.resolve("stats").toString).collect()(0)
+    val (ndB, snap) = (st.getAs[Long]("nd"), st.getAs[Long]("split_id"))
+    val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    PersistedIndex.buildIfAbsent(target, dir) { tmp =>
+      val dead = CdcRules.tombstoneIds(docs, "doc_id", wStar)
+      val fresh = CdcRules.freshRows(docs, "doc_id", "text", wStar, snap,
+        CdcRules.reversedTokens)
+      val edBase = s.read.parquet(cur.resolve("ed").toString)
+      val edDead = edBase.join(dead, Seq("doc_id"), "left_semi").localCheckpoint(true)
+      val fm = FastMatch.matcher(gazetteer)
+      val edF = fresh.select(col("doc_id"), explode(fm(col("text"))).as("m"))
+        .select(col("doc_id"), col("m.matched").as("entity")).distinct()
+        .localCheckpoint(true)
+      edBase.join(dead, Seq("doc_id"), "left_anti").unionByName(edF)
+        .write.mode("overwrite").parquet(tmp.resolve("ed").toString)
+      def coOf(ed: DataFrame, as: String) = ed.as("a").join(ed.as("b"), Seq("doc_id"))
+        .filter(col("a.entity") < col("b.entity"))
+        .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
+        .agg(count(lit(1)).as(as))
+      s.read.parquet(cur.resolve("co").toString)
+        .join(coOf(edDead, "n_co_x"), Seq("e1", "e2"), "full_outer")
+        .join(coOf(edF, "n_co_f"), Seq("e1", "e2"), "full_outer")
+        .select(col("e1"), col("e2"),
+          (coalesce(col("n_co"), lit(0L)) - coalesce(col("n_co_x"), lit(0L)) +
+            coalesce(col("n_co_f"), lit(0L))).as("n_co"))
+        .filter(col("n_co") > 0)
+        .write.mode("overwrite").parquet(tmp.resolve("co").toString)
+      s.read.parquet(cur.resolve("ent").toString)
+        .join(edDead.groupBy("entity").agg(count(lit(1)).as("n_docs_x")),
+          Seq("entity"), "full_outer")
+        .join(edF.groupBy("entity").agg(count(lit(1)).as("n_docs_f")),
+          Seq("entity"), "full_outer")
+        .select(col("entity"),
+          (coalesce(col("n_docs"), lit(0L)) - coalesce(col("n_docs_x"), lit(0L)) +
+            coalesce(col("n_docs_f"), lit(0L))).as("n_docs"))
+        .filter(col("n_docs") > 0)
+        .write.mode("overwrite").parquet(tmp.resolve("ent").toString)
+      dead.agg(count(lit(1)).as("n_x"))
+        .crossJoin(fresh.agg(count(lit(1)).as("n_f")))
+        .select((lit(ndB) - col("n_x") + col("n_f")).as("nd"))
+        .withColumn("split_id", lit(math.max(snap, hi)))
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+    target
+  }
+
+  /** kg8_expunged_graph — the post-compaction face of kg7: fold the change
+    * set, then serve NPMI straight from the expunged statistics (empty
+    * tombstone/fresh frames; shares kg7's oracle). */
+  def kg8ExpungedGraph(s: SparkSession, dir: String): DataFrame = {
+    compactCdcKgIndex(s, dir)
+    kg7TombstoneGraph(s, dir)
+  }
+
   /** kg1's SQL replayed over the POST-CHANGE corpus (the ir14/dd20 oracle
     * convention). */
   val kg7TombstoneGraphSql: String = {
     val edChanged = entityDocsSql.replace("FROM documents", "FROM kg7corpus")
-    s"""WITH w AS (
-       |  SELECT MAX(doc_id) - (MAX(doc_id) - MIN(doc_id)) // 10 AS split FROM documents),
-       |kg7corpus AS (
-       |  SELECT d.doc_id,
-       |    CASE WHEN d.doc_id <= w.split AND d.doc_id % 13 = 2
-       |         THEN array_to_string(list_reverse(string_split(d.text, ' ')), ' ')
-       |         ELSE d.text END AS text
-       |  FROM documents d CROSS JOIN w
-       |  WHERE NOT (d.doc_id <= w.split AND d.doc_id % 13 = 7)),
+    s"""WITH ${graft.operators.CdcRules.sqlCorpusCtes("kg7corpus",
+          graft.operators.CdcRules.sqlReversedTokens("d.text"))},
        |$edChanged,
        |nd AS (SELECT COUNT(*) AS nd FROM kg7corpus),
        |ent AS (SELECT entity, COUNT(*) AS n_docs FROM ed GROUP BY entity),
@@ -1118,6 +1162,7 @@ object MatchQueries {
     "kg5_twohop_discovery" -> (kg5TwohopDiscovery _),
     "kg6_delta_graph" -> (kg6DeltaGraph _),
     "kg7_tombstone_graph" -> (kg7TombstoneGraph _),
+    "kg8_expunged_graph" -> (kg8ExpungedGraph _),
     "el1_mention_link" -> (el1MentionLink _),
     "el2_context_score" -> (el2ContextScore _),
     "el3_nil_gate" -> (el3NilGate _),
@@ -1137,6 +1182,8 @@ object MatchQueries {
     "kg6_delta_graph" -> kg1EntityGraphSql,
     // tombstone subtraction is exact: kg7 ≡ kg1 over the post-change corpus
     "kg7_tombstone_graph" -> kg7TombstoneGraphSql,
+    // expunge-fold is answer-invariant by construction: kg8 ≡ kg7
+    "kg8_expunged_graph" -> kg7TombstoneGraphSql,
     "el1_mention_link" -> el1MentionLinkSql,
     "el2_context_score" -> el2ContextScoreSql,
     "el3_nil_gate" -> el3NilGateSql,

@@ -400,10 +400,12 @@ object MultimodalQueries {
     * their already-adjudicated base-base candidate/near counts behind the
     * id-range watermark (the dd18 recipe applied to the perceptual-hash
     * family — asset stores checkpoint exactly this between crawls). */
+  private def phashFp(dir: String): String =
+    graft.operators.PersistedIndex.tableFingerprint(dir, "documents")
+
   private[queries] def ensurePhashIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
-    PersistedIndex.ensure("phash_index", dir,
-      PersistedIndex.tableFingerprint(dir, "documents")) { tmp =>
+    PersistedIndex.ensure("phash_index", dir, phashFp(dir)) { tmp =>
       val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
       phashSigs(t(s, dir, "documents").filter(col("doc_id") <= split))
         .write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
@@ -431,48 +433,38 @@ object MultimodalQueries {
     * re-pair, so the oracle IS mm4's SQL and compaction is answer-safe —
     * the fifth face of the incremental family. */
   /** mm8_tombstone_phash — tombstone/UPDATE-aware asset dedup, ir14's CDC
-    * semantics on the perceptual-hash family: deleted assets
-    * (doc_id % 13 == 7) leave the signature store via an id anti-join and
-    * their pair contributions are SUBTRACTED (their signatures are in the
-    * artifact, so the dead-touching pair set re-derives from persisted
-    * sigs alone — no payload is re-hashed); updated assets
-    * (doc_id % 13 == 2, payload re-crawled with token order reversed) are
-    * tombstone + re-hash; appends are mm7's delta. Pair classes are
+    * semantics on the perceptual-hash family
+    * ([[graft.operators.CdcRules]]): deleted assets leave the signature
+    * store via an id anti-join and their pair contributions are
+    * SUBTRACTED (their signatures are in the artifact, so the
+    * dead-touching pair set re-derives from persisted sigs alone — no
+    * payload is re-hashed); updated assets (payload re-crawled with token
+    * order reversed) are tombstone + re-hash; appends are mm7's delta. Pair classes are
     * disjoint ordered sets, so per-asset candidate/near counts merge by
     * exact Long sums: base − dead-touching + fresh-touching ≡ mm4's full
     * re-pair over the post-change corpus (the oracle). Only updated +
     * appended payloads meet the DCT at serve time. */
-  def mm8TombstonePhash(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.PersistedIndex
-    val home = ensurePhashIndex(s, dir)
-    val split = PersistedIndex.readSplit(s, home)
-    val docs = t(s, dir, "documents")
-    val deadIds = docs.filter(col("doc_id") <= split &&
-        (col("doc_id") % 13 === 7 || col("doc_id") % 13 === 2))
-      .select(col("doc_id").cast(LongType).as("asset_id"))
+  /** The shared pHash SERVING KERNEL over a persisted signature/count
+    * snapshot: the `dead` id frame drops signatures and its
+    * pair-contributions re-derive from PERSISTED sigs alone (no payload
+    * re-hash) and SUBTRACT; the `fresh` (doc_id, text) frame is the ONLY
+    * payload DCT-hashed, its banded pairs ADD. Pair classes are disjoint
+    * ordered sets, so per-asset counts merge by exact Long sums. mm7
+    * passes (∅, appends); mm8 the [[graft.operators.CdcRules]] change
+    * set; the expunged serve (∅, ∅) against a CDC-folded generation. */
+  private def phashServe(s: SparkSession, home: java.nio.file.Path,
+      deadIds: DataFrame, fresh: DataFrame): DataFrame = {
     val baseSigs = s.read.parquet(home.resolve("sigs").toString)
     val liveSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_anti")
     val deadSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_semi")
-    val fresh = docs.filter(col("doc_id") <= split && col("doc_id") % 13 === 2)
-      .select(col("doc_id"), concat_ws(" ", reverse(Q.tokens(col("text")))).as("text"))
-      .unionByName(docs.filter(col("doc_id") > split).select("doc_id", "text"))
     val freshSigs = phashSigs(fresh).localCheckpoint(true)
-    def a(b: DataFrame) = b.select(col("asset_id").as("id_a"), col("phash64").as("sa"),
-      col("band"), col("key"))
-    def bb(b: DataFrame) = b.select(col("asset_id").as("id_b"), col("phash64").as("sb"),
-      col("band"), col("key"))
-    def pairsOf(left: DataFrame, right: DataFrame, both: Boolean): DataFrame = {
-      val fwd = a(left).join(bb(right), Seq("band", "key"))
-      val base = if (both) fwd.unionByName(a(right).join(bb(left), Seq("band", "key"))) else fwd
-      base.filter(col("id_a") =!= col("id_b")).select("id_a", "id_b", "sa", "sb").distinct()
-    }
     val (bAll, bDead) = (bandedPhash(baseSigs), bandedPhash(deadSigs))
     val (bLive, bF) = (bandedPhash(liveSigs), bandedPhash(freshSigs))
     // ordered pairs of the ORIGINAL base universe touching a dead asset —
     // the exact subset of the persisted counts' pair set
-    val sub = phashPairCounts(pairsOf(bDead, bAll, both = true))
+    val sub = phashPairCounts(phashPairsOf(bDead, bAll, both = true))
     val add = phashPairCounts(
-      pairsOf(bLive, bF, both = true).unionByName(pairsOf(bF, bF, both = false)))
+      phashPairsOf(bLive, bF, both = true).unionByName(phashPairsOf(bF, bF, both = false)))
     val counts = s.read.parquet(home.resolve("counts").toString)
       .select(col("asset_id"), col("n_cand").as("nc0"), col("n_near").as("nn0"))
       .join(sub.select(col("asset_id"), col("n_cand").as("ncx"), col("n_near").as("nnx")),
@@ -491,20 +483,99 @@ object MultimodalQueries {
       .orderBy("asset_id")
   }
 
+  private def phashPairsOf(left: DataFrame, right: DataFrame, both: Boolean): DataFrame = {
+    def a(b: DataFrame) = b.select(col("asset_id").as("id_a"), col("phash64").as("sa"),
+      col("band"), col("key"))
+    def bb(b: DataFrame) = b.select(col("asset_id").as("id_b"), col("phash64").as("sb"),
+      col("band"), col("key"))
+    val fwd = a(left).join(bb(right), Seq("band", "key"))
+    val base = if (both) fwd.unionByName(a(right).join(bb(left), Seq("band", "key"))) else fwd
+    base.filter(col("id_a") =!= col("id_b")).select("id_a", "id_b", "sa", "sb").distinct()
+  }
+
+  def mm8TombstonePhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val cdc = PersistedIndex.home("phash_index", dir, phashFp(dir) + "_cdc" + wStar)
+    if (PersistedIndex.isBuilt(cdc))
+      return phashServe(s, cdc, CdcRules.emptyIds(s, "asset_id"),
+        CdcRules.emptyRows(s, "doc_id", "text", org.apache.spark.sql.types.StringType))
+    val home = ensurePhashIndex(s, dir)
+    val snap = PersistedIndex.readSplit(s, home)
+    phashServe(s, home,
+      CdcRules.tombstoneIds(docs, "doc_id", wStar)
+        .select(col("doc_id").cast(LongType).as("asset_id")),
+      CdcRules.freshRows(docs, "doc_id", "text", wStar, snap, CdcRules.reversedTokens))
+  }
+
+  /** EXPUNGE-DELETES COMPACTION for the pHash family: dead and
+    * updated-old signatures physically leave, their pair-contributions
+    * are subtracted out of the persisted counts (re-derived from
+    * persisted sigs — no payload re-hash), re-hashed updates + appends
+    * fold in with their pair classes. Published under
+    * `<fp>_cdc<feedSplit>`, invisible to currentHome — mm7's raw-corpus
+    * lineage keeps its base. */
+  private[queries] def compactCdcPhashIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val target = PersistedIndex.home("phash_index", dir, phashFp(dir) + "_cdc" + wStar)
+    if (PersistedIndex.isBuilt(target)) return target
+    val cur = ensurePhashIndex(s, dir)
+    val snap = PersistedIndex.readSplit(s, cur)
+    val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    PersistedIndex.buildIfAbsent(target, dir) { tmp =>
+      val deadIds = CdcRules.tombstoneIds(docs, "doc_id", wStar)
+        .select(col("doc_id").cast(LongType).as("asset_id"))
+      val fresh = CdcRules.freshRows(docs, "doc_id", "text", wStar, snap,
+        CdcRules.reversedTokens)
+      val baseSigs = s.read.parquet(cur.resolve("sigs").toString)
+      val liveSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_anti")
+      val deadSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_semi")
+      val freshSigs = phashSigs(fresh).localCheckpoint(true)
+      liveSigs.unionByName(freshSigs)
+        .write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
+      val (bAll, bDead) = (bandedPhash(baseSigs), bandedPhash(deadSigs))
+      val (bLive, bF) = (bandedPhash(liveSigs), bandedPhash(freshSigs))
+      val sub = phashPairCounts(phashPairsOf(bDead, bAll, both = true))
+      val add = phashPairCounts(
+        phashPairsOf(bLive, bF, both = true).unionByName(phashPairsOf(bF, bF, both = false)))
+      s.read.parquet(cur.resolve("counts").toString)
+        .select(col("asset_id"), col("n_cand").as("nc0"), col("n_near").as("nn0"))
+        .join(sub.select(col("asset_id"), col("n_cand").as("ncx"), col("n_near").as("nnx")),
+          Seq("asset_id"), "full_outer")
+        .join(add.select(col("asset_id"), col("n_cand").as("ncf"), col("n_near").as("nnf")),
+          Seq("asset_id"), "full_outer")
+        .select(col("asset_id"),
+          (coalesce(col("nc0"), lit(0L)) - coalesce(col("ncx"), lit(0L)) +
+            coalesce(col("ncf"), lit(0L))).as("n_cand"),
+          (coalesce(col("nn0"), lit(0L)) - coalesce(col("nnx"), lit(0L)) +
+            coalesce(col("nnf"), lit(0L))).as("n_near"))
+        // a fully-isolated asset keeps its (0, 0) row only while its
+        // signature survives — dead assets' count rows leave with them
+        .join(liveSigs.select("asset_id").unionByName(freshSigs.select("asset_id")),
+          Seq("asset_id"), "left_semi")
+        .write.mode("overwrite").parquet(tmp.resolve("counts").toString)
+      PersistedIndex.splitStats(s, math.max(snap, hi))
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+    target
+  }
+
+  /** mm9_expunged_phash — the post-compaction face of mm8: fold the
+    * change set, then serve counts straight from the expunged artifacts
+    * (empty tombstone/fresh frames; shares mm8's oracle). */
+  def mm9ExpungedPhash(s: SparkSession, dir: String): DataFrame = {
+    compactCdcPhashIndex(s, dir)
+    mm8TombstonePhash(s, dir)
+  }
+
   /** mm4's SQL replayed over the POST-CHANGE corpus (the ir14/dd20/kg7
     * oracle convention). */
   val mm8TombstonePhashSql: String = {
-    val corpus =
-      """WITH w AS (
-        |  SELECT MAX(doc_id) - (MAX(doc_id) - MIN(doc_id)) // 10 AS split FROM documents),
-        |mm8corpus AS (
-        |  SELECT d.doc_id,
-        |    CASE WHEN d.doc_id <= w.split AND d.doc_id % 13 = 2
-        |         THEN array_to_string(list_reverse(string_split(d.text, ' ')), ' ')
-        |         ELSE d.text END AS text
-        |  FROM documents d CROSS JOIN w
-        |  WHERE NOT (d.doc_id <= w.split AND d.doc_id % 13 = 7)),
-        |""".stripMargin
+    val corpus = "WITH " + graft.operators.CdcRules.sqlCorpusCtes("mm8corpus",
+      graft.operators.CdcRules.sqlReversedTokens("d.text")) + ",\n"
     corpus + mm4PhashNeardupSql
       .replaceFirst("^WITH ", "")
       .replace("FROM documents WHERE", "FROM mm8corpus WHERE")
@@ -559,37 +630,14 @@ object MultimodalQueries {
   def mm7PhashDelta(s: SparkSession, dir: String): DataFrame = {
     val home = ensurePhashIndex(s, dir)
     val split = graft.operators.PersistedIndex.readSplit(s, home)
-    val baseSigs = s.read.parquet(home.resolve("sigs").toString)
-    val baseCounts = s.read.parquet(home.resolve("counts").toString)
-    val deltaSigs = phashSigs(
-      t(s, dir, "documents").filter(col("doc_id") > split)).localCheckpoint(true)
-    val (bB, bD) = (bandedPhash(baseSigs), bandedPhash(deltaSigs))
-    def a(b: DataFrame) = b.select(col("asset_id").as("id_a"), col("phash64").as("sa"),
-      col("band"), col("key"))
-    def bb(b: DataFrame) = b.select(col("asset_id").as("id_b"), col("phash64").as("sb"),
-      col("band"), col("key"))
-    val touch = a(bB).join(bb(bD), Seq("band", "key"))
-      .unionByName(a(bD).join(bb(bB), Seq("band", "key")))
-      .unionByName(a(bD).join(bb(bD), Seq("band", "key")).filter(col("id_a") =!= col("id_b")))
-      .select("id_a", "id_b", "sa", "sb").distinct()
-    val add = phashPairCounts(touch)
-    val counts = baseCounts
-      .select(col("asset_id"), col("n_cand").as("nc0"), col("n_near").as("nn0"))
-      .join(add.select(col("asset_id"), col("n_cand").as("nc1"), col("n_near").as("nn1")),
-        Seq("asset_id"), "full_outer")
-      .select(col("asset_id"),
-        (coalesce(col("nc0"), lit(0L)) + coalesce(col("nc1"), lit(0L))).as("n_cand"),
-        (coalesce(col("nn0"), lit(0L)) + coalesce(col("nn1"), lit(0L))).as("n_near"))
-    baseSigs.unionByName(deltaSigs).join(counts, Seq("asset_id"), "left")
-      .select(col("asset_id"), col("phash64"),
-        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"))
-      .orderBy("asset_id")
+    phashServe(s, home, graft.operators.CdcRules.emptyIds(s, "asset_id"),
+      t(s, dir, "documents").filter(col("doc_id") > split).select("doc_id", "text"))
   }
 
   val queries: Map[String, QueryFn] = Map(
     "mm7_phash_delta" -> (mm7PhashDelta _),
     "mm8_tombstone_phash" -> (mm8TombstonePhash _),
+    "mm9_expunged_phash" -> (mm9ExpungedPhash _),
     "mm6_crossmodal_link" -> (mm6CrossmodalLink _),
     "mm5_silence_trim" -> (mm5SilenceTrim _),
     "mm4_phash_neardup" -> (mm4PhashNeardup _),
@@ -602,6 +650,8 @@ object MultimodalQueries {
     "mm7_phash_delta" -> mm4PhashNeardupSql,
     // tombstone subtraction is exact: mm8 ≡ mm4 over the post-change corpus
     "mm8_tombstone_phash" -> mm8TombstonePhashSql,
+    // expunge-fold is answer-invariant by construction: mm9 ≡ mm8
+    "mm9_expunged_phash" -> mm8TombstonePhashSql,
     "mm6_crossmodal_link" -> mm6CrossmodalLinkSql,
     "mm5_silence_trim" -> mm5SilenceTrimSql,
     "mm4_phash_neardup" -> mm4PhashNeardupSql,

@@ -275,9 +275,11 @@ object SimilarityQueries {
     * contract ss7 freezes its refresh against), the base vectors' cell
     * assignments hive-partitioned by cell, and a one-row stats artifact
     * carrying the watermark. */
+  private def ivfFp(dir: String): String =
+    graft.operators.PersistedIndex.tableFingerprint(dir, "embeddings")
+
   private[queries] def ensureIvfDeltaIndex(s: SparkSession, dir: String): java.nio.file.Path = {
-    graft.operators.PersistedIndex.ensure("ivf_delta_index", dir,
-      graft.operators.PersistedIndex.tableFingerprint(dir, "embeddings")) { tmp =>
+    graft.operators.PersistedIndex.ensure("ivf_delta_index", dir, ivfFp(dir)) { tmp =>
       val split = graft.operators.PersistedIndex.idWatermark(
         t(s, dir, "embeddings"), "vec_id")
       val base = withNorm(t(s, dir, "embeddings").filter(col("vec_id") <= split))
@@ -311,8 +313,7 @@ object SimilarityQueries {
     val emb = t(s, dir, "embeddings")
     val hi = emb.agg(max(col("vec_id"))).collect()(0).getLong(0)
     if (hi <= w0) return cur // nothing in flight — compaction is a no-op
-    val fp = PersistedIndex.tableFingerprint(dir, "embeddings")
-    val target = PersistedIndex.home("ivf_delta_index", dir, fp + "_c" + hi)
+    val target = PersistedIndex.home("ivf_delta_index", dir, ivfFp(dir) + "_c" + hi)
     PersistedIndex.buildIfAbsent(target, dir) { tmp =>
       val centroids = s.read.parquet(cur.resolve("centroids").toString)
       val idx = graft.operators.Similarity.centroidIndex(centroids, "vec_id", "embedding")
@@ -347,13 +348,20 @@ object SimilarityQueries {
     * compaction that re-assigns the delta into the artifact under the SAME
     * frozen centroids cannot change answers (ss7's refresh ≡ rebuild
     * equivalence, applied to search results). */
-  def ss9DeltaProbe(s: SparkSession, dir: String): DataFrame = {
-    val home = ensureIvfDeltaIndex(s, dir)
-    val split = graft.operators.PersistedIndex.readSplit(s, home)
+  /** The shared IVF SERVING KERNEL over a persisted cell snapshot: the
+    * `dead` id frame leaves the candidate set via an anti-join on the
+    * cell-pruned artifact, the `fresh` (vec_id, embedding) frame is the
+    * ONLY segment normed/assigned (against the FROZEN artifact centroids)
+    * at probe time, and each segment is scored separately against the
+    * broadcast probes (the DPP-safe ss2b shape), merged by the k-bounded
+    * native TopK. ss9 passes (∅, appends); ss10 the
+    * [[graft.operators.CdcRules]] change set; the expunged serve (∅, ∅)
+    * against a CDC-folded generation. */
+  private def ivfServe(s: SparkSession, home: java.nio.file.Path,
+      dead: DataFrame, fresh: DataFrame, q0: DataFrame): DataFrame = {
     val idx = graft.operators.Similarity.centroidIndex(
       s.read.parquet(home.resolve("centroids").toString), "vec_id", "embedding")
-    val q = withNorm(t(s, dir, "embeddings")).filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
+    val q = q0.select(col("query_id"), col("qv"), col("qn"))
     val probeArr = slice(array_sort(transform(idx, c => struct(
         (-cosE6(dot(c.getField("cv"), col("qv")), c.getField("cn"), col("qn"))).as("neg_cos"),
         c.getField("cent_id").as("cent_id")))), 1, 2)
@@ -364,8 +372,9 @@ object SimilarityQueries {
     val baseCells = s.read.parquet(home.resolve("cells").toString)
       .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
       .withColumn("cell", col("cell").cast(LongType))
-    val deltaCells = withCell(
-        withNorm(t(s, dir, "embeddings").filter(col("vec_id") > split)), idx)
+      .join(dead, Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding", "norm", "cell")
+    val freshCells = withCell(withNorm(fresh), idx)
       .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
       .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
     // score each segment SEPARATELY and union the scored rows: putting the
@@ -379,11 +388,21 @@ object SimilarityQueries {
       .withColumn("cos_e6", cosE6(dot(col("qv"), col("embedding")), col("qn"), col("norm")))
       .select("query_id", "vec_id", "cos_e6")
     graft.operators.TopK.smallestPerGroup(
-        scoreSegment(baseCells).unionByName(scoreSegment(deltaCells)),
+        scoreSegment(baseCells).unionByName(scoreSegment(freshCells)),
         Seq("query_id"), TopK,
         -col("cos_e6"), col("vec_id"), keyName = "neg_cos", idName = "vec_id")
       .select(col("query_id"), col("rank"), col("vec_id"), (-col("neg_cos")).as("cos_e6"))
       .orderBy("query_id", "rank")
+  }
+
+  def ss9DeltaProbe(s: SparkSession, dir: String): DataFrame = {
+    val home = ensureIvfDeltaIndex(s, dir)
+    val split = graft.operators.PersistedIndex.readSplit(s, home)
+    val q = withNorm(t(s, dir, "embeddings")).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
+    ivfServe(s, home, graft.operators.CdcRules.emptyIds(s, "vec_id"),
+      t(s, dir, "embeddings").filter(col("vec_id") > split).select("vec_id", "embedding"),
+      q)
   }
 
   val ss9DeltaProbeSql: String =
@@ -419,9 +438,9 @@ object SimilarityQueries {
        |ORDER BY query_id, rank""".stripMargin
 
   /** ss10_tombstone_probe — tombstone/UPDATE-aware ANN search, ir14's CDC
-    * semantics on the IVF family: deleted vectors (vec_id % 13 == 7)
-    * leave the candidate set via an id anti-join on the persisted cells;
-    * updated vectors (vec_id % 13 == 2, re-embedded as the NEGATION — the
+    * semantics on the IVF family ([[graft.operators.CdcRules]]): deleted
+    * vectors leave the candidate set via an id anti-join on the persisted
+    * cells; updated vectors (re-embedded as the NEGATION — the
     * norm is bit-identical, the direction flips) are tombstone + re-add,
     * assigned in-plan against the FROZEN centroids exactly like ss9's
     * delta; appends are ss9's delta. The query slice is the POST-CHANGE
@@ -431,52 +450,85 @@ object SimilarityQueries {
     * contract), so the oracle replays the same frozen geometry over the
     * post-change corpus. Only updated + appended vectors are ever
     * normed/assigned at serve time; the base never rescans. */
-  def ss10TombstoneProbe(s: SparkSession, dir: String): DataFrame = {
-    val home = ensureIvfDeltaIndex(s, dir)
-    val split = graft.operators.PersistedIndex.readSplit(s, home)
-    val idx = graft.operators.Similarity.centroidIndex(
-      s.read.parquet(home.resolve("centroids").toString), "vec_id", "embedding")
+  /** The POST-CHANGE query slice: ids below NQueries under the
+    * [[graft.operators.CdcRules]] feed — a deleted query stops querying,
+    * an updated query probes with its new (negated) vector. Shared by
+    * ss10's subtract path and the expunged serve (the queries are corpus
+    * rows, not index artifacts — they carry the rules either way). */
+  private def postChangeQueries(s: SparkSession, dir: String, wStar: Long): DataFrame = {
+    import graft.operators.CdcRules
     val embAll = t(s, dir, "embeddings")
-    val dead = embAll.filter(col("vec_id") <= split &&
-        (col("vec_id") % 13 === 7 || col("vec_id") % 13 === 2))
-      .select("vec_id")
-    val fresh = embAll.filter(col("vec_id") <= split && col("vec_id") % 13 === 2)
-      .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
-      .unionByName(embAll.filter(col("vec_id") > split).select("vec_id", "embedding"))
-    val q = withNorm(
-        embAll.filter(col("vec_id") < NQueries &&
-          !(col("vec_id") <= split && col("vec_id") % 13 === 7))
+    withNorm(
+        embAll.filter(col("vec_id") < NQueries && !CdcRules.isDelete(col("vec_id"), wStar))
         .select(col("vec_id"),
-          when(col("vec_id") <= split && col("vec_id") % 13 === 2,
-            transform(col("embedding"), x => -x))
+          when(CdcRules.isUpdate(col("vec_id"), wStar),
+            CdcRules.negatedVector(col("embedding")))
             .otherwise(col("embedding")).as("embedding")))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
-    val probeArr = slice(array_sort(transform(idx, c => struct(
-        (-cosE6(dot(c.getField("cv"), col("qv")), c.getField("cn"), col("qn"))).as("neg_cos"),
-        c.getField("cent_id").as("cent_id")))), 1, 2)
-    val probes = q.withColumn("pc", explode(probeArr))
-      .select(col("query_id"), col("qv"), col("qn"), col("pc.cent_id").as("cell"))
-    val probedCells = q.select(explode(probeArr).as("pc"))
-      .select(col("pc.cent_id")).distinct().collect().map(_.getLong(0)).sorted
-    val baseCells = s.read.parquet(home.resolve("cells").toString)
-      .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
-      .withColumn("cell", col("cell").cast(LongType))
-      .join(dead, Seq("vec_id"), "left_anti")
-      .select("vec_id", "embedding", "norm", "cell")
-    val freshCells = withCell(withNorm(fresh), idx)
-      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
-      .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
-    def scoreSegment(cand: DataFrame): DataFrame = cand
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_e6", cosE6(dot(col("qv"), col("embedding")), col("qn"), col("norm")))
-      .select("query_id", "vec_id", "cos_e6")
-    graft.operators.TopK.smallestPerGroup(
-        scoreSegment(baseCells).unionByName(scoreSegment(freshCells)),
-        Seq("query_id"), TopK,
-        -col("cos_e6"), col("vec_id"), keyName = "neg_cos", idName = "vec_id")
-      .select(col("query_id"), col("rank"), col("vec_id"), (-col("neg_cos")).as("cos_e6"))
-      .orderBy("query_id", "rank")
+  }
+
+  def ss10TombstoneProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val embAll = t(s, dir, "embeddings")
+    val wStar = CdcRules.feedSplit(embAll, "vec_id")
+    val q = postChangeQueries(s, dir, wStar)
+    val cdc = PersistedIndex.home("ivf_delta_index", dir, ivfFp(dir) + "_cdc" + wStar)
+    if (PersistedIndex.isBuilt(cdc))
+      return ivfServe(s, cdc, CdcRules.emptyIds(s, "vec_id"),
+        CdcRules.emptyRows(s, "vec_id", "embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)), q)
+    val home = ensureIvfDeltaIndex(s, dir)
+    val snap = PersistedIndex.readSplit(s, home)
+    ivfServe(s, home,
+      CdcRules.tombstoneIds(embAll, "vec_id", wStar),
+      CdcRules.freshRows(embAll, "vec_id", "embedding", wStar, snap,
+        CdcRules.negatedVector), q)
+  }
+
+  /** EXPUNGE-DELETES COMPACTION for the IVF family: dead and updated-old
+    * vectors physically leave the persisted cell table, re-embedded
+    * updates + appends are assigned under the FROZEN centroids (copied,
+    * never retrained — the FAISS immutable-training contract) and folded
+    * in. Published under `<fp>_cdc<feedSplit>`, invisible to currentHome
+    * — ss9's raw-corpus lineage keeps its base. */
+  private[queries] def compactCdcIvfIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val embAll = t(s, dir, "embeddings")
+    val wStar = CdcRules.feedSplit(embAll, "vec_id")
+    val target = PersistedIndex.home("ivf_delta_index", dir, ivfFp(dir) + "_cdc" + wStar)
+    if (PersistedIndex.isBuilt(target)) return target
+    val cur = ensureIvfDeltaIndex(s, dir)
+    val snap = PersistedIndex.readSplit(s, cur)
+    val hi = embAll.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    PersistedIndex.buildIfAbsent(target, dir) { tmp =>
+      val dead = CdcRules.tombstoneIds(embAll, "vec_id", wStar)
+      val fresh = CdcRules.freshRows(embAll, "vec_id", "embedding", wStar, snap,
+        CdcRules.negatedVector)
+      val centroids = s.read.parquet(cur.resolve("centroids").toString)
+      val idx = graft.operators.Similarity.centroidIndex(centroids, "vec_id", "embedding")
+      val freshCells = withCell(withNorm(fresh), idx)
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          col("cell").cast(LongType).as("cell"))
+      val liveCells = s.read.parquet(cur.resolve("cells").toString)
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          col("cell").cast(LongType).as("cell"))
+        .join(dead, Seq("vec_id"), "left_anti")
+        .select("vec_id", "embedding", "norm", "cell")
+      graft.sources.Layout.writePartitioned(
+        liveCells.unionByName(freshCells), tmp.resolve("cells").toString, "cell")
+      centroids.write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
+      PersistedIndex.splitStats(s, math.max(snap, hi))
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+    target
+  }
+
+  /** ss12_expunged_probe — the post-compaction face of ss10: fold the
+    * change set, then probe the expunged cells with the post-change query
+    * slice (empty tombstone/fresh frames; shares ss10's oracle). */
+  def ss12ExpungedProbe(s: SparkSession, dir: String): DataFrame = {
+    compactCdcIvfIndex(s, dir)
+    ss10TombstoneProbe(s, dir)
   }
 
   /** ss9's SQL replayed over the POST-CHANGE corpus under the FROZEN
@@ -494,11 +546,11 @@ object SimilarityQueries {
        |         WHERE vec_id % (SELECT stride FROM st) = 0),
        |chg AS (
        |  SELECT vec_id,
-       |    CASE WHEN vec_id <= (SELECT split FROM spl) AND vec_id % 13 = 2
+       |    CASE WHEN ${graft.operators.CdcRules.sqlIsUpdate("vec_id", "(SELECT split FROM spl)")}
        |         THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding,
        |    norm
        |  FROM emb
-       |  WHERE NOT (vec_id <= (SELECT split FROM spl) AND vec_id % 13 = 7)),
+       |  WHERE NOT ${graft.operators.CdcRules.sqlIsDelete("vec_id", "(SELECT split FROM spl)")}),
        |assign AS (
        |  SELECT vec_id, embedding, norm, cell FROM (
        |    SELECT e.vec_id, e.embedding, e.norm, c.cent_id AS cell,
@@ -1389,6 +1441,7 @@ object SimilarityQueries {
     "ss2b_persisted_probe" -> (ss2bPersistedProbe _),
     "ss9_delta_probe" -> (ss9DeltaProbe _),
     "ss10_tombstone_probe" -> (ss10TombstoneProbe _),
+    "ss12_expunged_probe" -> (ss12ExpungedProbe _),
     "ss7_ivf_refresh" -> (ss7IvfRefresh _),
     "ss3_lsh_topk" -> (ss3LshTopk _),
     "ss5_recall_audit" -> (ss5RecallAudit _),
@@ -1400,6 +1453,8 @@ object SimilarityQueries {
     // tombstone subtraction under frozen geometry: ss10 ≡ ss9's recipe
     // over the post-change corpus
     "ss10_tombstone_probe" -> ss10TombstoneProbeSql,
+    // expunge-fold is answer-invariant by construction: ss12 ≡ ss10
+    "ss12_expunged_probe" -> ss10TombstoneProbeSql,
     "ir3_hybrid_dense" -> ir3HybridDenseSql,
     "ir4_hybrid_ann" -> ir4HybridAnnSql,
     "ir7_mmr_rerank" -> ir7MmrRerankSql,

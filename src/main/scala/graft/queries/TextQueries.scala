@@ -2382,8 +2382,7 @@ object TextQueries {
     import graft.operators.PersistedIndex
     // generation-aware: resolves a compacted snapshot when one exists
     // ([[compactBasePostingsIndex]]); answer-invariant either way
-    PersistedIndex.ensure("postings_base", dir,
-      "v1_" + PersistedIndex.tableFingerprint(dir, "documents")) { tmp =>
+    PersistedIndex.ensure("postings_base", dir, postingsFp(dir)) { tmp =>
       val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
       val tf = tfTable(s, dir).filter(col("doc_id") <= split)
         .withColumn("bucket", pmod(detHash(col("word")), lit(PostingsBuckets.toLong)))
@@ -2421,8 +2420,7 @@ object TextQueries {
     val docs = t(s, dir, "documents")
     val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
     if (hi <= w0) return cur // nothing in flight — compaction is a no-op
-    val fp = "v1_" + PersistedIndex.tableFingerprint(dir, "documents")
-    val target = PersistedIndex.home("postings_base", dir, fp + "_c" + hi)
+    val target = PersistedIndex.home("postings_base", dir, postingsFp(dir) + "_c" + hi)
     PersistedIndex.buildIfAbsent(target, dir) { tmp =>
       // the ONLY corpus access: the delta rows being folded in
       val deltaTf = docs.filter(col("doc_id") > w0)
@@ -2449,124 +2447,37 @@ object TextQueries {
     target
   }
 
-  /** (result, snapshot watermark) — split out so the spec can swap in a
-    * crafted corpus and selective terms, and read the watermark back. */
-  private[queries] def ir10Internals(s: SparkSession, dir: String,
-      qterms: Seq[String]): (DataFrame, Long) = {
+  /** The shared BM25 SERVING KERNEL over a persisted postings snapshot:
+    * base postings/doclen come bucket-pruned from the artifacts, the
+    * `dead` id frame leaves via anti-joins (column-pruned — no text bytes
+    * move), the `fresh` (doc_id, text) frame is the ONLY text tokenized,
+    * and the corpus statistics merge by exact Long sums (base − dead +
+    * fresh), so the answer is bit-equal to a full rebuild over
+    * (base ∖ dead) ∪ fresh. ir10 passes (∅, appends); ir14 passes the
+    * [[graft.operators.CdcRules]] change set; the expunged serve passes
+    * (∅, ∅) against a CDC-folded generation. */
+  private def bm25Serve(s: SparkSession, home: java.nio.file.Path,
+      dead: DataFrame, fresh: DataFrame, qterms: Seq[String]): DataFrame = {
     val (k1, b) = (1.2, 0.75)
-    val home = ensureBasePostingsIndex(s, dir)
     // one-row persisted artifact: base stats + the snapshot watermark
     // (bounded driver read, the ss2b partition-filter class)
     val st = s.read.parquet(home.resolve("stats").toString).collect()(0)
-    val (nB, dlB, split) =
-      (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"), st.getAs[Long]("split_id"))
-    val qbuckets = qterms.map(q => detHash60Local(q) % PostingsBuckets).distinct.sorted
-    val baseTf3 = s.read.parquet(home.resolve("postings").toString)
-      .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
-        col("word").isInCollection(qterms))
-      .select("doc_id", "word", "tf")
-    // the ONLY corpus access: the delta segment, behind a pushed range
-    // predicate — tokenization cost is delta-proportional
-    val deltaTf = t(s, dir, "documents").filter(col("doc_id") > split)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val deltaTf3 = deltaTf.filter(col("word").isInCollection(qterms))
-      .select("doc_id", "word", "tf")
-    val deltaDl = deltaTf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val dl = s.read.parquet(home.resolve("doclen").toString)
-      .unionByName(deltaDl)
-    val tf3 = baseTf3.unionByName(deltaTf3)
-    val pivotCols = qterms.map(q => max(when(col("word") === q, col("tf"))).as(s"tf_$q"))
-    val pivoted = tf3.groupBy("doc_id").agg(pivotCols.head, pivotCols.tail: _*)
-    val dfCols = qterms.map(q => sum(when(col("word") === q, 1L).otherwise(0L)).as(s"df_$q"))
-    // segment-merged corpus stats: exact Long sums, so the doubles fed to
-    // the scoring are the full-corpus values ir6 computes
-    val stats = deltaDl
-      .agg((count(lit(1)) + lit(nB)).as("n_docs"),
-        (coalesce(sum("dl"), lit(0L)) + lit(dlB)).as("total_dl"))
-      .crossJoin(tf3.agg(dfCols.head, dfCols.tail: _*))
-    val avgdl = col("total_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
-    def termScore(q: String) = {
-      val tfd = coalesce(col(s"tf_$q"), lit(0L)).cast(DoubleType)
-      val dfd = col(s"df_$q").cast(DoubleType)
-      val idf = log((col("n_docs").cast(DoubleType) - dfd + 0.5) / (dfd + 0.5) + 1.0)
-      idf * (tfd * (k1 + 1.0)) / (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
-    }
-    val score = qterms.map(termScore).reduceLeft(_ + _)
-    val res = dl.join(pivoted, Seq("doc_id"), "left")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("dl"), round(score * 1e6).cast(LongType).as("bm25_e6"))
-      .orderBy(desc("bm25_e6"), col("doc_id")).limit(20)
-    (res, split)
-  }
-
-  /** ir14_tombstone_index — tombstone/UPDATE-aware incremental serving, the
-    * production-semantics face ir10 stops short of (VERDICT r13 #2 / r14
-    * next-round #2): real crawls RE-crawl, so the in-flight change set is
-    * not append-only — documents get deleted and updated between snapshot
-    * rebuilds, and the served answer must reflect the post-change corpus
-    * without rebuilding the base. Reference anchor: the skip-marker
-    * idempotency convention in `scrapping/papers_download.py:49-61` (a
-    * re-crawled paper replaces its prior artifact); set2_upsert carries the
-    * same row-level CDC semantics on the relational side.
-    *
-    * CDC model (a deterministic stand-in for a real change feed, so the
-    * DuckDB oracle can replay it): against [[ensureBasePostingsIndex]]'s
-    * snapshot watermark `split`,
-    *   - DELETES:  base docs with doc_id % 13 == 7 are tombstoned;
-    *   - UPDATES:  base docs with doc_id % 13 == 2 are re-crawled to the
-    *               text 'redacted' (old tokens must stop matching);
-    *   - APPENDS:  docs above the watermark (ir10's delta segment).
-    * Serving folds all three against the PERSISTED snapshot:
-    *   postings' = (pruned base postings ⟕̸ tombstones) ∪ fresh postings
-    *   doclen'   = (base doclen ⟕̸ tombstones) ∪ fresh doclen
-    *   stats'    = base stats − tombstoned (count, Σdl) + fresh (count, Σdl)
-    * where tombstones = deletes ∪ updates (an update is delete + re-add)
-    * and fresh = updated texts ∪ delta appends — the only rows tokenized
-    * at serve time. Per-term df and the corpus stats are exact Long sums,
-    * so a tombstoned doc SUBTRACTS exactly and the merged answer is
-    * bit-equal to a full rebuild over the post-change corpus (the oracle:
-    * ir6's SQL over the post-change corpus CTE). Scale shape: the base is
-    * served from bucket-pruned persisted postings; the tombstone subtract
-    * is an anti-join on doc ids (the id-only corpus scan below stands in
-    * for the CDC feed's key set — column-pruned, no text bytes move);
-    * tokenization touches only updated + delta rows. */
-  def ir14TombstoneIndex(s: SparkSession, dir: String): DataFrame =
-    ir14Internals(s, dir, RetrievalQTerms)._1
-
-  /** (result, watermark) — split out so the spec can replay a crafted
-    * corpus where the pre-update winner must vanish. */
-  private[queries] def ir14Internals(s: SparkSession, dir: String,
-      qterms: Seq[String]): (DataFrame, Long) = {
-    val (k1, b) = (1.2, 0.75)
-    val home = ensureBasePostingsIndex(s, dir)
-    val st = s.read.parquet(home.resolve("stats").toString).collect()(0)
-    val (nB, dlB, split) =
-      (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"), st.getAs[Long]("split_id"))
-    val docs = t(s, dir, "documents")
-    // tombstones: deletes ∪ updates' old versions (id-only projection)
-    val dead = docs.filter(col("doc_id") <= split &&
-        (col("doc_id") % 13 === 7 || col("doc_id") % 13 === 2))
-      .select("doc_id")
-    // fresh rows — the ONLY text tokenized at serve time: updated docs
-    // with their re-crawled text, plus the append segment
-    val fresh = docs.filter(col("doc_id") <= split && col("doc_id") % 13 === 2)
-      .select(col("doc_id"), lit("redacted").as("text"))
-      .unionByName(docs.filter(col("doc_id") > split).select("doc_id", "text"))
-    val freshTf = fresh
-      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val freshDl = freshTf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    // base side, tombstone-subtracted (postings pruned to q-term buckets)
+    val (nB, dlB) = (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"))
     val qbuckets = qterms.map(q => detHash60Local(q) % PostingsBuckets).distinct.sorted
     val baseTf3 = s.read.parquet(home.resolve("postings").toString)
       .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
         col("word").isInCollection(qterms))
       .select("doc_id", "word", "tf")
       .join(dead, Seq("doc_id"), "left_anti")
+    val freshTf = fresh
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val freshTf3 = freshTf.filter(col("word").isInCollection(qterms))
+      .select("doc_id", "word", "tf")
+    val freshDl = freshTf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val baseDl = s.read.parquet(home.resolve("doclen").toString)
     val dl = baseDl.join(dead, Seq("doc_id"), "left_anti").unionByName(freshDl)
-    val tf3 = baseTf3.unionByName(freshTf.filter(col("word").isInCollection(qterms)))
+    val tf3 = baseTf3.unionByName(freshTf3)
     val pivotCols = qterms.map(q => max(when(col("word") === q, col("tf"))).as(s"tf_$q"))
     val pivoted = tf3.groupBy("doc_id").agg(pivotCols.head, pivotCols.tail: _*)
     val dfCols = qterms.map(q => sum(when(col("word") === q, 1L).otherwise(0L)).as(s"df_$q"))
@@ -2588,18 +2499,169 @@ object TextQueries {
       idf * (tfd * (k1 + 1.0)) / (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
     }
     val score = qterms.map(termScore).reduceLeft(_ + _)
-    val res = dl.join(pivoted, Seq("doc_id"), "left")
+    dl.join(pivoted, Seq("doc_id"), "left")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dl"), round(score * 1e6).cast(LongType).as("bm25_e6"))
       .orderBy(desc("bm25_e6"), col("doc_id")).limit(20)
-    (res, split)
   }
 
-  /** ir6's BM25 SQL replayed over the POST-CHANGE corpus: the watermark is
-    * recomputed in SQL (MAX − (MAX−MIN)//10 — DuckDB's `//` floors, Spark's
-    * Long `/` truncates; doc ids are non-negative so both agree), deletes
-    * drop out of the corpus CTE, updates swap in the re-crawled text. */
-  val ir14TombstoneIndexSql: String = {
+  private def noIds(s: SparkSession): DataFrame =
+    graft.operators.CdcRules.emptyIds(s, "doc_id")
+  private def noDocs(s: SparkSession): DataFrame =
+    graft.operators.CdcRules.emptyRows(s, "doc_id", "text", StringType)
+
+  /** (result, snapshot watermark) — split out so the spec can swap in a
+    * crafted corpus and selective terms, and read the watermark back. */
+  private[queries] def ir10Internals(s: SparkSession, dir: String,
+      qterms: Seq[String]): (DataFrame, Long) = {
+    val home = ensureBasePostingsIndex(s, dir)
+    val split = graft.operators.PersistedIndex.readSplit(s, home)
+    // the ONLY corpus access: the delta segment, behind a pushed range
+    // predicate — tokenization cost is delta-proportional
+    val delta = t(s, dir, "documents").filter(col("doc_id") > split)
+      .select("doc_id", "text")
+    (bm25Serve(s, home, noIds(s), delta, qterms), split)
+  }
+
+  /** ir14_tombstone_index — tombstone/UPDATE-aware incremental serving, the
+    * production-semantics face ir10 stops short of (VERDICT r13 #2 / r14
+    * next-round #2): real crawls RE-crawl, so the in-flight change set is
+    * not append-only — documents get deleted and updated between snapshot
+    * rebuilds, and the served answer must reflect the post-change corpus
+    * without rebuilding the base. Reference anchor: the skip-marker
+    * idempotency convention in `scrapping/papers_download.py:49-61` (a
+    * re-crawled paper replaces its prior artifact); set2_upsert carries the
+    * same row-level CDC semantics on the relational side.
+    *
+    * CDC model: the [[graft.operators.CdcRules]] deterministic stand-in
+    * feed (deletes tombstoned, updates re-crawled to the text 'redacted'
+    * so old tokens stop matching, appends = ir10's delta segment), derived
+    * at the corpus feed watermark so the DuckDB oracle replays it exactly.
+    * Serving folds all three against the PERSISTED snapshot:
+    *   postings' = (pruned base postings ⟕̸ tombstones) ∪ fresh postings
+    *   doclen'   = (base doclen ⟕̸ tombstones) ∪ fresh doclen
+    *   stats'    = base stats − tombstoned (count, Σdl) + fresh (count, Σdl)
+    * where tombstones = deletes ∪ updates (an update is delete + re-add)
+    * and fresh = updated texts ∪ delta appends — the only rows tokenized
+    * at serve time. Per-term df and the corpus stats are exact Long sums,
+    * so a tombstoned doc SUBTRACTS exactly and the merged answer is
+    * bit-equal to a full rebuild over the post-change corpus (the oracle:
+    * ir6's SQL over the post-change corpus CTE). Scale shape: the base is
+    * served from bucket-pruned persisted postings; the tombstone subtract
+    * is an anti-join on doc ids (the id-only corpus scan below stands in
+    * for the CDC feed's key set — column-pruned, no text bytes move);
+    * tokenization touches only updated + delta rows. */
+  def ir14TombstoneIndex(s: SparkSession, dir: String): DataFrame =
+    ir14Internals(s, dir, RetrievalQTerms)._1
+
+  private def postingsFp(dir: String): String =
+    "v1_" + graft.operators.PersistedIndex.tableFingerprint(dir, "documents")
+
+  /** (result, feed watermark) — split out so the spec can replay a crafted
+    * corpus where the pre-update winner must vanish. The change set derives
+    * at the CORPUS feed watermark ([[graft.operators.CdcRules.feedSplit]] —
+    * what the oracle recomputes in SQL), never at the persisted snapshot's:
+    * a compaction may move the snapshot watermark to the max id, and the
+    * serve stays oracle-identical because the base artifacts then already
+    * CONTAIN the appends (the fresh-append leg keys on the snapshot
+    * watermark, the dead/update legs on the feed's). When a CDC-folded
+    * generation for this exact feed watermark exists
+    * ([[compactCdcPostingsIndex]]), serving skips the subtract arithmetic
+    * entirely: both frames are EMPTY LocalRelations, the optimizer erases
+    * the anti-joins, and the plan reads persisted artifacts only. */
+  private[queries] def ir14Internals(s: SparkSession, dir: String,
+      qterms: Seq[String]): (DataFrame, Long) = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val cdc = PersistedIndex.home("postings_base", dir, postingsFp(dir) + "_cdc" + wStar)
+    if (PersistedIndex.isBuilt(cdc))
+      return (bm25Serve(s, cdc, noIds(s), noDocs(s), qterms), wStar)
+    val home = ensureBasePostingsIndex(s, dir)
+    val snap = PersistedIndex.readSplit(s, home)
+    // tombstones: deletes ∪ updates' old versions (id-only projection);
+    // fresh rows — the ONLY text tokenized at serve time: updated docs
+    // with their re-crawled text, plus the not-yet-folded append segment
+    val dead = CdcRules.tombstoneIds(docs, "doc_id", wStar)
+    val fresh = CdcRules.freshRows(docs, "doc_id", "text", wStar, snap,
+      CdcRules.redactedText)
+    (bm25Serve(s, home, dead, fresh, qterms), wStar)
+  }
+
+  /** EXPUNGE-DELETES COMPACTION for the postings family (VERDICT r15 #2 —
+    * the Lucene `forceMerge`/expungeDeletes contract): fold the ENTIRE
+    * [[graft.operators.CdcRules]] change set at the current feed watermark
+    * into a new snapshot generation — dead and updated rows physically
+    * leave the postings/doclen artifacts via id anti-joins, re-crawled
+    * updates and appends enter through one fresh tokenization, and the
+    * stats row re-merges by the same exact Long sums the serve uses, so
+    * the generation's artifacts are bit-equal to a full rebuild over the
+    * post-change corpus. Published under `<fp>_cdc<feedSplit>` (atomic
+    * rename; invisible to [[graft.operators.PersistedIndex.currentHome]]
+    * so the append-only faces keep serving the raw-corpus lineage) and
+    * resolved by [[ir14Internals]] by exact name — the serve-time
+    * tombstone frame shrinks to EMPTY while results stay byte-identical.
+    * The base generation is NOT swept: ir6b/ir10/e2e7 still serve the
+    * raw corpus from it. */
+  private[queries] def compactCdcPostingsIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val target = PersistedIndex.home("postings_base", dir, postingsFp(dir) + "_cdc" + wStar)
+    if (PersistedIndex.isBuilt(target)) return target
+    val cur = ensureBasePostingsIndex(s, dir)
+    val st = s.read.parquet(cur.resolve("stats").toString).collect()(0)
+    val (nB, dlB, snap) =
+      (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"), st.getAs[Long]("split_id"))
+    val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    PersistedIndex.buildIfAbsent(target, dir) { tmp =>
+      val dead = CdcRules.tombstoneIds(docs, "doc_id", wStar)
+      val fresh = CdcRules.freshRows(docs, "doc_id", "text", wStar, snap,
+        CdcRules.redactedText)
+      val freshTf = fresh
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val freshDl = freshTf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      // dead rows LEAVE the artifacts; base postings are otherwise copied
+      // from parquet, never re-derived from text
+      graft.sources.Layout.writePartitioned(
+        s.read.parquet(cur.resolve("postings").toString)
+          .select("doc_id", "word", "tf")
+          .join(dead, Seq("doc_id"), "left_anti")
+          .unionByName(freshTf)
+          .withColumn("bucket", pmod(detHash(col("word")), lit(PostingsBuckets.toLong))),
+        tmp.resolve("postings").toString, "bucket")
+      val baseDl = s.read.parquet(cur.resolve("doclen").toString)
+      baseDl.join(dead, Seq("doc_id"), "left_anti").unionByName(freshDl)
+        .write.mode("overwrite").parquet(tmp.resolve("doclen").toString)
+      val deadStats = baseDl.join(dead, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_dead"), coalesce(sum("dl"), lit(0L)).as("dl_dead"))
+      val freshStats = freshDl
+        .agg(count(lit(1)).as("n_fresh"), coalesce(sum("dl"), lit(0L)).as("dl_fresh"))
+      deadStats.crossJoin(freshStats)
+        .select((lit(nB) - col("n_dead") + col("n_fresh")).as("n_docs"),
+          (lit(dlB) - col("dl_dead") + col("dl_fresh")).as("total_dl"))
+        // the new snapshot contains every corpus row: the append leg is empty
+        .withColumn("split_id", lit(math.max(snap, hi)))
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+    target
+  }
+
+  /** ir14b_expunged_serve — the post-compaction face of ir14: run the
+    * CDC-expunge fold, then serve. The answer is byte-identical to ir14's
+    * subtract path (same oracle — that identity IS the expunge contract),
+    * but the probe plan carries empty tombstone/fresh frames and touches
+    * persisted artifacts only. */
+  def ir14bExpungedServe(s: SparkSession, dir: String): DataFrame = {
+    compactCdcPostingsIndex(s, dir)
+    ir14Internals(s, dir, RetrievalQTerms)._1
+  }
+
+  /** ir6's full BM25 chain over an arbitrary corpus CTE — the oracle twin
+    * of [[bm25Serve]], shared by the tombstone, expunged and feed-table
+    * faces (each splices its own post-change corpus in front). */
+  private def bm25OverCorpusSql(corpusCtes: String, corpusName: String): String = {
     val qterms = RetrievalQTerms
     val avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
     def termScore(q: String) = {
@@ -2614,16 +2676,9 @@ object TextQueries {
     val dfCols = qterms.map(q =>
       s"CAST(SUM(CASE WHEN word = '$q' THEN 1 ELSE 0 END) AS BIGINT) AS df_$q").mkString(",\n  ")
     val inList = qterms.map(q => s"'$q'").mkString(", ")
-    s"""WITH w AS (
-       |  SELECT MAX(doc_id) - (MAX(doc_id) - MIN(doc_id)) // 10 AS split FROM documents),
-       |corpus AS (
-       |  SELECT d.doc_id,
-       |    CASE WHEN d.doc_id <= w.split AND d.doc_id % 13 = 2
-       |         THEN 'redacted' ELSE d.text END AS text
-       |  FROM documents d CROSS JOIN w
-       |  WHERE NOT (d.doc_id <= w.split AND d.doc_id % 13 = 7)),
+    s"""WITH $corpusCtes,
        |tok AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus),
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM $corpusName),
        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
        |dlt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
        |tf3 AS (SELECT * FROM tf WHERE word IN ($inList)),
@@ -2638,6 +2693,193 @@ object TextQueries {
        |SELECT d.doc_id, d.dl, CAST(ROUND(($score) * 1e6) AS BIGINT) AS bm25_e6
        |FROM dlt d LEFT JOIN piv p USING (doc_id) CROSS JOIN st
        |ORDER BY bm25_e6 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** ir6's BM25 SQL replayed over the POST-CHANGE corpus: the watermark is
+    * recomputed in SQL (MAX − (MAX−MIN)//10 — DuckDB's `//` floors, Spark's
+    * Long `/` truncates; doc ids are non-negative so both agree), deletes
+    * drop out of the corpus CTE, updates swap in the re-crawled text. */
+  val ir14TombstoneIndexSql: String = bm25OverCorpusSql(
+    graft.operators.CdcRules.sqlCorpusCtes("corpus", "'redacted'"), "corpus")
+
+  /** ir15_feed_index — PARAMETERIZED change-feed serving (VERDICT r15 #4):
+    * the change set arrives as an explicit feed TABLE (doc_id, op,
+    * payload) instead of rules woven into the plan — the production CDC
+    * contract, where the crawler emits the feed
+    * ([[graft.streaming.EventStreams.cdcStream]] is the generator here,
+    * so the DuckDB oracle replays the same table; reference anchor: the
+    * skip-marker idempotency of `scrapping/papers_download.py:49-61` is
+    * the 's' op). [[feedServe]] consumes ONLY the feed frame: 'd'/'u'
+    * ids tombstone, 'u'/'a' payloads re-index, 's' rows are ignored —
+    * FeedServeSpec proves the arithmetic is feed-agnostic by serving a
+    * hand-written feed no rule set generated. */
+  def ir15FeedIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CdcRules
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    feedServe(s, ensureBasePostingsIndex(s, dir),
+      graft.streaming.EventStreams.cdcStream(docs, wStar))
+  }
+
+  /** Serve BM25 from the persisted snapshot + an explicit feed table —
+    * generic in the feed: tombstones are the 'd'/'u' ids, the fresh
+    * segment is the 'u' payloads plus 'a' payloads not yet folded into
+    * the snapshot. No rule set in sight. */
+  private[queries] def feedServe(s: SparkSession, home: java.nio.file.Path,
+      feed: DataFrame): DataFrame = {
+    val snap = graft.operators.PersistedIndex.readSplit(s, home)
+    val dead = feed.filter(col("op").isin("d", "u")).select("doc_id")
+    val fresh = feed
+      .filter(col("op") === "u" || (col("op") === "a" && col("doc_id") > snap))
+      .select(col("doc_id"), col("payload").as("text"))
+    bm25Serve(s, home, dead, fresh, RetrievalQTerms)
+  }
+
+  /** The feed-table oracle: the feed CTE is generated by the same rules
+    * (the generator half), the corpus is then assembled FROM THE FEED —
+    * base survivors below the watermark, plus 'u'/'a' payload rows. */
+  val ir15FeedIndexSql: String = bm25OverCorpusSql(
+    s"""${graft.operators.CdcRules.sqlFeedCtes("feed")},
+       |corpus AS (
+       |  SELECT d.doc_id, d.text FROM documents d CROSS JOIN w
+       |  WHERE d.doc_id <= w.split
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM feed WHERE op IN ('d', 'u'))
+       |  UNION ALL
+       |  SELECT doc_id, payload AS text FROM feed WHERE op IN ('u', 'a'))""".stripMargin,
+    "corpus")
+
+  /** ir16's query batch: the production QPS shape — many queries served
+    * through the persisted postings index in ONE plan. Terms are drawn
+    * from the corpus generator's vocabulary so every query has hits at
+    * every SF; ids are explicit (stable across reorderings). */
+  private[queries] val BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("data", "table", "scan"),
+    1L -> Seq("hash", "join"),
+    2L -> Seq("sort", "merge", "join"),
+    3L -> Seq("window", "agg"),
+    4L -> Seq("stream", "batch"),
+    5L -> Seq("column", "row", "vector"),
+    6L -> Seq("filter", "scan"),
+    7L -> Seq("query", "fast", "slow"),
+    8L -> Seq("group", "order", "key"),
+    9L -> Seq("spark", "part"),
+    10L -> Seq("big", "small", "value"),
+    11L -> Seq("customer", "line"))
+
+  private[queries] val BatchTopK = 10
+
+  /** ir16_query_batch — BATCHED retrieval serving (VERDICT r15 #5): the
+    * whole query table rides ONE plan instead of one plan per query —
+    * the missing symmetry with the ANN family's NQueries probe batch.
+    * Plan shape: ONE bucket-pruned read of the persisted postings for the
+    * UNION of all query terms (the per-term df falls out of the same
+    * read), ONE delta tokenization (amortized across the batch, the ir10
+    * merge), a broadcast join against the ~30-row (query_id, term) map,
+    * a per-(query, doc) partial-aggregated score sum, and the k-bounded
+    * native TopK per query_id — map-side partials carry ≤ queries×k rows.
+    * Marginal per-query cost is one broadcast probe over the already-read
+    * term postings: sub-linear vs running ir6 once per query, which is
+    * the entire point of batching (bench note in BASELINE.md).
+    *
+    * Semantics: BM25 over candidate docs (≥1 query term present — absent
+    * terms contribute idf·0 = 0, and all-absent docs score 0, so ranking
+    * among candidates equals full-corpus ranking for every rank that
+    * matters), top-[[BatchTopK]] per query by (score desc, doc_id). */
+  def ir16QueryBatch(s: SparkSession, dir: String): DataFrame =
+    ir16Internals(s, dir, BatchQueries, BatchTopK)
+
+  /** Parameterized so the spec can assert the batching property: each
+    * query's slice of a batched run is bit-equal to running it alone. */
+  private[queries] def ir16Internals(s: SparkSession, dir: String,
+      batch: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    import s.implicits._
+    val (k1, b) = (1.2, 0.75)
+    val home = ensureBasePostingsIndex(s, dir)
+    val st = s.read.parquet(home.resolve("stats").toString).collect()(0)
+    val (nB, dlB, split) =
+      (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"), st.getAs[Long]("split_id"))
+    val allTerms = batch.flatMap(_._2).distinct.sorted
+    val qt = broadcast(
+      batch.flatMap { case (qid, ts) => ts.map(w => (qid, w)) }
+        .toDF("query_id", "word"))
+    val qbuckets = allTerms.map(q => detHash60Local(q) % PostingsBuckets).distinct.sorted
+    // ONE pruned artifact read serves every query's tf AND df
+    val baseTf = s.read.parquet(home.resolve("postings").toString)
+      .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
+        col("word").isInCollection(allTerms))
+      .select("doc_id", "word", "tf")
+    // ONE delta tokenization amortized across the whole batch
+    val deltaTf = t(s, dir, "documents").filter(col("doc_id") > split)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tfAll = baseTf.unionByName(
+      deltaTf.filter(col("word").isInCollection(allTerms)).select("doc_id", "word", "tf"))
+    val deltaDl = deltaTf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dl = s.read.parquet(home.resolve("doclen").toString).unionByName(deltaDl)
+    // segment-merged corpus stats (exact Long sums) + per-term df from the
+    // SAME pruned read — both tiny, broadcast to the scoring join
+    val stats = deltaDl.agg(
+      (count(lit(1)) + lit(nB)).as("n_docs"),
+      (coalesce(sum("dl"), lit(0L)) + lit(dlB)).as("total_dl"))
+    val df = tfAll.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tfAll
+      .join(qt, Seq("word"))
+      .join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+    val avgdl = col("total_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val tfd = col("tf").cast(DoubleType)
+    val dfd = col("df").cast(DoubleType)
+    val idf = log((col("n_docs").cast(DoubleType) - dfd + 0.5) / (dfd + 0.5) + 1.0)
+    val termScore =
+      idf * (tfd * (k1 + 1.0)) /
+        (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
+    // additive over the query's matched terms; e6-rounded AFTER the sum so
+    // both engines round an identical double once
+    val perQueryDoc = scored
+      .select(col("query_id"), col("doc_id"), termScore.as("ts"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("ts") * 1e6).cast(LongType).as("bm25_e6"))
+    graft.operators.TopK.smallestPerGroup(perQueryDoc, Seq("query_id"), k,
+        -col("bm25_e6"), col("doc_id"), keyName = "neg_e6", idName = "doc_id")
+      .select(col("query_id"), col("rank"), col("doc_id"), (-col("neg_e6")).as("bm25_e6"))
+      .orderBy("query_id", "rank")
+  }
+
+  val ir16QueryBatchSql: String = {
+    val qtValues = BatchQueries
+      .flatMap { case (qid, ts) => ts.map(w => s"($qid, '$w')") }.mkString(", ")
+    val inList = BatchQueries.flatMap(_._2).distinct.sorted.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+       |dlt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dlt),
+       |tfq AS (SELECT * FROM tf WHERE word IN ($inList)),
+       |dfq AS (SELECT word, COUNT(*) AS df FROM tfq GROUP BY word),
+       |qt(query_id, word) AS (VALUES $qtValues),
+       |scored AS (
+       |  SELECT qt.query_id, t.doc_id,
+       |    CAST(ROUND(SUM(
+       |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |         / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+       |      * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+       |      / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
+       |         * (CAST(d.dl AS DOUBLE)
+       |            / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+       |    ) * 1e6) AS BIGINT) AS bm25_e6
+       |  FROM tfq t
+       |  JOIN qt ON qt.word = t.word
+       |  JOIN dfq ON dfq.word = t.word
+       |  JOIN dlt d ON d.doc_id = t.doc_id
+       |  CROSS JOIN st
+       |  GROUP BY qt.query_id, t.doc_id),
+       |rk AS (SELECT query_id, doc_id, bm25_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY bm25_e6 DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, bm25_e6
+       |FROM rk WHERE rank <= $BatchTopK ORDER BY query_id, rank""".stripMargin
   }
 
   /** ir11's phrase — adjacent terms, present in ~7% of documents at every
@@ -3070,8 +3312,11 @@ object TextQueries {
          |    JOIN bw w ON w.i = g.i
          |  GROUP BY g.i, w.wins, pi.p),
          |bp$t AS MATERIALIZED (
-         |  SELECT i, praw * (SELECT COUNT(*) FROM bp0) * 1000000
-         |    // (SELECT CAST(SUM(praw) AS BIGINT) FROM braw$t) AS p
+         |  SELECT i, CASE
+         |    WHEN (SELECT CAST(SUM(praw) AS BIGINT) FROM braw$t) = 0 THEN praw
+         |    ELSE praw * (SELECT COUNT(*) FROM bp0) * 1000000
+         |      // (SELECT CAST(SUM(praw) AS BIGINT) FROM braw$t)
+         |    END AS p
          |  FROM braw$t)""".stripMargin
     }.mkString(",\n")
     s"""WITH bd AS (
@@ -3475,6 +3720,9 @@ object TextQueries {
     "ir9_blockmax_bm25" -> (ir9BlockmaxBm25 _),
     "ir10_delta_index" -> (ir10DeltaIndex _),
     "ir14_tombstone_index" -> (ir14TombstoneIndex _),
+    "ir14b_expunged_serve" -> (ir14bExpungedServe _),
+    "ir15_feed_index" -> (ir15FeedIndex _),
+    "ir16_query_batch" -> (ir16QueryBatch _),
     "ir11_phrase_query" -> (ir11PhraseQuery _),
     "ir13_proximity_query" -> (ir13ProximityQuery _),
     "ir13b_unordered_near" -> (ir13bUnorderedNear _),
@@ -3535,6 +3783,10 @@ object TextQueries {
     "ir10_delta_index" -> ir6PostingsBm25Sql,
     // tombstone subtraction is exact: ir14 ≡ ir6 over the post-change corpus
     "ir14_tombstone_index" -> ir14TombstoneIndexSql,
+    // expunge-fold is answer-invariant by construction: ir14b ≡ ir14
+    "ir14b_expunged_serve" -> ir14TombstoneIndexSql,
+    "ir15_feed_index" -> ir15FeedIndexSql,
+    "ir16_query_batch" -> ir16QueryBatchSql,
     "ir11_phrase_query" -> ir11PhraseQuerySql,
     "ir13_proximity_query" -> ir13ProximityQuerySql,
     "ir13b_unordered_near" -> ir13bUnorderedNearSql,

@@ -313,8 +313,8 @@ object EventStreams {
   }
 
   /** cdcStream — the ingest-side CLASSIFIER of the tombstone faces' change
-    * feed (ir14/dd20/kg7/mm8 share the doc-keyed CDC rules): each arriving
-    * (re-)crawled row is tagged against the snapshot watermark — 'd'
+    * feed (the shared [[graft.operators.CdcRules]] doc-keyed rules): each
+    * arriving (re-)crawled row is tagged against the feed watermark — 'd'
     * (delete: tombstone only), 'u' (update: tombstone + re-add, carrying
     * the re-crawled reversed payload), 'a' (append: past the watermark),
     * or 's' (skip: an unchanged base re-crawl — the reference's
@@ -322,19 +322,23 @@ object EventStreams {
     * Stateless — the op is a pure function of (doc_id, split) — so the
     * gate runs at scan speed with no state store; a sink routes 'd'/'u'
     * ids to the tombstone set and 'u'/'a' rows to the fresh segment, and
-    * the batch tombstone faces consume exactly these sets (spec-pinned).
-    * Rows classified 'd'/'s' carry a null payload: nothing downstream may
-    * index them. */
-  def cdcStream(docs: DataFrame, watermark: Long): DataFrame =
+    * the batch tombstone faces consume exactly these ID sets
+    * (spec-pinned). The 'u' PAYLOAD here is the text-family convention
+    * ([[graft.operators.CdcRules.reversedTokens]], what dd20/kg7/mm8
+    * re-derive from); the postings family re-crawls to the literal
+    * 'redacted' and the vector family negates — a sink feeding those
+    * segments applies its own family transform to the id sets, not this
+    * payload. Rows classified 'd'/'s' carry a null payload: nothing
+    * downstream may index them. */
+  def cdcStream(docs: DataFrame, watermark: Long): DataFrame = {
+    import graft.operators.CdcRules
     docs.select(col("doc_id"),
-      when(col("doc_id") > watermark, "a")
-        .when(col("doc_id") % 13 === 7, "d")
-        .when(col("doc_id") % 13 === 2, "u")
-        .otherwise("s").as("op"),
+      CdcRules.opOf(col("doc_id"), watermark).as("op"),
       when(col("doc_id") > watermark, col("text"))
-        .when(col("doc_id") <= watermark && col("doc_id") % 13 === 2,
-          concat_ws(" ", reverse(split(col("text"), " "))))
+        .when(CdcRules.isUpdate(col("doc_id"), watermark),
+          CdcRules.reversedTokens(col("text")))
         .otherwise(lit(null).cast("string")).as("payload"))
+  }
 
   /** postingsStream — the streaming ingest arm of ir10's delta segment:
     * per-document (word, tf) postings rows emitted STATELESSLY (a

@@ -23,7 +23,10 @@ class PartitionIndependenceSpec extends SparkSpec {
     // the r15 tombstone faces: full-outer statistic merges + anti-joins +
     // the k-bounded TopK aggregate — every piece must be partition-blind
     "ir14_tombstone_index", "dd20_tombstone_neardup", "kg7_tombstone_graph",
-    "ss10_tombstone_probe", "mm8_tombstone_phash", "e2e8_cdc_audit")
+    "ss10_tombstone_probe", "mm8_tombstone_phash", "e2e8_cdc_audit",
+    // the r16 expunged faces: compaction fold + persisted-only serve
+    "ir14b_expunged_serve", "dd21_expunged_neardup", "kg8_expunged_graph",
+    "ss12_expunged_probe", "mm9_expunged_phash")
 
   test("rank-consumer query results are identical at 3 and 12 shuffle partitions") {
     val key = "spark.sql.shuffle.partitions"

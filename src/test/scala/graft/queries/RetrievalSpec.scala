@@ -270,18 +270,22 @@ class RetrievalSpec extends SparkSpec {
     assert(!positive.contains(28L), "the updated doc's OLD tokens must stop matching")
   }
 
-  test("ir14 ∘ compaction: tombstone serving re-derives against the folded watermark, stays exact") {
+  test("ir14 ∘ compaction: the feed is corpus-pinned — serving is byte-identical across the fold") {
     import spark.implicits._
-    // after compaction the watermark moves to the max id, so the
-    // rule-derived CDC set CHANGES (ids in the old delta now fall under
-    // the delete/update rules) — the serve must stay bit-equal to
-    // all-docs BM25 over the post-change corpus AT THE NEW WATERMARK,
-    // exactly as the SQL oracle (which recomputes the watermark) would
+    // the feed watermark derives from the CORPUS (what the registered
+    // oracle recomputes in SQL), never from the snapshot's stats: a plain
+    // compaction moves the snapshot watermark to the max id, and the serve
+    // must keep answering for the SAME post-change corpus — doc 124
+    // (124 % 13 == 7, but ABOVE the corpus watermark 117) is an ordinary
+    // append under the feed and must keep serving after the fold. Under
+    // the pre-r16 semantics (rules at the persisted split) it would have
+    // fallen under the delete rule post-fold and hash-diverged from the
+    // oracle — ADVICE r15's divergence, now impossible by construction.
     val needle = TextQueries.RetrievalQTerms.head
     def text(i: Long): String =
       if (i == 20L) s"$needle $needle $needle"
       else if (i == 50L) s"$needle pad pad"
-      else if (i == 124L) s"$needle $needle pad" // 124 % 13 == 7: deleted only AFTER the fold
+      else if (i == 124L) s"$needle $needle pad"
       else "pad pad pad"
     val tmpA = java.nio.file.Files.createTempDirectory("ir14cmp").toString
     (0L until 130L).map(i => (i, text(i), text(i).length.toLong))
@@ -289,28 +293,65 @@ class RetrievalSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$tmpA/documents.parquet")
     val before = TextQueries.ir14Internals(spark, tmpA, TextQueries.RetrievalQTerms)
     assert(before._2 === 117L)
-    val beforeIds = before._1.collect().filter(_.getLong(2) > 0L).map(_.getLong(0)).toSeq
-    assert(beforeIds.contains(124L), "pre-fold, doc 124 is an ordinary delta doc and serves")
+    val beforeRows = before._1.collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
+    assert(beforeRows.filter(_._3 > 0L).map(_._1).contains(124L),
+      "pre-fold, doc 124 is an ordinary append and serves")
     TextQueries.compactBasePostingsIndex(spark, tmpA)
     val (res, split) = TextQueries.ir14Internals(spark, tmpA, TextQueries.RetrievalQTerms)
-    assert(split === 129L, "the serve must re-derive against the folded watermark")
+    assert(split === 117L, "the feed watermark is corpus-derived, not the snapshot's")
     val got = res.collect()
       .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
-    val tmpB = java.nio.file.Files.createTempDirectory("ir14cmpPost").toString
-    (0L until 130L)
-      .filterNot(i => i % 13L == 7L) // split = 129 covers every id now
-      .map { i =>
-        val t = if (i % 13L == 2L) "redacted" else text(i)
-        (i, t, t.length.toLong)
-      }
+    assert(got === beforeRows, "serving must be byte-identical across the fold")
+    assert(got.filter(_._3 > 0L).map(_._1).contains(124L),
+      "post-fold, doc 124 still serves — now from the folded base artifacts")
+  }
+
+  test("ir14 ∘ CDC-expunge: dead rows leave the artifacts, the serve plan goes persisted-only") {
+    import spark.implicits._
+    val needle = TextQueries.RetrievalQTerms.head
+    def text(i: Long): String =
+      if (i == 20L) s"$needle $needle $needle" // 20 % 13 == 7: deleted
+      else if (i == 28L) s"$needle $needle pad" // 28 % 13 == 2: updated
+      else if (i == 50L) s"$needle pad pad"
+      else if (i == 120L) s"$needle $needle $needle pad" // append
+      else "pad pad pad"
+    val tmpA = java.nio.file.Files.createTempDirectory("ir14exp").toString
+    (0L until 130L).map(i => (i, text(i), text(i).length.toLong))
       .toDF("doc_id", "text", "n_chars")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmpB/documents.parquet")
-    val want = TextQueries.ta13Bm25(spark, tmpB).collect()
-      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getAs[Number](2).longValue())).toSeq
-    assert(got === want)
-    assert(!got.map(_._1).contains(124L),
-      "post-fold, doc 124 falls under the delete rule and must vanish — the rule set is " +
-        "watermark-relative on BOTH engines, which is what keeps the oracle in sync")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpA/documents.parquet")
+    val before = TextQueries.ir14Internals(spark, tmpA, TextQueries.RetrievalQTerms)._1
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
+    val cdcHome = TextQueries.compactCdcPostingsIndex(spark, tmpA)
+    assert(cdcHome.getFileName.toString.endsWith("_cdc117"),
+      "the expunged generation is keyed by the folded feed watermark")
+    // dead and updated-old rows PHYSICALLY left the artifacts; the
+    // re-crawled update and the appends are in
+    val dlDocs = spark.read.parquet(cdcHome.resolve("doclen").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!dlDocs.contains(20L), "the deleted doc left the doclen artifact")
+    assert(dlDocs.contains(28L) && dlDocs.contains(120L) && dlDocs.contains(50L))
+    val postWords = spark.read.parquet(cdcHome.resolve("postings").toString)
+      .filter($"doc_id" === 28L).select("word").collect().map(_.getString(0)).toSet
+    assert(postWords === Set("redacted"), "the updated doc's postings are the re-crawled text")
+    // serving resolves the expunged generation: empty tombstone frame,
+    // no corpus access, byte-identical answer
+    val (res, split) = TextQueries.ir14Internals(spark, tmpA, TextQueries.RetrievalQTerms)
+    assert(split === 117L)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"the post-expunge serve must not touch the corpus:\n$plan")
+    assert(!plan.contains("Anti"),
+      s"the empty tombstone frame must be optimized out of the serve plan:\n$plan")
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
+    assert(got === before, "expunge is answer-invariant: ir14 ≡ ir14 ∘ compactCdc")
+    // the registered face composes fold + serve and shares ir14's oracle
+    val faceRows = TextQueries.ir14bExpungedServe(spark, tmpA)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2))).toSeq
+    assert(faceRows === before)
+    // compacting again is a no-op (same feed watermark → same generation)
+    assert(TextQueries.compactCdcPostingsIndex(spark, tmpA) === cdcHome)
   }
 
   test("ir11: phrase matches from positional postings equal a brute-force text scan") {
