@@ -260,6 +260,27 @@ object PersistedIndex {
       try it.forEach(f => Files.deleteIfExists(f)) finally it.close()
     }
 
+  // ---- compaction policy ---------------------------------------------
+
+  /** Default in-flight threshold: fold when tombstoned+fresh rows exceed
+    * 10% of the serving set (the Lucene expunge-deletes trigger shape —
+    * its default deletes-pct knob is the same order). E6 parts so the
+    * decision is pure integer arithmetic on both engines. */
+  val CompactThetaE6: Long = 100000L
+
+  /** Compaction POLICY over a family's CDC census (the e2e8 audit row):
+    * compact when the in-flight fraction — rows the serve must subtract
+    * (tombstones) or re-derive (fresh) on EVERY probe — strictly exceeds
+    * θ of the serving set. At exactly θ it does NOT fire (spec-pinned
+    * boundary); a degenerate empty serving set never fires (nothing to
+    * fold into). Pure function of the census so the decision is
+    * replayable from the corpus alone (e2e9_compact_policy). */
+  def shouldCompact(nBase: Long, nTombstoned: Long, nFresh: Long,
+      thetaE6: Long = CompactThetaE6): Boolean = {
+    val serving = nBase - nTombstoned + nFresh
+    serving > 0L && (nTombstoned + nFresh) * 1000000L > thetaE6 * serving
+  }
+
   // ---- the incremental family's shared watermark convention ----------
   // (VERDICT r13 #4: five ensure*Index builders hand-rolled the same
   // min/max → last-decile split → stats-row dance; a sixth family would

@@ -200,19 +200,30 @@ object Similarity {
     * would drop in identically; the hash-sampled one keeps the whole path
     * oracle-replayable). Floats widen to double exactly, so both engines
     * see identical codebook values. */
-  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String, ks: Int,
-      inlineThreshold: Int = IndexInlineThreshold): Column = {
-    val rows = corpus
+  /** The hash-sampled codebook ROWS (code order = sample order) — the
+    * bounded collect [[pqCodebook]] inlines, exposed so a persisted-index
+    * build can also WRITE them as an artifact the probe reads back. */
+  def pqCodebookRows(corpus: DataFrame, idCol: String, vecCol: String,
+      ks: Int): Array[Seq[Double]] =
+    corpus
       .select(col(idCol).as("id"), col(vecCol).cast(ArrayType(DoubleType)).as("v"))
       .withColumn("h", graft.queries.Q.detHash(col("id"), 97))
       .orderBy("h", "id")
       .limit(ks)
       .select("v").collect().map(_.getSeq[Double](0))
-    if (rows.length <= inlineThreshold) array(rows.map(typedLit(_)): _*)
+
+  /** Re-enter codebook rows as a plan literal (the inline/broadcast split
+    * of [[pqCodebook]], for rows that came from an artifact read). */
+  def pqCodebookColumn(s: org.apache.spark.sql.SparkSession, rows: Array[Seq[Double]],
+      inlineThreshold: Int = IndexInlineThreshold): Column =
+    if (rows.length <= inlineThreshold) array(rows.map(typedLit(_)).toSeq: _*)
     else graft.plans.BroadcastDataExpression.column(
-      corpus.sparkSession, rows.toSeq, ArrayType(ArrayType(DoubleType)),
-      s"pq_codebook[${rows.length}]")
-  }
+      s, rows.toSeq, ArrayType(ArrayType(DoubleType)), s"pq_codebook[${rows.length}]")
+
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String, ks: Int,
+      inlineThreshold: Int = IndexInlineThreshold): Column =
+    pqCodebookColumn(corpus.sparkSession,
+      pqCodebookRows(corpus, idCol, vecCol, ks), inlineThreshold)
 
   /** e9-rounded squared L2 distance between two same-length slices, folded
     * in index order — the cross-engine-exact building block for encode and
@@ -258,24 +269,38 @@ object Similarity {
     * (r11; previously a Window.partitionBy(query_id) over the
     * corpus-proportional scored set, the bounded-parallelism corpus sort
     * PlanGateSpec now rejects). */
+  /** The per-query ADC distance TABLE (nSub×ks e9-rounded subspace
+    * distances to every code) added as a `dtab` column — the query-side
+    * half of PQ scoring, split out so the cell-pruned IVFADC face
+    * (ss11) composes it with a persisted code store. */
+  def pqQueryTables(queries: DataFrame, codebook: Column, vecCol: String,
+      nSub: Int, subDim: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(queries.sparkSession)
+    val dtab = transform(sequence(lit(0), lit(nSub - 1)), s => {
+      val lo = s * subDim + 1
+      transform(codebook, cb =>
+        sqDistE9(slice(col(vecCol), lo, lit(subDim)), slice(cb, lo, lit(subDim))))
+    })
+    queries.withColumn("dtab", dtab)
+  }
+
+  /** ADC score: the SUM of nSub table lookups of a row's `codes` through
+    * a query's `dtab` — integer adds, no float math per pair. */
+  def pqAdist(codes: Column, dtab: Column, nSub: Int): Column =
+    aggregate(sequence(lit(0), lit(nSub - 1)), lit(0L),
+      (acc, s) => acc + element_at(element_at(dtab, s + 1), element_at(codes, s + 1) + 1))
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, codebook: Column,
       idCol: String, vecCol: String, k: Int, nSub: Int, subDim: Int): DataFrame = {
     val enc = pqEncode(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v")), codebook, "v", nSub, subDim)
       .select("id", "codes")
-    val dtab = transform(sequence(lit(0), lit(nSub - 1)), s => {
-      val lo = s * subDim + 1
-      transform(codebook, cb =>
-        sqDistE9(slice(col("qv"), lo, lit(subDim)), slice(cb, lo, lit(subDim))))
-    })
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("dtab", dtab).drop("qv")
-    val approx = aggregate(sequence(lit(0), lit(nSub - 1)), lit(0L),
-      (acc, s) => acc +
-        element_at(element_at(col("dtab"), s + 1), element_at(col("codes"), s + 1) + 1))
+    val q = pqQueryTables(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      codebook, "qv", nSub, subDim).drop("qv")
     val scored = enc.crossJoin(broadcast(q))
       .filter(col("id") =!= col("query_id"))
-      .withColumn("adist_e9", approx)
+      .withColumn("adist_e9", pqAdist(col("codes"), col("dtab"), nSub))
     TopK.smallestPerGroup(scored, Seq("query_id"), k,
         col("adist_e9"), col("id"), keyName = "adist_e9", idName = "id")
       .select("query_id", "rank", "id", "adist_e9")

@@ -1846,6 +1846,32 @@ object CurationQueries {
        |FROM rws ORDER BY family""".stripMargin
   }
 
+  /** e2e9_compact_policy — the DECISION face of the e2e8 census (VERDICT
+    * r15 #8): each family's audit row gains a `should_compact` verdict
+    * from [[graft.operators.PersistedIndex.shouldCompact]] — fold when
+    * tombstoned+fresh strictly exceed θ of the serving set. This is the
+    * row a refresh scheduler consumes to decide which families run their
+    * compactCdc* job this cycle; the arithmetic is integer-only so the
+    * oracle replays the decision bit-for-bit from the corpus. */
+  def e2e9CompactPolicy(s: SparkSession, dir: String): DataFrame = {
+    val theta = graft.operators.PersistedIndex.CompactThetaE6
+    e2e8CdcAudit(s, dir).withColumn("should_compact",
+      when(col("n_serving") > 0L,
+        (col("n_tombstoned") + col("n_fresh")) * lit(1000000L) >
+          lit(theta) * col("n_serving"))
+        .otherwise(lit(false)))
+  }
+
+  val e2e9CompactPolicySql: String = {
+    val theta = graft.operators.PersistedIndex.CompactThetaE6
+    s"""WITH e2e9b AS MATERIALIZED ($e2e8CdcAuditSql)
+       |SELECT family, split_id, n_base, n_tombstoned, n_fresh, n_serving,
+       |  CASE WHEN n_serving > 0
+       |       THEN (n_tombstoned + n_fresh) * 1000000 > $theta * n_serving
+       |       ELSE FALSE END AS should_compact
+       |FROM e2e9b ORDER BY family""".stripMargin
+  }
+
   val e2e7RefreshAuditSql: String =
     s"""WITH dspl AS (SELECT MAX(doc_id) - (MAX(doc_id) - MIN(doc_id)) // 10 AS sp FROM documents),
        |vspl AS (SELECT MAX(vec_id) - (MAX(vec_id) - MIN(vec_id)) // 10 AS sp FROM embeddings),
@@ -1874,6 +1900,7 @@ object CurationQueries {
   val queries: Map[String, QueryFn] = Map(
     "e2e7_refresh_audit" -> (e2e7RefreshAudit _),
     "e2e8_cdc_audit" -> (e2e8CdcAudit _),
+    "e2e9_compact_policy" -> (e2e9CompactPolicy _),
     "dq7_filter_funnel" -> (dq7FilterFunnel _),
     "ta17_nb_quality" -> (ta17NbQuality _),
     "sm11_unimax" -> (sm11Unimax _),
@@ -1904,6 +1931,7 @@ object CurationQueries {
     "dq7_filter_funnel" -> dq7FilterFunnelSql,
     "e2e7_refresh_audit" -> e2e7RefreshAuditSql,
     "e2e8_cdc_audit" -> e2e8CdcAuditSql,
+    "e2e9_compact_policy" -> e2e9CompactPolicySql,
     "ta17_nb_quality" -> ta17NbQualitySql,
     "sm11_unimax" -> sm11UnimaxSql,
     "pk3_nextfit_pack" -> pk3NextfitPackSql,

@@ -840,6 +840,146 @@ object SimilarityQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Build-if-absent the IVFADC index (VERDICT r15 #6 — the FAISS
+    * `IVF,PQ` production composition, Jégou et al. 2011 §III): ss2's
+    * coarse cells AND ss4's PQ compression in ONE persisted store.
+    * Artifacts: `codes` — per-vector PQ codes hive-partitioned by cell
+    * (nSub small ints per vector, 4-8 B instead of the float payload, AND
+    * directory-prunable); `centroids` — the √N coarse list; `codebook` —
+    * the ks sampled PQ rows in code order; `queries` — the bounded probe
+    * batch with norms (the coarse probe is cosine, matching the cell
+    * geometry every other IVF face uses). */
+  private[queries] def ensureIvfPqIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.operators.Similarity
+    val embRaw = t(s, dir, "embeddings")
+    val n = embRaw.count()
+    graft.operators.PersistedIndex.ensure(
+        "ivfpq_index", dir, indexFingerprint(dir, n)) { tmp =>
+      import s.implicits._
+      val emb = withNorm(embRaw)
+      val idx = pairCentIndex(s, dir, emb)
+      val cbRows = Similarity.pqCodebookRows(embRaw, "vec_id", "embedding", PqKs)
+      val cb = Similarity.pqCodebookColumn(s, cbRows)
+      graft.sources.Layout.writePartitioned(
+        Similarity.pqEncode(withCell(emb, idx), cb, "embedding", PqSub, PqSubDim)
+          .select(col("vec_id"), col("codes"), col("cell")),
+        tmp.resolve("codes").toString, "cell")
+      emb.filter(col("vec_id") % pairStride(s, dir) === 0)
+        .select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
+      cbRows.zipWithIndex.map { case (v, j) => (j, v) }.toSeq.toDF("j", "cv")
+        .write.mode("overwrite").parquet(tmp.resolve("codebook").toString)
+      emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
+        .write.mode("overwrite").parquet(tmp.resolve("queries").toString)
+    }
+  }
+
+  /** ss11_ivfpq_probe — cell-pruned ADC search over the persisted IVFADC
+    * index: ss2b prunes cells but scores raw floats, ss4 scores codes but
+    * scans them ALL — this face does both halves of the FAISS production
+    * recipe. The probe plan reads persisted artifacts ONLY: coarse
+    * centroids and the PQ codebook re-enter as plan literals (bounded by
+    * the index contract), each query picks its 2 nearest cells by the
+    * cosine coarse geometry, the ≤2·NQueries probed-cell ids land as a
+    * partition-pruning IN filter over the `codes` store, and every
+    * surviving candidate scores as [[graft.operators.Similarity.pqAdist]]
+    * — nSub integer table lookups, never a float, never a full vector.
+    * At 100 TB the scan is (n_probe/√N of the corpus) × (4-8 B/vector):
+    * both pruning axes multiply. Recall vs the exact scan is audited in
+    * SimilarityQueriesSpec; the DuckDB oracle replays cells, codes,
+    * tables and ranking bit-for-bit (everything e6/e9-rounded before
+    * comparisons). */
+  def ss11IvfpqProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val home = ensureIvfPqIndex(s, dir)
+    // ---- probe path: persisted artifacts ONLY ----
+    val idx = Similarity.centroidIndex(
+      s.read.parquet(home.resolve("centroids").toString), "vec_id", "embedding")
+    val cbRows = s.read.parquet(home.resolve("codebook").toString)
+      .orderBy("j").collect().map(_.getSeq[Double](1))
+    val cb = Similarity.pqCodebookColumn(s, cbRows)
+    val q = s.read.parquet(home.resolve("queries").toString)
+    val probeArr = slice(array_sort(transform(idx, c => struct(
+        (-cosE6(dot(c.getField("cv"), col("qv")), c.getField("cn"), col("qn"))).as("neg_cos"),
+        c.getField("cent_id").as("cent_id")))), 1, 2)
+    val probes = Similarity.pqQueryTables(q, cb, "qv", PqSub, PqSubDim)
+      .withColumn("pc", explode(probeArr))
+      .select(col("query_id"), col("dtab"), col("pc.cent_id").as("cell"))
+    val probedCells = q.select(explode(probeArr).as("pc"))
+      .select(col("pc.cent_id")).distinct().collect().map(_.getLong(0)).sorted
+    val cand = s.read.parquet(home.resolve("codes").toString)
+      .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
+      .withColumn("cell", col("cell").cast(LongType))
+      .select(col("vec_id"), col("codes"), col("cell"))
+    val scored = cand.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist_e9", Similarity.pqAdist(col("codes"), col("dtab"), PqSub))
+      .select("query_id", "vec_id", "adist_e9")
+    graft.operators.TopK.smallestPerGroup(scored, Seq("query_id"), TopK,
+        col("adist_e9"), col("vec_id"), keyName = "adist_e9", idName = "vec_id")
+      .select("query_id", "rank", "vec_id", "adist_e9")
+      .orderBy("query_id", "rank")
+  }
+
+  /** ss2's cell/probe CTEs composed with ss4's codebook/code/table CTEs:
+    * candidates join through their assigned cell to a probing query, then
+    * score by the summed subspace-table lookups. */
+  val ss11IvfpqProbeSql: String = {
+    val sq = {
+      val d = "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+      s"CAST(ROUND(1e9 * list_sum(list_transform(list_zip(SLICE_A, SLICE_B), p -> $d * $d))) AS BIGINT)"
+    }
+    def sqd(a: String, b: String): String = sq.replace("SLICE_A", a).replace("SLICE_B", b)
+    val eSub = s"e.embedding[(s.s * $PqSubDim + 1):(s.s * $PqSubDim + $PqSubDim)]"
+    val cSub = s"cb.cv[(s.s * $PqSubDim + 1):(s.s * $PqSubDim + $PqSubDim)]"
+    s"""WITH emb AS ($withNormDuck),
+       |$pairCentSql,
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE6Sql(dotSql("c.cv", "e.embedding"), "c.cn", "e.norm")} DESC, c.cent_id) AS ark
+       |    FROM emb e CROSS JOIN cent c) t WHERE ark = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, norm AS qn FROM emb WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosE6Sql(dotSql("c.cv", "q.qv"), "c.cn", "q.qn")} DESC, c.cent_id) AS prk
+       |    FROM q CROSS JOIN cent c) t WHERE prk <= 2),
+       |cb AS (
+       |  SELECT rn - 1 AS j, cv FROM (
+       |    SELECT embedding AS cv,
+       |      ROW_NUMBER() OVER (ORDER BY ${detHashSql("vec_id", 97)}, vec_id) AS rn
+       |    FROM embeddings) t
+       |  WHERE rn <= $PqKs),
+       |subs AS (SELECT unnest(range($PqSub)) AS s),
+       |dists AS (
+       |  SELECT e.vec_id, s.s, cb.j, ${sqd(eSub, cSub)} AS d
+       |  FROM embeddings e CROSS JOIN subs s CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT vec_id, s, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+       |    FROM dists) t
+       |  WHERE rn = 1),
+       |qtab AS (SELECT vec_id AS query_id, s, j, d FROM dists WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id, CAST(SUM(t.d) AS BIGINT) AS adist_e9
+       |  FROM codes c
+       |  JOIN assign a ON a.vec_id = c.vec_id
+       |  JOIN probes p ON p.cell = a.cell
+       |  JOIN qtab t ON t.query_id = p.query_id AND t.s = c.s AND t.j = c.code
+       |  WHERE c.vec_id <> p.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adist_e9,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist_e9, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, adist_e9 FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** ss6_sq8_topk — scalar-quantization ANN (the FAISS `SQ8` production
     * face, the third member of the compression family next to ss4's PQ and
     * ss2's IVF): each dimension is affinely quantized to an 8-bit code
@@ -1436,6 +1576,7 @@ object SimilarityQueries {
     "ir4_hybrid_ann" -> (ir4HybridAnn _),
     "ss1_bruteforce_topk" -> (ss1BruteforceTopk _),
     "ss4_pq_topk" -> (ss4PqTopk _),
+    "ss11_ivfpq_probe" -> (ss11IvfpqProbe _),
     "ss6_sq8_topk" -> (ss6Sq8Topk _),
     "ss2_ivf_topk" -> (ss2IvfTopk _),
     "ss2b_persisted_probe" -> (ss2bPersistedProbe _),
@@ -1463,6 +1604,7 @@ object SimilarityQueries {
     "ss5_recall_audit" -> ss5RecallAuditSql,
     "ss1_bruteforce_topk" -> ss1BruteforceTopkSql,
     "ss4_pq_topk" -> ss4PqTopkSql,
+    "ss11_ivfpq_probe" -> ss11IvfpqProbeSql,
     "ss6_sq8_topk" -> ss6Sq8TopkSql,
     "ss2_ivf_topk" -> ss2IvfTopkSql,
     // the persisted detour is invisible to the answer: ss2b ≡ ss2

@@ -3118,6 +3118,54 @@ object TextQueries {
        |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin
   }
 
+  private[queries] val SnippetK = 10
+
+  /** ir17_snippets — KWIC (keyword-in-context) snippet generation over the
+    * PERSISTED positions (VERDICT r15 #7): the serving query every search
+    * product ships, and the positional index's third consumer after
+    * phrase (ir11b) and proximity (ir13). Pipeline: the two terms'
+    * position lists come bucket-pruned from the persisted index (zero
+    * corpus scan, the ir11b path), phrase hits rank by occurrence count,
+    * the top-[[SnippetK]] doc ids are collected driver-side (k-bounded,
+    * the ir7 class) and land as a PUSHED `doc_id IN (…)` filter on the
+    * ONE text fetch — so text bytes move for ≤ k documents no matter the
+    * corpus size (plan-asserted in RetrievalSpec) — and each hit emits
+    * the ±5-token window around its first match. */
+  def ir17Snippets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (w1, w2) = PhraseTerms
+    val top = ir11bPersistedPositions(s, dir)
+      .orderBy(desc("n_matches"), col("doc_id"))
+      .limit(SnippetK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val topDf = broadcast(top.toSeq.toDF("doc_id", "n_matches", "first_pos"))
+    val texts = t(s, dir, "documents")
+      .where(col("doc_id").isin(top.map(t => java.lang.Long.valueOf(t._1)).toSeq: _*))
+      .select("doc_id", "text")
+    val lo = greatest(col("first_pos") - 5L, lit(1L))
+    val len = col("first_pos") + lit(6L) - lo + lit(1L)
+    texts.join(topDf, Seq("doc_id"))
+      .select(col("doc_id"), col("n_matches"), col("first_pos"),
+        concat_ws(" ", slice(tokens(col("text")), lo.cast("int"), len.cast("int")))
+          .as("snippet"))
+      .orderBy(desc("n_matches"), col("doc_id"))
+  }
+
+  val ir17SnippetsSql: String = {
+    val (w1, w2) = PhraseTerms
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |m AS (SELECT doc_id, toks,
+       |    list_filter(range(1, len(toks)), i -> toks[i] = '$w1' AND toks[i + 1] = '$w2') AS hits
+       |  FROM tok),
+       |hit AS (SELECT doc_id, toks, CAST(len(hits) AS BIGINT) AS n_matches,
+       |    CAST(hits[1] AS BIGINT) AS first_pos
+       |  FROM m WHERE len(hits) > 0),
+       |top AS (SELECT * FROM hit ORDER BY n_matches DESC, doc_id LIMIT $SnippetK)
+       |SELECT doc_id, n_matches, first_pos,
+       |  array_to_string(toks[GREATEST(first_pos - 5, 1):(first_pos + 6)], ' ') AS snippet
+       |FROM top ORDER BY n_matches DESC, doc_id""".stripMargin
+  }
+
   val ir13ProximityQuerySql: String = {
     val (w1, w2, w3) = ProximityTerms
     val win = ProximitySlop + 2
@@ -3723,6 +3771,7 @@ object TextQueries {
     "ir14b_expunged_serve" -> (ir14bExpungedServe _),
     "ir15_feed_index" -> (ir15FeedIndex _),
     "ir16_query_batch" -> (ir16QueryBatch _),
+    "ir17_snippets" -> (ir17Snippets _),
     "ir11_phrase_query" -> (ir11PhraseQuery _),
     "ir13_proximity_query" -> (ir13ProximityQuery _),
     "ir13b_unordered_near" -> (ir13bUnorderedNear _),
@@ -3787,6 +3836,7 @@ object TextQueries {
     "ir14b_expunged_serve" -> ir14TombstoneIndexSql,
     "ir15_feed_index" -> ir15FeedIndexSql,
     "ir16_query_batch" -> ir16QueryBatchSql,
+    "ir17_snippets" -> ir17SnippetsSql,
     "ir11_phrase_query" -> ir11PhraseQuerySql,
     "ir13_proximity_query" -> ir13ProximityQuerySql,
     "ir13b_unordered_near" -> ir13bUnorderedNearSql,

@@ -185,6 +185,63 @@ class R16QueriesSpec extends SparkSpec {
     assert(SimilarityQueries.compactCdcIvfIndex(spark, tmp) === cdcHome, "refold is a no-op")
   }
 
+  test("shouldCompact: fires strictly ABOVE theta, never at it, never on an empty serving set") {
+    import graft.operators.PersistedIndex.shouldCompact
+    // exactly 10% in flight: (5+5)/100 — must NOT fire
+    assert(!shouldCompact(nBase = 100L, nTombstoned = 5L, nFresh = 5L))
+    // one row past the boundary fires
+    assert(shouldCompact(nBase = 100L, nTombstoned = 5L, nFresh = 6L))
+    // tombstone-only and fresh-only batches both count
+    assert(shouldCompact(nBase = 100L, nTombstoned = 20L, nFresh = 0L))
+    assert(shouldCompact(nBase = 100L, nTombstoned = 0L, nFresh = 20L))
+    // a fully-tombstoned (empty serving) family has nothing to fold into
+    assert(!shouldCompact(nBase = 10L, nTombstoned = 10L, nFresh = 0L))
+    assert(!shouldCompact(nBase = 0L, nTombstoned = 0L, nFresh = 0L))
+    // a drained family is silent
+    assert(!shouldCompact(nBase = 100L, nTombstoned = 0L, nFresh = 0L))
+  }
+
+  test("compaction policy walk: census fires the policy, the fold drains it to silence") {
+    import spark.implicits._
+    import graft.operators.{CdcRules, PersistedIndex}
+    // the postings family on the ir14 fixture corpus: the CDC stand-in
+    // puts ~32% of the serving set in flight — the policy must fire;
+    // after the expunge fold the tombstone frame is empty and the append
+    // leg is drained — the policy must go silent
+    val tmp = java.nio.file.Files.createTempDirectory("policyWalk").toString
+    (0L until 130L).map(i => (i, s"w$i pad pad", 12L))
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    // the census mirrors the SERVE's frames: against a generation whose
+    // name records the folded feed watermark, tombstone and fresh are
+    // EMPTY by the ir14Internals contract (plan-asserted in
+    // RetrievalSpec) — the census reads zero in flight
+    def census(home: java.nio.file.Path): (Long, Long, Long) = {
+      val store = spark.read.parquet(home.resolve("doclen").toString)
+      if (home.getFileName.toString.endsWith("_cdc" + wStar))
+        (store.count(), 0L, 0L)
+      else {
+        val snap = PersistedIndex.readSplit(spark, home)
+        val nTomb = store.join(
+          CdcRules.tombstoneIds(docs, "doc_id", wStar), Seq("doc_id"), "left_semi").count()
+        val nFresh = CdcRules.freshRows(docs, "doc_id", "text", wStar, snap,
+          CdcRules.redactedText).count()
+        (store.count(), nTomb, nFresh)
+      }
+    }
+    val base = TextQueries.ensureBasePostingsIndex(spark, tmp)
+    val (b0, t0, f0) = census(base)
+    assert((b0, t0, f0) === (118L, 18L, 21L), "the fixture census (watermark 117)")
+    assert(PersistedIndex.shouldCompact(b0, t0, f0), "32% in flight must fire the policy")
+    val folded = TextQueries.compactCdcPostingsIndex(spark, tmp)
+    val (b1, t1, f1) = census(folded)
+    assert((t1, f1) === (0L, 0L), "the fold drains the in-flight set")
+    assert(b1 === b0 - t0 + f0, "the fold preserved the serving census")
+    assert(!PersistedIndex.shouldCompact(b1, t1, f1), "a drained family is silent")
+  }
+
   test("feedServe: a HAND-WRITTEN feed (no rule set) serves the post-change corpus exactly") {
     import spark.implicits._
     // the feed-as-data contract (ir15): serving consumes ONLY the

@@ -354,6 +354,29 @@ class RetrievalSpec extends SparkSpec {
     assert(TextQueries.compactCdcPostingsIndex(spark, tmpA) === cdcHome)
   }
 
+  test("ir17: snippet text fetch is pushed to ≤ k docs; windows contain the phrase") {
+    val df = TextQueries.ir17Snippets(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the ONE documents scan must carry the pushed k-bounded id filter —
+    // text bytes move for ≤ SnippetK docs regardless of corpus size
+    val docScans = "FileScan parquet [^\\n]*documents\\.parquet[^\\n]*".r
+      .findAllIn(plan).toList
+    assert(docScans.nonEmpty && docScans.forall(_.contains("PushedFilters: [In(doc_id")),
+      s"the text fetch must push its doc_id IN filter:\n${docScans.mkString("\n")}")
+    val rows = df.collect()
+    assert(rows.length === TextQueries.SnippetK)
+    val (w1, w2) = TextQueries.PhraseTerms
+    rows.foreach { r =>
+      val snippet = r.getString(3).split(" ")
+      assert(snippet.containsSlice(Seq(w1, w2)),
+        s"snippet for doc ${r.getLong(0)} must contain the phrase: '${r.getString(3)}'")
+      assert(snippet.length <= 12, "±5-token window around a 2-token match")
+    }
+    // ranked by occurrence count, ties by doc_id
+    val ranks = rows.map(r => (-r.getLong(1), r.getLong(0))).toSeq
+    assert(ranks === ranks.sorted)
+  }
+
   test("ir11: phrase matches from positional postings equal a brute-force text scan") {
     val (w1, w2) = TextQueries.PhraseTerms
     val got = TextQueries.ir11PhraseQuery(spark, dir).collect()

@@ -101,6 +101,25 @@ class SimilarityQueriesSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("ss11 ivfpq: persisted-only probe plan, both pruning axes, recall beats random") {
+    val df = SimilarityQueries.ss11IvfpqProbe(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      s"the IVFADC probe must read persisted artifacts only:\n$plan")
+    assert(plan.contains("ivfpq_index"), s"candidates come from the code store:\n$plan")
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.groupBy(_._1).values.forall(_.length <= 5))
+    // recall vs the exact scan: cell pruning (n_probe=2) ON TOP of PQ
+    // distortion — a floor documenting measured behavior, plus the
+    // random baseline (5 of ~500 corpus vectors ≈ 1%) it must beat
+    val exact = SimilarityQueries.ss1BruteforceTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = rows.map(r => (r._1, r._3)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.1, s"recall@5 = $recall")
+  }
+
   test("lsh multi-probe top-k: valid shape and non-trivial overlap with exact") {
     val exact = SimilarityQueries.ss1BruteforceTopk(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
