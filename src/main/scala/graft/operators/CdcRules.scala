@@ -122,6 +122,31 @@ object CdcRules {
       .when(isUpdate(id, split), "u")
       .otherwise("s")
 
+  /** Split an explicit (id, op, payload) feed TABLE into the
+    * (tombstoneIds, freshRows) pair every family's serving kernel
+    * consumes — 'd'/'u' ids tombstone, 'u' payloads plus 'a' payloads
+    * above the snapshot watermark re-derive, 's' rows are ignored. The
+    * generic half of the feed-as-data contract (ir15/dd22/kg9/ss13/mm10):
+    * no rule set in sight, serving is a function of the table. */
+  def feedFrames(feed: DataFrame, idCol: String, payloadCol: String,
+      appendFloor: Long): (DataFrame, DataFrame) =
+    (feed.filter(col("op").isin("d", "u")).select(idCol),
+     feed.filter(col("op") === "u" ||
+         (col("op") === "a" && col(idCol) > appendFloor))
+       .select(col(idCol), col("payload").as(payloadCol)))
+
+  /** The vector-family feed GENERATOR —
+    * [[graft.streaming.EventStreams.cdcStream]]'s embedding twin: same op
+    * classifier, 'u' payloads re-embedded as the negation, 'd'/'s'
+    * payloads null. */
+  def vecFeed(emb: DataFrame, idCol: String, vecCol: String, split: Long): DataFrame =
+    emb.select(col(idCol),
+      opOf(col(idCol), split).as("op"),
+      when(col(idCol) > split, col(vecCol))
+        .when(isUpdate(col(idCol), split), negatedVector(col(vecCol)))
+        .otherwise(lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))).as("payload"))
+
   // ---- SQL fragments (DuckDB oracle spellings) -----------------------
 
   /** `<cte> AS (SELECT … AS split FROM <table>)` — the oracle-side feed

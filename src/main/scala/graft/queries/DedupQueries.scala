@@ -959,6 +959,25 @@ object DedupQueries {
     dd20TombstoneNeardup(s, dir)
   }
 
+  /** dd22_feed_neardup — the feed-table face of dd20 (the ir15 contract
+    * on the LSH family): the change set arrives as an explicit
+    * (doc_id, op, payload) table — [[graft.streaming.EventStreams
+    * .cdcStream]] is the generator — and [[lshServe]] consumes only the
+    * [[graft.operators.CdcRules.feedFrames]] split of it. The feed's 'u'
+    * payload convention is reversedTokens, exactly dd20's update
+    * transform, so the answer is bit-equal to dd20 and the oracle is
+    * shared. */
+  def dd22FeedNeardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val home = ensureLshIndex(s, dir)
+    val (dead, fresh) = CdcRules.feedFrames(
+      graft.streaming.EventStreams.cdcStream(docs, wStar), "doc_id", "text",
+      PersistedIndex.readSplit(s, home))
+    lshServe(s, home, dead, fresh)
+  }
+
   /** dd3's SQL chain replayed over the POST-CHANGE corpus (the ir14
     * oracle convention: watermark recomputed in SQL, deletes out of the
     * corpus CTE, updates re-crawled with reversed token order). */
@@ -1034,6 +1053,7 @@ object DedupQueries {
     "dd18_delta_neardup" -> (dd18DeltaNeardup _),
     "dd20_tombstone_neardup" -> (dd20TombstoneNeardup _),
     "dd21_expunged_neardup" -> (dd21ExpungedNeardup _),
+    "dd22_feed_neardup" -> (dd22FeedNeardup _),
     "dd19_persisted_bloom" -> (dd19PersistedBloom _),
     "dd14_line_dedup" -> (dd14LineDedup _),
     "dd15_exact_substr" -> (dd15ExactSubstr _),
@@ -1058,6 +1078,8 @@ object DedupQueries {
     "dd20_tombstone_neardup" -> dd20TombstoneNeardupSql,
     // expunge-fold is answer-invariant by construction: dd21 ≡ dd20
     "dd21_expunged_neardup" -> dd20TombstoneNeardupSql,
+    // the feed generator replays the same rules: dd22 ≡ dd20
+    "dd22_feed_neardup" -> dd20TombstoneNeardupSql,
     // the persisted detour is invisible to the answer: dd19 ≡ dd10
     "dd19_persisted_bloom" -> dd10BloomContaminationSql,
     "dd14_line_dedup" -> dd14LineDedupSql,

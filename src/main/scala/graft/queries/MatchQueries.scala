@@ -930,6 +930,23 @@ object MatchQueries {
     kg7TombstoneGraph(s, dir)
   }
 
+  /** kg9_feed_graph — the feed-table face of kg7 (the ir15 contract on
+    * the graph family): [[kgServe]] consumes only the
+    * [[graft.operators.CdcRules.feedFrames]] split of an explicit
+    * (doc_id, op, payload) table; the feed's reversedTokens 'u' payload
+    * is exactly kg7's update transform, so kg9 ≡ kg7 and the oracle is
+    * shared. */
+  def kg9FeedGraph(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val home = ensureKgDeltaIndex(s, dir)
+    val (dead, fresh) = CdcRules.feedFrames(
+      graft.streaming.EventStreams.cdcStream(docs, wStar), "doc_id", "text",
+      PersistedIndex.readSplit(s, home))
+    kgServe(s, home, dead, fresh)
+  }
+
   /** kg1's SQL replayed over the POST-CHANGE corpus (the ir14/dd20 oracle
     * convention). */
   val kg7TombstoneGraphSql: String = {
@@ -1163,6 +1180,7 @@ object MatchQueries {
     "kg6_delta_graph" -> (kg6DeltaGraph _),
     "kg7_tombstone_graph" -> (kg7TombstoneGraph _),
     "kg8_expunged_graph" -> (kg8ExpungedGraph _),
+    "kg9_feed_graph" -> (kg9FeedGraph _),
     "el1_mention_link" -> (el1MentionLink _),
     "el2_context_score" -> (el2ContextScore _),
     "el3_nil_gate" -> (el3NilGate _),
@@ -1184,6 +1202,8 @@ object MatchQueries {
     "kg7_tombstone_graph" -> kg7TombstoneGraphSql,
     // expunge-fold is answer-invariant by construction: kg8 ≡ kg7
     "kg8_expunged_graph" -> kg7TombstoneGraphSql,
+    // the feed generator replays the same rules: kg9 ≡ kg7
+    "kg9_feed_graph" -> kg7TombstoneGraphSql,
     "el1_mention_link" -> el1MentionLinkSql,
     "el2_context_score" -> el2ContextScoreSql,
     "el3_nil_gate" -> el3NilGateSql,

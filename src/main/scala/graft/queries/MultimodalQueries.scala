@@ -571,6 +571,23 @@ object MultimodalQueries {
     mm8TombstonePhash(s, dir)
   }
 
+  /** mm10_feed_phash — the feed-table face of mm8 (the ir15 contract on
+    * the perceptual-hash family): [[phashServe]] consumes only the
+    * [[graft.operators.CdcRules.feedFrames]] split of an explicit
+    * (doc_id, op, payload) table; reversedTokens 'u' payloads are exactly
+    * mm8's update transform, so mm10 ≡ mm8 and the oracle is shared. */
+  def mm10FeedPhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val home = ensurePhashIndex(s, dir)
+    val (dead, fresh) = CdcRules.feedFrames(
+      graft.streaming.EventStreams.cdcStream(docs, wStar), "doc_id", "text",
+      PersistedIndex.readSplit(s, home))
+    phashServe(s, home,
+      dead.select(col("doc_id").cast(LongType).as("asset_id")), fresh)
+  }
+
   /** mm4's SQL replayed over the POST-CHANGE corpus (the ir14/dd20/kg7
     * oracle convention). */
   val mm8TombstonePhashSql: String = {
@@ -638,6 +655,7 @@ object MultimodalQueries {
     "mm7_phash_delta" -> (mm7PhashDelta _),
     "mm8_tombstone_phash" -> (mm8TombstonePhash _),
     "mm9_expunged_phash" -> (mm9ExpungedPhash _),
+    "mm10_feed_phash" -> (mm10FeedPhash _),
     "mm6_crossmodal_link" -> (mm6CrossmodalLink _),
     "mm5_silence_trim" -> (mm5SilenceTrim _),
     "mm4_phash_neardup" -> (mm4PhashNeardup _),
@@ -652,6 +670,8 @@ object MultimodalQueries {
     "mm8_tombstone_phash" -> mm8TombstonePhashSql,
     // expunge-fold is answer-invariant by construction: mm9 ≡ mm8
     "mm9_expunged_phash" -> mm8TombstonePhashSql,
+    // the feed generator replays the same rules: mm10 ≡ mm8
+    "mm10_feed_phash" -> mm8TombstonePhashSql,
     "mm6_crossmodal_link" -> mm6CrossmodalLinkSql,
     "mm5_silence_trim" -> mm5SilenceTrimSql,
     "mm4_phash_neardup" -> mm4PhashNeardupSql,

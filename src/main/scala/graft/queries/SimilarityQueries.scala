@@ -523,6 +523,24 @@ object SimilarityQueries {
     target
   }
 
+  /** ss13_feed_probe — the feed-table face of ss10 (the ir15 contract on
+    * the vector family): [[ivfServe]] consumes only the
+    * [[graft.operators.CdcRules.feedFrames]] split of an explicit
+    * (vec_id, op, payload) table generated by
+    * [[graft.operators.CdcRules.vecFeed]] (the negation 'u' payload is
+    * exactly ss10's update transform), with the post-change query slice
+    * on the probe side — ss13 ≡ ss10 and the oracle is shared. */
+  def ss13FeedProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val embAll = t(s, dir, "embeddings")
+    val wStar = CdcRules.feedSplit(embAll, "vec_id")
+    val home = ensureIvfDeltaIndex(s, dir)
+    val (dead, fresh) = CdcRules.feedFrames(
+      CdcRules.vecFeed(embAll, "vec_id", "embedding", wStar),
+      "vec_id", "embedding", PersistedIndex.readSplit(s, home))
+    ivfServe(s, home, dead, fresh, postChangeQueries(s, dir, wStar))
+  }
+
   /** ss12_expunged_probe — the post-compaction face of ss10: fold the
     * change set, then probe the expunged cells with the post-change query
     * slice (empty tombstone/fresh frames; shares ss10's oracle). */
@@ -1583,6 +1601,7 @@ object SimilarityQueries {
     "ss9_delta_probe" -> (ss9DeltaProbe _),
     "ss10_tombstone_probe" -> (ss10TombstoneProbe _),
     "ss12_expunged_probe" -> (ss12ExpungedProbe _),
+    "ss13_feed_probe" -> (ss13FeedProbe _),
     "ss7_ivf_refresh" -> (ss7IvfRefresh _),
     "ss3_lsh_topk" -> (ss3LshTopk _),
     "ss5_recall_audit" -> (ss5RecallAudit _),
@@ -1596,6 +1615,8 @@ object SimilarityQueries {
     "ss10_tombstone_probe" -> ss10TombstoneProbeSql,
     // expunge-fold is answer-invariant by construction: ss12 ≡ ss10
     "ss12_expunged_probe" -> ss10TombstoneProbeSql,
+    // the feed generator replays the same rules: ss13 ≡ ss10
+    "ss13_feed_probe" -> ss10TombstoneProbeSql,
     "ir3_hybrid_dense" -> ir3HybridDenseSql,
     "ir4_hybrid_ann" -> ir4HybridAnnSql,
     "ir7_mmr_rerank" -> ir7MmrRerankSql,

@@ -2728,10 +2728,7 @@ object TextQueries {
   private[queries] def feedServe(s: SparkSession, home: java.nio.file.Path,
       feed: DataFrame): DataFrame = {
     val snap = graft.operators.PersistedIndex.readSplit(s, home)
-    val dead = feed.filter(col("op").isin("d", "u")).select("doc_id")
-    val fresh = feed
-      .filter(col("op") === "u" || (col("op") === "a" && col("doc_id") > snap))
-      .select(col("doc_id"), col("payload").as("text"))
+    val (dead, fresh) = graft.operators.CdcRules.feedFrames(feed, "doc_id", "text", snap)
     bm25Serve(s, home, dead, fresh, RetrievalQTerms)
   }
 

@@ -26,7 +26,10 @@ class PartitionIndependenceSpec extends SparkSpec {
     "ss10_tombstone_probe", "mm8_tombstone_phash", "e2e8_cdc_audit",
     // the r16 expunged faces: compaction fold + persisted-only serve
     "ir14b_expunged_serve", "dd21_expunged_neardup", "kg8_expunged_graph",
-    "ss12_expunged_probe", "mm9_expunged_phash")
+    "ss12_expunged_probe", "mm9_expunged_phash",
+    // the r16 feed-table faces: serving from an explicit change table
+    "ir15_feed_index", "dd22_feed_neardup", "kg9_feed_graph",
+    "ss13_feed_probe", "mm10_feed_phash")
 
   test("rank-consumer query results are identical at 3 and 12 shuffle partitions") {
     val key = "spark.sql.shuffle.partitions"

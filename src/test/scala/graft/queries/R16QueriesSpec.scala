@@ -282,6 +282,56 @@ class R16QueriesSpec extends SparkSpec {
     assert(!got.map(_._1).contains(40L), "the hand-deleted doc must vanish")
   }
 
+  test("CdcRules.feedFrames/vecFeed: the table split equals the rule-derived frames") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"w$i x$i")).toDF("doc_id", "text")
+    val split = 20L
+    val feed = graft.streaming.EventStreams.cdcStream(docs, split)
+    val (dead, fresh) = CdcRules.feedFrames(feed, "doc_id", "text", split)
+    assert(dead.collect().map(_.getLong(0)).toSet ===
+      CdcRules.tombstoneIds(docs, "doc_id", split).collect().map(_.getLong(0)).toSet)
+    val freshMap = fresh.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val wantFresh = CdcRules.freshRows(docs, "doc_id", "text", split, split,
+      CdcRules.reversedTokens).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(freshMap === wantFresh)
+    // a raised append floor drops folded appends from the table split too
+    val (_, fresh2) = CdcRules.feedFrames(feed, "doc_id", "text", 25L)
+    assert(fresh2.collect().map(_.getLong(0)).toSet === Set(2L, 15L) ++ (26L until 30L))
+    // the vector generator: same ops, negated 'u' payloads, null 'd'/'s'
+    val emb = (0L until 30L).map(i => (i, Seq(1f, i.toFloat))).toDF("vec_id", "embedding")
+    val vf = CdcRules.vecFeed(emb, "vec_id", "embedding", split)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), Option(r.getSeq[Float](2)))).toMap
+    assert(vf(7L) === ("d", None) && vf(0L) === ("s", None))
+    assert(vf(2L) === ("u", Some(Seq(-1f, -2f))))
+    assert(vf(25L) === ("a", Some(Seq(1f, 25f))))
+  }
+
+  test("feed faces ≡ tombstone faces on their fixture corpora (the generator replays the rules)") {
+    import spark.implicits._
+    // LSH family on the dd20 fixture
+    val tmpD = java.nio.file.Files.createTempDirectory("dd22fix").toString
+    val dup = "the quick brown fox jumps over the lazy dog"
+    (0L until 130L).map { i =>
+      val text = if (Set(10L, 33L, 28L, 50L, 120L).contains(i)) dup
+        else s"u${i}a u${i}b u${i}c u${i}d"
+      (i, text, text.length.toLong)
+    }.toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpD/documents.parquet")
+    assert(DedupQueries.dd22FeedNeardup(spark, tmpD).collect().toSeq ===
+      DedupQueries.dd20TombstoneNeardup(spark, tmpD).collect().toSeq)
+    // vector family on the ss10 fixture
+    val tmpV = java.nio.file.Files.createTempDirectory("ss13fix").toString
+    def v(i: Long): Seq[Float] = Seq(1f, (i % 7).toFloat, (i * 3 % 11).toFloat, (i * 5 % 13).toFloat)
+    (0L until 100L).map { i =>
+      val vec = if (i == 33L || i == 28L || i == 95L) v(0L)
+        else if (i == 15L) v(2L) else v(i)
+      (i, vec, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpV/embeddings.parquet")
+    assert(SimilarityQueries.ss13FeedProbe(spark, tmpV).collect().toSeq ===
+      SimilarityQueries.ss10TombstoneProbe(spark, tmpV).collect().toSeq)
+  }
+
   test("ir16: each query's slice of the batched run equals running it alone") {
     val dir = "/root/testdata/sf0.001"
     val batched = TextQueries.ir16Internals(spark, dir,
