@@ -1760,6 +1760,7 @@ object CurationQueries {
     val kHome = MatchQueries.ensureKgDeltaIndex(s, dir)
     val vHome = SimilarityQueries.ensureIvfDeltaIndex(s, dir)
     val mHome = MultimodalQueries.ensurePhashIndex(s, dir)
+    val posHome = TextQueries.ensurePosIndex(s, dir)
     import graft.operators.CdcRules
     val docs = t(s, dir, "documents")
     val embs = t(s, dir, "embeddings")
@@ -1787,6 +1788,7 @@ object CurationQueries {
       PersistedIndex.readSplit(s, pHome), PersistedIndex.readSplit(s, lHome),
       PersistedIndex.readSplit(s, kHome), PersistedIndex.readSplit(s, vHome),
       PersistedIndex.readSplit(s, mHome))
+    val posSp = PersistedIndex.readSplit(s, posHome)
     val dFeed = CdcRules.feedSplit(docs, "doc_id")
     val vFeed = CdcRules.feedSplit(embs, "vec_id")
     val (dTomb, dUpd) = changeIds(docs, "doc_id", dFeed)
@@ -1806,6 +1808,12 @@ object CurationQueries {
           .withColumnRenamed("asset_id", "doc_id"), "doc_id",
         dTomb, dUpd,
         docs.filter(col("doc_id") > mSp && length(col("text")) >= 64)),
+      // the positional family's per-doc census: one store row per
+      // (doc, word) — distinct to the doc grain before counting
+      row("positions", dFeed,
+        s.read.parquet(posHome.resolve("positions").toString)
+          .select("doc_id").distinct(), "doc_id",
+        dTomb, dUpd, docs.filter(col("doc_id") > posSp)),
       row("postings", dFeed, s.read.parquet(pHome.resolve("doclen").toString), "doc_id",
         dTomb, dUpd, docs.filter(col("doc_id") > pSp)))
     rows.reduce(_ unionByName _).orderBy("family")
@@ -1839,6 +1847,8 @@ object CurationQueries {
        |  ${docArm("lsh", "len(string_split(text, ' ')) >= 3")}
        |  UNION ALL
        |  ${docArm("phash", "len(text) >= 64")}
+       |  UNION ALL
+       |  ${docArm("positions", "")}
        |  UNION ALL
        |  ${docArm("postings", "")})
        |SELECT family, split_id, n_base, n_tombstoned, n_fresh,

@@ -2968,34 +2968,68 @@ object TextQueries {
       .orderBy(desc("label"), col("rank"))
   }
 
-  /** Build-if-absent the PERSISTED positional index: ir11's posTable rows
-    * hive-partitioned by the [[PostingsBuckets]]-way word-hash bucket (the
-    * ir6b layout lifted to the positions stream — Lucene persists exactly
-    * this, term-partitioned position lists). */
+  private def posFp(dir: String): String =
+    // v2: base segment behind the id watermark + a stats artifact — the
+    // positions family joins the incremental lifecycle (r16); the v1
+    // full-corpus homes are swept on the first v2 build
+    "v2_" + graft.operators.PersistedIndex.tableFingerprint(dir, "documents")
+
+  /** Build-if-absent the PERSISTED positional index: per-(doc, word)
+    * sorted position lists for documents at-or-below the id watermark,
+    * hive-partitioned by the [[PostingsBuckets]]-way word-hash bucket
+    * (the ir6b layout lifted to the positions stream — Lucene persists
+    * exactly this, term-partitioned position lists), plus the stats row
+    * carrying the watermark (the ir10/dd18 convention — the positional
+    * family is the SIXTH persisted family to join the incremental
+    * lifecycle). */
   private[queries] def ensurePosIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
-    PersistedIndex.ensure("positions_index", dir,
-      "v1_" + PersistedIndex.tableFingerprint(dir, "documents")) { tmp =>
+    PersistedIndex.ensure("positions_index", dir, posFp(dir)) { tmp =>
+      val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
       graft.sources.Layout.writePartitioned(
-        posTable(s, dir)
+        positionsOf(t(s, dir, "documents").filter(col("doc_id") <= split)
+            .select("doc_id", "text"))
           .withColumn("bucket", pmod(detHash(col("word")), lit(PostingsBuckets.toLong))),
         tmp.resolve("positions").toString, "bucket")
+      PersistedIndex.splitStats(s, split)
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }
   }
 
-  /** ir11b_persisted_positions — phrase search served from the PERSISTED
-    * positional index: the probe reads ONLY the two query terms' buckets
-    * (driver-computed bucket ids land as a partition-pruning IN filter,
-    * the ir6b trick) — zero corpus scan, zero tokenization at query time,
-    * results bit-equal to ir11 (the persisted detour is invisible to the
-    * answer, so the oracle is shared). */
-  def ir11bPersistedPositions(s: SparkSession, dir: String): DataFrame = {
-    val (w1, w2) = PhraseTerms
-    val home = ensurePosIndex(s, dir)
-    val qbuckets = Seq(w1, w2).map(q => detHash60Local(q) % PostingsBuckets).distinct.sorted
-    val pt = s.read.parquet(home.resolve("positions").toString)
+  /** Per-(doc, word) sorted 1-based position lists of a (doc_id, text)
+    * frame — the build/serve-time positional derivation. */
+  private def positionsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"), col("word"))
+      .groupBy("doc_id", "word")
+      .agg(sort_array(collect_list("pos")).as("positions"))
+
+  /** The merged positional postings for `terms` — the segment-merge serve
+    * every positional consumer (ir11b/ir13/ir13b/ir17/ir18) reads: base
+    * lists come bucket-pruned from the persisted index with the `dead` id
+    * frame anti-joined, the `fresh` (doc_id, text) frame is the ONLY text
+    * re-positioned at serve time. Document segments are disjoint, so the
+    * union IS the post-change positional table restricted to `terms`. */
+  private def posServe(s: SparkSession, home: java.nio.file.Path,
+      dead: DataFrame, fresh: DataFrame, terms: Seq[String]): DataFrame = {
+    val qbuckets = terms.map(q => detHash60Local(q) % PostingsBuckets).distinct.sorted
+    val base = s.read.parquet(home.resolve("positions").toString)
       .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
-        col("word").isInCollection(Seq(w1, w2)))
+        col("word").isInCollection(terms))
+      .select("doc_id", "word", "positions")
+      .join(dead, Seq("doc_id"), "left_anti")
+    val freshPos = fresh
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(col("word").isInCollection(terms))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"), col("word"))
+      .groupBy("doc_id", "word")
+      .agg(sort_array(collect_list("pos")).as("positions"))
+    base.unionByName(freshPos)
+  }
+
+  /** The two-term adjacency projection over a merged positional frame —
+    * ir11's match arithmetic, shared by ir11b and the ir18 CDC faces. */
+  private def phraseMatch(pt: DataFrame, w1: String, w2: String): DataFrame = {
     val p1 = pt.filter(col("word") === w1).select(col("doc_id"), col("positions").as("pos1"))
     val p2 = pt.filter(col("word") === w2).select(col("doc_id"), col("positions").as("pos2"))
     p1.join(p2, Seq("doc_id"))
@@ -3006,6 +3040,105 @@ object TextQueries {
           p => array_contains(col("pos2"), p + 1))).as("first_pos"))
       .filter(col("n_matches") > 0)
       .orderBy("doc_id")
+  }
+
+  /** ir11b_persisted_positions — phrase search served from the PERSISTED
+    * positional index: base position lists come bucket-pruned from the
+    * snapshot (driver-computed bucket ids land as a partition-pruning IN
+    * filter, the ir6b trick), only the append segment is tokenized at
+    * query time (pushed `doc_id > split` range — the ir10 merge applied
+    * to positions), results bit-equal to ir11 (segment merge is
+    * invisible to the answer, so the oracle is shared). */
+  def ir11bPersistedPositions(s: SparkSession, dir: String): DataFrame = {
+    val (w1, w2) = PhraseTerms
+    val home = ensurePosIndex(s, dir)
+    val split = graft.operators.PersistedIndex.readSplit(s, home)
+    val delta = t(s, dir, "documents").filter(col("doc_id") > split)
+      .select("doc_id", "text")
+    phraseMatch(
+      posServe(s, home, graft.operators.CdcRules.emptyIds(s, "doc_id"), delta,
+        Seq(w1, w2)),
+      w1, w2)
+  }
+
+  /** ir18_tombstone_phrase — tombstone/UPDATE-aware PHRASE search: the
+    * [[graft.operators.CdcRules]] semantics on the POSITIONAL family (the
+    * sixth persisted family to get the full CDC lifecycle): deleted docs'
+    * position lists leave via the id anti-join, updated docs re-position
+    * under their re-crawled (reversed) text — the phrase "w1 w2" stops
+    * matching and "w2 w1" starts, exactly what the oracle replays —
+    * appends are ir11b's delta. When the expunged generation for this
+    * feed watermark exists ([[compactCdcPosIndex]]), the serve reads
+    * persisted lists only (empty frames, the ir14b contract). */
+  def ir18TombstonePhrase(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val (w1, w2) = PhraseTerms
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val cdc = PersistedIndex.home("positions_index", dir, posFp(dir) + "_cdc" + wStar)
+    if (PersistedIndex.isBuilt(cdc))
+      return phraseMatch(
+        posServe(s, cdc, CdcRules.emptyIds(s, "doc_id"), noDocs(s), Seq(w1, w2)), w1, w2)
+    val home = ensurePosIndex(s, dir)
+    val snap = PersistedIndex.readSplit(s, home)
+    phraseMatch(
+      posServe(s, home,
+        CdcRules.tombstoneIds(docs, "doc_id", wStar),
+        CdcRules.freshRows(docs, "doc_id", "text", wStar, snap, CdcRules.reversedTokens),
+        Seq(w1, w2)),
+      w1, w2)
+  }
+
+  /** EXPUNGE-DELETES COMPACTION for the positional family: dead and
+    * updated-old position lists physically leave, re-positioned updates +
+    * appends fold in (ALL words — the generation serves every term),
+    * published under `<fp>_cdc<feedSplit>`, invisible to currentHome. */
+  private[queries] def compactCdcPosIndex(s: SparkSession, dir: String): java.nio.file.Path = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val target = PersistedIndex.home("positions_index", dir, posFp(dir) + "_cdc" + wStar)
+    if (PersistedIndex.isBuilt(target)) return target
+    val cur = ensurePosIndex(s, dir)
+    val snap = PersistedIndex.readSplit(s, cur)
+    val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    PersistedIndex.buildIfAbsent(target, dir) { tmp =>
+      val dead = CdcRules.tombstoneIds(docs, "doc_id", wStar)
+      val fresh = CdcRules.freshRows(docs, "doc_id", "text", wStar, snap,
+        CdcRules.reversedTokens)
+      graft.sources.Layout.writePartitioned(
+        s.read.parquet(cur.resolve("positions").toString)
+          .select("doc_id", "word", "positions")
+          .join(dead, Seq("doc_id"), "left_anti")
+          .unionByName(positionsOf(fresh))
+          .withColumn("bucket", pmod(detHash(col("word")), lit(PostingsBuckets.toLong))),
+        tmp.resolve("positions").toString, "bucket")
+      PersistedIndex.splitStats(s, math.max(snap, hi))
+        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+    }
+    target
+  }
+
+  /** ir18b_expunged_phrase — fold, then serve phrase matches straight
+    * from the expunged position lists (shares ir18's oracle). */
+  def ir18bExpungedPhrase(s: SparkSession, dir: String): DataFrame = {
+    compactCdcPosIndex(s, dir)
+    ir18TombstonePhrase(s, dir)
+  }
+
+  /** ir11's SQL replayed over the POST-CHANGE corpus (the ir14/dd20
+    * oracle convention — updates reversed, so the phrase flips sides). */
+  val ir18TombstonePhraseSql: String = {
+    val (w1, w2) = PhraseTerms
+    s"""WITH ${graft.operators.CdcRules.sqlCorpusCtes("ir18corpus",
+          graft.operators.CdcRules.sqlReversedTokens("d.text"))},
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ir18corpus),
+       |m AS (SELECT doc_id,
+       |    list_filter(range(1, len(toks)), i -> toks[i] = '$w1' AND toks[i + 1] = '$w2') AS hits
+       |  FROM tok)
+       |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+       |  CAST(hits[1] AS BIGINT) AS first_pos
+       |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin
   }
 
   /** ir13's proximity query: three terms, ordered, within a window of
@@ -3037,11 +3170,11 @@ object TextQueries {
   private[queries] def ir13Internals(s: SparkSession, dir: String,
       w1: String, w2: String, w3: String, slop: Int): DataFrame = {
     val home = ensurePosIndex(s, dir)
+    val split = graft.operators.PersistedIndex.readSplit(s, home)
     val terms = Seq(w1, w2, w3)
-    val qbuckets = terms.map(q => detHash60Local(q) % PostingsBuckets).distinct.sorted
-    val pt = s.read.parquet(home.resolve("positions").toString)
-      .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
-        col("word").isInCollection(terms))
+    val pt = posServe(s, home, graft.operators.CdcRules.emptyIds(s, "doc_id"),
+      t(s, dir, "documents").filter(col("doc_id") > split).select("doc_id", "text"),
+      terms)
     def posOf(w: String, as: String) =
       pt.filter(col("word") === w).select(col("doc_id"), col("positions").as(as))
     val win = lit(slop + 2L)
@@ -3076,11 +3209,11 @@ object TextQueries {
   private[queries] def ir13bInternals(s: SparkSession, dir: String,
       w1: String, w2: String, w3: String, slop: Int): DataFrame = {
     val home = ensurePosIndex(s, dir)
+    val split = graft.operators.PersistedIndex.readSplit(s, home)
     val terms = Seq(w1, w2, w3)
-    val qbuckets = terms.map(q => detHash60Local(q) % PostingsBuckets).distinct.sorted
-    val pt = s.read.parquet(home.resolve("positions").toString)
-      .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
-        col("word").isInCollection(terms))
+    val pt = posServe(s, home, graft.operators.CdcRules.emptyIds(s, "doc_id"),
+      t(s, dir, "documents").filter(col("doc_id") > split).select("doc_id", "text"),
+      terms)
     def posOf(w: String, as: String) =
       pt.filter(col("word") === w).select(col("doc_id"), col("positions").as(as))
     val win = lit(slop + 2L)
@@ -3769,6 +3902,8 @@ object TextQueries {
     "ir15_feed_index" -> (ir15FeedIndex _),
     "ir16_query_batch" -> (ir16QueryBatch _),
     "ir17_snippets" -> (ir17Snippets _),
+    "ir18_tombstone_phrase" -> (ir18TombstonePhrase _),
+    "ir18b_expunged_phrase" -> (ir18bExpungedPhrase _),
     "ir11_phrase_query" -> (ir11PhraseQuery _),
     "ir13_proximity_query" -> (ir13ProximityQuery _),
     "ir13b_unordered_near" -> (ir13bUnorderedNear _),
@@ -3834,6 +3969,9 @@ object TextQueries {
     "ir15_feed_index" -> ir15FeedIndexSql,
     "ir16_query_batch" -> ir16QueryBatchSql,
     "ir17_snippets" -> ir17SnippetsSql,
+    "ir18_tombstone_phrase" -> ir18TombstonePhraseSql,
+    // expunge-fold is answer-invariant by construction: ir18b ≡ ir18
+    "ir18b_expunged_phrase" -> ir18TombstonePhraseSql,
     "ir11_phrase_query" -> ir11PhraseQuerySql,
     "ir13_proximity_query" -> ir13ProximityQuerySql,
     "ir13b_unordered_near" -> ir13bUnorderedNearSql,

@@ -29,7 +29,9 @@ class PartitionIndependenceSpec extends SparkSpec {
     "ss12_expunged_probe", "mm9_expunged_phash",
     // the r16 feed-table faces: serving from an explicit change table
     "ir15_feed_index", "dd22_feed_neardup", "kg9_feed_graph",
-    "ss13_feed_probe", "mm10_feed_phash")
+    "ss13_feed_probe", "mm10_feed_phash",
+    // the positional family's CDC faces (sixth family)
+    "ir18_tombstone_phrase", "ir18b_expunged_phrase")
 
   test("rank-consumer query results are identical at 3 and 12 shuffle partitions") {
     val key = "spark.sql.shuffle.partitions"

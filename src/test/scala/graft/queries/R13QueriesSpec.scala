@@ -713,7 +713,7 @@ class R13QueriesSpec extends SparkSpec {
     val rows = CurationQueries.e2e8CdcAudit(spark, dir).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
-    assert(rows.keySet === Set("ivf", "kg", "lsh", "phash", "postings"))
+    assert(rows.keySet === Set("ivf", "kg", "lsh", "phash", "positions", "postings"))
     // the serving identity: n_serving = n_base − n_tombstoned + n_fresh,
     // and because updates re-enter 1:1, it also equals eligible − deleted
     val docs = graft.Tables(spark, dir, "documents")
@@ -728,6 +728,7 @@ class R13QueriesSpec extends SparkSpec {
       assert(t0 > 0L && f > 0L, s"$fam: the CDC rules must bite at this SF")
     }
     assert(rows("postings")._5 === servingDocs(rows("postings")._1, _ => true))
+    assert(rows("positions")._5 === servingDocs(rows("positions")._1, _ => true))
     assert(rows("kg")._5 === servingDocs(rows("kg")._1, _ => true))
     assert(rows("lsh")._5 === servingDocs(rows("lsh")._1, _._2 >= 3))
     assert(rows("phash")._5 === servingDocs(rows("phash")._1, _._3 >= 64))

@@ -377,6 +377,45 @@ class RetrievalSpec extends SparkSpec {
     assert(ranks === ranks.sorted)
   }
 
+  test("ir18 fixture: deleted phrase vanishes, updates flip sides, delta matches; expunge is invariant") {
+    import spark.implicits._
+    // phrase = ("table", "scan"); ids 0..129 → feed watermark 117:
+    // doc 20 (deleted) holds the phrase — must vanish; doc 28 (updated)
+    // holds it but reversal breaks it; doc 41 (updated) holds the
+    // REVERSED phrase, so reversal CREATES a match; doc 30 survives;
+    // doc 120 arrives in the delta
+    def text(i: Long): String =
+      if (i == 20L) "table scan here"
+      else if (i == 28L) "table scan now"
+      else if (i == 41L) "x scan table y"
+      else if (i == 30L) "keep table scan"
+      else if (i == 120L) "table scan fresh"
+      else "pad pad pad"
+    val tmp = java.nio.file.Files.createTempDirectory("ir18fix").toString
+    (0L until 130L).map(i => (i, text(i), text(i).length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.ir18TombstonePhrase(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((30L, 1L, 2L), (41L, 1L, 2L), (120L, 1L, 1L)),
+      "survivor at pos 2, the update-created match ('y table scan x') at pos 2, the delta doc at pos 1")
+    // expunge: dead lists leave, serve goes persisted-only, answer invariant
+    val cdcHome = TextQueries.compactCdcPosIndex(spark, tmp)
+    assert(cdcHome.getFileName.toString.endsWith("_cdc117"))
+    val docsIn = spark.read.parquet(cdcHome.resolve("positions").toString)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!docsIn.contains(20L) && docsIn.contains(41L) && docsIn.contains(120L))
+    val served = TextQueries.ir18TombstonePhrase(spark, tmp)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"post-expunge phrase serve must not touch the corpus:\n$plan")
+    assert(served.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq === got)
+    val face = TextQueries.ir18bExpungedPhrase(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(face === got)
+    assert(TextQueries.compactCdcPosIndex(spark, tmp) === cdcHome, "refold is a no-op")
+  }
+
   test("ir11: phrase matches from positional postings equal a brute-force text scan") {
     val (w1, w2) = TextQueries.PhraseTerms
     val got = TextQueries.ir11PhraseQuery(spark, dir).collect()
@@ -429,11 +468,15 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
-  test("ir11b: persisted-positions probe scans no corpus file, prunes buckets, equals ir11") {
+  test("ir11b: persisted-positions probe reads only the delta from the corpus, equals ir11") {
     val df = TextQueries.ir11bPersistedPositions(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("documents.parquet"),
-      s"persisted-positions probe must not scan the corpus:\n$plan")
+    // v2 (r16): the base comes from the snapshot, the ONLY corpus access
+    // is the append segment behind a pushed range predicate (ir10's shape)
+    val docScans = "FileScan parquet [^\\n]*documents\\.parquet[^\\n]*".r
+      .findAllIn(plan).toList
+    assert(docScans.nonEmpty && docScans.forall(_.contains("GreaterThan(doc_id")),
+      s"every corpus scan needs the pushed delta range filter:\n${docScans.mkString("\n")}")
     assert(plan.contains("positions_index"), s"probe must read the persisted index:\n$plan")
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
       s"bucket pruning must reach the scan:\n$plan")
@@ -448,8 +491,10 @@ class RetrievalSpec extends SparkSpec {
     val slop = TextQueries.ProximitySlop
     val df = TextQueries.ir13ProximityQuery(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("documents.parquet"),
-      s"proximity probe must not scan the corpus:\n$plan")
+    val docScans = "FileScan parquet [^\\n]*documents\\.parquet[^\\n]*".r
+      .findAllIn(plan).toList
+    assert(docScans.nonEmpty && docScans.forall(_.contains("GreaterThan(doc_id")),
+      s"every corpus scan needs the pushed delta range filter:\n${docScans.mkString("\n")}")
     assert(plan.contains("positions_index"), s"probe must read the persisted index:\n$plan")
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
       s"bucket pruning must reach the scan:\n$plan")
