@@ -3126,6 +3126,24 @@ object TextQueries {
     ir18TombstonePhrase(s, dir)
   }
 
+  /** ir19_feed_phrase — the feed-table face of ir18 (the ir15 contract on
+    * the positional family, completing feed-as-data across all SIX
+    * persisted families): [[phraseMatch]] ∘ [[posServe]] over the
+    * [[graft.operators.CdcRules.feedFrames]] split of the cdcStream
+    * table; reversedTokens 'u' payloads are exactly ir18's update
+    * transform, so ir19 ≡ ir18 and the oracle is shared. */
+  def ir19FeedPhrase(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val (w1, w2) = PhraseTerms
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val home = ensurePosIndex(s, dir)
+    val (dead, fresh) = CdcRules.feedFrames(
+      graft.streaming.EventStreams.cdcStream(docs, wStar), "doc_id", "text",
+      PersistedIndex.readSplit(s, home))
+    phraseMatch(posServe(s, home, dead, fresh, Seq(w1, w2)), w1, w2)
+  }
+
   /** ir11's SQL replayed over the POST-CHANGE corpus (the ir14/dd20
     * oracle convention — updates reversed, so the phrase flips sides). */
   val ir18TombstonePhraseSql: String = {
@@ -3904,6 +3922,7 @@ object TextQueries {
     "ir17_snippets" -> (ir17Snippets _),
     "ir18_tombstone_phrase" -> (ir18TombstonePhrase _),
     "ir18b_expunged_phrase" -> (ir18bExpungedPhrase _),
+    "ir19_feed_phrase" -> (ir19FeedPhrase _),
     "ir11_phrase_query" -> (ir11PhraseQuery _),
     "ir13_proximity_query" -> (ir13ProximityQuery _),
     "ir13b_unordered_near" -> (ir13bUnorderedNear _),
@@ -3972,6 +3991,8 @@ object TextQueries {
     "ir18_tombstone_phrase" -> ir18TombstonePhraseSql,
     // expunge-fold is answer-invariant by construction: ir18b ≡ ir18
     "ir18b_expunged_phrase" -> ir18TombstonePhraseSql,
+    // the feed generator replays the same rules: ir19 ≡ ir18
+    "ir19_feed_phrase" -> ir18TombstonePhraseSql,
     "ir11_phrase_query" -> ir11PhraseQuerySql,
     "ir13_proximity_query" -> ir13ProximityQuerySql,
     "ir13b_unordered_near" -> ir13bUnorderedNearSql,
