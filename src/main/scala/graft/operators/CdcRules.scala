@@ -130,7 +130,10 @@ object CdcRules {
     * no rule set in sight, serving is a function of the table. */
   def feedFrames(feed: DataFrame, idCol: String, payloadCol: String,
       appendFloor: Long): (DataFrame, DataFrame) =
-    (feed.filter(col("op").isin("d", "u")).select(idCol),
+    // the tombstone id set is consumed by several anti/semi legs per
+    // serve — materialize it once (it is id-only and change-set-bounded)
+    // instead of re-reading the feed per consumer
+    (feed.filter(col("op").isin("d", "u")).select(idCol).localCheckpoint(true),
      feed.filter(col("op") === "u" ||
          (col("op") === "a" && col(idCol) > appendFloor))
        .select(col(idCol), col("payload").as(payloadCol)))

@@ -892,7 +892,10 @@ object DedupQueries {
       .join(dead.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
       // equi-joins move their key to the front — restore the pair layout
       .select("id_a", "id_b", "shared_bands")
+    // the incremental pairing reads the fresh signatures on three sides
+    // (delta×base + both ends of delta×delta) — shingle/minhash once
     val freshSigs = Dedup.minhashSignatures(fresh, "doc_id", "text")
+      .localCheckpoint(true)
     val freshPairs = Dedup.incrementalCandidatePairs(baseSigs, freshSigs, "doc_id")
     basePairs.unionByName(freshPairs)
       .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")

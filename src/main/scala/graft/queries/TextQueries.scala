@@ -2469,9 +2469,14 @@ object TextQueries {
         col("word").isInCollection(qterms))
       .select("doc_id", "word", "tf")
       .join(dead, Seq("doc_id"), "left_anti")
+    // the fresh segment's term frequencies feed FOUR consumers (tf3, dl,
+    // the df agg through tf3, freshStats) and Catalyst does not dedupe
+    // common subtrees — materialize the delta-proportional frame once
+    // (the kg6/mm8 convention) instead of re-tokenizing per consumer
     val freshTf = fresh
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val freshTf3 = freshTf.filter(col("word").isInCollection(qterms))
       .select("doc_id", "word", "tf")
     val freshDl = freshTf.groupBy("doc_id").agg(sum("tf").as("dl"))
@@ -2805,10 +2810,12 @@ object TextQueries {
       .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
         col("word").isInCollection(allTerms))
       .select("doc_id", "word", "tf")
-    // ONE delta tokenization amortized across the whole batch
+    // ONE delta tokenization amortized across the whole batch —
+    // materialized, since tfAll/df/deltaDl would each re-derive it
     val deltaTf = t(s, dir, "documents").filter(col("doc_id") > split)
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val tfAll = baseTf.unionByName(
       deltaTf.filter(col("word").isInCollection(allTerms)).select("doc_id", "word", "tf"))
     val deltaDl = deltaTf.groupBy("doc_id").agg(sum("tf").as("dl"))
@@ -3018,12 +3025,15 @@ object TextQueries {
         col("word").isInCollection(terms))
       .select("doc_id", "word", "positions")
       .join(dead, Seq("doc_id"), "left_anti")
+    // the per-term split downstream (p1/p2/p3 legs) re-reads the merged
+    // frame once per term — materialize the fresh re-positioning once
     val freshPos = fresh
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
       .filter(col("word").isInCollection(terms))
       .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"), col("word"))
       .groupBy("doc_id", "word")
       .agg(sort_array(collect_list("pos")).as("positions"))
+      .localCheckpoint(true)
     base.unionByName(freshPos)
   }
 

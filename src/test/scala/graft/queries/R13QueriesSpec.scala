@@ -350,9 +350,11 @@ class R13QueriesSpec extends SparkSpec {
     val df = DedupQueries.dd18DeltaNeardup(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("lsh_index"), s"probe must read the persisted LSH index:\n$plan")
+    // r16: the delta shingle/minhash is materialized ONCE (localCheckpoint)
+    // so the serve plan may show zero corpus scans; any remaining scan
+    // must carry the pushed delta range
     val corpusScans = plan.sliding("documents.parquet".length).count(_ == "documents.parquet")
     val pushedRange = plan.sliding("GreaterThan(doc_id".length).count(_ == "GreaterThan(doc_id")
-    assert(corpusScans > 0, "the delta segment must be shingled from the corpus")
     assert(pushedRange >= corpusScans,
       s"every corpus scan needs the pushed delta range filter:\n$plan")
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
