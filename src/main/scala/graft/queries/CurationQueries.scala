@@ -1808,11 +1808,10 @@ object CurationQueries {
           .withColumnRenamed("asset_id", "doc_id"), "doc_id",
         dTomb, dUpd,
         docs.filter(col("doc_id") > mSp && length(col("text")) >= 64)),
-      // the positional family's per-doc census: one store row per
-      // (doc, word) — distinct to the doc grain before counting
+      // the positional family's per-doc census artifact (v3: persisted at
+      // build time — no distinct over the (doc, word) store at audit time)
       row("positions", dFeed,
-        s.read.parquet(posHome.resolve("positions").toString)
-          .select("doc_id").distinct(), "doc_id",
+        s.read.parquet(posHome.resolve("docs").toString), "doc_id",
         dTomb, dUpd, docs.filter(col("doc_id") > posSp)),
       row("postings", dFeed, s.read.parquet(pHome.resolve("doclen").toString), "doc_id",
         dTomb, dUpd, docs.filter(col("doc_id") > pSp)))

@@ -2978,8 +2978,11 @@ object TextQueries {
   private def posFp(dir: String): String =
     // v2: base segment behind the id watermark + a stats artifact — the
     // positions family joins the incremental lifecycle (r16); the v1
-    // full-corpus homes are swept on the first v2 build
-    "v2_" + graft.operators.PersistedIndex.tableFingerprint(dir, "documents")
+    // full-corpus homes are swept on the first v2 build.
+    // v3: adds the `docs` census artifact (distinct base doc ids) so the
+    // e2e8 audit reads a doc-grain frame instead of distinct-ing the
+    // (doc, word) store — metadata-sized at any corpus size
+    "v3_" + graft.operators.PersistedIndex.tableFingerprint(dir, "documents")
 
   /** Build-if-absent the PERSISTED positional index: per-(doc, word)
     * sorted position lists for documents at-or-below the id watermark,
@@ -2998,6 +3001,8 @@ object TextQueries {
             .select("doc_id", "text"))
           .withColumn("bucket", pmod(detHash(col("word")), lit(PostingsBuckets.toLong))),
         tmp.resolve("positions").toString, "bucket")
+      t(s, dir, "documents").filter(col("doc_id") <= split).select("doc_id")
+        .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
       PersistedIndex.splitStats(s, split)
         .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }
@@ -3123,6 +3128,10 @@ object TextQueries {
           .unionByName(positionsOf(fresh))
           .withColumn("bucket", pmod(detHash(col("word")), lit(PostingsBuckets.toLong))),
         tmp.resolve("positions").toString, "bucket")
+      s.read.parquet(cur.resolve("docs").toString)
+        .join(dead, Seq("doc_id"), "left_anti")
+        .unionByName(fresh.select("doc_id").distinct())
+        .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
       PersistedIndex.splitStats(s, math.max(snap, hi))
         .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }
