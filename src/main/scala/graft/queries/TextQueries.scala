@@ -2794,12 +2794,27 @@ object TextQueries {
     * query's slice of a batched run is bit-equal to running it alone. */
   private[queries] def ir16Internals(s: SparkSession, dir: String,
       batch: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    val home = ensureBasePostingsIndex(s, dir)
+    val split = graft.operators.PersistedIndex.readSplit(s, home)
+    batchServe(s, home, graft.operators.CdcRules.emptyIds(s, "doc_id"),
+      t(s, dir, "documents").filter(col("doc_id") > split).select("doc_id", "text"),
+      batch, k)
+  }
+
+  /** The batched BM25 SERVING KERNEL — [[bm25Serve]]'s many-query sibling:
+    * one bucket-pruned postings read for the whole batch's term union
+    * (per-term df falls out of the same read), the `dead` id frame leaves
+    * via anti-joins, the `fresh` (doc_id, text) frame is tokenized ONCE
+    * for the entire batch, corpus stats merge by exact Long sums, and the
+    * k-bounded native TopK serves every query from one plan. ir16 passes
+    * (∅, appends); ir20 the [[graft.operators.CdcRules]] change set. */
+  private def batchServe(s: SparkSession, home: java.nio.file.Path,
+      dead: DataFrame, fresh: DataFrame,
+      batch: Seq[(Long, Seq[String])], k: Int): DataFrame = {
     import s.implicits._
     val (k1, b) = (1.2, 0.75)
-    val home = ensureBasePostingsIndex(s, dir)
     val st = s.read.parquet(home.resolve("stats").toString).collect()(0)
-    val (nB, dlB, split) =
-      (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"), st.getAs[Long]("split_id"))
+    val (nB, dlB) = (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"))
     val allTerms = batch.flatMap(_._2).distinct.sorted
     val qt = broadcast(
       batch.flatMap { case (qid, ts) => ts.map(w => (qid, w)) }
@@ -2810,21 +2825,27 @@ object TextQueries {
       .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
         col("word").isInCollection(allTerms))
       .select("doc_id", "word", "tf")
-    // ONE delta tokenization amortized across the whole batch —
-    // materialized, since tfAll/df/deltaDl would each re-derive it
-    val deltaTf = t(s, dir, "documents").filter(col("doc_id") > split)
+      .join(dead, Seq("doc_id"), "left_anti")
+    // ONE fresh tokenization amortized across the whole batch —
+    // materialized, since tfAll/df/freshDl would each re-derive it
+    val freshTf = fresh
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val tfAll = baseTf.unionByName(
-      deltaTf.filter(col("word").isInCollection(allTerms)).select("doc_id", "word", "tf"))
-    val deltaDl = deltaTf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val dl = s.read.parquet(home.resolve("doclen").toString).unionByName(deltaDl)
-    // segment-merged corpus stats (exact Long sums) + per-term df from the
-    // SAME pruned read — both tiny, broadcast to the scoring join
-    val stats = deltaDl.agg(
-      (count(lit(1)) + lit(nB)).as("n_docs"),
-      (coalesce(sum("dl"), lit(0L)) + lit(dlB)).as("total_dl"))
+      freshTf.filter(col("word").isInCollection(allTerms)).select("doc_id", "word", "tf"))
+    val freshDl = freshTf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val baseDl = s.read.parquet(home.resolve("doclen").toString)
+    val dl = baseDl.join(dead, Seq("doc_id"), "left_anti").unionByName(freshDl)
+    // merged corpus stats: base − tombstoned + fresh, exact Long sums;
+    // per-term df from the SAME pruned read — both tiny, broadcast
+    val deadStats = baseDl.join(dead, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_dead"), coalesce(sum("dl"), lit(0L)).as("dl_dead"))
+    val freshStats = freshDl
+      .agg(count(lit(1)).as("n_fresh"), coalesce(sum("dl"), lit(0L)).as("dl_fresh"))
+    val stats = deadStats.crossJoin(freshStats)
+      .select((lit(nB) - col("n_dead") + col("n_fresh")).as("n_docs"),
+        (lit(dlB) - col("dl_dead") + col("dl_fresh")).as("total_dl"))
     val df = tfAll.groupBy("word").agg(count(lit(1)).as("df"))
     val scored = tfAll
       .join(qt, Seq("word"))
@@ -2850,12 +2871,41 @@ object TextQueries {
       .orderBy("query_id", "rank")
   }
 
-  val ir16QueryBatchSql: String = {
+  /** ir20_cdc_query_batch — the batch × CDC composition, the TRUE
+    * production QPS shape: the whole query table serves the POST-CHANGE
+    * corpus in one plan. [[batchServe]] with the
+    * [[graft.operators.CdcRules]] change set (the postings family's
+    * 'redacted' update convention — BM25 is order-free, so a reversal
+    * would be invisible to it); resolves the expunged generation when
+    * one exists (ir14's branch) and then serves persisted-only. */
+  def ir20CdcQueryBatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val cdc = PersistedIndex.home("postings_base", dir, postingsFp(dir) + "_cdc" + wStar)
+    if (PersistedIndex.isBuilt(cdc))
+      return batchServe(s, cdc, CdcRules.emptyIds(s, "doc_id"), noDocs(s),
+        BatchQueries, BatchTopK)
+    val home = ensureBasePostingsIndex(s, dir)
+    val snap = PersistedIndex.readSplit(s, home)
+    batchServe(s, home,
+      CdcRules.tombstoneIds(docs, "doc_id", wStar),
+      CdcRules.freshRows(docs, "doc_id", "text", wStar, snap, CdcRules.redactedText),
+      BatchQueries, BatchTopK)
+  }
+
+  val ir16QueryBatchSql: String = batchSqlOver("", "documents")
+
+  /** ir16's SQL over the POST-CHANGE corpus — ir20's oracle. */
+  val ir20CdcQueryBatchSql: String = batchSqlOver(
+    graft.operators.CdcRules.sqlCorpusCtes("corpus20", "'redacted'") + ",\n", "corpus20")
+
+  private def batchSqlOver(corpusCtes: String, corpusName: String): String = {
     val qtValues = BatchQueries
       .flatMap { case (qid, ts) => ts.map(w => s"($qid, '$w')") }.mkString(", ")
     val inList = BatchQueries.flatMap(_._2).distinct.sorted.map(w => s"'$w'").mkString(", ")
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    s"""WITH ${corpusCtes}tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM $corpusName),
        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
        |dlt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dlt),
@@ -3938,6 +3988,7 @@ object TextQueries {
     "ir14b_expunged_serve" -> (ir14bExpungedServe _),
     "ir15_feed_index" -> (ir15FeedIndex _),
     "ir16_query_batch" -> (ir16QueryBatch _),
+    "ir20_cdc_query_batch" -> (ir20CdcQueryBatch _),
     "ir17_snippets" -> (ir17Snippets _),
     "ir18_tombstone_phrase" -> (ir18TombstonePhrase _),
     "ir18b_expunged_phrase" -> (ir18bExpungedPhrase _),
@@ -4006,6 +4057,7 @@ object TextQueries {
     "ir14b_expunged_serve" -> ir14TombstoneIndexSql,
     "ir15_feed_index" -> ir15FeedIndexSql,
     "ir16_query_batch" -> ir16QueryBatchSql,
+    "ir20_cdc_query_batch" -> ir20CdcQueryBatchSql,
     "ir17_snippets" -> ir17SnippetsSql,
     "ir18_tombstone_phrase" -> ir18TombstonePhraseSql,
     // expunge-fold is answer-invariant by construction: ir18b ≡ ir18

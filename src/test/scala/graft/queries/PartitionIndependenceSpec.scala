@@ -31,7 +31,9 @@ class PartitionIndependenceSpec extends SparkSpec {
     "ir15_feed_index", "dd22_feed_neardup", "kg9_feed_graph",
     "ss13_feed_probe", "mm10_feed_phash",
     // the positional family's CDC faces (sixth family)
-    "ir18_tombstone_phrase", "ir18b_expunged_phrase", "ir19_feed_phrase")
+    "ir18_tombstone_phrase", "ir18b_expunged_phrase", "ir19_feed_phrase",
+    // the batch × CDC composition
+    "ir20_cdc_query_batch")
 
   test("rank-consumer query results are identical at 3 and 12 shuffle partitions") {
     val key = "spark.sql.shuffle.partitions"

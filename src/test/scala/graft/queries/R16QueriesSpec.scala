@@ -332,6 +332,45 @@ class R16QueriesSpec extends SparkSpec {
       SimilarityQueries.ss10TombstoneProbe(spark, tmpV).collect().toSeq)
   }
 
+  test("ir20: the CDC batch serves the post-change corpus — deleted winner vanishes, delta wins") {
+    import spark.implicits._
+    // query 1 = ("hash", "join"); ids 0..129, feed watermark 117:
+    // doc 20 (deleted) is the pre-change winner, doc 28 (updated →
+    // 'redacted') held the terms, doc 50 survives, doc 120 (append) wins
+    def text(i: Long): String =
+      if (i == 20L) "hash join hash join hash join"
+      else if (i == 28L) "hash join here"
+      else if (i == 50L) "hash join pad pad"
+      else if (i == 120L) "hash join hash join hash join hash join"
+      else "pad pad pad"
+    val tmpA = java.nio.file.Files.createTempDirectory("ir20fix").toString
+    (0L until 130L).map(i => (i, text(i), text(i).length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpA/documents.parquet")
+    val got = TextQueries.ir20CdcQueryBatch(spark, tmpA).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // exact expectation: ir16's batch over the hand-materialized
+    // post-change corpus (both paths ride batchServe — the subtract
+    // arithmetic is what's under test)
+    val tmpB = java.nio.file.Files.createTempDirectory("ir20post").toString
+    (0L until 130L)
+      .filterNot(i => i <= 117L && i % 13L == 7L)
+      .map { i =>
+        val t0 = if (i <= 117L && i % 13L == 2L) "redacted" else text(i)
+        (i, t0, t0.length.toLong)
+      }
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpB/documents.parquet")
+    val want = TextQueries.ir16QueryBatch(spark, tmpB).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    val q1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(q1.nonEmpty && q1.head._3 === 120L, "the appended doc wins query 1")
+    assert(!q1.map(_._3).contains(20L), "the deleted pre-change winner must vanish")
+    assert(!q1.map(_._3).contains(28L), "the redacted doc's old terms stop matching")
+    assert(q1.map(_._3).contains(50L), "the surviving base hit still serves")
+  }
+
   test("ir16: each query's slice of the batched run equals running it alone") {
     val dir = "/root/testdata/sf0.001"
     val batched = TextQueries.ir16Internals(spark, dir,
