@@ -61,7 +61,9 @@ gen("documents", f"""
 
 gen("embeddings", f"""
   SELECT vec_id + {{k}} * {STRIDE} AS vec_id,
-         CAST(list_transform(embedding, (x, i) ->
-           x + (({{k}} * 37 + i) % 11 - 5) * 0.007) AS FLOAT[]) AS embedding,
+         CASE WHEN {{k}} = 0 THEN embedding
+              ELSE CAST(list_transform(embedding, (x, i) ->
+                x + (({{k}} * 37 + i) % 11 - 5) * 0.007) AS FLOAT[])
+         END AS embedding,
          label
   FROM '{SRC}/embeddings.parquet/*.parquet'""")

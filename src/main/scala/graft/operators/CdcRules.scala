@@ -122,6 +122,45 @@ object CdcRules {
       .when(isUpdate(id, split), "u")
       .otherwise("s")
 
+  /** True iff the optimizer already KNOWS `df` is empty — its optimized
+    * plan collapses to a zero-row LocalRelation (the [[emptyIds]]/
+    * [[emptyRows]] frames and anything derived from them by PropagateEmpty-
+    * Relation). One optimizer pass on the sub-frame, zero Spark jobs. */
+  def isKnownEmpty(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+
+  /** Eagerly materialize a delta-proportional frame that feeds several
+    * consumers (Catalyst does not dedupe common subtrees — the r16 audit
+    * found serve kernels re-deriving fresh/dead legs 2–8×) — UNLESS the
+    * frame is statically empty, in which case the checkpoint would (a)
+    * run a useless Spark job at DataFrame-CONSTRUCTION time and (b)
+    * replace the empty LocalRelation with an opaque RDD scan, forfeiting
+    * PropagateEmptyRelation's erasure of the downstream anti-join/union
+    * legs that keeps the expunged/post-fold serve plans persisted-only
+    * (ADVICE r16). */
+  def pinDelta(df: DataFrame): DataFrame =
+    if (isKnownEmpty(df)) df else df.localCheckpoint(true)
+
+  /** [[pinDelta]] for a frame DERIVED from a delta input by a chain the
+    * optimizer cannot see through (Spark's PropagateEmptyRelation does
+    * not fold `Generate` over an empty child, and every kernel's
+    * tokenize/shingle/match step explodes): when the INPUT is statically
+    * empty the derivation can only be empty too, so substitute a true
+    * empty LocalRelation with the derived schema — analysis-only, no
+    * job — and the downstream union/anti-join legs erase. Otherwise
+    * eagerly materialize the derivation once (the r16 subtree-dedup
+    * convention). */
+  def pinDerived(s: org.apache.spark.sql.SparkSession, input: DataFrame,
+      derived: DataFrame): DataFrame =
+    if (isKnownEmpty(input))
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        derived.schema)
+    else derived.localCheckpoint(true)
+
   /** Split an explicit (id, op, payload) feed TABLE into the
     * (tombstoneIds, freshRows) pair every family's serving kernel
     * consumes — 'd'/'u' ids tombstone, 'u' payloads plus 'a' payloads
@@ -133,10 +172,51 @@ object CdcRules {
     // the tombstone id set is consumed by several anti/semi legs per
     // serve — materialize it once (it is id-only and change-set-bounded)
     // instead of re-reading the feed per consumer
-    (feed.filter(col("op").isin("d", "u")).select(idCol).localCheckpoint(true),
+    (pinDelta(feed.filter(col("op").isin("d", "u")).select(idCol)),
      feed.filter(col("op") === "u" ||
          (col("op") === "a" && col(idCol) > appendFloor))
        .select(col(idCol), col("payload").as(payloadCol)))
+
+  // ---- the crawl-sized (bounded-batch) feed window ---------------------
+
+  /** Fixed crawl-batch WINDOW, in id units (≈ rows for the dense synthetic
+    * ids): the stand-in feed restricted to the band
+    * (split − w, split + w] — re-crawls (deletes/updates) among the last
+    * `w` base ids, appends the first `w` ids above the watermark. VERDICT
+    * r16 What's-wrong #2: the plain %13 rules span the WHOLE corpus, so
+    * every delta-proportional face reads linear-in-corpus on the scale
+    * ladder (mm7 5.34× on sf1→sf10); a production crawl delivers
+    * fixed-size batches, and under this window the change set — hence the
+    * fresh-leg tokenize/DCT/minhash/assign work — is O(w) at ANY corpus
+    * size. Pure id arithmetic, so the DuckDB oracles replay the window
+    * exactly; at the small correctness SFs the window covers the whole
+    * corpus and the sized faces coincide with their unbounded siblings. */
+  val CrawlWindow: Long = 5000L
+
+  def inWindow(id: Column, split: Long, w: Long = CrawlWindow): Column =
+    id > split - w && id <= split + w
+
+  /** The batch-size parameter on the feed GENERATOR: any (id, op, payload)
+    * feed restricted to the crawl window. Composed over [[graft.streaming
+    * .EventStreams.cdcStream]] / [[vecFeed]] the band predicate pushes into
+    * the corpus scan, so generating the sized feed is itself O(w) reads. */
+  def sizedFeed(feed: DataFrame, idCol: String, split: Long,
+      w: Long = CrawlWindow): DataFrame =
+    feed.filter(inWindow(col(idCol), split, w))
+
+  /** [[sqlCorpusCtes]] under the crawl window: only in-window deletes drop
+    * out, only in-window updates transform, and the corpus is capped at
+    * `split + w` (rows above it have not been crawled yet). */
+  def sqlSizedCorpusCtes(name: String, updatedTextSql: String,
+      w: Long = CrawlWindow): String =
+    s"""${sqlSplitCte("w", "documents", "doc_id")},
+       |$name AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN ${sqlIsUpdate("d.doc_id", "w.split")} AND d.doc_id > w.split - $w
+       |         THEN $updatedTextSql ELSE d.text END AS text
+       |  FROM documents d CROSS JOIN w
+       |  WHERE d.doc_id <= w.split + $w
+       |    AND NOT (${sqlIsDelete("d.doc_id", "w.split")} AND d.doc_id > w.split - $w))""".stripMargin
 
   /** The vector-family feed GENERATOR —
     * [[graft.streaming.EventStreams.cdcStream]]'s embedding twin: same op

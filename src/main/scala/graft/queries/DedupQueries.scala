@@ -894,8 +894,8 @@ object DedupQueries {
       .select("id_a", "id_b", "shared_bands")
     // the incremental pairing reads the fresh signatures on three sides
     // (delta×base + both ends of delta×delta) — shingle/minhash once
-    val freshSigs = Dedup.minhashSignatures(fresh, "doc_id", "text")
-      .localCheckpoint(true)
+    val freshSigs = graft.operators.CdcRules.pinDerived(s, fresh,
+      Dedup.minhashSignatures(fresh, "doc_id", "text"))
     val freshPairs = Dedup.incrementalCandidatePairs(baseSigs, freshSigs, "doc_id")
     basePairs.unionByName(freshPairs)
       .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
@@ -981,6 +981,38 @@ object DedupQueries {
     lshServe(s, home, dead, fresh)
   }
 
+  /** dd23_sized_neardup — dd22 at a CRAWL-SIZED batch (VERDICT r16 #2):
+    * the feed generator takes the [[graft.operators.CdcRules.sizedFeed]]
+    * batch bound, so the shingle/minhash work and the three-sided
+    * incremental pairing read O(window) fresh rows no matter the corpus
+    * size — the face that prices one production refresh cycle on the
+    * sf1→sf10 ladder where dd18's fixed-fraction delta reads
+    * linear-in-corpus (4.52× on the r16 ladder). At the correctness SFs
+    * the window covers the whole corpus and dd23 ≡ dd20/dd22. */
+  def dd23SizedNeardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val home = ensureLshIndex(s, dir)
+    val (dead, fresh) = CdcRules.feedFrames(
+      CdcRules.sizedFeed(
+        graft.streaming.EventStreams.cdcStream(docs, wStar), "doc_id", wStar),
+      "doc_id", "text", PersistedIndex.readSplit(s, home))
+    lshServe(s, home, dead, fresh)
+  }
+
+  /** dd20's replay over the WINDOWED post-change corpus (cdcStream's 'u'
+    * payload is reversedTokens, so the rule-windowed corpus CTE equals
+    * the feed-assembled one). */
+  val dd23SizedNeardupSql: String =
+    s"""WITH ${graft.operators.CdcRules.sqlSizedCorpusCtes("dd23corpus",
+          graft.operators.CdcRules.sqlReversedTokens("d.text"))},
+       |sig AS (${minhashSigsDuck.replace("FROM documents", "FROM dd23corpus")}),
+       |band AS ($bandedSigsDuck)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+       |FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+
   /** dd3's SQL chain replayed over the POST-CHANGE corpus (the ir14
     * oracle convention: watermark recomputed in SQL, deletes out of the
     * corpus CTE, updates re-crawled with reversed token order). */
@@ -1057,6 +1089,7 @@ object DedupQueries {
     "dd20_tombstone_neardup" -> (dd20TombstoneNeardup _),
     "dd21_expunged_neardup" -> (dd21ExpungedNeardup _),
     "dd22_feed_neardup" -> (dd22FeedNeardup _),
+    "dd23_sized_neardup" -> (dd23SizedNeardup _),
     "dd19_persisted_bloom" -> (dd19PersistedBloom _),
     "dd14_line_dedup" -> (dd14LineDedup _),
     "dd15_exact_substr" -> (dd15ExactSubstr _),
@@ -1083,6 +1116,7 @@ object DedupQueries {
     "dd21_expunged_neardup" -> dd20TombstoneNeardupSql,
     // the feed generator replays the same rules: dd22 ≡ dd20
     "dd22_feed_neardup" -> dd20TombstoneNeardupSql,
+    "dd23_sized_neardup" -> dd23SizedNeardupSql,
     // the persisted detour is invisible to the answer: dd19 ≡ dd10
     "dd19_persisted_bloom" -> dd10BloomContaminationSql,
     "dd14_line_dedup" -> dd14LineDedupSql,

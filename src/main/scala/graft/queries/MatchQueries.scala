@@ -790,12 +790,13 @@ object MatchQueries {
       dead: DataFrame, fresh: DataFrame): DataFrame = {
     val st = s.read.parquet(home.resolve("stats").toString).collect()(0)
     val ndB = st.getAs[Long]("nd")
-    val edDead = s.read.parquet(home.resolve("ed").toString)
-      .join(dead, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    val edDead = graft.operators.CdcRules.pinDerived(s, dead,
+      s.read.parquet(home.resolve("ed").toString)
+        .join(dead, Seq("doc_id"), "left_semi"))
     val fm = FastMatch.matcher(gazetteer)
-    val edF = fresh.select(col("doc_id"), explode(fm(col("text"))).as("m"))
-      .select(col("doc_id"), col("m.matched").as("entity")).distinct()
-      .localCheckpoint(true)
+    val edF = graft.operators.CdcRules.pinDerived(s, fresh,
+      fresh.select(col("doc_id"), explode(fm(col("text"))).as("m"))
+        .select(col("doc_id"), col("m.matched").as("entity")).distinct())
     def coOf(ed: DataFrame, as: String) = ed.as("a").join(ed.as("b"), Seq("doc_id"))
       .filter(col("a.entity") < col("b.entity"))
       .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))

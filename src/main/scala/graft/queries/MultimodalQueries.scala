@@ -457,7 +457,7 @@ object MultimodalQueries {
     val baseSigs = s.read.parquet(home.resolve("sigs").toString)
     val liveSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_anti")
     val deadSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_semi")
-    val freshSigs = phashSigs(fresh).localCheckpoint(true)
+    val freshSigs = graft.operators.CdcRules.pinDerived(s, fresh, phashSigs(fresh))
     val (bAll, bDead) = (bandedPhash(baseSigs), bandedPhash(deadSigs))
     val (bLive, bF) = (bandedPhash(liveSigs), bandedPhash(freshSigs))
     // ordered pairs of the ORIGINAL base universe touching a dead asset —
@@ -588,6 +588,34 @@ object MultimodalQueries {
       dead.select(col("doc_id").cast(LongType).as("asset_id")), fresh)
   }
 
+  /** mm11_sized_phash — mm10 at a CRAWL-SIZED batch (VERDICT r16 #2): the
+    * feed generator takes the [[graft.operators.CdcRules.sizedFeed]]
+    * batch bound, so the DCT hashing — the family's dominant cost, 28.3 s
+    * for mm7's fixed-fraction delta at sf10 — runs over O(window) fresh
+    * rows no matter the corpus size. At the correctness SFs the window
+    * covers the whole corpus and mm11 ≡ mm8/mm10. */
+  def mm11SizedPhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val home = ensurePhashIndex(s, dir)
+    val (dead, fresh) = CdcRules.feedFrames(
+      CdcRules.sizedFeed(
+        graft.streaming.EventStreams.cdcStream(docs, wStar), "doc_id", wStar),
+      "doc_id", "text", PersistedIndex.readSplit(s, home))
+    phashServe(s, home,
+      dead.select(col("doc_id").cast(LongType).as("asset_id")), fresh)
+  }
+
+  /** mm8's replay over the WINDOWED post-change corpus. */
+  val mm11SizedPhashSql: String = {
+    val corpus = "WITH " + graft.operators.CdcRules.sqlSizedCorpusCtes("mm11corpus",
+      graft.operators.CdcRules.sqlReversedTokens("d.text")) + ",\n"
+    corpus + mm4PhashNeardupSql
+      .replaceFirst("^WITH ", "")
+      .replace("FROM documents WHERE", "FROM mm11corpus WHERE")
+  }
+
   /** mm4's SQL replayed over the POST-CHANGE corpus (the ir14/dd20/kg7
     * oracle convention). */
   val mm8TombstonePhashSql: String = {
@@ -656,6 +684,7 @@ object MultimodalQueries {
     "mm8_tombstone_phash" -> (mm8TombstonePhash _),
     "mm9_expunged_phash" -> (mm9ExpungedPhash _),
     "mm10_feed_phash" -> (mm10FeedPhash _),
+    "mm11_sized_phash" -> (mm11SizedPhash _),
     "mm6_crossmodal_link" -> (mm6CrossmodalLink _),
     "mm5_silence_trim" -> (mm5SilenceTrim _),
     "mm4_phash_neardup" -> (mm4PhashNeardup _),
@@ -672,6 +701,7 @@ object MultimodalQueries {
     "mm9_expunged_phash" -> mm8TombstonePhashSql,
     // the feed generator replays the same rules: mm10 ≡ mm8
     "mm10_feed_phash" -> mm8TombstonePhashSql,
+    "mm11_sized_phash" -> mm11SizedPhashSql,
     "mm6_crossmodal_link" -> mm6CrossmodalLinkSql,
     "mm5_silence_trim" -> mm5SilenceTrimSql,
     "mm4_phash_neardup" -> mm4PhashNeardupSql,

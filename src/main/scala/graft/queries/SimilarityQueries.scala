@@ -541,6 +541,44 @@ object SimilarityQueries {
     ivfServe(s, home, dead, fresh, postChangeQueries(s, dir, wStar))
   }
 
+  /** ss14_sized_probe — ss13 at a CRAWL-SIZED batch (VERDICT r16 #2): the
+    * vector feed generator takes the [[graft.operators.CdcRules
+    * .sizedFeed]] batch bound, so norm/assignment work at probe time runs
+    * over O(window) fresh vectors no matter the corpus size — the face
+    * that prices one refresh cycle on the ladder where ss9's
+    * fixed-fraction delta reads linear-in-corpus (5.74× on the r16
+    * ladder). The query slice applies the SAME windowed rules (out-of-
+    * window vectors were never re-crawled). At the correctness SFs the
+    * window covers the whole corpus and ss14 ≡ ss10/ss13. */
+  def ss14SizedProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val embAll = t(s, dir, "embeddings")
+    val wStar = CdcRules.feedSplit(embAll, "vec_id")
+    val home = ensureIvfDeltaIndex(s, dir)
+    val (dead, fresh) = CdcRules.feedFrames(
+      CdcRules.sizedFeed(
+        CdcRules.vecFeed(embAll, "vec_id", "embedding", wStar), "vec_id", wStar),
+      "vec_id", "embedding", PersistedIndex.readSplit(s, home))
+    ivfServe(s, home, dead, fresh, sizedPostChangeQueries(s, dir, wStar))
+  }
+
+  /** [[postChangeQueries]] under the crawl window: only in-window deletes
+    * vanish, only in-window updates negate, corpus capped at split + w. */
+  private def sizedPostChangeQueries(s: SparkSession, dir: String, wStar: Long): DataFrame = {
+    import graft.operators.CdcRules
+    val w = CdcRules.CrawlWindow
+    val inW = col("vec_id") > wStar - w
+    val embAll = t(s, dir, "embeddings")
+    withNorm(
+        embAll.filter(col("vec_id") < NQueries && col("vec_id") <= wStar + w &&
+          !(CdcRules.isDelete(col("vec_id"), wStar) && inW))
+        .select(col("vec_id"),
+          when(CdcRules.isUpdate(col("vec_id"), wStar) && inW,
+            CdcRules.negatedVector(col("embedding")))
+            .otherwise(col("embedding")).as("embedding")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("norm").as("qn"))
+  }
+
   /** ss12_expunged_probe — the post-compaction face of ss10: fold the
     * change set, then probe the expunged cells with the post-change query
     * slice (empty tombstone/fresh frames; shares ss10's oracle). */
@@ -553,8 +591,15 @@ object SimilarityQueries {
     * geometry: centroids (and the √N stride) come from the ORIGINAL base
     * segment — exactly what the immutable artifact serves — while
     * assignment, queries and scoring run over the post-change vectors
-    * (negation preserves the norm, so norms carry over). */
-  val ss10TombstoneProbeSql: String =
+    * (negation preserves the norm, so norms carry over). With a window
+    * (ss14), only in-window rules apply and the corpus caps at
+    * split + w — the crawl-sized batch. */
+  private def postChangeProbeSqlOver(win: Option[Long]): String = {
+    val spl = "(SELECT split FROM spl)"
+    val band = win.map(w => s" AND vec_id > $spl - $w").getOrElse("")
+    val upd = graft.operators.CdcRules.sqlIsUpdate("vec_id", spl) + band
+    val del = graft.operators.CdcRules.sqlIsDelete("vec_id", spl) + band
+    val cap = win.map(w => s"\n    AND vec_id <= $spl + $w").getOrElse("")
     s"""WITH emb AS ($withNormDuck),
        |ids AS (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM emb),
        |spl AS (SELECT hi - (hi - lo) // 10 AS split FROM ids),
@@ -564,12 +609,17 @@ object SimilarityQueries {
        |         WHERE vec_id % (SELECT stride FROM st) = 0),
        |chg AS (
        |  SELECT vec_id,
-       |    CASE WHEN ${graft.operators.CdcRules.sqlIsUpdate("vec_id", "(SELECT split FROM spl)")}
+       |    CASE WHEN $upd
        |         THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding,
        |    norm
        |  FROM emb
-       |  WHERE NOT ${graft.operators.CdcRules.sqlIsDelete("vec_id", "(SELECT split FROM spl)")}),
-       |assign AS (
+       |  WHERE NOT ($del)$cap),"""
+  }
+
+  /** The assign→probe→score→rank tail shared by ss10 and ss14 — both
+    * serve the same frozen geometry, only the chg corpus differs. */
+  private val postChangeProbeSqlTail: String =
+    s"""assign AS (
        |  SELECT vec_id, embedding, norm, cell FROM (
        |    SELECT e.vec_id, e.embedding, e.norm, c.cent_id AS cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -591,7 +641,15 @@ object SimilarityQueries {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id) AS rank
        |  FROM scored)
        |SELECT query_id, rank, vec_id, cos_e6 FROM ranked WHERE rank <= $TopK
-       |ORDER BY query_id, rank""".stripMargin
+       |ORDER BY query_id, rank"""
+
+  val ss10TombstoneProbeSql: String =
+    s"""${postChangeProbeSqlOver(None)}
+       |$postChangeProbeSqlTail""".stripMargin
+
+  val ss14SizedProbeSql: String =
+    s"""${postChangeProbeSqlOver(Some(graft.operators.CdcRules.CrawlWindow))}
+       |$postChangeProbeSqlTail""".stripMargin
 
   /** ss5_recall_audit — recall@k of the IVF index against the brute-force
     * ground truth, per query, as an oracle-checked query (the quality gate
@@ -1602,6 +1660,7 @@ object SimilarityQueries {
     "ss10_tombstone_probe" -> (ss10TombstoneProbe _),
     "ss12_expunged_probe" -> (ss12ExpungedProbe _),
     "ss13_feed_probe" -> (ss13FeedProbe _),
+    "ss14_sized_probe" -> (ss14SizedProbe _),
     "ss7_ivf_refresh" -> (ss7IvfRefresh _),
     "ss3_lsh_topk" -> (ss3LshTopk _),
     "ss5_recall_audit" -> (ss5RecallAudit _),
@@ -1617,6 +1676,7 @@ object SimilarityQueries {
     "ss12_expunged_probe" -> ss10TombstoneProbeSql,
     // the feed generator replays the same rules: ss13 ≡ ss10
     "ss13_feed_probe" -> ss10TombstoneProbeSql,
+    "ss14_sized_probe" -> ss14SizedProbeSql,
     "ir3_hybrid_dense" -> ir3HybridDenseSql,
     "ir4_hybrid_ann" -> ir4HybridAnnSql,
     "ir7_mmr_rerank" -> ir7MmrRerankSql,

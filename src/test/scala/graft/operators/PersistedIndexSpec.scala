@@ -108,8 +108,19 @@ class PersistedIndexSpec extends SparkSpec {
     // not touch another source's home in the same kind dir
     val h2 = PersistedIndex.ensure("spec_sweep", dirA, "fpB")(build)
     assert(PersistedIndex.isBuilt(h2))
-    assert(!Files.exists(h1), "the superseded home must be swept")
+    // two-phase sweep (VERDICT r16 #7): the first pass only STAMPS the
+    // superseded home, so a process that resolved h1 before the publish
+    // keeps its files for the grace window — the simulated concurrent
+    // reader below survives the whole publish+sweep cycle
+    assert(Files.exists(h1), "a superseded home survives its first sweep")
+    assert(Files.exists(h1.resolve("_SUPERSEDED")), "…but is stamped for deletion")
+    assert(Files.readString(h1.resolve("artifact")) === "x",
+      "a reader mid-scan of the superseded generation still sees its bytes")
     assert(PersistedIndex.isBuilt(other), "another source's home must survive")
+    // once the grace elapses (injected 0 here) the next sweep deletes it
+    PersistedIndex.sweepSuperseded(h2, dirA, 0L)
+    assert(!Files.exists(h1), "the stamped home sweeps after the grace period")
+    assert(PersistedIndex.isBuilt(other), "the grace-elapsed sweep is still source-scoped")
     PersistedIndex.deleteTree(h2.getParent)
   }
 

@@ -446,7 +446,10 @@ class R13QueriesSpec extends SparkSpec {
     val home0 = DedupQueries.ensureLshIndex(spark, tmp)
     val home1 = DedupQueries.compactLshIndex(spark, tmp)
     assert(home1.getFileName.toString.endsWith("_c99"))
-    assert(!java.nio.file.Files.exists(home0), "the superseded generation must be swept")
+    assert(java.nio.file.Files.exists(home0.resolve("_SUPERSEDED")),
+      "the superseded generation is stamped — a concurrent reader survives the cycle")
+    graft.operators.PersistedIndex.sweepSuperseded(home1, tmp, 0L)
+    assert(!java.nio.file.Files.exists(home0), "the stamped generation sweeps once the grace elapses")
     assert(DedupQueries.ensureLshIndex(spark, tmp) === home1, "resolution re-points")
     assert(graft.operators.PersistedIndex.readSplit(spark, home1) === 99L)
     // all seven pairs now live in the artifact; the probe's delta term is empty
@@ -513,7 +516,10 @@ class R13QueriesSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     val home1 = SimilarityQueries.compactIvfDeltaIndex(spark, tmp)
     assert(home1.getFileName.toString.endsWith("_c99"))
-    assert(!java.nio.file.Files.exists(home0), "the superseded generation must be swept")
+    assert(java.nio.file.Files.exists(home0.resolve("_SUPERSEDED")),
+      "the superseded generation is stamped — a concurrent reader survives the cycle")
+    graft.operators.PersistedIndex.sweepSuperseded(home1, tmp, 0L)
+    assert(!java.nio.file.Files.exists(home0), "the stamped generation sweeps once the grace elapses")
     assert(SimilarityQueries.ensureIvfDeltaIndex(spark, tmp) === home1, "resolution re-points")
     assert(graft.operators.PersistedIndex.readSplit(spark, home1) === 99L)
     // centroids frozen (copied, not retrained); the delta vector now lives in cells
@@ -588,7 +594,10 @@ class R13QueriesSpec extends SparkSpec {
     val home0 = MatchQueries.ensureKgDeltaIndex(spark, tmp)
     val home1 = MatchQueries.compactKgDeltaIndex(spark, tmp)
     assert(home1.getFileName.toString.endsWith("_c99"))
-    assert(!java.nio.file.Files.exists(home0), "the superseded generation must be swept")
+    assert(java.nio.file.Files.exists(home0.resolve("_SUPERSEDED")),
+      "the superseded generation is stamped — a concurrent reader survives the cycle")
+    graft.operators.PersistedIndex.sweepSuperseded(home1, tmp, 0L)
+    assert(!java.nio.file.Files.exists(home0), "the stamped generation sweeps once the grace elapses")
     assert(MatchQueries.ensureKgDeltaIndex(spark, tmp) === home1, "resolution re-points")
     // the delta pair's counts now live in the persisted co table
     val co = spark.read.parquet(home1.resolve("co").toString).collect()
@@ -651,7 +660,10 @@ class R13QueriesSpec extends SparkSpec {
     val home0 = MultimodalQueries.ensurePhashIndex(spark, tmp)
     val home1 = MultimodalQueries.compactPhashIndex(spark, tmp)
     assert(home1.getFileName.toString.endsWith("_c99"))
-    assert(!java.nio.file.Files.exists(home0), "the superseded generation must be swept")
+    assert(java.nio.file.Files.exists(home0.resolve("_SUPERSEDED")),
+      "the superseded generation is stamped — a concurrent reader survives the cycle")
+    graft.operators.PersistedIndex.sweepSuperseded(home1, tmp, 0L)
+    assert(!java.nio.file.Files.exists(home0), "the stamped generation sweeps once the grace elapses")
     assert(MultimodalQueries.ensurePhashIndex(spark, tmp) === home1, "resolution re-points")
     // the straddling near-pair's counts now live in the persisted artifact
     val counts = spark.read.parquet(home1.resolve("counts").toString).collect()

@@ -204,7 +204,10 @@ class RetrievalSpec extends SparkSpec {
     val home1 = TextQueries.compactBasePostingsIndex(spark, tmp)
     assert(home1.getFileName.toString.endsWith("_c99"),
       "the new generation is keyed by the folded-in watermark")
-    assert(!java.nio.file.Files.exists(home0), "the superseded generation must be swept")
+    assert(java.nio.file.Files.exists(home0.resolve("_SUPERSEDED")),
+      "the superseded generation is stamped — a concurrent reader survives the cycle")
+    graft.operators.PersistedIndex.sweepSuperseded(home1, tmp, 0L)
+    assert(!java.nio.file.Files.exists(home0), "the stamped generation sweeps once the grace elapses")
     assert(TextQueries.ensureBasePostingsIndex(spark, tmp) === home1,
       "resolution must re-point at the compacted snapshot — e2e7's audit reads through this")
     assert(graft.operators.PersistedIndex.readSplit(spark, home1) === 99L)
