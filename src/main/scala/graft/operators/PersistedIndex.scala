@@ -351,10 +351,59 @@ object PersistedIndex {
   def splitStats(s: SparkSession, split: Long): DataFrame =
     s.range(1).select(lit(split).as("split_id"))
 
-  /** Read the persisted watermark back (one-row bounded artifact read). */
+  /** Process-wide cache of the one-row `stats` artifact, keyed by
+    * (home, publish-marker mtime): a published home is IMMUTABLE (folds
+    * create NEW homes), so the row can be reused for the process
+    * lifetime — without it every probe paid 1–3 separate driver-side
+    * Spark jobs just to learn its watermark/bucket modulus (ir11b read
+    * stats twice per call after r17's posDelta + readBuckets split). The
+    * mtime guard covers spec fixtures that deleteTree + rebuild a home
+    * at the same path. */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, org.apache.spark.sql.Row)]()
+
+  /** Process-wide cache of a published home's artifact DataFrames, keyed
+    * by (home/artifact, publish-marker mtime). `spark.read.parquet`
+    * builds its InMemoryFileIndex EAGERLY — for a hive-partitioned store
+    * that is a full partition-directory listing (O(bucket count) stats)
+    * on EVERY probe that re-opens the store; the first sf10 ladder run
+    * read a uniform ~4.5 s of listing under each positional/postings
+    * probe. Homes are immutable once published, so the resolved relation
+    * (the frame is lazy — only the file index is held) is reusable for
+    * the process lifetime: the listing is paid once per session per
+    * store, and every later probe plans straight against the cached
+    * index with its partition filters. */
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+
+  def artifactFrame(s: SparkSession, home: Path, artifact: String): DataFrame = {
+    val key = home.toString + "/" + artifact
+    val stamp = Files.getLastModifiedTime(home.resolve("_INDEX_COMPLETE")).toMillis
+    val cached = frameCache.get(key)
+    if (cached != null && cached._1 == stamp) cached._2
+    else {
+      val df = s.read.parquet(home.resolve(artifact).toString)
+      frameCache.put(key, (stamp, df))
+      df
+    }
+  }
+
+  def statsRow(s: SparkSession, home: Path): org.apache.spark.sql.Row = {
+    val key = home.toString
+    val stamp = Files.getLastModifiedTime(home.resolve("_INDEX_COMPLETE")).toMillis
+    val cached = statsCache.get(key)
+    if (cached != null && cached._1 == stamp) cached._2
+    else {
+      val r = s.read.parquet(home.resolve("stats").toString).collect()(0)
+      statsCache.put(key, (stamp, r))
+      r
+    }
+  }
+
+  /** Read the persisted watermark back (one-row bounded artifact read,
+    * cached per published home). */
   def readSplit(s: SparkSession, home: Path): Long =
-    s.read.parquet(home.resolve("stats").toString)
-      .collect()(0).getAs[Long]("split_id")
+    statsRow(s, home).getAs[Long]("split_id")
 
   /** [[splitStats]] with the FOLD-COMPLETE marker: written by append-fold
     * compactions whose folded watermark is the corpus MAX id. A home's
@@ -369,9 +418,8 @@ object PersistedIndex {
   /** (watermark, fold-complete) — `at_max` defaults to false for stats
     * rows that predate the marker (every non-folded generation). */
   def readSplitInfo(s: SparkSession, home: Path): (Long, Boolean) = {
-    val df = s.read.parquet(home.resolve("stats").toString)
-    val hasFlag = df.schema.fieldNames.contains("at_max")
-    val r = df.collect()(0)
-    (r.getAs[Long]("split_id"), hasFlag && r.getAs[Boolean]("at_max"))
+    val r = statsRow(s, home)
+    (r.getAs[Long]("split_id"),
+      r.schema.fieldNames.contains("at_max") && r.getAs[Boolean]("at_max"))
   }
 }

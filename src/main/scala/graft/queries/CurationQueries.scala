@@ -1928,9 +1928,8 @@ object CurationQueries {
           case "ivf" =>
             (storeCount(SimilarityQueries.compactCdcIvfIndex(s, dir), "cells"), 0L)
           case "kg" =>
-            (s.read.parquet(
-                MatchQueries.compactCdcKgIndex(s, dir).resolve("stats").toString)
-              .collect()(0).getAs[Long]("nd"), 0L)
+            (graft.operators.PersistedIndex.statsRow(s,
+              MatchQueries.compactCdcKgIndex(s, dir)).getAs[Long]("nd"), 0L)
           case "lsh" =>
             (storeCount(DedupQueries.compactCdcLshIndex(s, dir), "sigs"), 0L)
           case "phash" =>

@@ -454,9 +454,9 @@ object DedupQueries {
     * blocks, same probe arithmetic) — oracle shared. */
   def dd19PersistedBloom(s: SparkSession, dir: String): DataFrame = {
     val home = ensureBloomIndex(s, dir)
-    val blocks = s.read.parquet(home.resolve("blocks").toString)
+    val blocks = graft.operators.PersistedIndex.artifactFrame(s, home, "blocks")
     graft.operators.Bloom.requireMeta(
-      s.read.parquet(home.resolve("meta").toString), BloomBits, BloomK)
+      graft.operators.PersistedIndex.artifactFrame(s, home, "meta"), BloomBits, BloomK)
     val testSh = Dedup.shingles(
       t(s, dir, "documents").filter(detHash(col("doc_id"), 41) % 10 >= 8),
       "doc_id", "text", n = 5)
@@ -885,9 +885,9 @@ object DedupQueries {
     * against a CDC-folded generation. */
   private def lshServe(s: SparkSession, home: java.nio.file.Path,
       dead: DataFrame, fresh: DataFrame): DataFrame = {
-    val baseSigs = s.read.parquet(home.resolve("sigs").toString)
+    val baseSigs = graft.operators.PersistedIndex.artifactFrame(s, home, "sigs")
       .join(dead, Seq("doc_id"), "left_anti")
-    val basePairs = s.read.parquet(home.resolve("pairs").toString)
+    val basePairs = graft.operators.PersistedIndex.artifactFrame(s, home, "pairs")
       .join(dead.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
       .join(dead.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
       // equi-joins move their key to the front — restore the pair layout

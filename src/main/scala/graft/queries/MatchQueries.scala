@@ -591,7 +591,7 @@ object MatchQueries {
     * is invisible to the answer, the ss2b/ir6b convention. */
   def kg4bPersistedNeighbors(s: SparkSession, dir: String): DataFrame = {
     val home = ensureKgIndex(s, dir)
-    val edges = s.read.parquet(home.resolve("edges").toString)
+    val edges = graft.operators.PersistedIndex.artifactFrame(s, home, "edges")
       .select("e1", "e2", "npmi_e6")
     val und = edges.select(col("e1").as("entity"), col("e2").as("neighbor"), col("npmi_e6"))
       .union(edges.select(col("e2").as("entity"), col("e1").as("neighbor"), col("npmi_e6")))
@@ -620,7 +620,7 @@ object MatchQueries {
     * never corpus-proportional, and fully distributed (no collect). */
   def kg5TwohopDiscovery(s: SparkSession, dir: String): DataFrame = {
     val home = ensureKgIndex(s, dir)
-    val pos = s.read.parquet(home.resolve("edges").toString)
+    val pos = graft.operators.PersistedIndex.artifactFrame(s, home, "edges")
       .filter(col("npmi_e6") > 0).select("e1", "e2", "npmi_e6")
     val und = pos.select(col("e1").as("ea"), col("e2").as("eb"), col("npmi_e6"))
       .union(pos.select(col("e2").as("ea"), col("e1").as("eb"), col("npmi_e6")))
@@ -721,7 +721,7 @@ object MatchQueries {
   private[queries] def compactKgDeltaIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
     val cur = ensureKgDeltaIndex(s, dir)
-    val st0 = s.read.parquet(cur.resolve("stats").toString).collect()(0)
+    val st0 = graft.operators.PersistedIndex.statsRow(s, cur)
     val (ndB, w0) = (st0.getAs[Long]("nd"), st0.getAs[Long]("split_id"))
     val docs = t(s, dir, "documents")
     val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
@@ -788,10 +788,10 @@ object MatchQueries {
     * against a CDC-folded generation. */
   private def kgServe(s: SparkSession, home: java.nio.file.Path,
       dead: DataFrame, fresh: DataFrame): DataFrame = {
-    val st = s.read.parquet(home.resolve("stats").toString).collect()(0)
+    val st = graft.operators.PersistedIndex.statsRow(s, home)
     val ndB = st.getAs[Long]("nd")
     val edDead = graft.operators.CdcRules.pinDerived(s, dead,
-      s.read.parquet(home.resolve("ed").toString)
+      graft.operators.PersistedIndex.artifactFrame(s, home, "ed")
         .join(dead, Seq("doc_id"), "left_semi"))
     val fm = FastMatch.matcher(gazetteer)
     val edF = graft.operators.CdcRules.pinDerived(s, fresh,
@@ -801,14 +801,14 @@ object MatchQueries {
       .filter(col("a.entity") < col("b.entity"))
       .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
       .agg(count(lit(1)).as(as))
-    val co = s.read.parquet(home.resolve("co").toString)
+    val co = graft.operators.PersistedIndex.artifactFrame(s, home, "co")
       .join(coOf(edDead, "n_co_x"), Seq("e1", "e2"), "full_outer")
       .join(coOf(edF, "n_co_f"), Seq("e1", "e2"), "full_outer")
       .select(col("e1"), col("e2"),
         (coalesce(col("n_co"), lit(0L)) - coalesce(col("n_co_x"), lit(0L)) +
           coalesce(col("n_co_f"), lit(0L))).as("n_co"))
       .filter(col("n_co") > 0)
-    val ent = s.read.parquet(home.resolve("ent").toString)
+    val ent = graft.operators.PersistedIndex.artifactFrame(s, home, "ent")
       .join(edDead.groupBy("entity").agg(count(lit(1)).as("n_docs_x")),
         Seq("entity"), "full_outer")
       .join(edF.groupBy("entity").agg(count(lit(1)).as("n_docs_f")),
@@ -877,7 +877,7 @@ object MatchQueries {
     val target = PersistedIndex.home("kg_delta_index", dir, kgFp(dir) + "_cdc" + wStar)
     if (PersistedIndex.isBuilt(target)) return target
     val cur = ensureKgDeltaIndex(s, dir)
-    val st = s.read.parquet(cur.resolve("stats").toString).collect()(0)
+    val st = graft.operators.PersistedIndex.statsRow(s, cur)
     val (ndB, snap) = (st.getAs[Long]("nd"), st.getAs[Long]("split_id"))
     val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
     PersistedIndex.buildIfAbsent(target, dir) { tmp =>

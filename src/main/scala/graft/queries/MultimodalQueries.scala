@@ -338,7 +338,7 @@ object MultimodalQueries {
     val q = qa.join(emb.select(col("vec_id").as("assoc_id"),
         col("embedding").as("qv"), col("norm").as("qn")), Seq("assoc_id"))
     val idx = graft.operators.Similarity.centroidIndex(
-      s.read.parquet(home.resolve("centroids").toString), "vec_id", "embedding")
+      graft.operators.PersistedIndex.artifactFrame(s, home, "centroids"), "vec_id", "embedding")
     import SimilarityQueries.{cosE6, dot}
     val probeArr = slice(array_sort(transform(idx, c => struct(
         (-cosE6(dot(c.getField("cv"), col("qv")), c.getField("cn"), col("qn"))).as("neg_cos"),
@@ -349,7 +349,7 @@ object MultimodalQueries {
     // ≤ 2·n_assets cell ids (bounded collect) → plan-time partition pruning
     val probedCells = q.select(explode(probeArr).as("pc"))
       .select(col("pc.cent_id")).distinct().collect().map(_.getLong(0)).sorted
-    val cells = s.read.parquet(home.resolve("cells").toString)
+    val cells = graft.operators.PersistedIndex.artifactFrame(s, home, "cells")
       .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
     val scored = cells.withColumn("cell", col("cell").cast(LongType))
       .join(broadcast(probes), Seq("cell"))
@@ -454,7 +454,7 @@ object MultimodalQueries {
     * set; the expunged serve (∅, ∅) against a CDC-folded generation. */
   private def phashServe(s: SparkSession, home: java.nio.file.Path,
       deadIds: DataFrame, fresh: DataFrame): DataFrame = {
-    val baseSigs = s.read.parquet(home.resolve("sigs").toString)
+    val baseSigs = graft.operators.PersistedIndex.artifactFrame(s, home, "sigs")
     val liveSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_anti")
     val deadSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_semi")
     val freshSigs = graft.operators.CdcRules.pinDerived(s, fresh, phashSigs(fresh))
@@ -465,7 +465,7 @@ object MultimodalQueries {
     val sub = phashPairCounts(phashPairsOf(bDead, bAll, both = true))
     val add = phashPairCounts(
       phashPairsOf(bLive, bF, both = true).unionByName(phashPairsOf(bF, bF, both = false)))
-    val counts = s.read.parquet(home.resolve("counts").toString)
+    val counts = graft.operators.PersistedIndex.artifactFrame(s, home, "counts")
       .select(col("asset_id"), col("n_cand").as("nc0"), col("n_near").as("nn0"))
       .join(sub.select(col("asset_id"), col("n_cand").as("ncx"), col("n_near").as("nnx")),
         Seq("asset_id"), "full_outer")

@@ -242,8 +242,8 @@ object SimilarityQueries {
     val home = ensureIvfIndex(s, dir)
     // ---- probe path: persisted artifacts ONLY (no corpus scan below) ----
     val idx = graft.operators.Similarity.centroidIndex(
-      s.read.parquet(home.resolve("centroids").toString), "vec_id", "embedding")
-    val q = s.read.parquet(home.resolve("queries").toString)
+      graft.operators.PersistedIndex.artifactFrame(s, home, "centroids"), "vec_id", "embedding")
+    val q = graft.operators.PersistedIndex.artifactFrame(s, home, "queries")
     val probeArr = slice(array_sort(transform(idx, c => struct(
         (-cosE6(dot(c.getField("cv"), col("qv")), c.getField("cn"), col("qn"))).as("neg_cos"),
         c.getField("cent_id").as("cent_id")))), 1, 2)
@@ -253,7 +253,7 @@ object SimilarityQueries {
     // literals make the partition pruning visible at plan time
     val probedCells = q.select(explode(probeArr).as("pc"))
       .select(col("pc.cent_id")).distinct().collect().map(_.getLong(0)).sorted
-    val cells = s.read.parquet(home.resolve("cells").toString)
+    val cells = graft.operators.PersistedIndex.artifactFrame(s, home, "cells")
       .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
     // probe-side top-k through the k-bounded native aggregate (descending
     // cos ⇒ negate; ss4/ss6's precedent): map-side partials carry ≤
@@ -360,7 +360,7 @@ object SimilarityQueries {
   private def ivfServe(s: SparkSession, home: java.nio.file.Path,
       dead: DataFrame, fresh: DataFrame, q0: DataFrame): DataFrame = {
     val idx = graft.operators.Similarity.centroidIndex(
-      s.read.parquet(home.resolve("centroids").toString), "vec_id", "embedding")
+      graft.operators.PersistedIndex.artifactFrame(s, home, "centroids"), "vec_id", "embedding")
     val q = q0.select(col("query_id"), col("qv"), col("qn"))
     val probeArr = slice(array_sort(transform(idx, c => struct(
         (-cosE6(dot(c.getField("cv"), col("qv")), c.getField("cn"), col("qn"))).as("neg_cos"),
@@ -369,7 +369,7 @@ object SimilarityQueries {
       .select(col("query_id"), col("qv"), col("qn"), col("pc.cent_id").as("cell"))
     val probedCells = q.select(explode(probeArr).as("pc"))
       .select(col("pc.cent_id")).distinct().collect().map(_.getLong(0)).sorted
-    val baseCells = s.read.parquet(home.resolve("cells").toString)
+    val baseCells = graft.operators.PersistedIndex.artifactFrame(s, home, "cells")
       .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
       .withColumn("cell", col("cell").cast(LongType))
       .join(dead, Seq("vec_id"), "left_anti")
@@ -971,11 +971,11 @@ object SimilarityQueries {
     val home = ensureIvfPqIndex(s, dir)
     // ---- probe path: persisted artifacts ONLY ----
     val idx = Similarity.centroidIndex(
-      s.read.parquet(home.resolve("centroids").toString), "vec_id", "embedding")
-    val cbRows = s.read.parquet(home.resolve("codebook").toString)
+      graft.operators.PersistedIndex.artifactFrame(s, home, "centroids"), "vec_id", "embedding")
+    val cbRows = graft.operators.PersistedIndex.artifactFrame(s, home, "codebook")
       .orderBy("j").collect().map(_.getSeq[Double](1))
     val cb = Similarity.pqCodebookColumn(s, cbRows)
-    val q = s.read.parquet(home.resolve("queries").toString)
+    val q = graft.operators.PersistedIndex.artifactFrame(s, home, "queries")
     val probeArr = slice(array_sort(transform(idx, c => struct(
         (-cosE6(dot(c.getField("cv"), col("qv")), c.getField("cn"), col("qn"))).as("neg_cos"),
         c.getField("cent_id").as("cent_id")))), 1, 2)
@@ -984,7 +984,7 @@ object SimilarityQueries {
       .select(col("query_id"), col("dtab"), col("pc.cent_id").as("cell"))
     val probedCells = q.select(explode(probeArr).as("pc"))
       .select(col("pc.cent_id")).distinct().collect().map(_.getLong(0)).sorted
-    val cand = s.read.parquet(home.resolve("codes").toString)
+    val cand = graft.operators.PersistedIndex.artifactFrame(s, home, "codes")
       .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
       .withColumn("cell", col("cell").cast(LongType))
       .select(col("vec_id"), col("codes"), col("cell"))

@@ -2135,17 +2135,22 @@ object TextQueries {
     * the stats artifact: probes derive the modulus from the artifact they
     * serve ([[readBuckets]]), never from a constant, so a probe binary
     * can never disagree with the layout it reads. Bounds: ≥16 keeps tiny
-    * spec corpora exercising real pruning; ≤8192 bounds partition-dir
-    * count and per-bucket task overhead at the top of the ladder. */
+    * spec corpora exercising real pruning; ≤1024 bounds the partition-
+    * DIRECTORY count — the first sf10 ladder run at 6250 buckets showed
+    * every positional/postings probe paying a uniform ~4.5 s of
+    * partition-discovery listing, dwarfing the pruned read it was meant
+    * to shrink (file-listing cost scales with dir count, data cost with
+    * per-bucket bytes; ~500 docs/bucket at the cap keeps both small,
+    * and [[graft.operators.PersistedIndex.artifactFrame]] amortizes the
+    * remaining listing to once per session). */
   private[graft] def bucketCountFor(nDocs: Long): Long =
-    math.max(16L, math.min(8192L, (nDocs + 79L) / 80L))
+    math.max(16L, math.min(1024L, (nDocs + 79L) / 80L))
 
   /** The bucket modulus a home was BUILT with — from its stats artifact
     * (one bounded row); [[PostingsBuckets]] for pre-column rows. */
   private[graft] def readBuckets(s: SparkSession, home: java.nio.file.Path): Long = {
-    val df = s.read.parquet(home.resolve("stats").toString)
-    if (df.schema.fieldNames.contains("n_buckets"))
-      df.collect()(0).getAs[Long]("n_buckets")
+    val r = graft.operators.PersistedIndex.statsRow(s, home)
+    if (r.schema.fieldNames.contains("n_buckets")) r.getAs[Long]("n_buckets")
     else PostingsBuckets.toLong
   }
 
@@ -2244,15 +2249,15 @@ object TextQueries {
     // ---- probe path: persisted artifacts ONLY (no corpus scan below) ----
     val nBk = readBuckets(s, home)
     val qbuckets = qterms.map(q => detHash60Local(q) % nBk).distinct.sorted
-    val tf3 = s.read.parquet(home.resolve("postings").toString)
+    val tf3 = graft.operators.PersistedIndex.artifactFrame(s, home, "postings")
       .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
         col("word").isInCollection(qterms))
       .select("doc_id", "word", "tf")
-    val dl = s.read.parquet(home.resolve("doclen").toString)
+    val dl = graft.operators.PersistedIndex.artifactFrame(s, home, "doclen")
     val pivotCols = qterms.map(q => max(when(col("word") === q, col("tf"))).as(s"tf_$q"))
     val pivoted = tf3.groupBy("doc_id").agg(pivotCols.head, pivotCols.tail: _*)
     val dfCols = qterms.map(q => sum(when(col("word") === q, 1L).otherwise(0L)).as(s"df_$q"))
-    val stats = s.read.parquet(home.resolve("stats").toString)
+    val stats = graft.operators.PersistedIndex.artifactFrame(s, home, "stats")
       .crossJoin(tf3.agg(dfCols.head, dfCols.tail: _*))
     val avgdl = col("total_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
     def termScore(q: String) = {
@@ -2324,14 +2329,14 @@ object TextQueries {
     val qbuckets = qterms.map(q => detHash60Local(q) % readBuckets(s, home))
       .distinct.sorted
     def prunedRead(path: String): DataFrame =
-      s.read.parquet(home.resolve(path).toString)
+      graft.operators.PersistedIndex.artifactFrame(s, home, path)
         .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
           col("word").isInCollection(qterms))
     val tf3 = prunedRead("postings").select("doc_id", "word", "tf")
-    val dl = s.read.parquet(home.resolve("doclen").toString)
+    val dl = graft.operators.PersistedIndex.artifactFrame(s, home, "doclen")
     val bounds = prunedRead("blockmax").groupBy("blk").agg(sum("ub_e6").as("bound_e6"))
     val dfCols = qterms.map(q => sum(when(col("word") === q, 1L).otherwise(0L)).as(s"df_$q"))
-    val stats = s.read.parquet(home.resolve("stats").toString)
+    val stats = graft.operators.PersistedIndex.artifactFrame(s, home, "stats")
       .crossJoin(tf3.agg(dfCols.head, dfCols.tail: _*))
     val avgdl = col("total_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
     def termScore(q: String) = {
@@ -2458,7 +2463,7 @@ object TextQueries {
   private[queries] def compactBasePostingsIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
     val cur = ensureBasePostingsIndex(s, dir)
-    val st = s.read.parquet(cur.resolve("stats").toString).collect()(0)
+    val st = graft.operators.PersistedIndex.statsRow(s, cur)
     val (nB, dlB, w0) =
       (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"), st.getAs[Long]("split_id"))
     val docs = t(s, dir, "documents")
@@ -2510,12 +2515,12 @@ object TextQueries {
     val (k1, b) = (1.2, 0.75)
     // one-row persisted artifact: base stats + the snapshot watermark
     // (bounded driver read, the ss2b partition-filter class)
-    val st = s.read.parquet(home.resolve("stats").toString).collect()(0)
+    val st = graft.operators.PersistedIndex.statsRow(s, home)
     val (nB, dlB) = (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"))
     val nBk = if (st.schema.fieldNames.contains("n_buckets"))
       st.getAs[Long]("n_buckets") else PostingsBuckets.toLong
     val qbuckets = qterms.map(q => detHash60Local(q) % nBk).distinct.sorted
-    val baseTf3 = s.read.parquet(home.resolve("postings").toString)
+    val baseTf3 = graft.operators.PersistedIndex.artifactFrame(s, home, "postings")
       .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
         col("word").isInCollection(qterms))
       .select("doc_id", "word", "tf")
@@ -2530,7 +2535,7 @@ object TextQueries {
     val freshTf3 = freshTf.filter(col("word").isInCollection(qterms))
       .select("doc_id", "word", "tf")
     val freshDl = freshTf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val baseDl = s.read.parquet(home.resolve("doclen").toString)
+    val baseDl = graft.operators.PersistedIndex.artifactFrame(s, home, "doclen")
     val dl = baseDl.join(dead, Seq("doc_id"), "left_anti").unionByName(freshDl)
     val tf3 = baseTf3.unionByName(freshTf3)
     val pivotCols = qterms.map(q => max(when(col("word") === q, col("tf"))).as(s"tf_$q"))
@@ -2665,7 +2670,7 @@ object TextQueries {
     val target = PersistedIndex.home("postings_base", dir, postingsFp(dir) + "_cdc" + wStar)
     if (PersistedIndex.isBuilt(target)) return target
     val cur = ensureBasePostingsIndex(s, dir)
-    val st = s.read.parquet(cur.resolve("stats").toString).collect()(0)
+    val st = graft.operators.PersistedIndex.statsRow(s, cur)
     val (nB, dlB, snap) =
       (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"), st.getAs[Long]("split_id"))
     val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
@@ -2936,7 +2941,7 @@ object TextQueries {
       batch: Seq[(Long, Seq[String])], k: Int): DataFrame = {
     import s.implicits._
     val (k1, b) = (1.2, 0.75)
-    val st = s.read.parquet(home.resolve("stats").toString).collect()(0)
+    val st = graft.operators.PersistedIndex.statsRow(s, home)
     val (nB, dlB) = (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"))
     val nBk = if (st.schema.fieldNames.contains("n_buckets"))
       st.getAs[Long]("n_buckets") else PostingsBuckets.toLong
@@ -2946,7 +2951,7 @@ object TextQueries {
         .toDF("query_id", "word"))
     val qbuckets = allTerms.map(q => detHash60Local(q) % nBk).distinct.sorted
     // ONE pruned artifact read serves every query's tf AND df
-    val baseTf = s.read.parquet(home.resolve("postings").toString)
+    val baseTf = graft.operators.PersistedIndex.artifactFrame(s, home, "postings")
       .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
         col("word").isInCollection(allTerms))
       .select("doc_id", "word", "tf")
@@ -2959,7 +2964,7 @@ object TextQueries {
     val tfAll = baseTf.unionByName(
       freshTf.filter(col("word").isInCollection(allTerms)).select("doc_id", "word", "tf"))
     val freshDl = freshTf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val baseDl = s.read.parquet(home.resolve("doclen").toString)
+    val baseDl = graft.operators.PersistedIndex.artifactFrame(s, home, "doclen")
     val dl = baseDl.join(dead, Seq("doc_id"), "left_anti").unionByName(freshDl)
     // merged corpus stats: base − tombstoned + fresh, exact Long sums;
     // per-term df from the SAME pruned read — both tiny, broadcast
@@ -3285,7 +3290,7 @@ object TextQueries {
       dead: DataFrame, fresh: DataFrame, terms: Seq[String]): DataFrame = {
     val qbuckets = terms.map(q => detHash60Local(q) % readBuckets(s, home))
       .distinct.sorted
-    val base = s.read.parquet(home.resolve("positions").toString)
+    val base = graft.operators.PersistedIndex.artifactFrame(s, home, "positions")
       .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
         col("word").isInCollection(terms))
       .select("doc_id", "word", "positions")

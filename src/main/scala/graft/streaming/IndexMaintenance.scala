@@ -120,11 +120,9 @@ object IndexMaintenance {
   def maybeFold(s: SparkSession, dir: String, root: Path): Option[Path] = {
     val (base, _, segs) = resolve(s, dir, root)
     if (segs.isEmpty) return None
-    val nBase = s.read.parquet(base.resolve("stats").toString)
-      .collect()(0).getAs[Long]("n_docs")
+    val nBase = PersistedIndex.statsRow(s, base).getAs[Long]("n_docs")
     val nChanges = segs.map(p =>
-      s.read.parquet(p.resolve("stats").toString)
-        .collect()(0).getAs[Long]("n_changes")).sum
+      PersistedIndex.statsRow(s, p).getAs[Long]("n_changes")).sum
     if (!PersistedIndex.shouldCompact(nBase, 0L, nChanges)) return None
     Some(fold(s, dir, root, base, segs))
   }
