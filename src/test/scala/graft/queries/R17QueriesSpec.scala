@@ -108,8 +108,11 @@ class R17QueriesSpec extends SparkSpec {
     // the sizing function itself: ~80 docs per bucket, clamped
     assert(TextQueries.bucketCountFor(500L) === 16L)
     assert(TextQueries.bucketCountFor(5000L) === 63L)
-    assert(TextQueries.bucketCountFor(500000L) === 6250L)
-    assert(TextQueries.bucketCountFor(10000000L) === 8192L)
+    assert(TextQueries.bucketCountFor(50000L) === 625L)
+    // clamped at 1024: beyond ~82k docs the per-probe partition-listing
+    // cost of more bucket dirs outweighs finer pruning (sf10 measured)
+    assert(TextQueries.bucketCountFor(500000L) === 1024L)
+    assert(TextQueries.bucketCountFor(10000000L) === 1024L)
     val tmp = java.nio.file.Files.createTempDirectory("buckets").toString
     def text(i: Long): String =
       if (i % 7L == 0L) "data spark join" else "pad filler pad"
