@@ -173,6 +173,12 @@ object CdcRules {
     // serve — materialize it once (it is id-only and change-set-bounded)
     // instead of re-reading the feed per consumer
     (pinDelta(feed.filter(col("op").isin("d", "u")).select(idCol)),
+     // the fresh payload rows stay UNPINNED on purpose: every serve kernel
+     // pins its DERIVATION of them (pinDerived / the ivfServe assign pin),
+     // so raw fresh is read once per derivation anyway — band-pruned O(w)
+     // scans — while an eager raw-payload checkpoint here measurably
+     // REGRESSED the text families (mm11 3.3→5.1 s, ir23 1.5→2.2 s @ sf1:
+     // one more eager job writing full document text per serve)
      feed.filter(col("op") === "u" ||
          (col("op") === "a" && col(idCol) > appendFloor))
        .select(col(idCol), col("payload").as(payloadCol)))

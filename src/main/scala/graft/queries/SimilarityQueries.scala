@@ -359,8 +359,15 @@ object SimilarityQueries {
     * against a CDC-folded generation. */
   private def ivfServe(s: SparkSession, home: java.nio.file.Path,
       dead: DataFrame, fresh: DataFrame, q0: DataFrame): DataFrame = {
+    // SERVE-time assigns always ride the broadcast index (threshold 0):
+    // the inline-literal path re-materializes the √N-centroid struct array
+    // per evaluated row inside the interpreted HOF chain — at sf10 (423
+    // centroids) that alone doubled the fresh leg's per-row cost and blew
+    // task binaries to ~1.8 MB (VERDICT r17 #2). Values are identical on
+    // both paths, so answers and oracle hashes do not move.
     val idx = graft.operators.Similarity.centroidIndex(
-      graft.operators.PersistedIndex.artifactFrame(s, home, "centroids"), "vec_id", "embedding")
+      graft.operators.PersistedIndex.artifactFrame(s, home, "centroids"),
+      "vec_id", "embedding", inlineThreshold = 0)
     val q = q0.select(col("query_id"), col("qv"), col("qn"))
     val probeArr = slice(array_sort(transform(idx, c => struct(
         (-cosE6(dot(c.getField("cv"), col("qv")), c.getField("cn"), col("qn"))).as("neg_cos"),
@@ -374,8 +381,29 @@ object SimilarityQueries {
       .withColumn("cell", col("cell").cast(LongType))
       .join(dead, Seq("vec_id"), "left_anti")
       .select("vec_id", "embedding", "norm", "cell")
-    val freshCells = withCell(withNorm(fresh), idx)
-      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+    // PIN the assigned fresh leg: its `cell` column is a CodegenFallback
+    // transform/array_max chain, and CollapseProject re-inlines it into the
+    // downstream In-filter, join key and output — each consumer re-runs the
+    // whole O(√N)-centroid assign per row (measured 11 s vs 0.3 s pinned on
+    // a 2k-row window at sf10, VERDICT r17 #2). pinDelta keeps statically
+    // empty frames as LocalRelations, so the expunged/post-fold serves stay
+    // persisted-only.
+    // and SPREAD the assign: the fresh frame arrives as one band-pruned
+    // parquet task (or one checkpointed partition), so the O(rows·√N) assign
+    // would run single-threaded; a round-robin shuffle of the change set is
+    // a few MB against seconds of per-row work. Skipped when statically
+    // empty so PropagateEmptyRelation erasure survives.
+    val freshPar =
+      if (graft.operators.CdcRules.isKnownEmpty(fresh)) fresh
+      else fresh.repartition(s.sparkContext.defaultParallelism)
+    // prune AFTER the pin: an In(cell, …) filter above the unpinned assign
+    // pushes through the round-robin exchange into the single scan task and
+    // re-runs the whole assign serially inside the checkpoint job (measured
+    // 7.4 s vs 1.3 s at a 20k-row delta); over the materialized frame the
+    // cell column is data and the prune is free.
+    val freshCells = graft.operators.CdcRules.pinDelta(
+      withCell(withNorm(freshPar), idx)
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cell")))
       .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*))
     // score each segment SEPARATELY and union the scored rows: putting the
     // hive-partitioned base scan inside a union BEFORE the broadcast join
