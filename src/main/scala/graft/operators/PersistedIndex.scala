@@ -205,7 +205,12 @@ object PersistedIndex {
           else {
             val at =
               try Files.readString(mark).trim.toLong
-              catch { case _: NumberFormatException => 0L }
+              catch { case _: NumberFormatException =>
+                // a corrupted/partial stamp must RESTART the grace window,
+                // not parse as epoch 0 and delete immediately — that would
+                // be exactly the no-grace hazard the stamp exists to
+                // prevent (ADVICE r17)
+                Files.writeString(mark, now.toString); now }
             if (now - at >= graceMs) deleteTree(p) // phase 2: grace elapsed
           }
         }
@@ -276,6 +281,20 @@ object PersistedIndex {
       } else if (isBuilt(p) && Files.exists(p.resolve("_SOURCE")) &&
           !Files.isDirectory(Paths.get(Files.readString(p.resolve("_SOURCE")))))
         deleteTree(p)
+      else if (isBuilt(p) && Files.exists(p.resolve("_SUPERSEDED"))) {
+        // stamped stragglers (VERDICT r17 #7): sweepSuperseded only
+        // deletes a stamped home when a LATER publish for the same source
+        // sweeps again — a family that never publishes again would leave
+        // it forever. Any sibling build finishes the retirement once the
+        // grace window has elapsed; an unparsable stamp restarts it.
+        val now = System.currentTimeMillis()
+        val mark = p.resolve("_SUPERSEDED")
+        val at =
+          try Files.readString(mark).trim.toLong
+          catch { case _: NumberFormatException =>
+            Files.writeString(mark, now.toString); now }
+        if (now - at >= SweepGraceMs) deleteTree(p)
+      }
     } finally it.close()
   }
 
@@ -376,9 +395,25 @@ object PersistedIndex {
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
 
+  /** Publish-marker stamp in NANOSECONDS: second- (or even millisecond-)
+    * granularity mtimes could serve a stale frame after a same-tick
+    * deleteTree + rebuild at one path (ADVICE r17 — spec fixtures do
+    * exactly that); ext4/xfs carry nanosecond timestamps. */
+  private def publishStamp(home: Path): Long =
+    Files.getLastModifiedTime(home.resolve("_INDEX_COMPLETE"))
+      .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+
+  /** Cache key: a DataFrame is bound to the SparkContext that planned it —
+    * keying on the path alone would hand a frame from a STOPPED session to
+    * its successor (ADVICE r17), so the context's applicationId is part of
+    * the key. Dead-context entries are finite (one per home per app) and
+    * inert. */
+  private def cacheKey(s: SparkSession, home: Path, artifact: String): String =
+    s.sparkContext.applicationId + "|" + home.toString + "/" + artifact
+
   def artifactFrame(s: SparkSession, home: Path, artifact: String): DataFrame = {
-    val key = home.toString + "/" + artifact
-    val stamp = Files.getLastModifiedTime(home.resolve("_INDEX_COMPLETE")).toMillis
+    val key = cacheKey(s, home, artifact)
+    val stamp = publishStamp(home)
     val cached = frameCache.get(key)
     if (cached != null && cached._1 == stamp) cached._2
     else {
@@ -389,8 +424,10 @@ object PersistedIndex {
   }
 
   def statsRow(s: SparkSession, home: Path): org.apache.spark.sql.Row = {
-    val key = home.toString
-    val stamp = Files.getLastModifiedTime(home.resolve("_INDEX_COMPLETE")).toMillis
+    // the collected Row is session-free, but key it per session anyway so
+    // the stamp check replays against the session that cached it
+    val key = cacheKey(s, home, "stats")
+    val stamp = publishStamp(home)
     val cached = statsCache.get(key)
     if (cached != null && cached._1 == stamp) cached._2
     else {

@@ -1773,18 +1773,22 @@ object CurationQueries {
     // change rules derive at the CORPUS feed watermark (the CdcRules
     // contract — what the oracle recomputes), equal to each family's
     // snapshot watermark for uncompacted stores
-    def changeIds(table: DataFrame, idCol: String, split: Long): (DataFrame, DataFrame) =
-      (CdcRules.tombstoneIds(table, idCol, split).select(col(idCol).as("__id")),
-       table.filter(CdcRules.isUpdate(col(idCol), split)).select(col(idCol).as("__id")))
+    // the change rules are PURE ID ARITHMETIC (CdcRules), and every store's
+    // ids are corpus ids — so the tombstoned/updated censuses are direct
+    // filters over the store's id column, folded into ONE aggregate pass
+    // per store. The r16 shape semi-joined each store against two corpus-
+    // derived id frames: 12 corpus-sized shuffles per audit, the whole
+    // reason e2e8's second decade read 2.66× (VERDICT r17 #5) — the
+    // single-pass census is map-side only and counts the same rows exactly.
     def row(family: String, split: Long, store: DataFrame, idCol: String,
-        tomb: DataFrame, upd: DataFrame, appended: DataFrame): DataFrame = {
-      val nBase = store.agg(count(lit(1)).as("n_base"))
-      val nTomb = store.join(tomb, store(idCol) === tomb("__id"), "left_semi")
-        .agg(count(lit(1)).as("n_tombstoned"))
-      val nUpd = store.join(upd, store(idCol) === upd("__id"), "left_semi")
-        .agg(count(lit(1)).as("n_upd"))
+        feedSplit: Long, appended: DataFrame): DataFrame = {
+      val counted = store.agg(count(lit(1)).as("n_base"),
+        coalesce(sum(when(CdcRules.isTombstone(col(idCol), feedSplit), 1L)
+          .otherwise(0L)), lit(0L)).as("n_tombstoned"),
+        coalesce(sum(when(CdcRules.isUpdate(col(idCol), feedSplit), 1L)
+          .otherwise(0L)), lit(0L)).as("n_upd"))
       val nApp = appended.agg(count(lit(1)).as("n_app"))
-      nBase.crossJoin(nTomb).crossJoin(nUpd).crossJoin(nApp)
+      counted.crossJoin(nApp)
         .select(lit(family).as("family"), lit(split).as("split_id"),
           col("n_base"), col("n_tombstoned"),
           (col("n_upd") + col("n_app")).as("n_fresh"),
@@ -1797,30 +1801,28 @@ object CurationQueries {
     val posSp = PersistedIndex.readSplit(s, posHome)
     val dFeed = CdcRules.feedSplit(docs, "doc_id")
     val vFeed = CdcRules.feedSplit(embs, "vec_id")
-    val (dTomb, dUpd) = changeIds(docs, "doc_id", dFeed)
-    val (vTomb, vUpd) = changeIds(embs, "vec_id", vFeed)
     // kg's census covers every base doc, so its store stand-in is the
     // id-only corpus slice (the stats row holds only the count)
     val kgStore = docs.filter(col("doc_id") <= kSp).select("doc_id")
     val rows = Seq(
       row("ivf", vFeed, s.read.parquet(vHome.resolve("cells").toString), "vec_id",
-        vTomb, vUpd, embs.filter(col("vec_id") > vSp)),
-      row("kg", dFeed, kgStore, "doc_id", dTomb, dUpd,
+        vFeed, embs.filter(col("vec_id") > vSp)),
+      row("kg", dFeed, kgStore, "doc_id", dFeed,
         docs.filter(col("doc_id") > kSp)),
       row("lsh", dFeed, s.read.parquet(lHome.resolve("sigs").toString), "doc_id",
-        dTomb, dUpd,
+        dFeed,
         docs.filter(col("doc_id") > lSp && size(split(col("text"), " ")) >= 3)),
       row("phash", dFeed, s.read.parquet(mHome.resolve("sigs").toString)
           .withColumnRenamed("asset_id", "doc_id"), "doc_id",
-        dTomb, dUpd,
+        dFeed,
         docs.filter(col("doc_id") > mSp && length(col("text")) >= 64)),
       // the positional family's per-doc census artifact (v3: persisted at
       // build time — no distinct over the (doc, word) store at audit time)
       row("positions", dFeed,
         s.read.parquet(posHome.resolve("docs").toString), "doc_id",
-        dTomb, dUpd, docs.filter(col("doc_id") > posSp)),
+        dFeed, docs.filter(col("doc_id") > posSp)),
       row("postings", dFeed, s.read.parquet(pHome.resolve("doclen").toString), "doc_id",
-        dTomb, dUpd, docs.filter(col("doc_id") > pSp)))
+        dFeed, docs.filter(col("doc_id") > pSp)))
     rows.reduce(_ unionByName _).orderBy("family")
   }
 

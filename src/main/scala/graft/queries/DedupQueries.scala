@@ -936,21 +936,53 @@ object DedupQueries {
       val dead = CdcRules.tombstoneIds(docs, "doc_id", wStar)
       val fresh = CdcRules.freshRows(docs, "doc_id", "text", wStar, snap,
         CdcRules.reversedTokens)
-      val liveSigs = s.read.parquet(cur.resolve("sigs").toString)
-        .join(dead, Seq("doc_id"), "left_anti")
-      val freshSigs = Dedup.minhashSignatures(fresh, "doc_id", "text")
-      liveSigs.unionByName(freshSigs)
-        .write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
-      s.read.parquet(cur.resolve("pairs").toString)
-        .join(dead.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
-        .join(dead.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
-        .select("id_a", "id_b", "shared_bands")
-        .unionByName(Dedup.incrementalCandidatePairs(liveSigs, freshSigs, "doc_id"))
-        .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
-      PersistedIndex.splitStats(s, math.max(snap, hi))
-        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+      foldLshArtifacts(s, tmp, cur, dead, fresh, math.max(snap, hi))
     }
     target
+  }
+
+  /** The LSH family's expunge-deletes artifact rewrite with the change
+    * set passed in — shared by [[compactCdcLshIndex]] (rule-derived
+    * frames) and the streaming maintenance loop's fold
+    * ([[graft.streaming.IndexMaintenance]]). */
+  private[graft] def foldLshArtifacts(s: SparkSession, tmp: java.nio.file.Path,
+      cur: java.nio.file.Path, dead: DataFrame, fresh: DataFrame, split: Long): Unit = {
+    import graft.operators.PersistedIndex
+    val liveSigs = s.read.parquet(cur.resolve("sigs").toString)
+      .join(dead, Seq("doc_id"), "left_anti")
+    val freshSigs = Dedup.minhashSignatures(fresh, "doc_id", "text")
+    liveSigs.unionByName(freshSigs)
+      .write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
+    s.read.parquet(cur.resolve("pairs").toString)
+      .join(dead.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(dead.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
+      .select("id_a", "id_b", "shared_bands")
+      .unionByName(Dedup.incrementalCandidatePairs(liveSigs, freshSigs, "doc_id"))
+      .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
+    PersistedIndex.splitStats(s, split)
+      .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+  }
+
+  /** The LSH family's hooks into the streaming maintenance loop: probe =
+    * the dd22 feed face's candidate-pair query, fold =
+    * [[foldLshArtifacts]]. */
+  private[graft] object LshMaintenance
+      extends graft.streaming.IndexMaintenance.Family {
+    val name = "lsh"
+    val idCol = "doc_id"
+    val payloadCol = "text"
+    val payloadType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    def ensureBase(s: SparkSession, dir: String): java.nio.file.Path =
+      ensureLshIndex(s, dir)
+    def baseCount(s: SparkSession, base: java.nio.file.Path): Long =
+      graft.operators.PersistedIndex.artifactFrame(s, base, "sigs").count()
+    def foldInto(s: SparkSession, tmp: java.nio.file.Path, base: java.nio.file.Path,
+        dead: DataFrame, fresh: DataFrame, split: Long): Unit =
+      foldLshArtifacts(s, tmp, base, dead, fresh, split)
+    def serve(s: SparkSession, dir: String, base: java.nio.file.Path,
+        dead: DataFrame, fresh: DataFrame): DataFrame =
+      lshServe(s, base, dead, fresh)
   }
 
   /** dd21_expunged_neardup — the post-compaction face of dd20: fold the

@@ -884,43 +884,78 @@ object MatchQueries {
       val dead = CdcRules.tombstoneIds(docs, "doc_id", wStar)
       val fresh = CdcRules.freshRows(docs, "doc_id", "text", wStar, snap,
         CdcRules.reversedTokens)
-      val edBase = s.read.parquet(cur.resolve("ed").toString)
-      val edDead = edBase.join(dead, Seq("doc_id"), "left_semi").localCheckpoint(true)
-      val fm = FastMatch.matcher(gazetteer)
-      val edF = fresh.select(col("doc_id"), explode(fm(col("text"))).as("m"))
-        .select(col("doc_id"), col("m.matched").as("entity")).distinct()
-        .localCheckpoint(true)
-      edBase.join(dead, Seq("doc_id"), "left_anti").unionByName(edF)
-        .write.mode("overwrite").parquet(tmp.resolve("ed").toString)
-      def coOf(ed: DataFrame, as: String) = ed.as("a").join(ed.as("b"), Seq("doc_id"))
-        .filter(col("a.entity") < col("b.entity"))
-        .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
-        .agg(count(lit(1)).as(as))
-      s.read.parquet(cur.resolve("co").toString)
-        .join(coOf(edDead, "n_co_x"), Seq("e1", "e2"), "full_outer")
-        .join(coOf(edF, "n_co_f"), Seq("e1", "e2"), "full_outer")
-        .select(col("e1"), col("e2"),
-          (coalesce(col("n_co"), lit(0L)) - coalesce(col("n_co_x"), lit(0L)) +
-            coalesce(col("n_co_f"), lit(0L))).as("n_co"))
-        .filter(col("n_co") > 0)
-        .write.mode("overwrite").parquet(tmp.resolve("co").toString)
-      s.read.parquet(cur.resolve("ent").toString)
-        .join(edDead.groupBy("entity").agg(count(lit(1)).as("n_docs_x")),
-          Seq("entity"), "full_outer")
-        .join(edF.groupBy("entity").agg(count(lit(1)).as("n_docs_f")),
-          Seq("entity"), "full_outer")
-        .select(col("entity"),
-          (coalesce(col("n_docs"), lit(0L)) - coalesce(col("n_docs_x"), lit(0L)) +
-            coalesce(col("n_docs_f"), lit(0L))).as("n_docs"))
-        .filter(col("n_docs") > 0)
-        .write.mode("overwrite").parquet(tmp.resolve("ent").toString)
-      dead.agg(count(lit(1)).as("n_x"))
-        .crossJoin(fresh.agg(count(lit(1)).as("n_f")))
-        .select((lit(ndB) - col("n_x") + col("n_f")).as("nd"))
-        .withColumn("split_id", lit(math.max(snap, hi)))
-        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+      foldKgArtifacts(s, tmp, cur, dead, fresh, math.max(snap, hi))
     }
     target
+  }
+
+  /** The KG family's expunge-deletes artifact rewrite with the change set
+    * passed in — shared by [[compactCdcKgIndex]] (rule-derived frames)
+    * and the streaming maintenance loop's fold
+    * ([[graft.streaming.IndexMaintenance]]). Like [[kgServe]]'s census
+    * update, the `nd` subtraction assumes dead ids were in the served
+    * corpus — the feed op contract ('a' = never-served doc) guarantees
+    * it. */
+  private[graft] def foldKgArtifacts(s: SparkSession, tmp: java.nio.file.Path,
+      cur: java.nio.file.Path, dead: DataFrame, fresh: DataFrame, split: Long): Unit = {
+    import graft.operators.PersistedIndex
+    val ndB = PersistedIndex.statsRow(s, cur).getAs[Long]("nd")
+    val edBase = s.read.parquet(cur.resolve("ed").toString)
+    val edDead = edBase.join(dead, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    val fm = FastMatch.matcher(gazetteer)
+    val edF = fresh.select(col("doc_id"), explode(fm(col("text"))).as("m"))
+      .select(col("doc_id"), col("m.matched").as("entity")).distinct()
+      .localCheckpoint(true)
+    edBase.join(dead, Seq("doc_id"), "left_anti").unionByName(edF)
+      .write.mode("overwrite").parquet(tmp.resolve("ed").toString)
+    def coOf(ed: DataFrame, as: String) = ed.as("a").join(ed.as("b"), Seq("doc_id"))
+      .filter(col("a.entity") < col("b.entity"))
+      .groupBy(col("a.entity").as("e1"), col("b.entity").as("e2"))
+      .agg(count(lit(1)).as(as))
+    s.read.parquet(cur.resolve("co").toString)
+      .join(coOf(edDead, "n_co_x"), Seq("e1", "e2"), "full_outer")
+      .join(coOf(edF, "n_co_f"), Seq("e1", "e2"), "full_outer")
+      .select(col("e1"), col("e2"),
+        (coalesce(col("n_co"), lit(0L)) - coalesce(col("n_co_x"), lit(0L)) +
+          coalesce(col("n_co_f"), lit(0L))).as("n_co"))
+      .filter(col("n_co") > 0)
+      .write.mode("overwrite").parquet(tmp.resolve("co").toString)
+    s.read.parquet(cur.resolve("ent").toString)
+      .join(edDead.groupBy("entity").agg(count(lit(1)).as("n_docs_x")),
+        Seq("entity"), "full_outer")
+      .join(edF.groupBy("entity").agg(count(lit(1)).as("n_docs_f")),
+        Seq("entity"), "full_outer")
+      .select(col("entity"),
+        (coalesce(col("n_docs"), lit(0L)) - coalesce(col("n_docs_x"), lit(0L)) +
+          coalesce(col("n_docs_f"), lit(0L))).as("n_docs"))
+      .filter(col("n_docs") > 0)
+      .write.mode("overwrite").parquet(tmp.resolve("ent").toString)
+    dead.agg(count(lit(1)).as("n_x"))
+      .crossJoin(fresh.agg(count(lit(1)).as("n_f")))
+      .select((lit(ndB) - col("n_x") + col("n_f")).as("nd"))
+      .withColumn("split_id", lit(split))
+      .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+  }
+
+  /** The KG family's hooks into the streaming maintenance loop: probe =
+    * the kg9 feed face's NPMI query, fold = [[foldKgArtifacts]]. */
+  private[graft] object KgMaintenance
+      extends graft.streaming.IndexMaintenance.Family {
+    val name = "kg"
+    val idCol = "doc_id"
+    val payloadCol = "text"
+    val payloadType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    def ensureBase(s: SparkSession, dir: String): java.nio.file.Path =
+      ensureKgDeltaIndex(s, dir)
+    def baseCount(s: SparkSession, base: java.nio.file.Path): Long =
+      graft.operators.PersistedIndex.statsRow(s, base).getAs[Long]("nd")
+    def foldInto(s: SparkSession, tmp: java.nio.file.Path, base: java.nio.file.Path,
+        dead: DataFrame, fresh: DataFrame, split: Long): Unit =
+      foldKgArtifacts(s, tmp, base, dead, fresh, split)
+    def serve(s: SparkSession, dir: String, base: java.nio.file.Path,
+        dead: DataFrame, fresh: DataFrame): DataFrame =
+      kgServe(s, base, dead, fresh)
   }
 
   /** kg8_expunged_graph — the post-compaction face of kg7: fold the change
@@ -948,14 +983,14 @@ object MatchQueries {
     kgServe(s, home, dead, fresh)
   }
 
-  /** kg1's SQL replayed over the POST-CHANGE corpus (the ir14/dd20 oracle
-    * convention). */
-  val kg7TombstoneGraphSql: String = {
-    val edChanged = entityDocsSql.replace("FROM documents", "FROM kg7corpus")
-    s"""WITH ${graft.operators.CdcRules.sqlCorpusCtes("kg7corpus",
-          graft.operators.CdcRules.sqlReversedTokens("d.text"))},
+  /** kg1's SQL replayed over a POST-CHANGE corpus CTE (the ir14/dd20
+    * oracle convention) — shared by the kg7/kg8/kg9 family and the sized
+    * kg10 face, which differ only in the corpus CTE prefix. */
+  private def kgGraphSqlOver(corpusCtes: String, corpusName: String): String = {
+    val edChanged = entityDocsSql.replace("FROM documents", s"FROM $corpusName")
+    s"""WITH $corpusCtes,
        |$edChanged,
-       |nd AS (SELECT COUNT(*) AS nd FROM kg7corpus),
+       |nd AS (SELECT COUNT(*) AS nd FROM $corpusName),
        |ent AS (SELECT entity, COUNT(*) AS n_docs FROM ed GROUP BY entity),
        |co AS (
        |  SELECT a.entity AS e1, b.entity AS e2, COUNT(*) AS n_co
@@ -970,6 +1005,32 @@ object MatchQueries {
        |FROM co JOIN ent ea ON ea.entity = co.e1 JOIN ent eb ON eb.entity = co.e2
        |CROSS JOIN nd ORDER BY npmi_e6 DESC, e1, e2""".stripMargin
   }
+
+  val kg7TombstoneGraphSql: String = kgGraphSqlOver(
+    graft.operators.CdcRules.sqlCorpusCtes("kg7corpus",
+      graft.operators.CdcRules.sqlReversedTokens("d.text")), "kg7corpus")
+
+  /** kg10_sized_graph — kg9 at a CRAWL-SIZED batch (VERDICT r17 #5, the
+    * dd23/mm11/ir22 contract on the graph family): the feed generator
+    * takes the [[graft.operators.CdcRules.sizedFeed]] batch bound, so the
+    * Aho-Corasick re-match and the count subtraction/addition legs read
+    * O(window) fresh rows no matter the corpus size. At the correctness
+    * SFs the window covers the whole corpus and kg10 ≡ kg7/kg9. */
+  def kg10SizedGraph(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val docs = t(s, dir, "documents")
+    val wStar = CdcRules.feedSplit(docs, "doc_id")
+    val home = ensureKgDeltaIndex(s, dir)
+    val (dead, fresh) = CdcRules.feedFrames(
+      CdcRules.sizedFeed(
+        graft.streaming.EventStreams.cdcStream(docs, wStar), "doc_id", wStar),
+      "doc_id", "text", PersistedIndex.readSplit(s, home))
+    kgServe(s, home, dead, fresh)
+  }
+
+  val kg10SizedGraphSql: String = kgGraphSqlOver(
+    graft.operators.CdcRules.sqlSizedCorpusCtes("kg10corpus",
+      graft.operators.CdcRules.sqlReversedTokens("d.text")), "kg10corpus")
 
   /** el3's minimum corpus support for a FUZZY (distance-1) link: below
     * this document prior, a typo match is more likely noise than alias. */
@@ -1182,6 +1243,7 @@ object MatchQueries {
     "kg7_tombstone_graph" -> (kg7TombstoneGraph _),
     "kg8_expunged_graph" -> (kg8ExpungedGraph _),
     "kg9_feed_graph" -> (kg9FeedGraph _),
+    "kg10_sized_graph" -> (kg10SizedGraph _),
     "el1_mention_link" -> (el1MentionLink _),
     "el2_context_score" -> (el2ContextScore _),
     "el3_nil_gate" -> (el3NilGate _),
@@ -1205,6 +1267,7 @@ object MatchQueries {
     "kg8_expunged_graph" -> kg7TombstoneGraphSql,
     // the feed generator replays the same rules: kg9 ≡ kg7
     "kg9_feed_graph" -> kg7TombstoneGraphSql,
+    "kg10_sized_graph" -> kg10SizedGraphSql,
     "el1_mention_link" -> el1MentionLinkSql,
     "el2_context_score" -> el2ContextScoreSql,
     "el3_nil_gate" -> el3NilGateSql,

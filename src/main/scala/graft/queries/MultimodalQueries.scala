@@ -530,37 +530,72 @@ object MultimodalQueries {
         .select(col("doc_id").cast(LongType).as("asset_id"))
       val fresh = CdcRules.freshRows(docs, "doc_id", "text", wStar, snap,
         CdcRules.reversedTokens)
-      val baseSigs = s.read.parquet(cur.resolve("sigs").toString)
-      val liveSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_anti")
-      val deadSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_semi")
-      val freshSigs = phashSigs(fresh).localCheckpoint(true)
-      liveSigs.unionByName(freshSigs)
-        .write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
-      val (bAll, bDead) = (bandedPhash(baseSigs), bandedPhash(deadSigs))
-      val (bLive, bF) = (bandedPhash(liveSigs), bandedPhash(freshSigs))
-      val sub = phashPairCounts(phashPairsOf(bDead, bAll, both = true))
-      val add = phashPairCounts(
-        phashPairsOf(bLive, bF, both = true).unionByName(phashPairsOf(bF, bF, both = false)))
-      s.read.parquet(cur.resolve("counts").toString)
-        .select(col("asset_id"), col("n_cand").as("nc0"), col("n_near").as("nn0"))
-        .join(sub.select(col("asset_id"), col("n_cand").as("ncx"), col("n_near").as("nnx")),
-          Seq("asset_id"), "full_outer")
-        .join(add.select(col("asset_id"), col("n_cand").as("ncf"), col("n_near").as("nnf")),
-          Seq("asset_id"), "full_outer")
-        .select(col("asset_id"),
-          (coalesce(col("nc0"), lit(0L)) - coalesce(col("ncx"), lit(0L)) +
-            coalesce(col("ncf"), lit(0L))).as("n_cand"),
-          (coalesce(col("nn0"), lit(0L)) - coalesce(col("nnx"), lit(0L)) +
-            coalesce(col("nnf"), lit(0L))).as("n_near"))
-        // a fully-isolated asset keeps its (0, 0) row only while its
-        // signature survives — dead assets' count rows leave with them
-        .join(liveSigs.select("asset_id").unionByName(freshSigs.select("asset_id")),
-          Seq("asset_id"), "left_semi")
-        .write.mode("overwrite").parquet(tmp.resolve("counts").toString)
-      PersistedIndex.splitStats(s, math.max(snap, hi))
-        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+      foldPhashArtifacts(s, tmp, cur, deadIds, fresh, math.max(snap, hi))
     }
     target
+  }
+
+  /** The pHash family's expunge-deletes artifact rewrite with the change
+    * set passed in (`deadIds` already as asset_id) — shared by
+    * [[compactCdcPhashIndex]] (rule-derived frames) and the streaming
+    * maintenance loop's fold ([[graft.streaming.IndexMaintenance]]). */
+  private[graft] def foldPhashArtifacts(s: SparkSession, tmp: java.nio.file.Path,
+      cur: java.nio.file.Path, deadIds: DataFrame, fresh: DataFrame, split: Long): Unit = {
+    import graft.operators.PersistedIndex
+    val baseSigs = s.read.parquet(cur.resolve("sigs").toString)
+    val liveSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_anti")
+    val deadSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_semi")
+    val freshSigs = phashSigs(fresh).localCheckpoint(true)
+    liveSigs.unionByName(freshSigs)
+      .write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
+    val (bAll, bDead) = (bandedPhash(baseSigs), bandedPhash(deadSigs))
+    val (bLive, bF) = (bandedPhash(liveSigs), bandedPhash(freshSigs))
+    val sub = phashPairCounts(phashPairsOf(bDead, bAll, both = true))
+    val add = phashPairCounts(
+      phashPairsOf(bLive, bF, both = true).unionByName(phashPairsOf(bF, bF, both = false)))
+    s.read.parquet(cur.resolve("counts").toString)
+      .select(col("asset_id"), col("n_cand").as("nc0"), col("n_near").as("nn0"))
+      .join(sub.select(col("asset_id"), col("n_cand").as("ncx"), col("n_near").as("nnx")),
+        Seq("asset_id"), "full_outer")
+      .join(add.select(col("asset_id"), col("n_cand").as("ncf"), col("n_near").as("nnf")),
+        Seq("asset_id"), "full_outer")
+      .select(col("asset_id"),
+        (coalesce(col("nc0"), lit(0L)) - coalesce(col("ncx"), lit(0L)) +
+          coalesce(col("ncf"), lit(0L))).as("n_cand"),
+        (coalesce(col("nn0"), lit(0L)) - coalesce(col("nnx"), lit(0L)) +
+          coalesce(col("nnf"), lit(0L))).as("n_near"))
+      // a fully-isolated asset keeps its (0, 0) row only while its
+      // signature survives — dead assets' count rows leave with them
+      .join(liveSigs.select("asset_id").unionByName(freshSigs.select("asset_id")),
+        Seq("asset_id"), "left_semi")
+      .write.mode("overwrite").parquet(tmp.resolve("counts").toString)
+    PersistedIndex.splitStats(s, split)
+      .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+  }
+
+  /** The pHash family's hooks into the streaming maintenance loop: probe
+    * = the mm10 feed face's per-asset near-dup counts, fold =
+    * [[foldPhashArtifacts]]. The feed id is doc_id; the index id is
+    * asset_id (same value, the mm8 mapping). */
+  private[graft] object PhashMaintenance
+      extends graft.streaming.IndexMaintenance.Family {
+    val name = "phash"
+    val idCol = "doc_id"
+    val payloadCol = "text"
+    val payloadType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    private def asAsset(dead: DataFrame): DataFrame =
+      dead.select(col("doc_id").cast(LongType).as("asset_id"))
+    def ensureBase(s: SparkSession, dir: String): java.nio.file.Path =
+      ensurePhashIndex(s, dir)
+    def baseCount(s: SparkSession, base: java.nio.file.Path): Long =
+      graft.operators.PersistedIndex.artifactFrame(s, base, "sigs").count()
+    def foldInto(s: SparkSession, tmp: java.nio.file.Path, base: java.nio.file.Path,
+        dead: DataFrame, fresh: DataFrame, split: Long): Unit =
+      foldPhashArtifacts(s, tmp, base, asAsset(dead), fresh, split)
+    def serve(s: SparkSession, dir: String, base: java.nio.file.Path,
+        dead: DataFrame, fresh: DataFrame): DataFrame =
+      phashServe(s, base, asAsset(dead), fresh)
   }
 
   /** mm9_expunged_phash — the post-compaction face of mm8: fold the

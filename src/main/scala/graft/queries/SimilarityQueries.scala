@@ -533,22 +533,70 @@ object SimilarityQueries {
       val fresh = CdcRules.freshRows(embAll, "vec_id", "embedding", wStar, snap,
         CdcRules.negatedVector)
       val centroids = s.read.parquet(cur.resolve("centroids").toString)
-      val idx = graft.operators.Similarity.centroidIndex(centroids, "vec_id", "embedding")
-      val freshCells = withCell(withNorm(fresh), idx)
-        .select(col("vec_id"), col("embedding"), col("norm"),
-          col("cell").cast(LongType).as("cell"))
-      val liveCells = s.read.parquet(cur.resolve("cells").toString)
-        .select(col("vec_id"), col("embedding"), col("norm"),
-          col("cell").cast(LongType).as("cell"))
-        .join(dead, Seq("vec_id"), "left_anti")
-        .select("vec_id", "embedding", "norm", "cell")
-      graft.sources.Layout.writePartitioned(
-        liveCells.unionByName(freshCells), tmp.resolve("cells").toString, "cell")
-      centroids.write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
-      PersistedIndex.splitStats(s, math.max(snap, hi))
-        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+      foldIvfArtifacts(s, tmp, cur, dead, fresh, math.max(snap, hi))
     }
     target
+  }
+
+  /** The IVF family's expunge-deletes artifact rewrite with the change
+    * set passed in — shared by [[compactCdcIvfIndex]] (rule-derived
+    * frames) and the streaming maintenance loop's fold
+    * ([[graft.streaming.IndexMaintenance]]). Centroids are COPIED, never
+    * retrained — the FAISS immutable-training contract. */
+  private[graft] def foldIvfArtifacts(s: SparkSession, tmp: java.nio.file.Path,
+      cur: java.nio.file.Path, dead: DataFrame, fresh: DataFrame, split: Long): Unit = {
+    import graft.operators.PersistedIndex
+    val centroids = s.read.parquet(cur.resolve("centroids").toString)
+    val idx = graft.operators.Similarity.centroidIndex(centroids, "vec_id", "embedding")
+    val freshCells = withCell(withNorm(fresh), idx)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("cell").cast(LongType).as("cell"))
+    val liveCells = s.read.parquet(cur.resolve("cells").toString)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("cell").cast(LongType).as("cell"))
+      .join(dead, Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding", "norm", "cell")
+    graft.sources.Layout.writePartitioned(
+      liveCells.unionByName(freshCells), tmp.resolve("cells").toString, "cell")
+    centroids.write.mode("overwrite").parquet(tmp.resolve("centroids").toString)
+    PersistedIndex.splitStats(s, split)
+      .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+  }
+
+  /** The IVF family's hooks into the streaming maintenance loop: probe =
+    * [[ivfServe]] with the post-change query slice derived from the SAME
+    * (dead, fresh) frames (a deleted query stops querying, an updated one
+    * probes with its new vector), fold = [[foldIvfArtifacts]]. */
+  private[graft] object IvfMaintenance
+      extends graft.streaming.IndexMaintenance.Family {
+    val name = "ivf"
+    val idCol = "vec_id"
+    val payloadCol = "embedding"
+    val payloadType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
+    def ensureBase(s: SparkSession, dir: String): java.nio.file.Path =
+      ensureIvfDeltaIndex(s, dir)
+    def baseCount(s: SparkSession, base: java.nio.file.Path): Long =
+      graft.operators.PersistedIndex.artifactFrame(s, base, "cells").count()
+    def foldInto(s: SparkSession, tmp: java.nio.file.Path, base: java.nio.file.Path,
+        dead: DataFrame, fresh: DataFrame, split: Long): Unit =
+      foldIvfArtifacts(s, tmp, base, dead, fresh, split)
+    def serve(s: SparkSession, dir: String, base: java.nio.file.Path,
+        dead: DataFrame, fresh: DataFrame): DataFrame = {
+      // the query slice comes from the SERVING SET (cells ∖ dead ∪ fresh),
+      // not the raw corpus: after a fold the loop's only record of
+      // cumulative deletes IS the folded cell table, and a deleted query
+      // must stop querying at any fold state
+      val q = withNorm(
+          graft.operators.PersistedIndex.artifactFrame(s, base, "cells")
+            .filter(col("vec_id") < NQueries)
+            .select("vec_id", "embedding")
+            .join(dead, Seq("vec_id"), "left_anti")
+            .unionByName(fresh.filter(col("vec_id") < NQueries)))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("norm").as("qn"))
+      ivfServe(s, base, dead, fresh, q)
+    }
   }
 
   /** ss13_feed_probe — the feed-table face of ss10 (the ir15 contract on

@@ -2675,39 +2675,51 @@ object TextQueries {
       (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"), st.getAs[Long]("split_id"))
     val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
     PersistedIndex.buildIfAbsent(target, dir) { tmp =>
-      val nBk = readBuckets(s, cur)
       val dead = CdcRules.tombstoneIds(docs, "doc_id", wStar)
       val fresh = CdcRules.freshRows(docs, "doc_id", "text", wStar, snap,
         CdcRules.redactedText)
-      val freshTf = fresh
-        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val freshDl = freshTf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      // dead rows LEAVE the artifacts; base postings are otherwise copied
-      // from parquet, never re-derived from text
-      graft.sources.Layout.writePartitioned(
-        s.read.parquet(cur.resolve("postings").toString)
-          .select("doc_id", "word", "tf")
-          .join(dead, Seq("doc_id"), "left_anti")
-          .unionByName(freshTf)
-          .withColumn("bucket", pmod(detHash(col("word")), lit(nBk))),
-        tmp.resolve("postings").toString, "bucket")
-      val baseDl = s.read.parquet(cur.resolve("doclen").toString)
-      baseDl.join(dead, Seq("doc_id"), "left_anti").unionByName(freshDl)
-        .write.mode("overwrite").parquet(tmp.resolve("doclen").toString)
-      val deadStats = baseDl.join(dead, Seq("doc_id"), "left_semi")
-        .agg(count(lit(1)).as("n_dead"), coalesce(sum("dl"), lit(0L)).as("dl_dead"))
-      val freshStats = freshDl
-        .agg(count(lit(1)).as("n_fresh"), coalesce(sum("dl"), lit(0L)).as("dl_fresh"))
-      deadStats.crossJoin(freshStats)
-        .select((lit(nB) - col("n_dead") + col("n_fresh")).as("n_docs"),
-          (lit(dlB) - col("dl_dead") + col("dl_fresh")).as("total_dl"))
-        // the new snapshot contains every corpus row: the append leg is empty
-        .withColumn("split_id", lit(math.max(snap, hi)))
-        .withColumn("n_buckets", lit(nBk))
-        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+      foldPostingsArtifacts(s, tmp, cur, dead, fresh, math.max(snap, hi))
     }
     target
+  }
+
+  /** The postings family's expunge-deletes artifact rewrite with the
+    * change set passed IN — shared by [[compactCdcPostingsIndex]] (rule-
+    * derived frames) and the streaming maintenance loop's fold (segment-
+    * derived frames, [[graft.streaming.IndexMaintenance]]): dead rows
+    * LEAVE every artifact, fresh payloads tokenize once, stats update by
+    * exact Long subtract/add; base postings are otherwise copied from
+    * parquet, never re-derived from text. */
+  private[graft] def foldPostingsArtifacts(s: SparkSession, tmp: java.nio.file.Path,
+      cur: java.nio.file.Path, dead: DataFrame, fresh: DataFrame, split: Long): Unit = {
+    import graft.operators.PersistedIndex
+    val st = PersistedIndex.statsRow(s, cur)
+    val (nB, dlB) = (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"))
+    val nBk = readBuckets(s, cur)
+    val freshTf = fresh
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val freshDl = freshTf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    graft.sources.Layout.writePartitioned(
+      s.read.parquet(cur.resolve("postings").toString)
+        .select("doc_id", "word", "tf")
+        .join(dead, Seq("doc_id"), "left_anti")
+        .unionByName(freshTf)
+        .withColumn("bucket", pmod(detHash(col("word")), lit(nBk))),
+      tmp.resolve("postings").toString, "bucket")
+    val baseDl = s.read.parquet(cur.resolve("doclen").toString)
+    baseDl.join(dead, Seq("doc_id"), "left_anti").unionByName(freshDl)
+      .write.mode("overwrite").parquet(tmp.resolve("doclen").toString)
+    val deadStats = baseDl.join(dead, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_dead"), coalesce(sum("dl"), lit(0L)).as("dl_dead"))
+    val freshStats = freshDl
+      .agg(count(lit(1)).as("n_fresh"), coalesce(sum("dl"), lit(0L)).as("dl_fresh"))
+    deadStats.crossJoin(freshStats)
+      .select((lit(nB) - col("n_dead") + col("n_fresh")).as("n_docs"),
+        (lit(dlB) - col("dl_dead") + col("dl_fresh")).as("total_dl"))
+      .withColumn("split_id", lit(split))
+      .withColumn("n_buckets", lit(nBk))
+      .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
   }
 
   /** ir14b_expunged_serve — the post-compaction face of ir14: run the
@@ -3379,26 +3391,58 @@ object TextQueries {
     val snap = PersistedIndex.readSplit(s, cur)
     val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
     PersistedIndex.buildIfAbsent(target, dir) { tmp =>
-      val nBk = readBuckets(s, cur)
       val dead = CdcRules.tombstoneIds(docs, "doc_id", wStar)
       val fresh = CdcRules.freshRows(docs, "doc_id", "text", wStar, snap,
         CdcRules.reversedTokens)
-      graft.sources.Layout.writePartitioned(
-        s.read.parquet(cur.resolve("positions").toString)
-          .select("doc_id", "word", "positions")
-          .join(dead, Seq("doc_id"), "left_anti")
-          .unionByName(positionsOf(fresh))
-          .withColumn("bucket", pmod(detHash(col("word")), lit(nBk))),
-        tmp.resolve("positions").toString, "bucket")
-      s.read.parquet(cur.resolve("docs").toString)
-        .join(dead, Seq("doc_id"), "left_anti")
-        .unionByName(fresh.select("doc_id").distinct())
-        .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
-      PersistedIndex.splitStats(s, math.max(snap, hi))
-        .withColumn("n_buckets", lit(nBk))
-        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+      foldPosArtifacts(s, tmp, cur, dead, fresh, math.max(snap, hi))
     }
     target
+  }
+
+  /** The positions family's expunge-deletes artifact rewrite with the
+    * change set passed in (shared with the streaming maintenance loop —
+    * see [[foldPostingsArtifacts]]). */
+  private[graft] def foldPosArtifacts(s: SparkSession, tmp: java.nio.file.Path,
+      cur: java.nio.file.Path, dead: DataFrame, fresh: DataFrame, split: Long): Unit = {
+    import graft.operators.PersistedIndex
+    val nBk = readBuckets(s, cur)
+    graft.sources.Layout.writePartitioned(
+      s.read.parquet(cur.resolve("positions").toString)
+        .select("doc_id", "word", "positions")
+        .join(dead, Seq("doc_id"), "left_anti")
+        .unionByName(positionsOf(fresh))
+        .withColumn("bucket", pmod(detHash(col("word")), lit(nBk))),
+      tmp.resolve("positions").toString, "bucket")
+    s.read.parquet(cur.resolve("docs").toString)
+      .join(dead, Seq("doc_id"), "left_anti")
+      .unionByName(fresh.select("doc_id").distinct())
+      .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
+    PersistedIndex.splitStats(s, split)
+      .withColumn("n_buckets", lit(nBk))
+      .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+  }
+
+  /** The positional family's hooks into the streaming maintenance loop
+    * ([[graft.streaming.IndexMaintenance]]): probe = the ir19 feed face's
+    * phrase query, fold = [[foldPosArtifacts]]. */
+  private[graft] object PositionsMaintenance
+      extends graft.streaming.IndexMaintenance.Family {
+    val name = "positions"
+    val idCol = "doc_id"
+    val payloadCol = "text"
+    val payloadType: org.apache.spark.sql.types.DataType = StringType
+    def ensureBase(s: SparkSession, dir: String): java.nio.file.Path =
+      ensurePosIndex(s, dir)
+    def baseCount(s: SparkSession, base: java.nio.file.Path): Long =
+      graft.operators.PersistedIndex.artifactFrame(s, base, "docs").count()
+    def foldInto(s: SparkSession, tmp: java.nio.file.Path, base: java.nio.file.Path,
+        dead: DataFrame, fresh: DataFrame, split: Long): Unit =
+      foldPosArtifacts(s, tmp, base, dead, fresh, split)
+    def serve(s: SparkSession, dir: String, base: java.nio.file.Path,
+        dead: DataFrame, fresh: DataFrame): DataFrame = {
+      val (w1, w2) = PhraseTerms
+      phraseMatch(posServe(s, base, dead, fresh, Seq(w1, w2)), w1, w2)
+    }
   }
 
   /** ir18b_expunged_phrase — fold, then serve phrase matches straight
@@ -3590,8 +3634,8 @@ object TextQueries {
       .orderBy("query_id", "rank")
   }
 
-  val ir21PhraseBatchSql: String = {
-    val qtValues = PhraseBatch
+  private def phraseBatchSqlOver(batch: Seq[(Long, String, String, Int)]): String = {
+    val qtValues = batch
       .map { case (q, w1, w2, sl) => s"($q, '$w1', '$w2', $sl)" }.mkString(", ")
     s"""WITH qt(query_id, w1, w2, slop) AS (VALUES $qtValues),
        |tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -3608,6 +3652,33 @@ object TextQueries {
        |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, n_matches
        |FROM ranked WHERE rank <= $BatchTopK ORDER BY query_id, rank""".stripMargin
   }
+
+  val ir21PhraseBatchSql: String = phraseBatchSqlOver(PhraseBatch)
+
+  /** The 100-entry phrase/slop table for the batch-axis pricing face
+    * (VERDICT r17 #6 — ir24's 100-query axis on the POSITIONAL family):
+    * deterministic index arithmetic over the phrase vocabulary, so Spark
+    * and the oracle replay the identical table. */
+  private[queries] lazy val PhraseBatch100: Seq[(Long, String, String, Int)] = {
+    val vocab = PhraseBatch.flatMap(b => Seq(b._2, b._3)).distinct.sorted
+    (0L until 100L).map { i =>
+      val a = ((i * 7 + 2) % vocab.length).toInt
+      val b0 = ((i * 11 + 3) % vocab.length).toInt
+      val b = if (b0 == a) (b0 + 1) % vocab.length else b0
+      (i, vocab(a), vocab(b), (i % 3L).toInt)
+    }
+  }
+
+  /** ir25_phrase_batch100 — the batch axis extended to 100 phrase/slop
+    * queries: the SAME one-plan kernel as ir21 (one bucket-pruned
+    * positional read for the union of all 100 queries' terms, broadcast
+    * query table, per-(query, doc) window test in codegen, k-bounded
+    * TopK), ~8× the query table — the positional twin of ir24's
+    * amortization row in BASELINE.md. */
+  def ir25PhraseBatch100(s: SparkSession, dir: String): DataFrame =
+    ir21Internals(s, dir, PhraseBatch100, BatchTopK)
+
+  lazy val ir25PhraseBatch100Sql: String = phraseBatchSqlOver(PhraseBatch100)
 
   val ir13bUnorderedNearSql: String = {
     val (w1, w2, w3) = ProximityTerms
@@ -4282,6 +4353,7 @@ object TextQueries {
     "ir16_query_batch" -> (ir16QueryBatch _),
     "ir20_cdc_query_batch" -> (ir20CdcQueryBatch _),
     "ir21_phrase_batch" -> (ir21PhraseBatch _),
+    "ir25_phrase_batch100" -> (ir25PhraseBatch100 _),
     "ir22_sized_feed" -> (ir22SizedFeed _),
     "ir23_sized_query_batch" -> (ir23SizedQueryBatch _),
     "ir24_query_batch100" -> (ir24QueryBatch100 _),
@@ -4355,6 +4427,7 @@ object TextQueries {
     "ir16_query_batch" -> ir16QueryBatchSql,
     "ir20_cdc_query_batch" -> ir20CdcQueryBatchSql,
     "ir21_phrase_batch" -> ir21PhraseBatchSql,
+    "ir25_phrase_batch100" -> ir25PhraseBatch100Sql,
     "ir22_sized_feed" -> ir22SizedFeedSql,
     "ir23_sized_query_batch" -> ir23SizedQueryBatchSql,
     "ir24_query_batch100" -> ir24QueryBatch100Sql,

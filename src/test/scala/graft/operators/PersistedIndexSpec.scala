@@ -138,6 +138,31 @@ class PersistedIndexSpec extends SparkSpec {
     PersistedIndex.deleteTree(other.getParent)
   }
 
+  test("sweepStale: a stamped straggler sweeps after grace without a new same-source publish") {
+    val dirA = Files.createTempDirectory("pistrgA").toString
+    val dirB = Files.createTempDirectory("pistrgB").toString
+    def build(tmp: java.nio.file.Path): Unit = Files.writeString(tmp.resolve("artifact"), "x")
+    val h1 = PersistedIndex.ensure("spec_strag", dirA, "fpA")(build)
+    val h2 = PersistedIndex.ensure("spec_strag", dirA, "fpB")(build) // stamps h1
+    assert(Files.exists(h1.resolve("_SUPERSEDED")))
+    // an UNPARSABLE stamp must restart the grace window, not delete now
+    Files.writeString(h1.resolve("_SUPERSEDED"), "not-a-number")
+    PersistedIndex.ensure("spec_strag", dirB, "fp")(build) // sibling build → sweepStale
+    assert(Files.exists(h1), "a corrupted stamp restarts the grace window")
+    assert(Files.readString(h1.resolve("_SUPERSEDED")).trim.forall(_.isDigit),
+      "…and is rewritten to a fresh parsable stamp")
+    // age the stamp past the grace: ANY sibling build now finishes the
+    // retirement — dirA never publishes again (VERDICT r17 #7)
+    Files.writeString(h1.resolve("_SUPERSEDED"),
+      (System.currentTimeMillis() - PersistedIndex.SweepGraceMs - 1L).toString)
+    PersistedIndex.deleteTree(Paths.get(dirB))
+    PersistedIndex.ensure("spec_strag", Files.createTempDirectory("pistrgC").toString,
+      "fp")(build)
+    assert(!Files.exists(h1), "an aged stamped home sweeps on the next sibling build")
+    assert(PersistedIndex.isBuilt(h2), "the live generation survives")
+    PersistedIndex.deleteTree(h2.getParent)
+  }
+
   test("currentHome: resolves the highest COMPLETE compaction generation, ignores junk") {
     val dir = Files.createTempDirectory("pigen").toString
     def build(tmp: java.nio.file.Path): Unit = Files.writeString(tmp.resolve("artifact"), "x")
