@@ -170,12 +170,19 @@ object MultimodalQueries {
       .select(col("asset_id"), col("phash64"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Per-asset candidate/near counts over a distinct ordered pair set —
-    * mm4's aggregation, shared with mm7's merge. */
+  /** The Hamming adjudication of a raw (id_a, id_b, sa, sb) pair frame —
+    * applied ONCE (at build/fold/pairing time) and persisted as the
+    * `near` flag, so counting never re-reads signatures. */
+  private def withNear(cand: DataFrame): DataFrame =
+    cand.select(col("id_a"), col("id_b"),
+      (expr(s"bit_count(sa ^ sb)") <= MaxHamming).as("near"))
+
+  /** Per-asset candidate/near counts over a distinct NEAR-FLAGGED ordered
+    * pair set — mm4's aggregation, shared with mm7's merge. */
   private def phashPairCounts(cand: DataFrame): DataFrame =
     cand.groupBy(col("id_a").as("asset_id"))
       .agg(count(lit(1)).as("n_cand"),
-        sum(when(expr(s"bit_count(sa ^ sb)") <= MaxHamming, 1L).otherwise(0L)).as("n_near"))
+        sum(when(col("near"), 1L).otherwise(0L)).as("n_near"))
 
   def mm4PhashNeardup(s: SparkSession, dir: String): DataFrame = {
     val sig = phashSigs(t(s, dir, "documents"))
@@ -186,7 +193,7 @@ object MultimodalQueries {
         col("band"), col("key")), Seq("band", "key"))
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b", "sa", "sb").distinct()
-    val cnt = phashPairCounts(cand)
+    val cnt = phashPairCounts(withNear(cand))
     sig.join(cnt, Seq("asset_id"), "left")
       .select(col("asset_id"), col("phash64"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
@@ -401,22 +408,38 @@ object MultimodalQueries {
     * id-range watermark (the dd18 recipe applied to the perceptual-hash
     * family — asset stores checkpoint exactly this between crawls). */
   private def phashFp(dir: String): String =
-    graft.operators.PersistedIndex.tableFingerprint(dir, "documents")
+    // the "p2" suffix versions the ARTIFACT LAYOUT (v2: merged `rows` +
+    // near-flagged symmetric `pairs`) — a layout change must never read a
+    // prior generation's homes
+    graft.operators.PersistedIndex.tableFingerprint(dir, "documents") + "p2"
 
+  /** v2 artifact layout: `rows` (asset_id, phash64, n_cand, n_near) — the
+    * served answer itself, adjudicated at build/fold time — and `pairs`
+    * (id_a, id_b, near), the SYMMETRIC distinct candidate set with the
+    * Hamming adjudication precomputed (the LSH family's persisted-pairs
+    * recipe). Serving then never re-bands the store: dead contributions
+    * subtract from persisted pairs (map-side broadcast marks) and only
+    * the O(window) fresh side meets the bander. */
   private[queries] def ensurePhashIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
     PersistedIndex.ensure("phash_index", dir, phashFp(dir)) { tmp =>
       val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
-      phashSigs(t(s, dir, "documents").filter(col("doc_id") <= split))
-        .write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
-      val b = bandedPhash(s.read.parquet(tmp.resolve("sigs").toString))
+      val sigs = phashSigs(t(s, dir, "documents").filter(col("doc_id") <= split))
+        .localCheckpoint(true)
+      val b = bandedPhash(sigs)
       val cand = b.select(col("asset_id").as("id_a"), col("phash64").as("sa"),
           col("band"), col("key"))
         .join(b.select(col("asset_id").as("id_b"), col("phash64").as("sb"),
           col("band"), col("key")), Seq("band", "key"))
         .filter(col("id_a") =!= col("id_b"))
         .select("id_a", "id_b", "sa", "sb").distinct()
-      phashPairCounts(cand).write.mode("overwrite").parquet(tmp.resolve("counts").toString)
+      withNear(cand).write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
+      val counts = phashPairCounts(s.read.parquet(tmp.resolve("pairs").toString))
+      sigs.join(counts, Seq("asset_id"), "left")
+        .select(col("asset_id"), col("phash64"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .write.mode("overwrite").parquet(tmp.resolve("rows").toString)
       PersistedIndex.splitStats(s, split)
         .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }
@@ -452,44 +475,77 @@ object MultimodalQueries {
     * ordered sets, so per-asset counts merge by exact Long sums. mm7
     * passes (∅, appends); mm8 the [[graft.operators.CdcRules]] change
     * set; the expunged serve (∅, ∅) against a CDC-folded generation. */
-  private def phashServe(s: SparkSession, home: java.nio.file.Path,
-      deadIds: DataFrame, fresh: DataFrame): DataFrame = {
-    val baseSigs = graft.operators.PersistedIndex.artifactFrame(s, home, "sigs")
-    val liveSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_anti")
-    val deadSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_semi")
-    val freshSigs = graft.operators.CdcRules.pinDerived(s, fresh, phashSigs(fresh))
-    val (bAll, bDead) = (bandedPhash(baseSigs), bandedPhash(deadSigs))
-    val (bLive, bF) = (bandedPhash(liveSigs), bandedPhash(freshSigs))
-    // ordered pairs of the ORIGINAL base universe touching a dead asset —
-    // the exact subset of the persisted counts' pair set
-    val sub = phashPairCounts(phashPairsOf(bDead, bAll, both = true))
-    val add = phashPairCounts(
+  /** The incremental kernel shared by [[phashServe]] and
+    * [[foldPhashArtifacts]] — returns (outRows, livePairs, addPairs) where
+    * outRows is the post-change answer (unsorted) and livePairs ∪ addPairs
+    * is the post-change symmetric pair set. The 100 TB shape: the
+    * persisted store is only ever SCANNED map-side (broadcast dead marks,
+    * broadcast fresh bands, broadcast count adjustments) — no full-store
+    * shuffle, no re-band of base signatures; only the O(window) fresh
+    * payload meets the DCT and the bander. Statically-empty dead/fresh
+    * frames erase every delta leg (PropagateEmptyRelation + the pinDerived
+    * substitution), so a post-fold serve is a pure `rows` artifact scan. */
+  private def phashDelta(s: SparkSession, home: java.nio.file.Path,
+      deadIds: DataFrame, fresh: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val rows0 = PersistedIndex.artifactFrame(s, home, "rows")
+    val pairs0 = PersistedIndex.artifactFrame(s, home, "pairs")
+    val dead = CdcRules.pinDelta(deadIds.select(col("asset_id")))
+    val freshSigs = CdcRules.pinDerived(s, fresh, phashSigs(fresh))
+    // dead-touching pair contributions come from the PERSISTED pair set:
+    // two broadcast membership marks, a map-side filter, a window-sized
+    // aggregate — never a re-band of the store (a dead asset's sub equals
+    // its full persisted count, so an updated asset nets to its add side)
+    val marked = pairs0
+      .join(broadcast(dead.select(col("asset_id").as("id_a"), lit(true).as("da"))),
+        Seq("id_a"), "left")
+      .join(broadcast(dead.select(col("asset_id").as("id_b"), lit(true).as("db"))),
+        Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("near"),
+        (coalesce(col("da"), lit(false)) || coalesce(col("db"), lit(false))).as("hit"))
+    val sub = phashPairCounts(marked.filter(col("hit")).select("id_a", "id_b", "near"))
+    val livePairs = marked.filter(!col("hit")).select("id_a", "id_b", "near")
+    val liveRows = rows0.join(broadcast(dead), Seq("asset_id"), "left_anti")
+    val bF = bandedPhash(freshSigs)
+    val bLive = bandedPhash(liveRows.select("asset_id", "phash64"))
+    val addPairs = withNear(
       phashPairsOf(bLive, bF, both = true).unionByName(phashPairsOf(bF, bF, both = false)))
-    val counts = graft.operators.PersistedIndex.artifactFrame(s, home, "counts")
-      .select(col("asset_id"), col("n_cand").as("nc0"), col("n_near").as("nn0"))
-      .join(sub.select(col("asset_id"), col("n_cand").as("ncx"), col("n_near").as("nnx")),
-        Seq("asset_id"), "full_outer")
-      .join(add.select(col("asset_id"), col("n_cand").as("ncf"), col("n_near").as("nnf")),
-        Seq("asset_id"), "full_outer")
-      .select(col("asset_id"),
-        (coalesce(col("nc0"), lit(0L)) - coalesce(col("ncx"), lit(0L)) +
-          coalesce(col("ncf"), lit(0L))).as("n_cand"),
-        (coalesce(col("nn0"), lit(0L)) - coalesce(col("nnx"), lit(0L)) +
-          coalesce(col("nnf"), lit(0L))).as("n_near"))
-    liveSigs.unionByName(freshSigs).join(counts, Seq("asset_id"), "left")
+    val add = phashPairCounts(addPairs)
+    val outBase = liveRows
+      .join(broadcast(sub.select(col("asset_id"), col("n_cand").as("ncx"),
+        col("n_near").as("nnx"))), Seq("asset_id"), "left")
+      .join(broadcast(add.select(col("asset_id"), col("n_cand").as("ncf"),
+        col("n_near").as("nnf"))), Seq("asset_id"), "left")
       .select(col("asset_id"), col("phash64"),
-        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"))
-      .orderBy("asset_id")
+        (col("n_cand") - coalesce(col("ncx"), lit(0L)) +
+          coalesce(col("ncf"), lit(0L))).as("n_cand"),
+        (col("n_near") - coalesce(col("nnx"), lit(0L)) +
+          coalesce(col("nnf"), lit(0L))).as("n_near"))
+    val outFresh = freshSigs
+      .join(broadcast(add.select(col("asset_id"), col("n_cand").as("ncf"),
+        col("n_near").as("nnf"))), Seq("asset_id"), "left")
+      .select(col("asset_id"), col("phash64"),
+        coalesce(col("ncf"), lit(0L)).as("n_cand"),
+        coalesce(col("nnf"), lit(0L)).as("n_near"))
+    (outBase.unionByName(outFresh), livePairs, addPairs)
   }
 
+  private def phashServe(s: SparkSession, home: java.nio.file.Path,
+      deadIds: DataFrame, fresh: DataFrame): DataFrame =
+    phashDelta(s, home, deadIds, fresh)._1.orderBy("asset_id")
+
+  /** Banded candidate pairing with the RIGHT side always the window-sized
+    * frame — broadcast on both orientations, so the (possibly
+    * corpus-sized) left frame is only ever scanned map-side. */
   private def phashPairsOf(left: DataFrame, right: DataFrame, both: Boolean): DataFrame = {
     def a(b: DataFrame) = b.select(col("asset_id").as("id_a"), col("phash64").as("sa"),
       col("band"), col("key"))
     def bb(b: DataFrame) = b.select(col("asset_id").as("id_b"), col("phash64").as("sb"),
       col("band"), col("key"))
-    val fwd = a(left).join(bb(right), Seq("band", "key"))
-    val base = if (both) fwd.unionByName(a(right).join(bb(left), Seq("band", "key"))) else fwd
+    val fwd = a(left).join(broadcast(bb(right)), Seq("band", "key"))
+    val base =
+      if (both) fwd.unionByName(broadcast(a(right)).join(bb(left), Seq("band", "key")))
+      else fwd
     base.filter(col("id_a") =!= col("id_b")).select("id_a", "id_b", "sa", "sb").distinct()
   }
 
@@ -542,33 +598,10 @@ object MultimodalQueries {
   private[graft] def foldPhashArtifacts(s: SparkSession, tmp: java.nio.file.Path,
       cur: java.nio.file.Path, deadIds: DataFrame, fresh: DataFrame, split: Long): Unit = {
     import graft.operators.PersistedIndex
-    val baseSigs = s.read.parquet(cur.resolve("sigs").toString)
-    val liveSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_anti")
-    val deadSigs = baseSigs.join(deadIds, Seq("asset_id"), "left_semi")
-    val freshSigs = phashSigs(fresh).localCheckpoint(true)
-    liveSigs.unionByName(freshSigs)
-      .write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
-    val (bAll, bDead) = (bandedPhash(baseSigs), bandedPhash(deadSigs))
-    val (bLive, bF) = (bandedPhash(liveSigs), bandedPhash(freshSigs))
-    val sub = phashPairCounts(phashPairsOf(bDead, bAll, both = true))
-    val add = phashPairCounts(
-      phashPairsOf(bLive, bF, both = true).unionByName(phashPairsOf(bF, bF, both = false)))
-    s.read.parquet(cur.resolve("counts").toString)
-      .select(col("asset_id"), col("n_cand").as("nc0"), col("n_near").as("nn0"))
-      .join(sub.select(col("asset_id"), col("n_cand").as("ncx"), col("n_near").as("nnx")),
-        Seq("asset_id"), "full_outer")
-      .join(add.select(col("asset_id"), col("n_cand").as("ncf"), col("n_near").as("nnf")),
-        Seq("asset_id"), "full_outer")
-      .select(col("asset_id"),
-        (coalesce(col("nc0"), lit(0L)) - coalesce(col("ncx"), lit(0L)) +
-          coalesce(col("ncf"), lit(0L))).as("n_cand"),
-        (coalesce(col("nn0"), lit(0L)) - coalesce(col("nnx"), lit(0L)) +
-          coalesce(col("nnf"), lit(0L))).as("n_near"))
-      // a fully-isolated asset keeps its (0, 0) row only while its
-      // signature survives — dead assets' count rows leave with them
-      .join(liveSigs.select("asset_id").unionByName(freshSigs.select("asset_id")),
-        Seq("asset_id"), "left_semi")
-      .write.mode("overwrite").parquet(tmp.resolve("counts").toString)
+    val (outRows, livePairs, addPairs) = phashDelta(s, cur, deadIds, fresh)
+    outRows.write.mode("overwrite").parquet(tmp.resolve("rows").toString)
+    livePairs.unionByName(addPairs)
+      .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
     PersistedIndex.splitStats(s, split)
       .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
   }
@@ -589,7 +622,7 @@ object MultimodalQueries {
     def ensureBase(s: SparkSession, dir: String): java.nio.file.Path =
       ensurePhashIndex(s, dir)
     def baseCount(s: SparkSession, base: java.nio.file.Path): Long =
-      graft.operators.PersistedIndex.artifactFrame(s, base, "sigs").count()
+      graft.operators.PersistedIndex.artifactFrame(s, base, "rows").count()
     def foldInto(s: SparkSession, tmp: java.nio.file.Path, base: java.nio.file.Path,
         dead: DataFrame, fresh: DataFrame, split: Long): Unit =
       foldPhashArtifacts(s, tmp, base, asAsset(dead), fresh, split)
@@ -674,34 +707,14 @@ object MultimodalQueries {
     val docs = t(s, dir, "documents")
     val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
     if (hi <= w0) return cur // nothing in flight — compaction is a no-op
-    val fp = PersistedIndex.tableFingerprint(dir, "documents")
-    val target = PersistedIndex.home("phash_index", dir, fp + "_c" + hi)
+    val target = PersistedIndex.home("phash_index", dir, phashFp(dir) + "_c" + hi)
     PersistedIndex.buildIfAbsent(target, dir) { tmp =>
-      val baseSigs = s.read.parquet(cur.resolve("sigs").toString)
-      val deltaSigs = phashSigs(docs.filter(col("doc_id") > w0)).localCheckpoint(true)
-      baseSigs.unionByName(deltaSigs)
-        .write.mode("overwrite").parquet(tmp.resolve("sigs").toString)
-      // the delta-touching pair classes, exactly mm7's probe derivation
-      val (bB, bD) = (bandedPhash(baseSigs), bandedPhash(deltaSigs))
-      def a(b: DataFrame) = b.select(col("asset_id").as("id_a"), col("phash64").as("sa"),
-        col("band"), col("key"))
-      def bb(b: DataFrame) = b.select(col("asset_id").as("id_b"), col("phash64").as("sb"),
-        col("band"), col("key"))
-      val touch = a(bB).join(bb(bD), Seq("band", "key"))
-        .unionByName(a(bD).join(bb(bB), Seq("band", "key")))
-        .unionByName(a(bD).join(bb(bD), Seq("band", "key")).filter(col("id_a") =!= col("id_b")))
-        .select("id_a", "id_b", "sa", "sb").distinct()
-      val add = phashPairCounts(touch)
-      s.read.parquet(cur.resolve("counts").toString)
-        .select(col("asset_id"), col("n_cand").as("nc0"), col("n_near").as("nn0"))
-        .join(add.select(col("asset_id"), col("n_cand").as("nc1"), col("n_near").as("nn1")),
-          Seq("asset_id"), "full_outer")
-        .select(col("asset_id"),
-          (coalesce(col("nc0"), lit(0L)) + coalesce(col("nc1"), lit(0L))).as("n_cand"),
-          (coalesce(col("nn0"), lit(0L)) + coalesce(col("nn1"), lit(0L))).as("n_near"))
-        .write.mode("overwrite").parquet(tmp.resolve("counts").toString)
-      PersistedIndex.splitStats(s, hi)
-        .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
+      // append-only fold: no dead set, the in-flight segment is the fresh
+      // side — [[phashDelta]]'s add classes are exactly mm7's three
+      // disjoint pair classes
+      foldPhashArtifacts(s, tmp, cur,
+        graft.operators.CdcRules.emptyIds(s, "asset_id"),
+        docs.filter(col("doc_id") > w0).select("doc_id", "text"), hi)
     }
     PersistedIndex.sweepSuperseded(target, dir)
     target

@@ -666,8 +666,8 @@ class R13QueriesSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(home0), "the stamped generation sweeps once the grace elapses")
     assert(MultimodalQueries.ensurePhashIndex(spark, tmp) === home1, "resolution re-points")
     // the straddling near-pair's counts now live in the persisted artifact
-    val counts = spark.read.parquet(home1.resolve("counts").toString).collect()
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val counts = spark.read.parquet(home1.resolve("rows").toString).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(counts(40L) >= 1L && counts(95L) >= 1L)
     val after = MultimodalQueries.mm7PhashDelta(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
@@ -777,7 +777,7 @@ class R13QueriesSpec extends SparkSpec {
     }.toDF("doc_id", "text", "n_chars")
     docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val home = MultimodalQueries.ensurePhashIndex(spark, tmp)
-    val maxIndexed = spark.read.parquet(home.resolve("sigs").toString)
+    val maxIndexed = spark.read.parquet(home.resolve("rows").toString)
       .agg(max("asset_id")).collect()(0).getLong(0)
     assert(maxIndexed <= 90L, "the persisted snapshot must not contain delta assets")
     val rows = MultimodalQueries.mm7PhashDelta(spark, tmp).collect()

@@ -404,11 +404,11 @@ class R16QueriesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     val cdcHome = MultimodalQueries.compactCdcPhashIndex(spark, tmp)
     assert(cdcHome.getFileName.toString.endsWith("_cdc117"))
-    val sigIds = spark.read.parquet(cdcHome.resolve("sigs").toString)
+    val sigIds = spark.read.parquet(cdcHome.resolve("rows").toString)
       .select("asset_id").collect().map(_.getLong(0)).toSet
     assert(!sigIds.contains(33L) && sigIds.contains(28L) && sigIds.contains(120L))
-    val counts = spark.read.parquet(cdcHome.resolve("counts").toString)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val counts = spark.read.parquet(cdcHome.resolve("rows").toString)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
     assert(!counts.contains(33L), "the dead asset's count row left with its signature")
     assert(counts(10L)._2 >= 2L, "surviving near counts reflect the post-change pair set")
     val served = MultimodalQueries.mm8TombstonePhash(spark, tmp)

@@ -162,7 +162,7 @@ class R17QueriesSpec extends SparkSpec {
         r.getLong(4), r.getLong(5), r.getBoolean(6), r.getLong(7), r.getLong(8))).toSeq
     val rows = rowsOf()
     assert(rows.map(_._1) === Seq("ivf", "kg", "lsh", "phash",
-      "positions", "positions_base", "postings"))
+      "positions", "positions_base", "postings", "postings_stream"))
     rows.foreach { r =>
       assert(r._6 === r._3 - r._4 + r._5, s"${r._1}: serving census identity")
     }
