@@ -2433,11 +2433,14 @@ object TextQueries {
     val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
     val nBk = nBucketsOverride.getOrElse(bucketCountFor(
       t(s, dir, "documents").filter(col("doc_id") <= split).select("doc_id").count()))
-    val tf = tfTable(s, dir).filter(col("doc_id") <= split)
+    val tf0 = tfTable(s, dir).filter(col("doc_id") <= split)
+    val dl = tf0.groupBy("doc_id").agg(sum("tf").as("dl")).localCheckpoint(true)
+    // postings carry the doc length (the norms-with-postings layout) —
+    // a build-time join so no serve ever joins the corpus-sized doclen
+    val tf = tf0.join(dl, Seq("doc_id"))
       .withColumn("bucket", pmod(detHash(col("word")), lit(nBk)))
     graft.sources.Layout.writePartitioned(
       tf, tmp.resolve("postings").toString, "bucket")
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     dl.write.mode("overwrite").parquet(tmp.resolve("doclen").toString)
     dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
       .withColumn("split_id", lit(split))
@@ -2479,13 +2482,14 @@ object TextQueries {
       val deltaTf = docs.filter(col("doc_id") > w0)
         .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val deltaDl = deltaTf.groupBy("doc_id").agg(sum("tf").as("dl"))
       val basePost = s.read.parquet(cur.resolve("postings").toString)
-        .select("doc_id", "word", "tf")
+        .select("doc_id", "word", "tf", "dl")
       graft.sources.Layout.writePartitioned(
-        basePost.unionByName(deltaTf)
+        basePost.unionByName(deltaTf.join(deltaDl, Seq("doc_id")))
           .withColumn("bucket", pmod(detHash(col("word")), lit(nBk))),
         tmp.resolve("postings").toString, "bucket")
-      val deltaDl = deltaTf.groupBy("doc_id").agg(sum("tf").as("dl"))
       s.read.parquet(cur.resolve("doclen").toString).unionByName(deltaDl)
         .write.mode("overwrite").parquet(tmp.resolve("doclen").toString)
       // exact Long merge of the sufficient statistics — no re-count of
@@ -2615,7 +2619,10 @@ object TextQueries {
     ir14Internals(s, dir, RetrievalQTerms)._1
 
   private def postingsFp(dir: String): String =
-    "v1_" + graft.operators.PersistedIndex.tableFingerprint(dir, "documents")
+    // v2: postings rows CARRY the document length (Lucene's
+    // norms-with-postings convention) so the batched serve never joins
+    // the corpus-sized doclen artifact; v1 stored (doc_id, word, tf) only
+    "v2_" + graft.operators.PersistedIndex.tableFingerprint(dir, "documents")
 
   /** (result, feed watermark) — split out so the spec can replay a crafted
     * corpus where the pre-update winner must vanish. The change set derives
@@ -2696,15 +2703,15 @@ object TextQueries {
     val st = PersistedIndex.statsRow(s, cur)
     val (nB, dlB) = (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"))
     val nBk = readBuckets(s, cur)
-    val freshTf = fresh
+    val freshTf = graft.operators.CdcRules.pinDerived(s, fresh, fresh
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
     val freshDl = freshTf.groupBy("doc_id").agg(sum("tf").as("dl"))
     graft.sources.Layout.writePartitioned(
       s.read.parquet(cur.resolve("postings").toString)
-        .select("doc_id", "word", "tf")
+        .select("doc_id", "word", "tf", "dl")
         .join(dead, Seq("doc_id"), "left_anti")
-        .unionByName(freshTf)
+        .unionByName(freshTf.join(freshDl, Seq("doc_id")))
         .withColumn("bucket", pmod(detHash(col("word")), lit(nBk))),
       tmp.resolve("postings").toString, "bucket")
     val baseDl = s.read.parquet(cur.resolve("doclen").toString)
@@ -2962,22 +2969,25 @@ object TextQueries {
       batch.flatMap { case (qid, ts) => ts.map(w => (qid, w)) }
         .toDF("query_id", "word"))
     val qbuckets = allTerms.map(q => detHash60Local(q) % nBk).distinct.sorted
-    // ONE pruned artifact read serves every query's tf AND df
+    // ONE pruned artifact read serves every query's tf AND df; v2
+    // postings carry the doc length, so NOTHING below joins the
+    // corpus-sized doclen artifact — the only corpus-scale input is the
+    // pruned read itself
     val baseTf = graft.operators.PersistedIndex.artifactFrame(s, home, "postings")
       .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
         col("word").isInCollection(allTerms))
-      .select("doc_id", "word", "tf")
+      .select("doc_id", "word", "tf", "dl")
       .join(dead, Seq("doc_id"), "left_anti")
     // ONE fresh tokenization amortized across the whole batch —
     // materialized, since tfAll/df/freshDl would each re-derive it
     val freshTf = graft.operators.CdcRules.pinDerived(s, fresh, fresh
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
-    val tfAll = baseTf.unionByName(
-      freshTf.filter(col("word").isInCollection(allTerms)).select("doc_id", "word", "tf"))
     val freshDl = freshTf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val tfAll = baseTf.unionByName(
+      freshTf.filter(col("word").isInCollection(allTerms)).select("doc_id", "word", "tf")
+        .join(broadcast(freshDl), Seq("doc_id")))
     val baseDl = graft.operators.PersistedIndex.artifactFrame(s, home, "doclen")
-    val dl = baseDl.join(dead, Seq("doc_id"), "left_anti").unionByName(freshDl)
     // merged corpus stats: base − tombstoned + fresh, exact Long sums;
     // per-term df from the SAME pruned read — both tiny, broadcast
     val deadStats = baseDl.join(dead, Seq("doc_id"), "left_semi")
@@ -2991,7 +3001,6 @@ object TextQueries {
     val scored = tfAll
       .join(qt, Seq("word"))
       .join(broadcast(df), Seq("word"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
     val avgdl = col("total_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
     val tfd = col("tf").cast(DoubleType)
