@@ -124,6 +124,20 @@ object GraftFunctions {
       s"nfc_normalize expects 1 argument, got ${other.length}")
   }
 
+  val phash64Ident = new FunctionIdentifier("phash64")
+
+  val phash64Info = new ExpressionInfo(
+    classOf[Phash64Expression].getName, null, "phash64",
+    "phash64(text) - byte-stream perceptual hash (64-block pool, e4 DCT-II, " +
+      "sign-vs-median 64-bit), one compact loop instead of the 64-wide unrolled tree (codegen).",
+    "")
+
+  val phash64Builder: Seq[Expression] => Expression = {
+    case Seq(t) => Phash64Expression(t)
+    case other => throw new IllegalArgumentException(
+      s"phash64 expects 1 argument, got ${other.length}")
+  }
+
   val topKIdent = new FunctionIdentifier("top_k_smallest")
 
   val topKInfo = new ExpressionInfo(
@@ -174,6 +188,8 @@ object GraftFunctions {
       .registerFunction(stripAccentsIdent, stripAccentsInfo, stripAccentsBuilder)
     spark.sessionState.functionRegistry
       .registerFunction(topKIdent, topKInfo, topKBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(phash64Ident, phash64Info, phash64Builder)
   }
 }
 
@@ -197,5 +213,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.stripAccentsBuilder))
     ext.injectFunction((GraftFunctions.topKIdent, GraftFunctions.topKInfo,
       GraftFunctions.topKBuilder))
+    ext.injectFunction((GraftFunctions.phash64Ident, GraftFunctions.phash64Info,
+      GraftFunctions.phash64Builder))
   }
 }

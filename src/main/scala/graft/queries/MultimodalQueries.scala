@@ -137,26 +137,17 @@ object MultimodalQueries {
     * mm4, exposed so MultimodalSpec can prove the perceptual property
     * (locally perturbed copy → small Hamming distance) on fixture data. */
   private[graft] def phashSigs(docs: DataFrame): DataFrame =
+    // the DCT chain as ONE native codegen loop
+    // ([[graft.plans.Phash64Expression]], bit-identical by construction):
+    // the unrolled 64-wide expression tree blew janino's 64 KB method
+    // limit, so every hashed row paid INTERPRETED eval — the family's
+    // dominant per-row cost at every scale
     docs
       .filter(length(col("text")) >= 64)
       .select(col("doc_id").cast(LongType).as("asset_id"),
-        col("text"), length(col("text")).cast(LongType).as("n"))
-      .withColumn("codes", expr(
-        "transform(filter(split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))"))
-      .withColumn("gv", expr(
-        """transform(sequence(0, 63), k ->
-          |  aggregate(slice(codes, CAST(k * n div 64 AS INT) + 1,
-          |      CAST((k + 1) * n div 64 - k * n div 64 AS INT)),
-          |    0L, (acc, x) -> acc + x)
-          |  div ((k + 1) * n div 64 - k * n div 64))""".stripMargin))
-      .withColumn("tv", expr(s"array(${tvTerms((i, _) => s"element_at(gv, $i)")})"))
-      .withColumn("fv", expr(s"array(${fvTerms(i => s"element_at(tv, $i)")})"))
-      .withColumn("med", expr("element_at(array_sort(fv), 32)"))
-      .withColumn("phash64", expr((0 until 64).map { j =>
-        val bit = if (j == 63) "(-9223372036854775807L - 1L)" else s"shiftleft(1L, $j)"
-        s"IF(element_at(fv, ${j + 1}) > med, $bit, 0L)"
-      }.mkString(" + ")))
-      .select("asset_id", "phash64")
+        org.apache.spark.sql.GraftColumnBridge.column(graft.plans.Phash64Expression(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text"))))
+          .as("phash64"))
 
   /** (asset_id, phash64, band, key) band rows — mm4's blocking layout,
     * shared with mm7's persisted/delta faces. */
