@@ -2217,7 +2217,7 @@ object TextQueries {
       val tf = tfTable(s, dir)
         .withColumn("bucket", pmod(detHash(col("word")), lit(nBk)))
       graft.sources.Layout.writePartitioned(
-        tf, tmp.resolve("postings").toString, "bucket")
+        tf, tmp.resolve("postings").toString, "bucket", "word")
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       dl.write.mode("overwrite").parquet(tmp.resolve("doclen").toString)
       dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
@@ -2238,7 +2238,7 @@ object TextQueries {
           .withColumn("ts_ub_e6", ceil(lit(1e6) * ts).cast(LongType))
           .withColumn("blk", expr(s"doc_id div $Ir9Block"))
           .groupBy("bucket", "word", "blk").agg(max("ts_ub_e6").as("ub_e6")),
-        tmp.resolve("blockmax").toString, "bucket")
+        tmp.resolve("blockmax").toString, "bucket", "word")
     }
   }
 
@@ -2440,7 +2440,7 @@ object TextQueries {
     val tf = tf0.join(dl, Seq("doc_id"))
       .withColumn("bucket", pmod(detHash(col("word")), lit(nBk)))
     graft.sources.Layout.writePartitioned(
-      tf, tmp.resolve("postings").toString, "bucket")
+      tf, tmp.resolve("postings").toString, "bucket", "word")
     dl.write.mode("overwrite").parquet(tmp.resolve("doclen").toString)
     dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
       .withColumn("split_id", lit(split))
@@ -2489,7 +2489,7 @@ object TextQueries {
       graft.sources.Layout.writePartitioned(
         basePost.unionByName(deltaTf.join(deltaDl, Seq("doc_id")))
           .withColumn("bucket", pmod(detHash(col("word")), lit(nBk))),
-        tmp.resolve("postings").toString, "bucket")
+        tmp.resolve("postings").toString, "bucket", "word")
       s.read.parquet(cur.resolve("doclen").toString).unionByName(deltaDl)
         .write.mode("overwrite").parquet(tmp.resolve("doclen").toString)
       // exact Long merge of the sufficient statistics — no re-count of
@@ -2713,7 +2713,7 @@ object TextQueries {
         .join(dead, Seq("doc_id"), "left_anti")
         .unionByName(freshTf.join(freshDl, Seq("doc_id")))
         .withColumn("bucket", pmod(detHash(col("word")), lit(nBk))),
-      tmp.resolve("postings").toString, "bucket")
+      tmp.resolve("postings").toString, "bucket", "word")
     val baseDl = s.read.parquet(cur.resolve("doclen").toString)
     baseDl.join(dead, Seq("doc_id"), "left_anti").unionByName(freshDl)
       .write.mode("overwrite").parquet(tmp.resolve("doclen").toString)
@@ -3230,7 +3230,7 @@ object TextQueries {
       positionsOf(t(s, dir, "documents").filter(col("doc_id") <= split)
           .select("doc_id", "text"))
         .withColumn("bucket", pmod(detHash(col("word")), lit(nBk))),
-      tmp.resolve("positions").toString, "bucket")
+      tmp.resolve("positions").toString, "bucket", "word")
     t(s, dir, "documents").filter(col("doc_id") <= split).select("doc_id")
       .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
     PersistedIndex.splitStats(s, split)
@@ -3290,7 +3290,7 @@ object TextQueries {
           .select("doc_id", "word", "positions")
           .unionByName(positionsOf(delta))
           .withColumn("bucket", pmod(detHash(col("word")), lit(nBk))),
-        tmp.resolve("positions").toString, "bucket")
+        tmp.resolve("positions").toString, "bucket", "word")
       s.read.parquet(cur.resolve("docs").toString)
         .unionByName(delta.select("doc_id"))
         .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
@@ -3421,7 +3421,7 @@ object TextQueries {
         .join(dead, Seq("doc_id"), "left_anti")
         .unionByName(positionsOf(fresh))
         .withColumn("bucket", pmod(detHash(col("word")), lit(nBk))),
-      tmp.resolve("positions").toString, "bucket")
+      tmp.resolve("positions").toString, "bucket", "word")
     s.read.parquet(cur.resolve("docs").toString)
       .join(dead, Seq("doc_id"), "left_anti")
       .unionByName(fresh.select("doc_id").distinct())
