@@ -144,7 +144,7 @@ object MicroBench {
     // there). Same signatures / verdicts — the checksums prove it; the fold
     // form is what the stateless streaming gates ride.
     val (tMhGrouped, nMhGrouped) = time {
-      graft.operators.Dedup.minhashSignatures(docsAll, "doc_id", "text")
+      graft.operators.Dedup.minhashSignaturesGrouped(docsAll, "doc_id", "text")
         .agg(sum(col("s0") % 997)).collect()(0).getLong(0)
     }
     val (tMhPerRow, nMhPerRow) = time {

@@ -68,8 +68,29 @@ object Dedup {
         round(lit(1e6) * col("n_contam") / col("n_sh")).cast(LongType))
   }
 
-  /** Per-row MinHash signature columns s0..s{n-1}. */
+  /** Per-doc MinHash signature columns s0..s{n-1} — computed by the
+    * native [[graft.plans.MinhashSigsExpression]] loop: one MD5 per
+    * shingle (the dominant cost either way, the shared DetHash60 kernel)
+    * but NO explode, NO shuffle, no 16-way min aggregate — the grouped
+    * spelling shuffled ~5M exploded shingle rows for a 50k-doc refresh.
+    * Bit-identical to [[minhashSignaturesGrouped]] (DedupQueriesSpec pins
+    * parity); the `size >= 3` filter is shingles()' row-drop. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigsArr = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.MinhashSigsExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)),
+        hashA, hashB, P, 3))
+    df.filter(size(split(col(textCol), " ")) >= 3)
+      .withColumn("__s", sigsArr)
+      .select(col(idCol) +:
+        (0 until NumHashes).map(i => element_at(col("__s"), i + 1).as(s"s$i")): _*)
+  }
+
+  /** The explode + det_hash60 + groupBy spelling — retired from the hot
+    * paths, kept as the parity witness the spec pins the native loop
+    * against. */
+  private[graft] def minhashSignaturesGrouped(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min((lit(hashA(i)) * col("__hb") + lit(hashB(i))) % P).as(s"s$i"))
     shingles(df, idCol, textCol)

@@ -10,14 +10,17 @@ class DedupQueriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("per-row MinHash signatures are bit-identical to the grouped form") {
+  test("native, per-row and grouped MinHash signatures are bit-identical") {
     import graft.operators.Dedup
     val docs = graft.Tables(spark, dir, "documents").select("doc_id", "text")
-    val grouped = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val grouped = Dedup.minhashSignaturesGrouped(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val native = Dedup.minhashSignatures(docs, "doc_id", "text")
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     val perRow = Dedup.minhashSignaturesPerRow(docs, "doc_id", "text")
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
-    assert(perRow.nonEmpty)
+    assert(native.nonEmpty)
+    assert(native === grouped)
     assert(perRow === grouped)
   }
 
