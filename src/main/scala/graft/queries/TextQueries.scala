@@ -1420,29 +1420,31 @@ object TextQueries {
     * final per-pair metric projection, e6-rounded per the Q rule. */
   def a22Bleu(s: SparkSession, dir: String): DataFrame = {
     val d = DoubleType
-    val grams = t(s, dir, "documents")
-      .select(expr("doc_id div 2").as("pair_id"), (col("doc_id") % 2).as("side"),
-        tokens(col("text")).as("tk"))
-      .withColumn("g2", wordNgrams("tk", 2))
-      .select(col("pair_id"), col("side"), explode(concat(
-        expr("transform(tk, x -> struct(1 AS n, x AS g))"),
-        expr("transform(g2, x -> struct(2 AS n, x AS g))"))).as("p"))
-      .select(col("pair_id"), col("side"), col("p.n").as("n"), col("p.g").as("g"))
+    // r18: pair the TEXTS once, then clip unigram/bigram multisets per
+    // pair in the native [[graft.plans.BleuCountsExpression]] loop — the
+    // exploded (pair_id, n, gram) hash agg shuffled the whole gram stream
+    // for five integers per pair (the a23 rewrite, on the token domain).
+    // Tokenization and the zero-length drop are unchanged, so the oracle
+    // is untouched. split('', ' ') of ANY string yields ≥ 1 token, so
+    // c_len/r_len > 0 reduces to both sides being present.
+    val paired = t(s, dir, "documents")
+      .groupBy(expr("doc_id div 2").as("pair_id"))
+      .agg(max(when(col("doc_id") % 2 === 0, col("text"))).as("cand"),
+        max(when(col("doc_id") % 2 === 1, col("text"))).as("ref"))
+      .filter(col("cand").isNotNull && col("ref").isNotNull)
+    val cnt = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.BleuCountsExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("cand")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("ref"))))
     val p1 = col("m1").cast(d) / col("c_len").cast(d)
     val p2 = (col("m2") + 1).cast(d) / (col("t2") + 1).cast(d)
     val bp = exp(least(lit(0.0).cast(d), lit(1.0).cast(d) - col("r_len").cast(d) / col("c_len").cast(d)))
-    // clip at gram granularity, then roll straight up to the pair — the
-    // (pair_id, n) middle rollup was a pure reshaping and cost one whole
-    // Exchange (folded r9; the n split survives as conditional sums)
-    grams.groupBy("pair_id", "n", "g")
-      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cc"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("rc"))
-      .groupBy("pair_id")
-      .agg(sum(when(col("n") === 1, least(col("cc"), col("rc")))).as("m1"),
-        sum(when(col("n") === 1, col("cc"))).as("c_len"),
-        sum(when(col("n") === 1, col("rc"))).as("r_len"),
-        coalesce(sum(when(col("n") === 2, least(col("cc"), col("rc")))), lit(0L)).as("m2"),
-        coalesce(sum(when(col("n") === 2, col("cc"))), lit(0L)).as("t2"))
+    paired.withColumn("__c", cnt)
+      .select(col("pair_id"), element_at(col("__c"), 1).as("m1"),
+        element_at(col("__c"), 2).as("c_len"),
+        element_at(col("__c"), 3).as("r_len"),
+        element_at(col("__c"), 4).as("m2"),
+        element_at(col("__c"), 5).as("t2"))
       .filter(col("c_len") > 0 && col("r_len") > 0)
       .select(col("pair_id"), col("c_len"), col("r_len"), col("m1"), col("m2"),
         round(p1 * lit(1e6)).cast(LongType).as("p1_e6"),
@@ -1693,21 +1695,27 @@ object TextQueries {
     * parity is unchanged. */
   def a23Chrf(s: SparkSession, dir: String): DataFrame = {
     val d = DoubleType
-    // r12: trigrams via one split pass + O(1) indexing (the ta1/tok7 fix —
-    // per-position substring made this the suite's most expensive query)
-    val wide = t(s, dir, "documents")
+    // r18: pair the TEXTS once (one groupBy of ~250 MB at sf1), then clip
+    // trigram multisets per pair in the native
+    // [[graft.plans.ChrfCountsExpression]] loop — the exploded
+    // (pair_id, gram) hash agg shuffled ~2.4 GB of gram rows for the same
+    // three integers per pair. Gram definition (code-point trigrams) and
+    // the short-side drop are unchanged, so the oracle is untouched.
+    val paired = t(s, dir, "documents")
       .select(col("doc_id"), TF.unicodeNormalize(col("text")).as("text"))
       .filter(length(col("text")) >= 3)
-      .withColumn("cs", expr("filter(split(text, ''), c -> c <> '')"))
-      .select(expr("doc_id div 2").as("pair_id"), (col("doc_id") % 2).as("side"),
-        explode(expr("transform(sequence(1, size(cs) - 2)," +
-          " i -> concat(element_at(cs, i), element_at(cs, i + 1), element_at(cs, i + 2)))")).as("g"))
-      .groupBy("pair_id", "g")
-      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cc"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("rc"))
-      .groupBy("pair_id")
-      .agg(sum(least(col("cc"), col("rc"))).as("m"),
-        sum(col("cc")).as("cand_ngrams"), sum(col("rc")).as("ref_ngrams"))
+      .groupBy(expr("doc_id div 2").as("pair_id"))
+      .agg(max(when(col("doc_id") % 2 === 0, col("text"))).as("cand"),
+        max(when(col("doc_id") % 2 === 1, col("text"))).as("ref"))
+      .filter(col("cand").isNotNull && col("ref").isNotNull)
+    val cnt = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.ChrfCountsExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("cand")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("ref"))))
+    val wide = paired.withColumn("__c", cnt)
+      .select(col("pair_id"), element_at(col("__c"), 1).as("m"),
+        element_at(col("__c"), 2).as("cand_ngrams"),
+        element_at(col("__c"), 3).as("ref_ngrams"))
       .filter(col("cand_ngrams") > 0 && col("ref_ngrams") > 0)
     val p = col("m").cast(d) / col("cand_ngrams").cast(d)
     val r = col("m").cast(d) / col("ref_ngrams").cast(d)
