@@ -43,15 +43,20 @@ object CurationQueries {
     * presentation, bare plan for consumers like e2e1). */
   private def ta7Core(s: SparkSession, dir: String,
       keepTopE6: Long = KeepTopE6, keepDupE6: Long = KeepDupE6): DataFrame = {
-    val grams = t(s, dir, "documents")
-      .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(wordNgrams("toks", 2)).as("bg"))
-    grams.groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(sum("cnt").as("n_bigrams"),
-        max("cnt").as("top_cnt"),
-        coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).as("dup_cnt"))
+    // r18: the bigram statistics come from the native
+    // [[graft.plans.RepStatsExpression]] loop — zero shuffles where the
+    // exploded (doc_id, bigram) agg + per-doc rollup shuffled the
+    // near-full gram stream twice. Integer outputs; the fraction
+    // arithmetic below is unchanged, so the oracle is untouched.
+    val st = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.RepStatsExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text"))))
+    t(s, dir, "documents")
+      .filter(size(tokens(col("text"))) >= 2)
+      .withColumn("__r", st)
+      .select(col("doc_id"), element_at(col("__r"), 1).as("n_bigrams"),
+        element_at(col("__r"), 2).as("top_cnt"),
+        element_at(col("__r"), 3).as("dup_cnt"))
       .select(col("doc_id"), col("n_bigrams"),
         round(lit(1e6) * col("top_cnt") / col("n_bigrams")).cast(LongType).as("top_frac_e6"),
         round(lit(1e6) * col("dup_cnt") / col("n_bigrams")).cast(LongType).as("dup_frac_e6"))
