@@ -252,15 +252,15 @@ object DedupQueries {
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy("doc_id")
 
-  /** Shared CTE chain for the transitive-closure oracles (dd8, sm10): LSH
+  /** Shared CTE chain for the transitive-closure oracles (dd8, sm10, dd24):
     * candidates → Jaccard-verified edges → min-label reachability. Callers
-    * splice it after `WITH RECURSIVE` and read the `reach` relation. */
-  private[queries] def componentCtesDuck: String =
+    * splice it after `WITH RECURSIVE` and read the `reach` relation; the
+    * candidate relation is pluggable (all-pairs for dd8/sm10, star for
+    * dd24). */
+  private[queries] def componentCtesDuckOver(candSql: String): String =
     s"""sig AS ($minhashSigsDuck),
        |band AS ($bandedSigsDuck),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |cand AS ($candSql),
        |sh AS ($shinglesDuck),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
@@ -281,9 +281,52 @@ object DedupQueries {
        |  UNION
        |  SELECT e.u AS id, rr.r FROM edges e JOIN reach rr ON rr.id = e.v)""".stripMargin
 
+  /** dd8/sm10's all-pairs candidate relation (the verified-clique closure
+    * contract). */
+  private[queries] def componentCtesDuck: String = componentCtesDuckOver(
+    """
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin)
+
   val dd8ClustersSql: String =
     s"""WITH RECURSIVE $componentCtesDuck
        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** dd24_star_closure — the SCALE-path near-dup closure
+    * ([[Dedup.starCandidatePairs]]): within each LSH band bucket every
+    * member links to the bucket representative (min doc_id) instead of to
+    * every other member, the O(n) star edges are Jaccard-verified at dd4's
+    * ≥ 0.1 threshold, and connected components run over the verified
+    * edges. Candidate volume is linear in bucket population where dd8's
+    * clique expansion is quadratic — the face that survives a production
+    * corpus whose hot template cluster holds 5% of all documents (skew
+    * section in BASELINE.md: 2.06M all-pairs candidates vs ~10k star edges
+    * on the same corpus). Trade vs dd8 documented on the operator:
+    * connectivity flows through representatives only. */
+  def dd24StarClosure(s: SparkSession, dir: String): DataFrame = {
+    val verified = SessionShare.materialized(s, dir, "dd24") {
+      val pairs = Dedup.starCandidatePairs(cachedSigs(s, dir), "doc_id")
+      Dedup.verifyJaccard(pairs, cachedShingles(s, dir), threshold = 0.0)
+        .withColumn("jaccard_e6",
+          round(lit(1e6) * col("n_int") / (col("na") + col("nb") - col("n_int"))).cast(LongType))
+        .filter(col("jaccard_e6") >= 100000)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    }
+    Dedup.connectedComponents(verified, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val dd24StarClosureSql: String = {
+    val starCand =
+      """
+        |  SELECT DISTINCT r.rep AS doc_a, b.doc_id AS doc_b
+        |  FROM band b
+        |  JOIN (SELECT band, key, MIN(doc_id) AS rep FROM band GROUP BY band, key) r
+        |    ON r.band = b.band AND r.key = b.key AND b.doc_id <> r.rep""".stripMargin
+    s"""WITH RECURSIVE ${componentCtesDuckOver(starCand)}
+       |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+  }
 
   /** sm10's fold seed — distinct from every other detHash seed in the suite
     * so the leakage-safe folds are independent of the dd7/sm2 splits. */
@@ -1138,6 +1181,7 @@ object DedupQueries {
     "dd5_simhash" -> (dd5Simhash _),
     "dd8_clusters" -> (dd8Clusters _),
     "dd9_simhash_pairs" -> (dd9SimhashPairs _),
+    "dd24_star_closure" -> (dd24StarClosure _),
     "sm10_leakage_safe_split" -> (sm10LeakageSafeSplit _))
 
   val oracles: Map[String, String] = Map(
@@ -1165,6 +1209,7 @@ object DedupQueries {
     "dd4_ngram_jaccard" -> dd4NgramJaccardSql,
     "dd5_simhash" -> dd5SimhashSql,
     "dd8_clusters" -> dd8ClustersSql,
+    "dd24_star_closure" -> dd24StarClosureSql,
     "dd9_simhash_pairs" -> dd9SimhashPairsSql,
     "sm10_leakage_safe_split" -> sm10LeakageSafeSplitSql)
 }

@@ -3620,7 +3620,19 @@ object TextQueries {
     ir21Internals(s, dir, PhraseBatch, BatchTopK)
 
   /** Parameterized so the spec can assert the batching property: each
-    * query's slice of a batched run equals the solo window test. */
+    * query's slice of a batched run equals the solo window test.
+    *
+    * The window test runs once per DISTINCT (w1, w2, slop) triple, not
+    * once per query: deterministic batch tables repeat triples
+    * (PhraseBatch100's modular construction has period 18, so its 100
+    * queries hold only 18 distinct tests), and the per-query spelling
+    * shuffled each repeated triple's position ARRAYS once per duplicate —
+    * the amplification lands exactly where a Zipf corpus makes the arrays
+    * long (skew sweep: ir25 read 1.66× its uniform twin before this, the
+    * array join being the entire delta). query_ids rejoin AFTER the
+    * heavy join/filter as a broadcast over ids-only rows; each query's
+    * TopK input is row-identical to the per-query spelling, so results
+    * (and oracle hashes) are unchanged. */
   private[queries] def ir21Internals(s: SparkSession, dir: String,
       batch: Seq[(Long, String, String, Int)], k: Int): DataFrame = {
     import s.implicits._
@@ -3628,22 +3640,31 @@ object TextQueries {
     val terms = batch.flatMap(b => Seq(b._2, b._3)).distinct.sorted
     val pt = posServe(s, home, graft.operators.CdcRules.emptyIds(s, "doc_id"),
       posDelta(s, dir, home), terms)
-    val qt = broadcast(batch.toDF("query_id", "w1", "w2", "slop"))
+    val triples = batch.map(b => (b._2, b._3, b._4)).distinct
+    val tripleId = triples.zipWithIndex
+      .map { case (t, i) => t -> i.toLong }.toMap
+    val qt = broadcast(triples.zipWithIndex
+      .map { case ((w1, w2, sl), i) => (i.toLong, w1, w2, sl) }
+      .toDF("pair_id", "w1", "w2", "slop"))
+    val qmap = broadcast(batch
+      .map { case (q, w1, w2, sl) => (q, tripleId((w1, w2, sl))) }
+      .toDF("query_id", "pair_id"))
     val p1 = qt.join(pt, col("word") === col("w1"))
-      .select(col("query_id"), col("doc_id"), col("positions").as("pos1"), col("slop"))
-    val p2 = qt.select("query_id", "w2").join(pt, col("word") === col("w2"))
-      .select(col("query_id"), col("doc_id"), col("positions").as("pos2"))
+      .select(col("pair_id"), col("doc_id"), col("positions").as("pos1"), col("slop"))
+    val p2 = qt.select("pair_id", "w2").join(pt, col("word") === col("w2"))
+      .select(col("pair_id"), col("doc_id"), col("positions").as("pos2"))
     // a valid window START a: some position b of the second term with
     // a < b ≤ a + slop + 1 (slop 0 ⇒ b = a+1, exact adjacency)
     val win = col("slop").cast(LongType) + lit(1L)
-    val scored = p1.join(p2, Seq("query_id", "doc_id"))
-      .select(col("query_id"), col("doc_id"),
+    val scored = p1.join(p2, Seq("pair_id", "doc_id"))
+      .select(col("pair_id"), col("doc_id"),
         filter(col("pos1"), a => exists(col("pos2"),
           b => b > a && b - a <= win)).as("hits"),
         col("slop"))
       .filter(size(col("hits")) > 0)
-      .select(col("query_id"), col("doc_id"),
+      .select(col("pair_id"), col("doc_id"),
         size(col("hits")).cast(LongType).as("n_matches"))
+      .join(qmap, Seq("pair_id"))
     graft.operators.TopK.smallestPerGroup(scored, Seq("query_id"), k,
         -col("n_matches"), col("doc_id"), keyName = "negm", idName = "doc_id")
       .select(col("query_id"), col("rank"), col("doc_id"),
