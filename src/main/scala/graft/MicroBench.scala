@@ -138,11 +138,13 @@ object MicroBench {
         .agg(sum(crc32(col("g")) % 1000)).collect()(0).getLong(0)
     }
     require(nSubstr == nSplit, s"trigram checksum mismatch: $nSubstr vs $nSplit")
-    // In-row fold vs doc-keyed shuffle — the r13 stream-arm kernels: a
-    // per-document statistic computable after groupBy(doc) is usually also
-    // an array fold INSIDE the document's own row (tokens/shingles all live
-    // there). Same signatures / verdicts — the checksums prove it; the fold
-    // form is what the stateless streaming gates ride.
+    // Three MinHash spellings (r18 ADVICE: the bench must time the SHIPPED
+    // kernel, not only the rejected alternatives): `grouped` is the
+    // explode -> groupBy(doc) shuffle form, `perRow` the HOF fold
+    // (CodegenFallback — measured ~60% slower than grouped at refresh
+    // scale, the r18 negative result), `native` the production
+    // MinhashSigsExpression codegen loop. Same signatures — the checksums
+    // prove it.
     val (tMhGrouped, nMhGrouped) = time {
       graft.operators.Dedup.minhashSignaturesGrouped(docsAll, "doc_id", "text")
         .agg(sum(col("s0") % 997)).collect()(0).getLong(0)
@@ -151,7 +153,12 @@ object MicroBench {
       graft.operators.Dedup.minhashSignaturesPerRow(docsAll, "doc_id", "text")
         .agg(sum(col("s0") % 997)).collect()(0).getLong(0)
     }
+    val (tMhNative, nMhNative) = time {
+      graft.operators.Dedup.minhashSignatures(docsAll, "doc_id", "text")
+        .agg(sum(col("s0") % 997)).collect()(0).getLong(0)
+    }
     require(nMhGrouped == nMhPerRow, s"minhash checksum mismatch: $nMhGrouped vs $nMhPerRow")
+    require(nMhNative == nMhGrouped, s"native minhash checksum mismatch: $nMhNative vs $nMhGrouped")
     val (tTa7Grouped, nTa7Grouped) = time {
       graft.queries.CurationQueries.ta7Repetition(spark, sfDir)
         .agg(sum(when(col("keep") === 1, 1L).otherwise(0L))).collect()(0).getLong(0)
@@ -163,7 +170,7 @@ object MicroBench {
         .agg(sum(when(col("keep"), 1L).otherwise(0L))).collect()(0).getLong(0)
     }
     require(nTa7Grouped == nTa7PerRow, s"ta7 verdict mismatch: $nTa7Grouped vs $nTa7PerRow")
-    println(s"""{"fm_expr_sec":$tExpr,"mh_grouped_sec":$tMhGrouped,"mh_perrow_sec":$tMhPerRow,"ta7_grouped_sec":$tTa7Grouped,"ta7_perrow_sec":$tTa7PerRow,"ngram_substr_sec":$tSubstr,"ngram_split_sec":$tSplit,"ngram_sums":[$nSubstr,$nSplit],"fm_udf_sec":$tUdf,"fm_regex_sec":$tRegex,"matches":[$nExpr,$nUdf,$nRegex],"dot_hof_sec":$tHof,"dot_native_sec":$tNative,"dot_sums":[$nHof,$nNative],"semi_sec":$tSemi,"bloom_sec":$tBloom,"flagged":[$nSemi,$nBloom],"hash_md5_sec":$tHashMd5,"hash_native_sec":$tHashNat,"hash_sums":[$nHashMd5,$nHashNat],"skew_smj_noaqe_sec":$tSkewOff,"skew_smj_aqe_sec":$tSkewAqe,"skew_salted_sec":$tSalted,"skew_sums":[$nSkewOff,$nSkewAqe,$nSalted],"sf":"$sfDir"}""")
+    println(s"""{"fm_expr_sec":$tExpr,"mh_grouped_sec":$tMhGrouped,"mh_perrow_sec":$tMhPerRow,"mh_native_sec":$tMhNative,"ta7_grouped_sec":$tTa7Grouped,"ta7_perrow_sec":$tTa7PerRow,"ngram_substr_sec":$tSubstr,"ngram_split_sec":$tSplit,"ngram_sums":[$nSubstr,$nSplit],"fm_udf_sec":$tUdf,"fm_regex_sec":$tRegex,"matches":[$nExpr,$nUdf,$nRegex],"dot_hof_sec":$tHof,"dot_native_sec":$tNative,"dot_sums":[$nHof,$nNative],"semi_sec":$tSemi,"bloom_sec":$tBloom,"flagged":[$nSemi,$nBloom],"hash_md5_sec":$tHashMd5,"hash_native_sec":$tHashNat,"hash_sums":[$nHashMd5,$nHashNat],"skew_smj_noaqe_sec":$tSkewOff,"skew_smj_aqe_sec":$tSkewAqe,"skew_salted_sec":$tSalted,"skew_sums":[$nSkewOff,$nSkewAqe,$nSalted],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -129,11 +129,15 @@ object GraftFunctions {
   val phash64Info = new ExpressionInfo(
     classOf[Phash64Expression].getName, null, "phash64",
     "phash64(text) - byte-stream perceptual hash (64-block pool, e4 DCT-II, " +
-      "sign-vs-median 64-bit), one compact loop instead of the 64-wide unrolled tree (codegen).",
+      "sign-vs-median 64-bit), one compact loop instead of the 64-wide unrolled tree (codegen). " +
+      "Returns NULL for input under 64 code points.",
     "")
 
   val phash64Builder: Seq[Expression] => Expression = {
-    case Seq(t) => Phash64Expression(t)
+    // SQL surface: NULL on short input — ad-hoc callers must not be able to
+    // crash a task with a short string (ADVICE r18); internal query paths
+    // construct Phash64Expression directly and keep the loud require.
+    case Seq(t) => Phash64Expression(t, nullOnShort = true)
     case other => throw new IllegalArgumentException(
       s"phash64 expects 1 argument, got ${other.length}")
   }

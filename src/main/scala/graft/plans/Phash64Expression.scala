@@ -41,6 +41,16 @@ object Phash64 {
     a
   }
 
+  /** Short-input probe for the registered SQL surface: ad-hoc SQL callers
+    * get NULL for texts under 64 code points (ADVICE r18) instead of a
+    * task-crashing require; the internal query paths keep the loud
+    * contract (they guard with length(text) >= 64 and a silent null there
+    * would hide a broken guard). */
+  def tooShort(s: UTF8String): Boolean = {
+    val str = s.toString
+    str.codePointCount(0, str.length) < 64
+  }
+
   def hash(s: UTF8String): Long = {
     val str = s.toString
     val nInt = str.codePointCount(0, str.length)
@@ -101,20 +111,37 @@ object Phash64 {
   * Null in → null out; input shorter than 64 code points is a caller
   * contract violation and fails loudly (the serving kernels filter
   * `length(text) >= 64` first, mirroring the oracle SQL). */
-case class Phash64Expression(child: Expression) extends UnaryExpression {
+/** @param nullOnShort the registered SQL surface passes true — ad-hoc
+  *   callers get NULL for sub-64-code-point text; internal query paths
+  *   keep the default false and the loud require behind their length
+  *   guards (ADVICE r18). */
+case class Phash64Expression(child: Expression, nullOnShort: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  override def nullable: Boolean = child.nullable || nullOnShort
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"phash64 expects string, got ${child.dataType.sql}")
 
-  override def nullSafeEval(input: Any): Any =
-    Phash64.hash(input.asInstanceOf[UTF8String])
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    if (nullOnShort && Phash64.tooShort(s)) null else Phash64.hash(s)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.Phash64.hash($c)")
+    if (!nullOnShort) defineCodeGen(ctx, ev, c => s"graft.plans.Phash64.hash($c)")
+    else nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if (graft.plans.Phash64.tooShort($c)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.plans.Phash64.hash($c);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Phash64Expression =
     copy(child = newChild)

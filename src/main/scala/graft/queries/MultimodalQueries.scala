@@ -476,9 +476,18 @@ object MultimodalQueries {
     * payload meets the DCT and the bander. Statically-empty dead/fresh
     * frames erase every delta leg (PropagateEmptyRelation + the pinDerived
     * substitution), so a post-fold serve is a pure `rows` artifact scan. */
+  /** @param hinted serve paths pass true (the fresh side is a bounded
+    *   crawl window; forcing the broadcast keeps the store scan map-side).
+    *   The compaction/maintenance folds pass FALSE: their fresh side is a
+    *   corpus decile banded 4x, and a forced broadcast hint bypasses
+    *   autoBroadcastJoinThreshold — at scale that is a driver OOM, not a
+    *   plan improvement; the planner/AQE picks the join there (ADVICE
+    *   r18). */
   private def phashDelta(s: SparkSession, home: java.nio.file.Path,
-      deadIds: DataFrame, fresh: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      deadIds: DataFrame, fresh: DataFrame,
+      hinted: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     import graft.operators.{CdcRules, PersistedIndex}
+    def hint(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     val rows0 = PersistedIndex.artifactFrame(s, home, "rows")
     val pairs0 = PersistedIndex.artifactFrame(s, home, "pairs")
     val dead = CdcRules.pinDelta(deadIds.select(col("asset_id")))
@@ -500,12 +509,13 @@ object MultimodalQueries {
     val bF = bandedPhash(freshSigs)
     val bLive = bandedPhash(liveRows.select("asset_id", "phash64"))
     val addPairs = withNear(
-      phashPairsOf(bLive, bF, both = true).unionByName(phashPairsOf(bF, bF, both = false)))
+      phashPairsOf(bLive, bF, both = true, hinted)
+        .unionByName(phashPairsOf(bF, bF, both = false, hinted)))
     val add = phashPairCounts(addPairs)
     val outBase = liveRows
-      .join(broadcast(sub.select(col("asset_id"), col("n_cand").as("ncx"),
+      .join(hint(sub.select(col("asset_id"), col("n_cand").as("ncx"),
         col("n_near").as("nnx"))), Seq("asset_id"), "left")
-      .join(broadcast(add.select(col("asset_id"), col("n_cand").as("ncf"),
+      .join(hint(add.select(col("asset_id"), col("n_cand").as("ncf"),
         col("n_near").as("nnf"))), Seq("asset_id"), "left")
       .select(col("asset_id"), col("phash64"),
         (col("n_cand") - coalesce(col("ncx"), lit(0L)) +
@@ -513,7 +523,7 @@ object MultimodalQueries {
         (col("n_near") - coalesce(col("nnx"), lit(0L)) +
           coalesce(col("nnf"), lit(0L))).as("n_near"))
     val outFresh = freshSigs
-      .join(broadcast(add.select(col("asset_id"), col("n_cand").as("ncf"),
+      .join(hint(add.select(col("asset_id"), col("n_cand").as("ncf"),
         col("n_near").as("nnf"))), Seq("asset_id"), "left")
       .select(col("asset_id"), col("phash64"),
         coalesce(col("ncf"), lit(0L)).as("n_cand"),
@@ -528,14 +538,16 @@ object MultimodalQueries {
   /** Banded candidate pairing with the RIGHT side always the window-sized
     * frame — broadcast on both orientations, so the (possibly
     * corpus-sized) left frame is only ever scanned map-side. */
-  private def phashPairsOf(left: DataFrame, right: DataFrame, both: Boolean): DataFrame = {
+  private def phashPairsOf(left: DataFrame, right: DataFrame, both: Boolean,
+      hinted: Boolean = true): DataFrame = {
+    def hint(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     def a(b: DataFrame) = b.select(col("asset_id").as("id_a"), col("phash64").as("sa"),
       col("band"), col("key"))
     def bb(b: DataFrame) = b.select(col("asset_id").as("id_b"), col("phash64").as("sb"),
       col("band"), col("key"))
-    val fwd = a(left).join(broadcast(bb(right)), Seq("band", "key"))
+    val fwd = a(left).join(hint(bb(right)), Seq("band", "key"))
     val base =
-      if (both) fwd.unionByName(broadcast(a(right)).join(bb(left), Seq("band", "key")))
+      if (both) fwd.unionByName(hint(a(right)).join(bb(left), Seq("band", "key")))
       else fwd
     base.filter(col("id_a") =!= col("id_b")).select("id_a", "id_b", "sa", "sb").distinct()
   }
@@ -589,7 +601,8 @@ object MultimodalQueries {
   private[graft] def foldPhashArtifacts(s: SparkSession, tmp: java.nio.file.Path,
       cur: java.nio.file.Path, deadIds: DataFrame, fresh: DataFrame, split: Long): Unit = {
     import graft.operators.PersistedIndex
-    val (outRows, livePairs, addPairs) = phashDelta(s, cur, deadIds, fresh)
+    val (outRows, livePairs, addPairs) =
+      phashDelta(s, cur, deadIds, fresh, hinted = false)
     outRows.write.mode("overwrite").parquet(tmp.resolve("rows").toString)
     livePairs.unionByName(addPairs)
       .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)

@@ -2151,6 +2151,13 @@ object TextQueries {
     * per-bucket bytes; ~500 docs/bucket at the cap keeps both small,
     * and [[graft.operators.PersistedIndex.artifactFrame]] amortizes the
     * remaining listing to once per session). */
+  /** Bucket modulus by corpus size. Skew note (ADVICE r18): bucket keys
+    * are term hashes, so a Zipfian vocabulary concentrates one bucket with
+    * the stopword posting lists — the bucket COUNT cannot fix that.
+    * [[graft.sources.Layout.writePartitioned]] count-gates a file-level
+    * salt for exactly that case (hot directories split into ≤32 sorted
+    * files, cold ones stay single-file), and the serve read prunes by
+    * bucket + term IN-list either way. */
   private[graft] def bucketCountFor(nDocs: Long): Long =
     math.max(16L, math.min(1024L, (nDocs + 79L) / 80L))
 

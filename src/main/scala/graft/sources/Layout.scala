@@ -37,9 +37,60 @@ object Layout {
     * `IN (terms…)` filter skip pages within a bucket). Row order is
     * answer-invariant everywhere (the serve kernels aggregate or top-k). */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String,
-      sortCols: String*): Unit = {
-    import org.apache.spark.sql.functions.col
-    df.repartition(col(partitionCol))
+      sortCols: String*): Unit =
+    writePartitionedCapped(df, path, partitionCol, RowsPerFile, sortCols: _*)
+
+  /** Rows above which a partition directory splits into multiple salted
+    * files (and the per-file cap). 1M rows ≈ the ~128 MB file target for
+    * postings-shaped rows; no bench-scale partition reaches it, so uniform
+    * corpora keep the one-file-per-bucket layout byte-for-byte. */
+  private[graft] val RowsPerFile = 1L << 20
+  private[graft] val MaxFilesPerPartition = 32L
+
+  /** [[writePartitioned]] with the skew cap explicit (ADVICE r18): a
+    * Zipf-hot partition value — a stopword's postings bucket holds a
+    * corpus-sized posting list — would otherwise funnel through ONE write
+    * task (a build-time straggler at scale) and land as ONE file. Salting
+    * is COUNT-GATED: one cheap per-partition aggregate over the build
+    * frame (callers pin expensive frames already — tfTable et al. are
+    * session-materialized), broadcast back, and only partitions above
+    * `rowsPerFile` split, into ceil(n / rowsPerFile) ≤
+    * [[MaxFilesPerPartition]] files via a deterministic row-hash salt.
+    * Cold partitions keep exactly the old single-file layout; hot files
+    * each remain internally sorted on (partitionCol, sortCols), so
+    * page-level stats pruning is unchanged and row order stays
+    * answer-invariant (the serve kernels aggregate or top-k). */
+  def writePartitionedCapped(df: DataFrame, path: String, partitionCol: String,
+      rowsPerFile: Long, sortCols: String*): Unit = {
+    import org.apache.spark.sql.functions._
+    // Hot-partition census runs as its own driver-side action, NOT a join:
+    // fold writes derive `df` from a partitioned store read keyed by the
+    // same column, and a (df ⋈ counts-over-df) join on the partition
+    // column makes Spark inject a dynamic-partition-pruning subquery into
+    // the store scan that fails with "has not finished" under plan reuse
+    // (hit by ss12/e2e10's ivf folds). The census is bounded by the
+    // documented partition cardinality (≤ thousands); the hot subset is
+    // normally empty, in which case the write keeps the original
+    // one-file-per-partition plan byte-for-byte.
+    val hot = df.groupBy(partitionCol).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > rowsPerFile).collect()
+    val clustered =
+      if (hot.isEmpty) df.repartition(col(partitionCol))
+      else {
+        val nfExpr = hot.foldLeft(lit(1L)) { (acc, r) =>
+          val nf = math.min(MaxFilesPerPartition,
+            (r.getLong(1) + rowsPerFile - 1) / rowsPerFile)
+          when(col(partitionCol) === lit(r.get(0)), lit(nf)).otherwise(acc)
+        }
+        val saltSrc = hash(df.columns.filterNot(_ == partitionCol).map(col): _*)
+        df.withColumn("__salt", pmod(saltSrc, nfExpr.cast("int")))
+          // explicit numPartitions: AQE would otherwise coalesce a small
+          // build into one task and silently undo the salt split
+          .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+            col(partitionCol), col("__salt"))
+          .drop("__salt")
+      }
+    clustered
       .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
       .write
       .mode(SaveMode.Overwrite)

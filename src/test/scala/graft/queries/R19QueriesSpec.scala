@@ -63,6 +63,30 @@ class R19QueriesSpec extends SparkSpec {
       "star closure diverged from clique closure on the uniform-verify shape")
   }
 
+  test("phash64 SQL surface: NULL on short input; internal path still loud") {
+    val spark0 = spark
+    import spark0.implicits._
+    // the registered SQL function (nullOnShort = true): ad-hoc callers get
+    // NULL for sub-64-code-point text instead of a task crash (ADVICE r18)
+    val sqlExpr = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.Phash64Expression(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("t")), nullOnShort = true))
+    val long64 = ("x" * 64)
+    val rows = Seq("short", long64).toDF("t").select(sqlExpr.as("h")).collect()
+    assert(rows(0).isNullAt(0), "short input must be NULL on the SQL surface")
+    assert(!rows(1).isNullAt(0))
+    // internal constructor keeps the loud contract behind its guards
+    val ex = intercept[Exception] {
+      Seq("short").toDF("t").select(
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.plans.Phash64Expression(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("t")))).as("h"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("64 code points") ||
+      Option(ex.getCause).exists(_.getMessage.contains("64 code points")))
+  }
+
   test("phrase batch: repeated (w1, w2, slop) triples serve identical slices") {
     val dir = "/root/testdata/sf0.001"
     // duplicate the whole 12-query table under shifted query ids — the

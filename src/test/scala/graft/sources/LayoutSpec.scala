@@ -88,4 +88,39 @@ class LayoutSpec extends SparkSpec {
     assert(meanX < 32.0, s"mean x-span $meanX not rectangular")
     assert(meanY < 32.0, s"mean y-span $meanY not rectangular")
   }
+
+  test("count-gated salt: hot partition splits into sorted files, cold stays single") {
+    import spark.implicits._
+    // one Zipf-hot partition (5000 rows) + two cold ones (100 each);
+    // rowsPerFile = 1000 -> hot dir gets ceil(5000/1000) = 5 files
+    val rows = ((1 to 5000).map(i => (0L, i.toLong, s"w${i % 97}")) ++
+      (1 to 100).map(i => (1L, i.toLong, s"w$i")) ++
+      (1 to 100).map(i => (2L, i.toLong, s"w$i"))).toDF("bucket", "doc_id", "word")
+    val out = java.nio.file.Files.createTempDirectory("graft_salt").toString + "/p"
+    Layout.writePartitionedCapped(rows, out, "bucket", rowsPerFile = 1000, "word")
+    val back = spark.read.parquet(out)
+    val filesPer = back
+      .groupBy(col("bucket"), input_file_name().as("f"))
+      .count().groupBy("bucket").count()
+      // partitionBy dirs read back with inferred (INT) key type
+      .collect().map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    // ceil(5000/1000) = 5 salt values; the spec session's 4 shuffle
+    // partitions can co-locate two salts in one task, so the bound is
+    // [2, 5] here — production sessions (32+ partitions) spread all 5
+    assert(filesPer(0L) >= 2L && filesPer(0L) <= 5L,
+      s"hot partition files: ${filesPer(0L)}")
+    assert(filesPer(1L) === 1L && filesPer(2L) === 1L, s"cold split: $filesPer")
+    // lossless and deterministic
+    assert(back.count() === rows.count())
+    assert(back.select(col("bucket").cast("long"), col("doc_id"), col("word"))
+      .except(rows).isEmpty)
+    // every file is internally sorted on the probe column
+    val unsorted = back
+      .withColumn("f", input_file_name())
+      .withColumn("prev", lag("word", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f")
+          .orderBy(monotonically_increasing_id())))
+      .filter(col("prev") > col("word"))
+    assert(unsorted.isEmpty, "a salted file lost its sort order")
+  }
 }
