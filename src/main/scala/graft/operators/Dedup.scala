@@ -292,7 +292,24 @@ object Dedup {
     * pairing path needs — band keys must be wide enough that block
     * population stays bounded (4-bit keys have only 16 values → quadratic
     * blocks at scale). */
+  /** Per-doc SimHash signature — ONE codegen loop per document
+    * ([[graft.plans.SimhashExpression]]), no token explode, no 64-column
+    * aggregate (whose whole-stage compile alone cost ~11 s at sf0.1).
+    * Bit-identical to [[simhashGrouped]] (R19QueriesSpec witness). Null
+    * text rows are dropped, matching the grouped spelling's explode. */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), org.apache.spark.sql.GraftColumnBridge.column(
+        graft.plans.SimhashExpression(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)), bits))
+        .as(s"simhash$bits"))
+  }
+
+  /** The explode → bit-sum aggregate spelling [[simhash]] replaced — kept
+    * as the equivalence witness. */
+  private[graft] def simhashGrouped(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
     // detHash yields 60 usable bits; bits 60+ draw from a second seed.
     // Aggregate plain bit counts (one AND+shift per input, no conditional):

@@ -4033,6 +4033,28 @@ object TextQueries {
     * no shuffle until the final orderBy). */
   def ta5WinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
     val k = 4; val w = 4
+    // the gram-hash/window-min selection is ONE codegen loop per document
+    // ([[graft.plans.WinnowMinsExpression]] — replaces four chained
+    // CodegenFallback HOFs and a per-gram md5 hex round-trip); the md5
+    // fingerprint over the sorted list stays a Column projection so the
+    // oracle spelling is untouched. Old spelling kept as the
+    // R19QueriesSpec witness ([[ta5WinnowFingerprintHof]]).
+    t(s, dir, "documents")
+      .filter(size(tokens(col("text"))) >= k + w - 1)
+      .withColumn("mins", org.apache.spark.sql.GraftColumnBridge.column(
+        graft.plans.WinnowMinsExpression(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text")), k, w)))
+      .select(col("doc_id"),
+        md5(concat_ws(",", expr("transform(mins, x -> cast(x as string))")))
+          .as("winnow_fp"),
+        size(col("mins")).as("n_selected"))
+      .orderBy("doc_id")
+  }
+
+  /** The chained-HOF spelling [[ta5WinnowFingerprint]] replaced — kept as
+    * the equivalence witness. */
+  private[queries] def ta5WinnowFingerprintHof(s: SparkSession, dir: String): DataFrame = {
+    val k = 4; val w = 4
     t(s, dir, "documents")
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= k + w - 1)

@@ -63,6 +63,28 @@ class R19QueriesSpec extends SparkSpec {
       "star closure diverged from clique closure on the uniform-verify shape")
   }
 
+  test("native simhash loop is bit-identical to the grouped spelling (16 and 64 bits)") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    for (bits <- Seq(16, 64)) {
+      val grouped = Dedup.simhashGrouped(docs, "doc_id", "text", bits)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val native = Dedup.simhash(docs, "doc_id", "text", bits)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(native.nonEmpty)
+      assert(native === grouped, s"simhash$bits diverged")
+    }
+  }
+
+  test("native winnow_mins kernel matches the chained-HOF ta5 spelling") {
+    val dir = "/root/testdata/sf0.001"
+    val hof = TextQueries.ta5WinnowFingerprintHof(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val native = TextQueries.ta5WinnowFingerprint(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(native.nonEmpty)
+    assert(native === hof)
+  }
+
   test("phash64 SQL surface: NULL on short input; internal path still loud") {
     val spark0 = spark
     import spark0.implicits._
