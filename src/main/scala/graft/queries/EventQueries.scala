@@ -493,27 +493,54 @@ object EventQueries {
     * anchors every day), estimates are the hll1 integer-exact formula;
     * the exact-7d audit explodes each (day, user) to its ≤7 target days
     * — corpus×7 narrow rows, audit-only. */
+  /** The register-only core of ev14/ev15, pinned once per (session, dir):
+    * one events pass to the (days × 256)-bounded daily register grid, the
+    * rolling merge as a window max over the dense grid, both estimates —
+    * NOTHING here touches per-user rows after the register fold. Returns
+    * (day, hll_1d, hll_7d). */
+  private def hllRolledEstimates(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SessionShare.materialized(s, dir, "ev14_hll") {
+      import graft.operators.Sketch
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val dayRegs = Sketch.hllRegisters(ev, col("user_id"), Seq("day"))
+        .localCheckpoint()
+      val days = dayRegs.select("day").distinct()
+      val grid = days.crossJoin(broadcast(
+        s.range(Sketch.HllM.toLong).select(col("id").as("bucket"))))
+      val wRoll = Window.partitionBy("bucket")
+        .orderBy(datediff(col("day"), lit("2020-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+      val rolled = grid
+        .join(dayRegs.withColumnRenamed("rho", "rho0"), Seq("day", "bucket"), "left")
+        .withColumn("rho", max("rho0").over(wRoll))
+        .filter(col("rho").isNotNull)
+        .select(col("day"), col("bucket"), col("rho").cast(IntegerType).as("rho"))
+      val est1 = Sketch.hllEstimate(dayRegs, "day")
+        .select(col("day"), col("hll_est").as("hll_1d"))
+      val est7 = Sketch.hllEstimate(rolled, "day")
+        .select(col("day"), col("hll_est").as("hll_7d"))
+      est1.join(est7, Seq("day"))
+    }
+
+  /** ev15_hll_serve — the SERVING face of the rolling-distinct dashboard
+    * (VERDICT r18 #6): register-bounded ONLY. ev14's exact_1d/exact_7d
+    * audit arms replay the corpus×7 (day, user) explode — the precise job
+    * a production deployment does NOT run daily; this face is the row it
+    * watches instead, and its cost is one events pass + window algebra
+    * over the (days × 256) grid, flat in corpus size by construction.
+    * ev14 stays registered as the audit twin that proves the estimates
+    * against exact dedup. */
+  def ev15HllServe(s: SparkSession, dir: String): DataFrame =
+    hllRolledEstimates(s, dir)
+      .select("day", "hll_1d", "hll_7d")
+      .orderBy("day")
+
   def ev14HllRolling(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Sketch
     val ev = t(s, dir, "events")
       .select(to_date(col("ts")).as("day"), col("user_id"))
-    val dayRegs = Sketch.hllRegisters(ev, col("user_id"), Seq("day"))
-      .localCheckpoint()
-    val days = dayRegs.select("day").distinct()
-    val grid = days.crossJoin(broadcast(
-      s.range(Sketch.HllM.toLong).select(col("id").as("bucket"))))
-    val wRoll = Window.partitionBy("bucket")
-      .orderBy(datediff(col("day"), lit("2020-01-01").cast("date")))
-      .rangeBetween(-6, 0)
-    val rolled = grid
-      .join(dayRegs.withColumnRenamed("rho", "rho0"), Seq("day", "bucket"), "left")
-      .withColumn("rho", max("rho0").over(wRoll))
-      .filter(col("rho").isNotNull)
-      .select(col("day"), col("bucket"), col("rho").cast(IntegerType).as("rho"))
-    val est1 = Sketch.hllEstimate(dayRegs, "day")
-      .select(col("day"), col("hll_est").as("hll_1d"))
-    val est7 = Sketch.hllEstimate(rolled, "day")
-      .select(col("day"), col("hll_est").as("hll_7d"))
+    val ests = hllRolledEstimates(s, dir)
+    val days = ests.select("day")
     val du = ev.distinct()
     val exact1 = du.groupBy("day").agg(count(lit(1)).as("exact_1d"))
     val exact7 = du
@@ -521,12 +548,14 @@ object EventQueries {
       .distinct()
       .join(days.withColumnRenamed("day", "tday"), Seq("tday"))
       .groupBy(col("tday").as("day")).agg(count(lit(1)).as("exact_7d"))
-    exact1.join(est1, Seq("day")).join(exact7, Seq("day")).join(est7, Seq("day"))
+    exact1.join(exact7, Seq("day")).join(ests, Seq("day"))
       .select("day", "exact_1d", "hll_1d", "exact_7d", "hll_7d")
       .orderBy("day")
   }
 
-  val ev14HllRollingSql: String = {
+  /** Shared register-algebra CTE chain (through e1/e7) for the ev14 audit
+    * and ev15 serving oracles. */
+  private def hllCtesSql: String = {
     import graft.operators.Sketch.{HllM, HllRawC, HllScale, hllRhoSql}
     val c = java.lang.Double.toString(HllRawC)
     def estSql(src: String): String =
@@ -562,15 +591,25 @@ object EventQueries {
        |      user_id
        |    FROM du) t
        |  JOIN days d ON d.day = t.tday GROUP BY t.tday),
-       |x1 AS (SELECT day, COUNT(*) AS exact_1d FROM du GROUP BY day)
+       |x1 AS (SELECT day, COUNT(*) AS exact_1d FROM du GROUP BY day)""".stripMargin
+  }
+
+  val ev14HllRollingSql: String =
+    s"""$hllCtesSql
        |SELECT x1.day, x1.exact_1d, e1.hll_est AS hll_1d, x7.exact_7d, e7.hll_est AS hll_7d
        |FROM x1 JOIN e1 USING (day) JOIN x7 USING (day) JOIN e7 USING (day)
        |ORDER BY day""".stripMargin
-  }
+
+  val ev15HllServeSql: String =
+    s"""$hllCtesSql
+       |SELECT e1.day, e1.hll_est AS hll_1d, e7.hll_est AS hll_7d
+       |FROM e1 JOIN e7 USING (day)
+       |ORDER BY day""".stripMargin
 
   val queries: Map[String, QueryFn] = Map(
     "ev13_anomaly" -> (ev13Anomaly _),
     "ev14_hll_rolling" -> (ev14HllRolling _),
+    "ev15_hll_serve" -> (ev15HllServe _),
     "ev12_streaks" -> (ev12Streaks _),
     "set3_scd2" -> (set3Scd2 _),
     "ev1_sessionize" -> (ev1Sessionize _),
@@ -587,6 +626,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "ev13_anomaly" -> ev13AnomalySql,
     "ev14_hll_rolling" -> ev14HllRollingSql,
+    "ev15_hll_serve" -> ev15HllServeSql,
     "set3_scd2" -> set3Scd2Sql,
     "ev12_streaks" -> ev12StreaksSql,
     "ev1_sessionize" -> ev1SessionizeSql,
