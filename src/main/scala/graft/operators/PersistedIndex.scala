@@ -162,8 +162,14 @@ object PersistedIndex {
     * publish would yank files out from under a SECOND process mid-read
     * of the old generation (FileNotFoundException halfway through its
     * scan). Ten minutes bounds any reasonable probe; a reader that
-    * resolved a home gets at least this long to finish with it. */
-  val SweepGraceMs: Long = 10L * 60L * 1000L
+    * resolved a home gets at least this long to finish with it.
+    * Overridable via -Dgraft.sweep.grace.ms ONLY so the cross-process
+    * maintenance harness (scripts/crossproc_maintenance.sh) can compress
+    * real deletions into a minutes-long run while still exceeding its
+    * probes' duration; production keeps the default. */
+  val SweepGraceMs: Long =
+    sys.props.get("graft.sweep.grace.ms").map(_.toLong)
+      .getOrElse(10L * 60L * 1000L)
 
   /** Remove COMPLETE homes under `current`'s parent that serve the same
     * source as `current` but are not it: every home published through
