@@ -27,7 +27,10 @@ java $ADD_OPENS -Xmx4g -Dspark.ui.enabled=false -Dgraft.sweep.grace.ms=30000 \
   > "$WORK/writer.log" 2>&1 &
 WPID=$!
 
-java $ADD_OPENS -Xmx4g -Dspark.ui.enabled=false \
+# Belt-and-braces with the prober's in-JVM deadline (ADVICE r19): a hung
+# JVM (not just a spinning loop) still cannot wedge the gate's `wait`.
+timeout -k 30 1200 \
+  java $ADD_OPENS -Xmx4g -Dspark.ui.enabled=false \
   -cp "$CP" graft.streaming.MaintProber "$CORPUS" "$ROOT" "$N" \
   > "$WORK/prober.log" 2>&1 &
 PPID2=$!

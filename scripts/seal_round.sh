@@ -25,6 +25,29 @@ shift 2
 
 ANCHOR_FILE="bench_runs/${ANCHOR}.json"
 [[ -f "$ANCHOR_FILE" ]] || { echo "FATAL: $ANCHOR_FILE missing" >&2; exit 1; }
+
+# Guard (VERDICT r19 #3): refuse an anchor that is not a FULL-suite run at
+# the protocol scale — a targeted sf100 map must never become the committed
+# BENCH_FULL.json. Full size = the query count in the last committed map
+# (monotone: the suite only grows round over round).
+python3 - "$ANCHOR_FILE" <<'EOF'
+import json, subprocess, sys
+anchor = json.load(open(sys.argv[1]))
+sf = str(anchor.get("sf", ""))
+if not sf.rstrip("/").endswith("sf0.1"):
+    sys.exit(f"FATAL: anchor sf={sf!r} is not the protocol dir (…/sf0.1)")
+try:
+    prev = json.loads(subprocess.check_output(
+        ["git", "show", "HEAD:BENCH_FULL.json"], text=True))
+    prev_n = len(prev.get("queries", {}))
+except Exception:
+    prev_n = 0
+n = len(anchor.get("queries", {}))
+if n < prev_n:
+    sys.exit(f"FATAL: anchor has {n} queries < committed suite size {prev_n}")
+print(f"anchor guard OK: sf={sf} n={n} (committed {prev_n})")
+EOF
+
 cp "$ANCHOR_FILE" BENCH_FULL.json
 echo "BENCH_FULL.json <- $ANCHOR_FILE ($(python3 -c "import json;d=json.load(open('BENCH_FULL.json'));print(d['value'],'s,',len(d['queries']),'queries')"))"
 

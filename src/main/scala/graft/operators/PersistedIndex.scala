@@ -166,9 +166,13 @@ object PersistedIndex {
     * Overridable via -Dgraft.sweep.grace.ms ONLY so the cross-process
     * maintenance harness (scripts/crossproc_maintenance.sh) can compress
     * real deletions into a minutes-long run while still exceeding its
-    * probes' duration; production keeps the default. */
+    * probes' duration; production keeps the default. A 10 s FLOOR is
+    * enforced on the override (ADVICE r19): a launch misconfigured with a
+    * tiny/zero value must not silently disable the read-grace window that
+    * keeps sweeps from yanking files out from under a concurrent reader —
+    * the harness's 30 s setting clears the floor. */
   val SweepGraceMs: Long =
-    sys.props.get("graft.sweep.grace.ms").map(_.toLong)
+    sys.props.get("graft.sweep.grace.ms").map(v => math.max(v.toLong, 10000L))
       .getOrElse(10L * 60L * 1000L)
 
   /** Remove COMPLETE homes under `current`'s parent that serve the same

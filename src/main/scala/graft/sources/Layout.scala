@@ -51,51 +51,100 @@ object Layout {
     * Zipf-hot partition value — a stopword's postings bucket holds a
     * corpus-sized posting list — would otherwise funnel through ONE write
     * task (a build-time straggler at scale) and land as ONE file. Salting
-    * is COUNT-GATED: one cheap per-partition aggregate over the build
-    * frame (callers pin expensive frames already — tfTable et al. are
-    * session-materialized), broadcast back, and only partitions above
-    * `rowsPerFile` split, into ceil(n / rowsPerFile) ≤
-    * [[MaxFilesPerPartition]] files via a deterministic row-hash salt.
-    * Cold partitions keep exactly the old single-file layout; hot files
-    * each remain internally sorted on (partitionCol, sortCols), so
-    * page-level stats pruning is unchanged and row order stays
-    * answer-invariant (the serve kernels aggregate or top-k). */
+    * is COUNT-GATED and WRITE-THEN-SALVAGE (ADVICE r19): the build frame
+    * is evaluated exactly ONCE — clustered one-file-per-partition and
+    * written. The census then runs over the WRITTEN store with an empty
+    * read schema (parquet footer row counts, no column IO, exact by
+    * construction — no determinism assumption between two evaluations of
+    * an expensive frame). Only if hot partitions exist (> `rowsPerFile`
+    * rows) are THOSE partitions read back (partition-pruned scan), split
+    * into ceil(n / rowsPerFile) ≤ [[MaxFilesPerPartition]] files via a
+    * deterministic row-hash salt, written to a swap dir, and directory-
+    * swapped in (a metadata move on HDFS-likes). Cold partitions keep
+    * exactly the single-file layout, hot files each remain internally
+    * sorted on (partitionCol, sortCols), so page-level stats pruning is
+    * unchanged and row order stays answer-invariant (the serve kernels
+    * aggregate or top-k).
+    *
+    * Known limitation: the salt hashes the non-partition columns, so a hot
+    * partition made of rows identical on every other column hashes to one
+    * salt value and never splits — acceptable, since such a partition is
+    * one run-length-encoded page and carries no per-row information. */
   def writePartitionedCapped(df: DataFrame, path: String, partitionCol: String,
       rowsPerFile: Long, sortCols: String*): Unit = {
     import org.apache.spark.sql.functions._
-    // Hot-partition census runs as its own driver-side action, NOT a join:
-    // fold writes derive `df` from a partitioned store read keyed by the
-    // same column, and a (df ⋈ counts-over-df) join on the partition
-    // column makes Spark inject a dynamic-partition-pruning subquery into
-    // the store scan that fails with "has not finished" under plan reuse
-    // (hit by ss12/e2e10's ivf folds). The census is bounded by the
-    // documented partition cardinality (≤ thousands); the hot subset is
-    // normally empty, in which case the write keeps the original
-    // one-file-per-partition plan byte-for-byte.
-    val hot = df.groupBy(partitionCol).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > rowsPerFile).collect()
-    val clustered =
-      if (hot.isEmpty) df.repartition(col(partitionCol))
-      else {
-        val nfExpr = hot.foldLeft(lit(1L)) { (acc, r) =>
-          val nf = math.min(MaxFilesPerPartition,
-            (r.getLong(1) + rowsPerFile - 1) / rowsPerFile)
-          when(col(partitionCol) === lit(r.get(0)), lit(nf)).otherwise(acc)
-        }
-        val saltSrc = hash(df.columns.filterNot(_ == partitionCol).map(col): _*)
-        df.withColumn("__salt", pmod(saltSrc, nfExpr.cast("int")))
-          // explicit numPartitions: AQE would otherwise coalesce a small
-          // build into one task and silently undo the salt split
-          .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-            col(partitionCol), col("__salt"))
-          .drop("__salt")
-      }
-    clustered
+    val s = df.sparkSession
+    df.repartition(col(partitionCol))
       .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
       .write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(path)
+    // Census as its own driver-side action over the WRITTEN store, NOT a
+    // join against the build frame: a (df ⋈ counts-over-df) join on the
+    // partition column makes Spark inject a dynamic-partition-pruning
+    // subquery into the store scan that fails with "has not finished"
+    // under plan reuse (hit by ss12/e2e10's ivf folds). Bounded by the
+    // documented partition cardinality (≤ thousands); normally empty.
+    val written = s.read.parquet(path)
+    val hot = written.groupBy(partitionCol).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > rowsPerFile).collect()
+    if (hot.nonEmpty) {
+      // Hive dir names re-infer the partition column's type on read-back;
+      // cast it back to the build frame's declared type so the salted
+      // rewrite is byte-faithful even for string-typed partition values.
+      val pType = df.schema(partitionCol).dataType
+      // <=> (null-safe): a null partition key lands in the hive default
+      // partition and must still match its census row (ADVICE r19).
+      val hotPred = hot.map(r => col(partitionCol) <=> lit(r.get(0))).reduce(_ || _)
+      val nfExpr = hot.foldLeft(lit(1L)) { (acc, r) =>
+        val nf = math.min(MaxFilesPerPartition,
+          (r.getLong(1) + rowsPerFile - 1) / rowsPerFile)
+        when(col(partitionCol) <=> lit(r.get(0)), lit(nf)).otherwise(acc)
+      }
+      val hotDf = written.filter(hotPred)
+        .withColumn(partitionCol, col(partitionCol).cast(pType))
+        .select(df.columns.map(col): _*)
+      val saltSrc = hash(df.columns.filterNot(_ == partitionCol).map(col): _*)
+      val swap = path + "__hotswap"
+      hotDf.withColumn("__salt", pmod(saltSrc, nfExpr.cast("int")))
+        // explicit numPartitions: AQE would otherwise coalesce a small
+        // build into one task and silently undo the salt split
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col(partitionCol), col("__salt"))
+        .drop("__salt")
+        .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol)
+        .parquet(swap)
+      swapPartitionDirs(path, swap)
+    }
+  }
+
+  /** Move every `partitionCol=value` directory under `swap` into `path`,
+    * replacing the directory it supersedes, then drop `swap`. Local-FS
+    * renames here; on HDFS-likes the same two metadata ops. */
+  private def swapPartitionDirs(path: String, swap: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val swapP = Paths.get(swap)
+    Files.list(swapP).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      .foreach { p =>
+        val dst = Paths.get(path).resolve(p.getFileName.toString)
+        deleteTree(dst)
+        Files.move(p, dst)
+      }
+    deleteTree(swapP)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
   }
 
   /** True iff the physical plan of `df` contains no shuffle Exchange —

@@ -140,7 +140,16 @@ object MaintProber {
     var lastK = 0
     var probes = 0
     var done = false
+    // Wall-clock deadline (ADVICE r19): if the writer dies before
+    // WRITER_DONE, or the final probe never reaches state n, fail the gate
+    // loudly instead of spinning forever under the shell script's `wait`.
+    val deadline = System.currentTimeMillis() +
+      sys.props.getOrElse("graft.prober.deadline.ms", "900000").toLong
     while (!done) {
+      if (System.currentTimeMillis() > deadline) {
+        println(s"PROBE_DEADLINE: state $lastK/$n after $probes probes")
+        s.stop(); sys.exit(5)
+      }
       val got =
         try IndexMaintenance.probe(s, corpusDir, root)
           .collect().map(_.toString).sorted.toSeq
