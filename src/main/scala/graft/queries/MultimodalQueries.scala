@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -169,15 +169,159 @@ object MultimodalQueries {
       (expr(s"bit_count(sa ^ sb)") <= MaxHamming).as("near"))
 
   /** Per-asset candidate/near counts over a distinct NEAR-FLAGGED ordered
-    * pair set — mm4's aggregation, shared with mm7's merge. */
+    * pair set — the delta legs' aggregation in mm7/mm8's merge. */
   private def phashPairCounts(cand: DataFrame): DataFrame =
     cand.groupBy(col("id_a").as("asset_id"))
       .agg(count(lit(1)).as("n_cand"),
         sum(when(col("near"), 1L).otherwise(0L)).as("n_near"))
 
-  def mm4PhashNeardup(s: SparkSession, dir: String): DataFrame = {
-    val sig = phashSigs(t(s, dir, "documents"))
-    val banded = bandedPhash(sig)
+  private val NumBands = 64 / BandBits // 4
+  private val SubBits = 12             // 48 remaining bits → 4×12-bit slices
+  private val NumSubs = (64 - BandBits) / SubBits
+  /** The 6 band pairs (i<j) in lexicographic order — the double-band
+    * blocking alphabet of the overlap correction. */
+  private val BandPairs: Seq[(Int, Int)] =
+    for { i <- 0 until NumBands; j <- (i + 1) until NumBands } yield (i, j)
+
+  private def chunkOf(x: Column, i: Int): Column =
+    shiftright(x, i * BandBits).bitwiseAND(lit((1L << BandBits) - 1))
+
+  /** #zero 16-bit chunks of `x` = #common bands of the pair whose xor is x. */
+  private def zeroChunkCount(x: Column): Column =
+    (0 until NumBands).map(i => when(chunkOf(x, i) === 0L, 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Smallest band index whose chunk of `x` is zero — defined on any pair
+    * drawn from a shared (band, key) bucket (that band's chunk IS zero). */
+  private def minCommonBand(x: Column): Column =
+    (0 until NumBands - 1).foldRight(lit(NumBands - 1): Column) { (i, acc) =>
+      when(chunkOf(x, i) === 0L, lit(i)).otherwise(acc)
+    }
+
+  /** Lexicographically smallest band PAIR both of whose chunks of `x` are
+    * zero — defined on any pair drawn from a shared (bp, pkey) bucket. */
+  private def minCommonBandpair(x: Column): Column = {
+    val conds = BandPairs.zipWithIndex.map { case ((i, j), bp) =>
+      (chunkOf(x, i) === 0L && chunkOf(x, j) === 0L, bp)
+    }
+    conds.init.foldRight(lit(conds.last._2): Column) { case ((c, bp), acc) =>
+      when(c, lit(bp)).otherwise(acc)
+    }
+  }
+
+  /** The 48 non-`i` bits of `c`, chunks in ascending band order. */
+  private def remOf(c: Column, i: Int): Column =
+    (0 until NumBands).filterNot(_ == i).zipWithIndex
+      .map { case (j, t) => shiftleft(chunkOf(c, j), t * BandBits) }
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  private def sliceOf(rem: Column, s: Int): Column =
+    shiftright(rem, s * SubBits).bitwiseAND(lit((1L << SubBits) - 1))
+
+  /** Smallest sub-band index whose 12-bit slice of x's remainder (under
+    * x's minimal common band, passed as `band`) is zero — defined whenever
+    * bit_count(x) ≤ MaxHamming < NumSubs (pigeonhole on the slices). */
+  private def minSubFor(x: Column, band: Column): Column = {
+    val remX = (0 until NumBands - 1).foldRight(remOf(x, NumBands - 1)) { (i, acc) =>
+      when(band === lit(i), remOf(x, i)).otherwise(acc)
+    }
+    (0 until NumSubs - 1).foldRight(lit(NumSubs - 1): Column) { (s2, acc) =>
+      when(sliceOf(remX, s2) === 0L, lit(s2)).otherwise(acc)
+    }
+  }
+
+  /** (asset_id, phash64, bp, pkey) — 6 rows per asset, one per band pair,
+    * pkey = the two chunks concatenated (32 bits). Only pairs sharing BOTH
+    * chunks of some band pair collide here: ~2⁻³² for independent hashes,
+    * so bucket populations track true correlation (duplicates/templates),
+    * never the corpus size. */
+  private def bandpairBanded(sig: DataFrame): DataFrame = {
+    val structs = BandPairs.zipWithIndex.map { case ((i, j), bp) =>
+      struct(lit(bp).as("bp"),
+        chunkOf(col("phash64"), i)
+          .bitwiseOR(shiftleft(chunkOf(col("phash64"), j), BandBits)).as("pkey"))
+    }
+    sig.select(col("asset_id"), col("phash64"), explode(array(structs: _*)).as("bk"))
+      .select(col("asset_id"), col("phash64"), col("bk.bp").as("bp"),
+        col("bk.pkey").as("pkey"))
+  }
+
+  /** (asset_id, phash64, band, key, sub, skey) — 16 rows per asset: the
+    * (band, key) blocking of [[bandedPhash]] refined by a 12-bit slice of
+    * the remaining 48 bits. A near pair (Hamming ≤ 3) has ≥1 zero chunk
+    * (4×16 pigeonhole) AND, within that band, ≥1 zero 12-bit slice of the
+    * 48-bit remainder (4×12 pigeonhole on ≤3 set bits) — so every near
+    * pair collides in at least one of these 28-bit buckets, whose
+    * populations are collision-rare for non-near signatures. */
+  private def nearBanded(sig: DataFrame): DataFrame = {
+    val structs = for { b <- 0 until NumBands; sb <- 0 until NumSubs } yield
+      struct(lit(b).as("band"), chunkOf(col("phash64"), b).as("key"),
+        lit(sb).as("sub"), sliceOf(remOf(col("phash64"), b), sb).as("skey"))
+    sig.select(col("asset_id"), col("phash64"), explode(array(structs: _*)).as("bk"))
+      .select(col("asset_id"), col("phash64"), col("bk.band").as("band"),
+        col("bk.key").as("key"), col("bk.sub").as("sub"), col("bk.skey").as("skey"))
+  }
+
+  /** Exact per-asset (n_cand, n_near) in LINEAR work, shuffle, and output —
+    * no Σ|bucket|² pass anywhere (VERDICT r19 #1/#8; the r19 spelling
+    * enumerated every banded candidate pair, ~N²/65536 rows under the
+    * fixed 4×16-bit alphabet, and exhausted disk at 5M assets):
+    *
+    *  - n_cand(a) = Σ_bands (population of a's (band, key) bucket − 1)
+    *    minus an overlap correction: a partner sharing k bands is counted
+    *    k times by the population sum, so pairs with k ≥ 2 subtract
+    *    (k − 1), enumerated ONCE each from their minimal shared band pair
+    *    (32-bit double-band buckets — populated only by correlated
+    *    signatures). Population table ≤ 4·2¹⁶ rows → broadcast.
+    *  - n_near(a) enumerates only pairs colliding in a (band, key16, sub,
+    *    key12) bucket — every Hamming ≤ 3 pair does (double pigeonhole,
+    *    see [[nearBanded]]) — adjudicates bit_count exactly, and emits
+    *    once from the minimal (band, sub).
+    *
+    * Equality with the r19 all-pairs spelling is pinned by R20QueriesSpec
+    * against [[phashCountsQuadratic]]; the SQL oracle (mm4PhashNeardupSql)
+    * replays the quadratic definition in DuckDB. */
+  private[queries] def phashCounts(sigs: DataFrame): DataFrame = {
+    val b = bandedPhash(sigs)
+    val pop = b.groupBy("band", "key").agg(count(lit(1)).as("__pop"))
+    val popSum = b.join(broadcast(pop), Seq("band", "key"))
+      .groupBy("asset_id").agg(sum(col("__pop") - 1L).as("pop_sum"))
+    val pb = bandpairBanded(sigs)
+    val over = pb.select(col("asset_id").as("id_a"), col("phash64").as("sa"),
+        col("bp"), col("pkey"))
+      .join(pb.select(col("asset_id").as("id_b"), col("phash64").as("sb"),
+        col("bp"), col("pkey")), Seq("bp", "pkey"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("__x", col("sa").bitwiseXOR(col("sb")))
+      .filter(col("bp") === minCommonBandpair(col("__x")))
+      .groupBy(col("id_a").as("asset_id"))
+      .agg(sum(zeroChunkCount(col("__x")).cast(LongType) - 1L).as("over_sum"))
+    val nb = nearBanded(sigs)
+    val near = nb.select(col("asset_id").as("id_a"), col("phash64").as("sa"),
+        col("band"), col("key"), col("sub"), col("skey"))
+      .join(nb.select(col("asset_id").as("id_b"), col("phash64").as("sb"),
+        col("band"), col("key"), col("sub"), col("skey")),
+        Seq("band", "key", "sub", "skey"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("__x", col("sa").bitwiseXOR(col("sb")))
+      .filter(expr("bit_count(__x)") <= MaxHamming)
+      .filter(col("band") === minCommonBand(col("__x")) &&
+        col("sub") === minSubFor(col("__x"), col("band")))
+      .groupBy(col("id_a").as("asset_id")).agg(count(lit(1)).as("n_near"))
+    sigs.join(popSum, Seq("asset_id"), "left")
+      .join(over, Seq("asset_id"), "left")
+      .join(near, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("phash64"),
+        (coalesce(col("pop_sum"), lit(0L)) -
+          coalesce(col("over_sum"), lit(0L))).as("n_cand"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+  }
+
+  /** The r19 all-pairs spelling of [[phashCounts]] — Σ|bucket|² work.
+    * Retained ONLY as the parity witness for R20QueriesSpec; not on any
+    * query or build path. */
+  private[queries] def phashCountsQuadratic(sigs: DataFrame): DataFrame = {
+    val banded = bandedPhash(sigs)
     val cand = banded.select(col("asset_id").as("id_a"), col("phash64").as("sa"),
         col("band"), col("key"))
       .join(banded.select(col("asset_id").as("id_b"), col("phash64").as("sb"),
@@ -185,12 +329,14 @@ object MultimodalQueries {
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b", "sa", "sb").distinct()
     val cnt = phashPairCounts(withNear(cand))
-    sig.join(cnt, Seq("asset_id"), "left")
+    sigs.join(cnt, Seq("asset_id"), "left")
       .select(col("asset_id"), col("phash64"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         coalesce(col("n_near"), lit(0L)).as("n_near"))
-      .orderBy("asset_id")
   }
+
+  def mm4PhashNeardup(s: SparkSession, dir: String): DataFrame =
+    phashCounts(phashSigs(t(s, dir, "documents"))).orderBy("asset_id")
 
   val mm4PhashNeardupSql: String = {
     val bits = (0 until 64).map { j =>
@@ -399,37 +545,26 @@ object MultimodalQueries {
     * id-range watermark (the dd18 recipe applied to the perceptual-hash
     * family — asset stores checkpoint exactly this between crawls). */
   private def phashFp(dir: String): String =
-    // the "p2" suffix versions the ARTIFACT LAYOUT (v2: merged `rows` +
-    // near-flagged symmetric `pairs`) — a layout change must never read a
-    // prior generation's homes
-    graft.operators.PersistedIndex.tableFingerprint(dir, "documents") + "p2"
+    // the "p3" suffix versions the ARTIFACT LAYOUT (v3: `rows` only — the
+    // r19 v2 layout also persisted the full banded candidate pair set,
+    // ~N²/65536 rows, which exhausted disk at sf100; VERDICT r19 #1) — a
+    // layout change must never read a prior generation's homes
+    graft.operators.PersistedIndex.tableFingerprint(dir, "documents") + "p3"
 
-  /** v2 artifact layout: `rows` (asset_id, phash64, n_cand, n_near) — the
-    * served answer itself, adjudicated at build/fold time — and `pairs`
-    * (id_a, id_b, near), the SYMMETRIC distinct candidate set with the
-    * Hamming adjudication precomputed (the LSH family's persisted-pairs
-    * recipe). Serving then never re-bands the store: dead contributions
-    * subtract from persisted pairs (map-side broadcast marks) and only
-    * the O(window) fresh side meets the bander. */
+  /** v3 artifact layout: `rows` (asset_id, phash64, n_cand, n_near) — the
+    * served answer itself, adjudicated at build/fold time via the LINEAR
+    * [[phashCounts]] — plus `stats`. No pair set is persisted: dead
+    * contributions re-derive at serve time from the persisted SIGNATURES
+    * (an O(window) broadcast against one map-side banded scan of the
+    * store — the same scan the fresh leg already pays), so the artifact
+    * stays O(corpus) at every scale. */
   private[queries] def ensurePhashIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
     PersistedIndex.ensure("phash_index", dir, phashFp(dir)) { tmp =>
       val split = PersistedIndex.idWatermark(t(s, dir, "documents"), "doc_id")
       val sigs = phashSigs(t(s, dir, "documents").filter(col("doc_id") <= split))
         .localCheckpoint(true)
-      val b = bandedPhash(sigs)
-      val cand = b.select(col("asset_id").as("id_a"), col("phash64").as("sa"),
-          col("band"), col("key"))
-        .join(b.select(col("asset_id").as("id_b"), col("phash64").as("sb"),
-          col("band"), col("key")), Seq("band", "key"))
-        .filter(col("id_a") =!= col("id_b"))
-        .select("id_a", "id_b", "sa", "sb").distinct()
-      withNear(cand).write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
-      val counts = phashPairCounts(s.read.parquet(tmp.resolve("pairs").toString))
-      sigs.join(counts, Seq("asset_id"), "left")
-        .select(col("asset_id"), col("phash64"),
-          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-          coalesce(col("n_near"), lit(0L)).as("n_near"))
+      phashCounts(sigs)
         .write.mode("overwrite").parquet(tmp.resolve("rows").toString)
       PersistedIndex.splitStats(s, split)
         .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
@@ -467,13 +602,17 @@ object MultimodalQueries {
     * passes (∅, appends); mm8 the [[graft.operators.CdcRules]] change
     * set; the expunged serve (∅, ∅) against a CDC-folded generation. */
   /** The incremental kernel shared by [[phashServe]] and
-    * [[foldPhashArtifacts]] — returns (outRows, livePairs, addPairs) where
-    * outRows is the post-change answer (unsorted) and livePairs ∪ addPairs
-    * is the post-change symmetric pair set. The 100 TB shape: the
-    * persisted store is only ever SCANNED map-side (broadcast dead marks,
-    * broadcast fresh bands, broadcast count adjustments) — no full-store
-    * shuffle, no re-band of base signatures; only the O(window) fresh
-    * payload meets the DCT and the bander. Statically-empty dead/fresh
+    * [[foldPhashArtifacts]] — returns the post-change answer rows
+    * (unsorted). The 100 TB shape (v3): the persisted store is only ever
+    * SCANNED map-side — its signatures band as a projection and meet the
+    * O(window) dead and fresh sides as broadcast hash joins; no full-store
+    * shuffle, no persisted pair set (the r19 pairs artifact was
+    * ~N²/65536 rows and exhausted disk at sf100), and only the O(window)
+    * fresh payload meets the DCT. Dead-touching pair contributions
+    * re-derive EXACTLY from persisted signatures: live×dead plus
+    * dead×dead banded pairs, each emitted once from its minimal shared
+    * band, bit_count-adjudicated on the spot — bit-identical to the v2
+    * persisted `near` flags it replaces. Statically-empty dead/fresh
     * frames erase every delta leg (PropagateEmptyRelation + the pinDerived
     * substitution), so a post-fold serve is a pure `rows` artifact scan. */
   /** @param hinted serve paths pass true (the fresh side is a bounded
@@ -485,29 +624,27 @@ object MultimodalQueries {
     *   r18). */
   private def phashDelta(s: SparkSession, home: java.nio.file.Path,
       deadIds: DataFrame, fresh: DataFrame,
-      hinted: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+      hinted: Boolean = true): DataFrame = {
     import graft.operators.{CdcRules, PersistedIndex}
     def hint(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     val rows0 = PersistedIndex.artifactFrame(s, home, "rows")
-    val pairs0 = PersistedIndex.artifactFrame(s, home, "pairs")
     val dead = CdcRules.pinDelta(deadIds.select(col("asset_id")))
     val freshSigs = CdcRules.pinDerived(s, fresh, phashSigs(fresh))
-    // dead-touching pair contributions come from the PERSISTED pair set:
-    // two broadcast membership marks, a map-side filter, a window-sized
-    // aggregate — never a re-band of the store (a dead asset's sub equals
-    // its full persisted count, so an updated asset nets to its add side)
-    val marked = pairs0
-      .join(broadcast(dead.select(col("asset_id").as("id_a"), lit(true).as("da"))),
-        Seq("id_a"), "left")
-      .join(broadcast(dead.select(col("asset_id").as("id_b"), lit(true).as("db"))),
-        Seq("id_b"), "left")
-      .select(col("id_a"), col("id_b"), col("near"),
-        (coalesce(col("da"), lit(false)) || coalesce(col("db"), lit(false))).as("hit"))
-    val sub = phashPairCounts(marked.filter(col("hit")).select("id_a", "id_b", "near"))
-    val livePairs = marked.filter(!col("hit")).select("id_a", "id_b", "near")
+    // dead-touching pair contributions re-derive from PERSISTED signatures
+    // (v3 — no pair artifact): the dead window's signatures come off the
+    // store by a broadcast semi-join, band as a projection, and pair
+    // against one map-side banded scan of the live store — the same scan
+    // the fresh leg pays. A dead asset's sub equals its full persisted
+    // count, so an updated asset nets to its add side.
+    val deadRows = rows0.join(broadcast(dead), Seq("asset_id"), "left_semi")
+      .select("asset_id", "phash64")
     val liveRows = rows0.join(broadcast(dead), Seq("asset_id"), "left_anti")
-    val bF = bandedPhash(freshSigs)
+    val bDead = bandedPhash(deadRows)
     val bLive = bandedPhash(liveRows.select("asset_id", "phash64"))
+    val sub = phashPairCounts(withNear(
+      phashPairsOf(bLive, bDead, both = true, hinted)
+        .unionByName(phashPairsOf(bDead, bDead, both = false, hinted))))
+    val bF = bandedPhash(freshSigs)
     val addPairs = withNear(
       phashPairsOf(bLive, bF, both = true, hinted)
         .unionByName(phashPairsOf(bF, bF, both = false, hinted)))
@@ -528,16 +665,20 @@ object MultimodalQueries {
       .select(col("asset_id"), col("phash64"),
         coalesce(col("ncf"), lit(0L)).as("n_cand"),
         coalesce(col("nnf"), lit(0L)).as("n_near"))
-    (outBase.unionByName(outFresh), livePairs, addPairs)
+    outBase.unionByName(outFresh)
   }
 
   private def phashServe(s: SparkSession, home: java.nio.file.Path,
       deadIds: DataFrame, fresh: DataFrame): DataFrame =
-    phashDelta(s, home, deadIds, fresh)._1.orderBy("asset_id")
+    phashDelta(s, home, deadIds, fresh).orderBy("asset_id")
 
   /** Banded candidate pairing with the RIGHT side always the window-sized
     * frame — broadcast on both orientations, so the (possibly
-    * corpus-sized) left frame is only ever scanned map-side. */
+    * corpus-sized) left frame is only ever scanned map-side. The two id
+    * universes must be DISJOINT when `both` (live/dead/fresh windows are,
+    * by the watermark). Multi-band matches emit ONCE, from the pair's
+    * minimal shared band — replacing the r19 `.distinct()`, which was a
+    * full shuffle of the raw pair stream. */
   private def phashPairsOf(left: DataFrame, right: DataFrame, both: Boolean,
       hinted: Boolean = true): DataFrame = {
     def hint(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
@@ -549,7 +690,9 @@ object MultimodalQueries {
     val base =
       if (both) fwd.unionByName(hint(a(right)).join(bb(left), Seq("band", "key")))
       else fwd
-    base.filter(col("id_a") =!= col("id_b")).select("id_a", "id_b", "sa", "sb").distinct()
+    base.filter(col("id_a") =!= col("id_b"))
+      .filter(col("band") === minCommonBand(col("sa").bitwiseXOR(col("sb"))))
+      .select("id_a", "id_b", "sa", "sb")
   }
 
   def mm8TombstonePhash(s: SparkSession, dir: String): DataFrame = {
@@ -601,11 +744,8 @@ object MultimodalQueries {
   private[graft] def foldPhashArtifacts(s: SparkSession, tmp: java.nio.file.Path,
       cur: java.nio.file.Path, deadIds: DataFrame, fresh: DataFrame, split: Long): Unit = {
     import graft.operators.PersistedIndex
-    val (outRows, livePairs, addPairs) =
-      phashDelta(s, cur, deadIds, fresh, hinted = false)
-    outRows.write.mode("overwrite").parquet(tmp.resolve("rows").toString)
-    livePairs.unionByName(addPairs)
-      .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
+    phashDelta(s, cur, deadIds, fresh, hinted = false)
+      .write.mode("overwrite").parquet(tmp.resolve("rows").toString)
     PersistedIndex.splitStats(s, split)
       .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
   }
