@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Targeted/sweep Bench runner with the guards the r19 sf100 attempt lacked
+# (VERDICT r19 #2):
+#   1. Disk preflight: refuse to launch with < MIN_FREE_GB free — the r19
+#      sf100 sweep died of ENOSPC mid-run (and took a JVM SIGSEGV with it),
+#      leaving 8 keys ERROR and no usable reading.
+#   2. BENCH_FULL.json clobber-proofing: every Bench run overwrites the
+#      repo-root map; after a TARGETED run this script restores the
+#      committed copy (the run's own map survives in bench_runs/<ts>.json,
+#      whose path is printed).
+#
+# Usage: scripts/bench_sweep.sh <sf_dir> [comma_keys] [cpus]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR="${1:?usage: bench_sweep.sh <sf_dir> [comma_keys] [cpus]}"
+KEYS="${2:-}"
+CPUS="${3:-32}"
+MIN_FREE_GB="${MIN_FREE_GB:-15}"
+
+free_gb=$(df -BG --output=avail "$PWD" | tail -1 | tr -dc '0-9')
+if (( free_gb < MIN_FREE_GB )); then
+  echo "FATAL: ${free_gb}G free < ${MIN_FREE_GB}G preflight floor — not launching" >&2
+  exit 1
+fi
+echo "preflight: ${free_gb}G free (floor ${MIN_FREE_GB}G)"
+
+before=$(ls bench_runs 2>/dev/null | sort | tail -1 || true)
+if [[ -n "$KEYS" ]]; then
+  SPARK_GRAFT_BENCH_ONLY="$KEYS" SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
+    sbt "runMain graft.Bench" 2>&1 | grep -E '"metric"|FAILED' || true
+else
+  SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
+    sbt "runMain graft.Bench" 2>&1 | grep -E '"metric"|FAILED' || true
+fi
+after=$(ls bench_runs | sort | tail -1)
+[[ "$after" != "$before" ]] || { echo "FATAL: no bench_runs record produced" >&2; exit 1; }
+echo "run recorded: bench_runs/$after"
+
+if [[ -n "$KEYS" ]]; then
+  git checkout -- BENCH_FULL.json 2>/dev/null \
+    && echo "BENCH_FULL.json restored to committed map (targeted run)" || true
+fi

@@ -31,6 +31,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle-partition override for big-SF sweeps (r20): the protocol
+    // default (= cpus) leaves one shuffle partition per core, which at 5M
+    // docs makes each aggregation partition ~15M rows — 32 concurrent
+    // hash maps that size blew the 8g driver at sf100. Sizing partitions
+    // to the DATA (not the cores) is the knob a real cluster turns;
+    // SPARK_DRIVER_MEM raises the forked heap alongside (build.sbt).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     // optional comma-separated name filter (SPARK_GRAFT_BENCH_ONLY) for
     // fast targeted iteration — the Bench twin of Verify's third arg,
     // including its fail-fast: a typo'd or empty filter must error, not
@@ -47,7 +54,7 @@ object Bench {
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

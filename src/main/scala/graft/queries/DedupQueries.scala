@@ -281,6 +281,20 @@ object DedupQueries {
        |  UNION
        |  SELECT e.u AS id, rr.r FROM edges e JOIN reach rr ON rr.id = e.v)""".stripMargin
 
+  /** [[componentCtesDuckOver]] WITHOUT the Jaccard verification leg —
+    * components over the raw candidate edges (sm11's contract: for a
+    * leakage-safe split, unverified connectivity only coarsens, which is
+    * the safe direction). */
+  private[queries] def componentCtesDuckUnverifiedOver(candSql: String): String =
+    s"""sig AS ($minhashSigsDuck),
+       |band AS ($bandedSigsDuck),
+       |cand AS ($candSql),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM cand UNION SELECT doc_b, doc_a FROM cand),
+       |reach AS (
+       |  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges) n
+       |  UNION
+       |  SELECT e.u AS id, rr.r FROM edges e JOIN reach rr ON rr.id = e.v)""".stripMargin
+
   /** dd8/sm10's all-pairs candidate relation (the verified-clique closure
     * contract). */
   private[queries] def componentCtesDuck: String = componentCtesDuckOver(
@@ -368,6 +382,67 @@ object DedupQueries {
        |  CASE WHEN ${detHashSql("COALESCE(c.comp, d.doc_id)", LeakFoldSeed)} % 10 < 8
        |    THEN 'train' ELSE 'test' END AS fold
        |FROM documents d LEFT JOIN comp c USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** sm11_star_safe_split — sm10's SCALE path (VERDICT r19 #7, the dd24
+    * switch-point wired into a consumer): the fold of every document is
+    * decided by its component over the UNVERIFIED star candidate edges
+    * ([[Dedup.starCandidatePairs]]) — no Jaccard verification at all.
+    *
+    * Why unverified is CORRECT here, where dd24 verifies: for a
+    * leakage-safe split the only failure that matters is SPLITTING a true
+    * near-dup cluster across train/test; merging non-dups into one fold
+    * merely shifts fold balance. Connectivity is monotone in edges, and
+    * every sm10 edge (a Jaccard-verified pair) shares ≥1 LSH bucket where
+    * both members link to the bucket representative — so each sm10
+    * component lies inside ONE sm11 component: sm11 can only COARSEN
+    * sm10's clusters, never split them. A template cluster therefore
+    * cannot straddle the boundary, by construction, at O(Σ|bucket|)
+    * candidate volume and with the shingle-verify leg (sm10's dominant
+    * cost) gone entirely.
+    *
+    * The consumer switch-point, stated once for the closure family:
+    *  - [[dd24StarClosure]] (cluster REPORTING): star edges + verification
+    *    — representative-only connectivity, the BigCode/SlimPajama trade.
+    *  - sm11 (leakage-safe SPLITS): star edges, NO verification — the
+    *    one-sided-error direction is free coarsening.
+    *  - dd8/sm10 and e2e4's lineage keep the verified-clique closure:
+    *    their contract is the exact Jaccard-verified component, and their
+    *    oracles replay it; on production-shaped corpora they are the
+    *    audit/small-corpus arm, sm11/dd24 the serving arm. */
+  def sm11StarSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    // the COMPONENTS are the session-materialized boundary (mirroring
+    // sm10's cachedComponents): the min-label loop is iterative and must
+    // not re-run per probe
+    val comp = SessionShare.materialized(s, dir, "sm11") {
+      val edges = Dedup.starCandidatePairs(cachedSigs(s, dir), "doc_id")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.connectedComponents(edges, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("comp"))
+    }
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+      .withColumn("fold",
+        when(detHash(col("cluster_id"), LeakFoldSeed) % 10 < 8, lit("train"))
+          .otherwise(lit("test")))
+      .select("doc_id", "cluster_id", "fold")
+      .orderBy("doc_id")
+  }
+
+  val sm11StarSafeSplitSql: String = {
+    val starCand =
+      """
+        |  SELECT DISTINCT r.rep AS doc_a, b.doc_id AS doc_b
+        |  FROM band b
+        |  JOIN (SELECT band, key, MIN(doc_id) AS rep FROM band GROUP BY band, key) r
+        |    ON r.band = b.band AND r.key = b.key AND b.doc_id <> r.rep""".stripMargin
+    s"""WITH RECURSIVE ${componentCtesDuckUnverifiedOver(starCand)},
+       |comp AS (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id)
+       |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
+       |  CASE WHEN ${detHashSql("COALESCE(c.comp, d.doc_id)", LeakFoldSeed)} % 10 < 8
+       |    THEN 'train' ELSE 'test' END AS fold
+       |FROM documents d LEFT JOIN comp c USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
 
   /** dd7_contamination — train/test leak screen: fraction of each test doc's
     * 5-gram shingles that appear anywhere in the train split (deterministic
@@ -1182,7 +1257,8 @@ object DedupQueries {
     "dd8_clusters" -> (dd8Clusters _),
     "dd9_simhash_pairs" -> (dd9SimhashPairs _),
     "dd24_star_closure" -> (dd24StarClosure _),
-    "sm10_leakage_safe_split" -> (sm10LeakageSafeSplit _))
+    "sm10_leakage_safe_split" -> (sm10LeakageSafeSplit _),
+    "sm11_star_safe_split" -> (sm11StarSafeSplit _))
 
   val oracles: Map[String, String] = Map(
     "dd18_delta_neardup" -> dd18DeltaNeardupSql,
@@ -1210,6 +1286,7 @@ object DedupQueries {
     "dd5_simhash" -> dd5SimhashSql,
     "dd8_clusters" -> dd8ClustersSql,
     "dd24_star_closure" -> dd24StarClosureSql,
+    "sm11_star_safe_split" -> sm11StarSafeSplitSql,
     "dd9_simhash_pairs" -> dd9SimhashPairsSql,
     "sm10_leakage_safe_split" -> sm10LeakageSafeSplitSql)
 }

@@ -43,8 +43,15 @@ object Layout {
   /** Rows above which a partition directory splits into multiple salted
     * files (and the per-file cap). 1M rows ≈ the ~128 MB file target for
     * postings-shaped rows; no bench-scale partition reaches it, so uniform
-    * corpora keep the one-file-per-bucket layout byte-for-byte. */
-  private[graft] val RowsPerFile = 1L << 20
+    * corpora keep the one-file-per-bucket layout byte-for-byte.
+    * Overridable (ops/bench knob — the skew-at-scale proof in BASELINE.md
+    * runs a 500k-doc Zipf corpus with a 100k gate so the hot census is
+    * non-empty at bench scale); floored at 64k so a misconfigured launch
+    * cannot shatter every partition into max-fan salt files. */
+  private[graft] val RowsPerFile: Long =
+    sys.props.get("graft.layout.rows.per.file")
+      .orElse(sys.env.get("GRAFT_ROWS_PER_FILE"))
+      .map(v => math.max(v.toLong, 65536L)).getOrElse(1L << 20)
   private[graft] val MaxFilesPerPartition = 32L
 
   /** [[writePartitioned]] with the skew cap explicit (ADVICE r18): a

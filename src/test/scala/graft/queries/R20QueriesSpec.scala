@@ -104,6 +104,26 @@ class R20QueriesSpec extends SparkSpec {
       s"post-expunge serve must not touch the corpus:\n$plan")
   }
 
+  test("sm11 star split only COARSENS sm10's verified clusters (never splits one)") {
+    // the switch-point contract (VERDICT r19 #7): every sm10 component must
+    // lie inside exactly ONE sm11 component — the star edges subsume every
+    // verified pair via its bucket representative, so the leakage-safe
+    // property is preserved by construction while the verify leg drops out
+    val dir = "/root/testdata/sf0.001"
+    val sm10 = DedupQueries.sm10LeakageSafeSplit(spark, dir)
+      .select(col("doc_id"), col("cluster_id").as("c10"))
+    val sm11 = DedupQueries.sm11StarSafeSplit(spark, dir)
+      .select(col("doc_id"), col("cluster_id").as("c11"))
+    val split10 = sm10.join(sm11, Seq("doc_id"))
+      .groupBy("c10").agg(countDistinct("c11").as("n"))
+      .filter(col("n") > 1).count()
+    assert(split10 === 0L, "an sm10 cluster straddles sm11 clusters")
+    // and the coarsening is real on this corpus OR the partitions are equal
+    val n10 = sm10.select("c10").distinct().count()
+    val n11 = sm11.select(col("c11")).distinct().count()
+    assert(n11 <= n10, "star components must be a coarsening")
+  }
+
   test("phash delta sub-leg re-derivation: tombstones subtract exactly (mm8 fixture)") {
     // the R13 mm8-shaped fixture: a near-cluster where one member is
     // DELETED and one UPDATED — the dead-touching counts must re-derive
