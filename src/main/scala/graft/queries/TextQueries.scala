@@ -3072,6 +3072,136 @@ object TextQueries {
 
   lazy val ir24QueryBatch100Sql: String = batchSqlOver("", "documents", Batch100)
 
+  /** ir26_blockmax_batch — the batch axis × the block-max skip list: 100
+    * queries served top-k with PER-QUERY block pruning (Ding & Suel 2011
+    * Block-Max WAND, batched). ir24's exact batch kernel is
+    * df-PROPORTIONAL by contract — on the Zipf skew corpus a stopword
+    * query scores ~every document (measured: 23 s at 500k docs for the
+    * 100-query batch, BASELINE "Skew at scale") — while this face scores
+    * only documents inside blocks whose per-query bound can still beat
+    * that query's running threshold. Per query q: (1) bound_q(blk) =
+    * Σ_{t∈q} ub_e6(t, blk) over the SAME bucket-pruned blockmax read that
+    * serves every query; (2) the best-bound block seeds θ_q = its k-th
+    * exact score (one ≤|batch|·k bounded collect — the ir7 class); (3)
+    * only (q, blk) pairs with bound_q ≥ θ_q are scored. Soundness per
+    * pair: round(1e6·Σ ts) ≤ Σ ceil(1e6·ts) ≤ bound, so a pruned block
+    * cannot hold a top-k member — and a query whose seed cannot certify k
+    * strictly-positive scores ([[blockmaxCertified]]) gets θ_q = 0, which
+    * keeps all its matched blocks: that query degrades to ir24's exact
+    * scoring INSIDE the same plan, no second path. Pruning is therefore
+    * invisible to the answer and the oracle IS ir24's SQL.
+    *
+    * The WAND effect on skewed corpora: a stopword's idf ≈ 0 makes its
+    * per-block bound contribution tiny, so θ_q (driven by the query's
+    * rarer terms) prunes exactly the stopword-only blocks that ir24 must
+    * score — the skip path's advantage GROWS with df skew. */
+  /** ir26's 100-query table — the WAND-shaped mix: most queries pair 1–2
+    * HEAD-vocabulary terms with one deterministic TAIL term (`wNNNNN`, the
+    * Zipf tail of the skew corpora's 10k vocabulary; absent from the
+    * uniform oracle corpora, where an absent term simply contributes no
+    * postings on both engines). Production query logs are this shape —
+    * a stopword plus the selective terms that carry the intent — and it
+    * is exactly where block-max separates: θ_q is idf(tail)-driven, so
+    * stopword-only blocks prune. Every 5th query stays pure-head (the
+    * degenerate all-common mix, which must degrade gracefully, not
+    * break). Deterministic index arithmetic; the oracle replays the
+    * identical table. */
+  private[queries] lazy val Batch100Wand: Seq[(Long, Seq[String])] = {
+    val head = (BatchQueries.flatMap(_._2) ++
+      PhraseBatch.flatMap(b => Seq(b._2, b._3))).distinct.sorted
+    (0L until 100L).map { i =>
+      val h1 = head(((i * 7 + 3) % head.length).toInt)
+      val h2 = head(((i * 11 + 5) % head.length).toInt)
+      val tail = f"w${30 + ((i * 97 + 13) % 9970)}%05d"
+      val terms =
+        if (i % 5 == 0) Seq(h1, h2).distinct
+        else (Seq(h1, tail) ++ (if (i % 3 == 0) Seq(h2) else Nil)).distinct
+      i -> terms
+    }
+  }
+
+  def ir26BlockmaxBatch(s: SparkSession, dir: String): DataFrame =
+    blockmaxBatchServe(s, dir, Batch100Wand, BatchTopK)._1
+
+  lazy val ir26BlockmaxBatchSql: String =
+    batchSqlOver("", "documents", Batch100Wand)
+
+  /** (result, kept (query, blk) pairs, all matched (query, blk) bounds) —
+    * internals exposed so R20QueriesSpec can measure real pruning. */
+  private[queries] def blockmaxBatchServe(s: SparkSession, dir: String,
+      batch: Seq[(Long, Seq[String])], k: Int): (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    import graft.operators.{PersistedIndex, TopK}
+    val (k1, b) = (1.2, 0.75)
+    val home = ensurePostingsIndex(s, dir)
+    val nBk = readBuckets(s, home)
+    val st = PersistedIndex.statsRow(s, home)
+    val (nB, dlB) = (st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"))
+    val allTerms = batch.flatMap(_._2).distinct.sorted
+    val qt = broadcast(
+      batch.flatMap { case (qid, ts) => ts.map(w => (qid, w)) }
+        .toDF("query_id", "word"))
+    val qbuckets = allTerms.map(q => detHash60Local(q) % nBk).distinct.sorted
+    def pruned(path: String): DataFrame =
+      PersistedIndex.artifactFrame(s, home, path)
+        .where(col("bucket").isin(qbuckets.map(java.lang.Long.valueOf): _*) &&
+          col("word").isInCollection(allTerms))
+    val tf = pruned("postings").select("doc_id", "word", "tf")
+    val dl = PersistedIndex.artifactFrame(s, home, "doclen")
+    // full-corpus df from the same pruned read — identical to the oracle's
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val avgdl = lit(dlB).cast(DoubleType) / lit(nB).cast(DoubleType)
+    val tfd = col("tf").cast(DoubleType)
+    val dfd = col("df").cast(DoubleType)
+    val idf = log((lit(nB).cast(DoubleType) - dfd + 0.5) / (dfd + 0.5) + 1.0)
+    val termScore =
+      idf * (tfd * (k1 + 1.0)) /
+        (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
+    // exact per-(query, doc) scores over a (query_id, blk) candidate
+    // frame. Join ORDER is the point: the (query, term, kept-block) probe
+    // is built FIRST (kept-bounded — tiny once pruning bites) and the
+    // postings meet it on (word, blk), so a stopword's posting list fans
+    // out per query ONLY inside that query's kept blocks. The naive
+    // spelling (tf ⋈ queries, then filter by kept) materializes
+    // |stopword df| × |queries containing it| rows before pruning —
+    // measured 39M-row blowup on the skew corpus, which made pruning
+    // free but worthless. AQE broadcasts the probe when it is small.
+    def scoredPairs(cand: DataFrame): DataFrame = {
+      val probe = qt.join(cand, Seq("query_id")).select("query_id", "word", "blk")
+      tf.withColumn("blk", expr(s"doc_id div $Ir9Block"))
+        .join(probe, Seq("word", "blk"))
+        .join(broadcast(df), Seq("word"))
+        .join(dl, Seq("doc_id"))
+        .select(col("query_id"), col("doc_id"), termScore.as("ts"))
+        .groupBy("query_id", "doc_id")
+        .agg(round(sum("ts") * 1e6).cast(LongType).as("bm25_e6"))
+    }
+    val bounds = pruned("blockmax").join(qt, Seq("word"))
+      .groupBy("query_id", "blk").agg(sum("ub_e6").as("bound_e6"))
+    val seeds = TopK.smallestPerGroup(bounds, Seq("query_id"), 1,
+        -col("bound_e6"), col("blk"), keyName = "negb_e6", idName = "blk")
+      .select("query_id", "blk")
+    val seedTop = TopK.smallestPerGroup(scoredPairs(broadcast(seeds)),
+        Seq("query_id"), k, -col("bm25_e6"), col("doc_id"),
+        keyName = "neg_e6", idName = "doc_id")
+      .collect()
+    val byQ = seedTop.groupBy(_.getAs[Long]("query_id"))
+    val thetas = batch.map { case (qid, _) =>
+      val rows = byQ.getOrElse(qid, Array.empty[org.apache.spark.sql.Row])
+      val kth = if (rows.isEmpty) 0L else -rows.map(_.getAs[Long]("neg_e6")).max
+      (qid, if (blockmaxCertified(rows.length, k, kth)) kth else 0L)
+    }.toDF("query_id", "theta")
+    val kept = bounds.join(broadcast(thetas), Seq("query_id"))
+      .filter(col("bound_e6") >= col("theta"))
+      .select("query_id", "blk")
+    val res = TopK.smallestPerGroup(scoredPairs(kept), Seq("query_id"), k,
+        -col("bm25_e6"), col("doc_id"), keyName = "neg_e6", idName = "doc_id")
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (-col("neg_e6")).as("bm25_e6"))
+      .orderBy("query_id", "rank")
+    (res, kept, bounds)
+  }
+
   /** ir16's SQL over the POST-CHANGE corpus — ir20's oracle. */
   val ir20CdcQueryBatchSql: String = batchSqlOver(
     graft.operators.CdcRules.sqlCorpusCtes("corpus20", "'redacted'") + ",\n", "corpus20")
@@ -4424,6 +4554,7 @@ object TextQueries {
     "ir22_sized_feed" -> (ir22SizedFeed _),
     "ir23_sized_query_batch" -> (ir23SizedQueryBatch _),
     "ir24_query_batch100" -> (ir24QueryBatch100 _),
+    "ir26_blockmax_batch" -> (ir26BlockmaxBatch _),
     "ir17_snippets" -> (ir17Snippets _),
     "ir18_tombstone_phrase" -> (ir18TombstonePhrase _),
     "ir18b_expunged_phrase" -> (ir18bExpungedPhrase _),
@@ -4498,6 +4629,8 @@ object TextQueries {
     "ir22_sized_feed" -> ir22SizedFeedSql,
     "ir23_sized_query_batch" -> ir23SizedQueryBatchSql,
     "ir24_query_batch100" -> ir24QueryBatch100Sql,
+    // block pruning is answer-invisible: ir26 ≡ ir24
+    "ir26_blockmax_batch" -> ir26BlockmaxBatchSql,
     "ir17_snippets" -> ir17SnippetsSql,
     "ir18_tombstone_phrase" -> ir18TombstonePhraseSql,
     // expunge-fold is answer-invariant by construction: ir18b ≡ ir18

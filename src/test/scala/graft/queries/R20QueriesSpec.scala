@@ -104,6 +104,53 @@ class R20QueriesSpec extends SparkSpec {
       s"post-expunge serve must not touch the corpus:\n$plan")
   }
 
+  test("ir26 batched block-max ≡ ir24's exact batch, and pruning is real") {
+    val dir = "/root/testdata/sf0.01"
+    val (res, kept, bounds) =
+      TextQueries.blockmaxBatchServe(spark, dir, TextQueries.Batch100,
+        TextQueries.BatchTopK)
+    val got = res.collect().map(_.toSeq).toSeq
+    val want = TextQueries.ir24QueryBatch100(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got === want, "block pruning must be invisible to the batch answer")
+    val (nKept, nAll) = (kept.count(), bounds.count())
+    assert(nKept <= nAll)
+  }
+
+  test("ir26 pruning does real work on a df-skewed corpus (the WAND shape)") {
+    import spark.implicits._
+    // the uniform testdata is WAND's worst case (30-word vocab — every
+    // term in every block, bounds never separate; kept == bounds at both
+    // oracle SFs). This fixture is the production shape: a stopword in
+    // every doc, a rare term confined to ONE 64-doc block — θ for the
+    // (stopword, rare) query is idf(rare)-dominated, stopword-only blocks
+    // bound far below it and MUST be skipped.
+    val tmp = java.nio.file.Files.createTempDirectory("ir26fix").toString
+    val docs = (0L until 2048L).map { i =>
+      val rare = if (i >= 192L && i < 256L) " rarezz" else ""
+      val text = s"the w${i % 50}a w${i % 50}b w${i % 7}c filler$rare the data"
+      (i, text, text.length.toLong)
+    }.toDF("doc_id", "text", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val batch = Seq(0L -> Seq("the", "rarezz"), 1L -> Seq("the", "data"))
+    val (res, kept, bounds) =
+      TextQueries.blockmaxBatchServe(spark, tmp, batch, 10)
+    val got = res.collect().map(_.toSeq).toSeq
+    // exact reference: the ir16/ir24 batch kernel over the same fixture
+    val want = TextQueries.ir16Internals(spark, tmp, batch, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want, "pruned batch must equal the exact batch kernel")
+    val keptQ0 = kept.filter(col("query_id") === 0L).count()
+    val allQ0 = bounds.filter(col("query_id") === 0L).count()
+    assert(allQ0 === 32L, s"fixture should match all 32 blocks for q0, got $allQ0")
+    assert(keptQ0 < allQ0 / 4,
+      s"the rare-term query must skip most stopword-only blocks ($keptQ0/$allQ0)")
+    // the rare block's docs must dominate q0's top-k
+    val q0docs = got.filter(_.head == 0L).map(_(2).asInstanceOf[Long])
+    assert(q0docs.forall(d => d >= 192L && d < 256L),
+      "q0's top-k must come from the rare-term block")
+  }
+
   test("sm11 star split only COARSENS sm10's verified clusters (never splits one)") {
     // the switch-point contract (VERDICT r19 #7): every sm10 component must
     // lie inside exactly ONE sm11 component — the star edges subsume every
