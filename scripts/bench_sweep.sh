@@ -26,18 +26,34 @@ fi
 echo "preflight: ${free_gb}G free (floor ${MIN_FREE_GB}G)"
 
 before=$(ls bench_runs 2>/dev/null | sort | tail -1 || true)
+# sbt's own exit status must gate the run (ADVICE r20: '| grep ... || true'
+# masked crashes; a run that died after emitting its record passed the
+# new-file gate and its partial map could clobber BENCH_FULL.json). Log to
+# a file, grep afterwards, and fail on a nonzero sbt exit.
+sbt_log=$(mktemp /tmp/bench_sweep.XXXXXX.log)
+rc=0
 if [[ -n "$KEYS" ]]; then
   SPARK_GRAFT_BENCH_ONLY="$KEYS" SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
-    sbt "runMain graft.Bench" 2>&1 | grep -E '"metric"|FAILED' || true
+    sbt "runMain graft.Bench" > "$sbt_log" 2>&1 || rc=$?
 else
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
-    sbt "runMain graft.Bench" 2>&1 | grep -E '"metric"|FAILED' || true
+    sbt "runMain graft.Bench" > "$sbt_log" 2>&1 || rc=$?
+fi
+grep -E '"metric"|FAILED' "$sbt_log" || true
+if (( rc != 0 )); then
+  echo "FATAL: sbt exited $rc — bench run is not trustworthy (log: $sbt_log)" >&2
+  git checkout -- BENCH_FULL.json 2>/dev/null || true
+  exit "$rc"
 fi
 after=$(ls bench_runs | sort | tail -1)
 [[ "$after" != "$before" ]] || { echo "FATAL: no bench_runs record produced" >&2; exit 1; }
 echo "run recorded: bench_runs/$after"
 
-if [[ -n "$KEYS" ]]; then
+# Restore the committed protocol map after ANY run that is not the full
+# suite at the protocol sf0.1 dir (ADVICE r20: the old guard only covered
+# targeted runs, so an untargeted sf100 sweep still clobbered the map).
+# The run's own map survives in bench_runs/<ts>.json, printed above.
+if [[ -n "$KEYS" || "$(basename "$SF_DIR")" != "sf0.1" ]]; then
   git checkout -- BENCH_FULL.json 2>/dev/null \
-    && echo "BENCH_FULL.json restored to committed map (targeted run)" || true
+    && echo "BENCH_FULL.json restored to committed map (non-protocol run)" || true
 fi

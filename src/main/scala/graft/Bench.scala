@@ -31,13 +31,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // shuffle-partition override for big-SF sweeps (r20): the protocol
-    // default (= cpus) leaves one shuffle partition per core, which at 5M
-    // docs makes each aggregation partition ~15M rows — 32 concurrent
-    // hash maps that size blew the 8g driver at sf100. Sizing partitions
-    // to the DATA (not the cores) is the knob a real cluster turns;
-    // SPARK_DRIVER_MEM raises the forked heap alongside (build.sbt).
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // shuffle-partition sizing (r21, VERDICT r20 #7): derived from the
+    // INPUT BYTES (~128 MB/partition, floored at cpus — [[Launch]]), so
+    // big-SF sweeps no longer need the hand-set SPARK_GRAFT_SHUFFLE=256
+    // that r20's 5M-doc run required (one ~15M-row hash map per core blew
+    // the 8g driver). Protocol SFs land exactly on the old `= cpus`
+    // default (sf0.1 is 17 MB), so driver bench numbers stay comparable.
+    // The env override still wins; SPARK_DRIVER_MEM raises the forked
+    // heap alongside (build.sbt).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      Launch.derivedShufflePartitions(sfDir, cpus.toInt).toString)
     // optional comma-separated name filter (SPARK_GRAFT_BENCH_ONLY) for
     // fast targeted iteration — the Bench twin of Verify's third arg,
     // including its fail-fast: a typo'd or empty filter must error, not

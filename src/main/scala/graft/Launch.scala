@@ -1,0 +1,35 @@
+package graft
+
+/** Launch-time session sizing shared by Bench and Verify.
+  *
+  * Shuffle partitions derive from the DATA, not the core count (guide §2.2:
+  * size partitions to the 100 MB–1 GB band and let AQE coalesce): the r20
+  * sf100 sweep needed a hand-set `SPARK_GRAFT_SHUFFLE=256` because the
+  * protocol default (= cpus) left one ~15M-row hash map per core and blew
+  * the driver heap (VERDICT r20 #7). Deriving `max(cpus, inputBytes/128MB)`
+  * keeps every protocol SF's value EXACTLY the old default (sf0.1 is 17 MB
+  * → floor at cpus, so driver-comparable bench numbers and identical
+  * hashes), while a big-SF launch sizes itself with no knob. The env
+  * override `SPARK_GRAFT_SHUFFLE` still wins when set.
+  */
+object Launch {
+  /** ~128 MB of input per shuffle partition — the guide's band floor;
+    * partition-count independence of every query is spec-pinned
+    * (PartitionIndependenceSpec), so this is a granularity knob only. */
+  val BytesPerShufflePartition: Long = 128L << 20
+
+  def inputBytes(sfDir: String): Long = {
+    val root = java.nio.file.Paths.get(sfDir)
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(p => java.nio.file.Files.isRegularFile(p))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally st.close()
+    }
+  }
+
+  def derivedShufflePartitions(sfDir: String, cpus: Int): Int =
+    math.max(cpus.toLong,
+      (inputBytes(sfDir) + BytesPerShufflePartition - 1) / BytesPerShufflePartition).toInt
+}

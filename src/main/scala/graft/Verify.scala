@@ -19,9 +19,13 @@ object Verify {
     }
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // data-derived shuffle sizing, same derivation as Bench (r21): equals
+    // the old `= cpus` at every protocol SF, scales at big SFs
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      Launch.derivedShufflePartitions(sfDir, cpus.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

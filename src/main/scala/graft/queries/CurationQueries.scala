@@ -1938,76 +1938,107 @@ object CurationQueries {
     def storeCount(p: java.nio.file.Path, artifact: String): Long =
       s.read.parquet(p.resolve(artifact).toString).count()
     val pre = e2e9CompactPolicy(s, dir).collect() // six bounded audit rows
-    val walked = pre.toSeq.map { r =>
-      val fam = r.getString(0)
-      val (split, nb, nt, nf, ns) =
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
-      val fire = r.getBoolean(6)
-      val (post, infl) =
-        if (!fire) (nb, nt + nf)
-        else fam match {
-          case "ivf" =>
-            (storeCount(SimilarityQueries.compactCdcIvfIndex(s, dir), "cells"), 0L)
-          case "kg" =>
-            (graft.operators.PersistedIndex.statsRow(s,
-              MatchQueries.compactCdcKgIndex(s, dir)).getAs[Long]("nd"), 0L)
-          case "lsh" =>
-            (storeCount(DedupQueries.compactCdcLshIndex(s, dir), "sigs"), 0L)
-          case "phash" =>
-            (storeCount(MultimodalQueries.compactCdcPhashIndex(s, dir), "rows"), 0L)
-          case "positions" =>
-            (storeCount(TextQueries.compactCdcPosIndex(s, dir), "docs"), 0L)
-          case "postings" =>
-            (storeCount(TextQueries.compactCdcPostingsIndex(s, dir), "doclen"), 0L)
-        }
-      (fam, split, nb, nt, nf, ns, fire, post, infl)
-    }
-    // the raw (append-only) lineage's own fold: the positional family's
-    // in-flight append segment folds into a `_c` generation when the
-    // policy fires (appends-only census — no tombstones on this lineage)
-    val posBase = TextQueries.ensurePosIndexBase(s, dir)
-    val posSp = PersistedIndex.readSplit(s, posBase)
-    val nBaseP = storeCount(posBase, "docs")
-    val nApp = t(s, dir, "documents")
-      .filter(col("doc_id") > posSp).select("doc_id").count()
-    val fireP = PersistedIndex.shouldFoldAppends(nBaseP, nApp)
-    val (postP, inflP) =
-      if (fireP) (storeCount(TextQueries.compactBasePosIndex(s, dir), "docs"), 0L)
-      else (nBaseP, nApp)
-    // the STREAMING loop's own dashboard row (VERDICT r17 #8): land the
-    // deterministic feed as two parity micro-batches through
-    // [[graft.streaming.IndexMaintenance.applyBatch]] — replay-idempotent,
-    // so repeated runs find the landed segments / folded generations and
-    // just read the state back — then report what a streaming deployment
-    // watches: the fold floor (split_id), the resolved store size, and
-    // the live in-flight change split. Driver reads stay bounded: segment
-    // stats rows plus op-filtered counts over change-set-sized feeds.
-    val im = graft.streaming.IndexMaintenance
-    val sRoot = PersistedIndex.home("stream_loop", dir,
-      PersistedIndex.tableFingerprint(dir, "documents") + "_postings")
-    java.nio.file.Files.createDirectories(sRoot)
-    val sDocs = t(s, dir, "documents")
-    val sFeed = graft.streaming.EventStreams.cdcStream(sDocs,
-      graft.operators.CdcRules.feedSplit(sDocs, "doc_id"))
-    im.applyBatch(s, dir, sRoot, sFeed.filter(col("doc_id") % 2 === 0L), 0L, im.Postings)
-    im.applyBatch(s, dir, sRoot, sFeed.filter(col("doc_id") % 2 === 1L), 1L, im.Postings)
-    val (sBase, sFloor, sSegs) = im.resolve(s, dir, sRoot, im.Postings)
-    val sStore = storeCount(sBase, "doclen")
-    val (sNt, sNf) =
-      if (sSegs.isEmpty) (0L, 0L)
-      else {
-        val live = sSegs.map(p => s.read.parquet(p.resolve("feed").toString))
-          .reduce(_ unionByName _)
-        (live.filter(col("op").isin("d", "u")).count(),
-         live.filter(col("op").isin("u", "a")).count())
+    // The family arms below are INDEPENDENT jobs (distinct index kinds,
+    // distinct homes) that the r20 spelling ran serially on the driver —
+    // the suite's most expensive key was a queue of small actions leaving
+    // 31 of 32 cores idle (VERDICT r20 #4). Submit them from a small
+    // thread pool so each arm's job tail back-fills the others' idle
+    // executors (guide §2.6); job descriptions are thread-local, answers
+    // are unchanged (same folds, same reads, deterministic rows assembled
+    // in the same order). The ONE ordering kept: positions_base's `_c`
+    // fold runs after the positions family's `_cdc` fold — both live
+    // under the positions_index parent and the serial spelling never had
+    // a sweep race between them.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      def walkFamily(r: org.apache.spark.sql.Row) = {
+        val fam = r.getString(0)
+        val (split, nb, nt, nf, ns) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        val fire = r.getBoolean(6)
+        val (post, infl) =
+          if (!fire) (nb, nt + nf)
+          else fam match {
+            case "ivf" =>
+              (storeCount(SimilarityQueries.compactCdcIvfIndex(s, dir), "cells"), 0L)
+            case "kg" =>
+              (graft.operators.PersistedIndex.statsRow(s,
+                MatchQueries.compactCdcKgIndex(s, dir)).getAs[Long]("nd"), 0L)
+            case "lsh" =>
+              (storeCount(DedupQueries.compactCdcLshIndex(s, dir), "sigs"), 0L)
+            case "phash" =>
+              (storeCount(MultimodalQueries.compactCdcPhashIndex(s, dir), "rows"), 0L)
+            case "positions" =>
+              (storeCount(TextQueries.compactCdcPosIndex(s, dir), "docs"), 0L)
+            case "postings" =>
+              (storeCount(TextQueries.compactCdcPostingsIndex(s, dir), "doclen"), 0L)
+          }
+        (fam, split, nb, nt, nf, ns, fire, post, infl)
       }
-    val rows = walked :+
-      ("positions_base", posSp, nBaseP, 0L, nApp, nBaseP + nApp, fireP, postP, inflP) :+
-      ("postings_stream", sFloor, sStore, sNt, sNf, sStore - sNt + sNf,
-        sFloor >= 0L, sStore, sNt + sNf)
-    rows.toDF("family", "split_id", "n_base", "n_tombstoned", "n_fresh",
-        "n_serving", "should_compact", "n_store_post", "n_inflight_post")
-      .orderBy("family")
+      // the raw (append-only) lineage's own fold: the positional family's
+      // in-flight append segment folds into a `_c` generation when the
+      // policy fires (appends-only census — no tombstones on this lineage)
+      def walkPosBase() = {
+        val posBase = TextQueries.ensurePosIndexBase(s, dir)
+        val posSp = PersistedIndex.readSplit(s, posBase)
+        val nBaseP = storeCount(posBase, "docs")
+        val nApp = t(s, dir, "documents")
+          .filter(col("doc_id") > posSp).select("doc_id").count()
+        val fireP = PersistedIndex.shouldFoldAppends(nBaseP, nApp)
+        val (postP, inflP) =
+          if (fireP) (storeCount(TextQueries.compactBasePosIndex(s, dir), "docs"), 0L)
+          else (nBaseP, nApp)
+        ("positions_base", posSp, nBaseP, 0L, nApp, nBaseP + nApp, fireP, postP, inflP)
+      }
+      // the STREAMING loop's own dashboard row (VERDICT r17 #8): land the
+      // deterministic feed as two parity micro-batches through
+      // [[graft.streaming.IndexMaintenance.applyBatch]] — replay-idempotent,
+      // so repeated runs find the landed segments / folded generations and
+      // just read the state back — then report what a streaming deployment
+      // watches: the fold floor (split_id), the resolved store size, and
+      // the live in-flight change split. Driver reads stay bounded: segment
+      // stats rows plus op-filtered counts over change-set-sized feeds.
+      def walkStream() = {
+        val im = graft.streaming.IndexMaintenance
+        val sRoot = PersistedIndex.home("stream_loop", dir,
+          PersistedIndex.tableFingerprint(dir, "documents") + "_postings")
+        java.nio.file.Files.createDirectories(sRoot)
+        val sDocs = t(s, dir, "documents")
+        val sFeed = graft.streaming.EventStreams.cdcStream(sDocs,
+          graft.operators.CdcRules.feedSplit(sDocs, "doc_id"))
+        im.applyBatch(s, dir, sRoot, sFeed.filter(col("doc_id") % 2 === 0L), 0L, im.Postings)
+        im.applyBatch(s, dir, sRoot, sFeed.filter(col("doc_id") % 2 === 1L), 1L, im.Postings)
+        val (sBase, sFloor, sSegs) = im.resolve(s, dir, sRoot, im.Postings)
+        val sStore = storeCount(sBase, "doclen")
+        val (sNt, sNf) =
+          if (sSegs.isEmpty) (0L, 0L)
+          else {
+            val live = sSegs.map(p => s.read.parquet(p.resolve("feed").toString))
+              .reduce(_ unionByName _)
+            (live.filter(col("op").isin("d", "u")).count(),
+             live.filter(col("op").isin("u", "a")).count())
+          }
+        ("postings_stream", sFloor, sStore, sNt, sNf, sStore - sNt + sNf,
+          sFloor >= 0L, sStore, sNt + sNf)
+      }
+      val posRow = pre.find(_.getString(0) == "positions")
+        .getOrElse(sys.error("e2e10: positions audit row missing"))
+      val famFutures = pre.toSeq.filterNot(_.getString(0) == "positions")
+        .map(r => Future(walkFamily(r)))
+      val posChain = Future { val fam = walkFamily(posRow); (fam, walkPosBase()) }
+      val streamF = Future(walkStream())
+      val others = Await.result(Future.sequence(famFutures), Duration.Inf)
+      val (posFam, posBaseRow) = Await.result(posChain, Duration.Inf)
+      val streamRow = Await.result(streamF, Duration.Inf)
+      val walked = (others :+ posFam).sortBy(_._1)
+      val rows = walked :+ posBaseRow :+ streamRow
+      rows.toDF("family", "split_id", "n_base", "n_tombstoned", "n_fresh",
+          "n_serving", "should_compact", "n_store_post", "n_inflight_post")
+        .orderBy("family")
+    } finally pool.shutdown()
   }
 
   val e2e10LifecycleWalkSql: String = {

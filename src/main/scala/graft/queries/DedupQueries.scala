@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -960,8 +960,22 @@ object DedupQueries {
     * convention), plus a one-row stats artifact carrying the watermark.
     * This is what a production dedup pipeline actually checkpoints between
     * crawls — signatures to probe against and pairs already found. */
+  // v2 (r21): the index gains a key-bucketed `bands` artifact (the
+  // postings recipe applied to the signature store, VERDICT r20 #3) —
+  // bump the version so every generation carries it and the pruned serve
+  // never mixes layouts
   private def lshFp(dir: String): String =
-    "v1_" + graft.operators.PersistedIndex.tableFingerprint(dir, "documents")
+    "v2_" + graft.operators.PersistedIndex.tableFingerprint(dir, "documents")
+
+  /** Hive-partition count of the `bands` artifact, and the bucket of one
+    * (band, key) row — a deterministic pure function of the join key, so a
+    * serve can compute its delta's touched buckets and read ONLY those
+    * partitions (PartitionFilters, no data IO outside them). 256 keeps
+    * directory cardinality modest (guide §6) while a crawl-window delta
+    * touches ≪ 256 of them at scale. */
+  private val LshBandBuckets = 256L
+  private def lshBandBucket(band: Column, key: Column): Column =
+    pmod(xxhash64(band, key), lit(LshBandBuckets))
 
   private[queries] def ensureLshIndex(s: SparkSession, dir: String): java.nio.file.Path = {
     import graft.operators.PersistedIndex
@@ -973,10 +987,24 @@ object DedupQueries {
       Dedup.lshCandidatePairs(
           s.read.parquet(tmp.resolve("sigs").toString), "doc_id")
         .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
+      writeLshBands(s, tmp)
       PersistedIndex.splitStats(s, split)
         .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }
   }
+
+  /** The banded projection of a generation's `sigs`, persisted
+    * key-bucketed (one directory per [[lshBandBucket]] value, rows sorted
+    * by (band, key) for page-level stats pruning): the serve-time
+    * incremental pairing reads ONLY the delta's touched buckets instead of
+    * re-banding the whole store per probe — the dd23 3.48 s full-store
+    * scan at sf100 was exactly that re-band (VERDICT r20 #3). */
+  private def writeLshBands(s: SparkSession, tmp: java.nio.file.Path): Unit =
+    graft.sources.Layout.writePartitioned(
+      Dedup.bandedSignatures(
+          s.read.parquet(tmp.resolve("sigs").toString), "doc_id")
+        .withColumn("kb", lshBandBucket(col("band"), col("key"))),
+      tmp.resolve("bands").toString, "kb", "band", "key")
 
   /** dd20_tombstone_neardup — tombstone/UPDATE-aware near-dup gating, ir14's
     * CDC semantics applied to the LSH family (VERDICT r13 #2 generalized
@@ -1014,8 +1042,28 @@ object DedupQueries {
     // (delta×base + both ends of delta×delta) — shingle/minhash once
     val freshSigs = graft.operators.CdcRules.pinDerived(s, fresh,
       Dedup.minhashSignatures(fresh, "doc_id", "text"))
-    val freshPairs = Dedup.incrementalCandidatePairs(baseSigs, freshSigs, "doc_id")
-    basePairs.unionByName(freshPairs)
+    // r21 (VERDICT r20 #3): the base side of the pairing reads the
+    // persisted key-bucketed `bands` artifact PRUNED to the delta's
+    // touched buckets (PartitionFilters on `kb`) instead of re-banding
+    // the whole signature store per serve — O(touched buckets), not
+    // O(store). Bucket pruning is exact: the bucket is a pure function of
+    // the (band, key) join key, so every matchable base row is in a kept
+    // bucket. A statically-empty fresh frame skips the pairing leg
+    // entirely (the expunged/post-fold serve stays a pure `pairs` read);
+    // a pre-v2 generation without `bands` falls back to the re-band.
+    val freshPairs =
+      if (graft.operators.CdcRules.isKnownEmpty(fresh)) None
+      else if (java.nio.file.Files.exists(home.resolve("bands"))) {
+        val kbs = Dedup.bandedSignatures(freshSigs, "doc_id")
+          .select(lshBandBucket(col("band"), col("key")).as("kb"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        val baseBands = graft.operators.PersistedIndex.artifactFrame(s, home, "bands")
+          .where(col("kb").isin(kbs.map(java.lang.Long.valueOf): _*))
+          .select("doc_id", "band", "key")
+          .join(dead, Seq("doc_id"), "left_anti")
+        Some(Dedup.incrementalCandidatePairsBanded(baseBands, freshSigs, "doc_id"))
+      } else Some(Dedup.incrementalCandidatePairs(baseSigs, freshSigs, "doc_id"))
+    freshPairs.fold(basePairs)(basePairs.unionByName(_))
       .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
@@ -1077,6 +1125,9 @@ object DedupQueries {
       .select("id_a", "id_b", "shared_bands")
       .unionByName(Dedup.incrementalCandidatePairs(liveSigs, freshSigs, "doc_id"))
       .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
+    // every folded generation republishes the key-bucketed bands over its
+    // own (post-fold) sigs, so the pruned serve works across generations
+    writeLshBands(s, tmp)
     PersistedIndex.splitStats(s, split)
       .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
   }
@@ -1192,8 +1243,9 @@ object DedupQueries {
     val docs = t(s, dir, "documents")
     val hi = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
     if (hi <= w0) return cur // nothing in flight — compaction is a no-op
-    val fp = "v1_" + PersistedIndex.tableFingerprint(dir, "documents")
-    val target = PersistedIndex.home("lsh_index", dir, fp + "_c" + hi)
+    // the SHARED fingerprint helper, not a re-spelled literal (r21: the
+    // inline "v1_" copy silently diverged when the layout version bumped)
+    val target = PersistedIndex.home("lsh_index", dir, lshFp(dir) + "_c" + hi)
     PersistedIndex.buildIfAbsent(target, dir) { tmp =>
       val baseSigs = s.read.parquet(cur.resolve("sigs").toString)
       val deltaSigs = Dedup.minhashSignatures(
@@ -1203,6 +1255,7 @@ object DedupQueries {
       s.read.parquet(cur.resolve("pairs").toString)
         .unionByName(Dedup.incrementalCandidatePairs(baseSigs, deltaSigs, "doc_id"))
         .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
+      writeLshBands(s, tmp)
       PersistedIndex.splitStats(s, hi)
         .write.mode("overwrite").parquet(tmp.resolve("stats").toString)
     }

@@ -93,7 +93,19 @@ object Layout {
     // subquery into the store scan that fails with "has not finished"
     // under plan reuse (hit by ss12/e2e10's ivf folds). Bounded by the
     // documented partition cardinality (≤ thousands); normally empty.
-    val written = s.read.parquet(path)
+    // A zero-row build writes only _SUCCESS — no partition dirs, nothing
+    // to salvage, and spark.read would throw "Unable to infer schema"
+    // (ADVICE r20). The read-back also pins the BUILD frame's schema so
+    // hive dir-name type re-inference can never retype the partition
+    // column (a string-typed value like '0012' would re-infer as int 12
+    // and the salted swap would write a NEW 'col=12' dir beside the
+    // surviving 'col=0012' one — duplicated rows; ADVICE r20).
+    import scala.jdk.CollectionConverters._
+    val hasPartDirs = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .iterator().asScala.exists(p =>
+        java.nio.file.Files.isDirectory(p) && p.getFileName.toString.contains("="))
+    if (!hasPartDirs) return
+    val written = s.read.schema(df.schema).parquet(path)
     val hot = written.groupBy(partitionCol).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > rowsPerFile).collect()
     if (hot.nonEmpty) {
