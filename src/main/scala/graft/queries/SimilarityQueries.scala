@@ -1639,19 +1639,36 @@ object SimilarityQueries {
       .join(emb.select(col("vec_id").as("doc_id"), col("embedding"), col("norm")),
         Seq("doc_id"), "left")
       .select("doc_id", "rel_e6", "relw_e6", "embedding", "norm")
-      .localCheckpoint()
-    val a = pool.select(col("doc_id").as("ia"), col("embedding").as("ea"), col("norm").as("na"))
-    val b = pool.select(col("doc_id").as("ib"), col("embedding").as("eb"), col("norm").as("nb"))
-    val sims = a.join(broadcast(b), col("ia") =!= col("ib"))
-      .select(col("ia"), col("ib"),
-        when(col("ea").isNotNull && col("eb").isNotNull,
-          floor(cosE6(dot(col("ea"), col("eb")), col("na"), col("nb")) / lit(4)).cast(LongType))
-          .otherwise(lit(0L)).as("pen_e6"))
-    // bounded-contract collects: ≤20 pool rows + ≤20² penalty pairs
-    val cands = pool.select("doc_id", "rel_e6", "relw_e6").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val pen: Map[(Long, Long), Long] = sims.collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // ONE bounded-contract collect (≤20 pool rows, embeddings riding
+    // along): the r20 spelling spent three driver-synchronized jobs here —
+    // a localCheckpoint of the pool, the 20²-pair broadcast self-join, and
+    // a second collect — to produce a ≤20×20 integer penalty matrix. The
+    // matrix is driver arithmetic in the same bounded class as the greedy
+    // below; the dot/round/floor spelling mirrors vec_dot's sequential
+    // accumulation and Spark's HALF_UP Round + cast-truncation EXACTLY, so
+    // values are bit-identical (oracle-hash-checked).
+    val poolRows = pool.collect()
+    val cands = poolRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def vecOf(r: org.apache.spark.sql.Row): Option[(IndexedSeq[Float], Double)] =
+      if (r.isNullAt(3) || r.isNullAt(4)) None
+      else Some((r.getSeq[Float](3).toIndexedSeq, r.getDouble(4)))
+    val vecs: Map[Long, Option[(IndexedSeq[Float], Double)]] =
+      poolRows.map(r => r.getLong(0) -> vecOf(r)).toMap
+    def penOf(a: (IndexedSeq[Float], Double), b: (IndexedSeq[Float], Double)): Long = {
+      val n = math.min(a._1.length, b._1.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a._1(i).toDouble * b._1(i).toDouble; i += 1 }
+      val cos = java.math.BigDecimal.valueOf(1e6 * acc / (a._2 * b._2))
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      math.floor(cos.toDouble / 4.0).toLong
+    }
+    val pen: Map[(Long, Long), Long] = (for {
+      (ia, va) <- vecs.toSeq; (ib, vb) <- vecs.toSeq if ia != ib
+    } yield (ia, ib) -> ((va, vb) match {
+      case (Some(a), Some(b)) => penOf(a, b)
+      case _ => 0L
+    })).toMap
     val rel = cands.map(c => c._1 -> c._2).toMap
     val relw = cands.map(c => c._1 -> c._3).toMap
     var remaining = cands.map(_._1).toSet

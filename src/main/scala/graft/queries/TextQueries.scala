@@ -2594,19 +2594,27 @@ object TextQueries {
   private def noDocs(s: SparkSession): DataFrame =
     graft.operators.CdcRules.emptyRows(s, "doc_id", "text", StringType)
 
-  /** The APPEND delta's pinned (doc_id, word, tf) over a given postings
-    * home — session-shared (r21): ir10's solo serve and the ir16/ir24
-    * batch serves all derive the identical frame (the home's split is
-    * immutable), and each call paid its own eager checkpoint job. Keyed by
-    * the home path (fingerprint + generation), so CDC/sized/feed serves —
-    * whose fresh frames differ — never route through here. */
-  private def appendFreshTf(s: SparkSession, home: java.nio.file.Path,
-      delta: DataFrame): DataFrame =
-    graft.operators.SessionShare.cached(s, home.toString, "append_fresh_tf") {
-      graft.operators.CdcRules.pinDerived(s, delta, delta
+  /** A fresh segment's pinned (doc_id, word, tf), session-shared per
+    * (home, derivation tag) — r21: serves that consume the IDENTICAL
+    * fresh frame each paid their own eager checkpoint job per call. Keyed
+    * by the home path (fingerprint + generation) and a tag naming the
+    * derivation, so different fresh classes never mix: "append_fresh_tf"
+    * (ir10 solo + ir16/ir24 batch — the raw append delta) and
+    * "sizedfeed_fresh_tf" (ir22/ir23 — the crawl-window feed split).
+    * Amortized warm cost is the by-design steady state the Bench scaladoc
+    * documents (the bm25_core convention); the first toucher still pays
+    * and reports the full build. */
+  private def sharedFreshTf(s: SparkSession, home: java.nio.file.Path,
+      tag: String, fresh: DataFrame): DataFrame =
+    graft.operators.SessionShare.cached(s, home.toString, tag) {
+      graft.operators.CdcRules.pinDerived(s, fresh, fresh
         .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
     }
+
+  private def appendFreshTf(s: SparkSession, home: java.nio.file.Path,
+      delta: DataFrame): DataFrame =
+    sharedFreshTf(s, home, "append_fresh_tf", delta)
 
   /** (result, snapshot watermark) — split out so the spec can swap in a
     * crafted corpus and selective terms, and read the watermark back. */
@@ -2842,10 +2850,11 @@ object TextQueries {
     * segment is the 'u' payloads plus 'a' payloads not yet folded into
     * the snapshot. No rule set in sight. */
   private[queries] def feedServe(s: SparkSession, home: java.nio.file.Path,
-      feed: DataFrame): DataFrame = {
+      feed: DataFrame, freshTfTag: Option[String] = None): DataFrame = {
     val snap = graft.operators.PersistedIndex.readSplit(s, home)
     val (dead, fresh) = graft.operators.CdcRules.feedFrames(feed, "doc_id", "text", snap)
-    bm25Serve(s, home, dead, fresh, RetrievalQTerms)
+    bm25Serve(s, home, dead, fresh, RetrievalQTerms,
+      freshTfShared = freshTfTag.map(sharedFreshTf(s, home, _, fresh)))
   }
 
   /** ir22_sized_feed — ir15 at a CRAWL-SIZED batch (VERDICT r16 #2): the
@@ -2862,9 +2871,12 @@ object TextQueries {
     import graft.operators.CdcRules
     val docs = t(s, dir, "documents")
     val wStar = CdcRules.feedSplit(docs, "doc_id")
+    // the sized window's fresh tokenization is shared with ir23 (identical
+    // feedFrames derivation over the identical sized feed)
     feedServe(s, ensureBasePostingsIndex(s, dir),
       CdcRules.sizedFeed(
-        graft.streaming.EventStreams.cdcStream(docs, wStar), "doc_id", wStar))
+        graft.streaming.EventStreams.cdcStream(docs, wStar), "doc_id", wStar),
+      freshTfTag = Some("sizedfeed_fresh_tf"))
   }
 
   /** The sized-feed corpus CTEs: ir15's feed-assembled corpus with the
@@ -2898,7 +2910,8 @@ object TextQueries {
       CdcRules.sizedFeed(
         graft.streaming.EventStreams.cdcStream(docs, wStar), "doc_id", wStar),
       "doc_id", "text", PersistedIndex.readSplit(s, home))
-    batchServe(s, home, dead, fresh, BatchQueries, BatchTopK)
+    batchServe(s, home, dead, fresh, BatchQueries, BatchTopK,
+      freshTfShared = Some(sharedFreshTf(s, home, "sizedfeed_fresh_tf", fresh)))
   }
 
   lazy val ir23SizedQueryBatchSql: String =
