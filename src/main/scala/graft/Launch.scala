@@ -13,10 +13,15 @@ package graft
   * override `SPARK_GRAFT_SHUFFLE` still wins when set.
   */
 object Launch {
-  /** ~128 MB of input per shuffle partition — the guide's band floor;
-    * partition-count independence of every query is spec-pinned
+  /** ~128 MB of IN-MEMORY data per shuffle partition — the guide's band
+    * floor; partition-count independence of every query is spec-pinned
     * (PartitionIndependenceSpec), so this is a granularity knob only. */
   val BytesPerShufflePartition: Long = 128L << 20
+
+  /** Parquet-on-disk → in-memory row expansion allowance (zstd text
+    * columns decode ~3–5×; tokenize/explode grows further). Applied to
+    * the on-disk census so the 128 MB band means UNCOMPRESSED bytes. */
+  val ParquetExpansion: Long = 4L
 
   def inputBytes(sfDir: String): Long = {
     val root = java.nio.file.Paths.get(sfDir)
@@ -31,5 +36,6 @@ object Launch {
 
   def derivedShufflePartitions(sfDir: String, cpus: Int): Int =
     math.max(cpus.toLong,
-      (inputBytes(sfDir) + BytesPerShufflePartition - 1) / BytesPerShufflePartition).toInt
+      (inputBytes(sfDir) * ParquetExpansion + BytesPerShufflePartition - 1)
+        / BytesPerShufflePartition).toInt
 }

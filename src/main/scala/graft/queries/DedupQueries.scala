@@ -974,6 +974,13 @@ object DedupQueries {
     * directory cardinality modest (guide §6) while a crawl-window delta
     * touches ≪ 256 of them at scale. */
   private val LshBandBuckets = 256L
+
+  /** Pruned-path gate: engage the bucket-pruned bands read only when the
+    * delta touches at most this many buckets (measured break-even —
+    * see [[lshServe]]'s A/B note; at ≥ full coverage the pre-exploded
+    * artifact read loses to the in-memory re-band). */
+  private val LshPrunedBucketMax = (LshBandBuckets / 4).toInt
+
   private def lshBandBucket(band: Column, key: Column): Column =
     pmod(xxhash64(band, key), lit(LshBandBuckets))
 
@@ -1042,27 +1049,37 @@ object DedupQueries {
     // (delta×base + both ends of delta×delta) — shingle/minhash once
     val freshSigs = graft.operators.CdcRules.pinDerived(s, fresh,
       Dedup.minhashSignatures(fresh, "doc_id", "text"))
-    // r21 (VERDICT r20 #3): the base side of the pairing reads the
-    // persisted key-bucketed `bands` artifact PRUNED to the delta's
-    // touched buckets (PartitionFilters on `kb`) instead of re-banding
-    // the whole signature store per serve — O(touched buckets), not
-    // O(store). Bucket pruning is exact: the bucket is a pure function of
+    // r21 (VERDICT r20 #3): when the delta's band keys touch FEW of the
+    // persisted `bands` artifact's buckets, the pairing's base side reads
+    // the artifact PRUNED to those buckets (PartitionFilters on `kb`) —
+    // O(touched buckets), not O(store); the bucket is a pure function of
     // the (band, key) join key, so every matchable base row is in a kept
-    // bucket. A statically-empty fresh frame skips the pairing leg
-    // entirely (the expunged/post-fold serve stays a pure `pairs` read);
-    // a pre-v2 generation without `bands` falls back to the re-band.
+    // bucket and pruning is exact. GATED adaptively: a crawl-sized window
+    // (5k ids → ~20k band keys) saturates any hive-scale bucket count, and
+    // a full 256/256-bucket artifact read measured SLOWER than re-banding
+    // the sig store in-memory (sf100 A/B: 4.95 s vs 4.14 s — the
+    // pre-exploded artifact is 4× the rows of the sig store), so pruning
+    // only engages when ≤ 1/4 of the buckets are touched — the streaming
+    // micro-batch scale, where it skips ≥ 3/4 of the store's bytes.
+    // A statically-empty fresh frame skips the pairing leg entirely (the
+    // expunged/post-fold serve stays a pure `pairs` read); a bands-less
+    // generation always re-bands.
     val freshPairs =
       if (graft.operators.CdcRules.isKnownEmpty(fresh)) None
-      else if (java.nio.file.Files.exists(home.resolve("bands"))) {
-        val kbs = Dedup.bandedSignatures(freshSigs, "doc_id")
-          .select(lshBandBucket(col("band"), col("key")).as("kb"))
-          .distinct().collect().map(_.getLong(0)).sorted
-        val baseBands = graft.operators.PersistedIndex.artifactFrame(s, home, "bands")
-          .where(col("kb").isin(kbs.map(java.lang.Long.valueOf): _*))
-          .select("doc_id", "band", "key")
-          .join(dead, Seq("doc_id"), "left_anti")
-        Some(Dedup.incrementalCandidatePairsBanded(baseBands, freshSigs, "doc_id"))
-      } else Some(Dedup.incrementalCandidatePairs(baseSigs, freshSigs, "doc_id"))
+      else {
+        val kbs =
+          if (!java.nio.file.Files.exists(home.resolve("bands"))) Array.empty[Long]
+          else Dedup.bandedSignatures(freshSigs, "doc_id")
+            .select(lshBandBucket(col("band"), col("key")).as("kb"))
+            .distinct().collect().map(_.getLong(0)).sorted
+        if (kbs.nonEmpty && kbs.length <= LshPrunedBucketMax) {
+          val baseBands = graft.operators.PersistedIndex.artifactFrame(s, home, "bands")
+            .where(col("kb").isin(kbs.map(java.lang.Long.valueOf): _*))
+            .select("doc_id", "band", "key")
+            .join(dead, Seq("doc_id"), "left_anti")
+          Some(Dedup.incrementalCandidatePairsBanded(baseBands, freshSigs, "doc_id"))
+        } else Some(Dedup.incrementalCandidatePairs(baseSigs, freshSigs, "doc_id"))
+      }
     freshPairs.fold(basePairs)(basePairs.unionByName(_))
       .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
       .orderBy("doc_a", "doc_b")

@@ -59,16 +59,12 @@ class R21OptimizationSpec extends SparkSpec {
     assert(rows(500L) === ((799L, 799L)))
   }
 
-  test("dd23's pruned bands serve ≡ the full re-band, and the plan partition-prunes kb") {
+  test("dd23 at the correctness SFs (crawl window ⊇ corpus) equals the full re-band") {
+    // the adaptive gate routes wide windows to the proven re-band path;
+    // this pins that dd23's served answer still equals the ground-truth
+    // spelling reproduced inline from the persisted artifacts
     val dir = "/root/testdata/sf0.01"
     val served = DedupQueries.dd23SizedNeardup(spark, dir)
-    val plan = served.queryExecution.executedPlan.toString
-    assert(plan.contains("bands"),
-      s"serve must read the persisted bands artifact:\n$plan")
-    assert(plan.contains("PartitionFilters") && plan.contains("kb"),
-      s"bands read must carry a partition filter on kb:\n$plan")
-    // ground truth: the pre-r21 spelling — full re-band of the surviving
-    // signature store (reproduced inline from the persisted artifacts)
     val home = DedupQueries.ensureLshIndex(spark, dir)
     import graft.operators.{CdcRules, Dedup, PersistedIndex}
     val docs = graft.Tables(spark, dir, "documents")
@@ -89,8 +85,56 @@ class R21OptimizationSpec extends SparkSpec {
       .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
       .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
     val got = served.collect().map(_.toSeq).toSeq
-    assert(got === want, "pruned serve must equal the full re-band")
+    assert(got === want, "serve must equal the full re-band")
     assert(got.nonEmpty)
+  }
+
+  test("micro-batch window: the pruned bands path fires (PartitionFilters on kb) and equals the re-band") {
+    import spark.implicits._
+    // a 14-doc corpus keeps the sized window's band-key universe under
+    // the LshPrunedBucketMax gate (≤ 56 keys vs 256 buckets) — the
+    // streaming micro-batch scale the pruned path exists for. Two dup
+    // clusters straddle the watermark so the pairing does real work.
+    val tmp = java.nio.file.Files.createTempDirectory("dd23prune").toString
+    val dupA = "the quick brown fox jumps over the lazy dog"
+    val dupB = "pack my box with five dozen liquor jugs now"
+    val docs = (0L until 14L).map { i =>
+      val text =
+        if (Set(2L, 5L, 13L).contains(i)) dupA
+        else if (Set(3L, 12L).contains(i)) dupB
+        else s"w${i}a w${i}b w${i}c w${i}d"
+      (i, text, text.length.toLong)
+    }.toDF("doc_id", "text", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val served = DedupQueries.dd23SizedNeardup(spark, tmp)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("bands"),
+      s"pruned serve must read the persisted bands artifact:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("kb#"),
+      s"bands read must carry a partition filter on kb:\n$plan")
+    val got = served.collect().map(_.toSeq).toSeq
+    // ground truth: the full re-band over the same artifacts
+    val home = DedupQueries.ensureLshIndex(spark, tmp)
+    import graft.operators.{CdcRules, Dedup, PersistedIndex}
+    val d2 = graft.Tables(spark, tmp, "documents")
+    val wStar = CdcRules.feedSplit(d2, "doc_id")
+    val (dead, fresh) = CdcRules.feedFrames(
+      CdcRules.sizedFeed(
+        graft.streaming.EventStreams.cdcStream(d2, wStar), "doc_id", wStar),
+      "doc_id", "text", PersistedIndex.readSplit(spark, home))
+    val baseSigs = spark.read.parquet(home.resolve("sigs").toString)
+      .join(dead, Seq("doc_id"), "left_anti")
+    val basePairs = spark.read.parquet(home.resolve("pairs").toString)
+      .join(dead.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(dead.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
+      .select("id_a", "id_b", "shared_bands")
+    val freshSigs = Dedup.minhashSignatures(fresh, "doc_id", "text")
+    val want = basePairs
+      .unionByName(Dedup.incrementalCandidatePairs(baseSigs, freshSigs, "doc_id"))
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(got === want, "pruned serve must equal the full re-band")
+    assert(got.nonEmpty, "fixture must produce pairs")
   }
 
   test("e2e10's parallel walk rows are the serial composition of policy + folds") {
