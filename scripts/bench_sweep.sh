@@ -45,6 +45,7 @@ if (( rc != 0 )); then
   git checkout -- BENCH_FULL.json 2>/dev/null || true
   exit "$rc"
 fi
+rm -f "$sbt_log"  # keep the log only on failure
 after=$(ls bench_runs | sort | tail -1)
 [[ "$after" != "$before" ]] || { echo "FATAL: no bench_runs record produced" >&2; exit 1; }
 echo "run recorded: bench_runs/$after"

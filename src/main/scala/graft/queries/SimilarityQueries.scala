@@ -1649,19 +1649,31 @@ object SimilarityQueries {
     // values are bit-identical (oracle-hash-checked).
     val poolRows = pool.collect()
     val cands = poolRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    def vecOf(r: org.apache.spark.sql.Row): Option[(IndexedSeq[Float], Double)] =
+    // element conversion mirrors vec_dot (accepts float OR double arrays,
+    // each element widened to double before the multiply)
+    def vecOf(r: org.apache.spark.sql.Row): Option[(IndexedSeq[Double], Double)] =
       if (r.isNullAt(3) || r.isNullAt(4)) None
-      else Some((r.getSeq[Float](3).toIndexedSeq, r.getDouble(4)))
-    val vecs: Map[Long, Option[(IndexedSeq[Float], Double)]] =
+      else Some((r.getSeq[Any](3).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+      }.toIndexedSeq, r.getDouble(4)))
+    val vecs: Map[Long, Option[(IndexedSeq[Double], Double)]] =
       poolRows.map(r => r.getLong(0) -> vecOf(r)).toMap
-    def penOf(a: (IndexedSeq[Float], Double), b: (IndexedSeq[Float], Double)): Long = {
+    def penOf(a: (IndexedSeq[Double], Double), b: (IndexedSeq[Double], Double)): Long = {
       val n = math.min(a._1.length, b._1.length)
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += a._1(i).toDouble * b._1(i).toDouble; i += 1 }
-      val cos = java.math.BigDecimal.valueOf(1e6 * acc / (a._2 * b._2))
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
-      math.floor(cos.toDouble / 4.0).toLong
+      while (i < n) { acc += a._1(i) * b._1(i); i += 1 }
+      val raw = 1e6 * acc / (a._2 * b._2)
+      // Spark's Round passes NaN/Inf through untouched (BigDecimal would
+      // throw); the non-ANSI double→long cast is Scala's .toLong (NaN→0,
+      // ±Inf→Long.{Max,Min}Value) — a zero-norm pool vector must yield
+      // pen 0 exactly as the replaced plan did
+      val rounded =
+        if (raw.isNaN || raw.isInfinite) raw
+        else java.math.BigDecimal.valueOf(raw)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      math.floor(rounded.toLong.toDouble / 4.0).toLong
     }
     val pen: Map[(Long, Long), Long] = (for {
       (ia, va) <- vecs.toSeq; (ib, vb) <- vecs.toSeq if ia != ib

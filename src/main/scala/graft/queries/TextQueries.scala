@@ -2606,7 +2606,12 @@ object TextQueries {
     * and reports the full build. */
   private def sharedFreshTf(s: SparkSession, home: java.nio.file.Path,
       tag: String, fresh: DataFrame): DataFrame =
-    graft.operators.SessionShare.cached(s, home.toString, tag) {
+    // the analyzed-plan semanticHash binds the cache entry to the fresh
+    // frame's actual DERIVATION, so a future caller reusing a tag with a
+    // different fresh frame gets its own pin instead of silently reading
+    // the first caller's rows (r21 review finding)
+    graft.operators.SessionShare.cached(s, home.toString,
+      tag + "_" + fresh.queryExecution.analyzed.semanticHash()) {
       graft.operators.CdcRules.pinDerived(s, fresh, fresh
         .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))

@@ -101,9 +101,11 @@ object Layout {
     // and the salted swap would write a NEW 'col=12' dir beside the
     // surviving 'col=0012' one — duplicated rows; ADVICE r20).
     import scala.jdk.CollectionConverters._
-    val hasPartDirs = java.nio.file.Files.list(java.nio.file.Paths.get(path))
-      .iterator().asScala.exists(p =>
+    val dirStream = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+    val hasPartDirs =
+      try dirStream.iterator().asScala.exists(p =>
         java.nio.file.Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      finally dirStream.close()
     if (!hasPartDirs) return
     val written = s.read.schema(df.schema).parquet(path)
     val hot = written.groupBy(partitionCol).agg(count(lit(1)).as("__n"))

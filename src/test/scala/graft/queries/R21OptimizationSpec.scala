@@ -35,7 +35,9 @@ class R21OptimizationSpec extends SparkSpec {
     val t0 = System.nanoTime()
     val rows = MultimodalQueries.phashCounts(sigs).collect()
     val secs = (System.nanoTime() - t0) / 1e9
-    assert(secs < 60.0, s"degenerate cluster must run in seconds, took $secs")
+    // generous bound: the property guarded is linear-vs-1.4e10-pairs
+    // (hours / ENOSPC), not absolute speed on a contended CI host
+    assert(secs < 300.0, s"degenerate cluster must run in seconds, took $secs")
     val byId = rows.map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(byId.size === c + 1)
     // every cluster member: c-1 equal-hash partners, all candidates, all near
