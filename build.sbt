@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r22 (VERDICT r21 #2): without an outputStrategy sbt re-logs the forked
+// JVM's stdout with an "[info] " prefix, so the bare one-line JSON the
+// driver parses from Bench's tail never appeared — every BENCH_r15…r21.json
+// is `parsed: null` and every PERF comparison has been null. StdoutOutput
+// passes the forked process's stdout through untouched.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -42,6 +42,12 @@ fi
 grep -E '"metric"|FAILED' "$sbt_log" || true
 if (( rc != 0 )); then
   echo "FATAL: sbt exited $rc — bench run is not trustworthy (log: $sbt_log)" >&2
+  # ADVICE r21: stash the current map before restoring — a legitimate
+  # uncommitted protocol map from an earlier successful run must not be
+  # silently discarded (it also survives in bench_runs/, but keep the copy)
+  if ! git diff --quiet -- BENCH_FULL.json 2>/dev/null; then
+    cp BENCH_FULL.json "BENCH_FULL.json.failed-$(date +%s)" 2>/dev/null || true
+  fi
   git checkout -- BENCH_FULL.json 2>/dev/null || true
   exit "$rc"
 fi

@@ -28,7 +28,18 @@ object Bench {
     * log lines. */
   val LineBudget = 1300
 
+  /** 1-minute load average (first /proc/loadavg field), or -1 where
+    * unreadable — recorded at run start and end so a contended reading is
+    * machine-checkable from the bench record itself (VERDICT r20 #5 /
+    * r21 #2: the r20↔r21 219-vs-126 adjudication mess was exactly a
+    * quiet-vs-contended ambiguity with no load field to settle it). */
+  private def load1: Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = load1
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // shuffle-partition sizing (r21, VERDICT r20 #7): derived from the
@@ -110,8 +121,9 @@ object Bench {
       else (failed.take(5).map("\"" + _ + "\"") :+ s""""+${failed.size - 5} more"""")
         .mkString("[", ",", "]")
     val fullQs = results.map(entry).mkString("{", ",", "}")
+    val loadField = s""""load":[${r2(loadStart)},${r2(load1)}]"""
     val fullLine =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","n":${results.size},"errors":$errs,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","n":${results.size},"errors":$errs,$loadField,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     // every run ALSO lands in bench_runs/<epochSeconds>.json so
@@ -140,7 +152,7 @@ object Bench {
     // mistaken for (truncated, unparseable) machine output
     println("BENCH_FULL " + fullLine)
     // final line: slowest queries first, cut off at the char budget
-    val head = s"""{"metric":"total","value":${r2(total)},"unit":"sec","n":${results.size},"errors":$errsCapped,"queries":{"""
+    val head = s"""{"metric":"total","value":${r2(total)},"unit":"sec","n":${results.size},"errors":$errsCapped,$loadField,"queries":{"""
     val tail = s"""},"sf":"$sfDir"}"""
     var used = head.length + tail.length
     val kept = Vector.newBuilder[String]

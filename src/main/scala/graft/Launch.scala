@@ -23,19 +23,29 @@ object Launch {
     * the on-disk census so the 128 MB band means UNCOMPRESSED bytes. */
   val ParquetExpansion: Long = 4L
 
+  /** Sums only `*.parquet` files (ADVICE r21): stray scratch/output files
+    * dropped into the data dir must not silently inflate the derived
+    * partition count between runs — a bench-comparability jitter risk at
+    * big SFs. */
   def inputBytes(sfDir: String): Long = {
     val root = java.nio.file.Paths.get(sfDir)
     if (!java.nio.file.Files.exists(root)) 0L
     else {
       val st = java.nio.file.Files.walk(root)
-      try st.filter(p => java.nio.file.Files.isRegularFile(p))
+      try st.filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
         .mapToLong(p => java.nio.file.Files.size(p)).sum()
       finally st.close()
     }
   }
 
-  def derivedShufflePartitions(sfDir: String, cpus: Int): Int =
-    math.max(cpus.toLong,
+  def derivedShufflePartitions(sfDir: String, cpus: Int): Int = {
+    val n = math.max(cpus.toLong,
       (inputBytes(sfDir) * ParquetExpansion + BytesPerShufflePartition - 1)
         / BytesPerShufflePartition).toInt
+    // stderr, not stdout: the bench JSON tail must stay clean. A drifted
+    // derivation is visible in the run log (ADVICE r21).
+    System.err.println(s"[launch] derived shuffle partitions: $n ($sfDir, $cpus cpus)")
+    n
+  }
 }

@@ -585,13 +585,20 @@ object ALQueries {
       round(lit(1e9) * call_function("vec_sqdist", a, b)).cast("long")
     val out = Vector.newBuilder[(Int, Long, Long)]
     out += ((1, 0L, 0L))
+    // r22 (VERDICT r21 #5): the per-round checkpoint is LAZY, so the
+    // round's argmax TakeOrdered is the action that materializes it — the
+    // distance-update pass and the argmax fuse into ONE job per round
+    // (~K jobs total where the eager spelling ran ~2K; job count pinned by
+    // R22OptimizationSpec). The checkpoint itself stays: round N+1's pool
+    // must read round N's materialized blocks, not recompute the chain.
     var pool = emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(emb.filter(col("vec_id") === 0).select(col("embedding").as("ce"))))
       .select(col("vec_id"), col("embedding"), dE9(col("embedding"), col("ce")).as("mind_e9"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var exhausted = false
     for (step <- 2 to KcK if !exhausted) {
-      // bounded collect: at most one row (the argmax) per round
+      // bounded collect: at most one row (the argmax) per round — this
+      // action also materializes the lazily-checkpointed pool
       val nextRows = pool.orderBy(desc("mind_e9"), col("vec_id")).limit(1)
         .select("vec_id", "mind_e9").collect()
       if (nextRows.isEmpty) exhausted = true
@@ -605,7 +612,7 @@ object ALQueries {
             .crossJoin(broadcast(ce))
             .select(col("vec_id"), col("embedding"),
               least(col("mind_e9"), dE9(col("embedding"), col("ce"))).as("mind_e9"))
-            .localCheckpoint()
+            .localCheckpoint(false)
         }
       }
     }

@@ -1949,6 +1949,19 @@ object CurationQueries {
     // fold runs after the positions family's `_cdc` fold — both live
     // under the positions_index parent and the serial spelling never had
     // a sweep race between them.
+    //
+    // CROSS-ARM INDEPENDENCE REQUIREMENT (ADVICE r21): each concurrent arm
+    // may only touch its OWN staging parent — ivf → ivf_delta_index/,
+    // kg → kg_index/, lsh → lsh_index/, phash → phash_index/,
+    // postings → postings_index/, positions (+ positions_base, sequenced
+    // above) → positions_index/, postings_stream → stream_loop/ (its OWN
+    // root; its applyBatch/resolve never reads postings_index even though
+    // it folds the same family kind). Adding an arm that shares a parent
+    // with another MUST join that arm's future (the positions chain is
+    // the template): publish/sweep race-safety inside one parent is
+    // buildIfAbsent's contract, but answer-invariance of a mid-fold
+    // generation resolution across parents is only guaranteed because no
+    // two concurrent arms resolve the same parent.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)

@@ -641,16 +641,18 @@ object MultimodalQueries {
     * set; the expunged serve (∅, ∅) against a CDC-folded generation. */
   /** The incremental kernel shared by [[phashServe]] and
     * [[foldPhashArtifacts]] — returns the post-change answer rows
-    * (unsorted). The 100 TB shape (v3): the persisted store is only ever
-    * SCANNED map-side — its signatures band as a projection and meet the
-    * O(window) dead and fresh sides as broadcast hash joins; no full-store
-    * shuffle, no persisted pair set (the r19 pairs artifact was
+    * (unsorted). The 100 TB shape (v3 + the r22 representative legs): the
+    * persisted store pairs against the O(window) dead and fresh sides as
+    * ONE banded representative per DISTINCT live signature (multiplicity-
+    * weighted — identical-signature clusters cost one row per cluster,
+    * not O(window·c)); no persisted pair set (the r19 pairs artifact was
     * ~N²/65536 rows and exhausted disk at sf100), and only the O(window)
     * fresh payload meets the DCT. Dead-touching pair contributions
-    * re-derive EXACTLY from persisted signatures: live×dead plus
-    * dead×dead banded pairs, each emitted once from its minimal shared
-    * band, bit_count-adjudicated on the spot — bit-identical to the v2
-    * persisted `near` flags it replaces. Statically-empty dead/fresh
+    * re-derive EXACTLY from persisted signatures, each pair emitted once
+    * from its minimal shared band, bit_count-adjudicated on the spot —
+    * bit-identical to the v2 persisted `near` flags it replaces (dead×dead
+    * pairs are not derived at all: their counts only ever landed on dead
+    * assets, which leave the store). Statically-empty dead/fresh
     * frames erase every delta leg (PropagateEmptyRelation + the pinDerived
     * substitution), so a post-fold serve is a pure `rows` artifact scan. */
   /** @param hinted serve paths pass true (the fresh side is a bounded
@@ -660,7 +662,7 @@ object MultimodalQueries {
     *   autoBroadcastJoinThreshold — at scale that is a driver OOM, not a
     *   plan improvement; the planner/AQE picks the join there (ADVICE
     *   r18). */
-  private def phashDelta(s: SparkSession, home: java.nio.file.Path,
+  private[queries] def phashDelta(s: SparkSession, home: java.nio.file.Path,
       deadIds: DataFrame, fresh: DataFrame,
       hinted: Boolean = true): DataFrame = {
     import graft.operators.{CdcRules, PersistedIndex}
@@ -671,35 +673,75 @@ object MultimodalQueries {
     // dead-touching pair contributions re-derive from PERSISTED signatures
     // (v3 — no pair artifact): the dead window's signatures come off the
     // store by a broadcast semi-join, band as a projection, and pair
-    // against one map-side banded scan of the live store — the same scan
-    // the fresh leg pays. A dead asset's sub equals its full persisted
+    // against the live store. A dead asset's sub equals its full persisted
     // count, so an updated asset nets to its add side.
     val deadRows = rows0.join(broadcast(dead), Seq("asset_id"), "left_semi")
       .select("asset_id", "phash64")
     val liveRows = rows0.join(broadcast(dead), Seq("asset_id"), "left_anti")
-    val bDead = bandedPhash(deadRows)
-    val bLive = bandedPhash(liveRows.select("asset_id", "phash64"))
-    val sub = phashPairCounts(withNear(
-      phashPairsOf(bLive, bDead, both = true, hinted)
-        .unionByName(phashPairsOf(bDead, bDead, both = false, hinted))))
+    // r22 (VERDICT r21 #1, the serve-side sibling of phashCounts' r21
+    // representative fix): the STORE side of every window pair leg joins
+    // ONE representative per DISTINCT live signature, weighted by its
+    // multiplicity `__c` — the asset-keyed spelling enumerated c rows per
+    // window row matching a c-identical store cluster (O(window·c); a 5k
+    // window against a 100k-identical web cluster is ~5·10⁸ join rows,
+    // R22DegenerateServeSpec). Pair existence and Hamming adjudication
+    // are functions of the SIGNATURE alone, so: a live asset's window
+    // count = its signature's count (joined back by phash64), and a
+    // window asset's store count = Σ multiplicity over matched distinct
+    // signatures. The live/dead/fresh id universes are disjoint (dead
+    // left the store, fresh is past the watermark), so no identity filter
+    // is needed on the cross legs: an equal-signature window partner
+    // collides on every band and emits once from band 0 — the closed-form
+    // equal-hash terms of the build path are unnecessary here.
+    val liveSigs = liveRows.groupBy("phash64").agg(count(lit(1)).as("__c"))
+    val bRep = bandedPhash(
+        liveSigs.select(col("phash64").as("asset_id"), col("phash64")))
+      .select(col("phash64").as("sa"), col("band"), col("key"))
+    // (sa, id_b, sb, near) pairs between the distinct live signatures and
+    // a window-sized banded frame, emitted once from the minimal shared
+    // band — the window side broadcasts on the serve paths, so the store
+    // side is only ever scanned map-side (plus the one distinct-signature
+    // aggregation above, a 16-byte-per-row partial-agg shuffle).
+    def repCross(bWin: DataFrame): DataFrame =
+      bRep.join(hint(bWin.select(col("asset_id").as("id_b"),
+          col("phash64").as("sb"), col("band"), col("key"))), Seq("band", "key"))
+        .filter(col("band") === minCommonBand(col("sa").bitwiseXOR(col("sb"))))
+        .select(col("sa"), col("id_b"), col("sb"),
+          (expr(s"bit_count(sa ^ sb)") <= MaxHamming).as("near"))
+    val subSig = repCross(bandedPhash(deadRows))
+      .groupBy(col("sa").as("phash64"))
+      .agg(count(lit(1)).as("ncx"),
+        sum(when(col("near"), 1L).otherwise(0L)).as("nnx"))
     val bF = bandedPhash(freshSigs)
-    val addPairs = withNear(
-      phashPairsOf(bLive, bF, both = true, hinted)
-        .unionByName(phashPairsOf(bF, bF, both = false, hinted)))
-    val add = phashPairCounts(addPairs)
+    val crossFresh = repCross(bF)
+    val addSig = crossFresh.groupBy(col("sa").as("phash64"))
+      .agg(count(lit(1)).as("ncf"),
+        sum(when(col("near"), 1L).otherwise(0L)).as("nnf"))
+    // fresh-side counts: live partners weighted by the matched signature's
+    // multiplicity (the pair table is tiny — the weight attaches AFTER the
+    // banded join, never to the banded frames), plus the fresh×fresh pairs
+    // (window-bounded on BOTH sides — the asset-keyed spelling is exact
+    // and O(window²/2⁶⁴·bands) there).
+    val freshFromLive = crossFresh
+      .join(liveSigs.select(col("phash64").as("sa"), col("__c")), Seq("sa"))
+      .groupBy(col("id_b").as("asset_id"))
+      .agg(sum(col("__c")).as("ncf"),
+        sum(when(col("near"), col("__c")).otherwise(0L)).as("nnf"))
+    val ff = phashPairCounts(withNear(phashPairsOf(bF, bF, hinted)))
+    val addFresh = freshFromLive
+      .unionByName(ff.select(col("asset_id"), col("n_cand").as("ncf"),
+        col("n_near").as("nnf")))
+      .groupBy("asset_id").agg(sum("ncf").as("ncf"), sum("nnf").as("nnf"))
     val outBase = liveRows
-      .join(hint(sub.select(col("asset_id"), col("n_cand").as("ncx"),
-        col("n_near").as("nnx"))), Seq("asset_id"), "left")
-      .join(hint(add.select(col("asset_id"), col("n_cand").as("ncf"),
-        col("n_near").as("nnf"))), Seq("asset_id"), "left")
+      .join(hint(subSig), Seq("phash64"), "left")
+      .join(hint(addSig), Seq("phash64"), "left")
       .select(col("asset_id"), col("phash64"),
         (col("n_cand") - coalesce(col("ncx"), lit(0L)) +
           coalesce(col("ncf"), lit(0L))).as("n_cand"),
         (col("n_near") - coalesce(col("nnx"), lit(0L)) +
           coalesce(col("nnf"), lit(0L))).as("n_near"))
     val outFresh = freshSigs
-      .join(hint(add.select(col("asset_id"), col("n_cand").as("ncf"),
-        col("n_near").as("nnf"))), Seq("asset_id"), "left")
+      .join(hint(addFresh), Seq("asset_id"), "left")
       .select(col("asset_id"), col("phash64"),
         coalesce(col("ncf"), lit(0L)).as("n_cand"),
         coalesce(col("nnf"), lit(0L)).as("n_near"))
@@ -710,25 +752,21 @@ object MultimodalQueries {
       deadIds: DataFrame, fresh: DataFrame): DataFrame =
     phashDelta(s, home, deadIds, fresh).orderBy("asset_id")
 
-  /** Banded candidate pairing with the RIGHT side always the window-sized
-    * frame — broadcast on both orientations, so the (possibly
-    * corpus-sized) left frame is only ever scanned map-side. The two id
-    * universes must be DISJOINT when `both` (live/dead/fresh windows are,
-    * by the watermark). Multi-band matches emit ONCE, from the pair's
-    * minimal shared band — replacing the r19 `.distinct()`, which was a
-    * full shuffle of the raw pair stream. */
-  private def phashPairsOf(left: DataFrame, right: DataFrame, both: Boolean,
+  /** Banded SELF-pairing of a window-sized frame (both ordered
+    * orientations via the self-join; r22 dropped the cross-universe
+    * `both` mode — cross legs go through [[phashDelta]]'s representative
+    * pairing). Multi-band matches emit ONCE, from the pair's minimal
+    * shared band — replacing the r19 `.distinct()`, which was a full
+    * shuffle of the raw pair stream. */
+  private def phashPairsOf(left: DataFrame, right: DataFrame,
       hinted: Boolean = true): DataFrame = {
     def hint(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     def a(b: DataFrame) = b.select(col("asset_id").as("id_a"), col("phash64").as("sa"),
       col("band"), col("key"))
     def bb(b: DataFrame) = b.select(col("asset_id").as("id_b"), col("phash64").as("sb"),
       col("band"), col("key"))
-    val fwd = a(left).join(hint(bb(right)), Seq("band", "key"))
-    val base =
-      if (both) fwd.unionByName(hint(a(right)).join(bb(left), Seq("band", "key")))
-      else fwd
-    base.filter(col("id_a") =!= col("id_b"))
+    a(left).join(hint(bb(right)), Seq("band", "key"))
+      .filter(col("id_a") =!= col("id_b"))
       .filter(col("band") === minCommonBand(col("sa").bitwiseXOR(col("sb"))))
       .select("id_a", "id_b", "sa", "sb")
   }

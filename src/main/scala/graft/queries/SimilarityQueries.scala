@@ -297,6 +297,46 @@ object SimilarityQueries {
     }
   }
 
+  /** Build-if-absent the RANGE-CLUSTERED vector-feed artifact (VERDICT
+    * r21 #3 — the postings recipe on the vector feed): the embeddings
+    * table re-laid-out by [[graft.sources.Layout.writeRangeClustered]] on
+    * `vec_id`, so every file carries a tight, pairwise-disjoint vec_id
+    * envelope and a CONTIGUOUS crawl window lands as a pushed range that
+    * skips whole files/pages via parquet statistics. The raw table gives
+    * the same predicate only row-group luck; this makes the windowed feed
+    * generation O(window) reads at any corpus size. Unlike the LSH bands
+    * rung (hash-bucketed, gated because a crawl window's ~20k scattered
+    * band keys touch every bucket), a crawl window here is ONE id range —
+    * the pruning cannot degrade with window size, so there is no gate.
+    * Corpus-fingerprinted and fold-independent (it re-layouts the SOURCE,
+    * not index state), so CDC folds never republish it. */
+  private[queries] def ensureVecFeedArtifact(s: SparkSession, dir: String): java.nio.file.Path =
+    graft.operators.PersistedIndex.ensure("vec_feed", dir, ivfFp(dir)) { tmp =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      // ~256k vectors (~64 MB raw) per file, capped so the file count
+      // stays listing-friendly at any scale: the crawl window (10k ids)
+      // touches 1–2 files up the ladder, and page-level stats (rows are
+      // sorted by vec_id) prune inside whatever a file still over-covers.
+      val files = math.min(2048L,
+        math.max(1L, (emb.count() + (1L << 18) - 1) / (1L << 18))).toInt
+      graft.sources.Layout.writeRangeClustered(
+        emb, tmp.resolve("vecs").toString, "vec_id", files)
+    }
+
+  /** The crawl-windowed (vec_id ∈ (split−w, split+w]) slice of the vector
+    * feed, generated from the range-clustered artifact instead of a full
+    * embeddings scan — identical rows (op/payload are per-row arithmetic
+    * and the artifact holds exactly the corpus (vec_id, embedding) set),
+    * different physics: the window predicate is a pushed range over
+    * disjoint file envelopes. */
+  private[queries] def sizedVecFeed(s: SparkSession, dir: String, wStar: Long): DataFrame = {
+    import graft.operators.{CdcRules, PersistedIndex}
+    val vecsWin = PersistedIndex
+      .artifactFrame(s, ensureVecFeedArtifact(s, dir), "vecs")
+      .where(CdcRules.inWindow(col("vec_id"), wStar))
+    CdcRules.vecFeed(vecsWin, "vec_id", "embedding", wStar)
+  }
+
   /** Compaction for the IVF family — fold the in-flight delta vectors into
     * the persisted cell table under the FROZEN centroids (the FAISS
     * add-after-train contract ss7/ss9 already freeze against): the delta
@@ -631,9 +671,11 @@ object SimilarityQueries {
     val embAll = t(s, dir, "embeddings")
     val wStar = CdcRules.feedSplit(embAll, "vec_id")
     val home = ensureIvfDeltaIndex(s, dir)
+    // r22: the windowed feed reads the range-clustered artifact (pushed
+    // vec_id range over disjoint file envelopes) instead of scanning the
+    // raw embeddings table — [[sizedVecFeed]]; rows are identical.
     val (dead, fresh) = CdcRules.feedFrames(
-      CdcRules.sizedFeed(
-        CdcRules.vecFeed(embAll, "vec_id", "embedding", wStar), "vec_id", wStar),
+      sizedVecFeed(s, dir, wStar),
       "vec_id", "embedding", PersistedIndex.readSplit(s, home))
     ivfServe(s, home, dead, fresh, sizedPostChangeQueries(s, dir, wStar))
   }
@@ -1650,12 +1692,15 @@ object SimilarityQueries {
     val poolRows = pool.collect()
     val cands = poolRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // element conversion mirrors vec_dot (accepts float OR double arrays,
-    // each element widened to double before the multiply)
+    // each element widened to double before the multiply; a null ELEMENT
+    // contributes 0 — ADVICE r21: degrade like a column-level null instead
+    // of a collect-time MatchError)
     def vecOf(r: org.apache.spark.sql.Row): Option[(IndexedSeq[Double], Double)] =
       if (r.isNullAt(3) || r.isNullAt(4)) None
       else Some((r.getSeq[Any](3).map {
         case f: java.lang.Float => f.toDouble
         case d: java.lang.Double => d.doubleValue
+        case _ => 0.0
       }.toIndexedSeq, r.getDouble(4)))
     val vecs: Map[Long, Option[(IndexedSeq[Double], Double)]] =
       poolRows.map(r => r.getLong(0) -> vecOf(r)).toMap

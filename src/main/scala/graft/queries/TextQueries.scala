@@ -3223,18 +3223,26 @@ object TextQueries {
     val seeds = TopK.smallestPerGroup(bounds, Seq("query_id"), 1,
         -col("bound_e6"), col("blk"), keyName = "negb_e6", idName = "blk")
       .select("query_id", "blk")
+    // r22 (VERDICT r21 #4): θ_q folds INTO the kept plan instead of a
+    // driver-synchronized seed collect — one job per serve where two ran.
+    // Per query: kth = the k-th exact seed score = −max(neg_e6) over the
+    // TopK rows, certified exactly as [[blockmaxCertified]] spells it
+    // (count == k ∧ kth > 0, else θ_q = 0 — the query degrades to exact
+    // scoring inside the same plan). A query with NO seed-scored rows gets
+    // no theta row; the left join + coalesce(0) below reproduces the old
+    // driver map's θ_q = 0 for it. The bounds aggregation's Exchange now
+    // appears in both the seed and kept legs of ONE plan, so
+    // ReuseExchange computes it once — the two-job spelling paid it twice.
     val seedTop = TopK.smallestPerGroup(scoredPairs(broadcast(seeds)),
         Seq("query_id"), k, -col("bm25_e6"), col("doc_id"),
         keyName = "neg_e6", idName = "doc_id")
-      .collect()
-    val byQ = seedTop.groupBy(_.getAs[Long]("query_id"))
-    val thetas = batch.map { case (qid, _) =>
-      val rows = byQ.getOrElse(qid, Array.empty[org.apache.spark.sql.Row])
-      val kth = if (rows.isEmpty) 0L else -rows.map(_.getAs[Long]("neg_e6")).max
-      (qid, if (blockmaxCertified(rows.length, k, kth)) kth else 0L)
-    }.toDF("query_id", "theta")
-    val kept = bounds.join(broadcast(thetas), Seq("query_id"))
-      .filter(col("bound_e6") >= col("theta"))
+    val thetas = seedTop.groupBy("query_id")
+      .agg(count(lit(1)).as("__n"), (-max(col("neg_e6"))).as("__kth"))
+      .select(col("query_id"),
+        when(col("__n") === k && col("__kth") > 0L, col("__kth"))
+          .otherwise(0L).as("theta"))
+    val kept = bounds.join(broadcast(thetas), Seq("query_id"), "left")
+      .filter(col("bound_e6") >= coalesce(col("theta"), lit(0L)))
       .select("query_id", "blk")
     val res = TopK.smallestPerGroup(scoredPairs(kept), Seq("query_id"), k,
         -col("bm25_e6"), col("doc_id"), keyName = "neg_e6", idName = "doc_id")
