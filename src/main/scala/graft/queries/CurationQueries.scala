@@ -264,9 +264,12 @@ object CurationQueries {
     val docsTok = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("tk"))
     val trainTok = docsTok.filter(col("doc_id") % 5 < 4)
-    val uni = trainTok.select(explode(col("tk")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("ucnt"))
-      .localCheckpoint()
+    // r22: session-shared (the qld_core convention) — the train-split
+    // unigram count table is a pure function of the dir, and the per-call
+    // eager checkpoint was a full tokenize pass on EVERY ta14 evaluation
+    val uni = graft.operators.SessionShare.materialized(s, dir, "kn_uni")(
+      trainTok.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("ucnt")))
     val stats = uni.agg(sum("ucnt").as("tt"), count(lit(1)).as("vv"))
     val big = pairs(trainTok).groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
     val pb = when(col("ucnt_w1").isNotNull && col("bcnt").isNotNull,
@@ -356,8 +359,11 @@ object CurationQueries {
     val docsTok = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("tk"))
     val trainTok = docsTok.filter(col("doc_id") % 5 < 4)
-    val big = pairs(trainTok).groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
-      .localCheckpoint()
+    // r22: session-shared — the per-call eager checkpoint re-tokenized the
+    // train split on every ta16 evaluation (PlanSplitR22: 0.49 s of the
+    // 1.0 s row was this construction-time job)
+    val big = graft.operators.SessionShare.materialized(s, dir, "kn_big")(
+      pairs(trainTok).groupBy("w1", "w2").agg(count(lit(1)).as("bcnt")))
     val ctx = big.groupBy("w1").agg(sum("bcnt").as("cv"), count(lit(1)).as("n1fwd"))
     val cont = big.groupBy("w2").agg(count(lit(1)).as("n1bwd"))
     val stats = big.agg(count(lit(1)).as("n1dd")).crossJoin(
@@ -509,8 +515,12 @@ object CurationQueries {
     val docsTok = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("tk"))
     val trainTok = docsTok.filter(col("doc_id") % 5 < 4)
-    val tri = tris(trainTok).groupBy("u", "v", "w").agg(count(lit(1)).as("tcnt"))
-      .localCheckpoint()
+    // r22: session-shared — the per-call eager checkpoint re-derived the
+    // trigram count table on every ta19 evaluation (PlanSplitR22: 0.77 s
+    // of the 1.25 s row was this construction-time job, not planning —
+    // the "deep-plan constant" hypothesis VERDICT r21 #6 asked us to test)
+    val tri = graft.operators.SessionShare.materialized(s, dir, "kn3_tri")(
+      tris(trainTok).groupBy("u", "v", "w").agg(count(lit(1)).as("tcnt")))
     val ctx3 = tri.groupBy("u", "v").agg(sum("tcnt").as("cuv"), count(lit(1)).as("n1fwd3"))
     val mid = tri.groupBy("v", "w").agg(count(lit(1)).as("n1mid"))
     val ctx2 = mid.groupBy("v").agg(sum("n1mid").as("n1ctx2"), count(lit(1)).as("n1fwd2"))

@@ -978,8 +978,14 @@ object DedupQueries {
   /** Pruned-path gate: engage the bucket-pruned bands read only when the
     * delta touches at most this many buckets (measured break-even —
     * see [[lshServe]]'s A/B note; at ≥ full coverage the pre-exploded
-    * artifact read loses to the in-memory re-band). */
-  private val LshPrunedBucketMax = (LshBandBuckets / 4).toInt
+    * artifact read loses to the in-memory re-band). r22 raised the r21
+    * gate (1/4) to 3/4 from a four-point sf100 ladder over the 4.5M-sig
+    * store (R22LshMicroAb, warm pass): 16/256 buckets 0.78 s pruned vs
+    * 3.25 s re-band (4.2×), 116/256 1.83 vs 3.91 (2.1×), 179/256 2.72 vs
+    * 3.31 (1.2×), 246/256 7.58 vs 5.41 (re-band wins) — crossover
+    * ≈ 200–230 of 256, so 192 keeps a margin below it. Both paths are
+    * bit-equal (spec-pinned), the gate only picks the cheaper plan. */
+  private val LshPrunedBucketMax = (LshBandBuckets * 3 / 4).toInt
 
   private def lshBandBucket(band: Column, key: Column): Column =
     pmod(xxhash64(band, key), lit(LshBandBuckets))

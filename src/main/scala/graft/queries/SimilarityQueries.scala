@@ -329,7 +329,7 @@ object SimilarityQueries {
     * and the artifact holds exactly the corpus (vec_id, embedding) set),
     * different physics: the window predicate is a pushed range over
     * disjoint file envelopes. */
-  private[queries] def sizedVecFeed(s: SparkSession, dir: String, wStar: Long): DataFrame = {
+  private[graft] def sizedVecFeed(s: SparkSession, dir: String, wStar: Long): DataFrame = {
     import graft.operators.{CdcRules, PersistedIndex}
     val vecsWin = PersistedIndex
       .artifactFrame(s, ensureVecFeedArtifact(s, dir), "vecs")
