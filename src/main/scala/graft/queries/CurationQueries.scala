@@ -1974,7 +1974,13 @@ object CurationQueries {
     // two concurrent arms resolve the same parent.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // GRAFT_E2E10_POOL is a MEASUREMENT knob (VERDICT r21 #8's serial-vs-
+    // parallel ladder A/B): 1 reproduces the r20 serial queue (arms run one
+    // at a time off a single-thread pool), default 8 is the operative
+    // shape. Answers are identical either way — rows are assembled from
+    // the completed futures in the same deterministic order.
+    val poolSize = sys.env.get("GRAFT_E2E10_POOL").map(_.toInt).getOrElse(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       def walkFamily(r: org.apache.spark.sql.Row) = {
